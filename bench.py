@@ -1,0 +1,79 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Usage: python bench.py [--sf-dir DIR] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "flagship_series_summary",
+    "p5_preprocess_table",
+    "g5_sliding_window",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--queries", default=None)
+    args = ap.parse_args()
+
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+    from the_framework_for_clustering_time_series_data_spark.session import get_spark
+
+    spark = get_spark("the_framework_for_clustering_time_series_data_spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    names = args.queries.split(",") if args.queries else [n for n in HEADLINE if n in QUERIES]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; available: {sorted(QUERIES)}")
+
+    # warm the JVM + parquet footers once (untimed)
+    QUERIES[names[0]](spark, args.sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, args.sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

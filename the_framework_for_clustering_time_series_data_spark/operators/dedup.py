@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash-LSH, SimHash, embedding-cosine near-dup.
+
+Scale design:
+  * exact dedup hashes the content (md5) and groups on the hash — the
+    shuffle key is 16 bytes regardless of document size;
+  * n-gram Jaccard joins only pairs that SHARE a shingle (inverted-index
+    join), never the full cross product;
+  * MinHash-LSH bands signatures so candidate pairs collide in buckets —
+    join cost scales with collisions, not n²;
+  * SimHash reduces each doc to one 64-bit int; near-dup = small
+    Hamming distance, found via band-exact match on rotations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (text_hash, n_dups, keep_id)
+    with keep_id = min id (the canonical survivor).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row per distinct text (the min-id row)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def _shingles(text_col: str, n: int) -> F.Column:
+    """Distinct word n-gram shingles of lowercase text."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # slide over token positions: shingle i = tokens[i..i+n-1] joined
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    return F.array_distinct(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity ≥
+    threshold.
+
+    Inverted-index plan: explode distinct shingles → self-join on the
+    shingle (only co-shingled pairs meet) → per-pair intersection count
+    → Jaccard = |∩| / (|A| + |B| - |∩|). The shuffle key is the
+    shingle; hot shingles can be frequency-capped upstream.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash + LSH banding,
+    verified with exact Jaccard on the candidates.
+
+    Pipeline (all DataFrame ops, deterministic):
+      1. shingle → explode;
+      2. per (doc, hash_i): min over shingles of xxhash64(shingle, i) —
+         the minhash signature, computed as num_hashes aggregate
+         expressions in ONE grouped pass;
+      3. band the signature (num_hashes/band_size bands), hash each
+         band, self-join on (band_id, band_hash) → candidates;
+      4. exact Jaccard on candidates only (inverted-index as in
+         ngram_jaccard_pairs but restricted to candidate pairs).
+
+    Scale: candidate generation is linear in n_docs × num_hashes; the
+    verify join touches only colliding pairs.
+    """
+    band_size = 4
+    n_bands = num_hashes // band_size
+    docs = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
+    ex = docs.select("id", F.explode("sh").alias("shingle"))
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band_id", "bb.band_hash")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact-verify candidates
+    sh = docs.withColumn("n_sh", F.size("sh"))
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document over lowercase word tokens.
+
+    Per token, a 64-bit hash (xxhash64); per bit position, sum of ±1
+    across tokens; fingerprint bit b = 1 iff the sum > 0. Computed as a
+    single grouped aggregate over exploded (token, bit) pairs — no
+    Python, no per-row loops.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    votes = ex.groupBy("id").agg(*bit_votes)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return votes.select("id", fp.alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+
+    Brute-force O(n²) pairwise — correct baseline; at scale use
+    LSH bucketing (similarity.ann_lsh) to prune candidates first.
+    """
+    from the_framework_for_clustering_time_series_data_spark.operators.similarity import cosine_expr
+
+    v = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (exact). Scale path: LSH-bucketed
+(random hyperplane signs) candidate pruning — both pure DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<double> columns (zip_with +
+    aggregate fold — whole-stage codegen, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query side is broadcast (queries ≪ corpus); the corpus is
+    scanned once; per-query top-k via windowed row_number. At cluster
+    scale this is the classic broadcast-NN scan: O(|corpus| · |Q| · d)
+    flops distributed over corpus partitions, no shuffle of the corpus.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Each vector gets ``n_tables`` bucket keys (sign pattern of
+    ``n_planes`` fixed random hyperplanes). Corpus and queries join on
+    (table, bucket) — only same-bucket candidates are scored. Recall
+    grows with n_tables; cost scales with bucket collisions, not n².
+
+    Hyperplanes are generated deterministically from ``seed`` on the
+    driver (tiny: n_tables × n_planes × d floats) and broadcast via
+    literal arrays.
+    """
+    import numpy as np
+
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def bucket_col(vcol: Column, t: int) -> Column:
+        bits = [
+            F.when(dot_expr(vcol, F.array(*[F.lit(float(x)) for x in planes[t, p]])) > 0, 1).otherwise(0)
+            * (1 << p)
+            for p in range(n_planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c_b = corpus.select(
+        "nbr_id", "v",
+        F.explode(F.array(*[F.struct(F.lit(t).alias("tbl"), bucket_col(F.col("v"), t).alias("bkt")) for t in range(n_tables)])).alias("tb"),
+    ).select("nbr_id", "v", "tb.tbl", "tb.bkt")
+    q_b = qs.select(
+        "query_id", "qv",
+        F.explode(F.array(*[F.struct(F.lit(t).alias("tbl"), bucket_col(F.col("qv"), t).alias("bkt")) for t in range(n_tables)])).alias("tb"),
+    ).select("query_id", "qv", "tb.tbl", "tb.bkt")
+    cand = (
+        c_b.join(F.broadcast(q_b), ["tbl", "bkt"])
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", "qv", "v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "nbr_id", F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID (stopword heuristic), document
+fingerprinting. All built-in-function compositions — no Python UDFs in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deterministic, dependency-free.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de": ("der", "die", "und", "das", "von", "den", "im", "ein", "mit", "des"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "他", "这", "中"),
+}
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + char count + mean token length."""
+    toks = tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: length, alpha ratio, punctuation
+    ratio, English-stopword ratio, and a combined [0,1] score (the
+    usual pretraining-data quality gates).
+    """
+    text = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", ""))
+    sw = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    alpha_ratio = n_alpha / n_chars
+    punct_ratio = n_punct / n_chars
+    stop_ratio = n_stop / F.size(toks)
+    score = (
+        F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.3
+        + alpha_ratio * 0.4
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID: per language, count token hits in its
+    stopword list; predict the argmax (ties → lexicographic language
+    order). One pass over the token array, no shuffle at all.
+    """
+    toks = tokens_expr(text_col)
+    langs = sorted(LANG_STOPWORDS)
+
+    def hits(lang: str) -> F.Column:
+        sw = LANG_STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    # struct(hits, -rank): array_max → max hits, ties → smallest rank
+    # (lexicographically first language). Deterministic.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(hits(lang).alias("hits"), F.lit(-rank).alias("neg_rank"))
+                for rank, lang in enumerate(langs)
+            ]
+        )
+    )
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return df.select(
+        F.col(id_col),
+        F.element_at(lang_arr, -best["neg_rank"] + 1).alias("pred_lang"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    use_md5: bool = False,
+) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every w-token window
+    (rolling over the token array), keep the minimum window hash as the
+    document fingerprint plus the count of distinct window hashes.
+    JVM-only: transform + hash over array slices.
+
+    ``use_md5=True`` switches the window hash from xxhash64 (fastest)
+    to md5 hex strings — portable across engines, used by the
+    DuckDB-oracle plan variant (min/distinct semantics identical).
+    """
+    toks = tokens_expr(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(w), F.lit(0)))
+    hash_fn = F.md5 if use_md5 else F.xxhash64
+    win_hashes = F.transform(
+        idx, lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i + 1, w)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(win_hashes).alias("min_fp"),
+        F.size(F.array_distinct(win_hashes)).alias("n_distinct_windows"),
+    )

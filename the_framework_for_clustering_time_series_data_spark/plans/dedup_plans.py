@@ -1,0 +1,93 @@
+"""Dedup plans over the ``documents`` table (north-star extensions,
+SURVEY.md §7 phase 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from the_framework_for_clustering_time_series_data_spark.operators import dedup
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+
+@register(
+    "dedup_exact_groups",
+    """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy — shuffle key is 16 bytes per doc
+    regardless of document size."""
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+WITH d AS (
+  SELECT doc_id AS id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           FOR i IN range(1, len(toks) - 1)
+         ]) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM d),
+i AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+FROM i
+WHERE n_inter / (n_a + n_b - n_inter) >= 0.2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.2) via
+    inverted-index join — only co-shingled pairs are compared."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, n=3
+    )
+
+
+@register("dedup_minhash_lsh")  # xxhash64-based → rows-only oracle
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH-banded near-dup candidates, exact-Jaccard
+    verified at 0.2. Deterministic (seeded hashes) but the hash family
+    is engine-specific → rows-only check."""
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2, n=3
+    )
+
+
+@register("dedup_simhash")  # xxhash64-based → rows-only oracle
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document (token-hash bit votes,
+    single grouped aggregate)."""
+    d = dedup.simhash(load_table(spark, sf_dir, "documents"))
+    return d.withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.9), brute-force
+    baseline; the LSH-pruned scale path is sim_ann_lsh_topk."""
+    return dedup.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.9
+    )

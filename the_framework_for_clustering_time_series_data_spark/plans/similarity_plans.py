@@ -1,0 +1,43 @@
+"""Similarity-search plans over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from the_framework_for_clustering_time_series_data_spark.operators import similarity
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+
+@register(
+    "sim_bruteforce_topk",
+    """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= 5
+""",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 10): broadcast
+    queries × one corpus scan; JVM-side zip_with/aggregate dot product.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register("sim_ann_lsh_topk")  # driver-seeded hyperplanes → rows-only oracle
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (16 planes × 4
+    tables, seed 42): candidates = same-bucket pairs only — the scale
+    path where brute force is O(n²)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)

@@ -1,0 +1,325 @@
+"""Reference-parity time-series plans (SURVEY.md §2.2-§2.3, §2.7-§2.8)
+registered as (Spark, DuckDB-oracle) pairs over the driver test tables.
+
+The ``events`` table plays the reference's uploaded CSV: series_id =
+user_id, time ordinal = rank of ts within user, value = value
+(TESTDATA/FIXTURES F5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from the_framework_for_clustering_time_series_data_spark.operators import align, prep, stats, trace
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.sources.tables import events_as_series, load_table
+
+# Shared oracle CTE: events viewed as (series_id, t, value).
+EV = """
+ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+)
+"""
+
+
+@register(
+    "flagship_series_summary",
+    f"""
+WITH {EV}
+SELECT series_id,
+       count(*) AS n_points,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(avg(value), 6) AS v_mean,
+       round(sqrt(avg(value * value)), 6) AS v_rms
+FROM ev
+GROUP BY series_id
+""",
+)
+def flagship_series_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY.md §7 phase 0): per-series length + value stats
+    (G2 + A1/A2) in one grouped aggregate — single shuffle on series_id,
+    map-side partial aggregation, whole-stage codegen.
+    """
+    ev = events_as_series(spark, sf_dir)
+    v = F.col("value")
+    return ev.groupBy("series_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.min(v), 6).alias("v_min"),
+        F.round(F.max(v), 6).alias("v_max"),
+        F.round(F.avg(v), 6).alias("v_mean"),
+        F.round(F.sqrt(F.avg(v * v)), 6).alias("v_rms"),
+    )
+
+
+@register(
+    "p5_preprocess_table",
+    f"""
+WITH {EV}, s AS (
+  SELECT min(value) AS vmin, max(value) AS vmax,
+         avg(value) AS vavg, stddev_pop(value) AS vstd
+  FROM ev
+)
+SELECT series_id AS process, t, value,
+       round((value - vavg) / vstd, 6) AS z_score,
+       round((value - vmin) / (vmax - vmin), 6) AS min_max
+FROM ev, s
+""",
+)
+def p5_preprocess_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P5 — the reference's Preprocess export: per-row global z-score
+    (stddev_pop) + global min-max (app.py:187-236, 358-382).
+    """
+    out = prep.preprocess_table(events_as_series(spark, sf_dir))
+    return out.select(
+        "process",
+        "t",
+        "value",
+        F.round("z_score", 6).alias("z_score"),
+        F.round("min_max", 6).alias("min_max"),
+    )
+
+
+@register(
+    "a1_value_stats",
+    """
+SELECT round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(avg(value), 6) AS v_mean,
+       round(var_pop(value), 6) AS v_var,
+       round(sqrt(avg(value * value)), 6) AS v_rms
+FROM events
+""",
+)
+def a1_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — global stats panel incl. population variance and RMS
+    (app.py:1706-1710, 1037-1048).
+    """
+    return stats.value_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "g2_length_stats",
+    f"""
+WITH {EV}, l AS (SELECT series_id, count(*) AS length FROM ev GROUP BY series_id)
+SELECT min(length) AS len_min, max(length) AS len_max,
+       round(avg(length), 6) AS len_mean, count(*) AS n_series
+FROM l
+""",
+)
+def g2_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — min/max/mean of per-series lengths (app.py:221-232)."""
+    return stats.length_stats(events_as_series(spark, sf_dir))
+
+
+@register(
+    "g3_truncation",
+    f"""
+WITH {EV}, m AS (
+  SELECT min(cnt) AS min_len FROM (SELECT count(*) AS cnt FROM ev GROUP BY series_id)
+)
+SELECT series_id, t, value FROM ev, m WHERE t < min_len
+""",
+)
+def g3_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — truncate every series to the global min length
+    (app.py:246-261), long form.
+    """
+    return align.truncate_to_min(events_as_series(spark, sf_dir))
+
+
+@register(
+    "g4_padding",
+    f"""
+WITH {EV},
+l AS (SELECT series_id, count(*) AS length FROM ev GROUP BY series_id),
+m AS (SELECT max(length) AS max_len FROM l)
+SELECT series_id, t, value FROM ev
+UNION ALL
+SELECT l.series_id, unnest(range(l.length, m.max_len)) AS t, 0.0 AS value
+FROM l, m WHERE l.length < m.max_len
+""",
+)
+def g4_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — zero-pad every series to the global max length
+    (app.py:266-280); filler rows generated from the per-series length
+    table, not by scanning fact rows.
+    """
+    return align.pad_to_max(events_as_series(spark, sf_dir))
+
+
+@register(
+    "g5_sliding_window",
+    f"""
+WITH {EV},
+l AS (SELECT series_id, count(*) AS length FROM ev GROUP BY series_id),
+w AS (
+  SELECT series_id, unnest(range(0, ((length - 16) // 4) + 1)) AS window_id
+  FROM l WHERE length >= 16
+)
+SELECT w.series_id, w.window_id, e.t - w.window_id * 4 AS pos, e.value
+FROM w JOIN ev e
+  ON e.series_id = w.series_id
+ AND e.t >= w.window_id * 4 AND e.t < w.window_id * 4 + 16
+""",
+)
+def g5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — sliding windows (w=16, s=4, drop_remainder) per series
+    (app.py:285-295). Spark plan: per-row window-id explode (fan-out
+    ≤ w/s) — no range join, no single-task window.
+    """
+    return align.sliding_windows(events_as_series(spark, sf_dir), 16, 4).select(
+        "series_id", "window_id", "pos", "value"
+    )
+
+
+# --- T* operators over the embeddings table -------------------------------
+# embeddings(vec_id, embedding float[64], label) plays the clustered
+# 2-D embedding: x/y = first two dims, prediction = label with class 9
+# remapped to the DBSCAN outlier marker -1 (FIXTURES.md F3/F4).
+
+EMB2D = """
+emb AS (
+  SELECT vec_id AS series_id,
+         CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y,
+         CASE WHEN label = 9 THEN -1 ELSE label END AS prediction
+  FROM embeddings
+)
+"""
+
+
+def _emb2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").alias("series_id"),
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+        F.when(F.col("label") == 9, F.lit(-1)).otherwise(F.col("label")).alias("prediction"),
+    )
+
+
+@register(
+    "t1_centroids",
+    f"""
+WITH {EMB2D}
+SELECT prediction,
+       round(avg(x), 6) AS cx, round(avg(y), 6) AS cy,
+       count(*) AS n_members
+FROM emb WHERE prediction != -1
+GROUP BY prediction
+""",
+)
+def t1_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — per-cluster centroid = per-class mean, excluding outliers
+    (app.py:1003-1016).
+    """
+    e = _emb2d(spark, sf_dir)
+    out = trace.centroids(
+        e.select("series_id", "x", "y"), e.select("series_id", "prediction")
+    )
+    return out.select(
+        "prediction",
+        F.round("cx", 6).alias("cx"),
+        F.round("cy", 6).alias("cy"),
+        "n_members",
+    )
+
+
+@register(
+    "t2_representatives",
+    f"""
+WITH {EMB2D},
+c AS (
+  SELECT prediction, avg(x) AS cx, avg(y) AS cy
+  FROM emb WHERE prediction != -1 GROUP BY prediction
+),
+d AS (
+  SELECT e.prediction, e.series_id, e.x, e.y,
+         sqrt((e.x - c.cx)^2 + (e.y - c.cy)^2) AS dist,
+         row_number() OVER (
+           PARTITION BY e.prediction
+           ORDER BY sqrt((e.x - c.cx)^2 + (e.y - c.cy)^2), e.series_id
+         ) AS rn
+  FROM emb e JOIN c ON e.prediction = c.prediction
+  WHERE e.prediction != -1
+)
+SELECT prediction, series_id, round(x, 6) AS x, round(y, 6) AS y,
+       round(dist, 6) AS dist
+FROM d WHERE rn = 1
+""",
+)
+def t2_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — per-cluster member nearest its centroid: broadcast join +
+    windowed top-1 (replaces app.py:1018-1033's O(k·n) scan).
+    """
+    e = _emb2d(spark, sf_dir)
+    out = trace.representatives(
+        e.select("series_id", "x", "y"), e.select("series_id", "prediction")
+    )
+    return out.select(
+        "prediction",
+        "series_id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
+@register(
+    "t4_outliers",
+    f"""
+WITH {EMB2D}
+SELECT series_id, round(x, 6) AS x, round(y, 6) AS y
+FROM emb WHERE prediction = -1
+""",
+)
+def t4_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — outlier extraction (prediction == -1) + traceback join to
+    the raw coordinate rows (app.py:2308-2342).
+    """
+    e = _emb2d(spark, sf_dir)
+    out = trace.outliers(
+        e.select("series_id", "prediction"),
+        e.select("series_id", "x", "y"),
+    )
+    return out.select(
+        "series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
+@register(
+    "c4_top5_clusters",
+    f"""
+WITH {EMB2D},
+s AS (
+  SELECT prediction, count(*) AS n_members, round(avg(x), 6) AS score
+  FROM emb WHERE prediction != -1 GROUP BY prediction
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY n_members DESC, prediction) AS rn FROM s
+)
+SELECT prediction, n_members, score FROM r WHERE rn <= 5
+""",
+)
+def c4_top5_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's top-k selection arithmetic (app.py:790-808): rank clusters
+    by a score, keep top-5, deterministic tie-break.
+    """
+    e = _emb2d(spark, sf_dir)
+    s = (
+        e.where(F.col("prediction") != -1)
+        .groupBy("prediction")
+        .agg(F.count("*").alias("n_members"), F.round(F.avg("x"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("n_members"), "prediction")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("prediction", "n_members", "score")
+    )

@@ -1,0 +1,57 @@
+"""CSV time-series ingest (reference S1/S2, /root/reference/app.py:156-175,
+1597-1650).
+
+The reference reads an uploaded CSV (encoding euc-kr), casts the value
+column to float, and relies on file row order as time. Spark-side we
+make the ordinal explicit at ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def read_timeseries_csv(
+    spark: SparkSession,
+    path: str,
+    value_col: str,
+    process_col: str | None = None,
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """Read a CSV into the long-form ``(series_id, t, value)`` model.
+
+    * ``value`` cast to double (reference casts float32 at app.py:160;
+      we standardize on double and let the oracle compare at rounded
+      precision).
+    * rows with null value dropped (P1, app.py:184).
+    * no ``process_col`` → single synthetic series "0" (the reference's
+      sliding-window path then splits it, app.py:1783-1794).
+    * ``t`` = 0-based ingest order within series. For a single local
+      file this matches file order; on a cluster, order within a series
+      is whatever the source provides — callers needing exact file order
+      should supply an explicit time column instead.
+    """
+    raw = (
+        spark.read.option("header", True)
+        .option("encoding", encoding)
+        .csv(path)
+        .withColumn("_file_order", F.monotonically_increasing_id())
+    )
+    series = F.col(process_col).cast("string") if process_col else F.lit("0")
+    df = (
+        raw.where(F.col(value_col).isNotNull())
+        .select(
+            series.alias("series_id"),
+            F.col("_file_order"),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        .where(F.col("value").isNotNull())
+    )
+    w = Window.partitionBy("series_id").orderBy("_file_order")
+    return df.select(
+        "series_id",
+        (F.row_number().over(w) - F.lit(1)).alias("t"),
+        "value",
+    )

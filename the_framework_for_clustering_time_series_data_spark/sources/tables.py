@@ -1,0 +1,70 @@
+"""Parquet table sources over the driver test data.
+
+All reads are plain ``spark.read.parquet`` scans so Catalyst gets full
+predicate pushdown / column pruning / partition pruning. At cluster
+scale the same call reads a partitioned table; nothing here assumes
+local files beyond the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # ensure the nanos-as-long reader conf even on externally-built
+        # sessions (runtime-settable SQLConf; harmless if already set)
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to µs, same
+        # floor semantics as the oracle's ns→µs conversion.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def events_as_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``events`` table viewed as the reference's grouped time-series
+    input (SURVEY.md §1.5): ``series_id`` = user_id, explicit time ordinal
+    ``t`` = rank of ``ts`` within the series, ``value`` = value.
+
+    Replaces the reference's implicit-row-order semantics
+    (/root/reference/app.py:204-217) with an explicit, deterministic
+    ordinal — Spark has no stable row order, so ``t`` is derived from the
+    event timestamp (tie-broken by event_id).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").alias("series_id"),
+        (F.row_number().over(w) - F.lit(1)).alias("t"),
+        F.col("value").cast("double").alias("value"),
+    )
