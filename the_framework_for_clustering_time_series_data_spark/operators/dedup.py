@@ -103,22 +103,24 @@ def minhash_lsh_pairs(
          the minhash signature, computed as num_hashes aggregate
          expressions in ONE grouped pass;
       3. band the signature (num_hashes/band_size bands), hash each
-         band, self-join on (band_id, band_hash) → candidates;
-      4. exact Jaccard on candidates only (inverted-index as in
-         ngram_jaccard_pairs but restricted to candidate pairs).
+         band, groupBy (band_id, band_hash) bucket → generate pairs
+         WITHIN each bucket (sorted collect_list + combination explode)
+         — one aggregation, no self-join, signature computed once;
+      4. exact Jaccard on the candidate pairs only.
 
-    Scale: candidate generation is linear in n_docs × num_hashes; the
-    verify join touches only colliding pairs.
+    Scale: candidate generation is linear in n_docs × num_hashes plus
+    Σ bucket_size² over colliding buckets; a hot bucket (boilerplate
+    docs) is capped at ``max_bucket`` to bound the quadratic term.
     """
     band_size = 4
     n_bands = num_hashes // band_size
+    max_bucket = 1000
     docs = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
     ex = docs.select("id", F.explode("sh").alias("shingle"))
     sig = ex.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        F.array(
+            *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))) for i in range(num_hashes)]
+        ).alias("sig")
     )
     bands = sig.select(
         "id",
@@ -128,7 +130,10 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
-                            *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                            *[
+                                F.element_at("sig", b * band_size + j + 1)
+                                for j in range(band_size)
+                            ]
                         ).alias("band_hash"),
                     )
                     for b in range(n_bands)
@@ -136,15 +141,24 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band_id", "bb.band_hash")
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    # all (a < b) combinations within a bucket, generated array-side
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     # exact-verify candidates
