@@ -1,0 +1,344 @@
+"""Invariant/property tests for the non-SQL-expressible operators
+(SURVEY.md §5.2): normalizers, alignment, imaging, PCA, KMeans,
+DBSCAN, K-Shape, DTW.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _ragged_series(spark, n_series=12, seed=7):
+    """Deterministic ragged multi-series fixture (FIXTURES.md F1)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for sid in range(n_series):
+        length = int(rng.integers(30, 60))
+        base = rng.standard_normal()
+        for t in range(length):
+            rows.append((sid, t, float(math.sin(t / 5 + base) + 0.1 * rng.standard_normal())))
+    return spark.createDataFrame(rows, "series_id long, t long, value double")
+
+
+# --- normalization ---------------------------------------------------------
+
+def test_global_normalization_invariants(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.prep import with_global_normalized
+
+    df = with_global_normalized(_ragged_series(spark))
+    agg = df.agg(
+        F.min("min_max"), F.max("min_max"), F.avg("z_score"), F.stddev_pop("z_score")
+    ).collect()[0]
+    assert agg[0] == pytest.approx(0.0)
+    assert agg[1] == pytest.approx(1.0)
+    assert agg[2] == pytest.approx(0.0, abs=1e-9)
+    assert agg[3] == pytest.approx(1.0, abs=1e-9)
+
+
+# --- alignment -------------------------------------------------------------
+
+def test_truncation_padding_invariants(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import align, stats
+
+    df = _ragged_series(spark)
+    lens = {r["series_id"]: r["length"] for r in stats.series_lengths(df).collect()}
+    lo, hi = min(lens.values()), max(lens.values())
+
+    t_lens = stats.series_lengths(align.truncate_to_min(df)).collect()
+    assert all(r["length"] == lo for r in t_lens)
+
+    padded = align.pad_to_max(df)
+    p_lens = stats.series_lengths(padded).collect()
+    assert all(r["length"] == hi for r in p_lens)
+    # padding suffix all zero
+    sfx = padded.join(
+        spark.createDataFrame([(k, v) for k, v in lens.items()], "series_id long, orig long"),
+        "series_id",
+    ).where(F.col("t") >= F.col("orig"))
+    assert sfx.where(F.col("value") != 0.0).count() == 0
+
+
+def test_sliding_window_count_and_content(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.align import sliding_windows
+
+    L, w, s = 100, 10, 3
+    one = spark.createDataFrame(
+        [(0, t, float(t)) for t in range(L)], "series_id long, t long, value double"
+    )
+    out = sliding_windows(one, w, s)
+    n_windows = out.select("window_id").distinct().count()
+    assert n_windows == (L - w) // s + 1  # drop_remainder (app.py:287)
+    # each window is exactly the slice [wid*s, wid*s + w)
+    bad = out.where(F.col("value") != F.col("window_id") * s + F.col("pos")).count()
+    assert bad == 0
+    assert out.groupBy("window_id").count().where(F.col("count") != w).count() == 0
+
+
+def test_dtw_align_invariants(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import align, stats
+
+    df = _ragged_series(spark)
+    out = align.dtw_stretch_align(df)
+    max_len = stats.series_lengths(df).agg(F.max("length")).collect()[0][0]
+    out_lens = stats.series_lengths(out).collect()
+    assert all(r["length"] == max_len for r in out_lens)
+    # the longest series passes through unchanged (identity branch)
+    longest_id = sorted(
+        stats.series_lengths(df).collect(), key=lambda r: (-r["length"], r["series_id"])
+    )[0]["series_id"]
+    orig = {
+        r["t"]: r["value"]
+        for r in df.where(F.col("series_id") == longest_id).collect()
+    }
+    got = {
+        r["t"]: r["value"]
+        for r in out.where(F.col("series_id") == longest_id).collect()
+    }
+    assert got == pytest.approx(orig)
+
+
+def test_dtw_path_is_valid_warping():
+    from the_framework_for_clustering_time_series_data_spark.operators.align import _dtw_path
+
+    a = np.array([0.0, 1.0, 2.0, 3.0])
+    b = np.array([0.0, 0.5, 1.0, 2.0, 2.5, 3.0])
+    path = _dtw_path(a, b)
+    assert path[0] == (0, 0) and path[-1] == (len(a) - 1, len(b) - 1)
+    for (i0, j0), (i1, j1) in zip(path, path[1:]):
+        assert (i1 - i0, j1 - j0) in {(0, 1), (1, 0), (1, 1)}
+    # identical series → diagonal path
+    diag = _dtw_path(a, a)
+    assert diag == [(i, i) for i in range(len(a))]
+
+
+# --- imaging ---------------------------------------------------------------
+
+def test_rp_gaf_matrix_properties(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import align, imaging
+
+    df = _ragged_series(spark, n_series=2)
+    nested = align.to_nested(df)
+    rp = imaging.recurrence_plot(nested).collect()
+    for row in rp:
+        m = np.asarray(row["image"])
+        assert m.shape[0] == m.shape[1]
+        assert (m == m.T).all()  # symmetry
+        assert (np.diag(m) == 0).all()  # |v_i - v_i| = 0
+        assert m.min() >= 0 and m.max() == 255  # scaled to full range
+
+    gaf = imaging.gramian_angular_field(nested).collect()
+    for row in gaf:
+        m = np.asarray(row["image"])
+        assert m.shape[0] == m.shape[1]
+        assert np.allclose(m, m.T, atol=1e-9)
+        assert m.min() >= 0 - 1e-9 and m.max() <= 255 + 1e-9
+
+
+def test_resize_shapes(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import align, imaging
+
+    df = _ragged_series(spark, n_series=3)
+    images = imaging.recurrence_plot(align.to_nested(df))
+    for size in (16, 64):
+        out = imaging.resize_images(images, size).collect()
+        for row in out:
+            m = np.asarray(row["image"])
+            assert m.shape == (size, size)
+            assert m.min() >= 0 and m.max() <= 255
+
+
+# --- embedding -------------------------------------------------------------
+
+def test_pca_matches_numpy_covariance_eigen(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import align, embed
+
+    df = _ragged_series(spark, n_series=10)
+    nested = align.to_nested(align.truncate_to_min(df))
+    out, var_pct = embed.embedding_pca(nested, k=2)
+    rows = out.orderBy("series_id").collect()
+    got = np.array([[r["x"], r["y"]] for r in rows])
+
+    pdf = nested.orderBy("series_id").toPandas()
+    X = np.vstack(pdf["values"].to_numpy())
+    Xc = X - X.mean(axis=0)
+    cov = (Xc.T @ Xc) / (X.shape[0] - 1)
+    w_, v_ = np.linalg.eigh(cov)
+    order = np.argsort(w_)[::-1]
+    # MLlib projects the UNcentered data onto principal axes
+    expect = X @ v_[:, order[:2]]
+    for dim in range(2):
+        same = np.allclose(got[:, dim], expect[:, dim], atol=1e-6)
+        flipped = np.allclose(got[:, dim], -expect[:, dim], atol=1e-6)
+        assert same or flipped
+    assert 0 < sum(var_pct) <= 100.1
+
+
+def test_autoencoder_stub_pipeline(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import align, embed, imaging
+
+    df = _ragged_series(spark, n_series=4)
+    images = imaging.recurrence_plot(align.to_nested(df))
+    out = embed.embedding_autoencoder(images, img_size=16).collect()
+    assert len(out) == 4
+    assert all(0 <= r["x"] <= 1 and 0 <= r["y"] <= 1 for r in out)
+
+
+# --- clustering ------------------------------------------------------------
+
+def _blobs(spark, n_per=30, seed=3):
+    """4 well-separated Gaussian blobs + 5 far outliers (FIXTURES F3)."""
+    rng = np.random.default_rng(seed)
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0)]
+    rows = []
+    sid = 0
+    truth = {}
+    for ci, (cx, cy) in enumerate(centers):
+        for _ in range(n_per):
+            rows.append((sid, float(cx + 0.3 * rng.standard_normal()), float(cy + 0.3 * rng.standard_normal())))
+            truth[sid] = ci
+            sid += 1
+    for i in range(5):
+        rows.append((sid, 100.0 + 7 * i, -50.0 - 11 * i))
+        truth[sid] = -1
+        sid += 1
+    return spark.createDataFrame(rows, "series_id long, x double, y double"), truth
+
+
+def _ari(labels_a: dict, labels_b: dict) -> float:
+    """Adjusted Rand index (public formula), label-permutation-proof."""
+    ids = sorted(labels_a)
+    a = [labels_a[i] for i in ids]
+    b = [labels_b[i] for i in ids]
+    from collections import Counter
+
+    n = len(ids)
+    ab = Counter(zip(a, b))
+    ca, cb = Counter(a), Counter(b)
+    comb = lambda x: x * (x - 1) / 2
+    sum_ab = sum(comb(c) for c in ab.values())
+    sum_a = sum(comb(c) for c in ca.values())
+    sum_b = sum(comb(c) for c in cb.values())
+    exp = sum_a * sum_b / comb(n)
+    mx = (sum_a + sum_b) / 2
+    return (sum_ab - exp) / (mx - exp) if mx != exp else 1.0
+
+
+def test_kmeans_recovers_blobs(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import kmeans_fit_predict
+
+    emb, truth = _blobs(spark)
+    emb = emb.where(F.col("series_id") < 120)  # blobs only
+    out, centers = kmeans_fit_predict(emb, k=4, seed=10)
+    got = {r["series_id"]: r["prediction"] for r in out.collect()}
+    assert _ari(got, {k: v for k, v in truth.items() if v != -1}) == pytest.approx(1.0)
+    assert len(centers) == 4
+
+
+def test_dbscan_blobs_and_outliers(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import dbscan
+
+    emb, truth = _blobs(spark)
+    out = dbscan(emb, eps=1.5, min_samples=5)
+    got = {r["series_id"]: r["prediction"] for r in out.collect()}
+    # exact outlier set
+    assert {i for i, p in got.items() if p == -1} == {i for i, t in truth.items() if t == -1}
+    # clusters match blob membership up to permutation
+    core = {i: p for i, p in got.items() if p != -1}
+    assert _ari(core, {i: t for i, t in truth.items() if t != -1}) == pytest.approx(1.0)
+    assert len(set(core.values())) == 4
+
+
+def test_dbscan_min_samples_boundary(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import dbscan
+
+    # 4 points in a tight line, eps covers neighbors: with min_samples=5
+    # nobody is core → all noise; with 3 → one cluster
+    pts = spark.createDataFrame(
+        [(i, float(i) * 0.1, 0.0) for i in range(4)], "series_id long, x double, y double"
+    )
+    all_noise = dbscan(pts, eps=0.5, min_samples=5).collect()
+    assert all(r["prediction"] == -1 for r in all_noise)
+    one_cluster = dbscan(pts, eps=0.5, min_samples=3).collect()
+    assert all(r["prediction"] == 0 for r in one_cluster)
+
+
+def test_silhouette_exact_against_numpy(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import silhouette_exact
+
+    emb, truth = _blobs(spark, n_per=15)
+    pred = emb.join(
+        spark.createDataFrame(
+            [(k, v if v != -1 else 4) for k, v in truth.items()],
+            "series_id long, prediction int",
+        ),
+        "series_id",
+    )
+    rows = silhouette_exact(pred).orderBy("series_id").collect()
+
+    pts = {r["series_id"]: (r["x"], r["y"]) for r in emb.collect()}
+    ids = sorted(pts)
+    X = np.array([pts[i] for i in ids])
+    lab = np.array([truth[i] if truth[i] != -1 else 4 for i in ids])
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    expect = []
+    for i in range(len(ids)):
+        own = lab == lab[i]
+        own[i] = False
+        a = D[i][own].mean() if own.any() else None
+        bs = [D[i][lab == c].mean() for c in set(lab) if c != lab[i]]
+        b = min(bs) if bs else None
+        expect.append(0.0 if a is None or b is None else (b - a) / max(a, b))
+    got = [r["silhouette"] for r in rows]
+    assert got == pytest.approx(expect, abs=1e-9)
+
+
+def test_kshape_separates_shapes(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import align
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import kshape
+
+    # two shape families: sine vs square-ish, varying phase/amplitude
+    rng = np.random.default_rng(11)
+    rows = []
+    truth = {}
+    L = 64
+    for sid in range(16):
+        fam = sid % 2
+        phase = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(0.5, 2.0)
+        for t in range(L):
+            val = (
+                amp * math.sin(2 * np.pi * t / L + phase)
+                if fam == 0
+                else amp * (1.0 if (t / L * 4 + phase) % 2 < 1 else -1.0)
+            )
+            rows.append((sid, t, float(val + 0.05 * rng.standard_normal())))
+        truth[sid] = fam
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    out = kshape(align.to_nested(df), k=2, seed=0)
+    got = {r["series_id"]: r["prediction"] for r in out.collect()}
+    assert _ari(got, truth) == pytest.approx(1.0)
+
+
+def test_umap_gated(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import align, embed
+
+    df = _ragged_series(spark, n_series=4)
+    nested = align.to_nested(align.truncate_to_min(df))
+    try:
+        import umap  # noqa: F401
+
+        has_umap = True
+    except ImportError:
+        has_umap = False
+    if has_umap:
+        out = embed.embedding_umap(nested)
+        assert out.count() == 4
+    else:
+        with pytest.raises(NotImplementedError):
+            embed.embedding_umap(nested)

