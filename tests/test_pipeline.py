@@ -1,0 +1,125 @@
+"""Golden end-to-end pipeline tests (SURVEY.md §5.3): CSV ingest →
+preprocess → align → embed → cluster → representatives/outliers/trace,
+plus the CSV sink round-trips (S1/S2/K1/K2)."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def csv_fixture(spark):
+    """Deterministic ragged multi-process CSV (FIXTURES.md F1) with a
+    couple of NULL values, written like the reference's upload file."""
+    rng = np.random.default_rng(42)
+    d = Path(tempfile.mkdtemp(prefix="the_framework_for_clustering_time_series_data_spark_csv_"))
+    lines = ["P,V"]
+    for sid in range(8):
+        length = int(rng.integers(40, 80))
+        for t in range(length):
+            if sid == 3 and t == 5:
+                lines.append(f"proc{sid},")  # null value → dropna path
+            else:
+                v = math.sin(t / 6 + sid) * (1 + sid % 3) + 0.05 * rng.standard_normal()
+                lines.append(f"proc{sid},{v:.6f}")
+    f = d / "input.csv"
+    f.write_text("\n".join(lines))
+    yield str(f)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pipeline_end_to_end(spark, csv_fixture):
+    from the_framework_for_clustering_time_series_data_spark.pipeline import TimeSeriesPipeline
+
+    pipe = TimeSeriesPipeline(spark).load_csv(csv_fixture, value_col="V", process_col="P")
+    pre = pipe.preprocess()
+    # P1: the null row dropped
+    assert pre.where(F.col("value").isNull()).count() == 0
+    # P3/P4 invariants
+    agg = pre.agg(F.min("min_max"), F.max("min_max"), F.avg("z_score")).collect()[0]
+    assert agg[0] == pytest.approx(0.0) and agg[1] == pytest.approx(1.0)
+    assert agg[2] == pytest.approx(0.0, abs=1e-9)
+
+    aligned = pipe.align("truncation")
+    lens = aligned.groupBy("series_id").count().select("count").distinct().collect()
+    assert len(lens) == 1
+
+    emb = pipe.embed("pca")
+    assert emb.columns == ["series_id", "x", "y"]
+    assert emb.count() == 8
+
+    pred = pipe.cluster("kmeans", k=3)
+    assert pred.select("prediction").distinct().count() == 3
+
+    reps = pipe.representatives().collect()
+    assert len(reps) == 3
+    cents = {r["prediction"]: (r["cx"], r["cy"]) for r in pipe.centroids().collect()}
+    # each representative is a real member whose distance matches its centroid
+    emb_rows = {r["series_id"]: (r["x"], r["y"]) for r in emb.collect()}
+    for r in reps:
+        ex, ey = emb_rows[r["series_id"]]
+        cx, cy = cents[r["prediction"]]
+        assert r["dist"] == pytest.approx(math.hypot(ex - cx, ey - cy))
+
+    # T3 trace: coordinates of a known point map back to its raw series
+    sid0 = reps[0]["series_id"]
+    raw_rows = pipe.trace(reps[0]["x"], reps[0]["y"]).collect()
+    assert {r["series_id"] for r in raw_rows} == {sid0}
+
+
+def test_pipeline_sliding_window_path(spark, csv_fixture):
+    from the_framework_for_clustering_time_series_data_spark.pipeline import TimeSeriesPipeline
+
+    pipe = TimeSeriesPipeline(spark).load_csv(csv_fixture, value_col="V")  # no process col
+    pipe.preprocess()
+    aligned = pipe.align("sliding", window_size=16, shift_size=8)
+    lens = aligned.groupBy("series_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in lens] == [16]
+
+
+def test_pipeline_dbscan_outliers(spark):
+    from the_framework_for_clustering_time_series_data_spark.pipeline import TimeSeriesPipeline
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for sid in range(30):
+        for t in range(20):
+            rows.append((sid, t, float(rng.standard_normal())))
+    raw = spark.createDataFrame(rows, "series_id long, t long, value double")
+    emb_rows = [(sid, float(sid % 3), float(sid % 3)) for sid in range(28)]
+    emb_rows += [(28, 50.0, 50.0), (29, -60.0, 10.0)]  # far outliers
+    pipe = TimeSeriesPipeline(spark).load_long(raw)
+    pipe.embedding = spark.createDataFrame(emb_rows, "series_id long, x double, y double")
+    pred = pipe.cluster("dbscan", eps=1.0, min_samples=3)
+    out = pipe.outliers()
+    assert {r["series_id"] for r in out.collect()} == {28, 29}
+    assert out.count() == 2 * 20  # all raw rows of both outlier series
+
+
+def test_csv_sink_roundtrip(spark, csv_fixture, tmp_path):
+    from the_framework_for_clustering_time_series_data_spark.pipeline import TimeSeriesPipeline
+
+    pipe = TimeSeriesPipeline(spark).load_csv(csv_fixture, value_col="V", process_col="P")
+    pipe.preprocess()
+    pipe.align("truncation")
+    pipe.embed("pca")
+
+    pre_dir = str(tmp_path / "pre_csv")
+    emb_dir = str(tmp_path / "emb_csv")
+    pipe.export_preprocess_csv(pre_dir)
+    pipe.export_embedding_csv(emb_dir)
+
+    pre_back = spark.read.option("header", True).csv(pre_dir)
+    assert set(pre_back.columns) == {"process", "t", "value", "z_score", "min_max"}
+    assert pre_back.count() == pipe.preprocess_table().count()
+
+    emb_back = spark.read.option("header", True).csv(emb_dir)
+    assert set(emb_back.columns) == {"Process", "X", "Y"}
+    assert emb_back.count() == 8

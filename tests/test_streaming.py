@@ -1,0 +1,93 @@
+"""Streaming ops: batch/stream parity via availableNow + memory sink,
+and stateful operator correctness across micro-batches."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark):
+    """Split the sf0.001 events into several parquet files so the file
+    stream produces multiple micro-batches."""
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    d = Path(tempfile.mkdtemp(prefix="the_framework_for_clustering_time_series_data_spark_stream_"))
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(str(d / "events"))
+    yield str(d / "events")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, sdf, out_mode="complete"):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_stats_stream_matches_batch(spark, stream_dir):
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import read_events_stream, windowed_value_stats
+
+    batch_df = spark.read.parquet(stream_dir)
+    expect = {
+        tuple(r)
+        for r in windowed_value_stats(batch_df).collect()
+    }
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    got_df = _run_stream(spark, windowed_value_stats(stream), "complete")
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_running_stats_state_across_batches(spark, stream_dir):
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import read_events_stream, running_series_stats
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    out = _run_stream(spark, running_series_stats(stream), "update")
+    # final state per series (last update row) must equal the batch moments
+    from pyspark.sql.window import Window
+
+    # memory sink appends updates; the final per-series emission is the
+    # one with the largest n (cumulative count is monotonic)
+    w = Window.partitionBy("series_id").orderBy(F.desc("n"))
+    final = (
+        out.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    batch_df = spark.read.parquet(stream_dir)
+    expect = (
+        batch_df.groupBy(F.col("user_id").alias("series_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.round(F.var_pop("value"), 6).alias("var_pop"),
+        )
+    )
+    diff = (
+        final.alias("a")
+        .join(expect.alias("b"), "series_id")
+        .where(
+            (F.col("a.n") != F.col("b.n"))
+            | (F.abs(F.col("a.mean") - F.col("b.mean")) > 1e-6)
+            | (F.abs(F.col("a.var_pop") - F.col("b.var_pop")) > 1e-6)
+        )
+    )
+    assert final.count() == expect.count()
+    assert diff.count() == 0
+    # state really spanned multiple micro-batches: updates > series
+    assert out.count() > final.count()

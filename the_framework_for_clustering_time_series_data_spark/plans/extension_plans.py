@@ -1,0 +1,162 @@
+"""Remaining reference-parity plans (T3 traceback, G1 ordered collect,
+event-time windows) and multimodal extension plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from the_framework_for_clustering_time_series_data_spark.operators import multimodal
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.plans.timeseries_plans import EV
+from the_framework_for_clustering_time_series_data_spark.sources.tables import events_as_series, load_table
+
+
+@register(
+    "t3_traceback",
+    """
+WITH p AS (
+  SELECT embedding[1]::DOUBLE AS px, embedding[2]::DOUBLE AS py
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id AS series_id,
+       round(e.embedding[1]::DOUBLE, 6) AS x,
+       round(e.embedding[2]::DOUBLE, 6) AS y
+FROM embeddings e, p
+WHERE abs(e.embedding[1]::DOUBLE - p.px) < 1e-6
+  AND abs(e.embedding[2]::DOUBLE - p.py) < 1e-6
+""",
+)
+def t3_traceback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — plot-coordinate → series traceback (app.py:958-1000): the
+    reference's float-approximate positional matching as a broadcast
+    predicate join on coordinates."""
+    from the_framework_for_clustering_time_series_data_spark.operators.trace import traceback
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("series_id"),
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    pt = e.where(F.col("series_id") == 0).collect()[0]
+    out = traceback(e, pt["x"], pt["y"], tol=1e-6)
+    return out.select(
+        "series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y")
+    )
+
+
+@register(
+    "g1_group_collect",
+    f"""
+WITH {EV}
+SELECT series_id,
+       count(*) AS length,
+       round(min(CASE WHEN t = 0 THEN value END), 6) AS v_first,
+       round(sum(value * (t + 1)), 6) AS order_checksum
+FROM ev
+GROUP BY series_id
+""",
+)
+def g1_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — group-collect to ordered arrays (app.py:204-217),
+    digest-checked: first element + order-weighted checksum prove the
+    collect order is the time order (the reference's set() ordering was
+    nondeterministic; ours is sorted — SURVEY §2.3)."""
+    from the_framework_for_clustering_time_series_data_spark.operators.align import to_nested
+
+    nested = to_nested(events_as_series(spark, sf_dir))
+    v = F.col("values")
+    checksum = F.aggregate(
+        F.zip_with(v, F.sequence(F.lit(1), F.size(v)), lambda x, i: x * i),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return nested.select(
+        "series_id",
+        F.size(v).cast("long").alias("length"),
+        F.round(F.element_at(v, 1), 6).alias("v_first"),
+        F.round(checksum, 6).alias("order_checksum"),
+    )
+
+
+@register(
+    "st_windowed_stats",
+    """
+WITH e AS (SELECT epoch(ts) AS es, event_type, value FROM events),
+w AS (
+  SELECT unnest([floor(es / 1800) * 1800, floor(es / 1800) * 1800 - 1800]) AS ws,
+         es, event_type, value
+  FROM e
+)
+SELECT CAST(ws AS BIGINT) AS win_start, event_type,
+       count(*) AS n,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(avg(value), 6) AS v_mean
+FROM w
+WHERE es >= ws AND es < ws + 3600
+GROUP BY 1, 2
+""",
+)
+def st_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window / 30 min slide) per
+    event_type — the batch twin of streaming.ops.windowed_value_stats
+    (stream==batch parity is asserted in tests/test_streaming.py).
+    Output keyed by epoch seconds to stay timezone-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(v), 6).alias("v_min"),
+            F.round(F.max(v), 6).alias("v_max"),
+            F.round(F.avg(v), 6).alias("v_mean"),
+        )
+        .select(
+            F.col("win.start").cast("long").alias("win_start"),
+            "event_type",
+            "n",
+            "v_min",
+            "v_max",
+            "v_mean",
+        )
+    )
+
+
+@register(
+    "mm_binary_metadata",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       'image/fake' AS mime
+FROM documents
+""",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: opaque binary payload + typed metadata column
+    (binary stays opaque; metadata is relational and oracle-checked)."""
+    d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.content_md5").alias("content_md5"),
+        F.col("media_meta.mime").alias("mime"),
+    )
+
+
+@register("mm_image_features")  # stub decode kernel → rows-only oracle
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode → feature-extract over mapInPandas (stub
+    decode kernel — no PIL/cv2 in this container; plumbing is real)."""
+    d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.decode_image_features(d)
+
+
+@register("mm_frame_sample")  # stub ffmpeg kernel → rows-only oracle
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: per-payload frame sampling (4 frames) — one output
+    row per (media, frame), generated executor-side."""
+    d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(d, n_frames=4)

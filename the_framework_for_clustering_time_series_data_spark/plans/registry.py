@@ -39,3 +39,4 @@ from the_framework_for_clustering_time_series_data_spark.plans import dedup_plan
 from the_framework_for_clustering_time_series_data_spark.plans import similarity_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import text_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import ml_plans  # noqa: E402,F401
+from the_framework_for_clustering_time_series_data_spark.plans import extension_plans  # noqa: E402,F401

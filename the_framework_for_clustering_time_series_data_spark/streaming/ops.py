@@ -1,0 +1,131 @@
+"""Structured Streaming variants of the engine's windowed/stateful
+operators (SURVEY.md §2.9 lists streaming as absent in the reference —
+this is the scale-path extension, §7 phase 4).
+
+Batch/stream parity: each streaming op has the same semantics as a
+batch op in this repo, so correctness is asserted as
+``stream(availableNow) == batch`` in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_value_stats(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding event-time window stats (A1 over time windows): count,
+    min, max, mean, RMS per (event_type, window).
+
+    Works identically on a batch DataFrame (no watermark applied) and a
+    streaming one (watermark bounds state; late rows beyond it drop).
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    v = F.col(value_col)
+    return (
+        events.groupBy(F.window(ts_col, window, slide).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(v), 6).alias("v_min"),
+            F.round(F.max(v), 6).alias("v_max"),
+            F.round(F.avg(v), 6).alias("v_mean"),
+            F.round(F.sqrt(F.avg(v * v)), 6).alias("v_rms"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "v_min",
+            "v_max",
+            "v_mean",
+            "v_rms",
+        )
+    )
+
+
+def running_series_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "user_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-series running (count, mean, M2) — Welford's online variance —
+    emitting the cumulative stats after every micro-batch.
+
+    This is the pattern the reference's global-normalization stage
+    needs in a streaming deployment: incremental moments instead of a
+    full re-scan (app.py:187-192 recomputes from scratch each call).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "series_id long, n long, mean double, var_pop double"
+    )
+    state_schema = "n long, mean double, m2 double"
+
+    def update(key, pdfs, state: GroupState):
+        (sid,) = key
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        for pdf in pdfs:
+            for v in pdf[value_col].astype(float):
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(
+            [
+                {
+                    "series_id": sid,
+                    "n": n,
+                    "mean": round(mean, 6),
+                    "var_pop": round(m2 / n, 6) if n else 0.0,
+                }
+            ]
+        )
+
+    return (
+        events.select(F.col(key_col).cast("long").alias("_k"), F.col(value_col))
+        .groupBy("_k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def read_events_stream(spark, source_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over parquet event files (one file per
+    micro-batch by default) with the same schema normalization as the
+    batch ``events`` source (ns timestamps → µs)."""
+    from pyspark.sql.types import LongType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    if isinstance(schema["ts"].dataType, LongType):
+        # driver-testdata layout: TIMESTAMP(NANOS) read as long
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
