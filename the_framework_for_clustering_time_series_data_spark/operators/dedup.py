@@ -98,10 +98,12 @@ def minhash_lsh_pairs(
     verified with exact Jaccard on the candidates.
 
     Pipeline (all DataFrame ops, deterministic):
-      1. shingle → explode;
-      2. per (doc, hash_i): min over shingles of xxhash64(shingle, i) —
-         the minhash signature, computed as num_hashes aggregate
-         expressions in ONE grouped pass;
+      1. shingle → explode → ONE xxhash64 per shingle; the ``num_hashes``
+         family members are affine transforms a_i·h + b_i of that base
+         hash (64-bit wraparound — cheap long arithmetic instead of
+         num_hashes string hashes per shingle);
+      2. per (doc, hash_i): min over shingles — the minhash signature,
+         num_hashes aggregate expressions in ONE grouped pass;
       3. band the signature (num_hashes/band_size bands), hash each
          band, groupBy (band_id, band_hash) bucket → generate pairs
          WITHIN each bucket (sorted collect_list + combination explode)
@@ -112,15 +114,34 @@ def minhash_lsh_pairs(
     Σ bucket_size² over colliding buckets; a hot bucket (boilerplate
     docs) is capped at ``max_bucket`` to bound the quadratic term.
     """
+    import numpy as np
+
     band_size = 4
     n_bands = num_hashes // band_size
     max_bucket = 1000
-    docs = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
-    ex = docs.select("id", F.explode("sh").alias("shingle"))
-    sig = ex.groupBy("id").agg(
+    rng = np.random.default_rng(42)
+    # affine family over Z_p, sized so a·(h mod p) + b < 2^63 (ANSI-safe)
+    P = 4294967311  # prime > 2^32
+    coef_a = [int(a) for a in rng.integers(1, 2**30, num_hashes)]
+    coef_b = [int(b) for b in rng.integers(0, 2**30, num_hashes)]
+    docs = df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")).cache()
+    # per-row signature: hash the shingle array once, then num_hashes
+    # array_min folds — NO explode, NO shuffle until the banding groupBy
+    hs = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(P)))
+
+    def _affine(a: int, b: int):
+        # factory (not default-arg lambda): F.transform counts lambda
+        # params, so the lambda must take exactly one argument
+        return lambda h: h * F.lit(a) + F.lit(b)
+
+    sig = docs.withColumn("_hs", hs).select(
+        "id",
         F.array(
-            *[F.min(F.xxhash64(F.col("shingle"), F.lit(i))) for i in range(num_hashes)]
-        ).alias("sig")
+            *[
+                F.array_min(F.transform(F.col("_hs"), _affine(coef_a[i], coef_b[i])))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
     )
     bands = sig.select(
         "id",
