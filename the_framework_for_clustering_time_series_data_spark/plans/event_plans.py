@@ -1,0 +1,278 @@
+"""Event-table plans exercising the time-series join operators
+(operators/joins.py) plus the relational surface the reference lacks
+outright (SURVEY.md §2.9): rollup/grouping sets, general window
+functions, and set operations. All DuckDB-oracle-checked.
+
+Timestamp discipline: events.ts is parquet TIMESTAMP(NANOS); Spark
+reads it truncated to µs (sources/tables.py), DuckDB to µs as well —
+oracles compare on ``epoch_ns(ts)//1000`` (µs) or floor-epoch seconds,
+never on engine-local timestamp rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from the_framework_for_clustering_time_series_data_spark.operators import joins
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+
+@register(
+    "j1_asof_join",
+    """
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     m AS (
+       SELECT c.event_id AS click_id,
+              c.user_id,
+              epoch_ns(c.ts) // 1000 AS ts_us,
+              c.value AS click_value,
+              p.value AS asof_value,
+              epoch_ns(p.ts) // 1000 AS asof_ts_us,
+              row_number() OVER (
+                PARTITION BY c.event_id
+                ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST
+              ) AS rn
+       FROM c LEFT JOIN p
+         ON p.user_id = c.user_id AND p.ts <= c.ts
+     )
+SELECT click_id, user_id, ts_us,
+       round(click_value, 6) AS click_value,
+       coalesce(round(asof_value, 6), -999999999) AS asof_value,
+       coalesce(asof_ts_us, -1) AS asof_ts_us
+FROM m WHERE rn = 1
+""",
+)
+def j1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click picks up the latest purchase by the same
+    user at-or-before it (backward inclusive). Spark plan is the
+    union-tag + window-last form — one shuffle on user_id, no join node
+    (the oracle's O(|c|·|p|) left join is the semantics, not the plan).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        payload_cols=["value"],
+        seq_col="event_id",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("click_value"),
+        # no-match sentinels: NULL-free outputs hash/sort deterministically
+        F.coalesce(F.round("asof_value", 6), F.lit(-999999999.0)).alias("asof_value"),
+        F.coalesce(F.unix_micros("asof_ts"), F.lit(-1)).alias("asof_ts_us"),
+    )
+
+
+@register(
+    "j2_range_join",
+    """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s
+  FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+)
+SELECT p.purchase_id, p.user_id, p.start_s,
+       count(*) AS n_events,
+       count(CASE WHEN e.event_type = 'click' THEN 1 END) AS n_clicks
+FROM p JOIN e
+  ON e.user_id = p.user_id AND e.es > p.start_s AND e.es <= p.start_s + 3600
+GROUP BY 1, 2, 3
+""",
+)
+def j2_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: activity in the hour after each purchase.
+    Spark executes it as a bucketized equi-join on (user_id, hour
+    bucket) + exact range filter — a plain shuffled hash join Catalyst
+    and AQE can reason about, never an O(n·m) theta join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    matched = joins.range_join(
+        ev.select("user_id", "event_type", "ts"),
+        intervals,
+        key_cols=["user_id"],
+        bucket_width=3600,
+    )
+    return (
+        matched.groupBy("purchase_id", "user_id", "start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_timestamp("start").alias("start_s"),
+            "n_events",
+            "n_clicks",
+        )
+    )
+
+
+@register(
+    "j3_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), flagged AS (
+  SELECT user_id, es,
+         CASE WHEN es - lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+), sess AS (
+  SELECT user_id, es,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY es
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(es) AS sess_start,
+       max(es) AS sess_end,
+       max(es) - min(es) AS duration_s
+FROM sess
+GROUP BY 1, 2
+""",
+)
+def j3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) → per-session
+    stats. lag-flag + running-sum in one shuffle/sort on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return joins.session_stats(
+        ev, key_cols=["user_id"], ts_col="ts", gap_seconds=1800, seq_col="event_id"
+    )
+
+
+@register(
+    "r1_rollup_daily",
+    """
+WITH e AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_num,
+         event_type, value
+  FROM events
+)
+SELECT coalesce(day_num, -1) AS day_num,
+       coalesce(event_type, 'ALL') AS event_type,
+       grouping(day_num) * 2 + grouping(event_type) AS gid,
+       count(*) AS n,
+       round(sum(value), 4) AS value_sum
+FROM e
+GROUP BY ROLLUP(day_num, event_type)
+""",
+)
+def r1_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: (day, type) →
+    (day) → grand total in ONE pass via ROLLUP grouping sets — partial
+    aggregation map-side, no re-scan per granularity."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).alias("day_num")
+    rolled = ev.select(day, "event_type", "value").rollup("day_num", "event_type").agg(
+        (F.grouping("day_num") * 2 + F.grouping("event_type")).alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+    return rolled.select(
+        F.coalesce("day_num", F.lit(-1)).alias("day_num"),
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        "gid",
+        "n",
+        "value_sum",
+    )
+
+
+@register(
+    "w1_rank_lag_lead",
+    """
+WITH ranked AS (
+  SELECT user_id, event_id,
+         round(value, 6) AS value,
+         rank() OVER w AS rnk,
+         coalesce(round(value - lag(value) OVER w, 6), 0) AS delta_prev,
+         coalesce(round(lead(value) OVER w - value, 6), 0) AS delta_next
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+)
+SELECT user_id, event_id, value, rnk, delta_prev, delta_next
+FROM ranked WHERE rnk <= 3
+""",
+)
+def w1_rank_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General window functions (absent from the reference, SURVEY.md
+    §2.9): per-user top-3 events by value with rank + lag/lead deltas,
+    all evaluated in one window stage (one shuffle on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    v = F.col("value")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(v, 6).alias("value"),
+            F.rank().over(w).alias("rnk"),
+            F.coalesce(F.round(v - F.lag(v).over(w), 6), F.lit(0.0)).alias("delta_prev"),
+            F.coalesce(F.round(F.lead(v).over(w) - v, 6), F.lit(0.0)).alias("delta_next"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "s1_set_ops",
+    """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+UNION ALL
+SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+UNION ALL
+SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM c UNION SELECT * FROM p)
+""",
+)
+def s1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION DISTINCT) over the
+    clicker and purchaser user sets — the reference's only set op is a
+    Python set() on group keys (app.py:209)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    p = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    rows = [
+        ("intersect", c.intersect(p)),
+        ("except", c.exceptAll(p).distinct()),
+        ("union", c.union(p).distinct()),
+    ]
+    outs = [
+        df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        for op, df in rows
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
