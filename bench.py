@@ -28,6 +28,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
     "text_quality",
+    "j1_asof_join",
+    "j3_sessionize",
+    "r1_rollup_daily",
 ]
 
 

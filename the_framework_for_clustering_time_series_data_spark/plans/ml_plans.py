@@ -167,6 +167,35 @@ def e2_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
 
 
+@register("e3_umap")  # driver-side fit / deterministic stand-in → rows-only
+def e3_umap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — UMAP(2) of min-length-truncated series (app.py:661-667).
+    umap-learn is absent in this environment, so this exercises the
+    documented deterministic stand-in (seeded Gaussian random
+    projection, JVM-side — operators.embed.embedding_umap)."""
+    nested = align.to_nested(align.truncate_to_min(events_as_series(spark, sf_dir)))
+    out = embed.embedding_umap(nested, n_components=2, seed=0)
+    return out.select("series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
+@register("i3_resize")  # numpy area/linear resample kernel → rows-only
+def i3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 — image resize to 16×16 (app.py:457-473) of RP images for
+    series_id < 5, digest form (per-series pixel-sum checksum) to keep
+    the output row set small and stable."""
+    ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 5)
+    images = imaging.recurrence_plot(align.to_nested(ev))
+    resized = imaging.resize_images(images, 16)
+    flat = F.flatten(F.col("image"))
+    return resized.select(
+        "series_id",
+        F.size(F.col("image")).alias("side"),
+        F.round(
+            F.aggregate(flat, F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("pixel_sum"),
+    )
+
+
 @register("e1_autoencoder_latent")  # stub encoder → rows-only oracle
 def e1_autoencoder_latent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 — autoencoder latent pipeline: RP-image → resize(64) →

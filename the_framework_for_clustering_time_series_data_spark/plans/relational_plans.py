@@ -136,3 +136,135 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan + 4 range predicates + global agg.
+    All four predicates reach the parquet scan (PushedFilters) — the
+    canonical pushdown probe; zero shuffles beyond the final single-
+    partition agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+       count(*) AS n_rows
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: fact⨝dim(part) with a month-range filter and a
+    conditional aggregate (string LIKE). part broadcasts; lineitem's
+    date range pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "d1_distinct_aggs",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(sum(CASE WHEN value > 50 THEN value END), 4) AS high_value_sum
+FROM events
+GROUP BY event_type
+""",
+)
+def d1_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct + conditional aggregates per group (two-phase distinct
+    agg: partial on (event_type, user_id), then merge — Catalyst's
+    expand/aggregate rewrite handles it in two shuffles)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.when(F.col("value") > 50, F.col("value"))), 4
+        ).alias("high_value_sum"),
+    )
+
+
+@register(
+    "sj1_semi_anti_join",
+    """
+WITH err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+     buyers AS (
+       SELECT user_id, count(*) AS n_purchases, round(sum(value), 4) AS spend
+       FROM events WHERE event_type = 'purchase' GROUP BY user_id
+     )
+SELECT b.user_id, b.n_purchases, b.spend,
+       CASE WHEN err.user_id IS NOT NULL THEN 1 ELSE 0 END AS saw_error
+FROM buyers b LEFT JOIN err ON err.user_id = b.user_id
+""",
+)
+def sj1_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join: per-buyer purchase stats + a saw-error flag.
+    Spark runs the distinct error-user set as a broadcast; the flag is
+    the semi/anti-join pattern expressed as a left join on a
+    deduplicated key set (scales: the distinct set shrinks before the
+    join, never the fact table)."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    buyers = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("spend"),
+        )
+    )
+    err_flag = err.withColumn("saw_error", F.lit(1))
+    return (
+        buyers.join(F.broadcast(err_flag), "user_id", "left")
+        .select(
+            "user_id",
+            "n_purchases",
+            "spend",
+            F.coalesce("saw_error", F.lit(0)).alias("saw_error"),
+        )
+    )
