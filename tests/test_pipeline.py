@@ -123,3 +123,46 @@ def test_csv_sink_roundtrip(spark, csv_fixture, tmp_path):
     emb_back = spark.read.option("header", True).csv(emb_dir)
     assert set(emb_back.columns) == {"Process", "X", "Y"}
     assert emb_back.count() == 8
+
+
+def test_excel_source_gated_or_works(spark, tmp_path):
+    """Excel ingest works when openpyxl exists; otherwise raises the
+    documented NotImplementedError (import-gated, never ImportError)."""
+    import pytest as _pytest
+
+    from the_framework_for_clustering_time_series_data_spark.sources.csv_source import read_timeseries_excel
+
+    try:
+        import openpyxl  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if not has:
+        with _pytest.raises(NotImplementedError):
+            read_timeseries_excel(spark, str(tmp_path / "x.xlsx"), "v")
+    else:
+        import pandas as pd
+
+        p = tmp_path / "x.xlsx"
+        pd.DataFrame({"proc": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]}).to_excel(
+            p, index=False
+        )
+        out = read_timeseries_excel(spark, str(p), "v", "proc")
+        assert out.count() == 3
+        assert set(out.columns) == {"series_id", "t", "value"}
+
+
+def test_to_long_form_orders_and_drops_nulls(spark):
+    from the_framework_for_clustering_time_series_data_spark.sources.csv_source import to_long_form
+
+    raw = spark.createDataFrame(
+        [("a", "1.0"), ("a", None), ("b", "3.5"), ("a", "2.0")],
+        "proc string, v string",
+    )
+    out = to_long_form(raw, "v", "proc").collect()
+    by_series = {}
+    for r in out:
+        by_series.setdefault(r["series_id"], []).append((r["t"], r["value"]))
+    assert sorted(by_series["a"]) == [(0, 1.0), (1, 2.0)]
+    assert by_series["b"] == [(0, 3.5)]

@@ -91,3 +91,85 @@ def test_running_stats_state_across_batches(spark, stream_dir):
     assert diff.count() == 0
     # state really spanned multiple micro-batches: updates > series
     assert out.count() > final.count()
+
+
+@pytest.fixture(scope="module")
+def dup_stream_dir(spark):
+    """Events written TWICE (8 files) so the stream carries exact
+    duplicates across micro-batches."""
+    import shutil as _sh
+    import tempfile as _tf
+    from pathlib import Path as _P
+
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    d = _P(_tf.mkdtemp(prefix="the_framework_for_clustering_time_series_data_spark_dup_"))
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(str(d / "events"))
+    ev.repartition(4).write.mode("append").parquet(str(d / "events"))
+    yield str(d / "events")
+    _sh.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, dup_stream_dir):
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import read_events_stream, streaming_dedup
+
+    batch_df = spark.read.parquet(dup_stream_dir)
+    n_distinct = batch_df.select("event_id").distinct().count()
+    assert batch_df.count() == 2 * n_distinct  # fixture really duplicates
+
+    stream = read_events_stream(spark, dup_stream_dir, max_files_per_trigger=3)
+    out = _run_stream(spark, streaming_dedup(stream), "append")
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_session_window_batch_matches_sessionize(spark, stream_dir):
+    """session_window (streaming op, batch mode) must agree with the
+    window-function sessionize on (key, n_events) multisets."""
+    from the_framework_for_clustering_time_series_data_spark.operators.joins import session_stats
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import streaming_sessionize
+
+    batch_df = spark.read.parquet(stream_dir)
+    via_window = {
+        (r["user_id"], r["n_events"], r["sess_start"])
+        for r in session_stats(batch_df, ["user_id"], gap_seconds=1800).collect()
+    }
+    via_session_window = {
+        (r["user_id"], r["n_events"], r["sess_start"])
+        for r in streaming_sessionize(batch_df, gap="30 minutes").collect()
+    }
+    assert via_session_window == via_window
+
+
+def test_streaming_sessionize_append_subset(spark, stream_dir):
+    """Streaming sessions (append mode, watermark-finalized) are a
+    subset of the batch sessions and nonempty."""
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import read_events_stream, streaming_sessionize
+
+    batch_df = spark.read.parquet(stream_dir)
+    batch = {
+        (r["user_id"], r["sess_start"], r["n_events"])
+        for r in streaming_sessionize(batch_df).collect()
+    }
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    got_df = _run_stream(spark, streaming_sessionize(stream, watermark="0 seconds"), "append")
+    got = {(r["user_id"], r["sess_start"], r["n_events"]) for r in got_df.collect()}
+    assert got and got <= batch
+
+
+def test_stream_static_enrich(spark, stream_dir):
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import read_events_stream, stream_static_enrich
+
+    batch_df = spark.read.parquet(stream_dir)
+    dim = batch_df.select("user_id").distinct().withColumn(
+        "tier", (F.col("user_id") % 3).cast("int")
+    )
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    out = _run_stream(
+        spark,
+        stream_static_enrich(stream.select("event_id", "user_id"), dim),
+        "append",
+    )
+    assert out.count() == batch_df.count()
+    assert out.where(F.col("tier").isNull()).count() == 0

@@ -276,3 +276,47 @@ def s1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "st_session_windows",
+    """
+WITH e AS (
+  SELECT user_id, event_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+), flagged AS (
+  SELECT user_id, es, value,
+         CASE WHEN es - lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w >= 1800 THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+), sess AS (
+  SELECT user_id, es, value,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY es
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(es) AS sess_start,
+       max(es) + 1800 AS sess_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM sess
+GROUP BY user_id, session_id
+""",
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows (30 min gap) via ``session_window`` —
+    the same code path Structured Streaming runs (streaming.ops.
+    streaming_sessionize), here in batch mode so the oracle can check
+    it. NB session_window treats gap as half-open (an event exactly
+    ``gap`` after the previous one starts a NEW session — hence the
+    oracle's ``>= 1800``, vs j3_sessionize's ``> 1800``), and window
+    end = last event + gap."""
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import streaming_sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_sessionize(ev, gap="30 minutes")

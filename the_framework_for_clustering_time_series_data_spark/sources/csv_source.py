@@ -37,8 +37,16 @@ def read_timeseries_csv(
         spark.read.option("header", True)
         .option("encoding", encoding)
         .csv(path)
-        .withColumn("_file_order", F.monotonically_increasing_id())
     )
+    return to_long_form(raw, value_col, process_col)
+
+
+def to_long_form(
+    raw: DataFrame, value_col: str, process_col: str | None = None
+) -> DataFrame:
+    """Normalize any raw wide table to the long-form
+    ``(series_id, t, value)`` model (shared by the CSV/Excel sources)."""
+    raw = raw.withColumn("_file_order", F.monotonically_increasing_id())
     series = F.col(process_col).cast("string") if process_col else F.lit("0")
     df = (
         raw.where(F.col(value_col).isNotNull())
@@ -55,3 +63,28 @@ def read_timeseries_csv(
         (F.row_number().over(w) - F.lit(1)).alias("t"),
         "value",
     )
+
+
+def read_timeseries_excel(
+    spark: SparkSession,
+    path: str,
+    value_col: str,
+    process_col: str | None = None,
+    sheet_name: int | str = 0,
+) -> DataFrame:
+    """Excel ingest (reference S2 xls branch, app.py:1620-1625: driver-
+    side ``pd.read_excel``). Excel files are small by construction
+    (single-file uploads), so a driver-side parse + createDataFrame is
+    the honest scale story; big data arrives as CSV/parquet instead.
+    Requires openpyxl (import-gated)."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "read_timeseries_excel needs the public 'openpyxl' package "
+            "(pandas read_excel engine); ingest via CSV/parquet instead."
+        ) from e
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    return to_long_form(spark.createDataFrame(pdf), value_col, process_col)

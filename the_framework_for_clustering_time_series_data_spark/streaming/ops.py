@@ -129,3 +129,63 @@ def read_events_stream(spark, source_dir: str, max_files_per_trigger: int = 1) -
         # driver-testdata layout: TIMESTAMP(NANOS) read as long
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication: at-most-once per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` keeps state
+    bounded — the batch analogue is operators.dedup.exact_dedup).
+    On a batch frame this degrades to plain dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return events.dropDuplicates(list(key_cols))
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window`` — the
+    event-time twin of operators.joins.sessionize (same gap semantics;
+    window closes when no event arrives within ``gap``). State is
+    bounded by the watermark; output rows are (key, session start/end,
+    n_events, value_sum)."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.session_window(ts_col, gap).alias("sw"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("value_sum"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sw.start").cast("long").alias("sess_start"),
+            F.col("sw.end").cast("long").alias("sess_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) static
+    dimension. The static side broadcasts per micro-batch; no state.
+    This is the 100 TB pattern for attaching user/document metadata to
+    an event stream without a stateful stream-stream join."""
+    return stream.join(F.broadcast(dim), on, "left")
