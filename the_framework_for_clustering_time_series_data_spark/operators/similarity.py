@@ -132,3 +132,84 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning — the
+    scale path complementing ``ann_lsh_topk``.
+
+    Build: MLlib KMeans (distributed) fits ``n_cells`` centroids; every
+    corpus vector is assigned to its nearest cell — at 100 TB this is
+    the *index build*, done once and persisted as a cell-partitioned
+    table. Probe: each query scores only the vectors in its ``nprobe``
+    nearest cells (centroids are driver-side literals — tiny), so scan
+    cost drops by ~n_cells/nprobe versus brute force while recall stays
+    high for clustered corpora.
+
+    Everything after the fit is pure DataFrame ops: cell assignment via
+    model.transform, probe-cell selection via array_sort over literal
+    centroid distances, candidate scoring via a (cell) equi-join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    vecs = corpus.withColumn("_features", array_to_vector("v"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(vecs)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    cells = model.transform(vecs).select("nbr_id", "v", F.col("_cell").alias("cell"))
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+
+    def sq_dist(vcol: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vcol, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(sq_dist(F.col("qv"), centers[i]).alias("d"), F.lit(i).alias("cell"))
+                    for i in range(len(centers))
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q_probe = qs.select(
+        "query_id", "qv", F.explode(ranked_cells).alias("pc")
+    ).select("query_id", "qv", F.col("pc.cell").alias("cell"))
+
+    scored = (
+        cells.join(F.broadcast(q_probe), "cell")
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

@@ -41,3 +41,15 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path where brute force is O(n²)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register("sim_ivf_topk")  # KMeans index build → rows-only oracle
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF partitioning (16 KMeans cells, probe
+    4): queries only score their nprobe nearest cells — the classic
+    inverted-file ANN index expressed as a cell equi-join (recall vs
+    brute force asserted in tests/test_similarity_ann.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+    )
