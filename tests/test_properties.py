@@ -1,0 +1,103 @@
+"""Hypothesis property tests (SURVEY.md §5.2): randomized invariants
+for the normalizers and length-alignment operators. Few examples per
+property (each example runs Spark jobs); deadline disabled for JVM
+warmup jitter.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SERIES = st.lists(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+PROP_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _long_df(spark, series):
+    rows = [
+        (sid, t, float(v))
+        for sid, vals in enumerate(series)
+        for t, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "series_id long, t long, value double")
+
+
+@given(series=SERIES)
+@PROP_SETTINGS
+def test_minmax_zscore_invariants(spark, series):
+    from the_framework_for_clustering_time_series_data_spark.operators.prep import with_global_normalized
+
+    df = _long_df(spark, series)
+    out = with_global_normalized(df).collect()
+    vals = [r["value"] for r in out]
+    mm = [r["min_max"] for r in out]
+    zs = [r["z_score"] for r in out]
+    lo, hi = min(vals), max(vals)
+    if hi > lo:
+        assert all(-1e-9 <= m <= 1 + 1e-9 for m in mm)
+        assert math.isclose(sum(zs) / len(zs), 0.0, abs_tol=1e-6)
+        # population std of z-scores ≈ 1
+        var = sum(z * z for z in zs) / len(zs)
+        assert math.isclose(var, 1.0, rel_tol=1e-6)
+
+
+@given(series=SERIES)
+@PROP_SETTINGS
+def test_truncate_pad_invariants(spark, series):
+    from the_framework_for_clustering_time_series_data_spark.operators.align import pad_to_max, truncate_to_min
+
+    df = _long_df(spark, series)
+    min_len = min(len(s) for s in series)
+    max_len = max(len(s) for s in series)
+
+    tr = truncate_to_min(df).groupBy("series_id").count().collect()
+    assert all(r["count"] == min_len for r in tr)
+
+    pd_rows = pad_to_max(df).collect()
+    by_sid = {}
+    for r in pd_rows:
+        by_sid.setdefault(r["series_id"], []).append((r["t"], r["value"]))
+    for sid, pts in by_sid.items():
+        pts.sort()
+        assert len(pts) == max_len
+        # suffix beyond the original length is the pad value 0.0
+        for t, v in pts[len(series[sid]):]:
+            assert v == 0.0
+
+
+@given(
+    length=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=10),
+    s=st.integers(min_value=1, max_value=5),
+)
+@PROP_SETTINGS
+def test_sliding_window_count(spark, length, w, s):
+    from the_framework_for_clustering_time_series_data_spark.operators.align import sliding_windows
+
+    df = spark.createDataFrame(
+        [(0, t, float(t)) for t in range(length)], "series_id long, t long, value double"
+    )
+    out = sliding_windows(df, window_size=w, shift_size=s)
+    n_windows = out.select("window_id").distinct().count()
+    expect = max(0, (length - w) // s + 1) if length >= w else 0
+    assert n_windows == expect
+    if expect:
+        per = out.groupBy("window_id").count().collect()
+        assert all(r["count"] == w for r in per)

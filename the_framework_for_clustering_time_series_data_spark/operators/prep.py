@@ -34,6 +34,10 @@ def with_global_normalized(
 
     min_max = (x - min) / (max - min)            (app.py:358-368)
     z_score = (x - mean) / stddev_pop            (app.py:373-382)
+
+    Degenerate input (constant column → zero range/std) yields 0.0
+    rather than the reference's NaN/inf (and rather than an ANSI-mode
+    divide-by-zero error).
     """
     stats = df.agg(
         F.min(value_col).alias("_vmin"),
@@ -42,10 +46,15 @@ def with_global_normalized(
         F.stddev_pop(value_col).alias("_vstd"),
     )
     v = F.col(value_col)
+    rng = F.col("_vmax") - F.col("_vmin")
+    mm = F.when(rng != 0, (v - F.col("_vmin")) / rng).otherwise(F.lit(0.0))
+    zs = F.when(F.col("_vstd") != 0, (v - F.col("_vavg")) / F.col("_vstd")).otherwise(
+        F.lit(0.0)
+    )
     return (
         df.crossJoin(F.broadcast(stats))
-        .withColumn(minmax_col, (v - F.col("_vmin")) / (F.col("_vmax") - F.col("_vmin")))
-        .withColumn(zscore_col, (v - F.col("_vavg")) / F.col("_vstd"))
+        .withColumn(minmax_col, mm)
+        .withColumn(zscore_col, zs)
         .drop("_vmin", "_vmax", "_vavg", "_vstd")
     )
 
