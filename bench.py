@@ -31,6 +31,9 @@ HEADLINE = [
     "j1_asof_join",
     "j3_sessionize",
     "r1_rollup_daily",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
 ]
 
 

@@ -268,3 +268,43 @@ def sj1_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("saw_error", F.lit(0)).alias("saw_error"),
         )
     )
+
+
+@register(
+    "q18_large_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+       round(sum(l.l_quantity), 4) AS total_qty
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN big ON big.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: high-cardinality groupBy (every orderkey) with a
+    HAVING filter feeding a semi-join back onto the fact — the
+    aggregate-then-join pattern whose shuffle stays on the natural key
+    l_orderkey for all three stages (one partitioning reused; AQE
+    coalesces the tiny filtered side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
