@@ -33,3 +33,20 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, similarity.ivf_topk(emb, qs, k=3).collect()))
     b = sorted(map(tuple, similarity.ivf_topk(emb, qs, k=3).collect()))
     assert a == b
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """MinHash-LSH must recover ≥90% of the true Jaccard≥0.5 pairs —
+    guards the hash family's min-wise independence (a monotonic family
+    collapses all bands to one estimator and recall silently drops)."""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    df = load_table(spark, SF_ORACLE, "documents")
+    lsh = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(df).collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert exact, "fixture should contain near-duplicate pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} ({len(lsh)} vs {len(exact)})"
