@@ -1,0 +1,58 @@
+"""Storage-layout tests: partition pruning and bucketed shuffle-free
+joins must be visible in the physical plan, not just assumed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from the_framework_for_clustering_time_series_data_spark.sources import writers
+from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "ev_part")
+    writers.write_partitioned(
+        writers.with_event_date(ev), path, partition_cols=["event_date"]
+    )
+    back = spark.read.parquet(path)
+    one_day = back.select("event_date").first()["event_date"]
+    q = back.where(F.col("event_date") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the filter lands in PartitionFilters (directory pruning), not a
+    # post-scan Filter over data rows
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters: []" in plan or "event_date" not in plan.split("PushedFilters")[1][:120]
+    # and the data is intact / the filter selects a strict subset
+    assert back.count() == ev.count()
+    assert 0 < q.count() < ev.count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = load_table(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+        agg = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+        writers.write_bucketed(ev, "ev_b", "user_id", n_buckets=4)
+        writers.write_bucketed(agg, "agg_b", "user_id", n_buckets=4)
+        j = spark.table("ev_b").join(spark.table("agg_b"), "user_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert j.count() == ev.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS agg_b")
+
+
+def test_csv_single_file_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    path = str(tmp_path / "out_csv")
+    writers.write_csv(df, path, single_file=True)
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 2
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.csv")) == 1

@@ -1,0 +1,61 @@
+"""Table writers encoding the engine's storage-layout contract at
+cluster scale: date-partitioned facts (partition pruning) and
+key-bucketed tables (shuffle-free co-located joins).
+
+The reference's only sinks are two CSV downloads (K1/K2,
+/root/reference/app.py:1835-1864); these are the layouts a 100 TB
+deployment actually writes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """K1/K2/K3 — CSV export with header. ``single_file`` coalesces to
+    one part (driver-adjacent download semantics, small tables only)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("event_date",),
+    fmt: str = "parquet",
+) -> None:
+    """Write a fact table hive-partitioned on low-cardinality columns
+    (typically a derived date). Readers filtering on the partition
+    column scan only matching directories (PartitionFilters in the
+    plan), which is THE first-order pruning lever at 100 TB."""
+    df.write.mode("overwrite").format(fmt).partitionBy(*partition_cols).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Save as a bucketed (and optionally sorted) catalog table:
+    co-partitions the data by hash(bucket_col) at WRITE time, so a join
+    or aggregation on that key by a reader needs NO shuffle (Spark
+    matches its hash partitioning to the bucket spec). Requires the
+    session catalog (saveAsTable) — bucketing metadata lives there."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def with_event_date(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Derive the partition column for event facts (UTC date string —
+    stable across session timezones)."""
+    return df.withColumn(
+        "event_date", F.date_format(F.to_utc_timestamp(F.col(ts_col), "UTC"), "yyyy-MM-dd")
+    )
