@@ -127,3 +127,30 @@ def fingerprint(
         F.array_min(win_hashes).alias("min_fp"),
         F.size(F.array_distinct(win_hashes)).alias("n_distinct_windows"),
     )
+
+
+BPE_ISH_RE = r"'[a-z]{1,2}| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+
+def bpe_tokens_expr(text_col: str = "text") -> Column:
+    """GPT-2-style pre-tokenization approximation: contractions,
+    space-prefixed letter runs, digit runs, punctuation runs — the
+    regex-only part of BPE (no merge table). Portable across Java and
+    DuckDB regex dialects."""
+    return F.expr(
+        f"regexp_extract_all(lower(trim({text_col})), \"{BPE_ISH_RE}\", 0)"
+    )
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counts under both tokenizers: whitespace words and the
+    BPE-ish regex (a cheap proxy for LLM token budgeting at corpus
+    scale — pure JVM regex, no Python)."""
+    ws = tokens_expr(text_col)
+    bpe = bpe_tokens_expr(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(ws).alias("n_words"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe) / F.size(ws), 6).alias("tokens_per_word"),
+    )

@@ -320,3 +320,30 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return streaming_sessionize(ev, gap="30 minutes")
+
+
+@register(
+    "f1_json_props",
+    """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS k_avg,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+""",
+)
+def f1_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions (absent from the reference, SURVEY §2.9):
+    extract props.k with get_json_object and aggregate per event_type —
+    JSON parsing stays JVM-side (Jackson), pushed into the same
+    single-shuffle aggregate as the other stats."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k.cast("double")), 6).alias("k_avg"),
+        F.min(k.cast("long")).alias("k_min"),
+        F.max(k.cast("long")).alias("k_max"),
+    )

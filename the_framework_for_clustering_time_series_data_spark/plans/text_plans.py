@@ -112,3 +112,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 8-token window fingerprints; min window hash + distinct
     window count (md5 variant so the oracle can reproduce it)."""
     return T.fingerprint(load_table(spark, sf_dir, "documents"), use_md5=True)
+
+
+@register(
+    "text_bpe_tokens",
+    """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+         len(regexp_extract_all(lower(trim(text)),
+             '''[a-z]{1,2}| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0)) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_words, n_bpe_tokens,
+       round(n_bpe_tokens / n_words, 6) AS tokens_per_word
+FROM t
+""",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting vs whitespace words per document — LLM
+    token-budget proxy, all JVM regex (SURVEY north-star text ops)."""
+    from the_framework_for_clustering_time_series_data_spark.operators.text import bpe_token_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_token_stats(d)
