@@ -50,3 +50,21 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert exact, "fixture should contain near-duplicate pairs"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.2f} ({len(lsh)} vs {len(exact)})"
+
+
+def test_simhash_pairs_find_small_edits(spark):
+    """Docs differing by one word land within Hamming<=3 of each other
+    far more often than unrelated docs; the pair detector must find
+    exactly the pairs with Hamming <= max and never a false positive."""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    rows = [(0, base), (1, base.replace("river", "ocean")), (2, "completely different text about spark engines and parquet files " * 4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_pairs(df, max_hamming=8).collect()}
+    assert (0, 1) in pairs
+    assert all(h <= 8 for h in pairs.values())
+    # brute-force ground truth: every reported pair's hamming matches
+    fps = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    for (a, b), h in pairs.items():
+        assert bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") == h

@@ -292,3 +292,63 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) ≤
+    ``max_hamming``.
+
+    Pigeonhole banding: the 64-bit fingerprint splits into 4 16-bit
+    bands; any pair within Hamming distance 3 agrees EXACTLY on at
+    least one band, so candidates = same-(band, value) bucket pairs
+    (one groupBy — same shape as the MinHash banding), then exact
+    verification via bit_count(xor). Never an O(n²) comparison.
+    """
+    fp = simhash(df, text_col=text_col, id_col=id_col)
+    bands = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band_id", "bb.band_val")
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+        .where((F.size("ms") > 1) & (F.size("ms") <= 1000))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("ha"),
+                    y["simhash"].alias("hb"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

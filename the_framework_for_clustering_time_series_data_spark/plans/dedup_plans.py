@@ -91,3 +91,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=0.9
     )
+
+
+@register("dedup_simhash_pairs")  # xxhash64-based → rows-only oracle
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit pigeonhole
+    banding + bit_count verification — no O(n²) scan."""
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
