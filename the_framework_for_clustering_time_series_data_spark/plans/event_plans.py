@@ -347,3 +347,50 @@ def f1_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k.cast("long")).alias("k_min"),
         F.max(k.cast("long")).alias("k_max"),
     )
+
+
+@register(
+    "a5_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def a5_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event_type (continuous interpolation —
+    Spark ``percentile`` ≡ DuckDB quantile_cont). At 100 TB swap to
+    percentile_approx (t-digest sketch, mergeable map-side) — same
+    plan shape, documented accuracy tradeoff."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "a6_corr_covar",
+    """
+SELECT event_type,
+       round(corr(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+       round(covar_pop(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS covar_vk,
+       round(stddev_pop(value), 6) AS sd_v
+FROM events
+GROUP BY event_type
+""",
+)
+def a6_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates (corr / covar_pop) between the value column
+    and the JSON props.k field — single-pass co-moment aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr(F.col("value"), k), 6).alias("corr_vk"),
+        F.round(F.covar_pop(F.col("value"), k), 6).alias("covar_vk"),
+        F.round(F.stddev_pop("value"), 6).alias("sd_v"),
+    )
