@@ -111,9 +111,12 @@ GROUP BY n.n_name
 """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style multi-join: dims (region/nation/supplier/customer)
-    broadcast; only the orders↔lineitem join shuffles, on the natural
-    key l_orderkey.
+    """TPC-H Q5-style multi-join. Explicit broadcast hints ONLY on the
+    fixed-size dims (region: 5 rows, nation: 25 — constant at every
+    scale factor); supplier/customer GROW with SF, so their join
+    strategy is left to Catalyst statistics + AQE (broadcast at small
+    SF, shuffle join at 100 TB — forcing broadcast would OOM there).
+    The orders↔lineitem join shuffles on the natural key l_orderkey.
     """
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     r = t["region"].where(F.col("r_name") == "ASIA")
@@ -123,9 +126,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(sup),
+            sup,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -186,8 +189,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style: fact⨝dim(part) with a month-range filter and a
-    conditional aggregate (string LIKE). part broadcasts; lineitem's
-    date range pushes to the scan."""
+    conditional aggregate (string LIKE). part GROWS with SF, so no
+    forced broadcast — AQE broadcasts it at small SF and shuffle-joins
+    on p_partkey at scale; lineitem's date range pushes to the scan."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
@@ -196,7 +200,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct"),
             F.count("*").alias("n_rows"),

@@ -24,8 +24,10 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to always broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+# Tables that stay constant-size at EVERY scale factor and are always
+# safe to broadcast-hint. supplier/customer/part grow with SF — their
+# join strategy belongs to Catalyst statistics + AQE, never a hint.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
