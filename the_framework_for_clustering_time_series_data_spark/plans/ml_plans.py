@@ -206,3 +206,27 @@ def e1_autoencoder_latent(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = imaging.recurrence_plot(align.to_nested(ev))
     out = embed.embedding_autoencoder(images, img_size=64)
     return out.select("series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
+@register("pipeline_e2e")  # model-driven → rows-only oracle
+def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference workflow as ONE lazy chain through the
+    facade (SURVEY §3): load events → preprocess (P1-P5) → truncate
+    (G3) → PCA embed (E2) → seeded K-Means (C1) → cluster
+    representatives (T1+T2), each stage a cached DataFrame keyed by
+    series_id — the 36-combination pipeline's spine, end to end."""
+    from the_framework_for_clustering_time_series_data_spark.pipeline import TimeSeriesPipeline
+
+    pipe = TimeSeriesPipeline(spark)
+    pipe.load_events(sf_dir)
+    pipe.preprocess()
+    pipe.align("truncation")
+    pipe.embed("pca")
+    pipe.cluster("kmeans", k=4, seed=10)
+    reps = pipe.representatives()
+    return reps.select(
+        "prediction",
+        "series_id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+    )
