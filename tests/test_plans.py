@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the optimizations the engine's scale
+story depends on must be visible in executed plans, so a refactor that
+silently loses pushdown/pruning/broadcast fails here, not at 100 TB."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+
+
+def _plan(spark, name):
+    import contextlib
+    import io
+
+    df = QUERIES[name](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached parquet
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = m.group(1)
+    assert "l_comment" not in cols and "l_partkey" not in cols  # pruned
+    assert "l_quantity" in cols
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, f"{c} not pushed: {pushed}"
+
+
+def test_q5_broadcasts_constant_dims(spark):
+    plan = _plan(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the big fact-fact join must not be a nested loop / cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flagship_reads_two_columns_one_exchange(spark):
+    plan = _plan(spark, "flagship_series_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert sorted(c.split(":")[0] for c in m.group(1).split(",")) == ["user_id", "value"]
+    # exactly one shuffle node (formatted explain separates the node
+    # list from its hashpartitioning arguments)
+    # (the window ordinal in events_as_series and the groupBy both key
+    # on series_id=user_id, so Catalyst reuses one partitioning)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(series_id" in plan
+
+
+def test_percentile_sketch_close_to_exact(spark):
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["a5_percentiles"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["a5b_percentile_sketch"](spark, SF_ORACLE).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et in exact:
+        for e, a in zip(exact[et], approx[et]):
+            # percentile_approx returns an actual sample (no
+            # interpolation) — error bounded by local data spacing
+            assert abs(e - a) <= max(1.0, 0.02 * abs(e)), f"{et}: {e} vs {a}"

@@ -394,3 +394,17 @@ def a6_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop(F.col("value"), k), 6).alias("covar_vk"),
         F.round(F.stddev_pop("value"), 6).alias("sd_v"),
     )
+
+
+@register("a5b_percentile_sketch")  # t-digest sketch → rows-only oracle
+def a5b_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of a5_percentiles: percentile_approx (mergeable
+    quantile sketch, map-side partials — no global sort, no full
+    materialization). Accuracy 1/10000; rows-only check (sketch error
+    is engine-specific), absolute error vs exact asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile_approx(value, 0.5, 10000)"), 4).alias("p50"),
+        F.round(F.expr("percentile_approx(value, 0.9, 10000)"), 4).alias("p90"),
+        F.round(F.expr("percentile_approx(value, 0.99, 10000)"), 4).alias("p99"),
+    )
