@@ -16,6 +16,10 @@ def _plan(spark, name):
     import contextlib
     import io
 
+    # other tests cache DataFrames sharing these lineages; the cache
+    # manager would substitute InMemoryRelations into the plan and the
+    # scan/exchange assertions would see the cached shape instead
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, SF_ORACLE)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
