@@ -173,3 +173,38 @@ def test_stream_static_enrich(spark, stream_dir):
     )
     assert out.count() == batch_df.count()
     assert out.where(F.col("tier").isNull()).count() == 0
+
+
+def test_stream_parquet_sink_with_checkpoint(spark, stream_dir, tmp_path):
+    """File sink + checkpoint: the durable streaming pattern (exactly-
+    once per micro-batch via the checkpoint's write-ahead commit log)."""
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import read_events_stream
+
+    out_dir = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    q = (
+        stream.select("event_id", "user_id", "value")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == spark.read.parquet(stream_dir).count()
+    # restart with the same checkpoint: no new data → no duplicates
+    q2 = (
+        read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+        .select("event_id", "user_id", "value")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == back.count()
