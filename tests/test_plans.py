@@ -78,3 +78,17 @@ def test_percentile_sketch_close_to_exact(spark):
             # percentile_approx returns an actual sample (no
             # interpolation) — error bounded by local data spacing
             assert abs(e - a) <= max(1.0, 0.02 * abs(e)), f"{et}: {e} vs {a}"
+
+
+def test_approx_distinct_close_to_exact(spark):
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in QUERIES["d1_distinct_aggs"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in QUERIES["d2_approx_distinct"](spark, SF_ORACLE).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et in exact:
+        assert abs(exact[et] - approx[et]) <= max(2, 0.05 * exact[et])

@@ -408,3 +408,17 @@ def a5b_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile_approx(value, 0.9, 10000)"), 4).alias("p90"),
         F.round(F.expr("percentile_approx(value, 0.99, 10000)"), 4).alias("p99"),
     )
+
+
+@register("d2_approx_distinct")  # HLL sketch → rows-only oracle
+def d2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of d1_distinct_aggs' count(DISTINCT):
+    approx_count_distinct (HyperLogLog++, mergeable map-side — one
+    shuffle of fixed-size sketches instead of the exact rewrite's
+    two-shuffle expand). rsd 1%; relative error vs exact asserted in
+    tests/test_plans.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
