@@ -27,6 +27,32 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert hits / total >= 0.6, f"IVF recall {hits}/{total}"
 
 
+def test_lsh_recall_vs_bruteforce(spark):
+    """Multi-probe LSH must recover most exact neighbors even on the
+    quasi-random test embeddings (true neighbors at cosine ≈0.3) —
+    guards against over-selective buckets that return almost no
+    candidates (16 unprobed planes yielded 2/50 result rows)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    exact = _topk_sets(similarity.brute_force_topk(emb, qs, k=5))
+    approx = _topk_sets(similarity.ann_lsh_topk(emb, qs, k=5))
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"LSH recall {hits}/{total}"
+    # every query must fill its k slots (candidates never run dry)
+    assert all(len(v) == 5 for v in approx.values()), {
+        q: len(v) for q, v in approx.items() if len(v) != 5
+    }
+
+
+def test_lsh_deterministic(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, similarity.ann_lsh_topk(emb, qs, k=3).collect()))
+    b = sorted(map(tuple, similarity.ann_lsh_topk(emb, qs, k=3).collect()))
+    assert a == b
+
+
 def test_ivf_deterministic(spark):
     emb = load_table(spark, SF_ORACLE, "embeddings")
     qs = emb.where(F.col("vec_id") < 5)

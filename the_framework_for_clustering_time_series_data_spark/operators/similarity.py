@@ -69,18 +69,31 @@ def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 16,
-    n_tables: int = 4,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    probe_bits: int = 1,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH.
+    """Approximate top-k via multi-probe random-hyperplane LSH.
 
     Each vector gets ``n_tables`` bucket keys (sign pattern of
     ``n_planes`` fixed random hyperplanes). Corpus and queries join on
-    (table, bucket) — only same-bucket candidates are scored. Recall
-    grows with n_tables; cost scales with bucket collisions, not n².
+    (table, bucket); with ``probe_bits=1`` the QUERY side additionally
+    probes every bucket at Hamming distance 1 (each single bit
+    flipped), so a near neighbor that disagrees on one plane in a
+    table is still found there. Only same-bucket candidates are
+    scored. Recall grows with n_tables and probing; cost scales with
+    bucket collisions, not n².
+
+    Parameter choice: for a neighbor at angle θ, P(one plane agrees) =
+    1 − θ/π, so P(same bucket) decays exponentially in n_planes. The
+    defaults (6 planes × 8 tables, 1-bit probing) give ≈85% recall@5
+    even on quasi-random embeddings whose true neighbors sit at cosine
+    ≈0.3 (like the synthetic test table). Clustered real corpora —
+    where neighbors are much closer than random — should RAISE
+    n_planes (12-16) to prune harder at the same recall.
 
     Hyperplanes are generated deterministically from ``seed`` on the
     driver (tiny: n_tables × n_planes × d floats) and broadcast via
@@ -113,15 +126,24 @@ def ann_lsh_topk(
         "nbr_id", "v",
         F.explode(F.array(*[F.struct(F.lit(t).alias("tbl"), bucket_col(F.col("v"), t).alias("bkt")) for t in range(n_tables)])).alias("tb"),
     ).select("nbr_id", "v", "tb.tbl", "tb.bkt")
+    def probe_buckets(exact: Column) -> Column:
+        # the exact bucket plus, when probe_bits >= 1, each 1-bit flip
+        probes = [exact]
+        if probe_bits >= 1:
+            probes += [exact.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        return F.array(*probes)
+
     q_b = qs.select(
         "query_id", "qv",
-        F.explode(F.array(*[F.struct(F.lit(t).alias("tbl"), bucket_col(F.col("qv"), t).alias("bkt")) for t in range(n_tables)])).alias("tb"),
-    ).select("query_id", "qv", "tb.tbl", "tb.bkt")
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("tbl"), probe_buckets(bucket_col(F.col("qv"), t)).alias("bkts")) for t in range(n_tables)])
+        ).alias("tb"),
+    ).select("query_id", "qv", F.col("tb.tbl").alias("tbl"), F.explode("tb.bkts").alias("bkt"))
     cand = (
         c_b.join(F.broadcast(q_b), ["tbl", "bkt"])
         .where(F.col("nbr_id") != F.col("query_id"))
         .select("query_id", "nbr_id", "qv", "v")
-        .distinct()
+        .dropDuplicates(["query_id", "nbr_id"])
     )
     scored = cand.select(
         "query_id", "nbr_id", F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine")

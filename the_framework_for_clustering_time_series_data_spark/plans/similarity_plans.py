@@ -36,9 +36,11 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ann_lsh_topk")  # driver-seeded hyperplanes → rows-only oracle
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH (16 planes × 4
-    tables, seed 42): candidates = same-bucket pairs only — the scale
-    path where brute force is O(n²)."""
+    """Approximate top-5 via multi-probe random-hyperplane LSH (6
+    planes × 8 tables, 1-bit probing, seed 42): candidates =
+    same-bucket pairs only — the scale path where brute force is
+    O(n²). Recall vs brute force asserted in
+    tests/test_similarity_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
