@@ -208,3 +208,33 @@ def test_stream_parquet_sink_with_checkpoint(spark, stream_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == back.count()
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dir):
+    """Watermarked stream-stream interval join (attribution) must emit
+    exactly the batch interval-join result once both streams drain."""
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_events_stream,
+        stream_stream_attribution_join,
+    )
+
+    batch = spark.read.parquet(stream_dir)
+    expect = {
+        tuple(r)
+        for r in stream_stream_attribution_join(
+            batch.where(F.col("event_type") == "view"),
+            batch.where(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    got_df = _run_stream(
+        spark,
+        stream_stream_attribution_join(
+            stream.where(F.col("event_type") == "view"),
+            stream.where(F.col("event_type") == "purchase"),
+        ),
+        "append",
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == expect
+    assert len(got) > 0

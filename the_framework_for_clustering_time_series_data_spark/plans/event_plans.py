@@ -422,3 +422,120 @@ def d2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "st_stream_stream_join",
+    """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+       round(p.value, 6) AS purchase_value
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+""",
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution: purchases matched to
+    the same user's views in the preceding 6 h), run here in batch
+    mode so the oracle can check it — the identical plan runs
+    watermarked under Structured Streaming with bounded state
+    (streaming.ops.stream_stream_attribution_join; stream/batch parity
+    asserted in tests/test_streaming.py)."""
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import stream_stream_attribution_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return stream_stream_attribution_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        within="6 hours",
+    )
+
+
+@register(
+    "w2_distribution_windows",
+    """
+WITH w AS (
+  SELECT event_type, event_id, value,
+         ntile(4) OVER win AS quartile,
+         round(percent_rank() OVER win, 6) AS pct_rank,
+         round(cume_dist() OVER win, 6) AS cum_dist,
+         round(first_value(value) OVER win, 6) AS v_min,
+         round(avg(value) OVER (PARTITION BY event_type ORDER BY value, event_id
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_avg
+  FROM events
+  WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT * FROM w WHERE pct_rank >= 0.99
+""",
+)
+def w2_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist /
+    first_value / running avg) — all five share ONE window ordering, so
+    Catalyst evaluates them in a single Window stage over a single
+    shuffle on event_type. Keeps the top percentile per type."""
+    ev = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("event_type").orderBy("value", "event_id")
+    running = win.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col("value")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            v.alias("value"),
+            F.ntile(4).over(win).alias("quartile"),
+            F.round(F.percent_rank().over(win), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(win), 6).alias("cum_dist"),
+            F.round(F.first(v).over(win), 6).alias("v_min"),
+            F.round(F.avg(v).over(running), 6).alias("running_avg"),
+        )
+        .where(F.col("pct_rank") >= 0.99)
+    )
+
+
+@register(
+    "r2_cube_daily",
+    """
+WITH e AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day_num,
+         event_type, value
+  FROM events
+)
+SELECT coalesce(day_num, -1) AS day_num,
+       coalesce(event_type, 'ALL') AS event_type,
+       grouping(day_num) * 2 + grouping(event_type) AS gid,
+       count(*) AS n,
+       round(sum(value), 4) AS value_sum
+FROM e
+GROUP BY CUBE(day_num, event_type)
+""",
+)
+def r2_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four (day, type) marginal combinations
+    in ONE pass via Catalyst's Expand (4 output rows per input row,
+    then one aggregate; no four-scan union). Complements
+    r1_rollup_daily's 3-set hierarchy."""
+    ev = load_table(spark, sf_dir, "events")
+    day_num = F.floor(F.floor(F.unix_timestamp("ts")) / 86400).cast("long").alias("day_num")
+    return (
+        ev.select(day_num, "event_type", "value")
+        .cube("day_num", "event_type")
+        .agg(
+            F.grouping("day_num").cast("long").alias("_g1"),
+            F.grouping("event_type").cast("long").alias("_g2"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.coalesce("day_num", F.lit(-1)).alias("day_num"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            (F.col("_g1") * 2 + F.col("_g2")).alias("gid"),
+            "n",
+            "value_sum",
+        )
+    )

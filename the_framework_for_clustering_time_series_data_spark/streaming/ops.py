@@ -179,6 +179,57 @@ def streaming_sessionize(
     )
 
 
+def stream_stream_attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    within: str = "6 hours",
+    watermark: str = "12 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream INTERVAL join: each purchase matches
+    the same user's views from the preceding ``within`` window — the
+    classic attribution join.
+
+    Both sides carry a watermark and the join condition bounds
+    purchase.ts to [view.ts, view.ts + within], so Spark can expire
+    view state older than watermark + within and purchase state older
+    than watermark — state stays bounded no matter how long the
+    streams run (an unbounded-time equi-join would grow state
+    forever). On batch frames the same plan is a plain interval join,
+    which is how the DuckDB oracle checks it (st_stream_stream_join).
+    """
+    v = views.select(
+        F.col(key_col).alias("v_user"),
+        F.col(ts_col).alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.select(
+        F.col(key_col).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("long").alias("view_ts"),
+        F.col("purchase_ts").cast("long").alias("purchase_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,
