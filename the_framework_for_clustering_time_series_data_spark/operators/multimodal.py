@@ -106,3 +106,48 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_md5"])
 
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
+
+
+def extract_audio_features(
+    df: DataFrame, n_windows: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio decode + feature extraction: per-payload (duration,
+    sample rate, peak dBFS) plus an ``n_windows``-slot RMS loudness
+    envelope (array<double>).
+
+    STUB KERNEL (no soundfile/ffmpeg in this container): the features
+    are deterministic functions of the payload hash. The Spark-side
+    contract is real — Arrow-batched mapInPandas, one row per clip
+    with a fixed-length envelope array, so a multi-GB audio file is
+    decoded where its bytes already live and only the tiny feature
+    row crosses the wire.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, duration_s double, sample_rate int, "
+        "peak_dbfs double, rms_envelope array<double>"
+    )
+
+    def _decode(payload: bytes) -> tuple[float, int, float, list[float]]:
+        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("wire soundfile/ffmpeg decode here")
+        h = hashlib.sha256(payload).digest()
+        duration = round(1.0 + h[0] / 16, 3)
+        rate = (8, 16, 22, 44, 48)[h[1] % 5] * 1000
+        peak = round(-(h[2] % 24) - h[3] / 255, 3)
+        env = [round(h[4 + i] / 255, 6) for i in range(n_windows)]
+        return duration, rate, peak, env
+
+    def run(batches):
+        for pdf in batches:
+            feats = [_decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats, columns=["duration_s", "sample_rate", "peak_dbfs", "rms_envelope"]
+            )
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)

@@ -160,3 +160,12 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per (media, frame), generated executor-side."""
     d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(d, n_frames=4)
+
+
+@register("mm_audio_features")  # stub decode kernel → rows-only oracle
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: audio decode → (duration, rate, peak dBFS, RMS
+    envelope array) over mapInPandas (stub kernel — no
+    soundfile/ffmpeg in this container; batching/schema real)."""
+    d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(d, n_windows=8)
