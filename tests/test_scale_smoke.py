@@ -85,3 +85,35 @@ def test_asof_join_5m_rows(spark, big_events):
     assert checks["n"] == n_clicks
     assert checks["no_match"] == USERS  # exactly the seq-0 clicks
     assert checks["wrong_lag"] == 0
+
+
+def test_minhash_lsh_200k_docs(spark):
+    """MinHash-LSH at 200k generated docs where every doc has exactly
+    one planted near-duplicate (its pair differs by one appended
+    token): the pipeline must recover >=95% of the planted pairs and
+    nothing across pair boundaries. Exercises the explode -> window ->
+    65-aggregate signature stage and the banding bucket join at a
+    scale where an O(n^2) or driver-side path would blow up."""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    n_pairs = 100_000
+    # doc i and doc i + n_pairs share a 20-token body; the copy appends
+    # one token, so Jaccard on 3-gram shingles ~= 18/21 ~= 0.857
+    base = spark.range(2 * n_pairs).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % n_pairs).alias("pair"),
+        (F.col("id") >= n_pairs).cast("int").alias("is_copy"),
+    )
+    body = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(f"w{j}_"), F.conv(F.col("pair") * 31 + j, 10, 16)) for j in range(20)],
+    )
+    docs = base.select(
+        "doc_id",
+        F.when(F.col("is_copy") == 1, F.concat(body, F.lit(" extratoken"))).otherwise(body).alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, n=3)
+    ok = pairs.where(F.col("id_b") - F.col("id_a") == n_pairs).count()
+    cross = pairs.where(F.col("id_b") - F.col("id_a") != n_pairs).count()
+    assert ok >= 0.95 * n_pairs, f"recovered {ok}/{n_pairs} planted pairs"
+    assert cross == 0, f"{cross} spurious cross-pair matches"
