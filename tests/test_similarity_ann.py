@@ -94,3 +94,21 @@ def test_simhash_pairs_find_small_edits(spark):
     fps = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
     for (a, b), h in pairs.items():
         assert bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1") == h
+
+
+def test_ivf_persisted_index_probe(spark, tmp_path):
+    """Probing a persisted IVF index must (a) return exactly the
+    in-memory ivf_topk result for the same params and (b) join the
+    cell-partitioned corpus under dynamic partition pruning, so a probe
+    scans only its nprobe cell directories instead of the whole
+    corpus."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(emb, path, n_cells=16)
+    probe = similarity.ivf_probe_index(spark, path, qs, k=5, nprobe=4)
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(emb, qs, k=5, n_cells=16, nprobe=4).collect()))
+    assert a == b and len(a) == 50
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "cell join should dynamic-partition-prune"

@@ -195,6 +195,15 @@ def ivf_topk(
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
+    return _ivf_probe_scored(cells, qs, centers, k, nprobe)
+
+
+def _ivf_probe_scored(
+    cells: DataFrame, qs: DataFrame, centers: list[list[float]], k: int, nprobe: int
+) -> DataFrame:
+    """Shared IVF probe tail: pick each query's nprobe nearest cells
+    (literal centroid distances — the centroid table is index metadata,
+    tiny by construction), then score only same-cell candidates."""
 
     def sq_dist(vcol: Column, center: list[float]) -> Column:
         c = F.array(*[F.lit(x) for x in center])
@@ -235,3 +244,63 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF ANN index: the corpus written hive-partitioned by
+    its nearest-centroid cell (``<path>/cells/cell=N/``) plus a tiny
+    centroid-metadata table (``<path>/centroids``).
+
+    This is the 100 TB serving layout: the expensive KMeans build runs
+    ONCE, and every later probe (``ivf_probe_index``) joins on the
+    partition column, so Spark's dynamic partition pruning reads only
+    the ~nprobe probed cell directories — scan cost drops by
+    ≈ n_cells/nprobe without recomputing anything.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    vecs = corpus.withColumn("_features", array_to_vector("v"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(vecs)
+    cells = model.transform(vecs).select("nbr_id", "v", F.col("_cell").alias("cell"))
+    cells.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    spark = emb.sparkSession
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark.createDataFrame(centers, "cell int, center array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF index
+    (``build_ivf_index``): reads the centroid metadata (n_cells rows),
+    computes each query's nprobe nearest cells, and equi-joins the
+    cell-partitioned corpus on ``cell``. The broadcast query side makes
+    the join eligible for dynamic partition pruning, so the parquet
+    scan touches only probed ``cell=N`` directories (asserted on the
+    physical plan in tests/test_similarity_ann.py)."""
+    center_rows = spark.read.parquet(f"{path}/centroids").collect()
+    centers = [list(r["center"]) for r in sorted(center_rows, key=lambda r: r["cell"])]
+    cells = spark.read.parquet(f"{path}/cells")
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    return _ivf_probe_scored(cells, qs, centers, k, nprobe)

@@ -55,3 +55,21 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
     )
+
+
+@register("sim_ivf_persisted_topk")  # KMeans index build + disk layout → rows-only oracle
+def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 against a PERSISTED IVF index: the corpus is
+    written hive-partitioned by nearest-centroid cell plus a centroid
+    metadata table, then probed via a broadcast cell join that
+    dynamic-partition-prunes the scan to the 4 probed cells. Same
+    results as sim_ivf_topk (asserted in tests/test_similarity_ann.py);
+    this entry exercises the build→persist→probe serving path."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="the_framework_for_clustering_time_series_data_spark_ivf_")
+    similarity.build_ivf_index(emb, path, n_cells=16)
+    return similarity.ivf_probe_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
+    )
