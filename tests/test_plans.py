@@ -92,3 +92,42 @@ def test_approx_distinct_close_to_exact(spark):
     assert exact.keys() == approx.keys()
     for et in exact:
         assert abs(exact[et] - approx[et]) <= max(2, 0.05 * exact[et])
+
+
+def test_q4_semi_join_shape(spark):
+    """EXISTS must stay a LeftSemi (one output row per order however
+    many late lines match) with the date range pushed to orders."""
+    plan = _plan(spark, "q4_priority_exists")
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "o_orderdate" in pushed
+
+
+def test_q16_and_q22_anti_join_shape(spark):
+    """NOT IN / NOT EXISTS must compile to anti-joins, not set
+    subtraction or a nested loop over the exclusion list."""
+    for name in ("q16_supplier_diversity", "q22_lapsed_customers"):
+        plan = _plan(spark, name)
+        assert "LeftAnti" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q19_disjunction_decomposed_to_scans(spark):
+    """The OR-of-ANDs predicate must contribute per-side pushed
+    filters (brand/size on part, quantity ranges on lineitem) — the
+    scans must not read unfiltered."""
+    plan = _plan(spark, "q19_disjunctive_revenue")
+    scans = plan.split("Scan parquet")
+    li_scan = next(s for s in scans if "l_quantity" in s.split("ReadSchema")[0] or "l_quantity" in s)
+    assert "l_quantity" in li_scan.split("PushedFilters:")[1].split("]")[0]
+    part_scan = next(s for s in scans if "p_brand" in s)
+    assert "p_brand" in part_scan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_q17_single_window_free_and_broadcast(spark):
+    """The decorrelated scalar subquery must join as a broadcast of the
+    per-part aggregate (tiny side), never shuffle the fact twice for
+    one logical scan's worth of work."""
+    plan = _plan(spark, "q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
