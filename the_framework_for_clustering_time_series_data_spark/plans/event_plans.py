@@ -539,3 +539,31 @@ def r2_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@register(
+    "k1_salted_hot_key_agg",
+    """
+SELECT event_type,
+       round(sum(value), 4) AS value_sum,
+       count(value) AS value_count
+FROM events
+GROUP BY event_type
+""",
+)
+def k1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation surfaced in the driver gate: events has
+    only 5 distinct event_type keys over every row — the hot-key shape
+    where one reducer per key straggles at scale. salted_sum_count
+    splits each key across 16 salted partials and merges them; the
+    oracle is the plain GROUP BY (sum/count are algebraic, so the
+    result is bit-stable up to float re-association — hence round)."""
+    from the_framework_for_clustering_time_series_data_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(ev, ["event_type"], "value", n_salt=16)
+    return out.select(
+        "event_type",
+        F.round("value_sum", 4).alias("value_sum"),
+        F.col("value_count"),
+    )
