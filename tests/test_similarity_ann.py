@@ -112,3 +112,22 @@ def test_ivf_persisted_index_probe(spark, tmp_path):
     assert a == b and len(a) == 50
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "cell join should dynamic-partition-prune"
+
+
+def test_connected_components_transitive_chain(spark):
+    """A chain a-b, b-c, c-d must collapse into ONE group keyed by the
+    min id, and disjoint pairs must stay separate components."""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["doc_id"]: (r["group_id"], r["group_size"])
+        for r in dedup.duplicate_groups(pairs).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+    }
+    assert got[1][1] == 4 and got[10][1] == 2 and got[20][1] == 3

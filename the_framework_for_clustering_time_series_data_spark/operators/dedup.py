@@ -359,3 +359,77 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node's label converges to the minimum
+    node id reachable from it. Returns (node, component).
+
+    Each round is one join + one grouped min — O(diameter) rounds, and
+    near-duplicate graphs are shallow (clusters of mutually-similar
+    docs), so the loop terminates in a handful of rounds.
+    ``localCheckpoint`` per round keeps the plan flat instead of
+    growing the lineage exponentially (same pattern as the DBSCAN
+    component search, cluster.py).
+    """
+    bi = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        bi.select(F.col("e_src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            bi.join(
+                labels.select(F.col("node").alias("e_dst"), F.col("label").alias("dst_label")),
+                "e_dst",
+            )
+            .groupBy("e_src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .select(F.col("e_src").alias("node"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .where(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def duplicate_groups(pairs: DataFrame) -> DataFrame:
+    """Near-duplicate GROUPS from a pair list: transitive closure of
+    the pairs, one group per component, group id = min doc id in the
+    group (the canonical survivor a dedup pipeline keeps). Returns
+    (doc_id, group_id, group_size) for every doc in some group.
+    """
+    comp = connected_components(pairs)
+    w = Window.partitionBy("group_id")
+    return (
+        comp.select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
+        .withColumn("group_size", F.count("*").over(w))
+    )

@@ -104,3 +104,47 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit pigeonhole
     banding + bit_count verification — no O(n²) scan."""
     return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_connected_groups",
+    r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id AS id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           FOR i IN range(1, len(toks) - 1)
+         ]) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM d),
+i AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT id_a, id_b FROM i WHERE n_inter / (n_a + n_b - n_inter) >= 0.2
+),
+bi AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bi b ON b.src = r.dst WHERE b.dst <> r.src
+),
+comp AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id FROM reach GROUP BY src)
+SELECT doc_id, group_id, count(*) OVER (PARTITION BY group_id) AS group_size FROM comp
+""",
+)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUP formation — the step after pair detection in a
+    real dedup pipeline: transitive closure of the word-3-gram
+    Jaccard≥0.2 pairs via distributed min-label propagation
+    (operators.dedup.connected_components), each group keyed by its
+    min doc id. The oracle computes the same closure with a DuckDB
+    recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    return dedup.duplicate_groups(pairs)
