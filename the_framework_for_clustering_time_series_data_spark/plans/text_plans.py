@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from the_framework_for_clustering_time_series_data_spark.operators import text as T
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
@@ -136,3 +137,93 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_token_stats(d)
+
+
+@register(
+    "curate_corpus",
+    r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, text, length(text) AS n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+         round(least(len(toks) / 100.0, 1.0) * 0.3
+               + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars) * 0.4
+               + least((len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','for','it')))::DOUBLE
+                        / len(toks)) * 5, 1.0) * 0.3, 6) AS quality
+  FROM t
+),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+d AS (
+  SELECT doc_id AS id,
+         list_distinct([
+           array_to_string(toks2[i:i+2], ' ')
+           FOR i IN range(1, len(toks2) - 1)
+         ]) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks2
+        FROM documents)
+  WHERE len(toks2) >= 3
+),
+e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM d),
+i AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (SELECT id_a, id_b FROM i WHERE n_inter / (n_a + n_b - n_inter) >= 0.2),
+bi AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bi b ON b.src = r.dst WHERE b.dst <> r.src
+),
+near_drop AS (
+  SELECT src AS doc_id FROM reach GROUP BY src HAVING least(src, min(dst)) <> src
+)
+SELECT q.doc_id, q.lang, q.quality
+FROM q
+JOIN exact_keep USING (doc_id)
+WHERE q.quality >= 0.5
+  AND q.doc_id NOT IN (SELECT doc_id FROM near_drop)
+  AND (q.lang <> 'en' OR q.doc_id % 10 < 8)
+""",
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan — the
+    composition a pretraining-data pipeline actually runs:
+      1. quality gate (combined score ≥ 0.5);
+      2. exact dedup (keep the min-id doc per md5 hash);
+      3. near-dedup survivorship (drop every member of a Jaccard≥0.2
+         connected group except its min-id canonical — transitive, so
+         a chain a~b~c keeps only a);
+      4. deterministic stratified downsampling (keep 80% of the
+         dominant 'en' stratum by id residue; all other langs whole).
+    Catalyst fuses the quality gate and sampling predicate into one
+    scan; the two dedup stages are an exact-hash aggregate and the
+    min-label-propagation closure, each joined back as survivorship
+    filters (semi/anti joins on doc_id)."""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup as D
+    from the_framework_for_clustering_time_series_data_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = T.quality_score(docs).select("doc_id", "quality")
+    exact_keep = (
+        D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    )
+    near_drop = (
+        D.duplicate_groups(D.ngram_jaccard_pairs(docs, threshold=0.2, n=3))
+        .where(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .where(F.col("quality") >= 0.5)
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(near_drop, "doc_id", "left_anti")
+        .where((F.col("lang") != "en") | (F.col("doc_id") % 10 < 8))
+    )
