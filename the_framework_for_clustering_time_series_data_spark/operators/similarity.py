@@ -6,6 +6,8 @@ Baseline: brute-force cosine top-k (exact). Scale path: LSH-bucketed
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -99,22 +101,24 @@ def ann_lsh_topk(
     driver (tiny: n_tables × n_planes × d floats) and broadcast via
     literal arrays.
     """
-    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
 
     dim = len(emb.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
+    plane_mat = planes.reshape(n_tables * n_planes, dim).T  # dim × (T·P)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    def bucket_col(vcol: Column, t: int) -> Column:
-        bits = [
-            F.when(dot_expr(vcol, F.array(*[F.lit(float(x)) for x in planes[t, p]])) > 0, 1).otherwise(0)
-            * (1 << p)
-            for p in range(n_planes)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets_udf(vs: pd.Series) -> pd.Series:
+        # one matrix multiply per Arrow batch computes EVERY table's
+        # sign pattern at once (the per-plane zip_with/aggregate HOF
+        # version evaluated 48 interpreted dot products per row and
+        # dominated the query's runtime)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        bits = (M @ plane_mat > 0).astype(np.int64).reshape(len(M), n_tables, n_planes)
+        codes = bits @ weights  # n × n_tables bucket ints
+        return pd.Series(list(codes))
 
     corpus = emb.select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -123,22 +127,20 @@ def ann_lsh_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
     c_b = corpus.select(
-        "nbr_id", "v",
-        F.explode(F.array(*[F.struct(F.lit(t).alias("tbl"), bucket_col(F.col("v"), t).alias("bkt")) for t in range(n_tables)])).alias("tb"),
-    ).select("nbr_id", "v", "tb.tbl", "tb.bkt")
-    def probe_buckets(exact: Column) -> Column:
-        # the exact bucket plus, when probe_bits >= 1, each 1-bit flip
-        probes = [exact]
-        if probe_bits >= 1:
-            probes += [exact.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
-        return F.array(*probes)
-
-    q_b = qs.select(
-        "query_id", "qv",
-        F.explode(
-            F.array(*[F.struct(F.lit(t).alias("tbl"), probe_buckets(bucket_col(F.col("qv"), t)).alias("bkts")) for t in range(n_tables)])
-        ).alias("tb"),
-    ).select("query_id", "qv", F.col("tb.tbl").alias("tbl"), F.explode("tb.bkts").alias("bkt"))
+        "nbr_id", "v", F.posexplode(buckets_udf("v")).alias("tbl", "bkt")
+    )
+    # probe set per table = the exact bucket plus, when probe_bits >= 1,
+    # each 1-bit flip — derived from the MATERIALIZED bucket value, so
+    # the hyperplane math runs once per query vector, not per probe
+    q_exact = qs.select(
+        "query_id", "qv", F.posexplode(buckets_udf("qv")).alias("tbl", "_b")
+    )
+    probes = [F.col("_b")]
+    if probe_bits >= 1:
+        probes += [F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+    q_b = q_exact.select(
+        "query_id", "qv", "tbl", F.explode(F.array(*probes)).alias("bkt")
+    )
     cand = (
         c_b.join(F.broadcast(q_b), ["tbl", "bkt"])
         .where(F.col("nbr_id") != F.col("query_id"))
