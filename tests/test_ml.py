@@ -179,14 +179,27 @@ def test_pca_matches_numpy_covariance_eigen(spark):
     assert 0 < sum(var_pct) <= 100.1
 
 
-def test_autoencoder_stub_pipeline(spark):
+def test_autoencoder_trains_and_is_deterministic(spark):
+    """The AE must actually LEARN (best reconstruction MSE strictly
+    below the first epoch's), embed every series to finite 2-D
+    coordinates, not collapse the latent to a point, and reproduce the
+    same embedding for the same seed."""
     from the_framework_for_clustering_time_series_data_spark.operators import align, embed, imaging
 
     df = _ragged_series(spark, n_series=4)
     images = imaging.recurrence_plot(align.to_nested(df))
-    out = embed.embedding_autoencoder(images, img_size=16).collect()
+    losses: list = []
+    out = sorted(
+        map(tuple, embed.embedding_autoencoder(images, img_size=16, loss_out=losses).collect())
+    )
     assert len(out) == 4
-    assert all(0 <= r["x"] <= 1 and 0 <= r["y"] <= 1 for r in out)
+    assert all(np.isfinite(r[1]) and np.isfinite(r[2]) for r in out)
+    first, best = losses
+    assert best < first, f"no learning: first={first} best={best}"
+    xs = {r[1] for r in out} | {r[2] for r in out}
+    assert len(xs) > 1, "latent collapsed to a single point"
+    again = sorted(map(tuple, embed.embedding_autoencoder(images, img_size=16).collect()))
+    assert out == again
 
 
 # --- clustering ------------------------------------------------------------

@@ -129,39 +129,132 @@ def embedding_autoencoder(
     images: DataFrame,
     img_size: int = 64,
     image_col: str = "image",
+    hidden: int = 32,
+    epochs: int = 300,
+    lr: float = 1e-3,
+    patience: int = 50,
+    seed: int = 0,
+    loss_out: list | None = None,
 ) -> DataFrame:
-    """E1 — autoencoder latent extraction (app.py:490-641).
+    """E1 — TRAINED autoencoder latent extraction (app.py:490-641).
 
-    The reference trains a Conv2D stride-2 encoder to a 2-D latent.
-    TensorFlow is unavailable here, so ``_encode_batch`` is a
-    DETERMINISTIC STAND-IN (not a trained model): latent = (mean of
-    the upper triangle, mean of the lower triangle) of the resized
-    image, scaled to [0,1]. The distributed pipeline — resize →
-    Arrow-batched encode over mapInPandas → (series_id, x, y) — is the
-    real contract; swap ``_encode_batch`` for a broadcast Keras model
-    to restore reference behavior.
+    The reference fits a Conv2D stride-2 encoder down to a Dense 2-unit
+    latent with Adam + MSE and patience-based early stopping
+    (app.py:540-613, patience=50), then encodes every series. TF and
+    conv primitives are unavailable here, so the network is a dense
+    autoencoder in pure NumPy — flatten(S²), per-pixel centering →
+    tanh(hidden) → linear(2) latent → tanh(hidden) → linear(S²) —
+    trained with the SAME objective, optimizer (Adam), seeding, and
+    early-stop protocol.
+    Training runs driver-side on the collected resized images, exactly
+    like the reference's single-process ``fit`` (§7: AE training is
+    the one inherently single-node stage); n_series is bounded at the
+    ML boundary by contract. INFERENCE is distributed: the trained
+    weights travel to executors inside the mapInPandas closure and
+    every partition encodes its own rows.
     """
     import numpy as np
     import pandas as pd
 
     from the_framework_for_clustering_time_series_data_spark.operators.imaging import resize_images
 
-    resized = resize_images(images, img_size, image_col)
+    resized = resize_images(images, img_size, image_col).cache()
+    train_pdf = resized.toPandas()
+    if train_pdf.empty:
+        return resized.sparkSession.createDataFrame([], "series_id long, x double, y double")
+    X_raw = np.stack(
+        [
+            np.concatenate([np.asarray(r, dtype=np.float64) for r in img]) / 255.0
+            for img in train_pdf[image_col]
+        ]
+    )
+    # center per pixel: with raw [0,1] targets and a sigmoid/linear
+    # output, "reconstruct the mean image" is a strong local optimum
+    # that collapses the 2-unit latent to a point; on centered data the
+    # zero solution is trivial and every unit of captured variance
+    # strictly reduces MSE, so the latent must differentiate inputs
+    pix_mean = X_raw.mean(axis=0)
+    X = X_raw - pix_mean
+    n, d = X.shape
+
+    rng = np.random.default_rng(seed)
+    # Glorot-style init, deterministic from `seed` (the reference pins
+    # its seeds at app.py:493-494)
+    params = {
+        "W1": rng.standard_normal((d, hidden)) * np.sqrt(2.0 / (d + hidden)),
+        "b1": np.zeros(hidden),
+        "W2": rng.standard_normal((hidden, 2)) * np.sqrt(2.0 / (hidden + 2)),
+        "b2": np.zeros(2),
+        "W3": rng.standard_normal((2, hidden)) * np.sqrt(2.0 / (hidden + 2)),
+        "b3": np.zeros(hidden),
+        "W4": rng.standard_normal((hidden, d)) * np.sqrt(2.0 / (d + hidden)),
+        "b4": np.zeros(d),
+    }
+    adam_m = {k: np.zeros_like(v) for k, v in params.items()}
+    adam_v = {k: np.zeros_like(v) for k, v in params.items()}
+    b1m, b2m, eps = 0.9, 0.999, 1e-8
+
+    best_loss, best_params, since_best = np.inf, None, 0
+    first_loss = None
+    for step in range(1, epochs + 1):
+        h1 = np.tanh(X @ params["W1"] + params["b1"])
+        z = h1 @ params["W2"] + params["b2"]  # linear 2-D latent
+        h3 = np.tanh(z @ params["W3"] + params["b3"])
+        out = h3 @ params["W4"] + params["b4"]  # linear reconstruction
+        err = out - X
+        loss = float((err**2).mean())
+        if first_loss is None:
+            first_loss = loss
+
+        if loss < best_loss - 1e-9:
+            best_loss, since_best = loss, 0
+            best_params = {k: v.copy() for k, v in params.items()}
+        else:
+            since_best += 1
+            if since_best >= patience:  # early stop, reference protocol
+                break
+
+        # backprop (MSE, full batch)
+        g_out = 2.0 * err / err.size
+        g = {
+            "W4": h3.T @ g_out, "b4": g_out.sum(0),
+        }
+        g_h3 = g_out @ params["W4"].T * (1 - h3**2)
+        g["W3"], g["b3"] = z.T @ g_h3, g_h3.sum(0)
+        g_z = g_h3 @ params["W3"].T
+        g["W2"], g["b2"] = h1.T @ g_z, g_z.sum(0)
+        g_h1 = g_z @ params["W2"].T * (1 - h1**2)
+        g["W1"], g["b1"] = X.T @ g_h1, g_h1.sum(0)
+        for k in params:
+            adam_m[k] = b1m * adam_m[k] + (1 - b1m) * g[k]
+            adam_v[k] = b2m * adam_v[k] + (1 - b2m) * g[k] ** 2
+            mh = adam_m[k] / (1 - b1m**step)
+            vh = adam_v[k] / (1 - b2m**step)
+            params[k] -= lr * mh / (np.sqrt(vh) + eps)
+
+    if loss_out is not None:  # [first-epoch MSE, best MSE] — for tests
+        loss_out.extend([first_loss, best_loss])
+
+    W1, b1 = best_params["W1"], best_params["b1"]
+    W2, b2 = best_params["W2"], best_params["b2"]
 
     def _encode_batch(batches):
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                m = np.stack([np.asarray(r, dtype=np.float64) for r in row["image"]]) / 255.0
-                iu = np.triu_indices(m.shape[0], k=1)
-                il = np.tril_indices(m.shape[0], k=-1)
-                out.append(
-                    {
-                        "series_id": row["series_id"],
-                        "x": float(m[iu].mean()) if iu[0].size else float(m.mean()),
-                        "y": float(m[il].mean()) if il[0].size else float(m.mean()),
-                    }
+            if pdf.empty:
+                yield pd.DataFrame(columns=["series_id", "x", "y"])
+                continue
+            M = (
+                np.stack(
+                    [
+                        np.concatenate([np.asarray(r, dtype=np.float64) for r in img]) / 255.0
+                        for img in pdf[image_col]
+                    ]
                 )
-            yield pd.DataFrame(out, columns=["series_id", "x", "y"])
+                - pix_mean
+            )
+            Z = np.tanh(M @ W1 + b1) @ W2 + b2
+            yield pd.DataFrame(
+                {"series_id": pdf["series_id"].values, "x": Z[:, 0], "y": Z[:, 1]}
+            )
 
     return resized.mapInPandas(_encode_batch, schema="series_id long, x double, y double")

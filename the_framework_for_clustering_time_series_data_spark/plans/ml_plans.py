@@ -196,12 +196,13 @@ def i3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("e1_autoencoder_latent")  # stub encoder → rows-only oracle
+@register("e1_autoencoder_latent")  # trained model → rows-only oracle
 def e1_autoencoder_latent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 — autoencoder latent pipeline: RP-image → resize(64) →
-    2-D latent (app.py:490-641). Encoder is a deterministic stand-in
-    (TF unavailable — see operators.embed.embedding_autoencoder);
-    the image/resize/mapInPandas plumbing is real."""
+    TRAINED dense autoencoder (NumPy Adam+MSE, early stop — the
+    reference's fit protocol, app.py:490-641; conv layers replaced by
+    dense since TF is unavailable) → 2-D latent; training driver-side
+    like the reference, inference distributed via mapInPandas."""
     ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 20)
     images = imaging.recurrence_plot(align.to_nested(ev))
     out = embed.embedding_autoencoder(images, img_size=64)
