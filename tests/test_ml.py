@@ -338,10 +338,37 @@ def test_kshape_separates_shapes(spark):
     assert _ari(got, truth) == pytest.approx(1.0)
 
 
+def test_umap_fallback_preserves_neighborhoods(spark):
+    """Without umap-learn (this env) the fallback is Laplacian
+    Eigenmaps: two well-separated groups of series must land in two
+    separated regions of the embedding (between-group distances exceed
+    within-group ones)."""
+    from the_framework_for_clustering_time_series_data_spark.operators import align, embed
+
+    rows = []
+    for sid in range(8):
+        base = 0.0 if sid < 4 else 50.0
+        for t in range(12):
+            rows.append((sid, t, base + 0.1 * ((sid * 7 + t) % 5)))
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    nested = align.to_nested(df)
+    emb = {
+        r["series_id"]: (r["x"], r["y"])
+        for r in embed.embedding_umap(nested, n_components=2, n_neighbors=3).collect()
+    }
+
+    def dist(a, b):
+        return ((emb[a][0] - emb[b][0]) ** 2 + (emb[a][1] - emb[b][1]) ** 2) ** 0.5
+
+    within = max(dist(a, b) for g in ([0, 1, 2, 3], [4, 5, 6, 7]) for a in g for b in g if a < b)
+    between = min(dist(a, b) for a in (0, 1, 2, 3) for b in (4, 5, 6, 7))
+    assert between > within, f"groups not separated: between={between} within={within}"
+
+
 def test_umap_or_standin(spark):
     """With umap-learn installed: real UMAP. Without (this env): the
-    deterministic random-projection stand-in — same contract, seeded,
-    distance-correlated with the input space."""
+    deterministic Laplacian-Eigenmaps fallback — same contract,
+    deterministic across invocations."""
     from the_framework_for_clustering_time_series_data_spark.operators import align, embed
 
     df = _ragged_series(spark, n_series=4)

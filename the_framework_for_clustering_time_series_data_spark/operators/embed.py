@@ -70,8 +70,11 @@ def embedding_umap(
     try:
         import umap  # noqa: F401
     except ImportError:  # pragma: no cover - env-dependent
-        return _random_projection_standin(
-            nested, k=n_components, seed=seed, values_col=values_col
+        return _spectral_embedding_fallback(
+            nested,
+            k=n_components,
+            n_neighbors=n_neighbors,
+            values_col=values_col,
         )
     import numpy as np
 
@@ -90,6 +93,70 @@ def embedding_umap(
     out = pdf[["series_id"]].copy()
     for i, c in enumerate(cols):
         out[c] = emb[:, i].astype(float)
+    return spark.createDataFrame(out)
+
+
+def _spectral_embedding_fallback(
+    nested: DataFrame,
+    k: int = 2,
+    n_neighbors: int = 15,
+    values_col: str = "values",
+) -> DataFrame:
+    """FALLBACK for UMAP when umap-learn is absent: Laplacian
+    Eigenmaps (Belkin & Niyogi 2003) — the spectral embedding UMAP
+    itself builds on (and offers as its ``init='spectral'`` default).
+    Unlike a random projection it embeds actual NEIGHBORHOOD structure:
+    kNN graph → Gaussian edge weights (σ = median kNN distance) →
+    normalized Laplacian → bottom non-trivial eigenvectors.
+
+    Fit is driver-side on the collected matrix — the same shape as a
+    real umap-learn fit (it is driver-side by nature); deterministic
+    (symmetric eigendecomposition, per-vector sign fixed to make the
+    largest-|entry| positive). Falls back to zeros for degenerate
+    inputs (n ≤ k)."""
+    import numpy as np
+
+    pdf = nested.select("series_id", values_col).toPandas()
+    spark = nested.sparkSession
+    cols = ["x", "y", "z"][:k]
+    n = len(pdf)
+    if n == 0:
+        return spark.createDataFrame([], "series_id long, " + ", ".join(f"{c} double" for c in cols))
+    X = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[values_col]])
+    if n <= k:
+        out = pdf[["series_id"]].copy()
+        for c in cols:
+            out[c] = 0.0
+        return spark.createDataFrame(out)
+
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    nn = min(n_neighbors, n - 1)
+    # kNN adjacency (symmetrized), Gaussian weights
+    knn_idx = np.argsort(d2, axis=1)[:, 1 : nn + 1]
+    sigma2 = max(float(np.median(d2[np.arange(n)[:, None], knn_idx])), 1e-12)
+    W = np.zeros_like(d2)
+    rows = np.repeat(np.arange(n), nn)
+    cols_i = knn_idx.ravel()
+    W[rows, cols_i] = np.exp(-d2[rows, cols_i] / sigma2)
+    W = np.maximum(W, W.T)
+    deg = W.sum(1)
+    deg[deg == 0] = 1.0
+    d_inv_sqrt = 1.0 / np.sqrt(deg)
+    L = np.eye(n) - d_inv_sqrt[:, None] * W * d_inv_sqrt[None, :]
+    vals, vecs = np.linalg.eigh(L)
+    # heat-kernel (diffusion) scaling e^{-λ}: coordinates along
+    # low-frequency eigenvectors — cluster/component structure — keep
+    # their scale, high-frequency within-cluster oscillations shrink,
+    # so embedded distances reflect diffusion distance rather than
+    # giving every eigenvector equal weight
+    emb = vecs[:, 1 : k + 1] * np.exp(-vals[1 : k + 1])  # skip trivial vec 0
+    # deterministic sign convention
+    for j in range(emb.shape[1]):
+        if emb[np.argmax(np.abs(emb[:, j])), j] < 0:
+            emb[:, j] = -emb[:, j]
+    out = pdf[["series_id"]].copy()
+    for i, c in enumerate(cols):
+        out[c] = emb[:, i] if i < emb.shape[1] else 0.0
     return spark.createDataFrame(out)
 
 
