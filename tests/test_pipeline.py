@@ -166,3 +166,17 @@ def test_to_long_form_orders_and_drops_nulls(spark):
         by_series.setdefault(r["series_id"], []).append((r["t"], r["value"]))
     assert sorted(by_series["a"]) == [(0, 1.0), (1, 2.0)]
     assert by_series["b"] == [(0, 3.5)]
+
+
+def test_csv_ingest_euc_kr_encoding(spark, tmp_path):
+    """The reference reads euc-kr CSVs (app.py:159); Korean process
+    names must round-trip through the encoding option into series
+    ids."""
+    from the_framework_for_clustering_time_series_data_spark.sources.csv_source import read_timeseries_csv
+
+    p = tmp_path / "kr.csv"
+    body = "공정,값\n라인1,1.5\n라인1,2.5\n라인2,3.5\n"
+    p.write_bytes(body.encode("euc-kr"))
+    df = read_timeseries_csv(spark, str(p), value_col="값", process_col="공정", encoding="euc-kr")
+    rows = {(r["series_id"], r["t"]): r["value"] for r in df.collect()}
+    assert rows == {("라인1", 0): 1.5, ("라인1", 1): 2.5, ("라인2", 0): 3.5}

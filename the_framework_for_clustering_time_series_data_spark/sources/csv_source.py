@@ -33,6 +33,13 @@ def read_timeseries_csv(
       is whatever the source provides — callers needing exact file order
       should supply an explicit time column instead.
     """
+    if encoding.lower() not in (
+        "iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le", "utf-32", "utf-8",
+    ):
+        # Spark 4 restricts CSV charsets to a short allow-list; the
+        # reference's euc-kr (app.py:159) needs the full JVM charset
+        # set back
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     raw = (
         spark.read.option("header", True)
         .option("encoding", encoding)
