@@ -131,3 +131,21 @@ def test_connected_components_transitive_chain(spark):
         1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
     }
     assert got[1][1] == 4 and got[10][1] == 2 and got[20][1] == 3
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """With the doc-frequency cap on, boilerplate shingles leave the
+    inverted index (join cost bound), real duplicate pairs survive,
+    and no pair's Jaccard ever increases versus the exact run."""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    boiler = "all rights reserved copyright notice "
+    rows = [(i, boiler + f"unique body text number {i} with words {i * 7} {i * 13}") for i in range(20)]
+    rows += [(100, boiler + "the same body appears twice here exactly"),
+             (101, boiler + "the same body appears twice here exactly")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=5).collect()}
+    assert (100, 101) in exact and (100, 101) in capped
+    for pair, j in capped.items():
+        assert j <= exact.get(pair, 1.0) + 1e-9

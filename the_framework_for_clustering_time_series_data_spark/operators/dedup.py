@@ -87,6 +87,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity ≥
     threshold.
@@ -94,12 +95,29 @@ def ngram_jaccard_pairs(
     Inverted-index plan: explode distinct shingles → self-join on the
     shingle (only co-shingled pairs meet) → per-pair intersection count
     → Jaccard = |∩| / (|A| + |B| - |∩|). The shuffle key is the
-    shingle; hot shingles can be frequency-capped upstream.
+    shingle.
+
+    ``max_doc_freq`` (off by default, exact semantics) drops shingles
+    occurring in more than that many documents BEFORE the self-join —
+    the scale guard for boilerplate shingles, whose bucket contributes
+    O(df²) join rows while adding almost no Jaccard discrimination.
+    With the cap on, reported Jaccard is computed over the surviving
+    (rarer) shingles only, i.e. a slight underestimate for pairs that
+    shared hot shingles; denominators still use the FULL shingle
+    counts, so capped results never gain false positives.
     """
     docs = df.select(
         F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
