@@ -567,3 +567,30 @@ def k1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_sum", 4).alias("value_sum"),
         F.col("value_count"),
     )
+
+
+@register(
+    "a7_value_histogram",
+    """
+SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM events
+GROUP BY CAST(floor(value / 25) AS BIGINT)
+""",
+)
+def a7_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (width 25): the single-pass
+    distribution scan — bucket = floor(v/w), one groupBy with map-side
+    partials, result rows = occupied buckets only."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

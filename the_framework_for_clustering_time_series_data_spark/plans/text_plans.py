@@ -227,3 +227,34 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(near_drop, "doc_id", "left_anti")
         .where((F.col("lang") != "en") | (F.col("doc_id") % 10 < 8))
     )
+
+
+@register(
+    "text_vocab_topk",
+    r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS freq
+FROM tok
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 100
+""",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by frequency
+    (deterministic tie-break on the token) — the vocab-building scan a
+    tokenizer-training pipeline runs. explode → count groupBy →
+    TakeOrdered; the shuffle carries one row per DISTINCT token thanks
+    to map-side partial counts, not one per occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(100)
+    )
