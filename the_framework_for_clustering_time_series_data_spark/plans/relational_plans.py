@@ -730,3 +730,282 @@ def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         sum(l_extendedprice) / sum(l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), ranked AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost, l_suppkey) AS rk
+  FROM cost
+)
+SELECT p.p_partkey, s.s_name, n.n_name AS nation,
+       round(r.unit_cost, 4) AS unit_cost, round(s.s_acctbal, 4) AS s_acctbal
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE r.rk = 1 AND p.p_size <= 15 AND p.p_type = 'ECONOMY'
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (schema has no partsupp, so
+    effective unit cost = sum(price)/sum(qty) per (part, supplier) from
+    lineitem). The correlated MIN subquery of the original becomes a
+    rank-1 window pick over a pre-aggregated (part, supplier) rollup —
+    one shuffle for the agg, the rank reuses the same partitioning on
+    l_partkey, and the three dimension joins broadcast."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = cost.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+WITH v AS (
+  SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey AS partkey, round(value, 4) AS value
+FROM v
+WHERE value > (SELECT 1.5 * avg(value) FROM v)
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: per-part value restricted to
+    two nations' suppliers, kept only above 1.5x the mean per-part value (scalar subquery;
+    an average-based cut stays non-degenerate at every scale factor). The per-part rollup is computed once,
+    cached, and the 1-row grand total broadcasts back onto it — no
+    second scan of the fact table for the threshold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp_keys = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(
+                    F.col("n_name").isin("NATION_3", "NATION_7")
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(supp_keys), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    total = v.agg((1.5 * F.avg("value")).alias("threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), F.round("value", 4).alias("value"))
+    )
+
+
+@register(
+    "q12_ship_latency",
+    """
+SELECT o.o_orderpriority,
+       sum(CASE WHEN l.l_shipdate >  o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late_count,
+       sum(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS ontime_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < TIMESTAMP '2001-01-01'
+GROUP BY o.o_orderpriority
+""",
+)
+def q12_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-mode report (the schema has no
+    l_shipmode/commitdate, so the split is late-vs-ontime against a
+    60-day order-to-ship latency). The two counts are conditional sums
+    inside ONE aggregate over one join — not two scans — and the date
+    filter pushes to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_count"),
+            F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 4) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: quarter revenue per supplier, keep
+    the max (ties preserved, per the spec's view semantics). The
+    scalar MAX subquery is a 1-row broadcast joined back onto the same
+    aggregated revenue — the fact table is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+    )
+
+
+@register(
+    "q20_part_suppliers",
+    """
+SELECT s.s_name, round(s.s_acctbal, 4) AS s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_4', 'NATION_5')
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'ECONOMY'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(l.l_quantity) > 50
+  )
+""",
+)
+def q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style qualified suppliers: the nested
+    part-filter → grouped HAVING → IN chain becomes a distinct-key
+    LEFT SEMI join. The inner aggregate groups on (suppkey, partkey),
+    so qualification is per part-supplier pair exactly as in the
+    original's availqty test; nation filter broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    qualified = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_4", "NATION_5")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(qualified, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 4).alias("s_acctbal"))
+    )
+
+
+@register(
+    "q21_blamed_suppliers",
+    """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+)
+def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style sole-blame suppliers (late = shipped >90 days
+    after the order date; the schema has no receipt/commit dates).
+    The EXISTS + NOT-EXISTS pair decorrelates into ONE per-order
+    aggregate — distinct supplier count and distinct LATE supplier
+    count — joined back to the late lines: a line qualifies iff its
+    order has >=2 suppliers and exactly 1 late supplier (necessarily
+    this line's). Two shuffles on l_orderkey total, instead of the
+    original's two correlated re-scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        lines.where(F.col("is_late"))
+        .join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
