@@ -131,3 +131,54 @@ def test_q17_single_window_free_and_broadcast(spark):
     plan = _plan(spark, "q17_small_qty_revenue")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ts_rolling_single_exchange_range_frame(spark):
+    plan = _plan(spark, "ts_rolling_1h")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "RANGE BETWEEN 3600" in plan.upper() or "specifiedwindowframe(RangeFrame".lower() in plan.lower()
+
+
+def test_ts_ewma_single_exchange(spark):
+    # row_number + both running sums must share one partitioning/sort:
+    # the alias happens before the first window, so no re-exchange
+    plan = _plan(spark, "ts_ewma")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_ts_resample_reads_three_columns(spark):
+    plan = _plan(spark, "ts_resample_1h")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["ts", "user_id", "value"], cols
+
+
+def test_gapfill_grid_spans_and_fills(spark):
+    rows = QUERIES["ts_gapfill_locf"](spark, SF_ORACLE).collect()
+    by_series: dict[int, list] = {}
+    for r in rows:
+        by_series.setdefault(r["series_id"], []).append(r)
+    for sid, rs in by_series.items():
+        rs.sort(key=lambda r: r["bucket"])
+        # dense hourly grid: n rows == span hours + 1
+        span_h = (rs[-1]["bucket"] - rs[0]["bucket"]).total_seconds() / 3600
+        assert len(rs) == int(span_h) + 1, sid
+        # edges observed, no null after first observation
+        assert not rs[0]["is_gap"] and not rs[-1]["is_gap"]
+        assert all(r["v_locf"] is not None for r in rs)
+
+
+def test_interpolation_between_neighbors(spark):
+    rows = QUERIES["ts_interpolate_linear"](spark, SF_ORACLE).collect()
+    by_series: dict[int, list] = {}
+    for r in rows:
+        by_series.setdefault(r["series_id"], []).append(r)
+    for rs in by_series.values():
+        rs.sort(key=lambda r: r["bucket"])
+        for i, r in enumerate(rs):
+            if r["is_gap"]:
+                prev_obs = max(j for j in range(i) if not rs[j]["is_gap"])
+                next_obs = min(j for j in range(i + 1, len(rs)) if not rs[j]["is_gap"])
+                lo = min(rs[prev_obs]["v_interp"], rs[next_obs]["v_interp"])
+                hi = max(rs[prev_obs]["v_interp"], rs[next_obs]["v_interp"])
+                assert lo - 1e-6 <= r["v_interp"] <= hi + 1e-6

@@ -1,0 +1,289 @@
+"""Time-bucket resampling, gap-filling, interpolation, and decayed
+aggregation over the ``events`` stream table — the hypertable-rollup
+surface of a time-series engine (the reference only ever re-indexes to
+row ordinals, /root/reference/app.py:204-217; a production time-series
+store needs wall-clock bucketing with explicit gap semantics).
+
+All five plans are pure DataFrame compositions (no UDFs): bucketing is
+``date_trunc``, grids are ``sequence``+``explode``, carry-forward /
+interpolation are IGNORE NULLS window picks, decay is a running-sum
+identity — every stage stays inside whole-stage codegen and shuffles at
+most once per series key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+
+def _hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed per-(series, hour) averages — the shared rollup input."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.avg("value").alias("v_avg"))
+    )
+
+
+def _hourly_grid(buckets: DataFrame) -> DataFrame:
+    """Dense per-series hourly grid spanning [first, last] observed
+    bucket, left-joined with observations. Grid size scales with the
+    series' time span (constant per series), NOT with event count — the
+    explode fans out from one row per series, so no shuffle is added
+    beyond the span aggregate."""
+    span = buckets.groupBy("series_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        "series_id",
+        F.explode(
+            F.sequence(F.col("b0"), F.col("b1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    return grid.join(buckets, ["series_id", "bucket"], "left")
+
+
+# Shared oracle CTEs for the grid-based plans.
+_GRID_SQL = """
+b AS (
+  SELECT user_id AS series_id, date_trunc('hour', ts) AS bucket,
+         avg(value) AS v_avg
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT series_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1),
+grid AS (
+  SELECT series_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM span
+),
+g AS (
+  SELECT grid.series_id, grid.bucket, b.v_avg
+  FROM grid LEFT JOIN b ON b.series_id = grid.series_id AND b.bucket = grid.bucket
+)
+"""
+
+
+@register(
+    "ts_resample_1h",
+    """
+SELECT user_id AS series_id, date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events,
+       round(avg(value), 6) AS v_avg,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(arg_min(value, ts), 6) AS v_first,
+       round(arg_max(value, ts), 6) AS v_last
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ts_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly downsample per series: count/avg/min/max plus open/close
+    (first/last value by event time — ``min_by``/``max_by``, exact
+    because (user_id, ts) is unique in the data). One shuffle on the
+    composite (series, bucket) key with map-side partials; at cluster
+    scale this is the canonical hypertable rollup and can feed a
+    date-partitioned materialization (sources/writers.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("series_id"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("v_avg"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            F.round(F.min_by("value", "ts"), 6).alias("v_first"),
+            F.round(F.max_by("value", "ts"), 6).alias("v_last"),
+        )
+    )
+
+
+@register(
+    "ts_gapfill_locf",
+    f"""
+WITH {_GRID_SQL}
+SELECT series_id, bucket,
+       round(last_value(v_avg IGNORE NULLS) OVER (
+         PARTITION BY series_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_locf,
+       (v_avg IS NULL) AS is_gap
+FROM g
+""",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with last-observation-carried-forward: dense hourly grid
+    (sequence+explode from one row per series) left-joined with the
+    rollup, missing buckets filled by an IGNORE NULLS running ``last``.
+    The window reuses the grid's series_id partitioning — one shuffle
+    total after the rollup."""
+    g = _hourly_grid(_hourly_buckets(spark, sf_dir))
+    w = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return g.select(
+        "series_id",
+        "bucket",
+        F.round(F.last("v_avg", ignorenulls=True).over(w), 6).alias("v_locf"),
+        F.col("v_avg").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "ts_interpolate_linear",
+    f"""
+WITH {_GRID_SQL},
+ctx AS (
+  SELECT series_id, bucket, v_avg,
+         last_value(v_avg IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v_avg IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pb,
+         first_value(v_avg IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v_avg IS NOT NULL THEN bucket END IGNORE NULLS) OVER wn AS nb
+  FROM g
+  WINDOW wp AS (PARTITION BY series_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY series_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT series_id, bucket,
+       floor((CASE WHEN v_avg IS NOT NULL THEN v_avg
+                   ELSE pv + (nv - pv) * ((epoch(bucket) - epoch(pb))
+                                        / (epoch(nb) - epoch(pb))) END)
+             * 1000000 + 0.5) / 1000000 AS v_interp,
+       (v_avg IS NULL) AS is_gap
+FROM ctx
+""",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps: for each missing bucket, lerp
+    between the previous and next OBSERVED bucket (IGNORE NULLS window
+    picks in both directions over one series partitioning — Catalyst
+    fuses both frames into a single Window stage pair on the same
+    shuffle). Grid edges are always observed, so every gap has both
+    neighbors."""
+    g = _hourly_grid(_hourly_buckets(spark, sf_dir))
+    wp = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    observed_bucket = F.when(F.col("v_avg").isNotNull(), F.col("bucket"))
+    pv = F.last("v_avg", ignorenulls=True).over(wp)
+    pb = F.last(observed_bucket, ignorenulls=True).over(wp)
+    nv = F.first("v_avg", ignorenulls=True).over(wn)
+    nb = F.first(observed_bucket, ignorenulls=True).over(wn)
+    frac = (F.col("bucket").cast("double") - pb.cast("double")) / (
+        nb.cast("double") - pb.cast("double")
+    )
+    lerp = pv + (nv - pv) * frac
+    # Interpolated values are dyadic rationals, so exact .5 ties at the
+    # 6th decimal are common; Spark rounds HALF_UP, DuckDB HALF_EVEN.
+    # Both sides therefore round via the same explicit floor identity,
+    # making the double arithmetic bitwise-identical across engines.
+    half_up = F.floor(F.coalesce(F.col("v_avg"), lerp) * 1e6 + 0.5) / 1e6
+    return g.select(
+        "series_id",
+        "bucket",
+        half_up.alias("v_interp"),
+        F.col("v_avg").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "ts_rolling_1h",
+    """
+SELECT event_id, user_id AS series_id,
+       round(avg(value) OVER w, 6) AS v_roll_avg,
+       count(*) OVER w AS n_roll
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY cast(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def ts_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour mean/count: a time-RANGE window frame on
+    epoch seconds (both engines order on the truncated second, so frame
+    membership is identical). One shuffle on series_id; the frame is
+    streamed, not materialized — state is O(window span), not O(series)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.col("user_id").alias("series_id"),
+        F.round(F.avg("value").over(w), 6).alias("v_roll_avg"),
+        F.count("*").over(w).alias("n_roll"),
+    )
+
+
+@register(
+    "ts_ewma",
+    """
+WITH ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t,
+         value
+  FROM events
+),
+acc AS (
+  SELECT series_id, t, value,
+         sum(value * power(0.8, -t)) OVER w AS sx,
+         sum(power(0.8, -t)) OVER w AS sw
+  FROM ev
+  WINDOW w AS (PARTITION BY series_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT series_id, t, round(value, 6) AS value, round(sx / sw, 6) AS ewma
+FROM acc
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (pandas ``ewm(alpha=0.2,
+    adjust=True)`` semantics) as a pure running-sum identity:
+    y_i = sum(x_j*(1-a)^(i-j)) / sum((1-a)^(i-j)) = sx_i / sw_i with
+    sx = running sum of x_j*(1-a)^-j — the (1-a)^i factor cancels in
+    the ratio, so a recursive aggregate becomes two running sums in one
+    Window stage. The un-cancelled terms grow as (1-a)^-t, exact for
+    series up to ~3k points at a=0.2; beyond that the production path
+    is the same identity applied per fixed-size chunk with the chunk
+    boundary re-based (renormalization), or the streaming running-stats
+    operator (streaming/ops.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    # Alias BEFORE any window so both window specs partition on the
+    # same attribute (series_id) and order on the same column (ts) —
+    # one exchange, one sort, and the two running sums fuse into a
+    # single Window operator after the row_number stage.
+    base = ev.select(F.col("user_id").alias("series_id"), "ts", "value")
+    wr = Window.partitionBy("series_id").orderBy("ts")
+    wo = wr.rowsBetween(Window.unboundedPreceding, 0)
+    numbered = base.withColumn("t", F.row_number().over(wr) - 1)
+    decay = F.pow(F.lit(0.8), -F.col("t"))
+    return (
+        numbered.select(
+            "series_id",
+            "t",
+            "value",
+            F.sum(F.col("value") * decay).over(wo).alias("sx"),
+            F.sum(decay).over(wo).alias("sw"),
+        )
+        .select(
+            "series_id",
+            "t",
+            F.round("value", 6).alias("value"),
+            F.round(F.col("sx") / F.col("sw"), 6).alias("ewma"),
+        )
+    )
