@@ -382,3 +382,70 @@ def test_umap_or_standin(spark):
         for r in embed.embedding_umap(nested, n_components=2, seed=0).collect()
     }
     assert rows == again
+
+
+def test_bisecting_kmeans_recovers_blobs(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import bisecting_kmeans_fit_predict
+
+    emb, truth = _blobs(spark)
+    emb = emb.where(F.col("series_id") < 120)  # blobs only
+    out, centers = bisecting_kmeans_fit_predict(emb, k=4, seed=10)
+    got = {r["series_id"]: r["prediction"] for r in out.collect()}
+    assert _ari(got, {k: v for k, v in truth.items() if v != -1}) == pytest.approx(1.0)
+    assert len(centers) == 4
+
+
+def test_gmm_recovers_blobs_with_confident_posteriors(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import gmm_fit_predict
+
+    emb, truth = _blobs(spark)
+    emb = emb.where(F.col("series_id") < 120)
+    out = gmm_fit_predict(emb, k=4, seed=10).collect()
+    got = {r["series_id"]: r["prediction"] for r in out}
+    assert _ari(got, {k: v for k, v in truth.items() if v != -1}) > 0.95
+    # well-separated blobs → near-certain posteriors
+    assert sum(r["confidence"] > 0.99 for r in out) > 0.9 * len(out)
+
+
+def test_power_iteration_separates_two_cliques(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import power_iteration_clusters
+
+    # two dense cliques of DIFFERENT sizes joined by one weak bridge:
+    # PIC's 1-D embedding assigns each component a plateau whose value
+    # depends on local mixing rate, so isomorphic cliques (identical
+    # plateaus) are its documented degenerate case — asymmetric sizes
+    # are the realistic near-duplicate-community shape anyway
+    edges = [(a, b, 0.9) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(a, b, 0.9) for a in range(10, 18) for b in range(a + 1, 18)]
+    edges += [(4, 10, 0.02)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long, jaccard double")
+    out = power_iteration_clusters(pairs, k=2, max_iter=20).collect()
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["id"])
+    assert sorted((frozenset(v) for v in by_cluster.values()), key=min) == [
+        frozenset(range(5)),
+        frozenset(range(10, 18)),
+    ]
+
+
+def test_tfidf_kmeans_groups_exact_duplicates(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import text as text_ops
+    from pyspark.ml.clustering import KMeans
+
+    texts = [
+        "spark shuffles data between stages using hash partitioning",
+        "parquet stores columns with run length and dictionary encoding",
+        "gradient descent minimizes loss over many training epochs",
+    ]
+    rows = [(i * 10 + j, t) for i, t in enumerate(texts) for j in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = text_ops.tfidf_vectors(df, min_doc_freq=0)
+    model = KMeans(k=3, seed=10, featuresCol="features", predictionCol="prediction").fit(vecs)
+    out = model.transform(vecs).collect()
+    by_topic: dict[int, set] = {}
+    for r in out:
+        by_topic.setdefault(r["id"] // 10, set()).add(r["prediction"])
+    # identical docs always co-cluster; distinct topics get distinct clusters
+    assert all(len(v) == 1 for v in by_topic.values())
+    assert len({next(iter(v)) for v in by_topic.values()}) == 3

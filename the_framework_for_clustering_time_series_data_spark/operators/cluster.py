@@ -402,3 +402,79 @@ def kshape(
 
     out = pd.DataFrame({"series_id": ids, "prediction": labels})
     return spark.createDataFrame(out)
+
+
+# --------------------------------------------------------------------------
+# C6+ — Spark-native clustering beyond the reference's three algorithms
+# (the reference stops at KMeans/DBSCAN/K-Shape, app.py:704-824; these
+# are the MLlib family members a Spark-first engine gets distributed
+# for free, exposed through the same fit-predict surface)
+# --------------------------------------------------------------------------
+
+def bisecting_kmeans_fit_predict(
+    emb: DataFrame, k: int, seed: int = 10, feature_cols: tuple[str, ...] = ("x", "y")
+) -> tuple[DataFrame, list[list[float]]]:
+    """Hierarchical (divisive) clustering via MLlib BisectingKMeans —
+    the scalable stand-in for sklearn AgglomerativeClustering: top-down
+    splits need k passes over the data instead of the bottom-up O(n²)
+    merge matrix, so it survives cluster-scale n."""
+    from pyspark.ml.clustering import BisectingKMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    va = VectorAssembler(inputCols=list(feature_cols), outputCol="_features")
+    vecs = va.transform(emb)
+    model = BisectingKMeans(
+        k=k, seed=seed, featuresCol="_features", predictionCol="prediction"
+    ).fit(vecs)
+    out = model.transform(vecs).drop("_features")
+    return out, [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def gmm_fit_predict(
+    emb: DataFrame, k: int, seed: int = 10, feature_cols: tuple[str, ...] = ("x", "y")
+) -> DataFrame:
+    """Soft clustering via MLlib GaussianMixture (distributed EM).
+    Returns hard assignments plus the posterior of the chosen component
+    (``confidence``) — the soft-membership information KMeans discards.
+    Seeded; EM on fixed data/partitioning is deterministic."""
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    va = VectorAssembler(inputCols=list(feature_cols), outputCol="_features")
+    vecs = va.transform(emb)
+    model = GaussianMixture(
+        k=k, seed=seed, featuresCol="_features", predictionCol="prediction",
+        probabilityCol="_prob",
+    ).fit(vecs)
+    return (
+        model.transform(vecs)
+        .withColumn("confidence", F.round(F.array_max(vector_to_array("_prob")), 6))
+        .drop("_features", "_prob")
+    )
+
+
+def power_iteration_clusters(
+    pairs: DataFrame,
+    k: int,
+    max_iter: int = 20,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    weight_col: str = "jaccard",
+) -> DataFrame:
+    """Graph clustering of a similarity pair list (e.g. near-duplicate
+    pairs from dedup.ngram_jaccard_pairs) via MLlib
+    PowerIterationClustering: embeds the affinity graph's nodes by
+    power-iterating the normalized affinity matrix, then k-means on the
+    1-D embedding — O(edges) per iteration, all distributed, no n×n
+    matrix ever materializes. Returns (id, cluster) for every node that
+    appears in at least one pair."""
+    from pyspark.ml.clustering import PowerIterationClustering
+
+    g = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+    pic = PowerIterationClustering(k=k, maxIter=max_iter, initMode="degree", weightCol="weight")
+    return pic.assignClusters(g).select(F.col("id"), F.col("cluster"))

@@ -154,3 +154,29 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.size(bpe).alias("n_bpe_tokens"),
         F.round(F.size(bpe) / F.size(ws), 6).alias("tokens_per_word"),
     )
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 4096,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """TF-IDF document vectors, fully distributed: whitespace tokenize →
+    HashingTF (feature hashing: fixed-width sparse vectors, no
+    vocabulary broadcast — the property that matters at billions of
+    docs) → IDF (one aggregate pass for document frequencies) → L2
+    normalize, so downstream euclidean k-means ≈ cosine k-means.
+    Returns (id, features) with ``features`` an MLlib sparse vector."""
+    from pyspark.ml.feature import IDF, HashingTF, Normalizer
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE).alias("toks"),
+    )
+    tf = HashingTF(inputCol="toks", outputCol="_tf", numFeatures=num_features).transform(toks)
+    idf_model = IDF(inputCol="_tf", outputCol="_tfidf", minDocFreq=min_doc_freq).fit(tf)
+    tfidf = idf_model.transform(tf)
+    out = Normalizer(inputCol="_tfidf", outputCol="features", p=2.0).transform(tfidf)
+    return out.select("id", "features")

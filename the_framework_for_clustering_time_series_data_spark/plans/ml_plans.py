@@ -231,3 +231,55 @@ def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("x", 6).alias("x"),
         F.round("y", 6).alias("y"),
     )
+
+
+@register("c6_bisecting_kmeans")  # MLlib model → rows-only oracle (ARI-tested)
+def c6_bisecting_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — hierarchical (divisive) clustering on the 2-D embedding:
+    the scalable counterpart of sklearn agglomerative clustering the
+    reference lacks (k passes instead of an O(n²) merge matrix)."""
+    out, _ = cluster.bisecting_kmeans_fit_predict(_emb_xy(spark, sf_dir), k=9, seed=10)
+    return out.select("series_id", "prediction")
+
+
+@register("c7_gmm")  # MLlib EM model → rows-only oracle (ARI-tested)
+def c7_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — Gaussian-mixture soft clustering (distributed EM) with the
+    winning component's posterior as a confidence column — the
+    soft-membership view KMeans discards."""
+    out = cluster.gmm_fit_predict(_emb_xy(spark, sf_dir), k=9, seed=10)
+    return out.select("series_id", "prediction", "confidence")
+
+
+@register("c8_graph_clusters")  # PIC on similarity graph → rows-only oracle
+def c8_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — graph clustering of the document near-duplicate similarity
+    graph: n-gram Jaccard pairs (threshold 0.2) → PowerIterationClustering
+    over the affinity matrix — O(edges) per iteration; the n×n affinity
+    matrix never materializes. Complements dedup_connected_groups
+    (hard transitive closure) with a soft graph partition."""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    return cluster.power_iteration_clusters(pairs, k=4).select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+
+
+@register("text_tfidf_kmeans")  # HashingTF+IDF+KMeans → rows-only oracle
+def text_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic clustering: hashing TF-IDF (no vocabulary broadcast
+    — fixed-width sparse vectors at any corpus size) → L2 normalize →
+    seeded k-means, so euclidean k-means acts as cosine k-means."""
+    from the_framework_for_clustering_time_series_data_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = text_ops.tfidf_vectors(docs)
+    from pyspark.ml.clustering import KMeans
+
+    model = KMeans(k=6, seed=10, featuresCol="features", predictionCol="prediction").fit(vecs)
+    return (
+        model.transform(vecs)
+        .select(F.col("id").alias("doc_id"), "prediction")
+    )
