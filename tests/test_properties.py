@@ -101,3 +101,19 @@ def test_sliding_window_count(spark, length, w, s):
     if expect:
         per = out.groupBy("window_id").count().collect()
         assert all(r["count"] == w for r in per)
+
+
+def test_bigram_fluency_prefers_predictable_text(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.text import bigram_fluency
+
+    # predictable docs repeat one phrase; the noise doc pairs words that
+    # appear in no other bigram context
+    phrase = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, phrase) for i in range(8)]
+    rows.append((99, "dog the over quick lazy jumps fox brown the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_fluency(df).collect()}
+    assert len(out) == 9
+    assert all(out[i]["n_bigrams"] == 8 for i in range(8))
+    # every repeated doc outscores the shuffled doc
+    assert all(out[i]["fluency"] > out[99]["fluency"] for i in range(8))

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TOKEN_RE = r"\s+"
 
@@ -180,3 +181,39 @@ def tfidf_vectors(
     tfidf = idf_model.transform(tf)
     out = Normalizer(inputCol="_tfidf", outputCol="features", p=2.0).transform(tfidf)
     return out.select("id", "features")
+
+
+def bigram_fluency(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-trained bigram language-model score per document: the mean
+    log-probability of the doc's word bigrams under p(w2|w1) estimated
+    by MLE over the WHOLE corpus — the classic cheap "fluency /
+    typicality" filter for training-data curation (low scores flag
+    word-salad and boilerplate-free outliers; no external model needed).
+
+    Shape: posexplode tokens → lead() bigram pairing (one shuffle on
+    doc_id) → bigram counts (shuffle on (w1,w2)) → context totals
+    derived from the ALREADY-AGGREGATED bigram counts (shuffle on w1,
+    input is vocab²-bounded, not corpus-bounded) → probabilities joined
+    back → per-doc mean log-prob. Every shuffle key is
+    uniformly-distributed text, no broadcast of corpus-sized state —
+    the model itself stays distributed, unlike vocabulary-broadcast
+    vectorizers. Docs with <2 tokens have no bigrams and drop out.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)
+    ex = df.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "w1"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        ex.select("doc_id", "w1", F.lead("w1").over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    p = c2.join(c1, "w1").select("w1", "w2", (F.col("n12") / F.col("n1")).alias("prob"))
+    return (
+        bg.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log("prob")), 6).alias("fluency"),
+        )
+    )

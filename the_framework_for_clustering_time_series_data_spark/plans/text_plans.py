@@ -258,3 +258,32 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(100)
     )
+
+
+@register(
+    "text_bigram_fluency",
+    r"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_zip(list_slice(toks, 1, len(toks) - 1),
+                         list_slice(toks, 2, len(toks)))) AS b
+  FROM docs WHERE len(toks) >= 2
+),
+bgf AS (SELECT doc_id, b[1] AS w1, b[2] AS w2 FROM bg),
+c2 AS (SELECT w1, w2, count(*) AS n12 FROM bgf GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n12) AS n1 FROM c2 GROUP BY 1),
+p AS (SELECT c2.w1, c2.w2, c2.n12 / c1.n1 AS prob FROM c2 JOIN c1 ON c1.w1 = c2.w1)
+SELECT g.doc_id, count(*) AS n_bigrams, round(avg(ln(p.prob)), 6) AS fluency
+FROM bgf g JOIN p ON p.w1 = g.w1 AND p.w2 = g.w2
+GROUP BY g.doc_id
+""",
+)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM mean log-probability per document — the
+    cheap fluency/typicality filter of a curation pipeline. The LM
+    "training" and the scoring are the same distributed plan; no model
+    ever concentrates on one node."""
+    return T.bigram_fluency(load_table(spark, sf_dir, "documents"))
