@@ -287,3 +287,101 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sx") / F.col("sw"), 6).alias("ewma"),
         )
     )
+
+
+@register(
+    "ts_anomaly_zscore",
+    """
+WITH s AS (
+  SELECT user_id AS series_id, event_id, value,
+         avg(value) OVER w AS mu, stddev(value) OVER w AS sd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT series_id, event_id, round(value, 6) AS value,
+       round((value - mu) / sd, 6) AS z
+FROM s
+WHERE sd > 0 AND abs((value - mu) / sd) > 3
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series statistical outliers: |z| > 3 against the series' own
+    mean/stddev, computed as whole-partition window aggregates — one
+    shuffle on series_id and no second scan (the T4 outlier op's
+    model-free statistical twin). Sample stddev on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.select(
+            F.col("user_id").alias("series_id"),
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("z"),
+            sd.alias("_sd"),
+            z.alias("_z"),
+        )
+        .where((F.col("_sd") > 0) & (F.abs(F.col("_z")) > 3))
+        .drop("_sd", "_z")
+    )
+
+
+@register(
+    "ts_acf_daily",
+    """
+WITH b AS (
+  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+lags AS (SELECT unnest([1, 2, 3, 7]) AS lag_d),
+pairs AS (
+  SELECT a.series_id, l.lag_d, a.v AS v0, c.v AS v1
+  FROM b a
+  CROSS JOIN lags l
+  JOIN b c ON c.series_id = a.series_id
+          AND c.bucket = a.bucket + to_days(l.lag_d)
+)
+SELECT series_id, lag_d, count(*) AS n_pairs, round(corr(v0, v1), 6) AS acf
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 8
+""",
+)
+def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at daily lags {1,2,3,7} — the ACF
+    feature vector that feeds season-aware clustering. Time-lag pairs
+    come from a keyed self-join on (series, bucket+lag) over the DAILY
+    rollup (hourly is too sparse in this data), so gaps pair correctly
+    — a row-offset lag() would silently misalign across gaps. The
+    4-row lag dimension broadcasts; both sides of the self-join share
+    the rollup's partitioning. Pairs-poor (n<8) cells drop."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.col("user_id").alias("series_id"),
+            F.date_trunc("day", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (1, 2, 3, 7)])).alias("lag_d")
+    )
+    a = b.alias("a").crossJoin(F.broadcast(lags))
+    c = b.select(
+        F.col("series_id").alias("c_sid"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("v").alias("v1"),
+    )
+    pairs = a.join(
+        c,
+        (F.col("c_sid") == F.col("a.series_id"))
+        & (F.col("c_bucket") == F.expr("timestampadd(DAY, lag_d, bucket)")),
+    )
+    return (
+        pairs.groupBy(F.col("a.series_id").alias("series_id"), "lag_d")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.corr(F.col("a.v"), F.col("v1")), 6).alias("acf"),
+        )
+        .where(F.col("n_pairs") >= 8)
+    )
