@@ -117,3 +117,65 @@ def test_minhash_lsh_200k_docs(spark):
     cross = pairs.where(F.col("id_b") - F.col("id_a") != n_pairs).count()
     assert ok >= 0.95 * n_pairs, f"recovered {ok}/{n_pairs} planted pairs"
     assert cross == 0, f"{cross} spurious cross-pair matches"
+
+
+GF_USERS = 20_000
+GF_OBS = 63  # observations per user, one every 4 hours
+
+
+@pytest.fixture(scope="module")
+def sparse_events(spark):
+    """One observation per user every 4 hours, value = observation index
+    → the hourly grid has exactly 3 gap buckets between observations,
+    LOCF carries the previous index, and linear interpolation yields
+    exact quarter-steps (k + j/4)."""
+    n = GF_USERS * GF_OBS
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") % GF_USERS).alias("user_id"),
+            (F.col("id") / GF_USERS).cast("long").alias("k"),
+        )
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("k") * 4 * 3600),
+        )
+        .withColumn("value", F.col("k").cast("double"))
+    )
+
+
+def test_gapfill_5m_grid_rows(spark, sparse_events):
+    from the_framework_for_clustering_time_series_data_spark.operators import resample
+
+    grid = resample.dense_grid(resample.bucket_rollup(sparse_events))
+    out = resample.gapfill_locf(grid)
+    span_h = 4 * (GF_OBS - 1) + 1  # dense hourly buckets per user
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
+        F.sum("v_locf").alias("s_locf"),
+    ).first()
+    assert agg["n"] == GF_USERS * span_h  # ~5M grid rows
+    assert agg["n_gaps"] == GF_USERS * 3 * (GF_OBS - 1)
+    # per user: each index k<OBS-1 appears 4x (itself + 3 carried), last 1x
+    per_user = 4 * sum(range(GF_OBS - 1)) + (GF_OBS - 1)
+    assert agg["s_locf"] == pytest.approx(GF_USERS * per_user)
+
+
+def test_interpolation_5m_quarter_steps(spark, sparse_events):
+    from the_framework_for_clustering_time_series_data_spark.operators import resample
+
+    grid = resample.dense_grid(resample.bucket_rollup(sparse_events))
+    out = resample.interpolate_linear(grid)
+    # values advance 1.0 per 4 hourly buckets → exact quarter-steps:
+    # the whole dense series per user is t/4 for t = 0..4*(OBS-1)
+    T = 4 * (GF_OBS - 1)
+    per_user = T * (T + 1) / 2 / 4
+    agg = out.agg(F.count("*").alias("n"), F.sum("v_interp").alias("s")).first()
+    assert agg["n"] == GF_USERS * (T + 1)
+    assert agg["s"] == pytest.approx(GF_USERS * per_user)
+    # spot-check exact quarter values on one series
+    one = sorted(
+        (r["v_interp"] for r in out.where(F.col("series_id") == 7).collect())
+    )
+    assert one[:5] == [0.0, 0.25, 0.5, 0.75, 1.0]

@@ -1,0 +1,98 @@
+"""Wall-clock resampling operators over an event stream: time-bucket
+rollup, dense-grid gap-fill (LOCF), and linear interpolation — the
+hypertable surface of a time-series store (the reference only
+re-indexes to row ordinals, /root/reference/app.py:204-217).
+
+All pure DataFrame compositions: bucketing is ``date_trunc``, grids are
+``sequence``+``explode`` (fan-out from ONE row per series, so grid size
+scales with time span, not event count), carry-forward / interpolation
+are IGNORE NULLS window picks on the grid's own partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucket_rollup(
+    ev: DataFrame,
+    unit: str = "hour",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Observed per-(series, bucket) averages: (series_id, bucket, v_avg).
+    One shuffle on the composite key with map-side partials."""
+    return (
+        ev.groupBy(
+            F.col(key_col).alias("series_id"),
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.avg(value_col).alias("v_avg"))
+    )
+
+
+def dense_grid(buckets: DataFrame, step: str = "INTERVAL 1 HOUR") -> DataFrame:
+    """Dense per-series bucket grid spanning [first, last] observed
+    bucket, left-joined with observations (missing buckets → null
+    v_avg). The explode fans out from one span row per series."""
+    span = buckets.groupBy("series_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = span.select(
+        "series_id",
+        F.explode(F.sequence(F.col("b0"), F.col("b1"), F.expr(step))).alias("bucket"),
+    )
+    return grid.join(buckets, ["series_id", "bucket"], "left")
+
+
+def gapfill_locf(grid: DataFrame) -> DataFrame:
+    """Fill missing buckets by last-observation-carried-forward: an
+    IGNORE NULLS running ``last`` over the grid's series partitioning —
+    one window stage, no extra shuffle after the grid join."""
+    w = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return grid.select(
+        "series_id",
+        "bucket",
+        F.round(F.last("v_avg", ignorenulls=True).over(w), 6).alias("v_locf"),
+        F.col("v_avg").isNull().alias("is_gap"),
+    )
+
+
+def interpolate_linear(grid: DataFrame) -> DataFrame:
+    """Linearly interpolate missing buckets between the previous and
+    next OBSERVED bucket (IGNORE NULLS window picks in both directions
+    on one partitioning). Grid edges are always observed, so every gap
+    has both neighbors.
+
+    Interpolated values are dyadic rationals, so exact .5 ties at the
+    6th decimal are common; Spark rounds HALF_UP, DuckDB HALF_EVEN.
+    Rounding goes through an explicit floor identity so the double
+    arithmetic is bitwise-identical across engines (oracle parity).
+    """
+    wp = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    observed_bucket = F.when(F.col("v_avg").isNotNull(), F.col("bucket"))
+    pv = F.last("v_avg", ignorenulls=True).over(wp)
+    pb = F.last(observed_bucket, ignorenulls=True).over(wp)
+    nv = F.first("v_avg", ignorenulls=True).over(wn)
+    nb = F.first(observed_bucket, ignorenulls=True).over(wn)
+    frac = (F.col("bucket").cast("double") - pb.cast("double")) / (
+        nb.cast("double") - pb.cast("double")
+    )
+    lerp = pv + (nv - pv) * frac
+    half_up = F.floor(F.coalesce(F.col("v_avg"), lerp) * 1e6 + 0.5) / 1e6
+    return grid.select(
+        "series_id",
+        "bucket",
+        half_up.alias("v_interp"),
+        F.col("v_avg").isNull().alias("is_gap"),
+    )

@@ -194,10 +194,16 @@ def bigram_fluency(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     doc_id) → bigram counts (shuffle on (w1,w2)) → context totals
     derived from the ALREADY-AGGREGATED bigram counts (shuffle on w1,
     input is vocab²-bounded, not corpus-bounded) → probabilities joined
-    back → per-doc mean log-prob. Every shuffle key is
-    uniformly-distributed text, no broadcast of corpus-sized state —
+    back → per-doc mean log-prob. No broadcast of corpus-sized state —
     the model itself stays distributed, unlike vocabulary-broadcast
-    vectorizers. Docs with <2 tokens have no bigrams and drop out.
+    vectorizers.
+
+    Skew note: bigram frequencies are Zipfian, so the score-join's
+    shuffle key is hot for top bigrams — but the probability side has
+    exactly ONE row per key, which is the shape AQE skew-join splitting
+    handles (split the hot left partition, replicate the 1-row right);
+    the aggregations themselves absorb skew via map-side partials.
+    Docs with <2 tokens have no bigrams and drop out.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)
     ex = df.select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "w1"))

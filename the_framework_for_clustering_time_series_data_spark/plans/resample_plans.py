@@ -17,38 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from the_framework_for_clustering_time_series_data_spark.operators import resample
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
 
-def _hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Observed per-(series, hour) averages — the shared rollup input."""
+def _hourly_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly dense grid over the events table (shared plan input)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.col("user_id").alias("series_id"),
-            F.date_trunc("hour", F.col("ts")).alias("bucket"),
-        )
-        .agg(F.avg("value").alias("v_avg"))
-    )
-
-
-def _hourly_grid(buckets: DataFrame) -> DataFrame:
-    """Dense per-series hourly grid spanning [first, last] observed
-    bucket, left-joined with observations. Grid size scales with the
-    series' time span (constant per series), NOT with event count — the
-    explode fans out from one row per series, so no shuffle is added
-    beyond the span aggregate."""
-    span = buckets.groupBy("series_id").agg(
-        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
-    )
-    grid = span.select(
-        "series_id",
-        F.explode(
-            F.sequence(F.col("b0"), F.col("b1"), F.expr("INTERVAL 1 HOUR"))
-        ).alias("bucket"),
-    )
-    return grid.join(buckets, ["series_id", "bucket"], "left")
+    return resample.dense_grid(resample.bucket_rollup(ev, unit="hour"))
 
 
 # Shared oracle CTEs for the grid-based plans.
@@ -126,16 +103,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, missing buckets filled by an IGNORE NULLS running ``last``.
     The window reuses the grid's series_id partitioning — one shuffle
     total after the rollup."""
-    g = _hourly_grid(_hourly_buckets(spark, sf_dir))
-    w = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return g.select(
-        "series_id",
-        "bucket",
-        F.round(F.last("v_avg", ignorenulls=True).over(w), 6).alias("v_locf"),
-        F.col("v_avg").isNull().alias("is_gap"),
-    )
+    return resample.gapfill_locf(_hourly_grid(spark, sf_dir))
 
 
 @register(
@@ -170,33 +138,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuses both frames into a single Window stage pair on the same
     shuffle). Grid edges are always observed, so every gap has both
     neighbors."""
-    g = _hourly_grid(_hourly_buckets(spark, sf_dir))
-    wp = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wn = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
-        0, Window.unboundedFollowing
-    )
-    observed_bucket = F.when(F.col("v_avg").isNotNull(), F.col("bucket"))
-    pv = F.last("v_avg", ignorenulls=True).over(wp)
-    pb = F.last(observed_bucket, ignorenulls=True).over(wp)
-    nv = F.first("v_avg", ignorenulls=True).over(wn)
-    nb = F.first(observed_bucket, ignorenulls=True).over(wn)
-    frac = (F.col("bucket").cast("double") - pb.cast("double")) / (
-        nb.cast("double") - pb.cast("double")
-    )
-    lerp = pv + (nv - pv) * frac
-    # Interpolated values are dyadic rationals, so exact .5 ties at the
-    # 6th decimal are common; Spark rounds HALF_UP, DuckDB HALF_EVEN.
-    # Both sides therefore round via the same explicit floor identity,
-    # making the double arithmetic bitwise-identical across engines.
-    half_up = F.floor(F.coalesce(F.col("v_avg"), lerp) * 1e6 + 0.5) / 1e6
-    return g.select(
-        "series_id",
-        "bucket",
-        half_up.alias("v_interp"),
-        F.col("v_avg").isNull().alias("is_gap"),
-    )
+    return resample.interpolate_linear(_hourly_grid(spark, sf_dir))
 
 
 @register(
