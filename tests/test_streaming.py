@@ -238,3 +238,26 @@ def test_stream_stream_join_matches_batch(spark, stream_dir):
     got = {tuple(r) for r in got_df.collect()}
     assert got == expect
     assert len(got) > 0
+
+
+def test_streaming_bucket_rollup_matches_batch_and_resample(spark, stream_dir):
+    from the_framework_for_clustering_time_series_data_spark.operators import resample
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import read_events_stream, streaming_bucket_rollup
+
+    batch_df = spark.read.parquet(stream_dir)
+    expect = {tuple(r) for r in streaming_bucket_rollup(batch_df).collect()}
+    got = {
+        tuple(r)
+        for r in _run_stream(
+            spark, streaming_bucket_rollup(read_events_stream(spark, stream_dir))
+        ).collect()
+    }
+    assert got == expect
+    # tumbling window(start) == date_trunc bucketing of the batch op
+    roll = {
+        (r["series_id"], r["bucket"], r["v_avg"])
+        for r in resample.bucket_rollup(batch_df)
+        .select("series_id", "bucket", F.round("v_avg", 6).alias("v_avg"))
+        .collect()
+    }
+    assert {(r[0], r[1], r[3]) for r in expect} == roll

@@ -56,3 +56,19 @@ def test_csv_single_file_roundtrip(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{path}/part-*.csv")) == 1
+
+
+def test_jsonl_roundtrip_documents(spark, tmp_path):
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.sources.writers import read_jsonl, write_jsonl
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark, path, schema="doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: (r["text"], r["lang"], r["n_chars"]) for r in docs.collect()}
+    b = {r["doc_id"]: (r["text"], r["lang"], r["n_chars"]) for r in back.collect()}
+    assert a == b

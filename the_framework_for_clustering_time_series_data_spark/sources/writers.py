@@ -59,3 +59,25 @@ def with_event_date(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.withColumn(
         "event_date", F.date_format(F.to_utc_timestamp(F.col(ts_col), "UTC"), "yyyy-MM-dd")
     )
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-lines egress (the interchange format of LLM-corpus tooling):
+    one JSON object per row, optionally gzip-compressed per part file —
+    splittable at the file level, written in parallel by every task."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark, path: str, schema: str | None = None):
+    """JSON-lines ingest. Pass an explicit DDL ``schema`` in production:
+    schema inference costs a full extra pass over the data, and a typo'd
+    field silently becomes null columns — both disasters at corpus
+    scale. Falls back to inference only when ``schema`` is None (ad-hoc
+    exploration)."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)

@@ -240,3 +240,44 @@ def stream_static_enrich(
     This is the 100 TB pattern for attaching user/document metadata to
     an event stream without a stateful stream-stream join."""
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def streaming_bucket_rollup(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/resample.bucket_rollup: per-series
+    tumbling time-bucket aggregates (count/avg/min/max) maintained
+    incrementally. On a stream the watermark bounds state to (open
+    buckets × active series) and finalizes buckets once event time
+    passes bucket end + watermark — the continuous materialization of
+    the hypertable rollup. Runs identically on a batch frame (no
+    watermark) for parity testing.
+    """
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    v = F.col(value_col)
+    return (
+        events.groupBy(
+            F.col(key_col).alias("series_id"),
+            F.window(ts_col, bucket).alias("win"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg(v), 6).alias("v_avg"),
+            F.round(F.min(v), 6).alias("v_min"),
+            F.round(F.max(v), 6).alias("v_max"),
+        )
+        .select(
+            "series_id",
+            F.col("win.start").alias("bucket"),
+            "n_events",
+            "v_avg",
+            "v_min",
+            "v_max",
+        )
+    )
