@@ -34,6 +34,14 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "q18_large_orders",
+    # round-2 additions: timeseries rollup family, LM scoring, and the
+    # two heaviest of the newly-completed TPC-H analogs
+    "ts_resample_1h",
+    "ts_gapfill_locf",
+    "ts_ewma",
+    "text_bigram_fluency",
+    "q2_min_cost_supplier",
+    "q21_blamed_suppliers",
 ]
 
 
