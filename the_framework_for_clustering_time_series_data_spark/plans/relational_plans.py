@@ -1015,3 +1015,105 @@ def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "sj2_full_outer_daily",
+    """
+WITH rev AS (
+  SELECT cast(date_trunc('day', l_shipdate) AS TIMESTAMP) AS d,
+         round(sum(l_extendedprice), 4) AS revenue
+  FROM lineitem GROUP BY 1
+),
+ev AS (
+  SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT coalesce(rev.d, ev.d) AS day,
+       coalesce(revenue, 0) AS revenue,
+       coalesce(n_events, 0) AS n_events,
+       (rev.d IS NULL) AS only_events, (ev.d IS NULL) AS only_revenue
+FROM rev FULL OUTER JOIN ev ON rev.d = ev.d
+""",
+)
+def sj2_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two independently-aggregated
+    calendars (lineitem revenue days vs event days) — the snapshot-diff
+    plan shape: both sides pre-aggregate to one row per day BEFORE the
+    join, so the full-outer shuffle moves day-cardinality rows, not
+    facts; coalesce + null flags classify each day as matched or
+    one-sided."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    rev = li.groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("d_rev")).agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue")
+    )
+    evd = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d_ev")).agg(
+        F.count("*").alias("n_events")
+    )
+    return rev.join(evd, F.col("d_rev") == F.col("d_ev"), "full_outer").select(
+        F.coalesce("d_rev", "d_ev").alias("day"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("d_rev").isNull().alias("only_events"),
+        F.col("d_ev").isNull().alias("only_revenue"),
+    )
+
+
+@register(
+    "r3_pivot_event_types",
+    """
+SELECT cast(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1
+""",
+)
+def r3_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide PIVOT: daily event counts, one column per event type.
+    The value list is EXPLICIT — with it, pivot is a single grouped
+    aggregate of conditional counts (one pass, map-side partials);
+    without it Spark must first collect the distinct values to the
+    driver (an extra job and a scan) before it can even plan."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+@register(
+    "r4_unpivot_value_stats",
+    """
+WITH s AS (
+  SELECT event_type,
+         round(min(value), 6) AS v_min,
+         round(avg(value), 6) AS v_avg,
+         round(max(value), 6) AS v_max
+  FROM events GROUP BY 1
+)
+SELECT event_type, 'v_min' AS stat, v_min AS value FROM s
+UNION ALL SELECT event_type, 'v_avg', v_avg FROM s
+UNION ALL SELECT event_type, 'v_max', v_max FROM s
+""",
+)
+def r4_unpivot_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (melt): per-type value stats flattened to
+    (event_type, stat, value) rows via the native ``unpivot`` operator
+    — an Expand node, one pass over the aggregated input, no union of
+    re-scans (the UNION ALL in the oracle re-reads the CTE; Spark's
+    Expand emits all three rows per input row in place)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.avg("value"), 6).alias("v_avg"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
+    return s.unpivot("event_type", ["v_min", "v_avg", "v_max"], "stat", "value")
