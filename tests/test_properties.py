@@ -117,3 +117,36 @@ def test_bigram_fluency_prefers_predictable_text(spark):
     assert all(out[i]["n_bigrams"] == 8 for i in range(8))
     # every repeated doc outscores the shuffled doc
     assert all(out[i]["fluency"] > out[99]["fluency"] for i in range(8))
+
+
+def test_repetition_flags_degenerate_text(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.text import repetition_score
+
+    rows = [
+        (1, "alpha beta gamma " * 30),                   # one 3-gram cycle, high repetition
+        (2, " ".join(f"w{i}" for i in range(90))),       # all distinct, zero repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_score(df).collect()}
+    assert out[2]["rep_ratio"] == 0.0
+    assert out[1]["rep_ratio"] > 0.9
+    assert out[1]["n_distinct"] == 3  # the cycle has exactly 3 distinct 3-grams
+
+
+def test_decontamination_flags_planted_overlap(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.text import decontaminate_overlap
+
+    eval_set = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words then the secret benchmark answer is copied here"),
+            (2, "completely unrelated clean training document text here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate_overlap(corpus, eval_set, n=4).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_overlap"] >= 2  # "the secret benchmark answer", "secret benchmark answer is"

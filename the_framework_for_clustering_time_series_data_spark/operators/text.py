@@ -223,3 +223,78 @@ def bigram_fluency(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.round(F.avg(F.log("prob")), 6).alias("fluency"),
         )
     )
+
+
+def _word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram) rows of word n-grams as strings via posexplode +
+    lead() — one shuffle on the doc id. String grams keep the op
+    oracle-comparable; at corpus scale substitute the 64-bit composed
+    shingle hashes of dedup._hashed_shingles (same plan shape, long
+    equality instead of string equality)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_RE)
+    ex = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "w0"))
+    w = Window.partitionBy("id").orderBy("pos")
+    cols = [F.col("w0")] + [F.lead("w0", j).over(w).alias(f"w{j}") for j in range(1, n)]
+    named = ex.select("id", *cols)
+    return named.where(F.col(f"w{n - 1}").isNotNull()).select(
+        "id", F.concat_ws(" ", *[f"w{j}" for j in range(n)]).alias("gram")
+    )
+
+
+def repetition_score(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total word n-grams — the
+    boilerplate / loop-generation quality signal (high ratio = the doc
+    repeats itself). One gram pass, one grouped aggregate. Docs with
+    fewer than ``n`` tokens have no grams and drop out. The ratio is
+    rounded through the explicit floor identity: gram counts are small
+    integers, so exact .5 ties at the 6th decimal occur (e.g. k/128)
+    and Spark/DuckDB round-half modes differ."""
+    grams = _word_ngrams(df, n, text_col, id_col)
+    agg = grams.groupBy("id").agg(
+        F.count("*").alias("n_grams"),
+        F.count_distinct("gram").alias("n_distinct"),
+    )
+    ratio = 1.0 - F.col("n_distinct") / F.col("n_grams")
+    return agg.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        "n_distinct",
+        (F.floor(ratio * 1e6 + 0.5) / 1e6).alias("rep_ratio"),
+    )
+
+
+def decontaminate_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    n-grams with an evaluation set — the standard pre-training hygiene
+    pass. Distinct grams per corpus doc JOIN the eval set's distinct
+    gram union (a semi-join-shaped equi-join on the gram), then one
+    grouped count per contaminated doc with its overlap ratio.
+
+    Scale: the eval-gram side is benchmark-sized (≪ corpus) and
+    broadcastable; the corpus side streams through one gram pass. With
+    string grams swapped for 64-bit shingle hashes the probe set is a
+    few hundred MB for a full eval suite — still broadcast range.
+    """
+    corpus_grams = _word_ngrams(corpus, n, text_col, id_col).distinct()
+    eval_grams = (
+        _word_ngrams(eval_set, n, text_col, id_col).select("gram").distinct()
+    )
+    per_doc = corpus_grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        corpus_grams.join(eval_grams, "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ratio = F.col("n_overlap") / F.col("n_grams")
+    return hits.join(per_doc, "id").select(
+        F.col("id").alias("doc_id"),
+        "n_overlap",
+        "n_grams",
+        (F.floor(ratio * 1e6 + 0.5) / 1e6).alias("overlap_ratio"),
+    )

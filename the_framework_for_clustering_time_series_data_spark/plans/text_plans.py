@@ -287,3 +287,63 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training" and the scoring are the same distributed plan; no model
     ever concentrates on one node."""
     return T.bigram_fluency(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_repetition",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         len(t) - 2 AS n_grams,
+         len(list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_distinct
+  FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id, n_grams, n_distinct,
+       floor((1.0 - n_distinct / n_grams) * 1000000 + 0.5) / 1000000 AS rep_ratio
+FROM g
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratio (1 - distinct/total word
+    3-grams) — the boilerplate / degenerate-generation quality gate."""
+    return T.repetition_score(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS gram
+  FROM toks WHERE len(t) >= 4
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+corpus AS (SELECT doc_id, gram FROM grams WHERE source != 'src0'),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_overlap
+  FROM corpus c JOIN eval_grams e ON e.gram = c.gram
+  GROUP BY 1
+)
+SELECT h.doc_id, h.n_overlap, p.n_grams,
+       floor(h.n_overlap / p.n_grams * 1000000 + 0.5) / 1000000 AS overlap_ratio
+FROM hits h JOIN per_doc p ON p.doc_id = h.doc_id
+""",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (source != src0) sharing
+    word 4-grams with the src0 "evaluation set" — the pre-training
+    hygiene pass. The eval-gram union is benchmark-sized and
+    broadcastable; the corpus streams through one gram pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source") != "src0")
+    eval_set = docs.where(F.col("source") == "src0")
+    return T.decontaminate_overlap(corpus, eval_set, n=4)
