@@ -327,3 +327,66 @@ def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_pairs") >= 8)
     )
+
+
+@register(
+    "ts_features",
+    """
+WITH ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS t, value
+  FROM events
+),
+m AS (
+  SELECT series_id, t, value, avg(value) OVER (PARTITION BY series_id) AS mu
+  FROM ev
+),
+feats AS (
+  SELECT series_id, count(*) AS n, any_value(mu) AS mean,
+         avg((value - mu) * (value - mu)) AS m2,
+         avg((value - mu) * (value - mu) * (value - mu)) AS m3,
+         avg((value - mu) * (value - mu) * (value - mu) * (value - mu)) AS m4,
+         regr_slope(value, t) AS slope
+  FROM m
+  GROUP BY series_id
+)
+SELECT series_id, n, round(mean, 6) AS mean, round(sqrt(m2), 6) AS std,
+       round(m3 / (m2 ^ 1.5), 6) AS skew,
+       round(m4 / (m2 * m2) - 3.0, 6) AS ex_kurtosis,
+       round(slope, 6) AS slope
+FROM feats
+""",
+)
+def ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series statistical feature vector (tsfresh-lite): mean,
+    std, skewness, excess kurtosis from EXPLICIT central-moment
+    formulas — population moments m_k = avg((x-mu)^k), identical
+    algebra on both engines (the builtin skewness/kurtosis aggregates
+    differ between Spark and DuckDB in bias correction) — plus the OLS
+    trend slope over the time ordinal via ANSI regr_slope. The mean
+    comes from a whole-partition window, so the moment aggregate reuses
+    the same series partitioning: one exchange end-to-end after the
+    ordinal window."""
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import events_as_series
+
+    ev = events_as_series(spark, sf_dir)
+    mu = F.avg("value").over(Window.partitionBy("series_id"))
+    m = ev.select("series_id", "t", "value", mu.alias("mu"))
+    d = F.col("value") - F.col("mu")
+    feats = m.groupBy("series_id").agg(
+        F.count("*").alias("n"),
+        F.any_value("mu").alias("mean"),
+        F.avg(d * d).alias("m2"),
+        F.avg(d * d * d).alias("m3"),
+        F.avg(d * d * d * d).alias("m4"),
+        F.regr_slope("value", "t").alias("slope"),
+    )
+    return feats.select(
+        "series_id",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round(F.sqrt("m2"), 6).alias("std"),
+        F.round(F.col("m3") / F.pow("m2", 1.5), 6).alias("skew"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias("ex_kurtosis"),
+        F.round("slope", 6).alias("slope"),
+    )

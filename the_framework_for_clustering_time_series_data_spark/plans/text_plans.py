@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators import text as T
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
@@ -347,3 +348,39 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("source") != "src0")
     eval_set = docs.where(F.col("source") == "src0")
     return T.decontaminate_overlap(corpus, eval_set, n=4)
+
+
+@register(
+    "text_entropy",
+    r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+),
+c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+tot AS (SELECT doc_id, word, cnt, sum(cnt) OVER (PARTITION BY doc_id) AS n FROM c)
+SELECT doc_id, round(-sum((cnt / n) * ln(cnt / n)), 6) AS entropy,
+       count(*) AS n_unique
+FROM tot GROUP BY doc_id
+""",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the
+    distributional-diversity quality signal (near-zero = one token
+    dominates; high = flat vocabulary). Word counts shuffle once on
+    (doc, word); the doc total is a whole-partition window so the final
+    per-doc aggregate reuses the doc partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = docs.select(F.col("doc_id"), F.explode(toks).alias("word"))
+    counts = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    p = F.col("cnt") / F.col("n")
+    return (
+        counts.select("doc_id", "cnt", n.alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.count("*").alias("n_unique"),
+        )
+    )
