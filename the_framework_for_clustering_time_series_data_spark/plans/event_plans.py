@@ -594,3 +594,151 @@ def a7_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "e5_funnel_stages",
+    """
+WITH s1 AS (
+  SELECT user_id, min(epoch_ns(ts) // 1000) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND epoch_ns(e.ts) // 1000 >= s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND epoch_ns(e.ts) // 1000 >= s2.t2
+  GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t4
+  FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 >= s3.t3
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       (1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+          + (s4.user_id IS NOT NULL)::INT) AS funnel_stage,
+       s1.t1 AS signup_us,
+       coalesce(s2.t2, -1) AS view_us,
+       coalesce(s3.t3, -1) AS click_us,
+       coalesce(s4.t4, -1) AS purchase_us
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        LEFT JOIN s4 ON s1.user_id = s4.user_id
+""",
+)
+def e5_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup->view->click->purchase per user.
+
+    The oracle expresses the cascade as four dependent aggregate-joins
+    (min view ts at-or-after first signup, etc.). The Spark plan does it
+    in ONE shuffle: filter to funnel events, collect (ts, type) per
+    user, sort, and fold the cascade with a higher-order aggregate —
+    events-per-user is bounded (human activity), so the per-group array
+    is small regardless of total scale; no repeated self-joins that
+    would each re-shuffle 100 TB. Ref parity: the reference has no
+    funnel op; this covers sequential-pattern queries its event
+    workflows (app.py process/event grouping) imply.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    funnel = ev.where(
+        F.col("event_type").isin("signup", "view", "click", "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    )
+    grouped = funnel.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts_us", "event_type"))).alias("evs")
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("t1"),
+        F.lit(-1).cast("long").alias("t2"),
+        F.lit(-1).cast("long").alias("t3"),
+        F.lit(-1).cast("long").alias("t4"),
+    )
+
+    def step(acc, x):
+        t1 = F.when(
+            (acc.t1 == -1) & (x.event_type == "signup"), x.ts_us
+        ).otherwise(acc.t1)
+        t2 = F.when(
+            (acc.t2 == -1) & (x.event_type == "view") & (t1 != -1), x.ts_us
+        ).otherwise(acc.t2)
+        t3 = F.when(
+            (acc.t3 == -1) & (x.event_type == "click") & (t2 != -1), x.ts_us
+        ).otherwise(acc.t3)
+        t4 = F.when(
+            (acc.t4 == -1) & (x.event_type == "purchase") & (t3 != -1), x.ts_us
+        ).otherwise(acc.t4)
+        return F.struct(
+            t1.alias("t1"), t2.alias("t2"), t3.alias("t3"), t4.alias("t4")
+        )
+
+    folded = grouped.select(
+        "user_id", F.aggregate("evs", init, step).alias("f")
+    ).where(F.col("f.t1") != -1)
+    stage = (
+        F.lit(1)
+        + (F.col("f.t2") != -1).cast("int")
+        + (F.col("f.t3") != -1).cast("int")
+        + (F.col("f.t4") != -1).cast("int")
+    )
+    return folded.select(
+        "user_id",
+        stage.alias("funnel_stage"),
+        F.col("f.t1").alias("signup_us"),
+        F.col("f.t2").alias("view_us"),
+        F.col("f.t3").alias("click_us"),
+        F.col("f.t4").alias("purchase_us"),
+    )
+
+
+@register(
+    "e6_cohort_retention",
+    """
+WITH w AS (
+  SELECT user_id, (epoch_ns(ts) // 1000) // 604800000000 AS wk FROM events
+),
+f AS (SELECT user_id, min(wk) AS wk0 FROM w GROUP BY user_id),
+a AS (
+  SELECT DISTINCT w.user_id, f.wk0, w.wk - f.wk0 AS week_offset
+  FROM w JOIN f ON w.user_id = f.user_id
+)
+SELECT wk0 AS cohort_week, week_offset, count(*) AS n_users
+FROM a GROUP BY wk0, week_offset
+""",
+)
+def e6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted per week-offset of later activity.
+
+    One shuffle on user_id computes (first week, active-week set) per
+    user simultaneously — the oracle's join of the per-user min back to
+    the event stream is fused into a single aggregate, then a cheap
+    second aggregate over (cohort, offset) pairs (cardinality ~weeks²,
+    tiny at any scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = (F.unix_micros("ts") / F.lit(604800000000)).cast("long")
+    per_user = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("wk0"), F.collect_set("wk").alias("wks"))
+    )
+    return (
+        per_user.select(
+            "wk0", F.explode("wks").alias("wk")
+        )
+        .groupBy(
+            F.col("wk0").alias("cohort_week"),
+            (F.col("wk") - F.col("wk0")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

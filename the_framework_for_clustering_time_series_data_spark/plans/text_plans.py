@@ -384,3 +384,127 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_unique"),
         )
     )
+
+
+@register(
+    "text_pii_redact",
+    """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact user' || doc_id::VARCHAR || '@example.com or call +1-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' from 10.'
+              || (doc_id % 256)::VARCHAR || '.0.1 now' AS full_text
+  FROM documents
+),
+red AS (
+  SELECT doc_id, full_text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(full_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+1-555-\\d{4}', '<PHONE>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(full_text, '\\+1-555-\\d{4}')) AS n_phones,
+       len(regexp_extract_all(redacted, '<EMAIL>|<PHONE>|<IP>')) AS n_redactions,
+       md5(redacted) AS redacted_md5
+FROM red
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: detect + mask emails / phone numbers / IPs.
+
+    The synthetic corpus contains no PII, so the plan first APPENDS
+    deterministic doc_id-derived PII to every document (identically on
+    both engines), then redacts it — the regexes are exercised on every
+    row, not vacuously. All string work is JVM-side regexp expressions
+    inside one projection: no shuffle at all, embarrassingly parallel
+    at any scale. Patterns are restricted to the Java-regex/RE2 common
+    subset so Spark and DuckDB agree byte-for-byte.
+    """
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone = "\\+1-555-\\d{4}"
+    ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), did, F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 now"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("full_text"), email, "<EMAIL>"),
+            phone, "<PHONE>"),
+        ip, "<IP>")
+    return (
+        docs.select("doc_id", full.alias("full_text"))
+        .select(
+            "doc_id",
+            F.regexp_count("full_text", F.lit(email)).alias("n_emails"),
+            F.regexp_count("full_text", F.lit(phone)).alias("n_phones"),
+            redacted.alias("redacted"),
+        )
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            F.regexp_count("redacted", F.lit("<EMAIL>|<PHONE>|<IP>")).alias("n_redactions"),
+            F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+        )
+    )
+
+
+@register(
+    "sample_hash_bernoulli",
+    """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 2) <= '28'
+""",
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~16% Bernoulli sample keyed on md5(doc_id).
+
+    Unlike rand()-based sampling this is reproducible across engines,
+    runs, and partitionings (the property a training-data pipeline
+    needs for auditable subsets), and is a pure filter: no shuffle,
+    pushdown-friendly, and the SAME rows are kept when the corpus is
+    re-partitioned or appended to.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return docs.where(bucket <= "28").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "sample_stratified_topn",
+    """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn FROM r WHERE rn <= 20
+""",
+)
+def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-count sample: 20 docs per language, selected by
+    hash order (deterministic, engine-independent). One shuffle on the
+    stratum key; at scale the per-stratum top-N is computed with
+    map-side partial top-N under AQE rather than a full sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 20)
+    )
