@@ -73,3 +73,114 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_probe_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
     )
+
+
+@register(
+    "emb_label_centroids",
+    """
+WITH e AS (
+  SELECT label,
+         unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+)
+SELECT label, dim, round(avg(v), 6) AS centroid
+FROM e GROUP BY label, dim
+""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension).
+
+    posexplode → groupBy(label, dim) mean: a single shuffle whose key
+    cardinality is |labels|·|dims| (bounded, tiny), with map-side
+    partial aggregation doing the heavy lifting — the 100 TB of vectors
+    reduce to kilobytes before the exchange.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    return (
+        emb.select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )
+
+
+@register(
+    "emb_mislabel_candidates",
+    """
+WITH e AS (
+  SELECT vec_id, label,
+         unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+),
+c AS (SELECT label, dim, avg(v) AS cv FROM e GROUP BY label, dim),
+s AS (
+  SELECT e.vec_id, e.label,
+         round(sum(e.v * c.cv)
+               / (sqrt(sum(e.v * e.v)) * sqrt(sum(c.cv * c.cv))), 6) AS cos_to_centroid
+  FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.vec_id, e.label
+),
+r AS (
+  SELECT vec_id, label, cos_to_centroid,
+         row_number() OVER (
+           PARTITION BY label ORDER BY cos_to_centroid, vec_id
+         ) AS rn
+  FROM s
+)
+SELECT label, vec_id, cos_to_centroid, rn FROM r WHERE rn <= 5
+""",
+)
+def emb_mislabel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen: the 5 vectors per label FARTHEST (lowest
+    cosine) from their own label's centroid — the standard first pass
+    for finding mislabeled training examples.
+
+    Plan: centroid aggregate (bounded output) → collect each centroid
+    into an ordered array → BROADCAST join back to the vectors (labels
+    are a bounded category set, so the centroid table always fits) →
+    JVM-side zip_with/aggregate fold for the dot products — no
+    per-row Python, no second shuffle over the corpus; the only full
+    exchange is the per-label top-N window at the end, keyed on a
+    bounded category (at production scale, replace with a map-side
+    partial top-N; rank ties broken on rounded cosine then vec_id so
+    the result is engine-stable).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cent = (
+        emb.select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cv"))).alias("s"))
+        .select("label", F.transform("s", lambda x: x.cv).alias("cvec"))
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("emb"), F.col("cvec"))
+                / (F.sqrt(dot(F.col("emb"), F.col("emb")))
+                   * F.sqrt(dot(F.col("cvec"), F.col("cvec")))),
+                6,
+            ).alias("cos_to_centroid"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    return (
+        scored.select(
+            "label", "vec_id", "cos_to_centroid",
+            F.row_number().over(w).alias("rn"),
+        ).where(F.col("rn") <= 5)
+    )
