@@ -149,3 +149,42 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert (100, 101) in exact and (100, 101) in capped
     for pair, j in capped.items():
         assert j <= exact.get(pair, 1.0) + 1e-9
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup: total preserved, exactly one survivor per group, pairs
+    found are a subset of the brute-force cosine pairs (cells only ever
+    REMOVE candidate pairs), and survivors are unique exemplars."""
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        semantic_dedup,
+    )
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    out = semantic_dedup(emb, n_cells=4, threshold=0.4).cache()
+    n = emb.count()
+    assert out.count() == n
+    per_group = out.groupBy("group_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count("*").alias("n"),
+        F.max("group_size").alias("gs"),
+    )
+    bad = per_group.where("n_keep != 1 OR n != gs").count()
+    assert bad == 0
+    # group members really are near-dups: every multi-member group edge set
+    # must be a subset of brute-force pairs at the same threshold
+    bf = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    groups = out.where("group_size > 1").select("id", "group_id").collect()
+    by_group: dict[int, list[int]] = {}
+    for r in groups:
+        by_group.setdefault(r.group_id, []).append(r.id)
+    # each multi-group is connected through at least one brute-force pair
+    for gid, members in by_group.items():
+        ms = sorted(members)
+        assert any(
+            (a, b) in bf for i, a in enumerate(ms) for b in ms[i + 1 :]
+        ), f"group {gid} has no brute-force support"

@@ -451,3 +451,83 @@ def duplicate_groups(pairs: DataFrame) -> DataFrame:
         comp.select(F.col("node").alias("doc_id"), F.col("component").alias("group_id"))
         .withColumn("group_size", F.count("*").over(w))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.9,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): k-means partitions the embedding space into
+    cells, pairwise cosine runs only WITHIN a cell (bounding the
+    quadratic pair scan to ~ (n/k)^2 per cell instead of n^2), near-dup
+    pairs are closed transitively, and each duplicate group keeps the
+    single member CLOSEST to its cell centroid (the best exemplar of
+    the local mode).
+
+    Returns one row per input vector:
+    (id, cell, group_id, group_size, keep) — singletons keep
+    themselves with group_size 1. Cross-cell duplicates are missed by
+    construction; that is the accepted recall trade the paper makes to
+    scale past brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("_features", array_to_vector("v"))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
+    ).fit(vecs)
+    pred = model.transform(vecs).drop("_features").localCheckpoint(eager=True)
+
+    from the_framework_for_clustering_time_series_data_spark.operators.similarity import cosine_expr, dot_expr
+
+    a, b = pred.alias("a"), pred.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .where(cosine_expr(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    groups = duplicate_groups(pairs)  # (doc_id, group_id, group_size)
+
+    centers = model.clusterCenters()
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)], "cell int, cvec array<double>"
+    )
+    # distance to own-cell centroid decides the group representative
+    with_d = pred.join(F.broadcast(cdf), "cell").select(
+        "id",
+        "cell",
+        F.aggregate(
+            F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    member = with_d.join(
+        groups.select(F.col("doc_id").alias("id"), "group_id", "group_size"),
+        "id",
+        "left",
+    ).select(
+        "id",
+        "cell",
+        F.coalesce("group_id", "id").alias("group_id"),
+        F.coalesce("group_size", F.lit(1)).alias("group_size"),
+        "d2",
+    )
+    w = Window.partitionBy("group_id").orderBy("d2", "id")
+    return member.select(
+        "id",
+        "cell",
+        "group_id",
+        "group_size",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -148,3 +148,15 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2, n=3)
     return dedup.duplicate_groups(pairs)
+
+
+@register("dedup_semantic")  # seeded k-means cell assignment → rows-only oracle
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table: k-means cells
+    bound the pairwise cosine scan, duplicate groups close
+    transitively, the centroid-closest member of each group survives.
+    Threshold 0.4 sits in the synthetic table's actual near-dup regime
+    (see dedup_embedding_cosine); real corpora use 0.9+."""
+    return dedup.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), n_cells=4, threshold=0.4
+    )
