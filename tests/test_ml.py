@@ -449,3 +449,22 @@ def test_tfidf_kmeans_groups_exact_duplicates(spark):
     # identical docs always co-cluster; distinct topics get distinct clusters
     assert all(len(v) == 1 for v in by_topic.values())
     assert len({next(iter(v)) for v in by_topic.values()}) == 3
+
+
+def test_quality_classifier_separates_weak_labels(spark):
+    """The distilled classifier must rank heuristic-good docs above
+    heuristic-bad ones (sanity: it learned the signal it was taught)
+    and score every document."""
+    from the_framework_for_clustering_time_series_data_spark.operators.text import quality_classifier_scores
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = quality_classifier_scores(docs).cache()
+    assert out.count() == docs.count()
+    means = {
+        r.weak_label: r.m
+        for r in out.groupBy("weak_label").agg(F.avg("quality_prob").alias("m")).collect()
+    }
+    assert means[1] > 0.7, means
+    assert means[0] < 0.3, means
+    assert means[0] < means.get(-1, 0.5) < means[1], means

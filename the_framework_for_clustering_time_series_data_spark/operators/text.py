@@ -298,3 +298,69 @@ def decontaminate_overlap(
         "n_grams",
         (F.floor(ratio * 1e6 + 0.5) / 1e6).alias("overlap_ratio"),
     )
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Model-based quality scoring: distill the heuristic quality gates
+    into a logistic-regression classifier (the FastText/CCNet-style
+    quality-classifier stage of a pretraining pipeline, with MLlib in
+    place of FastText).
+
+    Weak supervision: the top quartile of the heuristic score is
+    labeled good, the bottom quartile bad; a LogisticRegression is fit
+    on those extremes over richer features (ratios, log-length, token
+    shape, lexical diversity) and then scores EVERY document — the
+    model interpolates over the middle mass the heuristic can't rank
+    confidently. Training data is the two quartile extremes only
+    (bounded, sampled if huge); inference is one distributed transform.
+
+    Returns (id, weak_label ∈ {-1,0,1}; -1 = unlabeled middle,
+    quality_prob ∈ [0,1]).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    text = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_chars = F.length(text)
+    n_tok = F.size(toks)
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        (F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars).alias("alpha_ratio"),
+        (F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", "")) / n_chars).alias("punct_ratio"),
+        (F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))) / n_tok).alias("stop_ratio"),
+        F.log1p(n_tok).alias("log_tokens"),
+        (n_chars / n_tok).alias("avg_tok_len"),
+        (F.size(F.array_distinct(toks)) / n_tok).alias("distinct_ratio"),
+    )
+    heur = quality_score(df, text_col, id_col).select(
+        F.col(id_col).alias("id"), "quality"
+    )
+    base = feats.join(heur, "id").localCheckpoint(eager=True)
+    lo, hi = base.stat.approxQuantile("quality", [0.25, 0.75], 0.001)
+    labeled = base.withColumn(
+        "weak_label",
+        F.when(F.col("quality") >= hi, 1)
+        .when(F.col("quality") <= lo, 0)
+        .otherwise(-1),
+    )
+    cols = ["alpha_ratio", "punct_ratio", "stop_ratio", "log_tokens", "avg_tok_len", "distinct_ratio"]
+    va = VectorAssembler(inputCols=cols, outputCol="_features")
+    train = va.transform(labeled.where(F.col("weak_label") >= 0)).withColumn(
+        "label", F.col("weak_label").cast("double")
+    )
+    model = LogisticRegression(
+        maxIter=50, regParam=0.01, featuresCol="_features", labelCol="label"
+    ).fit(train)
+    scored = model.transform(va.transform(labeled))
+    return scored.select(
+        "id",
+        "weak_label",
+        F.round(vector_to_array("probability")[1], 6).alias("quality_prob"),
+    )

@@ -508,3 +508,10 @@ def sample_stratified_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .where(F.col("rn") <= 20)
     )
+
+
+@register("text_quality_classifier")  # MLlib LR fit → rows-only oracle
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled quality classifier: logistic regression trained on the
+    heuristic gate's quartile extremes, scoring every document."""
+    return T.quality_classifier_scores(load_table(spark, sf_dir, "documents"))
