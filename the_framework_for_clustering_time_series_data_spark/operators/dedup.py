@@ -531,3 +531,60 @@ def semantic_dedup(
         "group_size",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def incremental_dedup(
+    delta: DataFrame,
+    base: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingestion-time dedup: flag each NEW (delta) document against the
+    EXISTING corpus (base) without re-deduping the corpus against
+    itself — the incremental form a growing 100 TB corpus needs, where
+    base-side state (text hashes + shingle postings) is written once
+    and only the delta is scanned per batch.
+
+    exact: md5(text) semi-match against base's distinct hash set.
+    near:  inverted-index join delta-shingles × base-shingles, word
+    n-gram Jaccard ≥ threshold; near_dup_of = lowest matching base id.
+
+    Returns one row per delta doc:
+    (id, is_exact_dup ∈ {0,1}, near_dup_of (or -1), n_near).
+    """
+    dh = delta.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col).cast("binary")).alias("h"),
+    )
+    bh = base.select(F.md5(F.col(text_col).cast("binary")).alias("h")).distinct()
+    exact = dh.join(
+        bh.withColumn("_hit", F.lit(1)), "h", "left"
+    ).select("id", F.coalesce("_hit", F.lit(0)).alias("is_exact_dup"))
+
+    def sh_side(df: DataFrame, nm: str) -> DataFrame:
+        s = df.select(F.col(id_col).alias(nm), _shingles(text_col, n).alias("sh"))
+        return s.withColumn(f"n_{nm}", F.size("sh")).select(
+            nm, f"n_{nm}", F.explode("sh").alias("shingle")
+        )
+
+    de, be = sh_side(delta, "id_a"), sh_side(base, "id_b")
+    inter = (
+        de.join(be, "shingle")
+        .groupBy("id_a", "id_b", "n_id_a", "n_id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_id_a") + F.col("n_id_b") - F.col("n_inter"))
+    near = (
+        inter.where(jac >= threshold)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("near_dup_of"), F.count("*").alias("n_near"))
+        .select(F.col("id_a").alias("id"), "near_dup_of", "n_near")
+    )
+    return exact.join(near, "id", "left").select(
+        "id",
+        "is_exact_dup",
+        F.coalesce("near_dup_of", F.lit(-1)).alias("near_dup_of"),
+        F.coalesce("n_near", F.lit(0)).alias("n_near"),
+    )

@@ -4,6 +4,7 @@ SURVEY.md §7 phase 4)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from the_framework_for_clustering_time_series_data_spark.operators import dedup
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
@@ -159,4 +160,62 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see dedup_embedding_cosine); real corpora use 0.9+."""
     return dedup.semantic_dedup(
         load_table(spark, sf_dir, "embeddings"), n_cells=4, threshold=0.4
+    )
+
+
+@register(
+    "dedup_incremental",
+    """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id AS id, md5(text) AS h,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           FOR i IN range(1, len(toks) - 1)
+         ]) AS sh
+  FROM t WHERE doc_id % 5 = 0 AND len(toks) >= 3
+),
+b AS (
+  SELECT doc_id AS id,
+         list_distinct([
+           array_to_string(toks[i:i+2], ' ')
+           FOR i IN range(1, len(toks) - 1)
+         ]) AS sh
+  FROM t WHERE doc_id % 5 != 0 AND len(toks) >= 3
+),
+bh AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 != 0),
+de AS (SELECT id, len(sh) AS n_a, unnest(sh) AS shingle FROM d),
+be AS (SELECT id, len(sh) AS n_b, unnest(sh) AS shingle FROM b),
+i AS (
+  SELECT de.id AS id, be.id AS bid, de.n_a, be.n_b, count(*) AS n_inter
+  FROM de JOIN be ON de.shingle = be.shingle
+  GROUP BY 1, 2, 3, 4
+),
+q AS (
+  SELECT id, min(bid) AS near_dup_of, count(*) AS n_near
+  FROM i WHERE n_inter / (n_a + n_b - n_inter) >= 0.2
+  GROUP BY id
+)
+SELECT d.id AS id,
+       (d.h IN (SELECT h FROM bh))::INT AS is_exact_dup,
+       coalesce(q.near_dup_of, -1) AS near_dup_of,
+       coalesce(q.n_near, 0) AS n_near
+FROM d LEFT JOIN q ON d.id = q.id
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) dedup: documents with doc_id % 5
+    == 0 play the newly-ingested batch, the rest the existing corpus.
+    Exact dups by text hash, near-dups by word-3-gram Jaccard ≥ 0.2 —
+    only the delta is shingled fresh; the base side is the write-once
+    signature state an ingestion pipeline would keep."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.where(F.col("doc_id") % 5 == 0),
+        docs.where(F.col("doc_id") % 5 != 0),
+        threshold=0.2,
+        n=3,
     )
