@@ -72,3 +72,31 @@ def test_jsonl_roundtrip_documents(spark, tmp_path):
     a = {r["doc_id"]: (r["text"], r["lang"], r["n_chars"]) for r in docs.collect()}
     b = {r["doc_id"]: (r["text"], r["lang"], r["n_chars"]) for r in back.collect()}
     assert a == b
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    """A fragmented dataset (64 tiny files) compacts to few files with
+    identical content; partitioned mode keeps the hive layout."""
+    import glob
+
+    from the_framework_for_clustering_time_series_data_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(10_000).selectExpr("id", "id % 3 AS g", "rand(7) AS v")
+    df.repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 64
+
+    n = compact_parquet(spark, src, dst, target_file_mb=1)
+    out_files = glob.glob(dst + "/*.parquet")
+    assert len(out_files) <= 4, out_files
+    assert n == len(out_files)
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    assert got.selectExpr("sum(id)").first()[0] == df.selectExpr("sum(id)").first()[0]
+
+    dst2 = str(tmp_path / "compacted_part")
+    compact_parquet(spark, src, dst2, target_file_mb=1, partition_cols=["g"])
+    parts = glob.glob(dst2 + "/g=*")
+    assert len(parts) == 3, parts
+    assert spark.read.parquet(dst2).count() == 10_000

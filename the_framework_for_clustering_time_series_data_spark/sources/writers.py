@@ -81,3 +81,45 @@ def read_jsonl(spark, path: str, schema: str | None = None):
     if schema:
         r = r.schema(schema)
     return r.json(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_mb`` each (the standard maintenance pass —
+    streaming sinks and fine-grained ingestion leave thousands of tiny
+    files whose per-file open/footer cost dominates scans at scale).
+
+    File count is sized from the dataset's actual on-disk bytes, then
+    the data is redistributed with repartition (round-robin — no key
+    skew) or, when ``partition_cols`` is given, repartitioned BY those
+    columns so each hive partition's files are written by tasks holding
+    only that partition's rows (avoids the every-task-writes-every-
+    partition small-file explosion repartition(n) would reintroduce).
+    Returns the number of files requested.
+    """
+    df = spark.read.parquet(src_path)
+    # inputFiles() lists paths; size them via Hadoop FS (metadata only, no data read)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs_bytes = 0
+    for p in df.inputFiles():
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(conf)
+        fs_bytes += fs.getFileStatus(path).getLen()
+    n_files = max(1, round(fs_bytes / (target_file_mb * 1024 * 1024)))
+    if partition_cols:
+        (
+            df.repartition(n_files, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(dst_path)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
