@@ -42,3 +42,4 @@ from the_framework_for_clustering_time_series_data_spark.plans import ml_plans  
 from the_framework_for_clustering_time_series_data_spark.plans import extension_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import event_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import resample_plans  # noqa: E402,F401
+from the_framework_for_clustering_time_series_data_spark.plans import symbolic_plans  # noqa: E402,F401

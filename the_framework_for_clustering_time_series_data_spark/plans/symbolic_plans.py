@@ -1,0 +1,413 @@
+"""Symbolic representation and diagnostics over per-series time series:
+PAA/SAX symbolization, SAX motif counting, CUSUM change-point location,
+all-pairs series correlation, seasonal-naive forecast evaluation, and
+classical seasonal decomposition.
+
+The reference clusters series by shape after ad-hoc alignment
+(/root/reference/app.py:204-217, 246-350); PAA/SAX (Lin et al., DMKD
+2007) is the standard scalable symbolic front-end for exactly that
+workload — it turns every series into a short word so motif discovery
+and candidate pruning become GROUP BYs instead of pairwise scans. All
+six plans are pure DataFrame compositions (no UDFs): z-normalization
+and CUSUM are window aggregates, PAA is an ordinal-bucket GROUP BY,
+symbols are CASE breakpoints, pairing is a keyed self-join. Every plan
+shuffles on the series key (or the pair key) with map-side partials and
+stays inside whole-stage codegen.
+
+Scale notes (100 TB posture): per-series windows partition on
+series_id — state per task is one series span, never the table.
+The all-pairs correlation is the one quadratic op here; its scale path
+is candidate pruning first (join only pairs that share a SAX word or a
+k-means cell from ts_features), which this module's motif table
+provides — the full cross-join form below is the exact small-N
+baseline the pruned variant is validated against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.sources.tables import (
+    events_as_series,
+    load_table,
+)
+
+# SAX breakpoints for alphabet size 4 (equiprobable N(0,1) quartiles).
+_BP = (-0.6745, 0.0, 0.6745)
+_SEG_LEN = 8
+
+# Shared oracle CTE: per-series z-scored ordinal series (population
+# stddev, zero-variance series dropped), segmented for PAA.
+_ZSEG_SQL = """
+ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+),
+z AS (
+  SELECT series_id, t,
+         (value - avg(value) OVER w) / (stddev_pop(value) OVER w) AS z
+  FROM ev
+  WINDOW w AS (PARTITION BY series_id)
+  QUALIFY stddev_pop(value) OVER w > 0
+),
+seg AS (
+  SELECT series_id, t // 8 AS seg, count(*) AS n_pts, avg(z) AS paa
+  FROM z GROUP BY 1, 2
+),
+sym AS (
+  SELECT series_id, seg, n_pts, paa,
+         CASE WHEN paa < -0.6745 THEN 'a'
+              WHEN paa < 0.0     THEN 'b'
+              WHEN paa < 0.6745  THEN 'c'
+              ELSE 'd' END AS sym
+  FROM seg
+)
+"""
+
+
+def _sax_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-norm → PAA over ordinal segments → SAX symbol.
+
+    One exchange on series_id: the z-norm whole-partition window and the
+    ordinal come from the same partitioning, and the segment GROUP BY
+    key (series_id, t div 8) is a refinement of it, so AQE keeps the
+    aggregate shuffle-local (partial aggregation does the rest).
+    """
+    ev = events_as_series(spark, sf_dir)
+    w = Window.partitionBy("series_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    z = ev.select(
+        "series_id",
+        "t",
+        ((F.col("value") - mu) / sd).alias("z"),
+        sd.alias("_sd"),
+    ).where(F.col("_sd") > 0).drop("_sd")
+    seg = (
+        z.groupBy("series_id", (F.col("t") - F.col("t") % _SEG_LEN).alias("_t0"))
+        .agg(F.count("*").alias("n_pts"), F.avg("z").alias("paa"))
+        .select(
+            "series_id",
+            (F.col("_t0") / _SEG_LEN).cast("long").alias("seg"),
+            "n_pts",
+            "paa",
+        )
+    )
+    sym = (
+        F.when(F.col("paa") < _BP[0], "a")
+        .when(F.col("paa") < _BP[1], "b")
+        .when(F.col("paa") < _BP[2], "c")
+        .otherwise("d")
+    )
+    return seg.withColumn("sym", sym)
+
+
+@register(
+    "ts_paa_sax",
+    f"""
+WITH {_ZSEG_SQL}
+SELECT series_id, seg, n_pts, round(paa, 6) AS paa, sym
+FROM sym
+""",
+)
+def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAA + SAX symbolization (segment length 8, alphabet 'a'..'d'):
+    the compact symbolic view of every series. Downstream this is the
+    index that makes motif search and correlation-pair pruning linear."""
+    seg = _sax_segments(spark, sf_dir)
+    return seg.select(
+        "series_id", "seg", "n_pts", F.round("paa", 6).alias("paa"), "sym"
+    )
+
+
+@register(
+    "ts_sax_motifs",
+    f"""
+WITH {_ZSEG_SQL},
+words AS (
+  SELECT series_id,
+         sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w
+             || lead(sym, 3) OVER w AS word
+  FROM sym
+  WINDOW w AS (PARTITION BY series_id ORDER BY seg)
+)
+SELECT word, count(*) AS n_occ, count(DISTINCT series_id) AS n_series
+FROM words
+WHERE word IS NOT NULL
+GROUP BY word
+HAVING count(*) >= 2
+""",
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide SAX motif table: every 4-segment SAX word occurring
+    at least twice, with its occurrence and distinct-series counts.
+    Words come from lead() over the segment ordering (reuses the
+    segment partitioning — no extra exchange before the word GROUP BY).
+    This is the candidate index for motif discovery and for pruning the
+    quadratic pair scan in ts_pair_correlation: only series sharing a
+    word need comparing."""
+    seg = _sax_segments(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("seg")
+    words = seg.select(
+        "series_id",
+        F.concat(
+            "sym",
+            F.lead("sym", 1).over(w),
+            F.lead("sym", 2).over(w),
+            F.lead("sym", 3).over(w),
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    return (
+        words.groupBy("word")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("series_id").alias("n_series"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    """
+WITH ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+),
+m AS (
+  SELECT series_id, t, value, avg(value) OVER (PARTITION BY series_id) AS mu
+  FROM ev
+),
+c AS (
+  SELECT series_id, t,
+         sum(value - mu) OVER (PARTITION BY series_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM m
+),
+x AS (
+  SELECT series_id, t, s, max(abs(s)) OVER (PARTITION BY series_id) AS s_max
+  FROM c
+)
+SELECT series_id, count(*) AS n,
+       min(CASE WHEN abs(s) = s_max THEN t END) AS t_change,
+       round(any_value(s_max), 6) AS cusum_max
+FROM x
+GROUP BY series_id
+""",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point location per series: running sum of
+    (value - series mean); the ordinal where |CUSUM| peaks is the
+    single most likely mean-shift point (Page 1954 / binary
+    segmentation step 1). Ties break to the earliest ordinal, so the
+    answer is deterministic. Three window passes share one exchange on
+    series_id (mean → running sum → partition max), then a final
+    per-series aggregate on the same key — no second shuffle."""
+    ev = events_as_series(spark, sf_dir)
+    wp = Window.partitionBy("series_id")
+    wr = wp.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    m = ev.select(
+        "series_id", "t", "value", F.avg("value").over(wp).alias("mu")
+    )
+    c = m.select(
+        "series_id",
+        "t",
+        F.sum(F.col("value") - F.col("mu")).over(wr).alias("s"),
+    )
+    x = c.withColumn("s_max", F.max(F.abs("s")).over(wp))
+    return x.groupBy("series_id").agg(
+        F.count("*").alias("n"),
+        F.min(F.when(F.abs("s") == F.col("s_max"), F.col("t"))).alias("t_change"),
+        F.round(F.any_value("s_max"), 6).alias("cusum_max"),
+    )
+
+
+@register(
+    "ts_pair_correlation",
+    """
+WITH b AS (
+  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT a.series_id AS sid_a, c.series_id AS sid_b,
+       count(*) AS n_common, round(corr(a.v, c.v), 6) AS r
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.series_id < c.series_id
+GROUP BY 1, 2
+HAVING count(*) >= 20
+""",
+)
+def ts_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation between series over their daily
+    rollups (co-movement discovery; feeds correlation-graph
+    clustering). Shape: daily rollup (one shuffle), self-join on the
+    day bucket (both sides reuse the rollup), pair-keyed aggregate with
+    map-side partials; pairs sharing <20 days drop. Quadratic in
+    concurrently-active series BY DESIGN — this is the exact baseline;
+    at fleet scale the same plan runs after a candidate filter (shared
+    SAX word from ts_sax_motifs, or same ts_features k-means cell)
+    that turns the bucket join into a sparse pair join."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.col("user_id").alias("series_id"),
+            F.date_trunc("day", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    a = b.select(
+        F.col("series_id").alias("sid_a"), "bucket", F.col("v").alias("va")
+    )
+    c = b.select(
+        F.col("series_id").alias("sid_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(
+        c,
+        (F.col("bucket") == F.col("bucket_b")) & (F.col("sid_a") < F.col("sid_b")),
+    )
+    return (
+        pairs.groupBy("sid_a", "sid_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.corr("va", "vb"), 6).alias("r"),
+        )
+        .where(F.col("n_common") >= 20)
+    )
+
+
+@register(
+    "ts_seasonal_naive_eval",
+    """
+WITH b AS (
+  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT b.series_id, count(*) AS n_eval,
+       round(avg(abs(b.v - n1.v)), 6) AS mae_naive,
+       round(avg(abs(b.v - n7.v)), 6) AS mae_seasonal,
+       round(1.0 - avg(abs(b.v - n7.v)) / avg(abs(b.v - n1.v)), 6) AS skill
+FROM b
+JOIN b n1 ON n1.series_id = b.series_id AND n1.bucket = b.bucket - to_days(1)
+JOIN b n7 ON n7.series_id = b.series_id AND n7.bucket = b.bucket - to_days(7)
+GROUP BY b.series_id
+HAVING count(*) >= 10
+""",
+)
+def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation per series: MAE of the naive
+    forecast (yesterday's value) vs the weekly seasonal-naive forecast
+    (value 7 days back) over the daily rollup, plus the skill ratio
+    (how much weekly seasonality explains — the model-selection signal
+    a forecasting pipeline gates on, and the denominator convention of
+    MASE). Keyed self-joins on (series, bucket-lag) — gaps pair
+    correctly where a row-offset lag() would misalign (same reasoning
+    as ts_acf_daily); all three sides share the rollup partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.col("user_id").alias("series_id"),
+            F.date_trunc("day", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    n1 = b.select(
+        F.col("series_id").alias("s1"),
+        F.col("bucket").alias("b1"),
+        F.col("v").alias("v1"),
+    )
+    n7 = b.select(
+        F.col("series_id").alias("s7"),
+        F.col("bucket").alias("b7"),
+        F.col("v").alias("v7"),
+    )
+    j = b.join(
+        n1,
+        (F.col("s1") == F.col("series_id"))
+        & (F.col("b1") == F.expr("timestampadd(DAY, -1, bucket)")),
+    ).join(
+        n7,
+        (F.col("s7") == F.col("series_id"))
+        & (F.col("b7") == F.expr("timestampadd(DAY, -7, bucket)")),
+    )
+    mae1 = F.avg(F.abs(F.col("v") - F.col("v1")))
+    mae7 = F.avg(F.abs(F.col("v") - F.col("v7")))
+    return (
+        j.groupBy("series_id")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.round(mae1, 6).alias("mae_naive"),
+            F.round(mae7, 6).alias("mae_seasonal"),
+            F.round(F.lit(1.0) - mae7 / mae1, 6).alias("skill"),
+        )
+        .where(F.col("n_eval") >= 10)
+    )
+
+
+@register(
+    "ts_decompose_dow",
+    """
+WITH b AS (
+  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT series_id, bucket, v,
+         avg(v) OVER (PARTITION BY series_id
+                      ORDER BY cast(floor(epoch(bucket)) AS BIGINT)
+                      RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING) AS trend
+  FROM b
+),
+se AS (
+  SELECT series_id, bucket, v, trend,
+         avg(v - trend) OVER (PARTITION BY series_id, dayofweek(bucket) + 1) AS seasonal
+  FROM tr
+)
+SELECT series_id, bucket::TIMESTAMP AS bucket, round(v, 6) AS v,
+       round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+       round(v - trend - seasonal, 6) AS resid
+FROM se
+""",
+)
+def ts_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily rollup: trend =
+    centered ±3-day time-RANGE mean (gap-safe — a rows frame would slip
+    across missing days), seasonal = day-of-week mean of the detrended
+    value per series, residual = remainder (the anomaly input). Both
+    windows and the rollup partition on series_id, so the whole
+    decomposition is one exchange; the seasonal window refines the
+    partitioning (series, dow) without re-shuffling more than the
+    Window operator's local sort."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            F.col("user_id").alias("series_id"),
+            F.date_trunc("day", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    w_tr = (
+        Window.partitionBy("series_id")
+        .orderBy(F.col("bucket").cast("long"))
+        .rangeBetween(-259200, 259200)
+    )
+    tr = b.withColumn("trend", F.avg("v").over(w_tr))
+    w_se = Window.partitionBy("series_id", F.dayofweek("bucket"))
+    se = tr.withColumn(
+        "seasonal", F.avg(F.col("v") - F.col("trend")).over(w_se)
+    )
+    return se.select(
+        "series_id",
+        "bucket",
+        F.round("v", 6).alias("v"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+    )
