@@ -1,0 +1,170 @@
+"""Training-batch assembly over the ``documents`` corpus: deterministic
+sequence packing (concatenate-and-chunk into fixed token-budget blocks)
+and source-mixture rebalancing — the two ops that sit between a curated
+corpus and a training run.
+
+Both are engine-reproducible by construction: ordering and sampling key
+off md5(doc_id), never rand(), so the same rows land in the same chunks
+across engines, runs, and partitionings (the auditability property a
+training pipeline needs — same rationale as sample_hash_bernoulli in
+text_plans.py).
+
+Scale notes: the global running sum behind packing is computed as a
+TWO-LEVEL scan — per-bucket partial sums (256 hash-prefix range
+buckets), a tiny bucket-prefix table (≤256 rows) broadcast back, then
+a within-bucket window. No single-partition window over the corpus
+ever exists, so the plan holds at 100 TB; the oracle states the same
+semantics as one flat window, which is the point of the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from the_framework_for_clustering_time_series_data_spark.operators.text import tokens_expr
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+_CHUNK = 2048  # token budget per packed training block
+
+
+@register(
+    "pack_sequences_chunks",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+         md5(doc_id::VARCHAR) AS sk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY sk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       ((cum - n_tokens) // {_CHUNK})::BIGINT AS first_chunk,
+       (((cum - 1) // {_CHUNK}) - ((cum - n_tokens) // {_CHUNK}) + 1)::BIGINT
+         AS chunks_spanned
+FROM c
+""",
+)
+def pack_sequences_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents are laid out in
+    deterministic hash order, concatenated, and cut into fixed
+    2048-token chunks; each doc reports the chunk its first token lands
+    in and how many chunks it straddles.
+
+    The global inclusive running sum is two-level: (1) docs carry a
+    256-way range bucket = first md5 byte (hex order == string order,
+    so buckets are contiguous spans of the global order); (2) bucket
+    totals cumulate in a single tiny window (≤256 rows — constant,
+    independent of corpus size); (3) the bucket-start offsets broadcast
+    back and a per-bucket window finishes the sum. Shuffle cost: one
+    exchange on the bucket key; the offset join is a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
+        sk.alias("sk"),
+        F.substring(sk, 1, 2).alias("bucket"),
+    )
+    btot = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = btot.select(
+        "bucket", (F.sum("btot").over(w_b) - F.col("btot")).alias("offset")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("sk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("offset") + F.sum("n_tokens").over(w_in)
+    packed = base.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", "n_tokens", cum.alias("cum")
+    )
+    first = F.floor((F.col("cum") - F.col("n_tokens")) / _CHUNK)
+    last = F.floor((F.col("cum") - 1) / _CHUNK)
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        first.alias("first_chunk"),
+        (last - first + 1).alias("chunks_spanned"),
+    )
+
+
+@register(
+    "mix_langs_resample",
+    """
+WITH r AS (
+  SELECT lang, count(*) AS n_in FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_in) AS n, count(*) AS k FROM r),
+rates AS (
+  SELECT lang, n_in, least(1.0, (n / k) / n_in) AS rate FROM r, tot
+),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN rates USING (lang)
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mix'), 1, 6))::BIGINT
+        < rate * 16777216
+)
+SELECT r.lang, r.n_in, count(k.lang) AS n_out, round(r2.rate, 6) AS rate
+FROM r
+JOIN rates r2 USING (lang)
+LEFT JOIN kept k ON k.lang = r.lang
+GROUP BY r.lang, r.n_in, r2.rate
+""",
+)
+def mix_langs_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing toward a uniform per-language share:
+    overrepresented languages are downsampled to ~total/k docs by a
+    deterministic hash-threshold Bernoulli filter (keep iff the first
+    24 md5 bits of a salted doc key fall under the acceptance rate);
+    underrepresented languages keep everything. Returns the per-language
+    audit table (n_in, n_out, rate).
+
+    Shape: one aggregate for the rate table (k rows — broadcast), a
+    broadcast join + pushdown-friendly filter over the corpus, then a
+    bounded-key aggregate. The corpus is scanned once and never
+    shuffled on a large key; rates are exact corpus-level counts, not
+    estimates. The same acceptance hash keeps the SAME docs when the
+    corpus grows — reproducible mixtures across snapshots."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.groupBy("lang").agg(F.count("*").alias("n_in"))
+    tot = r.agg(
+        F.sum("n_in").alias("n"), F.count("*").alias("k")
+    )
+    rates = r.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_in",
+        F.least(F.lit(1.0), (F.col("n") / F.col("k")) / F.col("n_in")).alias("rate"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")).cast("binary")),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .where(h < F.col("rate") * F.lit(16777216))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_out"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_in",
+            F.coalesce("n_out", F.lit(0)).alias("n_out"),
+            F.round("rate", 6).alias("rate"),
+        )
+    )
