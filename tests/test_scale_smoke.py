@@ -179,3 +179,31 @@ def test_interpolation_5m_quarter_steps(spark, sparse_events):
         (r["v_interp"] for r in out.where(F.col("series_id") == 7).collect())
     )
     assert one[:5] == [0.0, 0.25, 0.5, 0.75, 1.0]
+
+
+def test_pack_chunks_5m_docs(spark):
+    """The two-level global running sum behind sequence packing at 5M
+    synthetic docs: the chunk stream must tile ceil(total/chunk) blocks
+    exactly, with no single-partition window in the plan."""
+    from the_framework_for_clustering_time_series_data_spark.operators.packing import pack_chunks
+
+    n, chunk = 5_000_000, 2048
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 997 + 1).cast("long").alias("n_tokens"),
+    )
+    packed = pack_chunks(docs, "doc_id", "n_tokens", chunk)
+    agg = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total"),
+        F.max(F.col("first_chunk") + F.col("chunks_spanned")).alias("n_chunks"),
+        F.min("chunks_spanned").alias("min_span"),
+    ).collect()[0]
+    assert agg.n_docs == n
+    # sum over id of (id % 997 + 1)
+    total = sum(i % 997 + 1 for i in range(997)) * (n // 997) + sum(
+        i % 997 + 1 for i in range(n % 997)
+    )
+    assert agg.total == total
+    assert agg.n_chunks == -(-total // chunk)
+    assert agg.min_span >= 1

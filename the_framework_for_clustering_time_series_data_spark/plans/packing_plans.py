@@ -21,8 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from the_framework_for_clustering_time_series_data_spark.operators import packing
 from the_framework_for_clustering_time_series_data_spark.operators.text import tokens_expr
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
@@ -66,35 +66,10 @@ def pack_sequences_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     back and a per-bucket window finishes the sum. Shuffle cost: one
     exchange on the bucket key; the offset join is a broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    sk = F.md5(F.col("doc_id").cast("string").cast("binary"))
     base = docs.select(
-        "doc_id",
-        F.size(tokens_expr("text")).cast("long").alias("n_tokens"),
-        sk.alias("sk"),
-        F.substring(sk, 1, 2).alias("bucket"),
+        "doc_id", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
     )
-    btot = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
-    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    offsets = btot.select(
-        "bucket", (F.sum("btot").over(w_b) - F.col("btot")).alias("offset")
-    )
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("sk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = F.col("offset") + F.sum("n_tokens").over(w_in)
-    packed = base.join(F.broadcast(offsets), "bucket").select(
-        "doc_id", "n_tokens", cum.alias("cum")
-    )
-    first = F.floor((F.col("cum") - F.col("n_tokens")) / _CHUNK)
-    last = F.floor((F.col("cum") - 1) / _CHUNK)
-    return packed.select(
-        "doc_id",
-        "n_tokens",
-        first.alias("first_chunk"),
-        (last - first + 1).alias("chunks_spanned"),
-    )
+    return packing.pack_chunks(base, "doc_id", "n_tokens", _CHUNK)
 
 
 @register(
