@@ -154,15 +154,16 @@ def minhash_lsh_pairs(
          ``lead()`` neighbor hashes (no shingle strings ever
          materialize — every later step runs on 64-bit longs); the
          ``num_hashes`` family members are XOR permutations h ⊕ r_i;
-      2. per doc: ONE groupBy(id) computing collect_set(shingle hash)
-         AND all num_hashes min(sh ⊕ r_i) aggregates — the minhash
-         signature. The groupBy sits on the window's hash partitioning
-         by id, so the whole signature stage is a single shuffle, and
-         every expression runs in whole-stage codegen. (The previous
-         design folded 64 array_min/transform HOFs over a shingle
-         array — HOF lambdas evaluate INTERPRETED at ~6 µs/element,
-         which made the signature stage 4-5× slower than this
-         explode→codegen shape at the same op count.);
+      2. per doc: ONE groupBy(id) computing all num_hashes min(sh ⊕ r_i)
+         aggregates — the minhash signature. The groupBy sits on the
+         window's hash partitioning by id, so the signature stage is a
+         single shuffle and every expression runs in whole-stage
+         codegen. (Two rejected designs: folding 64 array_min/transform
+         HOFs over a shingle array — HOF lambdas evaluate INTERPRETED
+         at ~6 µs/element, 4-5× slower; and collect_set-ing every doc's
+         shingle set alongside the signature and caching it — O(corpus
+         tokens) executor memory, the verify pass below re-derives sets
+         for candidates only instead.);
       3. band the signature (num_hashes/band_size bands), hash each
          band, groupBy (band_id, band_hash) bucket → generate pairs
          WITHIN each bucket (sorted collect_list + combination explode)
@@ -193,22 +194,32 @@ def minhash_lsh_pairs(
     # the documents table.
     rs = [int(x) for x in rng.integers(0, 2**63, num_hashes, dtype=np.int64)]
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ex = df.select(F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")).select(
-        "id", "pos", F.xxhash64("tok").alias("h")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    neighbors = [F.col("h")] + [F.lead("h", j).over(w) for j in range(1, n)]
-    with_nb = ex.select("id", *[nb.alias(f"h{j}") for j, nb in enumerate(neighbors)])
-    sh_hash = F.shiftleft(F.col("h0"), n - 1)
-    for j in range(1, n):
-        sh_hash = sh_hash.bitwiseXOR(F.shiftleft(F.col(f"h{j}"), n - 1 - j))
-    shingled = with_nb.where(F.col(f"h{n - 1}").isNotNull()).select("id", sh_hash.alias("sh"))
-    docs = shingled.groupBy("id").agg(
-        F.collect_set("sh").alias("hs"),
+    def shingle(d: DataFrame) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ex = d.select(
+            F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+        ).select("id", "pos", F.xxhash64("tok").alias("h"))
+        w = Window.partitionBy("id").orderBy("pos")
+        neighbors = [F.col("h")] + [F.lead("h", j).over(w) for j in range(1, n)]
+        with_nb = ex.select(
+            "id", *[nb.alias(f"h{j}") for j, nb in enumerate(neighbors)]
+        )
+        sh_hash = F.shiftleft(F.col("h0"), n - 1)
+        for j in range(1, n):
+            sh_hash = sh_hash.bitwiseXOR(F.shiftleft(F.col(f"h{j}"), n - 1 - j))
+        return with_nb.where(F.col(f"h{n - 1}").isNotNull()).select(
+            "id", sh_hash.alias("sh")
+        )
+
+    # Pass 1 over the corpus: ONLY the 64-long minhash signature per doc
+    # — no shingle-set arrays materialize for the full corpus (caching
+    # per-doc collect_set arrays is O(corpus tokens) memory and the GC
+    # hazard that made this stage jittery; at fleet scale it's simply
+    # impossible, so the design is: signatures for everyone, shingle
+    # sets only for candidates in pass 2).
+    sig = shingle(df).groupBy("id").agg(
         F.array(*[F.min(F.col("sh").bitwiseXOR(F.lit(r))) for r in rs]).alias("sig"),
-    ).cache()
-    sig = docs.select("id", "sig")
+    )
     bands = sig.select(
         "id",
         F.explode(
@@ -243,13 +254,29 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    # cand is used twice below (id set + final join) and is tiny —
+    # cache IT rather than any per-doc array table.
     cand = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+        .cache()
     )
-    # verify candidates on the hashed-shingle sets (long equality)
-    sh = docs.withColumn("n_sh", F.size("hs"))
+    # Pass 2: exact shingle sets for CANDIDATE docs only. The broadcast
+    # semi-join prunes the corpus BEFORE tokenization, so this pass is
+    # linear in the candidate count, not the corpus.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sh = (
+        shingle(df_cand)
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("hs"))
+        .withColumn("n_sh", F.size("hs"))
+    )
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"), F.col("n_sh").alias("n_b")), "id_b")
