@@ -42,6 +42,10 @@ HEADLINE = [
     "text_bigram_fluency",
     "q2_min_cost_supplier",
     "q21_blamed_suppliers",
+    # symbolic/diagnostic + batch-assembly additions
+    "ts_decompose_dow",
+    "ts_paa_sax",
+    "pack_sequences_chunks",
 ]
 
 
