@@ -182,3 +182,55 @@ def test_interpolation_between_neighbors(spark):
                 lo = min(rs[prev_obs]["v_interp"], rs[next_obs]["v_interp"])
                 hi = max(rs[prev_obs]["v_interp"], rs[next_obs]["v_interp"])
                 assert lo - 1e-6 <= r["v_interp"] <= hi + 1e-6
+
+
+def test_cusum_and_paa_single_exchange(spark):
+    """The CUSUM pipeline (mean window + running sum + partition max +
+    final aggregate) and PAA/SAX (z-norm window + segment aggregate)
+    must reuse ONE series-keyed shuffle — this locks in the
+    alias-before-window rule in events_as_series (an alias applied in
+    the same select as the ordinal window creates a new attribute and
+    silently doubles the exchanges for every consumer)."""
+    for name in ("ts_cusum_changepoint", "ts_paa_sax", "ts_features"):
+        plan = _plan(spark, name)
+        n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_ex == 1, f"{name}: {n_ex} exchanges"
+        assert "hashpartitioning(series_id" in plan
+
+
+def test_decompose_two_exchange_partial_agg_shape(spark):
+    """Seasonal decomposition keeps the partial-aggregate-first shape:
+    exchange 1 moves map-side partial aggregates on the composite
+    (series, day) key — the compressed form — and exchange 2 re-keys
+    the much smaller daily rollup for the trend/seasonal windows.
+    Collapsing to one exchange would shuffle RAW events on the series
+    key, which loses map-side combine and is strictly worse at scale."""
+    plan = _plan(spark, "ts_decompose_dow")
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex == 2, f"{n_ex} exchanges"
+    assert "partial_avg" in plan  # map-side combine before exchange 1
+
+
+def test_pack_no_corpus_wide_single_partition_window(spark):
+    """Sequence packing must never sort the corpus in one partition:
+    the only SinglePartition exchange allowed is the ≤256-row bucket
+    prefix table; the corpus itself shuffles on the bucket key and the
+    offsets arrive by broadcast join."""
+    plan = _plan(spark, "pack_sequences_chunks")
+    assert "BroadcastHashJoin" in plan
+    # corpus-side window partitions on the hash bucket
+    assert "hashpartitioning(_bk" in plan
+    # the full document scan must prune to (doc_id, text)
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    for schema in m:
+        cols = sorted(c.split(":")[0] for c in schema.split(","))
+        assert cols == ["doc_id", "text"], cols
+
+
+def test_mix_resample_all_small_joins_broadcast(spark):
+    """Mixture rebalancing joins only broadcast tables (rate table is
+    k rows): the corpus must never shuffle for a join."""
+    plan = _plan(spark, "mix_langs_resample")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -64,9 +64,20 @@ def events_as_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    # Alias BEFORE the ordinal window: downstream windows/groupBys key
+    # on series_id, and if the window here partitioned on user_id the
+    # alias would be a NEW attribute — Catalyst would not recognize the
+    # existing hashpartitioning and every consumer would pay a second
+    # exchange (the ts_ewma pitfall, generalized).
+    base = ev.select(
         F.col("user_id").alias("series_id"),
-        (F.row_number().over(w) - F.lit(1)).alias("t"),
+        "ts",
+        "event_id",
         F.col("value").cast("double").alias("value"),
+    )
+    w = Window.partitionBy("series_id").orderBy("ts", "event_id")
+    return base.select(
+        "series_id",
+        (F.row_number().over(w) - F.lit(1)).alias("t"),
+        "value",
     )
