@@ -135,7 +135,7 @@ def mix_langs_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_out"))
     )
     return (
-        rates.join(kept, "lang", "left")
+        rates.join(F.broadcast(kept), "lang", "left")
         .select(
             "lang",
             "n_in",
@@ -143,3 +143,49 @@ def mix_langs_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rate", 6).alias("rate"),
         )
     )
+
+
+@register(
+    "split_train_val_test",
+    """
+WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 6))::BIGINT
+           / 16777216.0 AS unit
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN unit < 0.8 THEN 'train'
+            WHEN unit < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split keyed on a salted md5 of the
+    doc id: reproducible across engines, runs, partitionings, and
+    corpus growth (a doc never migrates between splits when new docs
+    arrive — the property that keeps eval sets uncontaminated across
+    snapshots). Pure per-row projection: no shuffle, pushdown-friendly,
+    trivially parallel at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    unit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":split")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+    split = (
+        F.when(unit < 0.8, "train").when(unit < 0.9, "val").otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))

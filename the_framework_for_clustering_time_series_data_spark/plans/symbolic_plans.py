@@ -411,3 +411,52 @@ def ts_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("seasonal", 6).alias("seasonal"),
         F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
     )
+
+
+@register(
+    "ts_anomaly_mad",
+    """
+WITH ev AS (
+  SELECT user_id AS series_id, event_id, value FROM events
+),
+m1 AS (
+  SELECT series_id, median(value) AS med FROM ev GROUP BY 1
+),
+m2 AS (
+  SELECT ev.series_id, median(abs(value - med)) AS mad
+  FROM ev JOIN m1 USING (series_id) GROUP BY 1
+)
+SELECT ev.series_id, event_id, round(value, 6) AS value,
+       round(0.6745 * (value - med) / mad, 6) AS robust_z
+FROM ev JOIN m1 USING (series_id) JOIN m2 USING (series_id)
+WHERE mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
+""",
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outliers: modified z-score 0.6745·(x-med)/MAD
+    > 3.5 (Iglewicz & Hoaglin 1993) — unlike ts_anomaly_zscore, the
+    median/MAD location and scale are not dragged by the outliers they
+    are meant to flag. Two exact-median aggregates on the series key;
+    both per-series stat tables are tiny (one row per series) and
+    broadcast back, so the raw events are scanned twice but never
+    shuffled — at fleet scale that is two columnar scans and one
+    small-key aggregate pair instead of any events-wide exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("series_id"), "event_id", "value"
+    )
+    m1 = ev.groupBy("series_id").agg(F.median("value").alias("med"))
+    with_med = ev.join(F.broadcast(m1), "series_id")
+    m2 = with_med.groupBy("series_id").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    rz = F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        with_med.join(F.broadcast(m2), "series_id")
+        .where((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "series_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )
