@@ -45,3 +45,21 @@ def test_mix_rates_and_counts(spark):
             # underrepresented languages keep everything
             assert r.n_out == r.n_in
             assert r.n_in <= target + 1e-9
+
+
+def test_assembly_splits_and_packing_consistency(spark):
+    rows = QUERIES["corpus_training_assembly"](spark, SF_SMALL).collect()
+    assert rows
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"}
+    train = sorted((r for r in rows if r.split == "train"), key=lambda r: r.first_chunk)
+    # only train docs are packed, and chunk ids start at 0 without holes
+    assert all(r.first_chunk is None for r in rows if r.split != "train")
+    chunks = sorted({r.first_chunk for r in train})
+    assert chunks[0] == 0
+    assert all(b - a <= 1 for a, b in zip(chunks, chunks[1:]))
+    # the mixture keeps at most ~uniform share per language (cap + hash noise)
+    from collections import Counter
+    by_lang = Counter(r.lang for r in rows)
+    target = sum(by_lang.values()) / len(by_lang)
+    assert max(by_lang.values()) <= 2.2 * target

@@ -189,3 +189,128 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(unit < 0.8, "train").when(unit < 0.9, "val").otherwise("test")
     )
     return docs.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "corpus_training_assembly",
+    r"""
+WITH t AS (
+  SELECT doc_id, lang, text, length(text) AS n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+),
+q AS (
+  SELECT doc_id FROM t
+  WHERE round(least(len(toks) / 100.0, 1.0) * 0.3
+        + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars) * 0.4
+        + least((len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','for','it')))::DOUBLE
+                 / len(toks)) * 5, 1.0) * 0.3, 6) >= 0.5
+),
+ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+base AS (
+  SELECT t.doc_id, t.lang, t.n_tokens
+  FROM t JOIN q USING (doc_id) JOIN ek USING (doc_id)
+),
+r AS (SELECT lang, count(*) AS n_in FROM base GROUP BY 1),
+tot AS (SELECT sum(n_in) AS n, count(*) AS k FROM r),
+rates AS (SELECT lang, least(1.0, (n / k) / n_in) AS rate FROM r, tot),
+mixed AS (
+  SELECT base.* FROM base JOIN rates USING (lang)
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 6))::BIGINT
+        < rate * 16777216
+),
+sp AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 6))::BIGINT
+                  / 16777216.0 AS u
+        FROM mixed)
+),
+packed AS (
+  SELECT doc_id,
+         ((sum(n_tokens) OVER (ORDER BY md5(doc_id::VARCHAR), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+          // 2048)::BIGINT AS first_chunk
+  FROM sp WHERE split = 'train'
+)
+SELECT sp.doc_id, sp.lang, sp.split, sp.n_tokens, packed.first_chunk
+FROM sp LEFT JOIN packed USING (doc_id)
+""",
+)
+def corpus_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full batch-assembly composition a pretraining pipeline runs
+    between a raw corpus and a training job, as ONE declarative plan:
+      1. quality gate (combined heuristic score ≥ 0.5);
+      2. exact dedup survivorship (min-id doc per md5(text));
+      3. mixture rebalance to a uniform per-language share
+         (deterministic salted-hash Bernoulli, exact rate table);
+      4. 80/10/10 train/val/test split (independent salted hash —
+         split membership never depends on mixture order);
+      5. sequence packing of the TRAIN split into 2048-token chunks
+         (two-level global running sum — no single-partition window).
+    Output: one row per surviving doc with its split and, for train
+    docs, the chunk its first token lands in (NULL otherwise).
+
+    Every stage is a filter, broadcast join, or bounded-key aggregate
+    over one corpus scan lineage; Catalyst fuses the quality and
+    mixture predicates into the scan side of the dedup semi-join. The
+    same five stages at fleet scale differ only in parallelism."""
+    from the_framework_for_clustering_time_series_data_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = T.quality_score(docs).select("doc_id", "quality")
+    exact_keep = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    base = (
+        docs.select(
+            "doc_id", "lang", F.size(tokens_expr("text")).cast("long").alias("n_tokens")
+        )
+        .join(quality, "doc_id")
+        .where(F.col("quality") >= 0.5)
+        .join(exact_keep, "doc_id", "left_semi")  # corpus-sized: no broadcast hint
+        .drop("quality")
+    )
+    r = base.groupBy("lang").agg(F.count("*").alias("n_in"))
+    tot = r.agg(F.sum("n_in").alias("n"), F.count("*").alias("k"))
+    rates = r.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(F.lit(1.0), (F.col("n") / F.col("k")) / F.col("n_in")).alias("rate"),
+    )
+
+    def salted_hash24(salt: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(salt)).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    mixed = base.join(F.broadcast(rates), "lang").where(
+        salted_hash24(":mix") < F.col("rate") * F.lit(16777216)
+    )
+    u = salted_hash24(":split") / F.lit(16777216.0)
+    sp = mixed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+    packed = packing.pack_chunks(
+        sp.where(F.col("split") == "train").select("doc_id", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        2048,
+    ).select("doc_id", "first_chunk")
+    return sp.join(packed, "doc_id", "left").select(
+        "doc_id", "lang", "split", "n_tokens", "first_chunk"
+    )
