@@ -92,3 +92,51 @@ def test_asof_join_single_shuffle_plan(spark):
     plan = joins.asof_join(probe, build, ["key"], payload_cols=["value"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_asof_forward_and_nearest_semantics(spark):
+    probe = spark.createDataFrame(
+        [(1, _ts(100), "at"), (1, _ts(50), "mid"), (2, _ts(10), "none_b")],
+        "key long, ts timestamp, tag string",
+    )
+    build = spark.createDataFrame(
+        [(1, _ts(100), 10.0, 1), (1, _ts(40), 20.0, 2), (1, _ts(70), 30.0, 3),
+         (2, _ts(11), 40.0, 4)],
+        "key long, ts timestamp, value double, seq int",
+    )
+
+    fwd = {
+        r["tag"]: r
+        for r in joins.asof_join(
+            probe, build, ["key"], payload_cols=["value"], seq_col="seq",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd["at"]["asof_value"] == 10.0       # inclusive at equal ts
+    assert fwd["mid"]["asof_value"] == 30.0      # earliest at-or-after 50 is 70
+    assert fwd["none_b"]["asof_value"] == 40.0   # forward finds the later row
+
+    near = {
+        r["tag"]: r
+        for r in joins.asof_join(
+            probe, build, ["key"], payload_cols=["value"], seq_col="seq",
+            direction="nearest",
+        ).collect()
+    }
+    assert near["at"]["asof_value"] == 10.0
+    # mid(50): backward at 40 (d=10), forward at 70 (d=20) → backward
+    assert near["mid"]["asof_value"] == 20.0
+    assert near["none_b"]["asof_value"] == 40.0  # only a forward match exists
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    probe = spark.createDataFrame([(1, _ts(50), "p")], "key long, ts timestamp, tag string")
+    build = spark.createDataFrame(
+        [(1, _ts(40), 1.0, 1), (1, _ts(60), 2.0, 2)],
+        "key long, ts timestamp, value double, seq int",
+    )
+    [r] = joins.asof_join(
+        probe, build, ["key"], payload_cols=["value"], seq_col="seq",
+        direction="nearest",
+    ).collect()
+    assert r["asof_value"] == 1.0

@@ -36,22 +36,32 @@ def asof_join(
     build_ts: str = "ts",
     payload_cols: Sequence[str] = ("value",),
     seq_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every probe row, attach the payload of the latest build row
-    with the same key and ``build.ts <= probe.ts`` (backward as-of,
-    inclusive). Probe rows with no prior build row keep null payloads.
+    """For every probe row, attach the payload of the matching build row
+    with the same key: the latest with ``build.ts <= probe.ts``
+    (``direction="backward"``, inclusive — the default and the kdb/
+    pandas ``merge_asof`` convention), the earliest with ``build.ts >=
+    probe.ts`` (``"forward"``), or whichever of the two is closer in
+    time (``"nearest"``, ties to backward). Probe rows with no match
+    keep null payloads.
 
     Plan: tag build rows ``_side=0`` / probe rows ``_side=1``, union,
     and take ``last(payload, ignorenulls=True)`` over a window
     partitioned by key and ordered by ``(ts, _side, seq)`` with an
-    unbounded-preceding frame. Equal timestamps sort build-before-probe
-    (inclusive semantics); ``seq_col`` breaks ties among equal build
-    timestamps deterministically (highest seq wins).
+    unbounded-preceding frame; forward uses the mirrored (descending)
+    ordering, nearest evaluates both frames over the SAME exchange (two
+    Window sorts, one shuffle) and picks per row by time distance.
+    Equal timestamps sort build-before-probe (inclusive semantics);
+    ``seq_col`` breaks ties among equal build timestamps
+    deterministically (backward: highest seq wins; forward: lowest).
 
     One shuffle on the key; no join node at all — survives 100× scale
     as long as single-key history fits a partition (it shuffles rows,
     never materializes per-key arrays).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     keys = list(key_cols)
     payloads = list(payload_cols)
     seq = seq_col or build_ts
@@ -72,23 +82,73 @@ def asof_join(
         *[F.lit(None).cast(build.schema[c].dataType).alias(f"_p_{c}") for c in payloads],
         *[F.col(c).alias(f"_probe_{c}") for c in probe.columns],
     )
-    w = (
+    wb = (
         Window.partitionBy(*keys)
         .orderBy(F.col("_ts"), F.col("_side"), F.col("_seq").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = b.unionByName(p).select(
-        *keys,
-        "_side",
-        *[F.col(f"_probe_{c}") for c in probe.columns],
-        *[
-            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in payloads
-        ],
-        F.last(
-            F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
-        ).over(w).alias("asof_ts"),
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").desc(), F.col("_side"), F.col("_seq").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    unioned = b.unionByName(p)
+
+    def picks(w, tag: str) -> list:
+        cols = [
+            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"{tag}_{c}")
+            for c in payloads
+        ]
+        cols.append(
+            F.last(
+                F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True
+            ).over(w).alias(f"{tag}_ts")
+        )
+        return cols
+
+    if direction == "backward":
+        matched = unioned.select(
+            *keys,
+            "_side",
+            *[F.col(f"_probe_{c}") for c in probe.columns],
+            *picks(wb, "asof"),
+        )
+    elif direction == "forward":
+        matched = unioned.select(
+            *keys,
+            "_side",
+            *[F.col(f"_probe_{c}") for c in probe.columns],
+            *picks(wf, "asof"),
+        )
+    else:  # nearest: both frames share one exchange, then per-row choice
+        both = unioned.select(
+            *keys,
+            "_side",
+            "_ts",
+            *[F.col(f"_probe_{c}") for c in probe.columns],
+            *picks(wb, "_b"),
+            *picks(wf, "_f"),
+        )
+        b_ts, f_ts = F.col("_b_ts"), F.col("_f_ts")
+        use_b = f_ts.isNull() | (
+            b_ts.isNotNull()
+            & (
+                (F.unix_micros(F.col("_ts")) - F.unix_micros(b_ts))
+                <= (F.unix_micros(f_ts) - F.unix_micros(F.col("_ts")))
+            )
+        )
+        matched = both.select(
+            *keys,
+            "_side",
+            *[F.col(f"_probe_{c}") for c in probe.columns],
+            *[
+                F.when(use_b, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_f_{c}"))
+                .alias(f"asof_{c}")
+                for c in payloads
+            ],
+            F.when(use_b, b_ts).otherwise(f_ts).alias("asof_ts"),
+        )
     out_probe = [
         F.col(f"_probe_{c}").alias(c) for c in probe.columns if c not in keys
     ]

@@ -742,3 +742,128 @@ def e6_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "j1b_asof_forward",
+    """
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     m AS (
+       SELECT c.event_id AS click_id,
+              c.user_id,
+              epoch_ns(c.ts) // 1000 AS ts_us,
+              c.value AS click_value,
+              p.value AS asof_value,
+              epoch_ns(p.ts) // 1000 AS asof_ts_us,
+              row_number() OVER (
+                PARTITION BY c.event_id
+                ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST
+              ) AS rn
+       FROM c LEFT JOIN p
+         ON p.user_id = c.user_id AND p.ts >= c.ts
+     )
+SELECT click_id, user_id, ts_us,
+       round(click_value, 6) AS click_value,
+       coalesce(round(asof_value, 6), -999999999) AS asof_value,
+       coalesce(asof_ts_us, -1) AS asof_ts_us
+FROM m WHERE rn = 1
+""",
+)
+def j1b_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click picks up the EARLIEST purchase by
+    the same user at-or-after it (the "next event" attribution shape).
+    Same union-tag + window-last plan as j1 with the mirrored ordering
+    — one shuffle, no join node."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        payload_cols=["value"],
+        seq_col="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("click_value"),
+        F.coalesce(F.round("asof_value", 6), F.lit(-999999999.0)).alias("asof_value"),
+        F.coalesce(F.unix_micros("asof_ts"), F.lit(-1)).alias("asof_ts_us"),
+    )
+
+
+@register(
+    "j1c_asof_nearest",
+    """
+WITH c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     b AS (
+       SELECT * FROM (
+         SELECT c.event_id AS click_id, p.value AS v, p.ts AS pts,
+                row_number() OVER (PARTITION BY c.event_id
+                  ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST) AS rn
+         FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts
+       ) WHERE rn = 1
+     ),
+     f AS (
+       SELECT * FROM (
+         SELECT c.event_id AS click_id, p.value AS v, p.ts AS pts,
+                row_number() OVER (PARTITION BY c.event_id
+                  ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST) AS rn
+         FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts
+       ) WHERE rn = 1
+     )
+SELECT c.event_id AS click_id, c.user_id,
+       epoch_ns(c.ts) // 1000 AS ts_us,
+       round(c.value, 6) AS click_value,
+       coalesce(round(CASE WHEN f.pts IS NULL
+                 OR (b.pts IS NOT NULL
+                     AND epoch_ns(c.ts) - epoch_ns(b.pts)
+                         <= epoch_ns(f.pts) - epoch_ns(c.ts))
+            THEN b.v ELSE f.v END, 6), -999999999) AS asof_value,
+       coalesce(epoch_ns(CASE WHEN f.pts IS NULL
+                 OR (b.pts IS NOT NULL
+                     AND epoch_ns(c.ts) - epoch_ns(b.pts)
+                         <= epoch_ns(f.pts) - epoch_ns(c.ts))
+            THEN b.pts ELSE f.pts END) // 1000, -1) AS asof_ts_us
+FROM c JOIN b ON b.click_id = c.event_id
+       JOIN f ON f.click_id = c.event_id
+""",
+)
+def j1c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each click picks up the purchase closest in
+    time on either side (ties to the earlier one — pandas merge_asof
+    ``direction='nearest'`` semantics). Both directional picks come
+    from two Window sorts over ONE union exchange, then a per-row
+    distance choice — still no join node."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = joins.asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        payload_cols=["value"],
+        seq_col="event_id",
+        direction="nearest",
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("click_value"),
+        F.coalesce(F.round("asof_value", 6), F.lit(-999999999.0)).alias("asof_value"),
+        F.coalesce(F.unix_micros("asof_ts"), F.lit(-1)).alias("asof_ts_us"),
+    )
