@@ -261,3 +261,52 @@ def test_streaming_bucket_rollup_matches_batch_and_resample(spark, stream_dir):
         .collect()
     }
     assert {(r[0], r[1], r[3]) for r in expect} == roll
+
+
+@pytest.fixture(scope="module")
+def ordered_stream_dir(spark):
+    """Events split into 4 files by TIME RANGE (written in order, so
+    the file source replays them chronologically) — required by
+    order-sensitive stateful ops."""
+    from pyspark.sql.window import Window
+
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    d = Path(tempfile.mkdtemp(prefix="the_framework_for_clustering_time_series_data_spark_ostream_"))
+    ev = load_table(spark, SF_SMALL, "events").orderBy("ts")
+    n = ev.count()
+    rows_per = (n + 3) // 4
+    ranked = ev.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    out = d / "events"
+    out.mkdir(parents=True)
+    for i in range(4):
+        chunk = ranked.where(
+            (F.col("_rk") > i * rows_per) & (F.col("_rk") <= (i + 1) * rows_per)
+        ).drop("_rk")
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(d / f"tmp_{i}"))
+        src = next((d / f"tmp_{i}").glob("part-*.parquet"))
+        src.rename(out / f"chunk_{i}.parquet")
+    yield str(out)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_anomaly_matches_prequential_batch(spark, ordered_stream_dir):
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_events_stream,
+        streaming_anomaly_zscore,
+    )
+
+    batch = QUERIES["ts_anomaly_prequential"](spark, SF_SMALL)
+    expect = {(r.series_id, r.event_id): r.z for r in batch.collect()}
+
+    stream = read_events_stream(spark, ordered_stream_dir, max_files_per_trigger=1)
+    got_df = _run_stream(spark, streaming_anomaly_zscore(stream), "append")
+    got = {(r.series_id, r.event_id): r.z for r in got_df.collect()}
+
+    assert set(got) == set(expect)
+    assert len(got) > 0
+    for k in got:
+        assert abs(got[k] - expect[k]) < 1e-5

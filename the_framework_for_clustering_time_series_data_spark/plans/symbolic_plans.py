@@ -460,3 +460,62 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 6).alias("robust_z"),
         )
     )
+
+
+@register(
+    "ts_anomaly_prequential",
+    """
+WITH ev AS (
+  SELECT user_id AS series_id, event_id, ts, value FROM events
+),
+h AS (
+  SELECT series_id, event_id, value,
+         count(*) OVER w AS n_prev,
+         avg(value) OVER w AS mu,
+         var_pop(value) OVER w AS vp
+  FROM ev
+  WINDOW w AS (PARTITION BY series_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT series_id, event_id, round(value, 6) AS value,
+       round((value - mu) / sqrt(vp), 6) AS z
+FROM h
+WHERE n_prev >= 10 AND vp > 0 AND abs((value - mu) / sqrt(vp)) > 3
+""",
+)
+def ts_anomaly_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prequential (history-only) per-series anomaly flags: each event
+    scored against the mean/variance of STRICTLY EARLIER events in its
+    series — the honest online evaluation (ts_anomaly_zscore's
+    whole-series stats peek at the future; this is what a deployed
+    detector actually sees), after a 10-event burn-in. One exchange on
+    series_id; the window frame ends at 1 PRECEDING, so Spark streams
+    it with O(1) state per row. The streaming twin is
+    streaming/ops.streaming_anomaly_zscore (same flags, Welford
+    state)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("series_id"), "event_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    h = ev.select(
+        "series_id",
+        "event_id",
+        "value",
+        F.count("*").over(w).alias("n_prev"),
+        F.avg("value").over(w).alias("mu"),
+        F.var_pop("value").over(w).alias("vp"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.sqrt("vp")
+    return (
+        h.where((F.col("n_prev") >= 10) & (F.col("vp") > 0) & (F.abs(z) > 3))
+        .select(
+            "series_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+    )

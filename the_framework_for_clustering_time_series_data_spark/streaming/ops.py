@@ -281,3 +281,76 @@ def streaming_bucket_rollup(
             "v_max",
         )
     )
+
+
+def streaming_anomaly_zscore(
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    key_col: str = "user_id",
+    threshold: float = 3.0,
+    min_n: int = 10,
+) -> DataFrame:
+    """Online per-series anomaly detection via applyInPandasWithState:
+    each event is scored against the running Welford mean/variance of
+    its series HISTORY (prequential — the state excludes the current
+    event when scoring it, then absorbs it), and emitted only when
+    |z| > threshold after a ``min_n`` burn-in.
+
+    The batch twin is ts_anomaly_prequential (an UNBOUNDED-PRECEDING-
+    to-1-PRECEDING window) — tests/test_streaming.py holds the two to
+    the same flag set. State is three scalars per series, constant in
+    stream length; within a micro-batch rows are sorted by (ts, id) so
+    replay order matches the batch twin's window order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "series_id long, event_id long, value double, z double"
+    state_schema = "n long, mean double, m2 double"
+
+    def update(key, pdfs, state: GroupState):
+        (sid,) = key
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values([ts_col, id_col])
+            rows = []
+            for eid, v in zip(pdf[id_col], pdf[value_col].astype(float)):
+                if n >= min_n:
+                    var = m2 / n
+                    if var > 0:
+                        z = (v - mean) / var**0.5
+                        if abs(z) > threshold:
+                            rows.append(
+                                {
+                                    "series_id": sid,
+                                    "event_id": int(eid),
+                                    "value": round(v, 6),
+                                    "z": round(z, 6),
+                                }
+                            )
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+            if rows:
+                yield pd.DataFrame(rows)
+        state.update((n, mean, m2))
+
+    return (
+        events.select(
+            F.col(key_col).cast("long").alias("_k"),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(value_col),
+        )
+        .groupBy("_k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
