@@ -56,3 +56,34 @@ def test_decompose_additivity(spark):
     for r in rows:
         # rounded components re-sum to the rounded value within rounding slack
         assert abs(r.v - (r.trend + r.seasonal + r.resid)) < 5e-6
+
+
+def test_holt_forecast_closed_forms(spark):
+    """Holt on a constant series forecasts the constant; on an exactly
+    linear series it extrapolates the line (both are fixed points of
+    the recursion given the v0/v1-v0 initialization)."""
+    from the_framework_for_clustering_time_series_data_spark.operators.forecast import holt_linear_forecast
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        rows.append((1, base + dt.timedelta(days=i), 5.0))            # constant
+        rows.append((2, base + dt.timedelta(days=i), 2.0 + 3.0 * i))  # linear
+    grid = spark.createDataFrame(
+        rows, "series_id long, bucket timestamp, v_locf double"
+    )
+    out = {
+        (r.series_id, r.h): r
+        for r in holt_linear_forecast(grid).collect()
+    }
+    assert len(out) == 14
+    for h in range(1, 8):
+        assert abs(out[(1, h)].yhat - 5.0) < 1e-9
+        assert abs(out[(2, h)].yhat - (2.0 + 3.0 * (29 + h))) < 1e-6
+    # registry entry runs end-to-end on real data
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+
+    rows = QUERIES["ts_holt_forecast"](spark, SF_SMALL).collect()
+    assert rows and {r.h for r in rows} == set(range(1, 8))

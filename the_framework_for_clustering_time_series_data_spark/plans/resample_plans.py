@@ -390,3 +390,21 @@ def ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6).alias("ex_kurtosis"),
         F.round("slope", 6).alias("slope"),
     )
+
+
+@register("ts_holt_forecast")  # recursive smoothing → rows-only oracle
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day-ahead Holt linear-trend forecast per series, fit on the
+    LOCF-gap-filled daily grid (uniform steps, as the recursion
+    requires). Chain: daily rollup → dense grid → gap-fill (all
+    declarative, one series-keyed exchange) → applyInPandas recursion
+    (same partitioning — no extra shuffle). Rows-only at the gate;
+    closed-form behavior pinned in tests/test_symbolic.py."""
+    from the_framework_for_clustering_time_series_data_spark.operators import forecast
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = resample.bucket_rollup(ev, unit="day")
+    grid = resample.gapfill_locf(
+        resample.dense_grid(daily, step="INTERVAL 1 DAY")
+    )
+    return forecast.holt_linear_forecast(grid)
