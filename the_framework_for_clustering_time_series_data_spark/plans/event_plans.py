@@ -867,3 +867,55 @@ def j1c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.round("asof_value", 6), F.lit(-999999999.0)).alias("asof_value"),
         F.coalesce(F.unix_micros("asof_ts"), F.lit(-1)).alias("asof_ts_us"),
     )
+
+
+@register(
+    "r5_grouping_sets",
+    """
+WITH e AS (
+  SELECT event_type,
+         dayofweek(date_trunc('day', ts)) + 1 AS dow,
+         user_id % 10 AS user_band,
+         value
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, -1) AS dow,
+       coalesce(user_band, -1) AS user_band,
+       grouping(event_type) * 4 + grouping(dow) * 2 + grouping(user_band) AS gid,
+       count(*) AS n,
+       round(avg(value), 6) AS v_avg
+FROM e
+GROUP BY GROUPING SETS ((event_type, dow), (event_type, user_band), (dow), ())
+""",
+)
+def r5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit (non-hierarchical, non-exhaustive) GROUPING SETS — the
+    general form that ROLLUP/CUBE are sugar for: four hand-picked set
+    combinations in ONE pass (Expand ×4 + a single aggregate; the
+    naive alternative is four scans UNION ALLed). Spark expresses this
+    via the SQL GROUPING SETS clause over a temp view of the same
+    lineage the other grouping plans use."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.dayofweek(F.date_trunc("day", F.col("ts"))).alias("dow"),
+        (F.col("user_id") % 10).alias("user_band"),
+        "value",
+    )
+    view = f"_r5_events_{abs(hash(sf_dir)) % 10**8}"
+    e.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(dow, -1) AS dow,
+               coalesce(user_band, -1) AS user_band,
+               grouping(event_type) * 4 + grouping(dow) * 2
+                 + grouping(user_band) AS gid,
+               count(*) AS n,
+               round(avg(value), 6) AS v_avg
+        FROM {view}
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type, user_band),
+                                (dow), ())
+        """
+    )
