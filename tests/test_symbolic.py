@@ -87,3 +87,37 @@ def test_holt_forecast_closed_forms(spark):
 
     rows = QUERIES["ts_holt_forecast"](spark, SF_SMALL).collect()
     assert rows and {r.h for r in rows} == set(range(1, 8))
+
+
+def test_verified_motifs_recover_planted_pair(spark):
+    """Two series sharing an identical 32-point pattern (plus distinct
+    noise elsewhere) must produce a verified pair at distance ~0; all
+    outputs respect the no-overlap rule."""
+    import math
+
+    from the_framework_for_clustering_time_series_data_spark.operators.motifs import verified_motifs
+
+    pattern = [math.sin(i / 3.0) * 2 + (i % 5) for i in range(32)]
+    rows = []
+    for sid, off in ((1, 0), (2, 37)):
+        vals = [float(7 * ((i * 13 + sid) % 11)) for i in range(96)]
+        vals[off : off + 32] = pattern
+        # land the pattern on a segment boundary for series 2 as well
+        if off % 8:
+            vals = vals[: off - off % 8] + pattern + vals[off - off % 8 + 32 :]
+        rows += [(sid, t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    out = verified_motifs(df).collect()
+    assert out
+    best = min(r.dist for r in out)
+    cross = [r for r in out if r.sid_a != r.sid_b]
+    assert cross and min(r.dist for r in cross) < 0.3
+    assert best >= 0
+    for r in out:
+        if r.sid_a == r.sid_b:
+            assert r.w_b - r.w_a >= 4
+    # registry entry runs end-to-end on real data
+    res = QUERIES["ts_motif_verified"](spark, SF_SMALL).collect()
+    assert res
+    for r in res:
+        assert r.dist >= 0

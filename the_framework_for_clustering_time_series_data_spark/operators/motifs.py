@@ -1,0 +1,198 @@
+"""Motif discovery: find recurring subsequence shapes across (and
+within) series, SAX-pruned and exactly verified.
+
+The matrix-profile family solves this with an O(n²) all-window scan;
+at fleet scale the standard trick (Lin et al.; Mueen et al.) is the
+one implemented here:
+
+1. symbolize every window (PAA → SAX word over ``word_len`` segments of
+   ``seg_len`` points);
+2. bucket windows by word — ONLY windows sharing a word are motif
+   candidates (equal words ⇒ close in PAA space; the SAX lower bound);
+3. exactly verify candidate pairs with the z-normalized Euclidean
+   distance on the raw 32-point windows, entirely in JVM array
+   expressions (zip_with/aggregate — no Python in the pair loop);
+4. keep the best pair per word.
+
+Everything shuffles on (series) then (word); the quadratic term is
+bounded per bucket by ``max_per_word`` (hash-ordered cap, like the
+MinHash bucket cap). Not SQL-expressible at the driver gate →
+rows-only there; tests plant identical subsequences and assert they
+verify at distance ~0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BP = (-0.6745, 0.0, 0.6745)  # N(0,1) quartiles, alphabet a-d
+
+
+def _sym(paa: Column) -> Column:
+    return (
+        F.when(paa < _BP[0], "a")
+        .when(paa < _BP[1], "b")
+        .when(paa < _BP[2], "c")
+        .otherwise("d")
+    )
+
+
+def verified_motifs(
+    series: DataFrame,
+    seg_len: int = 8,
+    word_len: int = 4,
+    max_per_word: int = 50,
+    series_col: str = "series_id",
+    t_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Best exactly-verified motif pair per SAX word.
+
+    ``series`` is long-form ``(series_id, t, value)`` with a dense
+    per-series ordinal ``t``. Returns one row per repeated SAX word:
+    ``(word, sid_a, w_a, sid_b, w_b, dist)`` where ``w_*`` are window
+    start segments and ``dist`` is the z-normalized Euclidean distance
+    between the two raw windows (length ``seg_len·word_len``). Same-
+    series pairs must not overlap (``|w_a - w_b| ≥ word_len``).
+    """
+    L = seg_len * word_len
+
+    # per-series z-norm (zero-variance series drop)
+    wp = Window.partitionBy(series_col)
+    mu = F.avg(value_col).over(wp)
+    sd = F.stddev_pop(value_col).over(wp)
+    z = (
+        series.select(
+            series_col,
+            t_col,
+            ((F.col(value_col) - mu) / sd).alias("z"),
+            sd.alias("_sd"),
+        )
+        .where(F.col("_sd") > 0)
+        .drop("_sd")
+    )
+
+    # SAX word per window start segment w (segments w .. w+word_len-1)
+    seg = z.groupBy(
+        series_col, F.floor(F.col(t_col) / seg_len).alias("seg")
+    ).agg(F.avg("z").alias("paa"), F.count("*").alias("n_pts"))
+    ws = Window.partitionBy(series_col).orderBy("seg")
+    sym = seg.select(series_col, "seg", "n_pts", _sym(F.col("paa")).alias("sym"))
+    words = (
+        sym.select(
+            series_col,
+            F.col("seg").alias("w"),
+            F.concat(
+                *[F.lead("sym", j).over(ws) if j else F.col("sym") for j in range(word_len)]
+            ).alias("word"),
+            # a window is complete only if all its segments are full
+            F.least(
+                *[F.lead("n_pts", j).over(ws) if j else F.col("n_pts") for j in range(word_len)]
+            ).alias("_min_pts"),
+        )
+        .where(F.col("word").isNotNull() & (F.col("_min_pts") == seg_len))
+        .drop("_min_pts")
+    )
+
+    # raw z-window arrays: each point belongs to ≤ word_len windows
+    win_of_t = F.sequence(
+        F.greatest(F.lit(0).cast("long"), F.floor(F.col(t_col) / seg_len) - (word_len - 1)),
+        F.floor(F.col(t_col) / seg_len),
+    )
+    pts = z.select(series_col, t_col, "z", F.explode(win_of_t).alias("w"))
+    windows = (
+        pts.groupBy(series_col, "w")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(t_col, "z"))), lambda s: s.z
+            ).alias("zs")
+        )
+        .where(F.size("zs") == L)
+    )
+
+    cand = words.join(windows, [series_col, "w"])
+    # bound the per-word quadratic term, hash-ordered for determinism
+    wcap = Window.partitionBy("word").orderBy(
+        F.xxhash64(series_col, F.col("w")), series_col, "w"
+    )
+    cand = cand.withColumn("_rk", F.row_number().over(wcap)).where(
+        F.col("_rk") <= max_per_word
+    )
+
+    a = cand.select(
+        "word",
+        F.col(series_col).alias("sid_a"),
+        F.col("w").alias("w_a"),
+        F.col("zs").alias("zs_a"),
+    )
+    b = cand.select(
+        "word",
+        F.col(series_col).alias("sid_b"),
+        F.col("w").alias("w_b"),
+        F.col("zs").alias("zs_b"),
+    )
+    pairs = a.join(b, "word").where(
+        (F.col("sid_a") < F.col("sid_b"))
+        | (
+            (F.col("sid_a") == F.col("sid_b"))
+            & (F.col("w_b") >= F.col("w_a") + word_len)
+        )
+    )
+
+    def arr_mean(c: str) -> Column:
+        return F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x) / L
+
+    def arr_std(c: str, m: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + (x - m) * (x - m))
+            / L
+        )
+
+    m_a, m_b = arr_mean("zs_a"), arr_mean("zs_b")
+    pairs = pairs.select(
+        "word",
+        "sid_a",
+        "w_a",
+        "sid_b",
+        "w_b",
+        "zs_a",
+        "zs_b",
+        m_a.alias("m_a"),
+        m_b.alias("m_b"),
+    ).select(
+        "*",
+        arr_std("zs_a", F.col("m_a")).alias("s_a"),
+        arr_std("zs_b", F.col("m_b")).alias("s_b"),
+    ).where((F.col("s_a") > 0) & (F.col("s_b") > 0))
+
+    # z-normalized Euclidean distance, one fused JVM expression
+    diff2 = F.zip_with(
+        "zs_a",
+        "zs_b",
+        lambda x, y: (
+            (x - F.col("m_a")) / F.col("s_a") - (y - F.col("m_b")) / F.col("s_b")
+        )
+        ** 2,
+    )
+    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+
+    scored = pairs.select(
+        "word", "sid_a", "w_a", "sid_b", "w_b", dist.alias("dist")
+    )
+    top = Window.partitionBy("word").orderBy(
+        "dist", "sid_a", "w_a", "sid_b", "w_b"
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(top))
+        .where(F.col("_rn") == 1)
+        .select(
+            "word",
+            "sid_a",
+            "w_a",
+            "sid_b",
+            "w_b",
+            F.round("dist", 6).alias("dist"),
+        )
+    )

@@ -519,3 +519,17 @@ def ts_anomaly_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z"),
         )
     )
+
+
+@register("ts_motif_verified")  # pair verification on raw windows → rows-only
+def ts_motif_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best exactly-verified motif pair per repeated SAX word over the
+    events series: SAX-bucket candidate pruning (linear) + z-normalized
+    Euclidean verification on the raw 32-point windows (bounded
+    quadratic per bucket, capped at 50 hash-ordered windows/word) —
+    the scalable skeleton of matrix-profile motif discovery
+    (operators/motifs.py). Rows-only at the gate; planted-motif
+    recovery is pinned in tests/test_symbolic.py."""
+    from the_framework_for_clustering_time_series_data_spark.operators import motifs
+
+    return motifs.verified_motifs(events_as_series(spark, sf_dir))
