@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
@@ -125,11 +126,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"]
     return (
         t["lineitem"]
+        # selective dim first: ASIA suppliers keep ~1/5 of lines, so the
+        # orders and customer shuffles move 5× fewer rows (Catalyst has
+        # no CBO stats here to reorder this itself)
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            sup,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
@@ -989,29 +993,39 @@ def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     this line's). Two shuffles on l_orderkey total, instead of the
     original's two correlated re-scans."""
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
     # two-level aggregate instead of countDistinct×2: the distinct pair
     # rollup combines map-side, avoiding the Expand (2× row) plan that
-    # multi-distinct aggregation generates over the full joined fact
-    per_supp = lines.groupBy(
-        F.col("l_orderkey").alias("po_orderkey"), F.col("l_suppkey").alias("po_suppkey")
-    ).agg(F.max(F.col("is_late").cast("int")).alias("supp_late"))
-    per_order = per_supp.groupBy("po_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.sum("supp_late").alias("n_late_supp"),
+    # multi-distinct aggregation generates over the full joined fact.
+    # The late-LINE count folds into the same aggregate, so the fact is
+    # scanned once and never joined back: the per-order qualifier is a
+    # window over the (order, supplier) rollup — orders of magnitude
+    # smaller than the fact at any scale.
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("supp_late"),
+        F.sum(F.col("is_late").cast("long")).alias("n_late_lines"),
+    )
+    wo = Window.partitionBy("l_orderkey")
+    qualified = per_supp.select(
+        "l_suppkey",
+        "supp_late",
+        "n_late_lines",
+        F.count("*").over(wo).alias("n_supp"),
+        F.sum("supp_late").over(wo).alias("n_late_supp"),
+    ).where(
+        (F.col("supp_late") == 1)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        lines.where(F.col("is_late"))
-        .join(per_order, F.col("po_orderkey") == F.col("l_orderkey"))
-        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        qualified.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
