@@ -44,3 +44,4 @@ from the_framework_for_clustering_time_series_data_spark.plans import event_plan
 from the_framework_for_clustering_time_series_data_spark.plans import resample_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import symbolic_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import packing_plans  # noqa: E402,F401
+from the_framework_for_clustering_time_series_data_spark.plans import quality_plans  # noqa: E402,F401
