@@ -234,3 +234,11 @@ def test_mix_resample_all_small_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dq_and_profile_single_scan(spark):
+    """Profiling and the constraint suite must each cost ONE scan of
+    the table no matter how many metrics/checks are declared."""
+    for name in ("profile_events_columns", "dq_checks_events"):
+        plan = _plan(spark, name)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name

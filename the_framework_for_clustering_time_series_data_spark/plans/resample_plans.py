@@ -408,3 +408,64 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample.dense_grid(daily, step="INTERVAL 1 DAY")
     )
     return forecast.holt_linear_forecast(grid)
+
+
+@register(
+    "ts_rollup_incremental",
+    """
+SELECT user_id AS series_id, date_trunc('day', ts)::TIMESTAMP AS bucket,
+       count(*) AS n_events,
+       round(sum(value), 6) AS v_sum,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(avg(value), 6) AS v_avg
+FROM events
+GROUP BY 1, 2
+""",
+)
+def ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the daily rollup is
+    computed as OLD PARTIALS (events before a cutoff — standing in for
+    yesterday's materialization) merged with the NEW DELTA's partials
+    (events at/after the cutoff), exploiting that count/sum/min/max are
+    algebraic: merge = re-aggregate the two partial tables, avg derives
+    at the end. The oracle is the from-scratch rollup — the equality IS
+    the correctness statement of incremental view maintenance. At fleet
+    scale the old side is read back from the materialized store
+    (sources/writers.py date-partitioned layout) and only the delta
+    scans raw events; cost becomes O(delta), not O(history)."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("user_id").alias("series_id"),
+            F.date_trunc("day", F.col("ts")).alias("bucket"),
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    old = partials(ev.where(F.col("ts") < cutoff))
+    delta = partials(ev.where(F.col("ts") >= cutoff))
+    merged = (
+        old.unionByName(delta)
+        .groupBy("series_id", "bucket")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "series_id",
+        "bucket",
+        "n_events",
+        F.round("s", 6).alias("v_sum"),
+        F.round("mn", 6).alias("v_min"),
+        F.round("mx", 6).alias("v_max"),
+        F.round(F.col("s") / F.col("n_events"), 6).alias("v_avg"),
+    )
