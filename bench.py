@@ -46,6 +46,10 @@ HEADLINE = [
     "ts_decompose_dow",
     "ts_paa_sax",
     "pack_sequences_chunks",
+    # flagship LLM-corpus composition + online-anomaly + incremental rollup
+    "corpus_training_assembly",
+    "ts_anomaly_prequential",
+    "ts_rollup_incremental",
 ]
 
 
