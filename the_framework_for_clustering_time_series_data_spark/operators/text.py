@@ -364,3 +364,103 @@ def quality_classifier_scores(
         "weak_label",
         F.round(vector_to_array("probability")[1], 6).alias("quality_prob"),
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) — the
+# standard pretraining-corpus document gates.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.10   # '#' or '…'/'...' per word
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document quality rules, one JVM-side pass per doc —
+    no shuffle, no Python. Emits each rule's measurement, its boolean,
+    and the conjunction (``passes_gopher``). Replaces the reference's
+    eyeball-the-plot quality control (SURVEY.md §5) with the published
+    rule set used for pretraining corpora; at 100 TB this is a pure
+    map stage that AQE can fuse with the scan.
+    """
+    toks = tokens_expr(text_col)
+    text = F.col(text_col)
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_words
+    n_symbols = (
+        F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+        + F.floor(
+            (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", "x")))
+            / F.lit(2)
+        )
+    )
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    ok_words = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_wl = mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+    ok_sym = (n_symbols / n_words) < GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = alpha_frac > GOPHER_MIN_ALPHA_WORD_FRAC
+    ok_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(n_symbols / n_words, 6).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & ok_alpha & ok_stop).alias("passes_gopher"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-token chunking (training-sample / RAG prep):
+    windows of ``chunk_tokens`` whitespace tokens every ``stride``
+    tokens (overlap = chunk_tokens - stride). Generalizes the
+    reference's single-series sliding window (G5, app.py:285-295) to a
+    corpus of documents: starts generated with ``sequence`` and
+    exploded — pure narrow fan-out, chunking parallelism is inherited
+    from the scan partitioning, so 100 TB chunks without any shuffle.
+    Chunk text is emitted as md5 so downstream dedup/packing can join
+    on it without carrying the payload.
+    """
+    toks = tokens_expr(text_col)
+    out = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .select(
+            id_col,
+            "toks",
+            F.posexplode(
+                F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride))
+            ).alias("chunk_id", "start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("start").alias("chunk_start"),
+            F.slice("toks", F.col("start"), chunk_tokens).alias("chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    )

@@ -1131,3 +1131,54 @@ def r4_unpivot_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("v_max"),
     )
     return s.unpivot("event_type", ["v_min", "v_avg", "v_max"], "stat", "value")
+
+
+@register(
+    "a7_histogram",
+    """
+WITH b AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
+),
+h AS (
+  SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / 32)), 31)::INT AS bucket,
+         l_extendedprice AS v, mn, mx
+  FROM lineitem, b
+)
+SELECT bucket,
+       round(mn + bucket * ((mx - mn) / 32), 6) AS bucket_lo,
+       count(*) AS n,
+       round(sum(v), 4) AS sum_v
+FROM h
+GROUP BY bucket, mn, mx
+""",
+)
+def a7_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bin equi-width histogram of l_extendedprice with data-derived
+    bounds: tiny min/max aggregate broadcast back over the scan, then
+    one partial-then-final aggregate on the bucket id. Bucketing uses
+    explicit ``floor((v-mn)/w)`` arithmetic (identical IEEE double ops
+    on both engines) rather than engine-specific width_bucket edge
+    rules. At 100 TB both passes are full scans but the exchange
+    carries only 32 rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("v"))
+    bounds = li.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    w = (F.col("mx") - F.col("mn")) / F.lit(32)
+    return (
+        li.join(F.broadcast(bounds))
+        .select(
+            F.least(F.floor((F.col("v") - F.col("mn")) / w), F.lit(31))
+            .cast("int")
+            .alias("bucket"),
+            "v",
+            "mn",
+            "mx",
+        )
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count("*").alias("n"), F.round(F.sum("v"), 4).alias("sum_v"))
+        .select(
+            "bucket",
+            F.round(F.col("mn") + F.col("bucket") * w, 6).alias("bucket_lo"),
+            "n",
+            "sum_v",
+        )
+    )

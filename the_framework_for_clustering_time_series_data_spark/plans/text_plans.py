@@ -515,3 +515,79 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distilled quality classifier: logistic regression trained on the
     heuristic gate's quartile extremes, scoring every document."""
     return T.quality_classifier_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_gopher_rules",
+    """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS mean_wl,
+         (length(text) - length(replace(text, '#', ''))
+          + floor((length(text) - length(regexp_replace(text, '\\.\\.\\.', 'x', 'g'))) / 2))
+           AS n_symbols,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks) AS alpha_frac,
+         len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS stop_hits
+  FROM t
+),
+r AS (
+  SELECT *,
+         (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+         (mean_wl BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+         (n_symbols / n_words < 0.10) AS ok_symbol_ratio,
+         (alpha_frac > 0.80) AS ok_alpha_words,
+         (stop_hits >= 2) AS ok_stopwords
+  FROM m
+)
+SELECT doc_id, n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(n_symbols / n_words, 6) AS symbol_word_ratio,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       stop_hits,
+       ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_alpha_words, ok_stopwords,
+       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+        AND ok_alpha_words AND ok_stopwords) AS passes_gopher
+FROM r
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher (Rae et al. 2021) pretraining quality gates: word count,
+    mean word length, symbol ratio, alphabetic-word fraction, stopword
+    presence — one shuffle-free JVM pass."""
+    return T.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_chunk_docs",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1)::BIGINT + 1, 48)) AS chunk_start
+  FROM t
+),
+c AS (
+  SELECT doc_id, ((chunk_start - 1) // 48) AS chunk_id, chunk_start,
+         toks[chunk_start : chunk_start + 63] AS chunk
+  FROM s
+)
+SELECT doc_id, chunk_id, chunk_start,
+       len(chunk) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM c
+""",
+)
+def text_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks every 48 tokens per document —
+    narrow ``sequence``+``posexplode`` fan-out, no shuffle; the corpus
+    generalization of the reference's G5 sliding window
+    (app.py:285-295)."""
+    return T.chunk_documents(load_table(spark, sf_dir, "documents"))
