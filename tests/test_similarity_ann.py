@@ -188,3 +188,32 @@ def test_semantic_dedup_invariants(spark):
         assert any(
             (a, b) in bf for i, a in enumerate(ms) for b in ms[i + 1 :]
         ), f"group {gid} has no brute-force support"
+
+
+def test_pq_recall_and_exact_rerank(spark):
+    """PQ ADC pruning + exact re-rank must recover most exact
+    neighbors, and every emitted cosine must BE the exact cosine (the
+    re-rank stage fetches full vectors, so only ordering beyond the
+    rerank depth is approximate)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    bf = similarity.brute_force_topk(emb, qs, k=5)
+    pq = similarity.pq_topk(emb, qs, k=5)
+    exact = _topk_sets(bf)
+    approx = _topk_sets(pq)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"PQ recall {hits}/{total}"
+    bfc = {(r["query_id"], r["nbr_id"]): r["cosine"] for r in bf.collect()}
+    for r in pq.collect():
+        key = (r["query_id"], r["nbr_id"])
+        if key in bfc:
+            assert abs(r["cosine"] - bfc[key]) < 1e-9
+
+
+def test_pq_deterministic(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, similarity.pq_topk(emb, qs, k=5).collect()))
+    b = sorted(map(tuple, similarity.pq_topk(emb, qs, k=5).collect()))
+    assert a == b

@@ -368,3 +368,151 @@ def ivf_probe_index(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
     return _ivf_probe_scored(cells, qs, centers, k, nprobe)
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, n_codes: int, seed: int, iters: int = 10
+) -> np.ndarray:
+    """Driver-side codebook training (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    dimensionality into ``m`` subspaces and run a tiny seeded k-means
+    (``n_codes`` centroids, ``iters`` Lloyd steps) per subspace on a
+    SAMPLE of the corpus. Training on a bounded sample is the standard
+    PQ recipe at scale — the codebook is index metadata
+    (m × n_codes × d/m floats), the full corpus is only ever ENCODED,
+    never collected. Returns (m, n_codes, sub_dim).
+    """
+    n, d = sample.shape
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        X = sample[:, j * sub : (j + 1) * sub]
+        C = X[rng.choice(n, size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                pts = X[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    train_sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization with exact re-ranking.
+
+    The 100 TB memory story: each L2-normalized corpus vector is
+    compressed to ``m`` 4-bit-ish codes (64 dims × 4 B → 8 B, 32×), so
+    the first-pass scan touches only the code table. Per query, an ADC
+    lookup table (inner product of each query subvector with each
+    codebook centroid) is broadcast; the approximate score is m array
+    lookups per row — JVM-side, no Python in the scan. The top
+    ``rerank`` candidate IDS then fetch their full vectors back from
+    the corpus (broadcast semi-join on id — bounded at |Q|·rerank rows)
+    for EXACT cosine, so the emitted scores are true cosines and only
+    ordering beyond rank ``rerank`` is approximate.
+
+    Complements ``ann_lsh_topk`` (hash pruning) and ``ivf_topk`` (cell
+    pruning): PQ prunes BYTES per vector, and composes with IVF in
+    real systems (IVFADC).
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sample = np.array(
+        [r["v"] for r in corpus.limit(train_sample).collect()], dtype=np.float64
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _train_pq_codebooks(sample, m, n_codes, seed)
+    dim = sample.shape[1]
+    sub = dim // m
+    sc = emb.sparkSession.sparkContext
+    b_books = sc.broadcast(books)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        B = b_books.value
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            X = M[:, j * sub : (j + 1) * sub]
+            d2 = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    codes_df = corpus.select("nbr_id", encode("v").alias("codes"))
+
+    # driver-side ADC lookup tables: queries are small by contract
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    lut_rows = []
+    for r in qrows:
+        q = np.asarray(r["qv"], dtype=np.float64)
+        q /= np.linalg.norm(q)
+        # lut[j*n_codes + c] = <q_j, books[j][c]> ; approx cos = Σ_j lut[code_j]
+        lut = np.stack(
+            [q[j * sub : (j + 1) * sub] @ books[j].T for j in range(m)]
+        ).ravel()
+        lut_rows.append((int(r["qid"]), [float(x) for x in lut]))
+    luts = emb.sparkSession.createDataFrame(lut_rows, "query_id long, lut array<double>")
+
+    approx = (
+        codes_df.join(F.broadcast(luts), F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, j: F.element_at(
+                        F.col("lut"), (j * n_codes + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_score"),
+        )
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(F.desc("approx_score"), "nbr_id")
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w_pre))
+        .where(F.col("_r") <= rerank)
+        .select("query_id", "nbr_id")
+    )
+    qs = emb.sparkSession.createDataFrame(
+        [(int(r["qid"]), list(map(float, r["qv"]))) for r in qrows],
+        "query_id long, qv array<double>",
+    )
+    exact = (
+        cand.join(corpus, "nbr_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

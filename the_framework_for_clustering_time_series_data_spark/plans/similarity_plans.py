@@ -184,3 +184,14 @@ def emb_mislabel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         ).where(F.col("rn") <= 5)
     )
+
+
+@register("sim_pq_topk")  # driver-trained codebooks → rows-only oracle
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization (8 subspaces × 16
+    codes, Jégou et al. 2011) with exact re-ranking of the top-50 ADC
+    candidates: the compressed-bytes ANN path (32× smaller first-pass
+    scan) complementing LSH (hash pruning) and IVF (cell pruning).
+    Recall vs brute force asserted in tests/test_similarity_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
