@@ -100,3 +100,41 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     parts = glob.glob(dst2 + "/g=*")
     assert len(parts) == 3, parts
     assert spark.read.parquet(dst2).count() == 10_000
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    """Z-order layout must make per-file value ranges narrow on BOTH
+    clustered columns simultaneously — the property parquet min/max
+    skipping needs. A lexicographic sort only achieves it for the
+    leading key; a random layout for neither."""
+    ev = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    path = str(tmp_path / "ev_z")
+    writers.write_zordered(ev, path, ["user_id", "value"], bits=6, n_files=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+
+    files = back.inputFiles()
+    assert len(files) > 3, files
+    g = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("su"),
+        (F.max("value") - F.min("value")).alias("sv"),
+    ).first()
+    spans_u, spans_v = [], []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("su"),
+                (F.max("value") - F.min("value")).alias("sv"),
+            )
+            .first()
+        )
+        spans_u.append(r["su"] / g["su"])
+        spans_v.append(r["sv"] / g["sv"])
+    mean_u = sum(spans_u) / len(spans_u)
+    mean_v = sum(spans_v) / len(spans_v)
+    # each file should cover well under the full range on BOTH dims
+    # (8 files × 2 dims → ideal ≈ 1/sqrt(8) ≈ 0.35 per dim)
+    assert mean_u < 0.7, (mean_u, spans_u)
+    assert mean_v < 0.7, (mean_v, spans_v)

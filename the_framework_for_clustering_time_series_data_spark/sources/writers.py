@@ -123,3 +123,72 @@ def compact_parquet(
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    bits: int = 8,
+    n_files: int | None = None,
+) -> None:
+    """Z-order-clustered parquet write: rows are laid out along a
+    Morton curve over ``zorder_cols`` so that EVERY clustered column is
+    locally narrow within each file/row-group — parquet min/max
+    statistics then skip most files for range predicates on ANY of the
+    dimensions, not just the first sort key (the limitation of a plain
+    lexicographic sort).
+
+    Mechanics (all JVM-side, one extra metadata pass):
+    1. per column, 2^bits approximate quantile boundaries
+       (``approxQuantile``, driver-held, tiny) define an equi-depth
+       bucket id — rank-based, so skew and wild value ranges are
+       neutralized;
+    2. bucket ids are bit-interleaved into a Morton code with
+       shiftleft/bitwise-or expressions;
+    3. ``repartitionByRange`` on the code (range exchange ≈ curve
+       segments) + ``sortWithinPartitions`` orders rows within each
+       output file.
+
+    At 100 TB this is the standard layout-maintenance pass (e.g. after
+    compaction) for fact tables queried on several independent
+    dimensions.
+    """
+    from pyspark.sql import Column
+
+    spark = df.sparkSession
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bucket_cols: list[Column] = []
+    for c in zorder_cols:
+        dc = F.col(c).cast("double")
+        qs = df.select(dc.alias("_q")).approxQuantile("_q", probs, 0.01)
+        # strictly increasing boundary subset (duplicates appear on
+        # low-cardinality columns); bucket = count of boundaries <= v,
+        # rescaled onto the FULL 2^bits range — otherwise a column with
+        # few distinct boundaries only populates its low bits and the
+        # interleave's high bits (the curve's coarsest splits) would be
+        # driven by the other columns alone
+        bounds = sorted(set(qs))
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        raw = F.size(F.filter(barr, lambda b: b <= dc))
+        bucket_cols.append(
+            F.floor(raw * n_buckets / (len(bounds) + 1)).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, bc in enumerate(bucket_cols):
+            bit = F.shiftright(bc, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, i * len(bucket_cols) + j).cast("long")
+            )
+    out = df.withColumn("_z", z)
+    if n_files is None:
+        n_files = max(out.rdd.getNumPartitions(), 1)
+    (
+        out.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
