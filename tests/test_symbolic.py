@@ -121,3 +121,54 @@ def test_verified_motifs_recover_planted_pair(spark):
     assert res
     for r in res:
         assert r.dist >= 0
+
+
+def test_lttb_invariants(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators import resample
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = resample.bucket_rollup(ev, unit="day")
+    out = resample.lttb_downsample(daily, threshold=20)
+    rows = out.collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r["series_id"], []).append(r)
+    src = {
+        (r["series_id"], r["bucket"]): round(r["v_avg"], 6)
+        for r in daily.collect()
+    }
+    n_per_series = {}
+    for r in daily.collect():
+        n_per_series[r["series_id"]] = n_per_series.get(r["series_id"], 0) + 1
+    for sid, picks in by_series.items():
+        picks.sort(key=lambda r: r["pick"])
+        n = n_per_series[sid]
+        # count = min(threshold, n); endpoints kept; picks are source points
+        assert len(picks) == min(20, n)
+        buckets = [p["bucket"] for p in picks]
+        assert buckets == sorted(buckets)
+        src_buckets = sorted(
+            b for (s, b) in src if s == sid
+        )
+        assert buckets[0] == src_buckets[0] and buckets[-1] == src_buckets[-1]
+        for p in picks:
+            assert (sid, p["bucket"]) in src
+            assert abs(src[(sid, p["bucket"])] - p["v"]) < 1e-9
+
+
+def test_lttb_keeps_extremum(spark):
+    """On a V-shaped series the spike point must be selected."""
+    import datetime
+
+    from the_framework_for_clustering_time_series_data_spark.operators import resample
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base + datetime.timedelta(days=i), 1000.0 if i == 57 else float(i % 7))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "series_id long, bucket timestamp, v_avg double")
+    out = resample.lttb_downsample(df, threshold=10).collect()
+    assert len(out) == 10
+    assert any(abs(r["v"] - 1000.0) < 1e-9 for r in out)

@@ -96,3 +96,64 @@ def interpolate_linear(grid: DataFrame) -> DataFrame:
         half_up.alias("v_interp"),
         F.col("v_avg").isNull().alias("is_gap"),
     )
+
+
+def lttb_downsample(
+    buckets: DataFrame,
+    threshold: int = 20,
+    series_col: str = "series_id",
+    bucket_col: str = "bucket",
+    value_col: str = "v_avg",
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    per series: reduce each series to ``threshold`` visually
+    representative points — endpoints always kept, each interior bucket
+    contributes the point with the largest triangle area against the
+    previously kept point and the next bucket's centroid.
+
+    The selection is sequential per series (each pick depends on the
+    previous), so it runs as ``applyInPandas`` over the series key —
+    the same one-exchange pattern as the Holt recursion; a series'
+    rollup always fits a partition by construction (it is bounded by
+    time span, not event count). This is the reference's
+    plot-rendering path (app.py:1734, 2253 plot raw series wholesale)
+    made scale-safe: a dashboard over 100 TB renders O(threshold)
+    points per series, not O(n).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{series_col} long, {bucket_col} timestamp, v double, pick int"
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col).reset_index(drop=True)
+        n = len(pdf)
+        y = pdf[value_col].to_numpy(dtype=float)
+        x = pdf[bucket_col].astype("int64").to_numpy(dtype=float)  # ns epoch
+        if n <= threshold:
+            idx = list(range(n))
+        else:
+            idx = [0]
+            # n-2 interior points into threshold-2 equal buckets
+            edges = np.linspace(1, n - 1, threshold - 1).astype(int)
+            for b in range(threshold - 2):
+                lo, hi = edges[b], edges[b + 1]
+                nxt_lo, nxt_hi = edges[b + 1], (
+                    edges[b + 2] if b + 2 < len(edges) else n
+                )
+                ax, ay = x[idx[-1]], y[idx[-1]]
+                cx, cy = x[nxt_lo:nxt_hi].mean(), y[nxt_lo:nxt_hi].mean()
+                seg_x, seg_y = x[lo:hi], y[lo:hi]
+                area = np.abs(
+                    (ax - cx) * (seg_y - ay) - (ax - seg_x) * (ay - cy)
+                )
+                idx.append(lo + int(area.argmax()))
+            idx.append(n - 1)
+        out = pdf.iloc[idx][[series_col, bucket_col, value_col]].rename(
+            columns={value_col: "v"}
+        )
+        out["v"] = out["v"].round(6)
+        out["pick"] = np.arange(len(idx), dtype="int32")
+        return out
+
+    return buckets.groupBy(series_col).applyInPandas(pick, schema=out_schema)

@@ -469,3 +469,15 @@ def ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mx", 6).alias("v_max"),
         F.round(F.col("s") / F.col("n_events"), 6).alias("v_avg"),
     )
+
+
+@register("ts_lttb_downsample")  # sequential per-series selection → rows-only oracle
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB visual downsampling to 20 points per series over the daily
+    rollup: the scale-safe rendering path for the reference's raw
+    series plots (app.py:1734, 2253). Declarative rollup → one
+    series-keyed applyInPandas; selection invariants pinned in
+    tests/test_symbolic.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = resample.bucket_rollup(ev, unit="day")
+    return resample.lttb_downsample(daily, threshold=20)
