@@ -287,18 +287,23 @@ def ts_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_seasonal_naive_eval",
     """
 WITH b AS (
-  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket,
+         round(avg(value), 6) AS v
   FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT b.series_id, count(*) AS n_eval,
+         round(avg(abs(b.v - n1.v)), 6) AS mae_naive,
+         round(avg(abs(b.v - n7.v)), 6) AS mae_seasonal
+  FROM b
+  JOIN b n1 ON n1.series_id = b.series_id AND n1.bucket = b.bucket - to_days(1)
+  JOIN b n7 ON n7.series_id = b.series_id AND n7.bucket = b.bucket - to_days(7)
+  GROUP BY b.series_id
+  HAVING count(*) >= 10
 )
-SELECT b.series_id, count(*) AS n_eval,
-       round(avg(abs(b.v - n1.v)), 6) AS mae_naive,
-       round(avg(abs(b.v - n7.v)), 6) AS mae_seasonal,
-       round(1.0 - avg(abs(b.v - n7.v)) / avg(abs(b.v - n1.v)), 6) AS skill
-FROM b
-JOIN b n1 ON n1.series_id = b.series_id AND n1.bucket = b.bucket - to_days(1)
-JOIN b n7 ON n7.series_id = b.series_id AND n7.bucket = b.bucket - to_days(7)
-GROUP BY b.series_id
-HAVING count(*) >= 10
+SELECT series_id, n_eval, mae_naive, mae_seasonal,
+       round(1.0 - mae_seasonal / mae_naive, 6) AS skill
+FROM m
 """,
 )
 def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,14 +314,20 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     a forecasting pipeline gates on, and the denominator convention of
     MASE). Keyed self-joins on (series, bucket-lag) — gaps pair
     correctly where a row-offset lag() would misalign (same reasoning
-    as ts_acf_daily); all three sides share the rollup partitioning."""
+    as ts_acf_daily); all three sides share the rollup partitioning.
+
+    Cross-engine determinism: the rollup value is rounded to 6 dp
+    before the MAE averages, and skill derives from the already-rounded
+    MAEs — double sums depend on merge order (shuffle-fetch arrival in
+    Spark), so unrounded chained ratios can straddle the gate's 6-dp
+    rounding boundary run-to-run."""
     ev = load_table(spark, sf_dir, "events")
     b = (
         ev.groupBy(
             F.col("user_id").alias("series_id"),
             F.date_trunc("day", F.col("ts")).alias("bucket"),
         )
-        .agg(F.avg("value").alias("v"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
     )
     n1 = b.select(
         F.col("series_id").alias("s1"),
@@ -339,15 +350,18 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mae1 = F.avg(F.abs(F.col("v") - F.col("v1")))
     mae7 = F.avg(F.abs(F.col("v") - F.col("v7")))
-    return (
+    m = (
         j.groupBy("series_id")
         .agg(
             F.count("*").alias("n_eval"),
             F.round(mae1, 6).alias("mae_naive"),
             F.round(mae7, 6).alias("mae_seasonal"),
-            F.round(F.lit(1.0) - mae7 / mae1, 6).alias("skill"),
         )
         .where(F.col("n_eval") >= 10)
+    )
+    return m.withColumn(
+        "skill",
+        F.round(F.lit(1.0) - F.col("mae_seasonal") / F.col("mae_naive"), 6),
     )
 
 
