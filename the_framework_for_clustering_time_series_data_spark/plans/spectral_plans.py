@@ -1,0 +1,248 @@
+"""Frequency-domain and shape-distance diagnostics over per-series
+daily rollups: Goertzel-style periodogram power at candidate seasonal
+periods, and K-Shape's shape-based distance (SBD) computed relationally
+for dense series pairs.
+
+Reference tie-in: the reference clusters series by shape — its K-Shape
+branch (/root/reference/app.py:731-737, intended semantics per
+Paparrizos & Gravano, SIGMOD'15) is built on the maximum of the
+normalized cross-correlation over alignment lags. ``ts_sbd_pairs`` is
+exactly that quantity, expressed as a keyed self-join + aggregate so
+the DuckDB oracle can check it; the iterative K-Shape operator
+(operators/cluster.py) consumes the same NCC kernel. The periodogram
+is the standard seasonality screen that decides which alignment period
+(daily/weekly) a series pipeline should window on.
+
+Both plans are pure DataFrame compositions — trig and sums stay inside
+whole-stage codegen; no UDFs, no driver loops.
+
+Scale notes (100 TB posture): the periodogram is two exchanges (rollup
+by (series, day), then window + aggregate on series) regardless of
+period count — the candidate-period dimension is a 4-row broadcast
+cross join, i.e. constant fan-out. SBD is quadratic in *dense* series
+by construction (the ≥28-days gate is the candidate filter); at fleet
+scale the same plan runs after a cheaper pruner (shared SAX word from
+ts_sax_motifs, or same periodogram-dominant period) exactly like
+ts_pair_correlation's scale path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+_PERIODS = (2, 3, 7, 14)  # candidate seasonal periods, in days
+_MIN_DAYS = 28  # density gate for the pairwise SBD scan
+_MAX_LAG = 3  # SBD alignment window, in days
+
+
+def _daily_by_daynum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily mean rollup keyed by absolute day number (epoch days) —
+    the integer time axis both engines agree on exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("series_id"),
+            F.floor(F.date_trunc("day", F.col("ts")).cast("long") / 86400)
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+
+
+@register(
+    "ts_periodogram",
+    f"""
+WITH b AS (
+  SELECT user_id AS series_id,
+         floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT AS t,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT series_id, t, v - avg(v) OVER (PARTITION BY series_id) AS zc
+  FROM b
+),
+p AS (SELECT unnest([{", ".join(str(p) for p in _PERIODS)}]) AS period),
+g AS (
+  SELECT series_id, period, count(*) AS n_days,
+         sum(zc * cos(2 * pi() * t / period)) AS c,
+         sum(zc * sin(2 * pi() * t / period)) AS s
+  FROM z CROSS JOIN p
+  GROUP BY 1, 2
+),
+pw AS (
+  SELECT series_id, period, n_days,
+         round((c * c + s * s) / n_days, 6) AS power
+  FROM g
+)
+SELECT series_id, period, n_days, power,
+       power = max(power) OVER (PARTITION BY series_id) AS dominant
+FROM pw
+""",
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series periodogram power at candidate seasonal periods
+    {2, 3, 7, 14} days over the mean-centered daily rollup:
+    ``power(p) = (Σ zc·cos(2πt/p))² + (Σ zc·sin(2πt/p))²) / n`` — the
+    Goertzel/DFT-bin form that needs only two trig aggregates per
+    period, gap-tolerant because t is the absolute day number (missing
+    days simply contribute no term, unlike an FFT over a dense grid).
+    The max-power period is flagged dominant; the flag compares 6-dp
+    ROUNDED powers so the cross-engine comparison is exact and a
+    genuine tie marks both periods on both engines.
+
+    Shape: rollup exchange on (series, day) → mean-center window on
+    series → 4-row broadcast cross join → aggregate on (series,
+    period) with map-side partials → dominant flag window. The period
+    dimension is constant fan-out, so the plan's cost is two exchanges
+    of the rollup regardless of how many candidate periods are
+    screened."""
+    b = _daily_by_daynum(spark, sf_dir)
+    z = b.withColumn(
+        "zc", F.col("v") - F.avg("v").over(Window.partitionBy("series_id"))
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _PERIODS], "period int"
+    )
+    ang = F.lit(2 * math.pi) * F.col("t") / F.col("period")
+    g = (
+        z.crossJoin(F.broadcast(periods))
+        .groupBy("series_id", "period")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.col("zc") * F.cos(ang)).alias("c"),
+            F.sum(F.col("zc") * F.sin(ang)).alias("s"),
+        )
+    )
+    pw = g.select(
+        "series_id",
+        "period",
+        "n_days",
+        F.round(
+            (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n_days"), 6
+        ).alias("power"),
+    )
+    wd = Window.partitionBy("series_id")
+    return pw.withColumn("dominant", F.col("power") == F.max("power").over(wd))
+
+
+@register(
+    "ts_sbd_pairs",
+    f"""
+WITH b AS (
+  SELECT user_id AS series_id,
+         floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT AS t,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT series_id, t,
+         (v - avg(v) OVER w) / (stddev_pop(v) OVER w) AS z,
+         count(*) OVER w AS n
+  FROM b
+  WINDOW w AS (PARTITION BY series_id)
+  QUALIFY stddev_pop(v) OVER w > 0 AND count(*) OVER w >= {_MIN_DAYS}
+),
+l AS (SELECT range AS lag FROM range(-{_MAX_LAG}, {_MAX_LAG + 1})),
+cc AS (
+  SELECT a.series_id AS sid_a, c.series_id AS sid_b, l.lag,
+         round(sum(a.z * c.z), 6) AS cc,
+         any_value(a.n) AS n_a, any_value(c.n) AS n_b
+  FROM s a CROSS JOIN l
+  JOIN s c ON c.series_id > a.series_id AND c.t = a.t + l.lag
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY sid_a, sid_b ORDER BY cc DESC, lag
+  ) AS rn
+  FROM cc
+)
+SELECT sid_a, sid_b, n_a, n_b, lag AS best_lag,
+       round(cc / sqrt(n_a * n_b), 6) AS ncc_max,
+       1 - round(cc / sqrt(n_a * n_b), 6) AS sbd
+FROM r WHERE rn = 1
+""",
+)
+def ts_sbd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Shape shape-based distance between every pair of dense series
+    (≥28 observed days): ``SBD = 1 − max_lag CC_lag(x̂, ŷ) / √(n_x·n_y)``
+    over z-normalized daily rollups, lags −3..+3 (Paparrizos & Gravano,
+    SIGMOD'15 §3 — for z-normalized series the autocorrelation term
+    R₀(x,x) is exactly n). Reports the maximizing lag (ties break to
+    the smallest lag over 6-dp ROUNDED correlations, so the argmax is
+    deterministic cross-engine).
+
+    Shape: rollup + z-norm share one exchange on series_id; the lag
+    dimension is a 7-row broadcast cross join on the smaller (already
+    density-gated) side; the pair join keys on the shifted day number,
+    so only co-observed days pair; the (pair, lag) aggregate has
+    map-side partials; the final argmax is a window over ≤7 rows per
+    pair. Quadratic in DENSE series by design — the density gate is
+    the candidate filter here, and at fleet scale the same plan runs
+    behind a SAX-word or dominant-period equality pruner instead of
+    the full pair join (ts_pair_correlation's scale path)."""
+    b = _daily_by_daynum(spark, sf_dir)
+    w = Window.partitionBy("series_id")
+    s = (
+        b.select(
+            "series_id",
+            "t",
+            ((F.col("v") - F.avg("v").over(w)) / F.stddev_pop("v").over(w)).alias(
+                "z"
+            ),
+            F.stddev_pop("v").over(w).alias("_sd"),
+            F.count("*").over(w).alias("n"),
+        )
+        .where((F.col("_sd") > 0) & (F.col("n") >= _MIN_DAYS))
+        .drop("_sd")
+    )
+    lags = spark.createDataFrame([(x,) for x in range(-_MAX_LAG, _MAX_LAG + 1)], "lag int")
+    a = s.select(
+        F.col("series_id").alias("sid_a"),
+        F.col("t").alias("t_a"),
+        F.col("z").alias("za"),
+        F.col("n").alias("na"),
+    )
+    c = s.select(
+        F.col("series_id").alias("sid_b"),
+        F.col("t").alias("t_b"),
+        F.col("z").alias("zb"),
+        F.col("n").alias("nb"),
+    ).crossJoin(F.broadcast(lags))
+    cc = (
+        a.join(
+            c,
+            (F.col("sid_b") > F.col("sid_a"))
+            & (F.col("t_b") == F.col("t_a") + F.col("lag")),
+        )
+        .groupBy("sid_a", "sid_b", "lag")
+        .agg(
+            F.round(F.sum(F.col("za") * F.col("zb")), 6).alias("cc"),
+            F.any_value("na").alias("n_a"),
+            F.any_value("nb").alias("n_b"),
+        )
+    )
+    wr = Window.partitionBy("sid_a", "sid_b").orderBy(F.col("cc").desc(), "lag")
+    ncc = F.col("cc") / F.sqrt(F.col("n_a") * F.col("n_b"))
+    return (
+        cc.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "sid_a",
+            "sid_b",
+            "n_a",
+            "n_b",
+            F.col("lag").alias("best_lag"),
+            F.round(ncc, 6).alias("ncc_max"),
+            (F.lit(1) - F.round(ncc, 6)).alias("sbd"),
+        )
+    )
