@@ -46,3 +46,4 @@ from the_framework_for_clustering_time_series_data_spark.plans import symbolic_p
 from the_framework_for_clustering_time_series_data_spark.plans import packing_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import quality_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import spectral_plans  # noqa: E402,F401
+from the_framework_for_clustering_time_series_data_spark.plans import retrieval_plans  # noqa: E402,F401
