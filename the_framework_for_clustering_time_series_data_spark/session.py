@@ -27,6 +27,9 @@ def get_spark(app_name: str = "the_framework_for_clustering_time_series_data_spa
         # Spark's parquet reader rejects by default — read as long nanos
         # and convert at the source (sources.tables.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive parquet timestamps (events.ts) must mean the same instant
+        # in Spark and the DuckDB oracle: pin UTC.
+        .config("spark.sql.session.timeZone", "UTC")
         # Arrow transfer for the pandas-UDF operators (DTW/UMAP/K-Shape…).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(

@@ -32,19 +32,32 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # ensure the nanos-as-long reader conf even on externally-built
-        # sessions (runtime-settable SQLConf; harmless if already set)
+        # ensure reader confs even on externally-built sessions
+        # (runtime-settable SQLConf; harmless if already set). UTC session
+        # tz makes Spark's naive-timestamp arithmetic (unix_timestamp,
+        # window()) agree with DuckDB's epoch() on the same parquet.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         except Exception:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to µs, same
-        # floor semantics as the oracle's ns→µs conversion.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", _events_ts_as_timestamp(df))
     return df
+
+
+def _events_ts_as_timestamp(events: DataFrame):
+    """Normalize ``events.ts`` to TimestampType across testdata layouts:
+    TIMESTAMP(NANOS) read as long nanos (legacy conf) → floor to µs, the
+    same truncation DuckDB applies on ns→µs; native parquet timestamp[us]
+    (read as TIMESTAMP_NTZ) → plain cast. Every downstream op sees one
+    type regardless of which layout the scan hit."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(events.schema["ts"].dataType, LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

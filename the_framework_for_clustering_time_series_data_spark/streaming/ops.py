@@ -119,6 +119,7 @@ def read_events_stream(spark, source_dir: str, max_files_per_trigger: int = 1) -
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(source_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -128,6 +129,9 @@ def read_events_stream(spark, source_dir: str, max_files_per_trigger: int = 1) -
     if isinstance(schema["ts"].dataType, LongType):
         # driver-testdata layout: TIMESTAMP(NANOS) read as long
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # native parquet timestamp[us] layout (TIMESTAMP_NTZ on read)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
