@@ -1,0 +1,80 @@
+"""Graph centrality over relational edge lists.
+
+The reference's lineage/traceback machinery is positional (SURVEY.md
+§2.7); its only graph-adjacent computation is connectivity implied by
+shared cluster membership. This module adds the standard distributed
+graph primitive a training-data pipeline needs on top of that:
+fixed-iteration PageRank over an edge DataFrame, expressed entirely as
+joins + aggregates so Catalyst/AQE plan every step (no GraphX, no RDDs).
+
+Scale notes (100 TB posture): the edge list is the big table. It is
+shuffled ONCE onto its join key (``repartition(src)`` + cache) and every
+iteration reuses that layout; per-iteration cost is one shuffle of the
+(node, rank) table — orders of magnitude smaller than the edges — plus
+one map-side-combined aggregate on ``dst``. Iteration count is fixed and
+small (power iteration converges geometrically at damping^k), which also
+keeps the plan a finite unrolled DAG the SQL oracle can mirror exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank on a directed edge list.
+
+    ``r_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_k(u)/outdeg(u)``, ranks
+    initialized uniformly at 1/N over the nodes that appear in any edge.
+    Dangling mass is dropped (the simplified form every unrolled-SQL
+    formulation uses); callers modeling undirected graphs pass the
+    symmetric edge union, where no dangling nodes exist by construction.
+
+    Returns ``(node, rank)``. N is carried as a broadcast 1-row aggregate
+    — the whole computation stays lazy, nothing is collected.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one shuffle onto the iteration join key, reused by every round
+    contrib = (
+        e.join(deg, "src")
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n1 = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            contrib.join(ranks, contrib["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -1,0 +1,123 @@
+"""Graph-centrality plans over the relational tables.
+
+``graph_pagerank_purchases`` runs fixed-iteration PageRank
+(operators/graph.py) on the symmetric customer↔part purchase graph
+derived from ``orders ⨝ lineitem``. The reference has no graph
+operator; this is the standard importance measure a curation pipeline
+uses to weight items by structural centrality rather than raw counts
+(a part bought once by each of many well-connected customers outranks
+one bought many times by a single customer).
+
+Because the iteration count is fixed (3) the whole computation is a
+finite DAG, so the DuckDB oracle mirrors it exactly as unrolled CTEs —
+same uniform init, same left-join + coalesce dangling handling, same
+damping — making this one of the few iterative-algorithm entries with
+a full value-hash oracle rather than a rows-only check.
+
+Scale notes (100 TB posture): the edge list (2×|distinct (cust,part)|)
+is shuffled once onto ``src`` and cached; each iteration shuffles only
+the (node, rank) table, which is |customers|+|parts| — dimension-sized,
+not fact-sized. The final rank normalization multiplies by N carried as
+a broadcast 1-row aggregate, never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from the_framework_for_clustering_time_series_data_spark.operators.graph import pagerank
+from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+# part node ids live above this offset so one BIGINT id space holds both
+# sides of the bipartite graph without collision at any scale factor
+_PART_OFFSET = 1_000_000_000_000
+_ITER = 3
+_DAMPING = 0.85
+
+
+@register(
+    "graph_pagerank_purchases",
+    f"""
+WITH base AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, p + {_PART_OFFSET} AS dst FROM base
+  UNION ALL
+  SELECT p + {_PART_OFFSET} AS src, c AS dst FROM base
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+s1 AS (SELECT e.dst AS node, sum(r.pr / d.outdeg) AS s
+       FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r1 AS (SELECT nodes.node, {1 - _DAMPING} / nn.n + {_DAMPING} * coalesce(s1.s, 0) AS pr
+       FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.node = nodes.node),
+s2 AS (SELECT e.dst AS node, sum(r.pr / d.outdeg) AS s
+       FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r2 AS (SELECT nodes.node, {1 - _DAMPING} / nn.n + {_DAMPING} * coalesce(s2.s, 0) AS pr
+       FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.node = nodes.node),
+s3 AS (SELECT e.dst AS node, sum(r.pr / d.outdeg) AS s
+       FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r3 AS (SELECT nodes.node, {1 - _DAMPING} / nn.n + {_DAMPING} * coalesce(s3.s, 0) AS pr
+       FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.node = nodes.node),
+buyers AS (SELECT p, count(*) AS n_buyers FROM base GROUP BY p)
+SELECT r3.node - {_PART_OFFSET} AS partkey,
+       buyers.n_buyers,
+       round(r3.pr * nn.n, 6) AS rank_norm
+FROM r3 CROSS JOIN nn
+JOIN buyers ON buyers.p = r3.node - {_PART_OFFSET}
+WHERE r3.node >= {_PART_OFFSET}
+""",
+)
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-side PageRank over the symmetric customer↔part purchase
+    graph, 3 power iterations, damping 0.85, reported as ``rank_norm``
+    (rank × N, so 1.0 = the uniform-graph value) alongside the raw
+    distinct-buyer count the rank refines.
+
+    Shape: one distinct on (custkey, partkey) builds the bipartite edge
+    set; the symmetric union doubles it; pagerank() shuffles edges once
+    onto ``src`` and iterates with dimension-sized rank shuffles; the
+    part-side projection joins the buyer-count aggregate (same ``base``
+    subtree, reused) and the broadcast node count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    edges = base.select(
+        F.col("c").alias("src"), (F.col("p") + _PART_OFFSET).alias("dst")
+    ).union(
+        base.select(
+            (F.col("p") + _PART_OFFSET).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, iterations=_ITER, damping=_DAMPING)
+    nn = base.agg(
+        (F.countDistinct("c") + F.countDistinct("p")).alias("n")
+    )
+    buyers = base.groupBy(F.col("p").alias("partkey")).agg(
+        F.count("*").alias("n_buyers")
+    )
+    return (
+        ranks.where(F.col("node") >= _PART_OFFSET)
+        .select((F.col("node") - _PART_OFFSET).alias("partkey"), "rank")
+        .join(buyers, "partkey")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "partkey",
+            "n_buyers",
+            F.round(F.col("rank") * F.col("n"), 6).alias("rank_norm"),
+        )
+    )
