@@ -172,3 +172,53 @@ def test_lttb_keeps_extremum(spark):
     out = resample.lttb_downsample(df, threshold=10).collect()
     assert len(out) == 10
     assert any(abs(r["v"] - 1000.0) < 1e-9 for r in out)
+
+
+def test_matrix_profile_planted_motif(spark):
+    # sawtooth noise base + the SAME sharp spike shape planted at t=10
+    # and t=40: those two windows must be mutual nearest neighbors at
+    # distance ~0, and the profile must cover all n-m+1 windows
+    import math
+
+    from the_framework_for_clustering_time_series_data_spark.operators.motifs import matrix_profile
+
+    m = 7
+    base = [math.sin(0.7 * t) + 0.05 * ((t * 2654435761) % 97) for t in range(60)]
+    shape = [5.0, 9.0, 2.0, 8.0, 1.0, 7.0, 3.0]
+    for s in (10, 40):
+        for k, x in enumerate(shape):
+            base[s + k] = x
+    rows = [(1, t, float(v)) for t, v in enumerate(base)]
+    grid = spark.createDataFrame(rows, "series_id long, bucket long, v_locf double")
+    mp = {
+        r["idx"]: r
+        for r in matrix_profile(grid, m=m, bucket_col="bucket").collect()
+    }
+    assert len(mp) == 60 - m + 1
+    assert mp[10]["nn_idx"] == 40 and mp[40]["nn_idx"] == 10
+    assert mp[10]["mp"] < 1e-6 and mp[40]["mp"] < 1e-6
+    # a window far from both plants must have a strictly larger profile
+    assert mp[25]["mp"] > mp[10]["mp"]
+
+
+def test_matrix_profile_constant_series_and_short_series(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.motifs import matrix_profile
+
+    rows = [(1, t, 3.0) for t in range(20)] + [(2, t, float(t)) for t in range(8)]
+    grid = spark.createDataFrame(rows, "series_id long, bucket long, v_locf double")
+    out = matrix_profile(grid, m=7, bucket_col="bucket").collect()
+    s1 = [r for r in out if r["series_id"] == 1]
+    s2 = [r for r in out if r["series_id"] == 2]
+    # constant series: every window pair matches exactly (distance 0)
+    assert s1 and all(r["mp"] == 0.0 for r in s1)
+    # 8 points, m=7 -> 2 windows, all inside the exclusion zone -> dropped
+    assert s2 == []
+
+
+def test_matrix_profile_summary_plan(spark):
+    rows = QUERIES["ts_matrix_profile"](spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["motif_mp"] <= r["discord_mp"]
+        assert r["motif_idx"] != r["motif_nn_idx"]
+        assert r["motif_mp"] >= 0.0

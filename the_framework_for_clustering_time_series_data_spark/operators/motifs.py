@@ -196,3 +196,88 @@ def verified_motifs(
             F.round("dist", 6).alias("dist"),
         )
     )
+
+
+def matrix_profile(
+    grid: DataFrame,
+    m: int = 7,
+    series_col: str = "series_id",
+    bucket_col: str = "bucket",
+    value_col: str = "v_locf",
+) -> DataFrame:
+    """Exact per-series matrix profile (Yeh et al., ICDM'16): for every
+    length-``m`` window of a series, the z-normalized Euclidean distance
+    to its nearest non-trivial neighbor window IN THE SAME SERIES, plus
+    that neighbor's index. Low profile values mark motifs (repeated
+    shapes); the maximum marks the top discord (anomaly) — the two
+    classic uses.
+
+    Expects a UNIFORM grid (resample.gapfill_locf), like every
+    sequential-semantics operator here. Each series is self-contained,
+    so the computation is ``applyInPandas`` over the series key — the
+    same single-exchange partitioning the rollup/gap-fill chain already
+    produced, with the O(w²) window-pair work done as ONE NumPy matmul
+    per series inside the Arrow batch (w = n−m+1 windows; w ≈ a few
+    hundred for daily grids, so the Gram matrix is tiny). Trivial
+    matches are suppressed with the standard ⌈m/2⌉ exclusion zone.
+    Degenerate (constant, σ≈0) windows: two constants are a perfect
+    match (distance 0); constant-vs-varying is pinned at √(2m), the
+    uncorrelated-windows distance, so degenerate windows never fake a
+    motif. Series with fewer than m + ⌈m/2⌉ + 1 points drop (no
+    non-excluded neighbor exists).
+
+    Rows-only at the driver gate (per-series NumPy kernel); tests plant
+    identical subsequences and assert mutual nearest neighbors at
+    distance ≈ 0 (tests/test_symbolic.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    excl = (m + 1) // 2
+    out_schema = (
+        f"{series_col} long, idx int, nn_idx int, mp double"
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col)
+        v = pdf[value_col].to_numpy(dtype=float)
+        n = len(v)
+        w = n - m + 1
+        if w < excl + 2:
+            return pd.DataFrame(
+                {series_col: pd.Series(dtype="int64"),
+                 "idx": pd.Series(dtype="int32"),
+                 "nn_idx": pd.Series(dtype="int32"),
+                 "mp": pd.Series(dtype="float64")}
+            )
+        # windows as a strided view -> (w, m) matrix
+        win = np.lib.stride_tricks.sliding_window_view(v, m)
+        mu = win.mean(axis=1)
+        sd = win.std(axis=1)
+        dot = win @ win.T
+        const = sd < 1e-12
+        # correlation matrix; guard /0 for constant windows
+        sd_safe = np.where(const, 1.0, sd)
+        corr = (dot - m * np.outer(mu, mu)) / (m * np.outer(sd_safe, sd_safe))
+        d2 = np.clip(2.0 * m * (1.0 - corr), 0.0, 4.0 * m)
+        # degenerate-window pinning
+        both = np.outer(const, const)
+        either = np.logical_xor.outer(const, const)
+        d2[both] = 0.0
+        d2[either] = 2.0 * m
+        # exclusion zone around the diagonal
+        ii, jj = np.indices(d2.shape)
+        d2[np.abs(ii - jj) < excl] = np.inf
+        nn = d2.argmin(axis=1)
+        mp = np.sqrt(d2[np.arange(w), nn])
+        sid = pdf[series_col].iloc[0]
+        return pd.DataFrame(
+            {
+                series_col: np.full(w, sid, dtype="int64"),
+                "idx": np.arange(w, dtype="int32"),
+                "nn_idx": nn.astype("int32"),
+                "mp": np.round(mp, 6),
+            }
+        )
+
+    return grid.groupBy(series_col).applyInPandas(profile, schema=out_schema)

@@ -919,3 +919,262 @@ def r5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (dow), ())
         """
     )
+
+
+@register(
+    "e7_active_streaks",
+    """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT AS day
+  FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+s AS (
+  SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+  FROM g GROUP BY user_id, grp
+),
+r AS (
+  SELECT user_id, len, start_day,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_streaks,
+         sum(len) OVER (PARTITION BY user_id) AS n_active_days
+  FROM s
+)
+SELECT user_id, n_active_days, n_streaks,
+       len AS best_len, start_day AS best_start_day
+FROM r WHERE rn = 1
+""",
+)
+def e7_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the longest run of consecutive
+    active days (ties break to the earliest start), plus streak count
+    and total active days. The canonical warehouse pattern the
+    reference's implicit-row-order model cannot express at all — it
+    needs an explicit time axis and ranking (SURVEY.md §1.5, §2.9).
+
+    Shape: one distinct on (user, day), then EVERY subsequent step —
+    the island-id window (day − row_number), the per-island aggregate,
+    and the per-user ranking/total windows — partitions by user_id, so
+    the whole query is a single exchange; Catalyst reuses the
+    hashpartitioning across all four operators. The island trick turns
+    consecutive-run detection into a plain GROUP BY: runs of
+    consecutive days share (day − rank), no self-join, no iteration."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.floor(F.date_trunc("day", F.col("ts")).cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    wd = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("grp", F.col("day") - F.row_number().over(wd))
+    s = g.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    wu = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy(F.col("len").desc(), "start_day")
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_streaks", F.count("*").over(wu))
+        .withColumn("n_active_days", F.sum("len").over(wu))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_active_days",
+            "n_streaks",
+            F.col("len").alias("best_len"),
+            F.col("start_day").alias("best_start_day"),
+        )
+    )
+
+
+@register(
+    "a8_weighted_median",
+    """
+WITH t AS (
+  SELECT event_type, value AS v,
+         coalesce(CAST(json_extract(props, '$.k') AS DOUBLE), 0) AS wt
+  FROM events
+),
+c AS (
+  SELECT event_type, v,
+         sum(wt) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(wt) OVER (PARTITION BY event_type) AS tw
+  FROM t
+)
+SELECT event_type, round(min(v), 6) AS wmedian
+FROM c WHERE cw >= tw / 2 GROUP BY event_type
+""",
+)
+def a8_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median of ``value`` per event type, weighted by
+    the JSON ``props.k`` payload — the smallest v whose cumulative
+    weight reaches half the total. Implemented as a GROUPED_AGG pandas
+    UDF: the custom-UDAF surface (SURVEY.md §2.9 lists the rebuild's
+    UDF/UDAF story) — Arrow ships each group's two columns to one
+    vectorized NumPy reduction, the slow-path escape hatch for
+    aggregates Spark lacks natively. The oracle states the same
+    quantity relationally (running-weight window + threshold pick),
+    which doubles as the pure-SQL scale path: at 100 TB the window
+    form distributes while a giant grouped-agg UDF group would not —
+    the UDAF here demonstrates the surface on bounded groups.
+
+    Ties: duplicate v values all carry their summed weight, and both
+    formulations pick the v at which the cumulative crosses half, so
+    tie order inside a value run cannot change the answer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses PEP 563 lazy
+    # annotations, which defeats pandas_udf's hint-based inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(v: pd.Series, wt: pd.Series) -> float:
+        order = np.argsort(v.to_numpy(), kind="stable")
+        vv = v.to_numpy()[order]
+        ww = wt.to_numpy()[order]
+        cw = np.cumsum(ww)
+        i = int(np.searchsorted(cw, cw[-1] / 2.0))
+        return float(round(vv[i], 6))
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").cast("double"), F.lit(0.0)
+    )
+    return (
+        ev.select("event_type", "value", k.alias("wt"))
+        .groupBy("event_type")
+        .agg(wmedian("value", "wt").alias("wmedian"))
+    )
+
+
+@register(
+    "f2_variant_props",
+    """
+WITH v AS (
+  SELECT user_id % 8 AS user_band,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT user_band, count(*) AS n,
+       min(k) AS k_min, max(k) AS k_max,
+       round(avg(k), 6) AS k_avg
+FROM v GROUP BY user_band
+""",
+)
+def f2_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4 VariantType: ``parse_json``
+    once into a variant column, then typed ``variant_get`` extraction —
+    the open-schema path that replaces per-field get_json_object
+    re-parsing (f1_json_props' Jackson-per-expression cost) with a
+    single parse into a binary-encoded value Tungsten carries natively.
+    At 100 TB the difference is one JSON parse per row instead of one
+    per (row × extracted field), and variant shredding keeps pushdown
+    alive on parquet for stored variants. Same aggregate twin as f1 so
+    the two formulations are directly comparable in the plan/bench."""
+    ev = load_table(spark, sf_dir, "events")
+    var = ev.select(
+        (F.col("user_id") % 8).alias("user_band"),
+        F.parse_json(F.col("props")).alias("pv"),
+    )
+    k = F.variant_get(F.col("pv"), "$.k", "bigint")
+    return (
+        var.select("user_band", k.alias("k"))
+        .groupBy("user_band")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+    )
+
+
+# Count-min sketch geometry: d=4 affine-modular hash rows, w=64 buckets.
+# Affine (a·key + b) mod p mod w with a large prime p is the classic
+# pairwise-independent family — and, unlike xxhash64, both engines
+# evaluate it exactly, so the sketch itself is oracle-checkable.
+_CMS_P = 2147483647
+_CMS_HASHES = ((2654435761, 1), (40503, 977), (69069, 7919), (1103515245, 12345))
+_CMS_W = 64
+
+
+@register(
+    "d3_countmin_heavy_hitters",
+    f"""
+WITH rows_h AS (
+  SELECT h.i AS row_i,
+         (user_id * h.a + h.b) % {_CMS_P} % {_CMS_W} AS bucket,
+         count(*) AS c
+  FROM events
+  CROSS JOIN (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_HASHES))}) AS h(i, a, b)
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT user_id, count(*) AS n_true FROM events GROUP BY user_id
+),
+est AS (
+  SELECT t.user_id, t.n_true, min(r.c) AS n_est
+  FROM truth t
+  JOIN (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_HASHES))}) AS h(i, a, b) ON true
+  JOIN rows_h r
+    ON r.row_i = h.i AND r.bucket = (t.user_id * h.a + h.b) % {_CMS_P} % {_CMS_W}
+  GROUP BY t.user_id, t.n_true
+)
+SELECT user_id, n_true, n_est, n_est - n_true AS overcount
+FROM est WHERE n_est >= 100
+""",
+)
+def d3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan,
+    J.Alg'05): d=4 pairwise-independent hash rows × w=64 buckets built
+    in ONE aggregate pass over events (the 4-row hash dimension is a
+    constant broadcast fan-out, like ts_periodogram's period dim);
+    estimates are the min over the 4 bucket counters; candidates with
+    estimate ≥ 100 are reported against their true counts. CMS
+    guarantees n_est ≥ n_true always and n_est ≤ n_true + εN w.h.p. —
+    the overcount column exposes the error the 256-counter summary
+    pays vs the exact per-key aggregate.
+
+    Why it matters at 100 TB: the sketch is FIXED-SIZE (d×w counters)
+    and mergeable, so the first pass shuffles 256 partial counters per
+    map task instead of one row per distinct key — the same
+    bounded-state story as d2's HLL and a5b's percentile_approx, here
+    for point-frequency queries. The probe side joins the tiny sketch
+    back broadcast-style; at fleet scale candidates come from a
+    prior coarse filter, not the full key list."""
+    ev = load_table(spark, sf_dir, "events")
+    hashes = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_CMS_HASHES)], "i int, a long, b long"
+    )
+    bucket = (F.col("user_id") * F.col("a") + F.col("b")) % _CMS_P % _CMS_W
+    sketch = (
+        ev.select("user_id")
+        .crossJoin(F.broadcast(hashes))
+        .groupBy(F.col("i").alias("row_i"), bucket.alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    truth = ev.groupBy("user_id").agg(F.count("*").alias("n_true"))
+    probe = truth.crossJoin(F.broadcast(hashes)).select(
+        "user_id", "n_true", F.col("i").alias("row_i"), bucket.alias("bucket")
+    )
+    est = (
+        probe.join(sketch, ["row_i", "bucket"])
+        .groupBy("user_id", "n_true")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est.where(F.col("n_est") >= 100).select(
+        "user_id",
+        "n_true",
+        "n_est",
+        (F.col("n_est") - F.col("n_true")).alias("overcount"),
+    )

@@ -169,3 +169,42 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     soundfile/ffmpeg in this container; batching/schema real)."""
     d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_audio_features(d, n_windows=8)
+
+
+@register(
+    "src_python_datasource",
+    """
+WITH g AS (
+  SELECT a.range AS series_id, b.range AS t,
+         (a.range * 2654435761 + b.range * 40503) % 100003 AS v_units
+  FROM range(0, 200) a CROSS JOIN range(0, 40) b
+)
+SELECT series_id, count(*) AS n_days, sum(v_units) AS v_units_sum
+FROM g GROUP BY series_id
+""",
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through the custom Python DataSource
+    (sources/py_datasource.py, Spark 4 ``pyspark.sql.datasource`` API):
+    read the deterministic generator (200 series × 40 days, 8 parallel
+    shards) and aggregate per series. The generator's closed-form
+    integer values let the DuckDB oracle re-derive the ENTIRE source
+    output from ``range()`` — the scan itself is value-hash-checked,
+    which files-on-disk sources can't offer. The aggregate recovers
+    the exact modular integers (``round(v·P)``), so no float ever
+    reaches the comparison."""
+    from the_framework_for_clustering_time_series_data_spark.sources import py_datasource
+
+    py_datasource.register(spark)
+    df = (
+        spark.read.format(py_datasource.FORMAT_NAME)
+        .option("series", 200)
+        .option("days", 40)
+        .option("numPartitions", 8)
+        .load()
+    )
+    v_units = F.round(F.col("value") * 100003, 0).cast("long")
+    return df.groupBy("series_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum(v_units).alias("v_units_sum"),
+    )

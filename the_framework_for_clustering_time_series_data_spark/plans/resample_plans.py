@@ -481,3 +481,47 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = resample.bucket_rollup(ev, unit="day")
     return resample.lttb_downsample(daily, threshold=20)
+
+
+@register("ts_matrix_profile")  # per-series NumPy kernel → rows-only oracle
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series matrix-profile summary over the LOCF daily grid
+    (window m=7): the top MOTIF (lowest-profile window pair — the most
+    repeated weekly shape) and the top DISCORD (highest-profile window
+    — the most anomalous week), per series. The exact-neighbor
+    counterpart of the SAX-pruned corpus motif search
+    (operators/motifs.verified_motifs) and the shape-anomaly sibling of
+    ts_anomaly_zscore's pointwise screen.
+
+    Chain: daily rollup → dense grid → LOCF (declarative, one
+    series-keyed exchange) → matrix_profile applyInPandas (same
+    partitioning, one NumPy matmul per series) → per-series argmin /
+    argmax with deterministic (value, idx) tie-breaks — windows over
+    the same partitioning again, so still no extra exchange."""
+    from pyspark.sql.window import Window
+
+    from the_framework_for_clustering_time_series_data_spark.operators import motifs
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = resample.bucket_rollup(ev, unit="day")
+    grid = resample.gapfill_locf(
+        resample.dense_grid(daily, step="INTERVAL 1 DAY")
+    )
+    mp = motifs.matrix_profile(grid, m=7)
+    wm = Window.partitionBy("series_id").orderBy(F.col("mp").asc(), F.col("idx").asc())
+    wd = Window.partitionBy("series_id").orderBy(F.col("mp").desc(), F.col("idx").asc())
+    return (
+        mp.withColumn("rn_motif", F.row_number().over(wm))
+        .withColumn("rn_discord", F.row_number().over(wd))
+        .where((F.col("rn_motif") == 1) | (F.col("rn_discord") == 1))
+        .groupBy("series_id")
+        .agg(
+            F.count("*").alias("_k"),
+            F.min_by(F.col("idx"), F.col("rn_motif")).alias("motif_idx"),
+            F.min_by(F.col("nn_idx"), F.col("rn_motif")).alias("motif_nn_idx"),
+            F.min_by(F.col("mp"), F.col("rn_motif")).alias("motif_mp"),
+            F.min_by(F.col("idx"), F.col("rn_discord")).alias("discord_idx"),
+            F.min_by(F.col("mp"), F.col("rn_discord")).alias("discord_mp"),
+        )
+        .drop("_k")
+    )

@@ -293,16 +293,18 @@ WITH b AS (
 ),
 m AS (
   SELECT b.series_id, count(*) AS n_eval,
-         round(avg(abs(b.v - n1.v)), 6) AS mae_naive,
-         round(avg(abs(b.v - n7.v)), 6) AS mae_seasonal
+         sum(CAST(round(abs(b.v - n1.v) * 1000000) AS BIGINT)) AS s1_us,
+         sum(CAST(round(abs(b.v - n7.v) * 1000000) AS BIGINT)) AS s7_us
   FROM b
   JOIN b n1 ON n1.series_id = b.series_id AND n1.bucket = b.bucket - to_days(1)
   JOIN b n7 ON n7.series_id = b.series_id AND n7.bucket = b.bucket - to_days(7)
   GROUP BY b.series_id
   HAVING count(*) >= 10
 )
-SELECT series_id, n_eval, mae_naive, mae_seasonal,
-       round(1.0 - mae_seasonal / mae_naive, 6) AS skill
+SELECT series_id, n_eval,
+       floor(s1_us * 1.0 / n_eval + 0.5) / 1000000 AS mae_naive,
+       floor(s7_us * 1.0 / n_eval + 0.5) / 1000000 AS mae_seasonal,
+       floor((1.0 - s7_us * 1.0 / s1_us) * 1000000 + 0.5) / 1000000 AS skill
 FROM m
 """,
 )
@@ -316,11 +318,15 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly where a row-offset lag() would misalign (same reasoning
     as ts_acf_daily); all three sides share the rollup partitioning.
 
-    Cross-engine determinism: the rollup value is rounded to 6 dp
-    before the MAE averages, and skill derives from the already-rounded
-    MAEs — double sums depend on merge order (shuffle-fetch arrival in
-    Spark), so unrounded chained ratios can straddle the gate's 6-dp
-    rounding boundary run-to-run."""
+    Cross-engine determinism: the rollup value is rounded to 6 dp, so
+    each |error| is an exact multiple of 1e-6 — the per-series error
+    SUMS are therefore accumulated as integer MICRO-UNITS (BIGINT),
+    which no shuffle-merge order can perturb, and the final MAE /
+    skill values derive from those exact integers via the floor(x·1e6
+    + 0.5) HALF_UP identity both engines evaluate identically. A
+    double avg() here was flaky: with n_eval=112 the true mean can sit
+    exactly on a 6-dp half boundary, where last-ulp sum-order noise
+    flips the rounded digit run-to-run."""
     ev = load_table(spark, sf_dir, "events")
     b = (
         ev.groupBy(
@@ -348,20 +354,26 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s7") == F.col("series_id"))
         & (F.col("b7") == F.expr("timestampadd(DAY, -7, bucket)")),
     )
-    mae1 = F.avg(F.abs(F.col("v") - F.col("v1")))
-    mae7 = F.avg(F.abs(F.col("v") - F.col("v7")))
+    us1 = F.round(F.abs(F.col("v") - F.col("v1")) * 1e6, 0).cast("long")
+    us7 = F.round(F.abs(F.col("v") - F.col("v7")) * 1e6, 0).cast("long")
     m = (
         j.groupBy("series_id")
         .agg(
             F.count("*").alias("n_eval"),
-            F.round(mae1, 6).alias("mae_naive"),
-            F.round(mae7, 6).alias("mae_seasonal"),
+            F.sum(us1).alias("s1_us"),
+            F.sum(us7).alias("s7_us"),
         )
         .where(F.col("n_eval") >= 10)
     )
-    return m.withColumn(
-        "skill",
-        F.round(F.lit(1.0) - F.col("mae_seasonal") / F.col("mae_naive"), 6),
+    half_up = lambda c: F.floor(c + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return m.select(
+        "series_id",
+        "n_eval",
+        half_up(F.col("s1_us") * F.lit(1.0) / F.col("n_eval")).alias("mae_naive"),
+        half_up(F.col("s7_us") * F.lit(1.0) / F.col("n_eval")).alias("mae_seasonal"),
+        half_up(
+            (F.lit(1.0) - F.col("s7_us") * F.lit(1.0) / F.col("s1_us")) * F.lit(1e6)
+        ).alias("skill"),
     )
 
 
