@@ -310,3 +310,54 @@ def test_streaming_anomaly_matches_prequential_batch(spark, ordered_stream_dir):
     assert len(got) > 0
     for k in got:
         assert abs(got[k] - expect[k]) < 1e-5
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf package "
+    "(state-server wire protocol); not installed in this container",
+)
+def test_running_stats_tws_state_across_batches(spark, stream_dir):
+    # transformWithStateInPandas twin must reproduce the same final
+    # moments as the batch aggregate (and as the applyInPandasWithState
+    # op it mirrors), with state spanning micro-batches
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_events_stream,
+        running_series_stats_tws,
+    )
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    out = _run_stream(spark, running_series_stats_tws(stream), "update")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("series_id").orderBy(F.desc("n"))
+    final = (
+        out.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    batch_df = spark.read.parquet(stream_dir)
+    expect = batch_df.groupBy(F.col("user_id").alias("series_id")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.var_pop("value"), 6).alias("var_pop"),
+    )
+    diff = (
+        final.alias("a")
+        .join(expect.alias("b"), "series_id")
+        .where(
+            (F.col("a.n") != F.col("b.n"))
+            | (F.abs(F.col("a.mean") - F.col("b.mean")) > 1e-6)
+            | (F.abs(F.col("a.var_pop") - F.col("b.var_pop")) > 1e-6)
+        )
+    )
+    assert final.count() == expect.count()
+    assert diff.count() == 0
+    assert out.count() > final.count()

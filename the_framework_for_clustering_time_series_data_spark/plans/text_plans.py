@@ -591,3 +591,74 @@ def text_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalization of the reference's G5 sliding window
     (app.py:285-295)."""
     return T.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "udtf_chunk_docs",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks), 1)::BIGINT + 1, 48)) AS chunk_start
+  FROM t
+),
+c AS (
+  SELECT doc_id, ((chunk_start - 1) // 48) AS chunk_id, chunk_start,
+         toks[chunk_start : chunk_start + 63] AS chunk
+  FROM s
+)
+SELECT doc_id, chunk_id, chunk_start,
+       len(chunk) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM c
+""",
+)
+def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same overlapping-chunk semantics as ``text_chunk_docs``,
+    expressed through the Spark 4 Python UDTF surface (SURVEY.md §2.9's
+    UDTF checkbox): a table function applied per document row via a SQL
+    LATERAL join, yielding one row per 64-token/48-stride chunk. Shares
+    text_chunk_docs' oracle verbatim — the two formulations are
+    interchangeable by construction, and the declarative
+    sequence+posexplode one is the recommended hot path (JVM-side,
+    no Python workers); the UDTF exists for logic a lambda can't
+    express (stateful per-row expansion, external libraries) and to
+    pin the API's semantics (one eval per row, iterator yield,
+    outer-row columns joined back laterally)."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "chunk_id bigint, chunk_start bigint, "
+            "n_chunk_tokens bigint, chunk_md5 string"
+        )
+    )
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = re.split(r"\s+", text.strip().lower())
+            for start in range(1, max(len(toks), 1) + 1, 48):
+                chunk = toks[start - 1 : start + 63]
+                yield (
+                    (start - 1) // 48,
+                    start,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    docs = load_table(spark, sf_dir, "documents")
+    view = f"_udtf_docs_{abs(hash(sf_dir)) % 10**8}"
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_id, c.chunk_start,
+               c.n_chunk_tokens, c.chunk_md5
+        FROM {view} d, LATERAL chunk_doc_udtf(d.text) c
+        """
+    )

@@ -358,3 +358,72 @@ def streaming_anomaly_zscore(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_series_stats_tws(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-series running moments on the ``transformWithStateInPandas``
+    API (Spark 4's arbitrary-stateful successor to
+    applyInPandasWithState, used by ``running_series_stats`` above):
+    identical Welford semantics, but state lives in a typed, named
+    ValueState slot managed by the StateStore — composable with
+    ListState/MapState, TTL, and timers in bigger operators, and
+    portable to the RocksDB state backend at fleet scale. Kept as the
+    modern twin so both stateful APIs stay covered; parity across
+    micro-batches is asserted in tests/test_streaming.py (skipped
+    where the ``protobuf`` package — the TWS state-server wire
+    protocol's dependency — is unavailable, as in this container)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "series_id long, n long, mean double, var_pop double"
+
+    class RunningMoments(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "moments", "n long, mean double, m2 double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (sid,) = key
+            if self._state.exists():
+                n, mean, m2 = self._state.get()
+            else:
+                n, mean, m2 = 0, 0.0, 0.0
+            for pdf in rows:
+                for v in pdf[value_col].astype(float):
+                    n += 1
+                    d = v - mean
+                    mean += d / n
+                    m2 += d * (v - mean)
+            self._state.update((n, mean, m2))
+            yield pd.DataFrame(
+                [
+                    {
+                        "series_id": sid,
+                        "n": n,
+                        "mean": round(mean, 6),
+                        "var_pop": round(m2 / n, 6) if n else 0.0,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(F.col(key_col).cast("long").alias("_k"), F.col(value_col))
+        .groupBy("_k")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningMoments(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
