@@ -242,3 +242,39 @@ def test_dq_and_profile_single_scan(spark):
     for name in ("profile_events_columns", "dq_checks_events"):
         plan = _plan(spark, name)
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
+
+
+def test_e7_streaks_single_exchange(spark):
+    # distinct, island window, island aggregate, and ranking windows
+    # all key on user_id -> ONE hash exchange end-to-end
+    plan = _plan(spark, "e7_active_streaks")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_d3_countmin_broadcasts_hash_dim(spark):
+    # the 4-row hash dimension must broadcast on both the sketch-build
+    # and probe sides; no cartesian fallback
+    plan = _plan(spark, "d3_countmin_heavy_hitters")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_edit_blocked_equi_join_only(spark):
+    # shingle blocking must plan as hash equi-joins: an accidental
+    # range/theta condition would fall into a nested-loop join and
+    # re-open the 200x regression the blocking exists to prevent
+    plan = _plan(spark, "dedup_edit_blocked")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pagerank_edges_shuffle_reused(spark):
+    # the cached symmetric edge list is shuffled onto src ONCE; the
+    # per-iteration joins then reuse that layout, so the explained plan
+    # must not contain a cartesian/nested-loop anywhere and the rank
+    # normalization must ride a broadcast (1-row N aggregate)
+    plan = _plan(spark, "graph_pagerank_purchases")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

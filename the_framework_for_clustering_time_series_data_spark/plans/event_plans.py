@@ -958,23 +958,33 @@ def e7_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's implicit-row-order model cannot express at all — it
     needs an explicit time axis and ranking (SURVEY.md §1.5, §2.9).
 
-    Shape: one distinct on (user, day), then EVERY subsequent step —
-    the island-id window (day − row_number), the per-island aggregate,
-    and the per-user ranking/total windows — partitions by user_id, so
-    the whole query is a single exchange; Catalyst reuses the
-    hashpartitioning across all four operators. The island trick turns
-    consecutive-run detection into a plain GROUP BY: runs of
-    consecutive days share (day − rank), no self-join, no iteration."""
+    Shape: ONE exchange on user_id for the entire query. Day dedup is
+    a lag()-based first-occurrence filter under the user_id window —
+    NOT a global distinct, whose (user_id, day) hashpartitioning
+    cannot satisfy the downstream windows' user_id-only distribution
+    and would force a second shuffle (locked in tests/test_plans.py).
+    After it, the island-id window (day − row_number), the per-island
+    aggregate (ClusteredDistribution(user_id, grp) is satisfied by
+    hashpartitioning(user_id)), and the per-user ranking/total windows
+    all reuse the same exchange AND the same (user_id, day) sort. The
+    island trick turns consecutive-run detection into a plain GROUP
+    BY: runs of consecutive days share (day − rank), no self-join, no
+    iteration."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
+    raw = ev.select(
         "user_id",
         F.floor(F.date_trunc("day", F.col("ts")).cast("long") / 86400)
         .cast("long")
         .alias("day"),
-    ).distinct()
+    )
     wd = Window.partitionBy("user_id").orderBy("day")
+    d = (
+        raw.withColumn("_prev", F.lag("day").over(wd))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col("day")))
+        .drop("_prev")
+    )
     g = d.withColumn("grp", F.col("day") - F.row_number().over(wd))
     s = g.groupBy("user_id", "grp").agg(
         F.count("*").alias("len"), F.min("day").alias("start_day")
