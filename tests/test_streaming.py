@@ -361,3 +361,45 @@ def test_running_stats_tws_state_across_batches(spark, stream_dir):
     assert final.count() == expect.count()
     assert diff.count() == 0
     assert out.count() > final.count()
+
+
+def test_checkpoint_recovery_exactly_once(spark, stream_dir, tmp_path):
+    # Restart-from-checkpoint: run 1 ingests files 1-2 to a parquet
+    # sink and stops; files 3-4 then land in the source dir; run 2
+    # restarts with the SAME checkpoint and must ingest ONLY the new
+    # files — every event appears exactly once across both runs even
+    # though run 2's source listing still contains the old files.
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import read_events_stream
+
+    src = tmp_path / "src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    parts = sorted(Path(stream_dir).glob("part-*"))
+    assert len(parts) >= 4
+
+    def run():
+        stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for p in parts[:2]:
+        shutil.copy(p, src / p.name)
+    run()
+    n_first = spark.read.parquet(sink).count()
+    for p in parts[2:]:
+        shutil.copy(p, src / p.name)
+    run()
+    got = spark.read.parquet(sink)
+    expect = spark.read.parquet(stream_dir)
+    assert n_first == spark.read.parquet(*[str(src / p.name) for p in parts[:2]]).count()
+    assert got.count() == expect.count()
+    # no duplicates: event_id is unique in the source
+    assert got.select("event_id").distinct().count() == expect.count()

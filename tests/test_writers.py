@@ -138,3 +138,32 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     # (8 files × 2 dims → ideal ≈ 1/sqrt(8) ≈ 0.35 per dim)
     assert mean_u < 0.7, (mean_u, spans_u)
     assert mean_v < 0.7, (mean_v, spans_v)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    import re
+
+    from the_framework_for_clustering_time_series_data_spark.sources.writers import read_orc, write_orc
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "li_orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
+    # predicate pushdown reaches the ORC scan like the parquet scans
+    import contextlib
+    import io
+
+    filtered = back.where(F.col("l_quantity") > 45.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", plan)
+    exact = li.where(F.col("l_quantity") > 45.0).count()
+    assert filtered.count() == exact

@@ -192,3 +192,21 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """ORC sink (Spark-native vectorized reader/writer): the columnar
+    alternative where the surrounding lakehouse is Hive/ORC-based.
+    Same layout options as the parquet writers — predicate pushdown,
+    column pruning, and partition pruning all apply identically
+    (PushedFilters shows in the scan node either way)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str):
+    return spark.read.orc(path)
