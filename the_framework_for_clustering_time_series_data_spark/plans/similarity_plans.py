@@ -195,3 +195,84 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs brute force asserted in tests/test_similarity_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "emb_int8_quantize",
+    """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v,
+         list_aggregate(v, 'min') AS mn,
+         list_aggregate(v, 'max') AS mx
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, mn, mx,
+         CASE WHEN mx > mn
+              THEN list_transform(v, x -> round((x - mn) / (mx - mn) * 255))
+              ELSE list_transform(v, x -> 0.0) END AS code
+  FROM b
+),
+r AS (
+  SELECT vec_id, len(v) AS n_dims, mn, mx,
+         list_sum(
+           list_transform(
+             range(1, len(v) + 1),
+             i -> pow(v[i] - (mn + code[i] * (mx - mn) / 255), 2)
+           )
+         ) / len(v) AS mse
+  FROM q
+)
+SELECT vec_id, n_dims, round(mn, 6) AS v_min, round(mx, 6) AS v_max,
+       round(mse * 1000000, 6) AS mse_ppm
+FROM r
+""",
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding column —
+    the 4× storage/bandwidth compression an ANN serving tier applies
+    before PQ-level tricks (sim_pq_topk): affine-map each component to
+    a 0..255 code against the vector's own [min, max], then report the
+    reconstruction MSE (in parts-per-million so the 6-dp driver
+    comparison keeps signal). Everything is JVM-side array folds on
+    one scan — transform/aggregate over the 64-float array, no
+    explode, no shuffle, no Python; at 100 TB this is a map-only pass
+    whose output is 1/4 the input bytes plus two floats of scale
+    metadata per vector (the codes themselves are computed here and
+    would be written by the caller; the plan returns the quality
+    audit)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    b = e.select("vec_id", v.alias("v")).select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    )
+    scale = F.col("mx") - F.col("mn")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.transform(
+            F.col("v"), lambda x: F.round((x - F.col("mn")) / scale * 255, 0)
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0.0)))
+    q = b.withColumn("code", code)
+    recon_err2 = F.zip_with(
+        F.col("v"),
+        F.col("code"),
+        lambda x, c: F.pow(x - (F.col("mn") + c * scale / 255), F.lit(2.0)),
+    )
+    mse = F.aggregate(
+        recon_err2, F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size("v")
+    return q.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        F.round("mn", 6).alias("v_min"),
+        F.round("mx", 6).alias("v_max"),
+        F.round(mse * 1e6, 6).alias("mse_ppm"),
+    )
