@@ -1188,3 +1188,162 @@ def d3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_est",
         (F.col("n_est") - F.col("n_true")).alias("overcount"),
     )
+
+
+@register(
+    "e8_session_paths",
+    """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, es,
+         CASE WHEN es - lag(es) OVER w IS NULL
+                OR es - lag(es) OVER w > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, event_type, es,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY es, event_id) AS path,
+         count(*) AS path_len
+  FROM sess GROUP BY user_id, session_id
+),
+top AS (
+  SELECT path, any_value(path_len) AS path_len,
+         count(*) AS n_sessions,
+         row_number() OVER (ORDER BY count(*) DESC, path) AS rnk
+  FROM paths GROUP BY path
+)
+SELECT rnk, path, path_len, n_sessions FROM top WHERE rnk <= 10
+""",
+)
+def e8_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common session journeys: 30-minute-gap sessions
+    (j3's island logic) reduced to their ordered event-type path
+    string, counted corpus-wide — the "common paths" report every
+    product-analytics suite ships, here as three stacked aggregations.
+
+    Shape: sessionization rides ONE user_id exchange (lag flag +
+    running sum + per-session string fold all share the partitioning);
+    the path count is a second exchange on the path string with
+    map-side partials; the final top-10 is a TakeOrdered over the
+    already tiny distinct-path table (ties break lexicographically so
+    cross-engine ranking is exact). Path assembly sorts each
+    session's struct array JVM-side — no token explode survives the
+    session aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("ts").cast("long")).cast("long").alias("es"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("es", "event_id")
+    gap = F.col("es") - F.lag("es").over(wo)
+    flagged = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("es", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("path_len"),
+    )
+    top = (
+        paths.groupBy("path")
+        .agg(
+            F.any_value("path_len").alias("path_len"),
+            F.count("*").alias("n_sessions"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_sessions").desc(), "path")
+            ),
+        )
+        .where(F.col("rnk") <= 10)
+    )
+    return top.select("rnk", "path", "path_len", "n_sessions")
+
+
+@register(
+    "e9_event_transitions",
+    """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events
+),
+p AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY es, event_id)
+           AS from_type
+  FROM e
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM p WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+FROM c
+""",
+)
+def e9_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types per
+    user timeline (the event-stream sibling of text_bigram_fluency's
+    token bigrams): count every consecutive (from → to) pair, then
+    normalize per source state to transition probabilities.
+
+    Shape: one user_id exchange for the lag, one aggregate onto the
+    5×5 state space (map-side partials collapse almost everything
+    before the shuffle), and the probability normalization is a
+    window over ≤5 rows per source state. The probability divides
+    exact integer counts, so cross-engine determinism is free."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("ts").cast("long")).cast("long").alias("es"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("es", "event_id")
+    p = e.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(wo).alias("from_type"),
+    )
+    c = (
+        p.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wn), 6).alias("prob"),
+    )
