@@ -167,3 +167,22 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", plan)
     exact = li.where(F.col("l_quantity") > 45.0).count()
     assert filtered.count() == exact
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    # lakehouse schema evolution: later partitions gain a column; a
+    # mergeSchema scan must unify the schema and null-fill old files
+    base = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    v1.write.parquet(base + "/batch=1")
+    v2 = spark.createDataFrame(
+        [(3, 30.0, "en"), (4, 40.0, "de")], "id long, v double, lang string"
+    )
+    v2.write.parquet(base + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert sorted(df.columns) == ["batch", "id", "lang", "v"]
+    rows = {r["id"]: (r["v"], r["lang"]) for r in df.collect()}
+    assert rows[1] == (10.0, None) and rows[3] == (30.0, "en")
+    # and the narrow read (no mergeSchema) still prunes to one file's schema
+    one = spark.read.parquet(base + "/batch=1")
+    assert sorted(one.columns) == ["id", "v"]

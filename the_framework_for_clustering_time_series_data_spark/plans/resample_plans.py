@@ -525,3 +525,92 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_k")
     )
+
+
+@register(
+    "ts_drawdown",
+    """
+WITH b AS (
+  SELECT user_id AS series_id,
+         floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT AS day,
+         CAST(round(avg(value) * 1000000) AS BIGINT) AS v_us
+  FROM events GROUP BY 1, 2
+),
+run AS (
+  SELECT series_id, day,
+         sum(v_us) OVER (PARTITION BY series_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS equity_us
+  FROM b
+),
+eq AS (
+  SELECT series_id, day, equity_us,
+         max(equity_us) OVER (PARTITION BY series_id ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak_us
+  FROM run
+),
+dd AS (
+  SELECT series_id, day, peak_us - equity_us AS dd_us,
+         count(*) OVER (PARTITION BY series_id) AS n_days,
+         row_number() OVER (PARTITION BY series_id
+                            ORDER BY peak_us - equity_us DESC, day) AS rn
+  FROM eq
+)
+SELECT series_id, n_days, day AS worst_day, dd_us AS max_drawdown_us,
+       round(dd_us / 1000000.0, 6) AS max_drawdown
+FROM dd WHERE rn = 1
+""",
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series over the cumulative daily value
+    (running peak of the running sum minus the running sum; worst day
+    reported, earliest on ties) — the classic risk/regression metric
+    for any cumulative KPI, absent from the reference's stats panel
+    (A1) which is pointwise only.
+
+    Determinism: daily values quantize to exact BIGINT micro-units
+    BEFORE the running sums, so every window result is integer
+    arithmetic — immune to the float sum-order flake class
+    (ts_seasonal_naive_eval's lesson) — and the double rendering at
+    the end divides exact integers. Shape: the rollup exchange on
+    (series, day) then ONE series exchange carrying the running-sum
+    window, the nested running-max window, the per-series count, and
+    the argmax ranking — Catalyst stacks all four on the same sort."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.col("user_id").alias("series_id"),
+        F.floor(F.date_trunc("day", F.col("ts")).cast("long") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg(F.round(F.avg("value") * 1e6, 0).cast("long").alias("v_us"))
+    wrun = (
+        Window.partitionBy("series_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    eq = b.select(
+        "series_id",
+        "day",
+        F.sum("v_us").over(wrun).alias("equity_us"),
+    ).withColumn("peak_us", F.max("equity_us").over(wrun))
+    wcnt = Window.partitionBy("series_id")
+    wrnk = Window.partitionBy("series_id").orderBy(
+        (F.col("peak_us") - F.col("equity_us")).desc(), "day"
+    )
+    dd = eq.select(
+        "series_id",
+        "day",
+        (F.col("peak_us") - F.col("equity_us")).alias("dd_us"),
+        F.count("*").over(wcnt).alias("n_days"),
+        F.row_number().over(wrnk).alias("rn"),
+    )
+    return dd.where(F.col("rn") == 1).select(
+        "series_id",
+        "n_days",
+        F.col("day").alias("worst_day"),
+        F.col("dd_us").alias("max_drawdown_us"),
+        F.round(F.col("dd_us") / 1e6, 6).alias("max_drawdown"),
+    )
