@@ -207,3 +207,24 @@ def test_pack_chunks_5m_docs(spark):
     assert agg.total == total
     assert agg.n_chunks == -(-total // chunk)
     assert agg.min_span >= 1
+
+
+def test_pagerank_1m_node_ring_uniform(spark):
+    # 1M-node ring (every node degree 2): PageRank's fixed point is
+    # exactly uniform, and power iteration started uniform STAYS
+    # uniform — closed-form ground truth at scale, any drift is a bug
+    from the_framework_for_clustering_time_series_data_spark.operators.graph import pagerank
+
+    n = 1_000_000
+    ids = spark.range(n).select(F.col("id").alias("src"))
+    fwd = ids.select("src", ((F.col("src") + 1) % n).alias("dst"))
+    bwd = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ranks = pagerank(fwd.union(bwd), iterations=2)
+    stats = ranks.agg(
+        F.count("*").alias("n"),
+        F.min("rank").alias("mn"),
+        F.max("rank").alias("mx"),
+    ).collect()[0]
+    assert stats["n"] == n
+    assert abs(stats["mn"] - 1.0 / n) < 1e-15
+    assert abs(stats["mx"] - 1.0 / n) < 1e-15

@@ -323,3 +323,107 @@ def dedup_edit_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dist") / mx, 6).alias("rel_dist"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    r"""
+WITH w AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, lang,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        FOR i IN range(1, len(ws) - 1)]) AS sh3
+  FROM w WHERE len(ws) >= 5
+),
+sh AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct([array_to_string(ws[i:i+4], ' ')
+                               FOR i IN range(1, len(ws) - 3)])) AS s5
+  FROM w WHERE len(ws) >= 5
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b
+    ON a.s5 = b.s5 AND a.lang = b.lang AND b.doc_id > a.doc_id
+),
+ct AS (
+  SELECT id_a, id_b,
+         len(list_intersect(x.sh3, y.sh3)) AS n_inter,
+         len(x.sh3) AS n_a, len(y.sh3) AS n_b
+  FROM cand JOIN g x ON x.doc_id = id_a JOIN g y ON y.doc_id = id_b
+)
+SELECT id_a, id_b, n_inter, n_a, n_b,
+       CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id,
+       round(n_inter * 1.0 / least(n_a, n_b), 6) AS containment
+FROM ct
+WHERE n_inter * 1.0 / least(n_a, n_b) >= 0.5
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (Broder's containment coefficient):
+    ``|S_A ∩ S_B| / min(|S_A|, |S_B|)`` over distinct word-3-gram
+    sets — catches a short doc embedded in a longer one (quotes,
+    concatenated corpora), which symmetric Jaccard under-scores by
+    construction (small A in big B ⇒ Jaccard ≈ |A|/|B| however
+    complete the containment). Candidates come from the same exact
+    5-word-shingle equi-blocking as dedup_edit_blocked; the contained
+    side is the smaller shingle set (pure integer comparison — the
+    ratio argmax reduces to n_a ≤ n_b because the numerators are
+    equal, so no float tie-break exists).
+
+    Shape: shingle self-join on (lang, shingle) → distinct pair set →
+    two dimension joins fetch the 3-gram arrays → JVM array_intersect
+    per candidate. 3-gram sets are built with transform over a
+    sequence (no token explode for the set side; only the 5-gram
+    blocking stream explodes)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    w = docs.select("doc_id", "lang", ws.alias("ws")).where(F.size("ws") >= 5)
+
+    def grams(n: int):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)),
+            )
+        )
+
+    g = w.select("doc_id", "lang", grams(3).alias("sh3"))
+    sh = w.select(
+        "doc_id", "lang", F.explode(grams(5)).alias("s5")
+    )
+    cand = (
+        sh.select(F.col("doc_id").alias("id_a"), "lang", "s5")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "lang", "s5"), ["lang", "s5"])
+        .where(F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    x = g.select(F.col("doc_id").alias("id_a"), F.col("sh3").alias("sh_a"))
+    y = g.select(F.col("doc_id").alias("id_b"), F.col("sh3").alias("sh_b"))
+    ct = (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
+    mn = F.least(F.col("n_a"), F.col("n_b"))
+    return ct.where(F.col("n_inter") * F.lit(1.0) / mn >= 0.5).select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+        F.round(F.col("n_inter") * F.lit(1.0) / mn, 6).alias("containment"),
+    )

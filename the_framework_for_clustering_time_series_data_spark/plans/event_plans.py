@@ -1347,3 +1347,62 @@ def e9_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(wn), 6).alias("prob"),
     )
+
+
+@register(
+    "r7_recursive_hierarchy",
+    """
+WITH RECURSIVE u AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+anc(user_id, a, depth) AS (
+  SELECT user_id, user_id, 0 FROM u
+  UNION ALL
+  SELECT user_id, a // 2, depth + 1 FROM anc WHERE a > 1
+)
+SELECT anc.user_id,
+       max(anc.depth) AS tree_depth,
+       count(*) AS n_chain,
+       sum(coalesce(x.n_events, 0)) AS chain_events
+FROM anc LEFT JOIN u x ON x.user_id = anc.a
+GROUP BY anc.user_id
+""",
+)
+def r7_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup via a RECURSIVE CTE (Spark 4's WITH
+    RECURSIVE, UNION ALL form): each user walks its implicit binary
+    -tree ancestor chain (id → id/2 → … → 1) and sums the events seen
+    along the chain — the org-chart/category-tree aggregation pattern,
+    on the only hierarchy the flat test schema implies. The recursion
+    is ACYCLIC with chain length ⌈log₂(max id)⌉ ≈ 11, so the
+    UNION-ALL-only restriction of Spark's recursive CTEs (no UNION
+    dedup yet) costs nothing: every path row is unique by
+    construction. Both engines run the recursion natively; exact
+    integer outputs make the comparison drift-free.
+
+    At scale: each iteration is one shuffle-free projection + filter
+    over the frontier (monotonically shrinking as chains hit the
+    root); the single join at the end is frontier × user-dimension.
+    The iterative-DataFrame twin of this pattern is
+    dedup_connected_groups' min-label loop — use that form when the
+    graph has cycles, this form when the planner should see the whole
+    unrolled recursion."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    view = f"_r7_users_{abs(hash(sf_dir)) % 10**8}"
+    u.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE anc(user_id, a, depth) AS (
+          SELECT user_id, user_id, 0 FROM {view}
+          UNION ALL
+          SELECT user_id, a DIV 2, depth + 1 FROM anc WHERE a > 1
+        )
+        SELECT anc.user_id,
+               max(anc.depth) AS tree_depth,
+               count(*) AS n_chain,
+               sum(coalesce(x.n_events, 0)) AS chain_events
+        FROM anc LEFT JOIN {view} x ON x.user_id = anc.a
+        GROUP BY anc.user_id
+        """
+    )
