@@ -403,3 +403,109 @@ def test_checkpoint_recovery_exactly_once(spark, stream_dir, tmp_path):
     assert got.count() == expect.count()
     # no duplicates: event_id is unique in the source
     assert got.select("event_id").distinct().count() == expect.count()
+
+
+def test_foreachbatch_upsert_partitioned(spark, stream_dir, tmp_path):
+    # foreachBatch (batch_id, date)-partitioned overwrite sink: every
+    # event lands exactly once across micro-batches, and REPLAYING a
+    # batch (restart between sink write and checkpoint commit) leaves
+    # the table unchanged — the idempotence property appends lack
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_events_stream,
+        write_stream_upsert_partitioned,
+    )
+
+    sink = str(tmp_path / "table")
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    q = write_stream_upsert_partitioned(stream, sink, str(tmp_path / "ckpt"))
+    upsert = q._upsert_fn
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    total = spark.read.parquet(stream_dir).count()
+    assert got.count() == total
+    assert {"_batch_id", "event_date"} <= set(got.columns)
+    n_batches = got.select("_batch_id").distinct().count()
+    assert n_batches >= 2  # state really spanned micro-batches
+    # replay batch 0 with identical content: counts must not change
+    replay = spark.read.parquet(sink).where(F.col("_batch_id") == 0).drop(
+        "_batch_id", "event_date"
+    )
+    upsert(replay, 0)
+    again = spark.read.parquet(sink)
+    assert again.count() == total
+    assert again.select("event_id").distinct().count() == total
+
+
+def test_watermark_advances_and_windows_finalize_once(spark, tmp_path):
+    # In-order multi-batch stream: the event-time watermark must advance
+    # with each batch's max event time minus the delay, and append-mode
+    # window aggregation must emit each closed window EXACTLY once with
+    # the full count — the finalization contract downstream batch tables
+    # rely on. (Late-data drop timing is deliberately NOT asserted:
+    # state eviction is lazy and engine-version-specific.)
+    import os
+    import time
+
+    import pandas as pd
+
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import windowed_value_stats
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+
+    def mk(ids, tss, name, age):
+        pdf = pd.DataFrame(
+            {
+                "event_id": ids,
+                "ts": pd.to_datetime(tss),
+                "user_id": ids,
+                "event_type": ["click"] * len(ids),
+                "value": [float(i) for i in ids],
+                "props": ["{}"] * len(ids),
+            }
+        )
+        pdf.to_parquet(src / name, coerce_timestamps="us")
+        now = time.time()
+        os.utime(src / name, (now - age, now - age))
+
+    mk([1, 2], ["2024-03-20 12:00:00", "2024-03-20 12:20:00"], "00_a.parquet", 90)
+    mk([3], ["2024-03-20 12:40:00"], "01_b.parquet", 60)
+    mk([4], ["2024-03-21 12:00:00"], "02_c.parquet", 30)  # closes Mar 20 windows
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        windowed_value_stats(stream)
+        .writeStream.format("memory")
+        .queryName("wm_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        marks = [
+            p["eventTime"].get("watermark")
+            for p in q.recentProgress
+            if p["eventTime"].get("watermark")
+        ]
+    finally:
+        q.stop()
+    # watermark advanced monotonically and reached max(ts) - 2h
+    assert marks == sorted(marks)
+    assert marks[-1] == "2024-03-21T10:00:00.000Z"
+    rows = spark.sql(
+        "SELECT win_start, n FROM wm_sink ORDER BY win_start"
+    ).collect()
+    emitted = [(r["win_start"].isoformat(), r["n"]) for r in rows]
+    # every Mar 20 sliding window closed exactly once, with ALL its
+    # events (batches merged into state before finalization)
+    assert emitted == [
+        ("2024-03-20T11:30:00", 2),
+        ("2024-03-20T12:00:00", 3),
+        ("2024-03-20T12:30:00", 1),
+    ]

@@ -427,3 +427,43 @@ def running_series_stats_tws(
             timeMode="None",
         )
     )
+
+
+def write_stream_upsert_partitioned(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str = "event_date",
+):
+    """foreachBatch sink: idempotent upsert of each micro-batch into a
+    (batch_id, date)-partitioned parquet layout — the standard
+    "streaming into a batch-queryable table" pattern when no
+    transactional table format is available. Idempotence comes from
+    dynamic partition overwrite keyed by the BATCH id: a replayed
+    batch (restart between sink write and checkpoint commit) rewrites
+    exactly its own partition with the same rows instead of appending
+    duplicates, and never touches other batches' partitions — date
+    alone would not give this, because consecutive micro-batches share
+    dates and would clobber each other. At fleet scale this is the
+    micro-batch → lakehouse compaction boundary (compact_parquet
+    folds the batch level away later); with Delta/Iceberg the body
+    becomes a MERGE on the natural key and the rest stands."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .withColumn(partition_col, F.to_date(F.col("ts")))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id", partition_col)
+            .parquet(path)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q._upsert_fn = upsert  # exposed for idempotence tests
+    return q
