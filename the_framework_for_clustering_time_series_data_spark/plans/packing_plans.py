@@ -314,3 +314,164 @@ def corpus_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.join(packed, "doc_id", "left").select(
         "doc_id", "lang", "split", "n_tokens", "first_chunk"
     )
+
+
+@register(
+    "split_oov_rate",
+    r"""
+WITH u AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 6))::BIGINT
+                   / 16777216.0 < 0.8 THEN 'train'
+              WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 6))::BIGINT
+                   / 16777216.0 < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tok AS (SELECT split, unnest(toks) AS tok FROM u),
+vocab AS (SELECT DISTINCT tok FROM tok WHERE split = 'train'),
+ev AS (
+  SELECT t.split, count(*) AS n_tokens,
+         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS n_oov_types
+  FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+  WHERE t.split <> 'train'
+  GROUP BY t.split
+)
+SELECT split, n_tokens, n_oov, n_oov_types,
+       round(n_oov * 1.0 / n_tokens, 6) AS oov_rate
+FROM ev
+""",
+)
+def split_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit across the deterministic 80/10/10 split
+    (same salted-md5 membership as split_train_val_test): token and
+    type OOV rates of val/test against the train vocabulary — the
+    leakage/coverage check run before training a tokenizer or LM on
+    the split. A high OOV rate flags distribution drift between
+    splits; 0 everywhere flags a suspicious split (val ⊂ train's
+    surface forms — likely duplication).
+
+    Shape: one token explode feeds both sides; the train vocabulary
+    (distinct) broadcasts into a left anti-style null-probe join
+    against the val/test token stream; exact integer counts divide at
+    the end. At 100 TB the vocabulary side is the small one by
+    Heaps' law, and the probe is the same broadcast-semi-join shape
+    as decontaminate_ngram_overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    unit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":split")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+    split = F.when(unit < 0.8, "train").when(unit < 0.9, "val").otherwise("test")
+    tok = docs.select(
+        split.alias("split"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    vocab = tok.where(F.col("split") == "train").select("tok").distinct()
+    probe = tok.where(F.col("split") != "train").join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))), "tok", "left"
+    )
+    return probe.groupBy("split").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.countDistinct(
+            F.when(F.col("_in_vocab").isNull(), F.col("tok"))
+        ).alias("n_oov_types"),
+        F.round(
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "split_label_drift",
+    """
+WITH u AS (
+  SELECT lang,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 6))::BIGINT
+                   / 16777216.0 < 0.8 THEN 'train'
+              WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 6))::BIGINT
+                   / 16777216.0 < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+c AS (SELECT split, lang, count(*) AS n FROM u GROUP BY split, lang),
+t AS (SELECT split, sum(n) AS n_split FROM c GROUP BY split),
+p AS (
+  SELECT c.split, c.lang, c.n, c.n * 1.0 / t.n_split AS frac
+  FROM c JOIN t ON t.split = c.split
+),
+tr AS (SELECT lang, frac AS frac_train FROM p WHERE split = 'train')
+SELECT p.split, p.lang, p.n,
+       round(p.frac, 6) AS frac,
+       round(abs(p.frac - coalesce(tr.frac_train, 0)), 6) AS drift_vs_train
+FROM p LEFT JOIN tr ON tr.lang = p.lang
+WHERE p.split <> 'train'
+""",
+)
+def split_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language composition drift of val/test vs train under the
+    deterministic split — |frac_split − frac_train| per language, the
+    stratification audit that catches a split whose eval sets don't
+    represent the training mixture (run it after
+    mix_langs_resample to confirm rebalancing survived the split).
+    Two tiny aggregates and a broadcast join; exact integer counts
+    under the ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    unit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":split")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+    split = F.when(unit < 0.8, "train").when(unit < 0.9, "val").otherwise("test")
+    c = docs.select(split.alias("split"), "lang").groupBy("split", "lang").agg(
+        F.count("*").alias("n")
+    )
+    t = c.groupBy("split").agg(F.sum("n").alias("n_split"))
+    p = c.join(t, "split").select(
+        "split", "lang", "n", (F.col("n") * F.lit(1.0) / F.col("n_split")).alias("frac")
+    )
+    tr = p.where(F.col("split") == "train").select(
+        "lang", F.col("frac").alias("frac_train")
+    )
+    return (
+        p.where(F.col("split") != "train")
+        .join(F.broadcast(tr), "lang", "left")
+        .select(
+            "split",
+            "lang",
+            "n",
+            F.round("frac", 6).alias("frac"),
+            F.round(
+                F.abs(F.col("frac") - F.coalesce(F.col("frac_train"), F.lit(0.0))), 6
+            ).alias("drift_vs_train"),
+        )
+    )
