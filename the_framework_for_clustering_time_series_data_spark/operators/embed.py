@@ -226,9 +226,14 @@ def embedding_autoencoder(
     from the_framework_for_clustering_time_series_data_spark.operators.imaging import resize_images
 
     resized = resize_images(images, img_size, image_col).cache()
+    # series_id may be long (events path) or string (sliding-window
+    # synthetic ids, pipeline.align("sliding")) — the output schema must
+    # follow the input type or Arrow rejects the id column
+    sid_type = resized.schema["series_id"].dataType.simpleString()
+    out_schema = f"series_id {sid_type}, x double, y double"
     train_pdf = resized.toPandas()
     if train_pdf.empty:
-        return resized.sparkSession.createDataFrame([], "series_id long, x double, y double")
+        return resized.sparkSession.createDataFrame([], out_schema)
     X_raw = np.stack(
         [
             np.concatenate([np.asarray(r, dtype=np.float64) for r in img]) / 255.0
@@ -324,4 +329,4 @@ def embedding_autoencoder(
                 {"series_id": pdf["series_id"].values, "x": Z[:, 0], "y": Z[:, 1]}
             )
 
-    return resized.mapInPandas(_encode_batch, schema="series_id long, x double, y double")
+    return resized.mapInPandas(_encode_batch, schema=out_schema)

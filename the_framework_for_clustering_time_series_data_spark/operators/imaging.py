@@ -100,7 +100,10 @@ def resize_images(images: DataFrame, img_size: int, image_col: str = "image") ->
     import numpy as np
     import pandas as pd
 
-    out_schema = "series_id long, image array<array<int>>"
+    # id type follows the input (long for events-derived series, string
+    # for sliding-window synthetic ids)
+    sid_type = images.schema["series_id"].dataType.simpleString()
+    out_schema = f"series_id {sid_type}, image array<array<int>>"
 
     def do_resize(batches):
         for pdf in batches:
