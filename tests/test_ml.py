@@ -468,3 +468,51 @@ def test_quality_classifier_separates_weak_labels(spark):
     assert means[1] > 0.7, means
     assert means[0] < 0.3, means
     assert means[0] < means.get(-1, 0.5) < means[1], means
+
+
+def test_kmedoids_recovers_blobs_deterministically(spark):
+    # three tight, well-separated 2-D blobs: farthest-point init puts
+    # one seed per blob, PAM converges to the exact partition, medoids
+    # are actual members, and a re-run reproduces the result bit-for-bit
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import kmedoids
+
+    rows = []
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    sid = 0
+    truth = {}
+    for ci, (cx, cy) in enumerate(centers):
+        for j in range(8):
+            rows.append((sid, cx + 0.1 * (j % 3), cy + 0.1 * (j // 3)))
+            truth[sid] = ci
+            sid += 1
+    emb = spark.createDataFrame(rows, "series_id long, x double, y double")
+    out = {r["series_id"]: r for r in kmedoids(emb, k=3).collect()}
+    assert len(out) == len(rows)
+    by_truth = {}
+    for s, ci in truth.items():
+        by_truth.setdefault(ci, set()).add(out[s]["prediction"])
+    assert all(len(v) == 1 for v in by_truth.values())
+    assert len({next(iter(v)) for v in by_truth.values()}) == 3
+    medoids = [s for s, r in out.items() if r["is_medoid"]]
+    assert len(medoids) == 3
+    assert all(m in truth for m in medoids)
+    again = {r["series_id"]: tuple(r) for r in kmedoids(emb, k=3).collect()}
+    assert again == {s: tuple(r) for s, r in out.items()}
+
+
+def test_kmedoids_center_is_member_under_outlier(spark):
+    # one blob plus a far outlier, k=2: k-medoids' centers stay actual
+    # members — the blob's medoid sits IN the blob (a k-means centroid
+    # of the same data would be dragged off all members)
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import kmedoids
+
+    rows = [(i, float(i % 4), float(i // 4)) for i in range(12)]
+    rows.append((99, 1000.0, 1000.0))
+    emb = spark.createDataFrame(rows, "series_id long, x double, y double")
+    out = {r["series_id"]: r for r in kmedoids(emb, k=2).collect()}
+    blob_preds = {out[i]["prediction"] for i in range(12)}
+    assert len(blob_preds) == 1  # the blob stays whole
+    assert out[99]["prediction"] not in blob_preds  # outlier isolated
+    medoids = {s for s, r in out.items() if r["is_medoid"]}
+    assert 99 in medoids  # singleton cluster is its own medoid
+    assert len(medoids - {99}) == 1 and (medoids - {99}) <= set(range(12))

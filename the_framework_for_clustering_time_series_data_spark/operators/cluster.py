@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # --------------------------------------------------------------------------
@@ -478,3 +479,128 @@ def power_iteration_clusters(
     )
     pic = PowerIterationClustering(k=k, maxIter=max_iter, initMode="degree", weightCol="weight")
     return pic.assignClusters(g).select(F.col("id"), F.col("cluster"))
+
+
+# --------------------------------------------------------------------------
+# C9 — K-medoids (PAM-style, distributed steps, driver-coordinated loop)
+# --------------------------------------------------------------------------
+
+
+def kmedoids(
+    emb: DataFrame,
+    k: int = 3,
+    max_iter: int = 10,
+    feature_cols: tuple[str, ...] = ("x", "y"),
+) -> DataFrame:
+    """K-medoids over the embedding coordinates — the outlier-robust
+    sibling of C1's K-Means (centers are actual MEMBERS minimizing
+    total intra-cluster distance, so a single far outlier cannot drag
+    a center). MLlib has no k-medoids; this is the alternating PAM
+    scheme with every step distributed:
+
+    * assignment: broadcast the k medoid rows, min-distance argmin per
+      point via a window over k candidates (ties → smaller medoid id);
+    * update: per cluster, the member minimizing the summed distance
+      to its cluster — a cluster-keyed self-join (O(Σ nᵢ²), each
+      cluster's quadratic term local to its hash partition) + argmin
+      window (ties → smaller id);
+    * convergence: the driver compares k medoid ids per round (a
+      k-row collect — the only driver data) and stops when stable.
+
+    Deterministic end-to-end: greedy farthest-point init (first
+    medoid = smallest md5(series_id); each next = the point farthest
+    from its nearest chosen medoid, ties → smaller id — k tiny
+    1-row collects), and every argmin tie-breaks on id. Farthest
+    -point guarantees one seed per well-separated mass, the failure
+    mode a hash init leaves open (two seeds in one blob is a PAM
+    local optimum the alternation cannot escape). At fleet scale the
+    update step is the standard CLARA refinement: run it on a
+    per-cluster sample when Σ nᵢ² grows past the shuffle budget.
+    Returns (series_id, prediction, is_medoid).
+    """
+    cols = list(feature_cols)
+    pts = emb.select("series_id", *cols).cache()
+
+    def dist2(a_prefix: str, b_prefix: str):
+        d = None
+        for c in cols:
+            t = (F.col(f"{a_prefix}{c}") - F.col(f"{b_prefix}{c}")) ** 2
+            d = t if d is None else d + t
+        return F.sqrt(d)
+
+    first = (
+        pts.select("series_id")
+        .orderBy(F.md5(F.col("series_id").cast("string")), "series_id")
+        .limit(1)
+        .collect()[0]["series_id"]
+    )
+    medoid_ids = [first]
+    while len(medoid_ids) < k:
+        med = pts.where(F.col("series_id").isin(medoid_ids)).select(
+            F.col("series_id").alias("_mid"),
+            *[F.col(c).alias(f"_m{c}") for c in cols],
+        )
+        nearest = (
+            pts.crossJoin(F.broadcast(med))
+            .withColumn("_d", dist2("", "_m"))
+            .groupBy("series_id")
+            .agg(F.min("_d").alias("_dmin"))
+        )
+        nxt = (
+            nearest.orderBy(F.col("_dmin").desc(), "series_id")
+            .limit(1)
+            .collect()[0]["series_id"]
+        )
+        medoid_ids.append(nxt)
+    assign = None
+    for _ in range(max_iter):
+        med = pts.where(F.col("series_id").isin(medoid_ids)).select(
+            F.col("series_id").alias("_mid"),
+            *[F.col(c).alias(f"_m{c}") for c in cols],
+        )
+        cand = pts.crossJoin(F.broadcast(med)).withColumn(
+            "_d", dist2("", "_m")
+        )
+        w = Window.partitionBy("series_id").orderBy("_d", "_mid")
+        assign = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("series_id", *cols, F.col("_mid").alias("prediction"))
+            .localCheckpoint(eager=True)
+        )
+        a = assign.select(
+            "prediction",
+            F.col("series_id").alias("_ida"),
+            *[F.col(c).alias(f"_a{c}") for c in cols],
+        )
+        b = assign.select(
+            "prediction",
+            F.col("series_id").alias("_idb"),
+            *[F.col(c).alias(f"_b{c}") for c in cols],
+        )
+        costs = (
+            a.join(b, "prediction")
+            .withColumn("_d", dist2("_a", "_b"))
+            .groupBy("prediction", "_ida")
+            .agg(F.sum("_d").alias("_cost"))
+        )
+        wbest = Window.partitionBy("prediction").orderBy("_cost", "_ida")
+        new_ids = sorted(
+            r["_ida"]
+            for r in costs.withColumn("_rn", F.row_number().over(wbest))
+            .where(F.col("_rn") == 1)
+            .collect()
+        )
+        if new_ids == sorted(medoid_ids):
+            break
+        medoid_ids = new_ids
+    # relabel clusters 0..k-1 by medoid id order for stable output
+    label = {mid: i for i, mid in enumerate(sorted(medoid_ids))}
+    mapping = F.create_map(
+        *[F.lit(x) for pair in label.items() for x in pair]
+    )
+    return assign.select(
+        "series_id",
+        mapping[F.col("prediction")].alias("prediction"),
+        F.col("series_id").isin(medoid_ids).alias("is_medoid"),
+    )

@@ -283,3 +283,13 @@ def text_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         model.transform(vecs)
         .select(F.col("id").alias("doc_id"), "prediction")
     )
+
+
+@register("c9_kmedoids")  # iterative PAM → rows-only oracle (property-tested)
+def c9_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — K-medoids (PAM alternation, deterministic farthest-point
+    init) on the 2-D embedding: the outlier-robust centers-are-members
+    clustering MLlib lacks. Assignment is a broadcast-k argmin; the
+    update step's per-cluster quadratic cost is hash-local (CLARA
+    sampling is the documented fleet-scale refinement)."""
+    return cluster.kmedoids(_emb_xy(spark, sf_dir), k=5)
