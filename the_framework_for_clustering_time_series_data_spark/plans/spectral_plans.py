@@ -246,3 +246,118 @@ def ts_sbd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1) - F.round(ncc, 6)).alias("sbd"),
         )
     )
+
+
+# query-by-shape: a fixed 7-day pattern (sharp mid-week spike), z-normalized
+_SHAPE_QUERY = (0.0, 0.2, 0.4, 3.0, 0.4, 0.2, 0.0)
+_SHAPE_W = len(_SHAPE_QUERY)
+_SHAPE_TOPK = 20
+
+
+def _znorm(vals):
+    n = len(vals)
+    mu = sum(vals) / n
+    sd = (sum((v - mu) ** 2 for v in vals) / n) ** 0.5
+    return [(v - mu) / sd for v in vals]
+
+
+@register(
+    "ts_shape_search",
+    f"""
+WITH b AS (
+  SELECT user_id AS series_id,
+         floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT AS t,
+         avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT series_id, t AS start_day,
+         [{", ".join(f"lead(v, {j}) OVER (PARTITION BY series_id ORDER BY t)" for j in range(_SHAPE_W))}] AS win,
+         lead(t, {_SHAPE_W - 1}) OVER (PARTITION BY series_id ORDER BY t) AS t_end
+  FROM b
+),
+d AS (
+  SELECT series_id, start_day, win FROM w
+  WHERE t_end = start_day + {_SHAPE_W - 1}
+),
+z AS (
+  SELECT series_id, start_day,
+         list_avg(win) AS mu,
+         sqrt(list_avg(list_transform(win, x -> (x - list_avg(win)) * (x - list_avg(win))))) AS sd,
+         win
+  FROM d
+),
+s AS (
+  SELECT series_id, start_day,
+         round(list_sum(list_transform(range(1, {_SHAPE_W + 1}),
+           i -> pow((win[i] - mu) / sd - ([{", ".join(str(q) for q in _znorm(_SHAPE_QUERY))}])[i], 2))), 6) AS dist
+  FROM z WHERE sd > 0
+),
+r AS (
+  SELECT series_id, start_day, dist,
+         row_number() OVER (ORDER BY dist, series_id, start_day) AS rnk
+  FROM s
+)
+SELECT rnk, series_id, start_day, dist FROM r WHERE rnk <= {_SHAPE_TOPK}
+""",
+)
+def ts_shape_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-shape: find the {_SHAPE_TOPK} daily windows most similar
+    (z-normalized Euclidean) to a fixed 7-day spike pattern across
+    every series — the subsequence-matching primitive behind the
+    reference's whole clustering premise (shape similarity), served as
+    a relational scan instead of an index. Windows come from a lead()
+    chain over the daily rollup, gap-guarded (t_end must equal
+    start+6, so windows never span missing days — a row-offset window
+    without the guard would silently stitch across gaps); z-norm and
+    the distance fold are JVM array expressions; the global top-k is a
+    TakeOrdered with full (dist, series, day) tie-break.
+
+    Scale shape: one exchange for the rollup, one series-keyed sort
+    for the lead chain, then a map-only fold and top-k — the same
+    single-scan cost as ts_paa_sax. The MASS/FFT route only wins when
+    the query set is large; for one pattern the relational scan is
+    optimal and fully oracle-checkable."""
+    b = _daily_by_daynum(spark, sf_dir)
+    wspec = Window.partitionBy("series_id").orderBy("t")
+    win = F.array(*[F.lead("v", j).over(wspec) for j in range(_SHAPE_W)])
+    w = b.select(
+        "series_id",
+        F.col("t").alias("start_day"),
+        win.alias("win"),
+        F.lead("t", _SHAPE_W - 1).over(wspec).alias("t_end"),
+    ).where(F.col("t_end") == F.col("start_day") + (_SHAPE_W - 1))
+    n = F.lit(float(_SHAPE_W))
+    mu = F.aggregate("win", F.lit(0.0), lambda a, x: a + x) / n
+    z = w.withColumn("mu", mu)
+    sd = F.sqrt(
+        F.aggregate(
+            "win", F.lit(0.0), lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu"))
+        )
+        / n
+    )
+    z = z.withColumn("sd", sd).where(F.col("sd") > 0)
+    q = _znorm(_SHAPE_QUERY)
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                "win",
+                qarr,
+                lambda x, qv: ((x - F.col("mu")) / F.col("sd") - qv)
+                * ((x - F.col("mu")) / F.col("sd") - qv),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    s = z.select("series_id", "start_day", dist.alias("dist"))
+    # TakeOrdered top-k first, rank the ≤k survivors after — a global
+    # row_number window BEFORE the limit would drag every window row
+    # through one partition (the pack_sequences_chunks lesson)
+    top = s.orderBy("dist", "series_id", "start_day").limit(_SHAPE_TOPK)
+    wr = Window.orderBy("dist", "series_id", "start_day")
+    return top.withColumn("rnk", F.row_number().over(wr)).select(
+        "rnk", "series_id", "start_day", "dist"
+    )
