@@ -278,3 +278,18 @@ def test_pagerank_edges_shuffle_reused(spark):
     plan = _plan(spark, "graph_pagerank_purchases")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_plan_tools_summary(spark):
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import summarize_plan
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+
+    spark.catalog.clearCache()
+    s = summarize_plan(QUERIES["q5_region_revenue"](spark, SF_ORACLE))
+    assert not s["has_cartesian"]
+    assert "BroadcastHashJoin" in s["joins"]
+    assert s["n_scans"] >= 5  # six-table join reads its dims
+    # (codegen ids only materialize in post-execution AQE final plans,
+    # so they are not asserted on the lazy frame here)
+    s2 = summarize_plan(QUERIES["e7_active_streaks"](spark, SF_ORACLE))
+    assert s2["n_exchanges"] == 1  # the single-exchange property, via the util

@@ -1,0 +1,66 @@
+"""Physical-plan introspection helpers — the programmatic form of the
+".explain and iterate" discipline this engine is built on (SURVEY.md
+§4). `summarize_plan` turns `df.explain("formatted")` into a dict a
+test or a notebook can assert on directly:
+
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import summarize_plan
+    s = summarize_plan(df)
+    assert s["n_exchanges"] == 1 and not s["has_cartesian"]
+
+The same properties tests/test_plans.py locks for the shipped queries,
+available to users for their own compositions.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def summarize_plan(df: DataFrame) -> dict:
+    """Counts of the plan features that matter at scale: shuffles
+    (Exchange nodes), join strategies, scan pushdown/pruning, and
+    whole-stage-codegen coverage."""
+    plan = formatted_plan(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    return {
+        "n_exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "n_broadcast_exchanges": len(
+            re.findall(r"\(\d+\) BroadcastExchange", plan)
+        ),
+        "n_sorts": len(re.findall(r"\(\d+\) Sort", plan)),
+        "n_scans": len(re.findall(r"\(\d+\) Scan", plan)),
+        "joins": sorted(
+            set(
+                re.findall(
+                    r"\((?:\d+)\) (BroadcastHashJoin|SortMergeJoin|"
+                    r"ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+                    plan,
+                )
+            )
+        ),
+        "has_cartesian": "CartesianProduct" in plan,
+        "pushed_filters": [p for p in pushed if p.strip()],
+        "read_schemas": [
+            sorted(c.split(":")[0] for c in s.split(",") if c) for s in schemas
+        ],
+        # formatted explain tags codegen membership per node as
+        # "[codegen id : N]"; under AQE these appear only once the
+        # final plan has materialized (explain after an action), so an
+        # empty list on a lazy frame means "not yet known", not "no
+        # codegen"
+        "wholestage_codegen_ids": sorted(
+            set(int(x) for x in re.findall(r"codegen id : (\d+)", plan))
+        ),
+    }

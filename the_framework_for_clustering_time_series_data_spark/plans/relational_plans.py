@@ -1182,3 +1182,75 @@ def a7_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_v",
         )
     )
+
+
+@register(
+    "q23_market_basket",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+s AS (SELECT l_partkey, count(*) AS n_p FROM b GROUP BY l_partkey),
+p AS (
+  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, count(*) AS n_ab
+  FROM b x JOIN b y
+    ON x.l_orderkey = y.l_orderkey AND y.l_partkey > x.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+       round(p.n_ab * 1.0 / n.n_orders, 6) AS support,
+       round(p.n_ab * 1.0 / sa.n_p, 6) AS confidence_a_b,
+       round(p.n_ab * 1.0 * n.n_orders / (sa.n_p * sb.n_p), 6) AS lift
+FROM p
+JOIN s sa ON sa.l_partkey = p.part_a
+JOIN s sb ON sb.l_partkey = p.part_b
+CROSS JOIN n
+""",
+)
+def q23_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase mining: frequent part PAIRS (min
+    co-count 3) with support, directional confidence, and lift — the
+    association-rule query (the 2-itemset core of FPGrowth, which at
+    pair level is exactly this self-join + aggregate and needs no tree
+    structure). Lift > 1 flags genuinely associated parts vs
+    popularity coincidence.
+
+    Shape: the basket table distincts once and self-joins on the order
+    key — each order's quadratic pair fan-out is local to its hash
+    partition and bounded by basket size (≤7 lines/order in this
+    schema); the HAVING prunes before the two dimension joins; the
+    1-row order count broadcasts. At fleet scale, giant baskets cap
+    like MinHash buckets (drop or sample baskets past a size bound —
+    their pairs are noise for association mining anyway)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    s = b.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    x = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    y = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    p = (
+        x.join(y, "ok")
+        .where(F.col("part_b") > F.col("part_a"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    return (
+        p.join(s.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a")), "part_a")
+        .join(s.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") * F.lit(1.0) / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_ab") * F.lit(1.0) / F.col("n_a"), 6).alias("confidence_a_b"),
+            F.round(
+                F.col("n_ab") * F.lit(1.0) * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
