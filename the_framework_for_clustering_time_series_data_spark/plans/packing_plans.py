@@ -475,3 +475,76 @@ def split_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_vs_train"),
         )
     )
+
+
+@register(
+    "sample_weighted_es",
+    """
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':es'), 1, 6))::BIGINT + 1)
+           / 16777217.0 AS unit
+  FROM documents
+),
+k AS (
+  SELECT doc_id, lang, n_chars,
+         pow(unit, 1.0 / n_chars) AS es_key
+  FROM u
+),
+r AS (
+  SELECT doc_id, lang, n_chars, es_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY es_key DESC, doc_id) AS rnk
+  FROM k
+)
+SELECT lang, rnk, doc_id, n_chars, round(es_key, 6) AS es_key
+FROM r WHERE rnk <= 3
+""",
+)
+def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis–Spirakis
+    (IPL 2006): each doc draws key = u^(1/w) with weight w = n_chars
+    and a DETERMINISTIC salted-md5 unit u ∈ (0,1]; the top-3 keys per
+    language are the sample. Longer docs win proportionally more often
+    — the importance-sampling primitive behind loss-weighted corpus
+    subsetting — yet the draw is reproducible across engines, runs,
+    and partitionings, exactly like sample_hash_bernoulli's
+    deterministic coin.
+
+    Shape: pure per-row projection (no RNG state, nothing driver-side)
+    + one per-language top-k window over bounded key cardinality.
+    One-pass, shuffle only on the tiny (lang) ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    unit = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(":es")
+                        ).cast("binary")
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        )
+        / F.lit(16777217.0)
+    )
+    k = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.pow(unit, F.lit(1.0) / F.col("n_chars")).alias("es_key"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        k.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
+    )
