@@ -516,3 +516,25 @@ def test_kmedoids_center_is_member_under_outlier(spark):
     medoids = {s for s, r in out.items() if r["is_medoid"]}
     assert 99 in medoids  # singleton cluster is its own medoid
     assert len(medoids - {99}) == 1 and (medoids - {99}) <= set(range(12))
+
+
+def test_single_link_chains_and_gaps(spark):
+    # a chain of points 0.9 apart links end-to-end at d=1.0 (the
+    # chaining property single-link is DEFINED by, which k-means and
+    # DBSCAN-with-min-samples both break), while a 5-unit gap splits;
+    # singletons keep their own cluster id
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import single_link
+
+    rows = [(i, i * 0.9, 0.0) for i in range(6)]            # chain A: 0..5
+    rows += [(10 + i, 100.0 + i * 0.9, 0.0) for i in range(4)]  # chain B
+    rows.append((99, 500.0, 500.0))                          # singleton
+    emb = spark.createDataFrame(rows, "series_id long, x double, y double")
+    out = {r["series_id"]: r for r in single_link(emb, d=1.0).collect()}
+    assert len(out) == len(rows)
+    assert {out[i]["cluster"] for i in range(6)} == {0}
+    assert {out[10 + i]["cluster"] for i in range(4)} == {10}
+    assert out[99]["cluster"] == 99 and out[99]["cluster_size"] == 1
+    assert out[0]["cluster_size"] == 6 and out[10]["cluster_size"] == 4
+    # at a tighter cut the chain shatters into singletons
+    tight = {r["series_id"]: r["cluster"] for r in single_link(emb, d=0.5).collect()}
+    assert all(tight[i] == i for i in range(6))

@@ -604,3 +604,64 @@ def kmedoids(
         mapping[F.col("prediction")].alias("prediction"),
         F.col("series_id").isin(medoid_ids).alias("is_medoid"),
     )
+
+
+# --------------------------------------------------------------------------
+# C10 — single-linkage clustering at a distance threshold
+# --------------------------------------------------------------------------
+
+
+def single_link(
+    emb: DataFrame,
+    d: float,
+    feature_cols: tuple[str, ...] = ("x", "y"),
+) -> DataFrame:
+    """Single-linkage hierarchical clustering CUT AT distance ``d``:
+    two points share a cluster iff a chain of ≤d hops connects them —
+    exactly the connected components of the d-threshold graph, which
+    is how SLINK's dendrogram level is computed distributively (a full
+    agglomerative merge matrix is O(n²) memory and inherently
+    sequential; the threshold cut is the parallelizable query).
+
+    Reuses the engine's two graph primitives: the ε-grid equi-join
+    (dbscan's candidate generator — only 3×3 neighbor cells pair, so
+    no quadratic scan) builds the threshold edges, and min-label
+    propagation (dedup.connected_components) closes them transitively.
+    Returns (series_id, cluster, cluster_size) with cluster = min
+    member id, singletons included.
+    """
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import connected_components
+
+    cols = list(feature_cols)
+    pts = emb.select("series_id", *cols).cache()
+    cx = F.floor(F.col(cols[0]) / d).cast("long")
+    cy = F.floor(F.col(cols[1]) / d).cast("long")
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    left = pts.select("series_id", *cols, cx.alias("cx"), cy.alias("cy"))
+    right = pts.select(
+        F.col("series_id").alias("nbr_id"),
+        *[F.col(c).alias(f"n_{c}") for c in cols],
+        F.explode(
+            F.array(
+                *[
+                    F.struct((cx + dx).alias("cx"), (cy + dy).alias("cy"))
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("c"),
+    ).select("nbr_id", *[f"n_{c}" for c in cols], "c.cx", "c.cy")
+    dist2 = sum(
+        (F.col(c) - F.col(f"n_{c}")) ** 2 for c in cols
+    )
+    edges = (
+        left.join(right, ["cx", "cy"])
+        .where((F.col("nbr_id") > F.col("series_id")) & (dist2 <= d * d))
+        .select(F.col("series_id").alias("id_a"), F.col("nbr_id").alias("id_b"))
+    )
+    comp = connected_components(edges).withColumnRenamed("node", "series_id")
+    out = pts.select("series_id").join(comp, "series_id", "left").select(
+        "series_id",
+        F.coalesce(F.col("component"), F.col("series_id")).alias("cluster"),
+    )
+    w = Window.partitionBy("cluster")
+    return out.withColumn("cluster_size", F.count("*").over(w))

@@ -293,3 +293,12 @@ def c9_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     update step's per-cluster quadratic cost is hash-local (CLARA
     sampling is the documented fleet-scale refinement)."""
     return cluster.kmedoids(_emb_xy(spark, sf_dir), k=5)
+
+
+@register("c10_single_link")  # iterative components → rows-only oracle (chain-tested)
+def c10_single_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — single-linkage clustering cut at d=0.05 on the 2-D
+    embedding: connected components of the d-threshold graph via the
+    ε-grid equi-join + min-label propagation — the chaining-sensitive
+    complement of DBSCAN (no core-point density gate)."""
+    return cluster.single_link(_emb_xy(spark, sf_dir), d=0.05)
