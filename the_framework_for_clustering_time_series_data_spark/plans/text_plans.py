@@ -662,3 +662,71 @@ def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view} d, LATERAL chunk_doc_udtf(d.text) c
         """
     )
+
+
+@register(
+    "text_keywords_tfidf",
+    r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+nn AS (SELECT count(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (ln((nn.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN nn
+),
+r AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+SELECT doc_id, rnk, term, tf, df, round(score, 6) AS score
+FROM r WHERE rnk <= 5
+""",
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 terms by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``, the sklearn smoothing so no term
+    ever gets a zero or negative weight) — the classic summarization /
+    tagging primitive, and the per-doc complement of
+    text_tfidf_kmeans's corpus-level hashed vectors (here terms stay
+    readable strings, which hashing destroys).
+
+    Shape: one token explode feeds the (doc, term) tf aggregate and
+    the term-keyed df aggregate; the 1-row corpus count broadcasts;
+    scoring is a map; the per-doc top-5 window partitions on doc_id —
+    bounded fan-in per partition. Ties break lexicographically for
+    deterministic cross-engine ranking."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nn = docs.agg(F.count("*").alias("n_docs"))
+    s = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nn))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "term", "tf", "df", F.round("score", 6).alias("score"))
+    )
