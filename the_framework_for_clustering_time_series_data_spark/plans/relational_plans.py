@@ -1254,3 +1254,56 @@ def q23_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "q24_yoy_nation_growth",
+    """
+WITH r AS (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+         sum(o.o_totalprice) AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT nation, yr, revenue,
+         lag(revenue) OVER (PARTITION BY nation ORDER BY yr) AS prev
+  FROM r
+)
+SELECT nation, yr, round(revenue, 4) AS revenue,
+       round((revenue - prev) / prev, 6) AS yoy_growth
+FROM g WHERE prev IS NOT NULL
+""",
+)
+def q24_yoy_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the trend twin of
+    q5's point-in-time regional revenue: yearly aggregate, then a
+    per-nation lag window for the growth ratio (first year drops —
+    no prior to compare). The customer/nation dims broadcast; the
+    yearly aggregate is map-side-partial; the growth window runs on
+    nations × years, a dimension-sized frame."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.year("o_orderdate").alias("yr")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    r = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("nation", "yr")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    g = r.withColumn("prev", F.lag("revenue").over(w))
+    return g.where(F.col("prev").isNotNull()).select(
+        "nation",
+        "yr",
+        F.round("revenue", 4).alias("revenue"),
+        F.round((F.col("revenue") - F.col("prev")) / F.col("prev"), 6).alias(
+            "yoy_growth"
+        ),
+    )
