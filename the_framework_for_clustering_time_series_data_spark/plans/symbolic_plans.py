@@ -559,3 +559,82 @@ def ts_motif_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the_framework_for_clustering_time_series_data_spark.operators import motifs
 
     return motifs.verified_motifs(events_as_series(spark, sf_dir))
+
+
+@register(
+    "ts_anomaly_seasonal",
+    """
+WITH b AS (
+  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+tr AS (
+  SELECT series_id, bucket, v,
+         avg(v) OVER (PARTITION BY series_id
+                      ORDER BY cast(floor(epoch(bucket)) AS BIGINT)
+                      RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING) AS trend
+  FROM b
+),
+se AS (
+  SELECT series_id, bucket, v, trend,
+         avg(v - trend) OVER (PARTITION BY series_id, dayofweek(bucket) + 1) AS seasonal
+  FROM tr
+),
+r AS (
+  SELECT series_id, bucket, v,
+         round(v - trend - seasonal, 6) AS resid
+  FROM se
+),
+s AS (
+  SELECT series_id, bucket, v, resid,
+         stddev_pop(resid) OVER (PARTITION BY series_id) AS sd
+  FROM r
+)
+SELECT series_id, bucket::TIMESTAMP AS bucket, round(v, 6) AS v, resid,
+       round(resid / sd, 6) AS resid_z
+FROM s WHERE sd > 0 AND abs(resid) > 2.5 * sd
+""",
+)
+def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: days whose decomposition
+    RESIDUAL (ts_decompose_dow's trend + day-of-week model) exceeds
+    2.5 per-series residual sigmas — catches a Tuesday that is wild
+    FOR A TUESDAY even when its raw value is unremarkable, the miss
+    class of ts_anomaly_zscore's raw-value screen. The residual is
+    6-dp-rounded BEFORE the sigma pass so both engines score the
+    identical base series.
+
+    Shape: the whole chain — rollup, trend time-RANGE window, seasonal
+    (series, dow) window, sigma whole-partition window, flag filter —
+    partitions by series_id; one exchange end-to-end like the
+    decomposition itself."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.col("user_id").alias("series_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket"),
+    ).agg(F.avg("value").alias("v"))
+    w_tr = (
+        Window.partitionBy("series_id")
+        .orderBy(F.col("bucket").cast("long"))
+        .rangeBetween(-259200, 259200)
+    )
+    tr = b.withColumn("trend", F.avg("v").over(w_tr))
+    w_se = Window.partitionBy("series_id", F.dayofweek("bucket"))
+    se = tr.withColumn("seasonal", F.avg(F.col("v") - F.col("trend")).over(w_se))
+    r = se.select(
+        "series_id",
+        "bucket",
+        "v",
+        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+    )
+    w_sd = Window.partitionBy("series_id")
+    s = r.withColumn("sd", F.stddev_pop("resid").over(w_sd))
+    return s.where(
+        (F.col("sd") > 0) & (F.abs(F.col("resid")) > 2.5 * F.col("sd"))
+    ).select(
+        "series_id",
+        "bucket",
+        F.round("v", 6).alias("v"),
+        "resid",
+        F.round(F.col("resid") / F.col("sd"), 6).alias("resid_z"),
+    )
