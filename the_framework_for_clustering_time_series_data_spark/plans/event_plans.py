@@ -1406,3 +1406,44 @@ def r7_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY anc.user_id
         """
     )
+
+
+@register(
+    "e10_activity_heatmap",
+    """
+WITH e AS (
+  SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod, value FROM events
+),
+c AS (
+  SELECT dow, hod, count(*) AS n, round(avg(value), 6) AS v_avg
+  FROM e GROUP BY dow, hod
+),
+t AS (SELECT sum(n) AS total FROM c)
+SELECT c.dow, c.hod, c.n, c.v_avg,
+       round(c.n * 1.0 / t.total, 6) AS share
+FROM c CROSS JOIN t
+""",
+)
+def e10_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with per-cell share
+    of total — the standard seasonality fingerprint report (the 2-D
+    reporting view over the same calendar axes ts_decompose_dow
+    models). One aggregate onto a ≤168-cell grid with map-side
+    partials; the 1-row total broadcasts back. Session timezone is
+    pinned UTC (sources/tables.py) so hour() agrees with the oracle's
+    naive-timestamp hour on either testdata layout."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod"), "value"
+    )
+    c = e.groupBy("dow", "hod").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("v_avg")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "hod",
+        "n",
+        "v_avg",
+        F.round(F.col("n") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+    )
