@@ -293,3 +293,8 @@ def test_plan_tools_summary(spark):
     # so they are not asserted on the lazy frame here)
     s2 = summarize_plan(QUERIES["e7_active_streaks"](spark, SF_ORACLE))
     assert s2["n_exchanges"] == 1  # the single-exchange property, via the util
+
+
+def test_burst_periods_single_exchange(spark):
+    plan = _plan(spark, "ts_burst_periods")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1

@@ -276,3 +276,71 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mx", 6).alias("v_max"),
         F.round(mse * 1e6, 6).alias("mse_ppm"),
     )
+
+
+@register(
+    "sim_knn_graph",
+    """
+WITH s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+),
+r AS (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst) AS rnk
+  FROM s
+)
+SELECT src, rnk, dst, cosine FROM r WHERE rnk <= 3
+""",
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN graph construction (k=3, cosine) over the whole
+    embedding table — the adjacency structure label propagation,
+    graph clustering (c8), and SemDeDup-style analyses consume. Each
+    Arrow batch scores itself against the broadcast L2-normalized
+    corpus with one BLAS matmul and emits only its rows' top-3
+    (exact: per-row top-k needs no cross-batch merge), so the shuffle
+    carries 3 rows per vector instead of the n² score matrix. Ties
+    break on neighbor id for deterministic cross-engine ranking. At
+    fleet scale the same contract runs behind an ANN candidate pass
+    (sim_ann_lsh_topk / sim_ivf_topk) — this is the exact baseline
+    those are measured against."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    rows = v.collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def knn(batches):
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            bids = pdf["id"].to_numpy(dtype=np.int64)
+            bm = np.array(pdf["v"].tolist(), dtype=np.float64)
+            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+            sims = np.round(bm @ all_mat.T, 6)
+            out = []
+            for i, qid in enumerate(bids):
+                s = sims[i]
+                mask = all_ids != qid
+                idx = np.nonzero(mask)[0]
+                take = idx[np.lexsort((all_ids[idx], -s[idx]))[:3]]
+                for rnk, j in enumerate(take, start=1):
+                    out.append((qid, rnk, all_ids[j], s[j]))
+            yield pd.DataFrame(out, columns=["src", "rnk", "dst", "cosine"])
+
+    return v.mapInPandas(knn, "src long, rnk int, dst long, cosine double")

@@ -323,3 +323,79 @@ def c4_top5_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("prediction", "n_members", "score")
     )
+
+
+@register(
+    "ts_burst_periods",
+    """
+WITH d AS (
+  SELECT user_id AS series_id,
+         floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT series_id, day, n,
+         avg(n) OVER (PARTITION BY series_id) AS mean_rate
+  FROM d
+),
+b AS (
+  SELECT series_id, day, n, mean_rate FROM m
+  WHERE n >= 2 * mean_rate AND n >= 3
+),
+g AS (
+  SELECT series_id, day, n, mean_rate,
+         day - row_number() OVER (PARTITION BY series_id ORDER BY day) AS grp
+  FROM b
+)
+SELECT series_id, min(day) AS burst_start, max(day) AS burst_end,
+       count(*) AS n_days, sum(n) AS n_events,
+       round(any_value(mean_rate), 6) AS mean_rate
+FROM g GROUP BY series_id, grp
+""",
+)
+def ts_burst_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst periods per series (Kleinberg's two-state burst model
+    collapsed to its thresholded form): days at ≥2× the series' mean
+    daily rate (and ≥3 events absolute) grouped into maximal
+    consecutive runs — start/end/duration/event-mass per burst. The
+    event-rate sibling of e7's activity streaks: same gaps-and-islands
+    reduction, but over a rate threshold rather than mere presence.
+
+    Shape: daily-count aggregate, whole-partition mean window,
+    threshold filter, island window, and the burst aggregate all key
+    on series_id — ClusteredDistribution(series_id, grp) accepts the
+    series hashpartitioning, so ONE exchange end-to-end (the e7
+    lesson applied from the start)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # pre-partition on the series key: hashpartitioning(series_id)
+    # satisfies the (series, day) aggregate's ClusteredDistribution, so
+    # the count, the mean window, the island window, and the burst
+    # aggregate all ride ONE exchange (the e7 lesson — a plain groupBy
+    # here would shuffle on (series, day) and the window would shuffle
+    # AGAIN on series alone)
+    d = (
+        ev.select(
+            F.col("user_id").alias("series_id"),
+            F.floor(F.date_trunc("day", F.col("ts")).cast("long") / 86400)
+            .cast("long")
+            .alias("day"),
+        )
+        .repartition("series_id")
+        .groupBy("series_id", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    wm = Window.partitionBy("series_id")
+    m = d.withColumn("mean_rate", F.avg("n").over(wm))
+    b = m.where((F.col("n") >= 2 * F.col("mean_rate")) & (F.col("n") >= 3))
+    wi = Window.partitionBy("series_id").orderBy("day")
+    g = b.withColumn("grp", F.col("day") - F.row_number().over(wi))
+    return g.groupBy("series_id", "grp").agg(
+        F.min("day").alias("burst_start"),
+        F.max("day").alias("burst_end"),
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("n_events"),
+        F.round(F.any_value("mean_rate"), 6).alias("mean_rate"),
+    ).drop("grp")
