@@ -344,3 +344,150 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["src", "rnk", "dst", "cosine"])
 
     return v.mapInPandas(knn, "src long, rnk int, dst long, cosine double")
+
+
+@register(
+    "emb_label_propagation",
+    """
+WITH s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cosine DESC, dst) AS rnk
+    FROM s
+  ) WHERE rnk <= 3
+),
+seeds AS (
+  SELECT vec_id, label,
+         (('0x' || substr(md5(vec_id::VARCHAR || ':lp'), 1, 6))::BIGINT
+            / 16777216.0 < 0.2) AS seeded
+  FROM embeddings
+),
+l0 AS (
+  SELECT vec_id, CASE WHEN seeded THEN label ELSE -1 END AS cur FROM seeds
+),
+v1 AS (
+  SELECT k.src, l.cur AS nbr_label, count(*) AS votes
+  FROM knn k JOIN l0 l ON l.vec_id = k.dst
+  WHERE l.cur != -1 GROUP BY 1, 2
+),
+p1 AS (
+  SELECT src, nbr_label FROM (
+    SELECT src, nbr_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY votes DESC, nbr_label) AS rn
+    FROM v1
+  ) WHERE rn = 1
+),
+l1 AS (
+  SELECT l0.vec_id,
+         CASE WHEN l0.cur != -1 THEN l0.cur
+              ELSE coalesce(p1.nbr_label, -1) END AS cur
+  FROM l0 LEFT JOIN p1 ON p1.src = l0.vec_id
+),
+v2 AS (
+  SELECT k.src, l.cur AS nbr_label, count(*) AS votes
+  FROM knn k JOIN l1 l ON l.vec_id = k.dst
+  WHERE l.cur != -1 GROUP BY 1, 2
+),
+p2 AS (
+  SELECT src, nbr_label FROM (
+    SELECT src, nbr_label,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY votes DESC, nbr_label) AS rn
+    FROM v2
+  ) WHERE rn = 1
+),
+l2 AS (
+  SELECT l1.vec_id,
+         CASE WHEN l1.cur != -1 THEN l1.cur
+              ELSE coalesce(p2.nbr_label, -1) END AS cur
+  FROM l1 LEFT JOIN p2 ON p2.src = l1.vec_id
+)
+SELECT s.vec_id, s.label AS true_label, s.seeded::INT AS seeded,
+       l2.cur AS predicted,
+       (l2.cur = s.label)::INT AS correct
+FROM seeds s JOIN l2 ON l2.vec_id = s.vec_id
+""",
+)
+def emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002,
+    majority-vote form): a deterministic 20% of vectors keep their
+    label as seeds; every other node takes the majority label of its
+    3 cosine nearest neighbors, two unrolled rounds (ties → smallest
+    label; no labeled neighbor → stays -1). Reports per-node truth vs
+    propagated label — the cheap label-densification pass a labeling
+    pipeline runs before training on sparse annotations.
+
+    Shape: the kNN adjacency comes from sim_knn_graph's broadcast
+    -matmul scan (3 rows per vector); each round is one
+    dimension-sized join + a ≤(k·labels)-row vote aggregate + a top-1
+    window — the finite unrolled form, so the whole algorithm is a
+    value-hash-checked DAG like graph_pagerank_purchases (rare for
+    iterative ML). Fleet scale swaps the exact kNN for an ANN
+    candidate graph; rounds stay identical."""
+    knn = sim_knn_graph(spark, sf_dir).select("src", "dst")
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("vec_id").cast("string"), F.lit(":lp")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777216.0)
+    )
+    seeds = emb.select(
+        "vec_id", "label", (unit < 0.2).alias("seeded")
+    ).localCheckpoint(eager=True)
+    cur = seeds.select(
+        "vec_id",
+        F.when(F.col("seeded"), F.col("label")).otherwise(F.lit(-1)).alias("cur"),
+    )
+    from pyspark.sql.window import Window
+
+    for _ in range(2):
+        votes = (
+            knn.join(
+                cur.select(F.col("vec_id").alias("dst"), F.col("cur").alias("nbr_label")),
+                "dst",
+            )
+            .where(F.col("nbr_label") != -1)
+            .groupBy("src", "nbr_label")
+            .agg(F.count("*").alias("votes"))
+        )
+        w = Window.partitionBy("src").orderBy(F.col("votes").desc(), "nbr_label")
+        pick = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("vec_id"), F.col("nbr_label").alias("pick"))
+        )
+        cur = cur.join(pick, "vec_id", "left").select(
+            "vec_id",
+            F.when(F.col("cur") != -1, F.col("cur"))
+            .otherwise(F.coalesce(F.col("pick"), F.lit(-1)))
+            .alias("cur"),
+        )
+    return (
+        seeds.join(cur, "vec_id")
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            F.col("seeded").cast("int").alias("seeded"),
+            F.col("cur").alias("predicted"),
+            (F.col("cur") == F.col("label")).cast("int").alias("correct"),
+        )
+    )
