@@ -1307,3 +1307,70 @@ def q24_yoy_nation_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth"
         ),
     )
+
+
+@register(
+    "q25_rfm_segments",
+    """
+WITH m AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 4) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+q AS (
+  SELECT custkey, last_order, frequency, monetary,
+         ntile(5) OVER (ORDER BY last_order, custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary, custkey) AS m_score
+  FROM m
+)
+SELECT custkey, frequency, monetary, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 THEN 'recent'
+            WHEN f_score >= 4 THEN 'loyal'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+            ELSE 'regular' END AS segment
+FROM q
+""",
+)
+def q25_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (last order date), frequency
+    (order count), monetary (total spend) quintiled with ntile and
+    mapped to the classic champion/recent/loyal/at_risk/regular
+    segments — the canonical marketing-analytics derivation. Every
+    ntile carries a custkey tie-break so quintile boundaries are a
+    total order and the segmentation is deterministic cross-engine.
+
+    Shape: one per-customer aggregate, then three global ntile windows
+    over the customer DIMENSION (dimension-sized single-partition sort
+    — acceptable because customers are the small table; at fleet scale
+    the same scores come from approxQuantile boundaries broadcast as a
+    5-row join, the write_zordered bucketing trick, trading exactness
+    at the boundary for no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+    )
+    r_w = Window.orderBy("last_order", "custkey")
+    f_w = Window.orderBy("frequency", "custkey")
+    m_w = Window.orderBy("monetary", "custkey")
+    q = m.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "at_risk")
+        .otherwise("regular")
+    )
+    return q.withColumn("segment", seg)
