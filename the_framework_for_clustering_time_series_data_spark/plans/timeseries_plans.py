@@ -399,3 +399,58 @@ def ts_burst_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.round(F.any_value("mean_rate"), 6).alias("mean_rate"),
     ).drop("grp")
+
+
+@register(
+    "ts_interarrival_stats",
+    """
+WITH e AS (
+  SELECT user_id AS series_id, event_id,
+         epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+),
+g AS (
+  SELECT series_id,
+         ts_us - lag(ts_us) OVER (PARTITION BY series_id
+                                  ORDER BY ts_us, event_id) AS gap_us
+  FROM e
+)
+SELECT series_id, count(*) AS n_gaps,
+       CAST(round(avg(gap_us)) AS BIGINT) AS mean_gap_us,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us,
+       round(stddev_pop(gap_us) / avg(gap_us), 6) AS cv
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY series_id
+""",
+)
+def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival process characterization per series: mean/min/max
+    gap and the coefficient of variation (CV ≈ 1 ⇒ Poisson-like
+    memoryless arrivals, CV ≫ 1 ⇒ bursty — the statistical complement
+    of ts_burst_periods' explicit burst runs, and the quantity that
+    sizes session-gap and watermark thresholds from data rather than
+    folklore). Gaps in exact integer microseconds; only the CV
+    divides, after the aggregate.
+
+    Shape: one series exchange shared by the lag window and the
+    per-series aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("user_id").alias("series_id"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("series_id").orderBy("ts_us", "event_id")
+    g = e.select(
+        "series_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return g.groupBy("series_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_us"), 0).cast("long").alias("mean_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.stddev_pop("gap_us") / F.avg("gap_us"), 6).alias("cv"),
+    )
