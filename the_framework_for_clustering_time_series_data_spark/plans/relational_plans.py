@@ -1374,3 +1374,46 @@ def q25_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return q.withColumn("segment", seg)
+
+
+@register(
+    "q26_shipping_sla",
+    """
+WITH d AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority, count(*) AS n_lines,
+       round(quantile_cont(delay_days, 0.5), 6) AS p50_delay,
+       round(quantile_cont(delay_days, 0.9), 6) AS p90_delay,
+       round(avg(CASE WHEN delay_days > 90 THEN 1.0 ELSE 0.0 END), 6)
+         AS late_rate
+FROM d GROUP BY priority
+""",
+)
+def q26_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-SLA audit per order priority: exact p50/p90
+    order-to-ship delay in days and the >90-day late rate — the
+    operational-latency rollup every fulfillment dashboard carries,
+    over the orders⨝lineitem join. Exact percentiles use the
+    continuous-interpolation convention a5_percentiles pinned (Spark
+    ``percentile`` ≡ DuckDB quantile_cont); the 100 TB path swaps in
+    percentile_approx with the same plan shape. Day-diff arithmetic
+    is exact integer on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("delay_days"),
+    )
+    return d.groupBy("priority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.expr("percentile(delay_days, 0.5)"), 6).alias("p50_delay"),
+        F.round(F.expr("percentile(delay_days, 0.9)"), 6).alias("p90_delay"),
+        F.round(
+            F.avg(F.when(F.col("delay_days") > 90, 1.0).otherwise(0.0)), 6
+        ).alias("late_rate"),
+    )
