@@ -1447,3 +1447,78 @@ def e10_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_avg",
         F.round(F.col("n") * F.lit(1.0) / F.col("total"), 6).alias("share"),
     )
+
+
+@register(
+    "j4_unconverted_views",
+    """
+WITH v AS (
+  SELECT event_id AS view_id, user_id,
+         epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT DISTINCT v.view_id
+  FROM v JOIN p
+    ON p.user_id = v.user_id
+   AND p.ts_us > v.ts_us
+   AND p.ts_us <= v.ts_us + 21600000000
+)
+SELECT v.user_id,
+       count(*) AS n_views,
+       count(CASE WHEN conv.view_id IS NULL THEN 1 END) AS n_unconverted,
+       round(count(CASE WHEN conv.view_id IS NOT NULL THEN 1 END) * 1.0
+             / count(*), 6) AS conversion_rate
+FROM v LEFT JOIN conv ON conv.view_id = v.view_id
+GROUP BY v.user_id
+""",
+)
+def j4_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ANTI-join: views with no same-user purchase in the
+    following 6 hours, rolled up to per-user conversion stats — the
+    negative-space complement of st_stream_stream_join's attribution
+    matches (which views DID convert) and e5's ordered funnel.
+
+    Shape: the EXISTS set is computed first with the bucketized
+    interval join (operators/joins.range_join — equi on (user, hour
+    bucket), so Catalyst never plans a nested-loop theta anti-join),
+    then the anti step is a plain LEFT join + null-count against the
+    tiny distinct converted-id set. A direct left_anti with the range
+    predicate would fall off the equi path — this decomposition keeps
+    every join hash-partitioned at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOUR")).alias("end"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_type", "ts"
+    )
+    matched = joins.range_join(
+        purchases,
+        views.select(F.col("view_id").alias("purchase_id"), "user_id", "start", "end"),
+        key_cols=["user_id"],
+        bucket_width=3600,
+    )
+    conv = matched.select(F.col("purchase_id").alias("view_id")).distinct()
+    return (
+        views.join(
+            conv.withColumn("_conv", F.lit(1)), "view_id", "left"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.count(F.when(F.col("_conv").isNull(), 1)).alias("n_unconverted"),
+            F.round(
+                F.count(F.when(F.col("_conv").isNotNull(), 1)) * F.lit(1.0)
+                / F.count("*"),
+                6,
+            ).alias("conversion_rate"),
+        )
+    )
