@@ -491,3 +491,66 @@ def emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cur") == F.col("label")).cast("int").alias("correct"),
         )
     )
+
+
+@register(
+    "emb_hygiene_audit",
+    """
+WITH v AS (
+  SELECT vec_id, label,
+         len(embedding) AS n_dims,
+         sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE))))
+           AS norm,
+         len(list_filter(embedding, x -> x = 0)) AS n_zero,
+         len(list_filter(embedding, x -> isnan(x::DOUBLE))) AS n_nan
+  FROM embeddings
+)
+SELECT n_dims,
+       count(*) AS n_vecs,
+       round(quantile_cont(norm, 0.5), 6) AS norm_p50,
+       round(min(norm), 6) AS norm_min,
+       round(max(norm), 6) AS norm_max,
+       sum(CASE WHEN norm < 1e-9 THEN 1 ELSE 0 END) AS n_degenerate,
+       sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS n_with_nan,
+       round(avg(n_zero * 1.0 / n_dims), 6) AS zero_frac_avg,
+       count(DISTINCT label) AS n_labels
+FROM v GROUP BY n_dims
+""",
+)
+def emb_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-hygiene gate for the embeddings table — the
+    data-quality pass every similarity/dedup/ANN consumer should run
+    first: dimension-group counts (a second n_dims row = mixed
+    embedding versions, the classic silent killer of cosine math),
+    norm percentiles and min/max (≈0 norms break normalization;
+    wildly varying norms flag unnormalized mixtures), NaN carriers,
+    mean zero-fraction (quantization/sparsity drift), and label
+    cardinality. The embedding-table sibling of the relational DQ
+    profiling plans (quality_plans).
+
+    Shape: one scan, all array folds JVM-side, aggregate onto the
+    n_dims group — map-only plus one tiny exchange."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.sqrt(
+            F.aggregate(xd, F.lit(0.0), lambda a, x: a + x * x)
+        ).alias("norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x == 0)).alias("n_zero"),
+        F.size(F.filter(xd, lambda x: F.isnan(x))).alias("n_nan"),
+    )
+    return v.groupBy("n_dims").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.expr("percentile(norm, 0.5)"), 6).alias("norm_p50"),
+        F.round(F.min("norm"), 6).alias("norm_min"),
+        F.round(F.max("norm"), 6).alias("norm_max"),
+        F.sum(F.when(F.col("norm") < 1e-9, 1).otherwise(0)).alias("n_degenerate"),
+        F.sum(F.when(F.col("n_nan") > 0, 1).otherwise(0)).alias("n_with_nan"),
+        F.round(F.avg(F.col("n_zero") * F.lit(1.0) / F.col("n_dims")), 6).alias(
+            "zero_frac_avg"
+        ),
+        F.countDistinct("label").alias("n_labels"),
+    )
