@@ -1417,3 +1417,64 @@ def q26_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("delay_days") > 90, 1.0).otherwise(0.0)), 6
         ).alias("late_rate"),
     )
+
+
+@register(
+    "q27_brand_supplier_hhi",
+    """
+WITH r AS (
+  SELECT p.p_brand AS brand, l.l_suppkey AS suppkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT brand, revenue, suppkey,
+         sum(revenue) OVER (PARTITION BY brand) AS brand_total,
+         count(*) OVER (PARTITION BY brand) AS n_suppliers
+  FROM r
+)
+SELECT brand, any_value(n_suppliers) AS n_suppliers,
+       round(any_value(brand_total), 4) AS brand_revenue,
+       round(sum(pow(revenue / brand_total, 2)), 6) AS hhi,
+       round(max(revenue / brand_total), 6) AS top_share
+FROM t GROUP BY brand
+""",
+)
+def q27_brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration audit per part brand: the
+    Herfindahl–Hirschman index (Σ share², the antitrust-standard
+    concentration measure — 1/n_suppliers = perfectly even, 1.0 =
+    monopoly) plus the top supplier's share, over discounted revenue.
+    The supply-chain-risk rollup a procurement pipeline gates on.
+
+    Shape: part dim broadcasts into the (brand, supplier) revenue
+    aggregate; the share normalization is a brand-partition window
+    over the supplier-dimension-sized rollup; the final aggregate
+    returns one row per brand. Shares divide before squaring, so the
+    HHI is scale-free and the cross-engine comparison sees identical
+    ratios of identically-aggregated doubles at 6 dp."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("brand")
+    t = r.withColumn("brand_total", F.sum("revenue").over(w)).withColumn(
+        "n_suppliers", F.count("*").over(w)
+    )
+    share = F.col("revenue") / F.col("brand_total")
+    return t.groupBy("brand").agg(
+        F.any_value("n_suppliers").alias("n_suppliers"),
+        F.round(F.any_value("brand_total"), 4).alias("brand_revenue"),
+        F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
+        F.round(F.max(share), 6).alias("top_share"),
+    )
