@@ -1522,3 +1522,62 @@ def j4_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion_rate"),
         )
     )
+
+
+@register(
+    "a9_activity_gini",
+    """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n, user_id) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS n_users,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM c
+)
+SELECT event_type, any_value(n_users) AS n_users,
+       any_value(total) AS total_events,
+       round(2.0 * sum(rnk * n) / (any_value(n_users) * any_value(total))
+             - (any_value(n_users) + 1.0) / any_value(n_users), 6) AS gini
+FROM r GROUP BY event_type
+""",
+)
+def a9_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity per event type — the
+    contribution-inequality audit (0 = perfectly even, →1 = a few
+    users dominate) that decides whether a corpus needs
+    per-contributor capping before training (the user-level
+    counterpart of mix_langs_resample's language rebalancing). Uses
+    the exact rank formulation G = 2·Σ rᵢnᵢ/(N·Σnᵢ) − (N+1)/N with a
+    (count, user) total order so tied counts rank identically on both
+    engines.
+
+    Shape: per-(type, user) aggregate, then rank/total windows over
+    the user dimension per type, then a per-type aggregate — exact
+    integer sums until the final division."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("event_type").orderBy("n", "user_id")
+    wp = Window.partitionBy("event_type")
+    r = (
+        c.withColumn("rnk", F.row_number().over(wr))
+        .withColumn("n_users", F.count("*").over(wp))
+        .withColumn("total", F.sum("n").over(wp))
+    )
+    return r.groupBy("event_type").agg(
+        F.any_value("n_users").alias("n_users"),
+        F.any_value("total").alias("total_events"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("rnk") * F.col("n"))
+            / (F.any_value("n_users") * F.any_value("total"))
+            - (F.any_value("n_users") + F.lit(1.0)) / F.any_value("n_users"),
+            6,
+        ).alias("gini"),
+    )
