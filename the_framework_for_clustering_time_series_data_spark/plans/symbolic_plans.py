@@ -638,3 +638,66 @@ def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resid",
         F.round(F.col("resid") / F.col("sd"), 6).alias("resid_z"),
     )
+
+
+@register(
+    "ts_cusum_variance",
+    """
+WITH ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+),
+m AS (
+  SELECT series_id, t, value,
+         avg(value) OVER (PARTITION BY series_id) AS mu
+  FROM ev
+),
+q AS (
+  SELECT series_id, t,
+         (value - mu) * (value - mu) AS sq,
+         avg((value - mu) * (value - mu))
+           OVER (PARTITION BY series_id) AS var_pop
+  FROM m
+),
+c AS (
+  SELECT series_id, t,
+         sum(sq - var_pop) OVER (PARTITION BY series_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM q
+),
+x AS (
+  SELECT series_id, t, s,
+         max(abs(s)) OVER (PARTITION BY series_id) AS s_max
+  FROM c
+)
+SELECT series_id, count(*) AS n,
+       min(CASE WHEN abs(s) = s_max THEN t END) AS t_change,
+       round(any_value(s_max), 6) AS cusum_max
+FROM x GROUP BY series_id
+""",
+)
+def ts_cusum_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-change-point location per series: CUSUM over SQUARED
+    deviations from the series mean — peaks where the volatility
+    regime shifts, the heteroscedasticity twin of
+    ts_cusum_changepoint's mean-shift locator (a pure level shift
+    leaves this statistic flat where the mean CUSUM spikes, so the
+    pair separates the two regime-change classes). Earliest-argmax
+    tie-break; same single series exchange stacking the mean window,
+    variance window, running sum, partition max, and final aggregate."""
+    ev = events_as_series(spark, sf_dir)
+    wp = Window.partitionBy("series_id")
+    wr = wp.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    m = ev.withColumn("mu", F.avg("value").over(wp))
+    q = m.withColumn("sq", (F.col("value") - F.col("mu")) ** 2).withColumn(
+        "var_pop", F.avg((F.col("value") - F.col("mu")) ** 2).over(wp)
+    )
+    c = q.withColumn("s", F.sum(F.col("sq") - F.col("var_pop")).over(wr))
+    x = c.withColumn("s_max", F.max(F.abs("s")).over(wp))
+    return x.groupBy("series_id").agg(
+        F.count("*").alias("n"),
+        F.min(F.when(F.abs("s") == F.col("s_max"), F.col("t"))).alias("t_change"),
+        F.round(F.any_value("s_max"), 6).alias("cusum_max"),
+    )
