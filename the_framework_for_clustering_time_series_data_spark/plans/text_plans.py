@@ -730,3 +730,63 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("doc_id", "rnk", "term", "tf", "df", F.round("score", 6).alias("score"))
     )
+
+
+@register(
+    "text_lang_confusion",
+    """
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> x IN ('der','die','und','das','von','den','im','ein','mit','des'))) AS de,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','for','it'))) AS en,
+    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','los','del','se','las'))) AS es,
+    len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','en','un','du','une'))) AS fr,
+    len(list_filter(toks, x -> x IN ('的','是','在','了','和','有','我','他','这','中'))) AS zh
+  FROM t
+),
+p AS (
+  SELECT lang AS true_lang,
+    CASE WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+         WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+         WHEN es >= fr AND es >= zh THEN 'es'
+         WHEN fr >= zh THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM s
+),
+c AS (SELECT true_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+tot AS (SELECT true_lang, sum(n) AS n_true FROM c GROUP BY true_lang)
+SELECT c.true_lang, c.pred_lang, c.n,
+       round(c.n * 1.0 / tot.n_true, 6) AS frac_of_true,
+       (c.true_lang = c.pred_lang)::INT AS is_correct
+FROM c JOIN tot ON tot.true_lang = c.true_lang
+""",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-vote language-ID heuristic
+    against the corpus's TRUE lang column — classifier evaluation as
+    a query: per (true, predicted) counts, recall share per true
+    language, and the diagonal flag. The pattern every model-quality
+    gate in a data pipeline reduces to (text_quality_classifier's
+    score audit is its probabilistic sibling); run it per snapshot to
+    catch silent lang-id drift as the corpus mixture shifts.
+
+    Shape: the per-doc vote is text_lang_id's JVM-side one-pass array
+    filters; the matrix aggregate is ≤25 cells with map-side
+    partials; the recall normalization broadcasts the 5-row per-truth
+    totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = T.lang_id(docs).select("doc_id", "pred_lang")
+    p = docs.select("doc_id", F.col("lang").alias("true_lang")).join(pred, "doc_id")
+    c = p.groupBy("true_lang", "pred_lang").agg(F.count("*").alias("n"))
+    tot = c.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return c.join(F.broadcast(tot), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.col("n_true"), 6).alias("frac_of_true"),
+        (F.col("true_lang") == F.col("pred_lang")).cast("int").alias("is_correct"),
+    )
