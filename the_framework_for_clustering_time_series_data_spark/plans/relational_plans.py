@@ -1478,3 +1478,44 @@ def q27_brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.pow(share, 2)), 6).alias("hhi"),
         F.round(F.max(share), 6).alias("top_share"),
     )
+
+
+@register(
+    "q28_basket_size_profile",
+    """
+WITH b AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         count(DISTINCT l_partkey) AS n_parts
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines, count(*) AS n_orders,
+       round(avg(n_parts), 6) AS avg_distinct_parts,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS frac_orders
+FROM b GROUP BY n_lines
+""",
+)
+def q28_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders per line count with the mean
+    distinct-part count and share of all orders — the profiling stat
+    that bounds q23_market_basket's per-order quadratic pair fan-out
+    (max basket size caps the self-join cost) and calibrates basket
+    -capping thresholds. Two stacked aggregates; the grand total for
+    the share is a 1-row window over the ≤10-row line-count grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    c = b.groupBy("n_lines").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("n_parts"), 6).alias("avg_distinct_parts"),
+    )
+    w = Window.partitionBy()
+    return c.select(
+        "n_lines",
+        "n_orders",
+        "avg_distinct_parts",
+        F.round(F.col("n_orders") * F.lit(1.0) / F.sum("n_orders").over(w), 6).alias(
+            "frac_orders"
+        ),
+    )
