@@ -554,3 +554,49 @@ def emb_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("label").alias("n_labels"),
     )
+
+
+@register("sim_ann_recall_audit")  # audits rows-only ANN ops → rows-only oracle
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation-quality audit AS A QUERY: recall@5 of both ANN
+    variants (multi-probe LSH and IVF probe-4) against the exact
+    brute-force top-5, per query vector and per method — the
+    continuous-monitoring form of the recall assertions in
+    tests/test_similarity_ann.py. Run it per index rebuild; a recall
+    drop flags a bad cell split or an unlucky hyperplane seed before
+    serving traffic does.
+
+    Shape: three top-k result sets (each already bounded to |Q|×5
+    rows) semi-joined on (query, neighbor) and counted — the audit
+    costs a fraction of any single index scan."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select(
+        "query_id", F.col("nbr_id").alias("exact_nbr")
+    )
+    out = []
+    for method, fn in (("lsh", sim_ann_lsh_topk), ("ivf", sim_ivf_topk)):
+        approx = fn(spark, sf_dir).select(
+            "query_id", F.col("nbr_id").alias("approx_nbr")
+        )
+        hits = exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["exact_nbr"] == approx["approx_nbr"]),
+        ).groupBy(exact["query_id"].alias("qid")).agg(
+            F.count("*").alias("n_hits")
+        )
+        per_q = (
+            exact.groupBy(F.col("query_id").alias("qid"))
+            .agg(F.count("*").alias("k"))
+            .join(hits, "qid", "left")
+            .select(
+                F.lit(method).alias("method"),
+                F.col("qid").alias("query_id"),
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0)) * F.lit(1.0) / F.col("k"),
+                    6,
+                ).alias("recall_at_5"),
+            )
+        )
+        out.append(per_q)
+    res = out[0].unionByName(out[1])
+    return res
