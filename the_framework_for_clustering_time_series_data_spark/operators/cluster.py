@@ -231,43 +231,21 @@ def dbscan(
         .localCheckpoint(eager=True)  # truncate lineage before the loop
     )
 
-    # min-label propagation; localCheckpoint per round keeps the plan
-    # flat (iterative joins otherwise grow the lineage exponentially)
-    labels = core.select(
-        "series_id", F.col("series_id").alias("label")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nbr_min = (
-            core_edges.join(
-                labels.select(
-                    F.col("series_id").alias("e_dst"), F.col("label").alias("dst_label")
-                ),
-                "e_dst",
-            )
-            .groupBy("e_src")
-            .agg(F.min("dst_label").alias("nbr_label"))
-            .select(F.col("e_src").alias("series_id"), "nbr_label")
-        )
-        new_labels = (
-            labels.join(nbr_min, "series_id", "left")
-            .select(
-                "series_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "series_id")
-            .where(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    # component search: dedup.connected_components carries both the
+    # driver-side union-find fast path (small edge lists — the common
+    # case for the bounded embedding sets this op clusters, where the
+    # old per-round Spark jobs were pure scheduling overhead) and the
+    # distributed min-label loop beyond its threshold. Isolated core
+    # points (no core-core edge) label themselves.
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import connected_components
+
+    comp_edges = connected_components(
+        core_edges, src="e_src", dst="e_dst", max_iter=max_iter
+    ).select(F.col("node").alias("series_id"), F.col("component").alias("label"))
+    labels = core.join(comp_edges, "series_id", "left").select(
+        "series_id",
+        F.coalesce(F.col("label"), F.col("series_id")).alias("label"),
+    )
 
     # dense-rank component labels by min member id (deterministic)
     from pyspark.sql.window import Window

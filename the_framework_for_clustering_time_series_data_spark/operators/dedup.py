@@ -462,6 +462,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation: every node's label converges to the minimum
@@ -473,6 +474,16 @@ def connected_components(
     ``localCheckpoint`` per round keeps the plan flat instead of
     growing the lineage exponentially (same pattern as the DBSCAN
     component search, cluster.py).
+
+    Adaptive fast path: when the (deduplicated) edge list is at most
+    ``small_graph_threshold`` rows, the component search runs as
+    driver-side union-find on the collected edges — microseconds of
+    CPU over a few MB — instead of paying J Spark jobs of fixed
+    scheduling overhead for a loop whose data fits in one hand. This
+    is the same runtime-adaptive reasoning AQE applies to join
+    strategies; the distributed loop below is the ≥-threshold path
+    and the two are equivalent by construction (tests cover both by
+    crossing the threshold).
     """
     bi = (
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
@@ -480,6 +491,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = bi.count()
+    if n_edges <= small_graph_threshold:
+        rows = bi.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = r["e_src"], r["e_dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the min-label convention
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(
+            out, "node long, component long"
+        )
     labels = (
         bi.select(F.col("e_src").alias("node"))
         .distinct()
