@@ -514,8 +514,11 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         out = [(n, find(n)) for n in parent]
+        # id type follows the input (long for doc/vec ids, string for
+        # sliding-window synthetic series ids)
+        idt = edges.schema[src].dataType.simpleString()
         return edges.sparkSession.createDataFrame(
-            out, "node long, component long"
+            out, f"node {idt}, component {idt}"
         )
     labels = (
         bi.select(F.col("e_src").alias("node"))
