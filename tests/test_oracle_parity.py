@@ -42,6 +42,43 @@ def _canon(cols, rows):
     )
 
 
+#: DuckDB result type → comparison family. Anything absent (HUGEINT,
+#: DECIMAL, LIST, …) has no Spark counterpart the driver's hasher
+#: treats as equal, so it must fail loudly here before the driver sees
+#: it (round-1: bare integer sum() → HUGEINT → hash fail on identical
+#: values).
+_DUCK_FAMILY = {
+    "BOOLEAN": "bool",
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str",
+    "DATE": "date", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts",
+}
+
+_SPARK_FAMILY = {
+    "boolean": "bool",
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+}
+
+
+def _assert_dtype_parity(name, spark_dtypes, duck_cols, duck_types):
+    spark_fams = {c.lower(): _SPARK_FAMILY.get(t) for c, t in spark_dtypes}
+    bad = []
+    for c, ty in zip(duck_cols, duck_types):
+        duck_fam = _DUCK_FAMILY.get(str(ty))
+        spark_fam = spark_fams.get(c.lower())
+        if duck_fam is None or spark_fam is None or duck_fam != spark_fam:
+            bad.append((c, str(ty), dict(spark_dtypes).get(c, "?")))
+    assert not bad, (
+        f"{name}: oracle/Spark dtype mismatch (col, duck, spark): {bad} — "
+        "the driver hashes raw values, so e.g. a HUGEINT sum() needs "
+        "CAST(... AS BIGINT) in the oracle SQL"
+    )
+
+
 def _query_names():
     import __spark_entry__ as entry_mod
 
@@ -63,11 +100,14 @@ def test_query_matches_oracle(spark, name):
         return
 
     con = _duck(SF_ORACLE)
+    rel = con.sql(oracle)
+    duck_types = [str(t) for t in rel.types]
     cur = con.execute(oracle)
     duck_cols = [d[0].lower() for d in cur.description]
     duck_rows = cur.fetchall()
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column mismatch"
+    _assert_dtype_parity(name, sdf.dtypes, duck_cols, duck_types)
     assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     a = _canon(spark_cols, spark_rows)
     b = _canon(duck_cols, duck_rows)

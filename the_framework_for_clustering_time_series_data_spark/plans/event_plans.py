@@ -147,10 +147,10 @@ WITH e AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
 ), sess AS (
   SELECT user_id, es,
-         sum(is_new) OVER (
+         CAST(sum(is_new) OVER (
            PARTITION BY user_id ORDER BY es
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) - 1 AS session_id
+         ) - 1 AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -943,7 +943,7 @@ r AS (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY len DESC, start_day) AS rn,
          count(*) OVER (PARTITION BY user_id) AS n_streaks,
-         sum(len) OVER (PARTITION BY user_id) AS n_active_days
+         CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days
   FROM s
 )
 SELECT user_id, n_active_days, n_streaks,
@@ -1363,7 +1363,7 @@ anc(user_id, a, depth) AS (
 SELECT anc.user_id,
        max(anc.depth) AS tree_depth,
        count(*) AS n_chain,
-       sum(coalesce(x.n_events, 0)) AS chain_events
+       CAST(sum(coalesce(x.n_events, 0)) AS BIGINT) AS chain_events
 FROM anc LEFT JOIN u x ON x.user_id = anc.a
 GROUP BY anc.user_id
 """,
@@ -1540,7 +1540,7 @@ r AS (
   FROM c
 )
 SELECT event_type, any_value(n_users) AS n_users,
-       any_value(total) AS total_events,
+       CAST(any_value(total) AS BIGINT) AS total_events,
        round(2.0 * sum(rnk * n) / (any_value(n_users) * any_value(total))
              - (any_value(n_users) + 1.0) / any_value(n_users), 6) AS gini
 FROM r GROUP BY event_type

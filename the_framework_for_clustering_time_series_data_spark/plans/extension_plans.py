@@ -179,7 +179,7 @@ WITH g AS (
          (a.range * 2654435761 + b.range * 40503) % 100003 AS v_units
   FROM range(0, 200) a CROSS JOIN range(0, 40) b
 )
-SELECT series_id, count(*) AS n_days, sum(v_units) AS v_units_sum
+SELECT series_id, count(*) AS n_days, CAST(sum(v_units) AS BIGINT) AS v_units_sum
 FROM g GROUP BY series_id
 """,
 )

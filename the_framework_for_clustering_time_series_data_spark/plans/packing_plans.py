@@ -333,7 +333,7 @@ tok AS (SELECT split, unnest(toks) AS tok FROM u),
 vocab AS (SELECT DISTINCT tok FROM tok WHERE split = 'train'),
 ev AS (
   SELECT t.split, count(*) AS n_tokens,
-         sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS n_oov_types
   FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
   WHERE t.split <> 'train'

@@ -846,8 +846,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_ship_latency",
     """
 SELECT o.o_orderpriority,
-       sum(CASE WHEN l.l_shipdate >  o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late_count,
-       sum(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS ontime_count
+       CAST(sum(CASE WHEN l.l_shipdate >  o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       CAST(sum(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS ontime_count
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate < TIMESTAMP '2001-01-01'
 GROUP BY o.o_orderpriority

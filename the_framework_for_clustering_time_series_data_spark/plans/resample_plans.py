@@ -557,7 +557,7 @@ dd AS (
                             ORDER BY peak_us - equity_us DESC, day) AS rn
   FROM eq
 )
-SELECT series_id, n_days, day AS worst_day, dd_us AS max_drawdown_us,
+SELECT series_id, n_days, day AS worst_day, CAST(dd_us AS BIGINT) AS max_drawdown_us,
        round(dd_us / 1000000.0, 6) AS max_drawdown
 FROM dd WHERE rn = 1
 """,

@@ -510,8 +510,8 @@ SELECT n_dims,
        round(quantile_cont(norm, 0.5), 6) AS norm_p50,
        round(min(norm), 6) AS norm_min,
        round(max(norm), 6) AS norm_max,
-       sum(CASE WHEN norm < 1e-9 THEN 1 ELSE 0 END) AS n_degenerate,
-       sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS n_with_nan,
+       CAST(sum(CASE WHEN norm < 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+       CAST(sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
        round(avg(n_zero * 1.0 / n_dims), 6) AS zero_frac_avg,
        count(DISTINCT label) AS n_labels
 FROM v GROUP BY n_dims

@@ -349,7 +349,7 @@ g AS (
   FROM b
 )
 SELECT series_id, min(day) AS burst_start, max(day) AS burst_end,
-       count(*) AS n_days, sum(n) AS n_events,
+       count(*) AS n_days, CAST(sum(n) AS BIGINT) AS n_events,
        round(any_value(mean_rate), 6) AS mean_rate
 FROM g GROUP BY series_id, grp
 """,
