@@ -137,6 +137,16 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_xor_family(num_hashes: int) -> list[int]:
+    """The seeded XOR-permutation constants shared by the Spark
+    operator and the DuckDB oracle twin (plans/dedup_plans.py) — both
+    sides must draw the identical family for value parity."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return [int(x) for x in rng.integers(0, 2**63, num_hashes, dtype=np.int64)]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -144,6 +154,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding,
     verified with exact Jaccard on the candidates.
@@ -177,13 +188,22 @@ def minhash_lsh_pairs(
     docs) is capped at ``max_bucket`` to bound the quadratic term.
     Docs with fewer than ``n`` tokens have no shingles and drop out
     (they cannot be near-duplicates under n-gram Jaccard).
+
+    ``hash_family``: ``"xxhash64"`` (default, prod — one codegen'd JVM
+    op per token) or ``"md5"`` — a portable 60-bit family
+    (``conv(substring(md5(tok),1,15),16,10)``) that DuckDB computes
+    bit-identically (``('0x' || substr(md5(tok),1,15))::BIGINT``), so
+    the registered query gets a full value-hash oracle instead of a
+    rows-only check. The md5 family also swaps the band-bucket key
+    from xxhash64-of-band to the raw signature tuple, keeping every
+    step reproducible cross-engine.
     """
-    import numpy as np
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
 
     band_size = 4
     n_bands = num_hashes // band_size
     max_bucket = 1000
-    rng = np.random.default_rng(42)
     # XOR family: h ⊕ r_i is a bijection of the hash space and NOT
     # monotonic in h, so each family member has its own argmin shingle
     # (a monotonic transform like a·h+b without a modulus would make
@@ -192,13 +212,17 @@ def minhash_lsh_pairs(
     # classical (a·h+b) mod P family; weaker theoretical min-wise
     # independence, measured recall 1.0 vs exact Jaccard at θ=0.5 on
     # the documents table.
-    rs = [int(x) for x in rng.integers(0, 2**63, num_hashes, dtype=np.int64)]
+    rs = minhash_xor_family(num_hashes)
+    if hash_family == "md5":
+        tok_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        tok_hash = F.xxhash64("tok")
 
     def shingle(d: DataFrame) -> DataFrame:
         toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         ex = d.select(
             F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
-        ).select("id", "pos", F.xxhash64("tok").alias("h"))
+        ).select("id", "pos", tok_hash.alias("h"))
         w = Window.partitionBy("id").orderBy("pos")
         neighbors = [F.col("h")] + [F.lead("h", j).over(w) for j in range(1, n)]
         with_nb = ex.select(
@@ -220,6 +244,14 @@ def minhash_lsh_pairs(
     sig = shingle(df).groupBy("id").agg(
         F.array(*[F.min(F.col("sh").bitwiseXOR(F.lit(r))) for r in rs]).alias("sig"),
     )
+    def band_key(b):
+        elems = [F.element_at("sig", b * band_size + j + 1) for j in range(band_size)]
+        if hash_family == "md5":
+            # portable: the raw signature tuple IS the bucket key — no
+            # engine-specific band hash between Spark and the oracle
+            return F.struct(*[e.alias(f"e{j}") for j, e in enumerate(elems)])
+        return F.xxhash64(*elems)
+
     bands = sig.select(
         "id",
         F.explode(
@@ -227,12 +259,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.element_at("sig", b * band_size + j + 1)
-                                for j in range(band_size)
-                            ]
-                        ).alias("band_hash"),
+                        band_key(b).alias("band_hash"),
                     )
                     for b in range(n_bands)
                 ]

@@ -59,13 +59,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # xxhash64-based → rows-only oracle
+def _minhash_oracle_sql(num_hashes: int = 32, band_size: int = 4,
+                        threshold: float = 0.2, max_bucket: int = 1000) -> str:
+    """DuckDB twin of ``minhash_lsh_pairs(hash_family="md5")`` — the
+    identical pipeline (md5-60-bit token hash → shift-xor trigram
+    shingles → seeded XOR minhash family → 4-wide band buckets →
+    bucket pairs → exact-Jaccard verify) expressed in SQL, drawing the
+    same ``minhash_xor_family`` constants so every intermediate value
+    is bit-equal across engines."""
+    rs = dedup.minhash_xor_family(num_hashes)
+    n_bands = num_hashes // band_size
+    mins = ",\n         ".join(
+        f"min(xor(sh, {r})) AS s{i}" for i, r in enumerate(rs)
+    )
+    band_arms = "\n  UNION ALL ".join(
+        "SELECT id, {b} AS band_id, {es} FROM sig".format(
+            b=b,
+            es=", ".join(
+                f"s{b * band_size + j} AS e{j}" for j in range(band_size)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    on_band = " AND ".join(
+        ["a.band_id = b.band_id"] + [f"a.e{j} = b.e{j}" for j in range(band_size)]
+    )
+    bucket_cols = ", ".join(["band_id"] + [f"e{j}" for j in range(band_size)])
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS arr
+  FROM documents
+),
+tk AS (SELECT id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok FROM d),
+th AS (SELECT id, pos,
+              CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       FROM tk),
+nb AS (SELECT id, h AS h0, lead(h, 1) OVER w AS h1, lead(h, 2) OVER w AS h2
+       FROM th WINDOW w AS (PARTITION BY id ORDER BY pos)),
+sh AS (SELECT id, xor(xor(h0 << 2, h1 << 1), h2) AS sh
+       FROM nb WHERE h2 IS NOT NULL),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM sh GROUP BY id
+),
+bands AS (
+  {band_arms}
+),
+bsz AS (SELECT {bucket_cols}, count(*) AS n FROM bands GROUP BY {bucket_cols}),
+okb AS (SELECT * FROM bsz WHERE n BETWEEN 2 AND {max_bucket}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN okb k ON {" AND ".join(["a.band_id = k.band_id"] + [f"a.e{j} = k.e{j}" for j in range(band_size)])}
+  JOIN bands b ON {on_band} AND a.id < b.id
+),
+shs AS (SELECT DISTINCT id, sh FROM sh),
+nsh AS (SELECT id, count(*) AS n FROM shs GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS ni
+  FROM cand c
+  JOIN shs a ON a.id = c.id_a
+  JOIN shs b ON b.id = c.id_b AND a.sh = b.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(i.ni / (na.n + nb2.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN nsh na ON na.id = i.id_a
+JOIN nsh nb2 ON nb2.id = i.id_b
+WHERE round(i.ni / (na.n + nb2.n - i.ni), 6) >= {threshold}
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64)+LSH-banded near-dup candidates, exact-Jaccard
-    verified at 0.2. Deterministic (seeded hashes) but the hash family
-    is engine-specific → rows-only check."""
+    """MinHash(32)+LSH-banded near-dup candidates, exact-Jaccard
+    verified at 0.2 — registered on the portable md5-60-bit hash
+    family so the DuckDB oracle reproduces every value bit-for-bit
+    (the xxhash64 family stays the prod default of the operator; its
+    recall-vs-exact test covers it)."""
     return dedup.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.2, n=3
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.2, n=3, num_hashes=32, hash_family="md5",
     )
 
 
