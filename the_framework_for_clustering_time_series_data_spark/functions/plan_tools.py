@@ -20,6 +20,31 @@ import re
 from pyspark.sql import DataFrame
 
 
+def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Spread a narrow scan across the cluster BEFORE a per-row-expensive
+    stage (tokenization, shingling, regex scoring).
+
+    A small table often arrives as one parquet file → one input split →
+    the whole map stage runs on a single core while 31 idle; the
+    self-join/groupBy that follows inherits parallelism only AFTER its
+    shuffle, too late for the expensive map work. Repartitioning the raw
+    rows is cheap relative to the compute they feed.
+
+    No-op when the scan already has ≥ defaultParallelism × factor
+    partitions — on a real cluster reading a 100 TB table (thousands of
+    splits) this never fires; it only corrects the
+    few-files-many-cores imbalance."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans without RDD conversion
+        return df
+    if cur < target:
+        return df.repartition(target)
+    return df
+
+
 def formatted_plan(df: DataFrame) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -39,8 +39,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def _shingles_raw(text_col: str, n: int) -> F.Column:
     """Word n-gram shingles of lowercase text (with repeats)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # slide over token positions: shingle i = tokens[i..i+n-1] joined
-    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    # slide over token positions: shingle i = tokens[i..i+n-1] joined.
+    # Guard size<n: F.sequence(0, negative) DESCENDS (step -1), which
+    # would fabricate garbage shingles for sub-n-token docs instead of
+    # dropping them (the oracle's WHERE len(toks) >= n).
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
 
 
@@ -49,18 +54,28 @@ def _shingles(text_col: str, n: int) -> F.Column:
     return F.array_distinct(_shingles_raw(text_col, n))
 
 
-def _hashed_shingles(text_col: str, n: int) -> F.Column:
+def _hashed_shingles(text_col: str, n: int, family: str = "xxhash64") -> F.Column:
     """Distinct 64-bit hashes of word n-gram shingles, WITHOUT
-    materializing shingle strings: hash each token once (xxhash64),
-    then combine the n consecutive token hashes position-sensitively
-    with shift+xor. ~8× faster than hashing per-position string
-    slices (no per-shingle array slice / string concat / string hash),
-    at the cost of a composed hash instead of a direct string hash —
-    fine for MinHash, where any well-mixed injective-whp shingle→long
-    map works.
+    materializing shingle strings: hash each token once, then combine
+    the n consecutive token hashes position-sensitively with
+    shift+xor. ~8× faster than hashing per-position string slices (no
+    per-shingle array slice / string concat / string hash), at the
+    cost of a composed hash instead of a direct string hash — fine
+    wherever any well-mixed injective-whp shingle→long map works
+    (MinHash signatures, Jaccard counting).
+
+    ``family``: "xxhash64" (prod, one JVM op per token) or "md5" —
+    the portable 60-bit ``conv(substr(md5(tok),1,15),16,10)`` family
+    DuckDB reproduces bit-identically, for oracle-checked twins.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    if family == "md5":
+        th = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        th = F.transform(toks, lambda t: F.xxhash64(t))
 
     def combine(th_arr: F.Column):
         def h(i: F.Column) -> F.Column:
@@ -69,7 +84,10 @@ def _hashed_shingles(text_col: str, n: int) -> F.Column:
                 acc = acc.bitwiseXOR(F.shiftleft(F.get(th_arr, i + j), n - 1 - j))
             return acc
 
-        idx = F.sequence(F.lit(0), F.size(th_arr) - F.lit(n))
+        # same size<n guard as _shingles_raw (sequence would descend)
+        idx = F.when(
+            F.size(th_arr) >= n, F.sequence(F.lit(0), F.size(th_arr) - F.lit(n))
+        ).otherwise(F.array().cast("array<int>"))
         return F.transform(idx, h)
 
     # bind the token-hash array to a lambda variable so it is evaluated
@@ -88,6 +106,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    shingle_hash: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity ≥
     threshold.
@@ -105,9 +124,22 @@ def ngram_jaccard_pairs(
     (rarer) shingles only, i.e. a slight underestimate for pairs that
     shared hot shingles; denominators still use the FULL shingle
     counts, so capped results never gain false positives.
+
+    ``shingle_hash``: ``None`` joins on shingle STRINGS (exact,
+    oracle-literal); ``"xxhash64"`` / ``"md5"`` join on 64-bit shingle
+    hashes instead — no shingle strings ever materialize or shuffle
+    (the scale form; ``"md5"`` is the portable family a DuckDB oracle
+    reproduces bit-identically, see ``_hashed_shingles``).
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import ensure_min_parallelism
+
+    sh_col = (
+        _shingles(text_col, n)
+        if shingle_hash is None
+        else _hashed_shingles(text_col, n, family=shingle_hash)
+    )
+    docs = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), sh_col.alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
     if max_doc_freq is not None:
@@ -198,9 +230,12 @@ def minhash_lsh_pairs(
     from xxhash64-of-band to the raw signature tuple, keeping every
     step reproducible cross-engine.
     """
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import ensure_min_parallelism
+
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(f"unknown hash_family {hash_family!r}")
 
+    df = ensure_min_parallelism(df)
     band_size = 4
     n_bands = num_hashes // band_size
     max_bucket = 1000
@@ -326,10 +361,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     single grouped aggregate over exploded (token, bit) pairs — no
     Python, no per-row loops.
     """
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import ensure_min_parallelism
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
-    )
+    ex = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -53,9 +53,77 @@ WHERE n_inter / (n_a + n_b - n_inter) >= 0.2
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (threshold 0.2) via
-    inverted-index join — only co-shingled pairs are compared."""
+    inverted-index join — only co-shingled pairs are compared. The
+    EXACT (uncapped, string-shingle) form, kept as the oracle-literal
+    reference; the scale form is dedup_ngram_jaccard_capped."""
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.2, n=3
+    )
+
+
+#: Hot-shingle document-frequency cap for the scale-twin queries. A
+#: shingle present in >100 documents separates almost nothing at
+#: θ=0.2 (a qualifying pair must share ≥ ~1/6 of its shingles) while
+#: contributing O(df²) rows to the inverted-index join — the classic
+#: boilerplate blowup at 100× corpus growth.
+NGRAM_DOC_FREQ_CAP = 100
+
+
+def _hashed_jaccard_pairs_ctes(threshold: float, cap: int) -> str:
+    """CTE chain (no leading WITH) ending in ``pairs(id_a, id_b,
+    jaccard)`` — the DuckDB twin of ``ngram_jaccard_pairs(...,
+    max_doc_freq=cap, shingle_hash="md5")``: portable md5-60-bit token
+    hashes, shift-xor trigram shingle hashes, doc-frequency cap
+    applied to the join side only (denominators stay full), Jaccard
+    thresholded on the 6-dp rounded value exactly as the operator
+    does."""
+    return f"""dtk AS (
+  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS arr
+  FROM documents
+),
+tk0 AS (SELECT id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok FROM dtk),
+th0 AS (SELECT id, pos,
+               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM tk0),
+nbr AS (SELECT id, h AS h0, lead(h, 1) OVER w AS h1, lead(h, 2) OVER w AS h2
+        FROM th0 WINDOW w AS (PARTITION BY id ORDER BY pos)),
+shl AS (SELECT DISTINCT id, xor(xor(h0 << 2, h1 << 1), h2) AS sh
+        FROM nbr WHERE h2 IS NOT NULL),
+nshc AS (SELECT id, count(*) AS n_sh FROM shl GROUP BY id),
+dfq AS (SELECT sh, count(*) AS c FROM shl GROUP BY sh),
+surv AS (SELECT s.id, s.sh FROM shl s JOIN dfq ON dfq.sh = s.sh WHERE dfq.c <= {cap}),
+ppre AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM surv a JOIN surv b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.id_a, i.id_b,
+         round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 6) AS jaccard
+  FROM ppre i
+  JOIN nshc na ON na.id = i.id_a
+  JOIN nshc nb ON nb.id = i.id_b
+  WHERE round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 6) >= {threshold}
+)"""
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    f"""
+WITH {_hashed_jaccard_pairs_ctes(0.2, NGRAM_DOC_FREQ_CAP)}
+SELECT id_a, id_b, jaccard FROM pairs
+""",
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of dedup_ngram_jaccard: 64-bit hashed shingles (no
+    shingle strings materialize or shuffle) + hot-shingle doc-frequency
+    cap bounding the inverted-index join at Σ df² over RARE shingles
+    only. Registered on the portable md5 hash family so the DuckDB
+    oracle reproduces every value."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.2, n=3,
+        max_doc_freq=NGRAM_DOC_FREQ_CAP, shingle_hash="md5",
     )
 
 
@@ -185,26 +253,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_connected_groups",
-    r"""
-WITH RECURSIVE d AS (
-  SELECT doc_id AS id,
-         list_distinct([
-           array_to_string(toks[i:i+2], ' ')
-           FOR i IN range(1, len(toks) - 1)
-         ]) AS sh
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-        FROM documents)
-  WHERE len(toks) >= 3
-),
-e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM d),
-i AS (
-  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
-  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
-  GROUP BY 1, 2, 3, 4
-),
-pairs AS (
-  SELECT id_a, id_b FROM i WHERE n_inter / (n_a + n_b - n_inter) >= 0.2
-),
+    f"""
+WITH RECURSIVE {_hashed_jaccard_pairs_ctes(0.2, NGRAM_DOC_FREQ_CAP)},
 bi AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(src, dst) AS (
   SELECT src, dst FROM bi
@@ -220,10 +270,16 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     real dedup pipeline: transitive closure of the word-3-gram
     Jaccard≥0.2 pairs via distributed min-label propagation
     (operators.dedup.connected_components), each group keyed by its
-    min doc id. The oracle computes the same closure with a DuckDB
+    min doc id. Routed through the CAPPED hashed-shingle pair kernel
+    (exactness of borderline pairs is not the point of group
+    formation; the df cap is what survives 100× corpus growth). The
+    oracle computes the identical capped pairs + closure with a DuckDB
     recursive CTE."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, n=3,
+        max_doc_freq=NGRAM_DOC_FREQ_CAP, shingle_hash="md5",
+    )
     return dedup.duplicate_groups(pairs)
 
 

@@ -7,6 +7,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators import text as T
+from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import (
+    NGRAM_DOC_FREQ_CAP,
+    _hashed_jaccard_pairs_ctes,
+)
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
@@ -159,23 +163,7 @@ q AS (
 exact_keep AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
 ),
-d AS (
-  SELECT doc_id AS id,
-         list_distinct([
-           array_to_string(toks2[i:i+2], ' ')
-           FOR i IN range(1, len(toks2) - 1)
-         ]) AS sh
-  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks2
-        FROM documents)
-  WHERE len(toks2) >= 3
-),
-e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM d),
-i AS (
-  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
-  FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
-  GROUP BY 1, 2, 3, 4
-),
-pairs AS (SELECT id_a, id_b FROM i WHERE n_inter / (n_a + n_b - n_inter) >= 0.2),
+__PAIRS_CTES__,
 bi AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(src, dst) AS (
   SELECT src, dst FROM bi
@@ -191,7 +179,9 @@ JOIN exact_keep USING (doc_id)
 WHERE q.quality >= 0.5
   AND q.doc_id NOT IN (SELECT doc_id FROM near_drop)
   AND (q.lang <> 'en' OR q.doc_id % 10 < 8)
-""",
+""".replace(
+        "__PAIRS_CTES__", _hashed_jaccard_pairs_ctes(0.2, NGRAM_DOC_FREQ_CAP)
+    ),
 )
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation in ONE declarative plan — the
@@ -216,7 +206,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
     )
     near_drop = (
-        D.duplicate_groups(D.ngram_jaccard_pairs(docs, threshold=0.2, n=3))
+        D.duplicate_groups(
+            D.ngram_jaccard_pairs(
+                docs, threshold=0.2, n=3,
+                max_doc_freq=NGRAM_DOC_FREQ_CAP, shingle_hash="md5",
+            )
+        )
         .where(F.col("doc_id") != F.col("group_id"))
         .select("doc_id")
     )
