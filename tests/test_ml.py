@@ -538,3 +538,50 @@ def test_single_link_chains_and_gaps(spark):
     # at a tighter cut the chain shatters into singletons
     tight = {r["series_id"]: r["cluster"] for r in single_link(emb, d=0.5).collect()}
     assert all(tight[i] == i for i in range(6))
+
+
+def test_kmedoids_max_iter_exhaustion_labels_consistent(spark):
+    # max_iter=1 forces the exhaustion exit: the final assignment must
+    # be recomputed against the FINAL medoid set, so no prediction maps
+    # to NULL through the relabel map and is_medoid agrees with the
+    # cluster labels (round-1 advice: the old code advanced medoid_ids
+    # after computing assign, leaving them out of sync)
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import kmedoids
+
+    rows = [(i, float(i % 5) * 3.0, float(i // 5) * 3.0) for i in range(20)]
+    emb = spark.createDataFrame(rows, "series_id long, x double, y double")
+    out = kmedoids(emb, k=4, max_iter=1).collect()
+    assert len(out) == 20
+    assert all(r["prediction"] is not None for r in out)
+    # every medoid's own prediction is the label its id maps to, and
+    # each cluster contains exactly one medoid
+    by_pred = {}
+    for r in out:
+        by_pred.setdefault(r["prediction"], []).append(r)
+    for pred, members in by_pred.items():
+        assert sum(1 for m in members if m["is_medoid"]) == 1, (pred, members)
+
+
+def test_kmedoids_k_exceeding_points_clamps(spark):
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import kmedoids
+
+    rows = [(0, 0.0, 0.0), (1, 5.0, 0.0), (2, 0.0, 5.0)]
+    emb = spark.createDataFrame(rows, "series_id long, x double, y double")
+    out = kmedoids(emb, k=10).collect()
+    assert len(out) == 3
+    # every point its own medoid; labels distinct; none NULL
+    assert all(r["is_medoid"] for r in out)
+    assert len({r["prediction"] for r in out}) == 3
+    assert all(r["prediction"] is not None for r in out)
+
+
+def test_single_link_rejects_nonpositive_threshold(spark):
+    import pytest as _pytest
+
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import single_link
+
+    emb = spark.createDataFrame([(0, 0.0, 0.0)], "series_id long, x double, y double")
+    with _pytest.raises(ValueError, match="single_link"):
+        single_link(emb, d=0.0)
+    with _pytest.raises(ValueError, match="single_link"):
+        single_link(emb, d=-1.0)

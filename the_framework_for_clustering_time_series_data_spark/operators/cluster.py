@@ -524,15 +524,21 @@ def kmedoids(
             .groupBy("series_id")
             .agg(F.min("_d").alias("_dmin"))
         )
-        nxt = (
-            nearest.orderBy(F.col("_dmin").desc(), "series_id")
+        # exclude already-chosen medoids so k > n distinct points can
+        # never append duplicates; an empty frontier means the point
+        # set is exhausted — clamp k to it rather than looping
+        frontier = (
+            nearest.where(~F.col("series_id").isin(medoid_ids))
+            .orderBy(F.col("_dmin").desc(), "series_id")
             .limit(1)
-            .collect()[0]["series_id"]
+            .collect()
         )
-        medoid_ids.append(nxt)
-    assign = None
-    for _ in range(max_iter):
-        med = pts.where(F.col("series_id").isin(medoid_ids)).select(
+        if not frontier:
+            break
+        medoid_ids.append(frontier[0]["series_id"])
+
+    def assign_to(mids):
+        med = pts.where(F.col("series_id").isin(mids)).select(
             F.col("series_id").alias("_mid"),
             *[F.col(c).alias(f"_m{c}") for c in cols],
         )
@@ -540,12 +546,17 @@ def kmedoids(
             "_d", dist2("", "_m")
         )
         w = Window.partitionBy("series_id").orderBy("_d", "_mid")
-        assign = (
+        return (
             cand.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("series_id", *cols, F.col("_mid").alias("prediction"))
             .localCheckpoint(eager=True)
         )
+
+    assign = None
+    converged = False
+    for _ in range(max_iter):
+        assign = assign_to(medoid_ids)
         a = assign.select(
             "prediction",
             F.col("series_id").alias("_ida"),
@@ -570,18 +581,27 @@ def kmedoids(
             .collect()
         )
         if new_ids == sorted(medoid_ids):
+            converged = True
             break
         medoid_ids = new_ids
+    if not converged:
+        # max_iter exhaustion: the last swap advanced medoid_ids AFTER
+        # assign was computed — recompute once so predictions, the
+        # relabel map, and is_medoid all use the FINAL medoid set
+        assign = assign_to(medoid_ids)
     # relabel clusters 0..k-1 by medoid id order for stable output
     label = {mid: i for i, mid in enumerate(sorted(medoid_ids))}
     mapping = F.create_map(
         *[F.lit(x) for pair in label.items() for x in pair]
     )
-    return assign.select(
+    out = assign.select(
         "series_id",
         mapping[F.col("prediction")].alias("prediction"),
         F.col("series_id").isin(medoid_ids).alias("is_medoid"),
     )
+    # assign is eagerly checkpointed — pts is no longer referenced
+    pts.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -610,6 +630,12 @@ def single_link(
     """
     from the_framework_for_clustering_time_series_data_spark.operators.dedup import connected_components
 
+    if d <= 0:
+        raise ValueError(
+            f"single_link: threshold d must be > 0, got {d} "
+            "(d=0 divides the grid-cell computation by zero; negative d "
+            "scrambles the cell join)"
+        )
     cols = list(feature_cols)
     pts = emb.select("series_id", *cols).cache()
     cx = F.floor(F.col(cols[0]) / d).cast("long")
@@ -642,4 +668,9 @@ def single_link(
         F.coalesce(F.col("component"), F.col("series_id")).alias("cluster"),
     )
     w = Window.partitionBy("cluster")
-    return out.withColumn("cluster_size", F.count("*").over(w))
+    # materialize before unpersisting pts (the result plan reads it)
+    res = out.withColumn("cluster_size", F.count("*").over(w)).localCheckpoint(
+        eager=True
+    )
+    pts.unpersist()
+    return res

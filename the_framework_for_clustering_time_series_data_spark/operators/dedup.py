@@ -388,6 +388,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
+    max_corpus_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
 
@@ -426,11 +427,25 @@ def embedding_cosine_pairs(
     import numpy as np
     import pandas as pd
 
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import (
+        id_spark_type,
+        require_bounded_corpus,
+    )
+
+    require_bounded_corpus(
+        emb,
+        op="embedding_cosine_pairs",
+        scale_route="similarity.ann_lsh_topk / semantic_dedup (cell-bounded)",
+        limit=max_corpus_rows,
+    )
+    id_t = id_spark_type(emb, id_col)
+
     v = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     rows = v.collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    # id dtype follows the input column (string series ids stay strings)
+    ids = np.array([r["id"] for r in rows])
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     order = np.argsort(ids)
@@ -442,7 +457,7 @@ def embedding_cosine_pairs(
         for pdf in batches:
             if pdf.empty:
                 continue
-            bids = pdf["id"].to_numpy(dtype=np.int64)
+            bids = pdf["id"].to_numpy()
             bm = np.array(pdf["v"].tolist(), dtype=np.float64)
             bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
             sims = np.round(bm @ all_mat.T, 6)
@@ -458,7 +473,7 @@ def embedding_cosine_pairs(
                     }
                 )
 
-    return v.mapInPandas(score, "id_a long, id_b long, cosine double")
+    return v.mapInPandas(score, f"id_a {id_t}, id_b {id_t}, cosine double")
 
 
 def simhash_pairs(
@@ -676,8 +691,13 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import id_spark_type
+
+    id_t = id_spark_type(emb, id_col)
+
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy(dtype=np.int64)
+        # id dtype follows the input column (string ids stay strings)
+        ids = pdf["id"].to_numpy()
         mat = np.array(pdf["v"].tolist(), dtype=np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat @ mat.T
@@ -687,7 +707,7 @@ def semantic_dedup(
     pairs = (
         pred.select("cell", "id", "v")
         .groupBy("cell")
-        .applyInPandas(cell_pairs, "id_a long, id_b long")
+        .applyInPandas(cell_pairs, f"id_a {id_t}, id_b {id_t}")
     )
     groups = duplicate_groups(pairs)  # (doc_id, group_id, group_size)
 

@@ -37,8 +37,10 @@ def pagerank(
     formulation uses); callers modeling undirected graphs pass the
     symmetric edge union, where no dangling nodes exist by construction.
 
-    Returns ``(node, rank)``. N is carried as a broadcast 1-row aggregate
-    — the whole computation stays lazy, nothing is collected.
+    Returns ``(node, rank)``. N is carried as a broadcast 1-row aggregate;
+    nothing is collected to the driver. The final ranks are materialized
+    (localCheckpoint) so the two iteration caches can be unpersisted on
+    exit instead of leaking into the session's cache for its lifetime.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
@@ -77,4 +79,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return ranks
+    res = ranks.localCheckpoint(eager=True)
+    contrib.unpersist()
+    nodes.unpersist()
+    return res

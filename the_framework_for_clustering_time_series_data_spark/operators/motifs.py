@@ -233,9 +233,14 @@ def matrix_profile(
     import numpy as np
     import pandas as pd
 
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import id_spark_type
+
     excl = (m + 1) // 2
+    # output id dtype follows the input series column (string ids stay
+    # strings — sliding-window series ids are strings)
+    sid_t = id_spark_type(grid, series_col)
     out_schema = (
-        f"{series_col} long, idx int, nn_idx int, mp double"
+        f"{series_col} {sid_t}, idx int, nn_idx int, mp double"
     )
 
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -273,7 +278,7 @@ def matrix_profile(
         sid = pdf[series_col].iloc[0]
         return pd.DataFrame(
             {
-                series_col: np.full(w, sid, dtype="int64"),
+                series_col: np.full(w, sid),
                 "idx": np.arange(w, dtype="int32"),
                 "nn_idx": nn.astype("int32"),
                 "mp": np.round(mp, 6),

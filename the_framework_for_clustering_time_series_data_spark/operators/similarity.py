@@ -61,15 +61,29 @@ def brute_force_topk(
     O(|corpus| · |Q| · d) flops distributed over corpus partitions, no
     shuffle of the corpus itself.
     """
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import (
+        id_spark_type,
+        require_bounded_corpus,
+    )
+
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
     if vectorized:
         import numpy as np
         import pandas as pd
 
+        # the QUERY side is what gets collected/broadcast — enforce it
+        require_bounded_corpus(
+            queries,
+            op="brute_force_topk (query side)",
+            scale_route="ann_lsh_topk / ivf_topk (bucketed candidates)",
+            limit=100_000,
+        )
+        id_t = id_spark_type(emb, id_col)
         qrows = queries.select(
             F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
         ).collect()
-        qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+        # id dtype follows the input column (string ids stay strings)
+        qids = np.array([r["qid"] for r in qrows])
         qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
         qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
         sc = emb.sparkSession.sparkContext
@@ -101,7 +115,7 @@ def brute_force_topk(
 
         partial = emb.select(
             F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
-        ).mapInPandas(score, "query_id long, nbr_id long, cosine double")
+        ).mapInPandas(score, f"query_id {id_t}, nbr_id {id_t}, cosine double")
         return (
             partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -458,7 +472,17 @@ def pq_topk(
 
     codes_df = corpus.select("nbr_id", encode("v").alias("codes"))
 
-    # driver-side ADC lookup tables: queries are small by contract
+    # driver-side ADC lookup tables: queries are small by contract —
+    # enforced, not assumed
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import (
+        id_spark_type as _idt,
+        require_bounded_corpus as _rbc,
+    )
+
+    _rbc(queries, op="pq_topk (query side)",
+         scale_route="ivf_topk for bulk query fan-out", limit=100_000)
+    _id_t = _idt(emb, id_col)
+    _id_py = int if _id_t in ("bigint", "int", "smallint", "tinyint") else str
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
     ).collect()
@@ -470,8 +494,8 @@ def pq_topk(
         lut = np.stack(
             [q[j * sub : (j + 1) * sub] @ books[j].T for j in range(m)]
         ).ravel()
-        lut_rows.append((int(r["qid"]), [float(x) for x in lut]))
-    luts = emb.sparkSession.createDataFrame(lut_rows, "query_id long, lut array<double>")
+        lut_rows.append((_id_py(r["qid"]), [float(x) for x in lut]))
+    luts = emb.sparkSession.createDataFrame(lut_rows, f"query_id {_id_t}, lut array<double>")
 
     approx = (
         codes_df.join(F.broadcast(luts), F.col("nbr_id") != F.col("query_id"))
@@ -498,8 +522,8 @@ def pq_topk(
         .select("query_id", "nbr_id")
     )
     qs = emb.sparkSession.createDataFrame(
-        [(int(r["qid"]), list(map(float, r["qv"]))) for r in qrows],
-        "query_id long, qv array<double>",
+        [(_id_py(r["qid"]), list(map(float, r["qv"]))) for r in qrows],
+        f"query_id {_id_t}, qv array<double>",
     )
     exact = (
         cand.join(corpus, "nbr_id")

@@ -110,7 +110,7 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     buyers = base.groupBy(F.col("p").alias("partkey")).agg(
         F.count("*").alias("n_buyers")
     )
-    return (
+    res = (
         ranks.where(F.col("node") >= _PART_OFFSET)
         .select((F.col("node") - _PART_OFFSET).alias("partkey"), "rank")
         .join(buyers, "partkey")
@@ -120,4 +120,9 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_buyers",
             F.round(F.col("rank") * F.col("n"), 6).alias("rank_norm"),
         )
+        # materialize (part-dimension-sized) so the shared `base`
+        # subtree cache can be released instead of leaking
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return res

@@ -311,13 +311,25 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import (
+        id_spark_type,
+        require_bounded_corpus,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
+    require_bounded_corpus(
+        emb,
+        op="sim_knn_graph",
+        scale_route="sim_ann_lsh_topk / sim_ivf_topk as the candidate pass",
+    )
+    id_t = id_spark_type(emb, "vec_id")
     v = emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
     rows = v.collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    # id dtype follows the input column (string ids stay strings)
+    ids = np.array([r["id"] for r in rows])
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     order = np.argsort(ids)
@@ -329,7 +341,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            bids = pdf["id"].to_numpy(dtype=np.int64)
+            bids = pdf["id"].to_numpy()
             bm = np.array(pdf["v"].tolist(), dtype=np.float64)
             bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
             sims = np.round(bm @ all_mat.T, 6)
@@ -343,7 +355,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.append((qid, rnk, all_ids[j], s[j]))
             yield pd.DataFrame(out, columns=["src", "rnk", "dst", "cosine"])
 
-    return v.mapInPandas(knn, "src long, rnk int, dst long, cosine double")
+    return v.mapInPandas(knn, f"src {id_t}, rnk int, dst {id_t}, cosine double")
 
 
 @register(
