@@ -222,3 +222,25 @@ def test_matrix_profile_summary_plan(spark):
         assert r["motif_mp"] <= r["discord_mp"]
         assert r["motif_idx"] != r["motif_nn_idx"]
         assert r["motif_mp"] >= 0.0
+
+
+def test_sbd_sax_pruned_is_value_identical_subset(spark):
+    # the SAX-word pruner must only DROP pairs, never change a surviving
+    # pair's (best_lag, ncc_max, sbd); same-word pairs are where the
+    # near-shape mass lives, so the subset keeps the pairs that matter
+    from the_framework_for_clustering_time_series_data_spark.plans.spectral_plans import _sbd_pairs_frame
+
+    sf = "/root/testdata/sf0.01"
+    key = lambda r: (r["sid_a"], r["sid_b"])  # noqa: E731
+    pruned = {key(r): tuple(r) for r in _sbd_pairs_frame(spark, sf, prune=True).collect()}
+    exact = {key(r): tuple(r) for r in _sbd_pairs_frame(spark, sf, prune=False).collect()}
+    assert pruned, "pruner produced no pairs at all"
+    assert set(pruned) <= set(exact)
+    for k, v in pruned.items():
+        assert exact[k] == v, (k, v, exact[k])
+    # the pruned set must include every STRONG shape match (sbd <= 0.3)
+    strong = {k for k, v in exact.items() if v[-1] <= 0.3}
+    missed = strong - set(pruned)
+    assert len(missed) <= max(1, len(strong) // 5), (
+        f"pruner lost {len(missed)}/{len(strong)} strong pairs"
+    )

