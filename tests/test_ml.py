@@ -202,6 +202,40 @@ def test_autoencoder_trains_and_is_deterministic(spark):
     assert out == again
 
 
+def test_conv_autoencoder_variant_same_invariants(spark):
+    """The Conv2D-faithful variant (arch='conv': the reference's
+    stride-2 conv encoder stack via im2col) must satisfy the SAME
+    invariants as the dense arch — learning, finite non-collapsed
+    latent, determinism. Latent coordinates differ between archs by
+    design (documented in _conv_autoencoder)."""
+    from the_framework_for_clustering_time_series_data_spark.operators import align, embed, imaging
+
+    df = _ragged_series(spark, n_series=4)
+    images = imaging.recurrence_plot(align.to_nested(df))
+    losses: list = []
+    out = sorted(
+        map(
+            tuple,
+            embed.embedding_autoencoder(
+                images, img_size=16, epochs=120, loss_out=losses, arch="conv"
+            ).collect(),
+        )
+    )
+    assert len(out) == 4
+    assert all(np.isfinite(r[1]) and np.isfinite(r[2]) for r in out)
+    first, best = losses
+    assert best < first, f"no learning: first={first} best={best}"
+    xs = {r[1] for r in out} | {r[2] for r in out}
+    assert len(xs) > 1, "latent collapsed to a single point"
+    again = sorted(
+        map(
+            tuple,
+            embed.embedding_autoencoder(images, img_size=16, epochs=120, arch="conv").collect(),
+        )
+    )
+    assert out == again
+
+
 # --- clustering ------------------------------------------------------------
 
 def _blobs(spark, n_per=30, seed=3):

@@ -125,32 +125,91 @@ def test_csv_sink_roundtrip(spark, csv_fixture, tmp_path):
     assert emb_back.count() == 8
 
 
-def test_excel_source_gated_or_works(spark, tmp_path):
-    """Excel ingest works when openpyxl exists; otherwise raises the
-    documented NotImplementedError (import-gated, never ImportError)."""
-    import pytest as _pytest
+def _write_minimal_xlsx(path):
+    """A valid single-sheet xlsx built with the stdlib only: header
+    (proc, v), three rows — shared strings for text, inline numbers."""
+    import zipfile
 
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>1</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>2</v></c><c r="B3"><v>2.5</v></c></row>'
+        '<row r="4"><c r="A4" t="s"><v>3</v></c><c r="B4"><v>3</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">'
+        "<si><t>proc</t></si><si><t>v</t></si><si><t>a</t></si><si><t>b</t></si></sst>"
+    )
+    workbook = (
+        '<?xml version="1.0"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" '
+        'Target="sharedStrings.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_excel_source_reads_without_openpyxl(spark, tmp_path):
+    """Excel ingest no longer needs openpyxl: the stdlib zip+XML
+    fallback parses a valid upload-shaped xlsx; when openpyxl IS
+    installed, the same file goes through pd.read_excel instead."""
     from the_framework_for_clustering_time_series_data_spark.sources.csv_source import read_timeseries_excel
 
-    try:
-        import openpyxl  # noqa: F401
+    p = tmp_path / "x.xlsx"
+    _write_minimal_xlsx(str(p))
+    out = read_timeseries_excel(spark, str(p), "v", "proc")
+    rows = {(r["series_id"], r["t"]): r["value"] for r in out.collect()}
+    assert rows == {("a", 0): 1.0, ("a", 1): 2.5, ("b", 0): 3.0}
 
-        has = True
-    except ImportError:
-        has = False
-    if not has:
-        with _pytest.raises(NotImplementedError):
-            read_timeseries_excel(spark, str(tmp_path / "x.xlsx"), "v")
-    else:
-        import pandas as pd
 
-        p = tmp_path / "x.xlsx"
-        pd.DataFrame({"proc": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]}).to_excel(
-            p, index=False
-        )
-        out = read_timeseries_excel(spark, str(p), "v", "proc")
-        assert out.count() == 3
-        assert set(out.columns) == {"series_id", "t", "value"}
+def test_xlsx_stdlib_parser_direct(tmp_path):
+    """The vendor-free parser itself, independent of openpyxl presence."""
+    from the_framework_for_clustering_time_series_data_spark.sources.csv_source import _read_xlsx_stdlib
+
+    p = tmp_path / "y.xlsx"
+    _write_minimal_xlsx(str(p))
+    pdf = _read_xlsx_stdlib(str(p))
+    assert list(pdf.columns) == ["proc", "v"]
+    assert pdf["proc"].tolist() == ["a", "a", "b"]
+    assert pdf["v"].tolist() == [1.0, 2.5, 3.0]
 
 
 def test_to_long_form_orders_and_drops_nulls(spark):

@@ -192,6 +192,71 @@ def _random_projection_standin(
     return nested.select("series_id", *cols)
 
 
+def _conv_channels(img_size: int) -> list[int]:
+    """The reference's encoder widths: Conv2D(16) then log2(S)-4
+    stride-2 layers doubling from 32 (app.py:563-572, factor() at
+    app.py:644-649). 64 → [16, 32, 64] (final grid 8×8)."""
+    import math
+
+    chans = [16]
+    c = 32
+    for _ in range(int(math.log2(img_size)) - 4):
+        chans.append(c)
+        c *= 2
+    return chans
+
+
+def _im2col(X, k=3, stride=2):
+    """(n, H, W, C) → (n, Ho, Wo, k·k·C) patch matrix for a stride-2
+    'same' conv (Keras pads 0 before / 1 after for odd k, even H)."""
+    import numpy as np
+
+    n, H, W, C = X.shape
+    Ho, Wo = (H + 1) // stride, (W + 1) // stride
+    Xp = np.pad(X, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    cols = np.empty((n, Ho, Wo, k * k * C), dtype=X.dtype)
+    for di in range(k):
+        for dj in range(k):
+            patch = Xp[:, di : di + H : stride, dj : dj + W : stride, :]
+            cols[..., (di * k + dj) * C : (di * k + dj + 1) * C] = patch[
+                :, :Ho, :Wo, :
+            ]
+    return cols
+
+
+def _col2im(g_cols, in_shape, k=3, stride=2):
+    """Adjoint of _im2col: scatter patch gradients back to the input."""
+    import numpy as np
+
+    n, H, W, C = in_shape
+    Ho, Wo = (H + 1) // stride, (W + 1) // stride
+    gXp = np.zeros((n, H + 1, W + 1, C), dtype=g_cols.dtype)
+    for di in range(k):
+        for dj in range(k):
+            g = g_cols[..., (di * k + dj) * C : (di * k + dj + 1) * C]
+            gXp[:, di : di + H : stride, dj : dj + W : stride, :][
+                :, :Ho, :Wo, :
+            ] += g
+    return gXp[:, :H, :W, :]
+
+
+def _conv_encode(X_img, conv_params):
+    """Forward pass through the stride-2 conv stack (ReLU), returning
+    the flattened feature map and the per-layer caches backprop needs."""
+    import numpy as np
+
+    caches = []
+    A = X_img
+    for W, b in conv_params:
+        cols = _im2col(A)
+        Z = cols @ W + b
+        A_next = np.maximum(Z, 0.0)
+        caches.append((A.shape, cols, Z))
+        A = A_next
+    n = A.shape[0]
+    return A.reshape(n, -1), A.shape, caches
+
+
 def embedding_autoencoder(
     images: DataFrame,
     img_size: int = 64,
@@ -202,6 +267,7 @@ def embedding_autoencoder(
     patience: int = 50,
     seed: int = 0,
     loss_out: list | None = None,
+    arch: str = "dense",
 ) -> DataFrame:
     """E1 — TRAINED autoencoder latent extraction (app.py:490-641).
 
@@ -248,6 +314,14 @@ def embedding_autoencoder(
     pix_mean = X_raw.mean(axis=0)
     X = X_raw - pix_mean
     n, d = X.shape
+
+    if arch == "conv":
+        return _conv_autoencoder(
+            resized, X, pix_mean, img_size, out_schema, image_col,
+            hidden, epochs, lr, patience, seed, loss_out,
+        )
+    if arch != "dense":
+        raise ValueError(f"unknown arch {arch!r} (dense|conv)")
 
     rng = np.random.default_rng(seed)
     # Glorot-style init, deterministic from `seed` (the reference pins
@@ -325,6 +399,138 @@ def embedding_autoencoder(
                 - pix_mean
             )
             Z = np.tanh(M @ W1 + b1) @ W2 + b2
+            yield pd.DataFrame(
+                {"series_id": pdf["series_id"].values, "x": Z[:, 0], "y": Z[:, 1]}
+            )
+
+    return resized.mapInPandas(_encode_batch, schema=out_schema)
+
+
+def _conv_autoencoder(
+    resized, X, pix_mean, img_size, out_schema, image_col,
+    hidden, epochs, lr, patience, seed, loss_out,
+):
+    """Conv2D-faithful E1 variant (``arch="conv"``): the ENCODER is the
+    reference's exact stack — Conv2D(16, 3, strides=2, ReLU) then
+    log2(S)-4 stride-2 conv layers doubling from 32 channels, Flatten,
+    Dense(2) (app.py:563-578) — implemented with im2col matmuls in
+    NumPy.
+
+    Documented divergences from app.py:490-641: no BatchNormalization
+    (running statistics add nothing at these batch sizes and the
+    normalization changes the latent scale, not its topology), and the
+    DECODER is the dense tanh stack shared with ``arch="dense"``
+    rather than Conv2DTranspose — the decoder exists only to provide
+    the reconstruction gradient, it is discarded at encode time. The
+    latent spaces of the two archs therefore differ coordinate-wise
+    (different parameterizations reach different minima); the
+    invariants that matter downstream — determinism, learning (loss
+    decreases), latent differentiation across inputs — are asserted
+    for both in tests/test_ml.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n, d = X.shape
+    S = img_size
+    X_img = X.reshape(n, S, S, 1)
+    chans = _conv_channels(S)
+
+    rng = np.random.default_rng(seed)
+    params = {}
+    cin = 1
+    for li, cout in enumerate(chans):
+        fan_in = 9 * cin
+        params[f"cW{li}"] = rng.standard_normal((fan_in, cout)) * np.sqrt(2.0 / fan_in)
+        params[f"cb{li}"] = np.zeros(cout)
+        cin = cout
+    grid = S >> len(chans)
+    feat_dim = grid * grid * chans[-1]
+    params["We"] = rng.standard_normal((feat_dim, 2)) * np.sqrt(2.0 / (feat_dim + 2))
+    params["be"] = np.zeros(2)
+    params["W3"] = rng.standard_normal((2, hidden)) * np.sqrt(2.0 / (hidden + 2))
+    params["b3"] = np.zeros(hidden)
+    params["W4"] = rng.standard_normal((hidden, d)) * np.sqrt(2.0 / (d + hidden))
+    params["b4"] = np.zeros(d)
+
+    adam_m = {k: np.zeros_like(v) for k, v in params.items()}
+    adam_v = {k: np.zeros_like(v) for k, v in params.items()}
+    b1m, b2m, eps = 0.9, 0.999, 1e-8
+
+    def conv_params():
+        return [(params[f"cW{li}"], params[f"cb{li}"]) for li in range(len(chans))]
+
+    best_loss, best_params, since_best = np.inf, None, 0
+    first_loss = None
+    loss = np.inf
+    for step in range(1, epochs + 1):
+        feat, feat_shape, caches = _conv_encode(X_img, conv_params())
+        z = feat @ params["We"] + params["be"]
+        h3 = np.tanh(z @ params["W3"] + params["b3"])
+        out = h3 @ params["W4"] + params["b4"]
+        err = out - X
+        loss = float((err**2).mean())
+        if first_loss is None:
+            first_loss = loss
+
+        if loss < best_loss - 1e-9:
+            best_loss, since_best = loss, 0
+            best_params = {k: v.copy() for k, v in params.items()}
+        else:
+            since_best += 1
+            if since_best >= patience:
+                break
+
+        g_out = 2.0 * err / err.size
+        g = {"W4": h3.T @ g_out, "b4": g_out.sum(0)}
+        g_h3 = g_out @ params["W4"].T * (1 - h3**2)
+        g["W3"], g["b3"] = z.T @ g_h3, g_h3.sum(0)
+        g_z = g_h3 @ params["W3"].T
+        g["We"], g["be"] = feat.T @ g_z, g_z.sum(0)
+        g_feat = (g_z @ params["We"].T).reshape(feat_shape)
+        # back through the conv stack (reversed)
+        g_A = g_feat
+        for li in range(len(chans) - 1, -1, -1):
+            in_shape, cols, Z = caches[li]
+            g_Z = g_A * (Z > 0)
+            flat_cols = cols.reshape(-1, cols.shape[-1])
+            flat_gZ = g_Z.reshape(-1, g_Z.shape[-1])
+            g[f"cW{li}"] = flat_cols.T @ flat_gZ
+            g[f"cb{li}"] = flat_gZ.sum(0)
+            g_cols = g_Z @ params[f"cW{li}"].T
+            g_A = _col2im(g_cols, in_shape)
+
+        for k in params:
+            adam_m[k] = b1m * adam_m[k] + (1 - b1m) * g[k]
+            adam_v[k] = b2m * adam_v[k] + (1 - b2m) * g[k] ** 2
+            mh = adam_m[k] / (1 - b1m**step)
+            vh = adam_v[k] / (1 - b2m**step)
+            params[k] -= lr * mh / (np.sqrt(vh) + eps)
+
+    if loss_out is not None:
+        loss_out.extend([first_loss, best_loss])
+
+    enc_conv = [
+        (best_params[f"cW{li}"], best_params[f"cb{li}"]) for li in range(len(chans))
+    ]
+    We, be = best_params["We"], best_params["be"]
+
+    def _encode_batch(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(columns=["series_id", "x", "y"])
+                continue
+            M = (
+                np.stack(
+                    [
+                        np.concatenate([np.asarray(r, dtype=np.float64) for r in img]) / 255.0
+                        for img in pdf[image_col]
+                    ]
+                )
+                - pix_mean
+            ).reshape(-1, S, S, 1)
+            feat, _, _ = _conv_encode(M, enc_conv)
+            Z = feat @ We + be
             yield pd.DataFrame(
                 {"series_id": pdf["series_id"].values, "x": Z[:, 0], "y": Z[:, 1]}
             )

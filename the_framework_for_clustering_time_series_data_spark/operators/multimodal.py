@@ -3,19 +3,60 @@ pipelines: opaque ``binary`` payloads + typed metadata, with decode /
 feature-extraction / frame-sampling as Arrow-batched ``mapInPandas``
 stages.
 
-The image/audio decode libraries are NOT in this container, so the
-decode kernels are DETERMINISTIC STUBS (seeded from the payload bytes,
-clearly marked). Everything Spark-side — schema, batching, partition
-behavior, UDF signatures — is real: swapping the stub body for
-PIL/ffmpeg calls is a one-function change.
+Each kernel carries BOTH code paths:
+
+* a REAL decoder (PIL for images, soundfile for audio, the ffmpeg
+  binary for video frames), used automatically when its dependency is
+  importable/installed — gated per modality below;
+* a DETERMINISTIC STUB (seeded from the payload bytes, clearly marked)
+  that keeps the distributed plumbing — schema, Arrow batching,
+  partition behavior, UDF signatures — exercised end to end in
+  environments without media libraries (this container has none).
+
+``use_real=None`` (default) auto-selects; ``True`` forces the real
+decoder (raising if its dependency is absent); ``False`` forces the
+stub. Tests for the real paths self-skip when the libraries are
+missing, so the stub→real swap is zero-risk the day the environment
+gains them.
 """
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/cv2/ffmpeg in this environment
+try:  # pragma: no cover - depends on environment
+    from PIL import Image  # noqa: F401
+
+    PIL_AVAILABLE = True
+except Exception:  # pragma: no cover
+    PIL_AVAILABLE = False
+
+try:  # pragma: no cover - depends on environment
+    import soundfile  # noqa: F401
+
+    SOUNDFILE_AVAILABLE = True
+except Exception:  # pragma: no cover
+    SOUNDFILE_AVAILABLE = False
+
+FFMPEG_AVAILABLE = shutil.which("ffmpeg") is not None
+
+#: True when EVERY modality has its real decoder — kept for callers
+#: that want a single switch; the kernels gate per modality.
+REAL_DECODERS_AVAILABLE = PIL_AVAILABLE and SOUNDFILE_AVAILABLE and FFMPEG_AVAILABLE
+
+
+def _resolve(use_real: bool | None, available: bool, dep: str) -> bool:
+    if use_real is None:
+        return available
+    if use_real and not available:
+        raise ImportError(
+            f"real decoder requested but {dep} is not available in this "
+            "environment; pass use_real=False for the deterministic stub"
+        )
+    return use_real
 
 
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -36,34 +77,50 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_image_features(
+    df: DataFrame, id_col: str = "doc_id", use_real: bool | None = None
+) -> DataFrame:
     """Decode each payload and emit image features (width, height,
-    mean intensity).
+    mean intensity in [0, 1]).
 
-    STUB KERNEL: real decoding needs PIL/cv2 (absent here). The stand-in
-    derives deterministic pseudo-features from the payload bytes so the
-    distributed plumbing (Arrow batches, schema, partition-parallel
-    mapInPandas) is exercised end to end. Replace ``_decode`` with a
-    real decoder to productionize.
+    Real path (PIL): ``Image.open`` on the payload bytes, grayscale
+    mean. Stub path: deterministic pseudo-features from the payload
+    hash. Either way the distributed shape is identical — Arrow
+    batches in, one feature row per image out, decode running where
+    the bytes live.
     """
     import hashlib
 
     import pandas as pd
 
+    real = _resolve(use_real, PIL_AVAILABLE, "PIL")
     out_schema = f"{id_col} long, width int, height int, mean_intensity double"
 
-    def _decode(payload: bytes) -> tuple[int, int, float]:
-        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("wire PIL/cv2 decode here")
+    def _decode_real(payload: bytes) -> tuple[int, int, float]:  # pragma: no cover - needs PIL
+        import io
+
+        from PIL import Image as _Image
+
+        with _Image.open(io.BytesIO(payload)) as im:
+            gray = im.convert("L")
+            w, h = gray.size
+            hist = gray.histogram()
+            n = sum(hist) or 1
+            mean = sum(i * c for i, c in enumerate(hist)) / n / 255.0
+            return w, h, round(mean, 6)
+
+    def _decode_stub(payload: bytes) -> tuple[int, int, float]:
         h = hashlib.sha256(payload).digest()
         width = 64 + h[0] % 192
         height = 64 + h[1] % 192
         mean_intensity = round(sum(h[2:10]) / 8 / 255, 6)
         return width, height, mean_intensity
 
+    decode = _decode_real if real else _decode_stub
+
     def run(batches):
         for pdf in batches:
-            feats = [_decode(bytes(p)) for p in pdf["payload"]]
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats, columns=["width", "height", "mean_intensity"])
             out.insert(0, id_col, pdf[id_col].values)
             yield out
@@ -72,68 +129,122 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def sample_frames(
-    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    use_real: bool | None = None,
 ) -> DataFrame:
     """Video frame sampling: emit ``n_frames`` evenly-spaced frame
-    records per payload (frame_idx + per-frame pseudo-digest).
+    records per payload (frame_idx + per-frame digest).
 
-    STUB KERNEL (no ffmpeg): frame digests are deterministic slices of
-    the payload hash. The output shape — one row per (media, frame),
-    produced inside mapInPandas so a 10 GB video never leaves its
-    executor — is the real contract.
+    Real path (ffmpeg binary): write the payload to a temp file, pull
+    evenly-spaced frames via one ``-vf select`` invocation, digest the
+    decoded frame bytes. Stub path: frame digests are deterministic
+    slices of the payload hash. The output shape — one row per
+    (media, frame), produced inside mapInPandas so a 10 GB video never
+    leaves its executor — is the real contract either way.
     """
     import hashlib
 
     import pandas as pd
 
+    real = _resolve(use_real, FFMPEG_AVAILABLE, "the ffmpeg binary")
     out_schema = f"{id_col} long, frame_idx int, frame_md5 string"
+
+    def _frames_real(payload: bytes) -> list[str]:  # pragma: no cover - needs ffmpeg
+        import os
+        import subprocess
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="mmframes_") as td:
+            src = os.path.join(td, "clip.bin")
+            with open(src, "wb") as fh:
+                fh.write(payload)
+            pattern = os.path.join(td, "f%04d.ppm")
+            # decode every  (total/n)-th frame; thumbnail-scale keeps
+            # the executor-local temp footprint bounded
+            subprocess.run(
+                ["ffmpeg", "-v", "error", "-i", src,
+                 "-vf", f"select='not(mod(n\\,{max(1, n_frames)}))',scale=64:-1",
+                 "-vsync", "vfr", "-frames:v", str(n_frames), pattern],
+                check=True, capture_output=True,
+            )
+            digests = []
+            for i in range(1, n_frames + 1):
+                p = os.path.join(td, f"f{i:04d}.ppm")
+                if os.path.exists(p):
+                    with open(p, "rb") as fh:
+                        digests.append(hashlib.md5(fh.read()).hexdigest())
+            return digests
+
+    def _frames_stub(payload: bytes) -> list[str]:
+        return [
+            hashlib.md5(payload + i.to_bytes(4, "little")).hexdigest()
+            for i in range(n_frames)
+        ]
+
+    frames = _frames_real if real else _frames_stub
 
     def run(batches):
         for pdf in batches:
             rows = []
             for did, p in zip(pdf[id_col], pdf["payload"]):
-                payload = bytes(p)
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            id_col: did,
-                            "frame_idx": i,
-                            "frame_md5": hashlib.md5(
-                                payload + i.to_bytes(4, "little")
-                            ).hexdigest(),
-                        }
-                    )
+                for i, digest in enumerate(frames(bytes(p))):
+                    rows.append({id_col: did, "frame_idx": i, "frame_md5": digest})
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_md5"])
 
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
 
 
 def extract_audio_features(
-    df: DataFrame, n_windows: int = 8, id_col: str = "doc_id"
+    df: DataFrame,
+    n_windows: int = 8,
+    id_col: str = "doc_id",
+    use_real: bool | None = None,
 ) -> DataFrame:
     """Audio decode + feature extraction: per-payload (duration,
     sample rate, peak dBFS) plus an ``n_windows``-slot RMS loudness
     envelope (array<double>).
 
-    STUB KERNEL (no soundfile/ffmpeg in this container): the features
-    are deterministic functions of the payload hash. The Spark-side
-    contract is real — Arrow-batched mapInPandas, one row per clip
-    with a fixed-length envelope array, so a multi-GB audio file is
-    decoded where its bytes already live and only the tiny feature
-    row crosses the wire.
+    Real path (soundfile): decode the payload, window the samples,
+    RMS per window, 20·log10(peak) dBFS. Stub path: deterministic
+    functions of the payload hash. The Spark-side contract is
+    identical — Arrow-batched mapInPandas, one row per clip with a
+    fixed-length envelope array, so a multi-GB audio file is decoded
+    where its bytes already live and only the tiny feature row crosses
+    the wire.
     """
     import hashlib
 
     import pandas as pd
 
+    real = _resolve(use_real, SOUNDFILE_AVAILABLE, "soundfile")
     out_schema = (
         f"{id_col} long, duration_s double, sample_rate int, "
         "peak_dbfs double, rms_envelope array<double>"
     )
 
-    def _decode(payload: bytes) -> tuple[float, int, float, list[float]]:
-        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("wire soundfile/ffmpeg decode here")
+    def _decode_real(payload: bytes) -> tuple[float, int, float, list[float]]:  # pragma: no cover - needs soundfile
+        import io
+        import math
+
+        import numpy as np
+        import soundfile as sf
+
+        data, rate = sf.read(io.BytesIO(payload), dtype="float64")
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        n = len(data)
+        duration = round(n / rate, 3)
+        peak = float(np.max(np.abs(data))) if n else 0.0
+        peak_dbfs = round(20 * math.log10(peak) if peak > 0 else -120.0, 3)
+        env = []
+        for i in range(n_windows):
+            seg = data[i * n // n_windows : (i + 1) * n // n_windows]
+            env.append(round(float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0, 6))
+        return duration, int(rate), peak_dbfs, env
+
+    def _decode_stub(payload: bytes) -> tuple[float, int, float, list[float]]:
         h = hashlib.sha256(payload).digest()
         duration = round(1.0 + h[0] / 16, 3)
         rate = (8, 16, 22, 44, 48)[h[1] % 5] * 1000
@@ -141,9 +252,11 @@ def extract_audio_features(
         env = [round(h[4 + i] / 255, 6) for i in range(n_windows)]
         return duration, rate, peak, env
 
+    decode = _decode_real if real else _decode_stub
+
     def run(batches):
         for pdf in batches:
-            feats = [_decode(bytes(p)) for p in pdf["payload"]]
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats, columns=["duration_s", "sample_rate", "peak_dbfs", "rms_envelope"]
             )

@@ -83,15 +83,101 @@ def read_timeseries_excel(
     side ``pd.read_excel``). Excel files are small by construction
     (single-file uploads), so a driver-side parse + createDataFrame is
     the honest scale story; big data arrives as CSV/parquet instead.
-    Requires openpyxl (import-gated)."""
+
+    Uses pandas/openpyxl when installed; otherwise falls back to the
+    vendor-free stdlib parser below (xlsx IS a zip of XML — zipfile +
+    ElementTree cover the cell types an upload needs: shared strings,
+    inline strings, numbers, booleans, formula caches)."""
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "read_timeseries_excel needs the public 'openpyxl' package "
-            "(pandas read_excel engine); ingest via CSV/parquet instead."
-        ) from e
+
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError:
+        pdf = _read_xlsx_stdlib(path, sheet_name)
+    return to_long_form(spark.createDataFrame(pdf), value_col, process_col)
+
+
+def _read_xlsx_stdlib(path: str, sheet_name: int | str = 0):
+    """Minimal xlsx reader on the stdlib only (zipfile + ElementTree).
+
+    Parses sharedStrings, resolves the sheet through the workbook
+    relationships, and materializes a pandas DataFrame with row 1 as
+    the header — the subset of pd.read_excel an upload-shaped file
+    exercises. Styles, dates-as-serials, merged cells, and formulas
+    (beyond their cached values) are out of scope.
+    """
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet_name)
-    return to_long_form(spark.createDataFrame(pdf), value_col, process_col)
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {r.get("Id"): r.get("Target") for r in rels}
+        sheets = [
+            (sh.get("name"), rid_to_target[sh.get(f"{RNS}id")])
+            for sh in wb.find(f"{NS}sheets")
+        ]
+        if isinstance(sheet_name, int):
+            target = sheets[sheet_name][1]
+        else:
+            target = dict(sheets)[sheet_name]
+        if not target.startswith("xl/"):
+            target = "xl/" + target.lstrip("/")
+        ws = ET.fromstring(z.read(target))
+
+        rows: list[dict[int, object]] = []
+        for row in ws.iter(f"{NS}row"):
+            cells: dict[int, object] = {}
+            next_ci = 0
+            for c in row.findall(f"{NS}c"):
+                ref = c.get("r")
+                if ref:
+                    letters = re.match(r"([A-Z]+)", ref).group(1)
+                    ci = 0
+                    for ch in letters:
+                        ci = ci * 26 + (ord(ch) - 64)
+                    ci -= 1
+                else:  # cells without refs are sequential
+                    ci = next_ci
+                next_ci = ci + 1
+                t = c.get("t")
+                v = c.find(f"{NS}v")
+                if t == "inlineStr":
+                    is_el = c.find(f"{NS}is")
+                    val = (
+                        "".join(x.text or "" for x in is_el.iter(f"{NS}t"))
+                        if is_el is not None
+                        else None
+                    )
+                elif v is None or v.text is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v.text)]
+                elif t == "b":
+                    val = bool(int(v.text))
+                elif t == "str":
+                    val = v.text
+                else:
+                    val = float(v.text)
+                cells[ci] = val
+            rows.append(cells)
+
+    if not rows:
+        return pd.DataFrame()
+    ncols = max(max(r.keys(), default=-1) for r in rows) + 1
+    header = [str(rows[0].get(i, f"col{i}")) for i in range(ncols)]
+    data = [[r.get(i) for i in range(ncols)] for r in rows[1:]]
+    return pd.DataFrame(data, columns=header)
