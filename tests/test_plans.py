@@ -298,3 +298,29 @@ def test_plan_tools_summary(spark):
 def test_burst_periods_single_exchange(spark):
     plan = _plan(spark, "ts_burst_periods")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_sbd_pruned_candidates_broadcast_not_cartesian(spark):
+    # the SAX-word pruner's candidate pairs must arrive as a broadcast
+    # join onto series A's points, and the vocabulary cross join must
+    # not leak a cartesian over the SERIES (vocab is <=256 words; the
+    # only nested-loop join allowed is vocab x vocab)
+    plan = _plan(spark, "ts_sbd_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_capped_jaccard_no_shingle_strings_in_shuffle(spark):
+    # the capped twin joins on 64-bit shingle HASHES: no concat_ws
+    # shingle-string materialization may appear anywhere in its plan
+    plan = _plan(spark, "dedup_ngram_jaccard_capped")
+    assert "concat_ws" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_portable_prunes_verify_behind_semi_join(spark):
+    # pass 2 (exact shingle sets) must scan documents behind a
+    # broadcast semi-join on candidate ids, pushed before tokenization
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
