@@ -273,11 +273,28 @@ def test_dedup_edit_blocked_equi_join_only(spark):
 def test_pagerank_edges_shuffle_reused(spark):
     # the cached symmetric edge list is shuffled onto src ONCE; the
     # per-iteration joins then reuse that layout, so the explained plan
-    # must not contain a cartesian/nested-loop anywhere and the rank
-    # normalization must ride a broadcast (1-row N aggregate)
-    plan = _plan(spark, "graph_pagerank_purchases")
+    # must not contain a cartesian anywhere and the rank normalization
+    # must ride a broadcast (1-row N aggregate). The registered query
+    # materializes (checkpoint + cache release), which hides the join
+    # tree from explain — assert on the LAZY unrolled form instead.
+    import contextlib
+    import io
+
+    from the_framework_for_clustering_time_series_data_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1)], "src long, dst long"
+    )
+    ranks = pagerank(edges, iterations=3, materialize=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranks.explain("formatted")
+    plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the registered query still runs end to end
+    spark.catalog.clearCache()
+    assert QUERIES["graph_pagerank_purchases"](spark, SF_ORACLE).count() > 0
 
 
 def test_plan_tools_summary(spark):

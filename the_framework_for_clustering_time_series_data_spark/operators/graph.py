@@ -28,6 +28,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list.
 
@@ -79,6 +80,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    if not materialize:
+        # lazy unrolled plan, caches left alive for the caller to
+        # execute against (and release) — used by plan-shape tests
+        return ranks
     res = ranks.localCheckpoint(eager=True)
     contrib.unpersist()
     nodes.unpersist()
