@@ -163,7 +163,12 @@ def dtw_stretch_align(df: DataFrame) -> DataFrame:
         return pd.DataFrame(out, columns=["series_id", "values"])
 
     schema = "series_id long, values array<double>"
-    aligned = nested.groupBy("series_id").applyInPandas(warp, schema=schema)
+    # warp already iterates rows — run it per Arrow batch (each nested
+    # row IS one series; per-group dispatch would call Python once per
+    # series for a loop body that handles many)
+    aligned = nested.repartition("series_id").mapInPandas(
+        lambda batches: (warp(pdf) for pdf in batches), schema=schema
+    )
     return aligned.select(
         "series_id",
         F.posexplode("values").alias("t", "value"),

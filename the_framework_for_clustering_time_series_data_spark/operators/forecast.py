@@ -63,4 +63,8 @@ def holt_linear_forecast(
             ]
         )
 
-    return grid.groupBy(series_col).applyInPandas(fit, schema=out_schema)
+    from the_framework_for_clustering_time_series_data_spark.operators.grouped import grouped_apply
+
+    # partition-batched: the Holt recursion is a scalar loop per
+    # series — per-group UDF-call overhead would dominate (grouped.py)
+    return grouped_apply(grid, [series_col], fit, out_schema)

@@ -1,0 +1,48 @@
+"""Partition-batched grouped apply: ``applyInPandas`` semantics with
+per-PARTITION Python invocation instead of per-group.
+
+``DataFrame.groupBy(k).applyInPandas(fn)`` pays a fixed Python-side
+cost per GROUP (UDF call, pandas frame construction, Arrow slicing) —
+a few milliseconds each. For operators whose per-group compute is tiny
+(LTTB's 20-point selection, Holt's scalar recursion, one small matmul),
+thousands of small series make that overhead the entire runtime.
+
+``grouped_apply`` keeps the identical per-group function and contract
+but restructures execution: repartition on the keys (same single
+exchange a groupBy would pay), buffer each partition's Arrow batches,
+run ``fn`` per group via ``pandas.groupby`` inside ONE Python call per
+partition. Cost per group drops to a pandas slice.
+
+Memory bound: one partition's rows are held at once — the same bound a
+window over the key already imposes; series-keyed rollups are bounded
+by time span, not event count, so this holds at any corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def grouped_apply(
+    df: DataFrame,
+    key_cols: list[str],
+    fn: Callable,
+    schema: str,
+) -> DataFrame:
+    import pandas as pd
+
+    rep = df.repartition(*key_cols)
+
+    def run(batches):
+        buf = list(batches)
+        if not buf:
+            return
+        pdf = pd.concat(buf, ignore_index=True)
+        for _, g in pdf.groupby(list(key_cols), sort=False, dropna=False):
+            out = fn(g)
+            if out is not None and len(out):
+                yield out
+
+    return rep.mapInPandas(run, schema)

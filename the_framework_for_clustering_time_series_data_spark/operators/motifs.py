@@ -121,17 +121,44 @@ def verified_motifs(
         F.col("_rk") <= max_per_word
     )
 
+    # z-normalize each WINDOW once (≤ max_per_word · |words| windows —
+    # cheap even interpreted), so the pair stage needs only a dot
+    # product: for unit-variance zero-mean arrays, Σ(za−zb)² = 2L −
+    # 2·⟨za,zb⟩. The per-pair kernel then runs as ONE Arrow-batched
+    # vectorized matmul-style einsum instead of an interpreted
+    # zip_with/aggregate HOF per pair (the dedup_embedding_cosine
+    # lesson: interpreted lambdas cost ~µs per ELEMENT, and the pair
+    # stage is |pairs|·L elements — 300k·32 here).
+    wm = F.aggregate(F.col("zs"), F.lit(0.0), lambda a_, x: a_ + x) / L
+    cand = cand.withColumn("_m", wm)
+    wsd = F.sqrt(
+        F.aggregate(
+            F.col("zs"), F.lit(0.0),
+            lambda a_, x: a_ + (x - F.col("_m")) * (x - F.col("_m")),
+        )
+        / L
+    )
+    cand = (
+        cand.withColumn("_s", wsd)
+        .where(F.col("_s") > 0)
+        .withColumn(
+            "zn",
+            F.transform("zs", lambda x: (x - F.col("_m")) / F.col("_s")),
+        )
+        .drop("zs", "_m", "_s")
+    )
+
     a = cand.select(
         "word",
         F.col(series_col).alias("sid_a"),
         F.col("w").alias("w_a"),
-        F.col("zs").alias("zs_a"),
+        F.col("zn").alias("zn_a"),
     )
     b = cand.select(
         "word",
         F.col(series_col).alias("sid_b"),
         F.col("w").alias("w_b"),
-        F.col("zs").alias("zs_b"),
+        F.col("zn").alias("zn_b"),
     )
     pairs = a.join(b, "word").where(
         (F.col("sid_a") < F.col("sid_b"))
@@ -141,45 +168,24 @@ def verified_motifs(
         )
     )
 
-    def arr_mean(c: str) -> Column:
-        return F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x) / L
+    import numpy as np
+    import pandas as pd
 
-    def arr_std(c: str, m: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + (x - m) * (x - m))
-            / L
-        )
+    def _znorm_dist_fn(zn_a, zn_b):
+        if zn_a.empty:
+            return pd.Series([], dtype="float64")
+        A = np.stack(zn_a.to_numpy())
+        B = np.stack(zn_b.to_numpy())
+        d2 = np.maximum(2.0 * L - 2.0 * np.einsum("ij,ij->i", A, B), 0.0)
+        return pd.Series(np.sqrt(d2))
 
-    m_a, m_b = arr_mean("zs_a"), arr_mean("zs_b")
-    pairs = pairs.select(
-        "word",
-        "sid_a",
-        "w_a",
-        "sid_b",
-        "w_b",
-        "zs_a",
-        "zs_b",
-        m_a.alias("m_a"),
-        m_b.alias("m_b"),
-    ).select(
-        "*",
-        arr_std("zs_a", F.col("m_a")).alias("s_a"),
-        arr_std("zs_b", F.col("m_b")).alias("s_b"),
-    ).where((F.col("s_a") > 0) & (F.col("s_b") > 0))
-
-    # z-normalized Euclidean distance, one fused JVM expression
-    diff2 = F.zip_with(
-        "zs_a",
-        "zs_b",
-        lambda x, y: (
-            (x - F.col("m_a")) / F.col("s_a") - (y - F.col("m_b")) / F.col("s_b")
-        )
-        ** 2,
-    )
-    dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+    # explicit construction: the module defers pandas/numpy imports to
+    # call time, so decorator type hints would be unresolvable strings
+    _znorm_dist = F.pandas_udf(_znorm_dist_fn, "double")
 
     scored = pairs.select(
-        "word", "sid_a", "w_a", "sid_b", "w_b", dist.alias("dist")
+        "word", "sid_a", "w_a", "sid_b", "w_b",
+        _znorm_dist("zn_a", "zn_b").alias("dist"),
     )
     top = Window.partitionBy("word").orderBy(
         "dist", "sid_a", "w_a", "sid_b", "w_b"
@@ -285,4 +291,7 @@ def matrix_profile(
             }
         )
 
-    return grid.groupBy(series_col).applyInPandas(profile, schema=out_schema)
+    from the_framework_for_clustering_time_series_data_spark.operators.grouped import grouped_apply
+
+    # partition-batched: one small matmul per series (grouped.py)
+    return grouped_apply(grid, [series_col], profile, out_schema)

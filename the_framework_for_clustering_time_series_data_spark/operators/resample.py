@@ -156,4 +156,8 @@ def lttb_downsample(
         out["pick"] = np.arange(len(idx), dtype="int32")
         return out
 
-    return buckets.groupBy(series_col).applyInPandas(pick, schema=out_schema)
+    from the_framework_for_clustering_time_series_data_spark.operators.grouped import grouped_apply
+
+    # partition-batched: per-group work here is a 20-point selection,
+    # so per-group UDF-call overhead would dominate (see grouped.py)
+    return grouped_apply(buckets, [series_col], pick, out_schema)
