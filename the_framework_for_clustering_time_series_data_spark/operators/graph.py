@@ -29,6 +29,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     materialize: bool = True,
+    caches_out: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list.
 
@@ -81,8 +82,11 @@ def pagerank(
             )
         )
     if not materialize:
-        # lazy unrolled plan, caches left alive for the caller to
-        # execute against (and release) — used by plan-shape tests
+        # lazy unrolled plan; the iteration caches are handed to the
+        # caller via caches_out (unpersist after YOUR materialization)
+        # so a composing plan pays ONE checkpoint, not two
+        if caches_out is not None:
+            caches_out.extend([contrib, nodes])
         return ranks
     res = ranks.localCheckpoint(eager=True)
     contrib.unpersist()

@@ -103,7 +103,14 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p") + _PART_OFFSET).alias("src"), F.col("c").alias("dst")
         )
     )
-    ranks = pagerank(edges, iterations=_ITER, damping=_DAMPING)
+    # lazy form + cache handoff: this plan materializes ONCE at its own
+    # final checkpoint below instead of paying a second one inside
+    # pagerank
+    _pr_caches: list = []
+    ranks = pagerank(
+        edges, iterations=_ITER, damping=_DAMPING,
+        materialize=False, caches_out=_pr_caches,
+    )
     nn = base.agg(
         (F.countDistinct("c") + F.countDistinct("p")).alias("n")
     )
@@ -121,8 +128,11 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rank") * F.col("n"), 6).alias("rank_norm"),
         )
         # materialize (part-dimension-sized) so the shared `base`
-        # subtree cache can be released instead of leaking
+        # subtree cache and pagerank's iteration caches can be
+        # released instead of leaking
         .localCheckpoint(eager=True)
     )
     base.unpersist()
+    for c in _pr_caches:
+        c.unpersist()
     return res
