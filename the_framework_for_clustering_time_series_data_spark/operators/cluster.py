@@ -135,6 +135,8 @@ def silhouette_selection(
                 featuresCol="_features", predictionCol="prediction"
             ).evaluate(va.transform(fitted))
         scores.append((k, float(s)))
+    # the result is a k-row literal — the per-k fit cache can go now
+    emb.unpersist()
     top = sorted(scores, key=lambda t: (-t[1], t[0]))[:top_n]
     return spark.createDataFrame(
         [(k, round(s * 100, 1)) for k, s in top], "k int, score_pct double"

@@ -464,3 +464,99 @@ def chunk_documents(
         F.size("chunk").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn Byte-Pair-Encoding merges over the corpus (Sennrich et al.
+    2016) — tokenizer FITTING, the step upstream of every token-count /
+    packing operator in this module.
+
+    Spark-first decomposition: the corpus collapses to a WORD-FREQUENCY
+    table first (one corpus-sized aggregate; everything after runs on
+    the vocabulary, which is orders of magnitude smaller than 100 TB of
+    text), then each of the ``n_merges`` rounds is
+
+      1. explode each word's symbol sequence into adjacent symbol
+         pairs (two ``slice``s zipped — pure narrow fan-out);
+      2. ONE vocab-sized groupBy summing word frequencies per pair;
+      3. argmax pair (ties → lexicographic (left, right) so the merge
+         sequence is deterministic cross-run) — a 1-row collect, the
+         only driver data per round;
+      4. apply the merge to every word's symbol sequence (vectorized
+         Arrow kernel — merging changes adjacency, so it is inherently
+         sequential WITHIN a word and embarrassingly parallel across
+         words), checkpointed so each round's plan stays flat.
+
+    Returns ``(rank, left, right, pair_count)`` — the ordered merge
+    table a BPE tokenizer is. Iterative → rows-only at the driver
+    gate; the classic hug/pug merge-order example is pinned in
+    tests/test_text_extra.py.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = words.select(
+        "freq", F.split("word", "").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        l_arr = F.slice("syms", 1, F.size("syms") - 1)
+        r_arr = F.slice("syms", 2, F.size("syms") - 1)
+        pairs = (
+            cur.where(F.size("syms") >= 2)
+            .select("freq", F.explode(F.arrays_zip(l_arr.alias("l"), r_arr.alias("r"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((rank, l, r, n))
+
+        def _make_apply(_l, _r):
+            # hint-free closure: pandas_udf infers the legacy scalar
+            # eval type (explicit hints break on closure parameters)
+            def _apply(col):
+                out = []
+                for arr in col:
+                    a = list(arr)
+                    res = []
+                    i = 0
+                    while i < len(a):
+                        if i + 1 < len(a) and a[i] == _l and a[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(a[i])
+                            i += 1
+                    out.append(res)
+                return pd.Series(out)
+
+            return F.pandas_udf(_apply, "array<string>")
+
+        merge_udf = _make_apply(l, r)
+        prev = cur
+        cur = cur.select("freq", merge_udf("syms").alias("syms")).localCheckpoint(
+            eager=True
+        )
+        prev.unpersist()
+
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

@@ -785,3 +785,13 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * F.lit(1.0) / F.col("n_true"), 6).alias("frac_of_true"),
         (F.col("true_lang") == F.col("pred_lang")).cast("int").alias("is_correct"),
     )
+
+
+@register("text_bpe_merges")  # iterative merge loop → rows-only oracle
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FITTING: the first 10 BPE merges learned over the
+    documents corpus (word-frequency table → per-round pair-count
+    aggregate + deterministic argmax + vectorized merge application —
+    operators/text.bpe_learn_merges). The merge table is the tokenizer
+    every downstream token-count/packing operator presupposes."""
+    return T.bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=10)
