@@ -129,7 +129,11 @@ def _spectral_embedding_fallback(
             out[c] = 0.0
         return spark.createDataFrame(out)
 
-    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    # Gram identity: ‖xᵢ−xⱼ‖² = ‖xᵢ‖² + ‖xⱼ‖² − 2⟨xᵢ,xⱼ⟩ — one BLAS
+    # matmul instead of an (n, n, L) broadcast temporary (which is
+    # gigabytes at n≈1500, L≈300 and dominated this fallback's runtime)
+    sq = (X * X).sum(-1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
     nn = min(n_neighbors, n - 1)
     # kNN adjacency (symmetrized), Gaussian weights
     knn_idx = np.argsort(d2, axis=1)[:, 1 : nn + 1]
