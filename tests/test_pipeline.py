@@ -239,3 +239,28 @@ def test_csv_ingest_euc_kr_encoding(spark, tmp_path):
     df = read_timeseries_csv(spark, str(p), value_col="값", process_col="공정", encoding="euc-kr")
     rows = {(r["series_id"], r["t"]): r["value"] for r in df.collect()}
     assert rows == {("라인1", 0): 1.5, ("라인1", 1): 2.5, ("라인2", 0): 3.5}
+
+
+def test_representative_series_plot_payload(spark):
+    """T5 facade: one representative per cluster, its series LTTB-capped
+    to max_points, every point carrying the cluster id."""
+    from tests.conftest import SF_SMALL
+    from the_framework_for_clustering_time_series_data_spark.pipeline import TimeSeriesPipeline
+
+    pipe = TimeSeriesPipeline(spark)
+    pipe.load_events(SF_SMALL)
+    pipe.preprocess()
+    pipe.align("truncation")
+    pipe.embed("pca")
+    pipe.cluster("kmeans", k=3)
+    out = pipe.representative_series(max_points=12).collect()
+    assert out, "no representative points"
+    by_pred = {}
+    for r in out:
+        by_pred.setdefault(r["prediction"], set()).add(r["series_id"])
+    assert len(by_pred) == 3                      # one group per cluster
+    assert all(len(s) == 1 for s in by_pred.values())  # ONE series each
+    from collections import Counter
+
+    per_series = Counter(r["series_id"] for r in out)
+    assert all(c <= 12 for c in per_series.values())   # render cap holds

@@ -123,7 +123,14 @@ def lttb_downsample(
     import numpy as np
     import pandas as pd
 
-    out_schema = f"{series_col} long, {bucket_col} timestamp, v double, pick int"
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import id_spark_type
+
+    # schema follows the input: bucket may be a timestamp (daily
+    # rollup) or a plain ordinal (pipeline t); series ids may be
+    # strings (sliding-window synthetic ids)
+    sid_t = id_spark_type(buckets, series_col)
+    bucket_t = id_spark_type(buckets, bucket_col)
+    out_schema = f"{series_col} {sid_t}, {bucket_col} {bucket_t}, v double, pick int"
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(bucket_col).reset_index(drop=True)

@@ -153,6 +153,27 @@ class TimeSeriesPipeline:
         self._require("predictions", ".cluster(...)")
         return trace.outliers(self.predictions, self.raw)
 
+    def representative_series(self, max_points: int = 100) -> DataFrame:
+        """T5 — the plot payload for each cluster's representative: the
+        representative series' raw points, LTTB-downsampled to
+        ``max_points`` so a dashboard renders O(max_points) per cluster
+        at any corpus size (the reference plots representatives
+        wholesale, app.py:1018-1033 + figure callbacks). Returns
+        (prediction, series_id, bucket, v, pick)."""
+        self._require("predictions", ".cluster(...)")
+        from the_framework_for_clustering_time_series_data_spark.operators.resample import lttb_downsample
+
+        reps = self.representatives().select("prediction", "series_id")
+        pts = self.raw.join(F.broadcast(reps), "series_id").select(
+            "series_id", "prediction", F.col("t").alias("bucket"),
+            F.col("value").alias("v_avg"),
+        )
+        out = lttb_downsample(pts, threshold=max_points, bucket_col="bucket",
+                              value_col="v_avg")
+        return out.join(F.broadcast(reps), "series_id").select(
+            "prediction", "series_id", "bucket", "v", "pick"
+        )
+
     def trace(self, x: float, y: float, tol: float = 1e-6) -> DataFrame:
         """T3 — coordinate → raw series rows."""
         self._require("embedding", ".embed(...)")

@@ -454,3 +454,101 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").alias("max_gap_us"),
         F.round(F.stddev_pop("gap_us") / F.avg("gap_us"), 6).alias("cv"),
     )
+
+
+@register(
+    "t5_representative_plotdata",
+    """
+WITH b AS (
+  SELECT user_id AS series_id, date_trunc('day', ts) AS day, avg(value) AS v
+  FROM events GROUP BY 1, 2
+),
+f AS (
+  SELECT series_id, avg(v) AS mu, stddev_pop(v) AS sigma, count(*) AS n_days
+  FROM b GROUP BY series_id
+),
+p AS (
+  SELECT series_id, mu, sigma, n_days,
+         ntile(4) OVER (ORDER BY mu, series_id) - 1 AS prediction
+  FROM f
+),
+c AS (
+  SELECT prediction, avg(mu) AS cmu, avg(sigma) AS csigma
+  FROM p GROUP BY prediction
+),
+rep AS (
+  SELECT p.prediction, p.series_id, p.n_days,
+         row_number() OVER (
+           PARTITION BY p.prediction
+           ORDER BY sqrt((p.mu - c.cmu)^2 + (p.sigma - c.csigma)^2), p.series_id
+         ) AS rn
+  FROM p JOIN c ON c.prediction = p.prediction
+),
+pts AS (
+  SELECT r.prediction, b.series_id, b.day, b.v, r.n_days,
+         row_number() OVER (PARTITION BY b.series_id ORDER BY b.day) AS t_rank
+  FROM rep r JOIN b ON b.series_id = r.series_id
+  WHERE r.rn = 1
+)
+SELECT prediction, series_id,
+       CAST(t_rank AS BIGINT) AS t_rank, day::TIMESTAMP AS day,
+       round(v, 6) AS v
+FROM pts
+WHERE (t_rank - 1) % CAST(ceil(n_days / 100.0) AS BIGINT) = 0
+""",
+)
+def t5_representative_plotdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — representative PLOTS, the data side completed end to end:
+    the exact point payload each cluster's representative-series plot
+    renders (app.py:1018-1033 selection + the raw-series figure the
+    Dash tab draws around it). Deterministic feature embedding (per-
+    series mean/spread of the daily rollup), ntile(4) clusters,
+    closest-to-centroid representative per cluster (T2's selection
+    rule), then the representative's daily series STRIDE-CAPPED to
+    ≤100 points — a dashboard over 100 TB renders O(100) points per
+    cluster, never O(n). The LTTB variant of the cap (visually optimal
+    but sequential) is pipeline.representative_series(); this stride
+    form is SQL-expressible, so the whole T5 chain is value-checked
+    against the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.col("user_id").alias("series_id"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.avg("value").alias("v"))
+    f = b.groupBy("series_id").agg(
+        F.avg("v").alias("mu"),
+        F.stddev_pop("v").alias("sigma"),
+        F.count("*").alias("n_days"),
+    )
+    wq = Window.orderBy("mu", "series_id")
+    p = f.select(
+        "series_id", "mu", "sigma", "n_days",
+        (F.ntile(4).over(wq) - 1).alias("prediction"),
+    )
+    c = p.groupBy("prediction").agg(
+        F.avg("mu").alias("cmu"), F.avg("sigma").alias("csigma")
+    )
+    dist = F.sqrt((F.col("mu") - F.col("cmu")) ** 2 + (F.col("sigma") - F.col("csigma")) ** 2)
+    wr = Window.partitionBy("prediction").orderBy(dist, "series_id")
+    rep = (
+        p.join(F.broadcast(c), "prediction")
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select("prediction", "series_id", "n_days")
+    )
+    wt = Window.partitionBy("series_id").orderBy("day")
+    pts = (
+        b.join(F.broadcast(rep), "series_id")
+        .withColumn("t_rank", F.row_number().over(wt))
+    )
+    stride = F.ceil(F.col("n_days") / 100.0).cast("long")
+    return (
+        pts.where((F.col("t_rank") - 1) % stride == 0)
+        .select(
+            "prediction",
+            "series_id",
+            F.col("t_rank").cast("long").alias("t_rank"),
+            F.col("day").cast("timestamp").alias("day"),
+            F.round("v", 6).alias("v"),
+        )
+    )
