@@ -150,7 +150,11 @@ _SBD_HAM_SQL = " + ".join(
     for i in range(1, _SBD_NSEG + 1)
 )
 
-_SBD_BASE_SQL = f"""
+# shared CTE chain ending in cand(sid_a, sid_b): daily rollup →
+# z-score + density gate → SAX words → vocabulary Hamming-≤1 pairs →
+# series candidate pairs. Consumed by both the SBD and the pruned
+# pair-correlation twins.
+_SAX_CAND_CTES = f"""
 b AS (
   SELECT user_id AS series_id,
          floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT AS t,
@@ -158,7 +162,7 @@ b AS (
   FROM events GROUP BY 1, 2
 ),
 s AS (
-  SELECT series_id, t,
+  SELECT series_id, t, v,
          (v - avg(v) OVER w) / (stddev_pop(v) OVER w) AS z,
          row_number() OVER (PARTITION BY series_id ORDER BY t) - 1 AS rn,
          count(*) OVER w AS n
@@ -188,7 +192,9 @@ cand AS (
   FROM vp
   JOIN wds x ON x.word = vp.wa
   JOIN wds y ON y.word = vp.wb AND y.series_id > x.series_id
-),
+)"""
+
+_SBD_BASE_SQL = f"""{_SAX_CAND_CTES},
 l AS (SELECT range AS lag FROM range(-{_MAX_LAG}, {_MAX_LAG + 1})),
 cc AS (
   SELECT c0.sid_a, c0.sid_b, l.lag,
@@ -242,6 +248,60 @@ def ts_sbd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sbd_pairs_frame(spark, sf_dir, prune=True)
 
 
+def _sax_hamming1_candidates(s: DataFrame) -> DataFrame:
+    """Candidate (sid_a < sid_b) pairs whose 4-symbol SAX words differ
+    in at most one position, from a z-scored frame ``s`` carrying
+    (series_id, z, rn, n).
+
+    The candidate word-pair table comes from the word-VOCABULARY
+    self-join — at most alphabet^nseg = 256 distinct words at ANY
+    corpus size, so this cross join is a constant-size broadcast,
+    never n². Shared by the SBD and pair-correlation scale twins."""
+    sym = (
+        F.when(F.col("paa") < -0.6745, "a")
+        .when(F.col("paa") < 0.0, "b")
+        .when(F.col("paa") < 0.6745, "c")
+        .otherwise("d")
+    )
+    words = (
+        s.groupBy(
+            "series_id",
+            F.expr(f"(rn * {_SBD_NSEG}) div n").alias("seg"),
+        )
+        .agg(F.avg("z").alias("paa"))
+        .select("series_id", "seg", sym.alias("sy"))
+        .groupBy("series_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sy"))),
+                    lambda x: x.sy,
+                ),
+                "",
+            ).alias("word")
+        )
+    )
+    vocab = words.select("word").distinct()
+    ham = sum(
+        F.when(
+            F.substring(F.col("wa"), i, 1) == F.substring(F.col("wb"), i, 1), 0
+        ).otherwise(1)
+        for i in range(1, _SBD_NSEG + 1)
+    )
+    vp = (
+        vocab.select(F.col("word").alias("wa"))
+        .join(F.broadcast(vocab.select(F.col("word").alias("wb"))), ham <= 1)
+    )
+    wa = words.select(F.col("series_id").alias("sid_a"), F.col("word").alias("wa"))
+    wb = words.select(F.col("series_id").alias("sid_b"), F.col("word").alias("wb"))
+    return (
+        wa.join(F.broadcast(vp), "wa")
+        .join(wb, "wb")
+        .where(F.col("sid_b") > F.col("sid_a"))
+        .select("sid_a", "sid_b")
+    )
+
+
 def _sbd_pairs_frame(spark: SparkSession, sf_dir: str, prune: bool) -> DataFrame:
     b = _daily_by_daynum(spark, sf_dir)
     w = Window.partitionBy("series_id")
@@ -274,52 +334,7 @@ def _sbd_pairs_frame(spark: SparkSession, sf_dir: str, prune: bool) -> DataFrame
         F.col("n").alias("nb"),
     ).crossJoin(F.broadcast(lags))
     if prune:
-        sym = (
-            F.when(F.col("paa") < -0.6745, "a")
-            .when(F.col("paa") < 0.0, "b")
-            .when(F.col("paa") < 0.6745, "c")
-            .otherwise("d")
-        )
-        words = (
-            s.groupBy(
-                "series_id",
-                F.expr(f"(rn * {_SBD_NSEG}) div n").alias("seg"),
-            )
-            .agg(F.avg("z").alias("paa"))
-            .select("series_id", "seg", sym.alias("sy"))
-            .groupBy("series_id")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seg", "sy"))),
-                        lambda x: x.sy,
-                    ),
-                    "",
-                ).alias("word")
-            )
-        )
-        # Hamming-≤1 word pairs from the VOCABULARY self-join: at most
-        # alphabet^nseg = 256 distinct words at any corpus size, so
-        # this cross join is a constant-size broadcast, never n².
-        vocab = words.select("word").distinct()
-        ham = sum(
-            F.when(
-                F.substring(F.col("wa"), i, 1) == F.substring(F.col("wb"), i, 1), 0
-            ).otherwise(1)
-            for i in range(1, _SBD_NSEG + 1)
-        )
-        vp = (
-            vocab.select(F.col("word").alias("wa"))
-            .join(F.broadcast(vocab.select(F.col("word").alias("wb"))), ham <= 1)
-        )
-        wa = words.select(F.col("series_id").alias("sid_a"), F.col("word").alias("wa"))
-        wb = words.select(F.col("series_id").alias("sid_b"), F.col("word").alias("wb"))
-        cand = (
-            wa.join(F.broadcast(vp), "wa")
-            .join(wb, "wb")
-            .where(F.col("sid_b") > F.col("sid_a"))
-            .select("sid_a", "sid_b")
-        )
+        cand = _sax_hamming1_candidates(s)
         # candidate pairs are a tiny fraction of n² — broadcast them
         # onto series A's points, then one equi-join on (series B, day)
         a2 = a.join(F.broadcast(cand), "sid_a")
@@ -472,4 +487,60 @@ def ts_shape_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.orderBy("dist", "series_id", "start_day")
     return top.withColumn("rnk", F.row_number().over(wr)).select(
         "rnk", "series_id", "start_day", "dist"
+    )
+
+
+@register(
+    "ts_corr_sax_pruned",
+    f"""
+WITH {_SAX_CAND_CTES}
+SELECT c0.sid_a, c0.sid_b,
+       count(*) AS n_common, round(corr(a.v, c.v), 6) AS r
+FROM cand c0
+JOIN s a ON a.series_id = c0.sid_a
+JOIN s c ON c.series_id = c0.sid_b AND c.t = a.t
+GROUP BY 1, 2
+HAVING count(*) >= 20
+""",
+)
+def ts_corr_sax_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE twin symbolic_plans.ts_pair_correlation documents:
+    Pearson correlation over co-observed days computed only for pairs
+    whose 4-symbol SAX words differ in ≤1 position (the same
+    vocabulary-bounded candidate front-end as ts_sbd_pairs), among
+    density-gated (≥28-day) series. The exact all-pairs form stays
+    registered as the oracle-literal baseline; this is the plan that
+    survives 100× series growth — candidate volume is Σ bucket² over
+    word buckets, never n²."""
+    b = _daily_by_daynum(spark, sf_dir)
+    w = Window.partitionBy("series_id")
+    wo = Window.partitionBy("series_id").orderBy("t")
+    s = (
+        b.select(
+            "series_id",
+            "t",
+            "v",
+            ((F.col("v") - F.avg("v").over(w)) / F.stddev_pop("v").over(w)).alias("z"),
+            (F.row_number().over(wo) - F.lit(1)).alias("rn"),
+            F.stddev_pop("v").over(w).alias("_sd"),
+            F.count("*").over(w).alias("n"),
+        )
+        .where((F.col("_sd") > 0) & (F.col("n") >= _MIN_DAYS))
+        .drop("_sd")
+    )
+    cand = _sax_hamming1_candidates(s)
+    a = s.select(F.col("series_id").alias("sid_a"), F.col("t").alias("t_a"), F.col("v").alias("va"))
+    c = s.select(F.col("series_id").alias("_csid"), F.col("t").alias("t_b"), F.col("v").alias("vb"))
+    joined = (
+        a.join(F.broadcast(cand), "sid_a")
+        .join(c, (F.col("sid_b") == F.col("_csid")) & (F.col("t_b") == F.col("t_a")))
+        .drop("_csid")
+    )
+    return (
+        joined.groupBy("sid_a", "sid_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(F.corr("va", "vb"), 6).alias("r"),
+        )
+        .where(F.col("n_common") >= 20)
     )
