@@ -341,3 +341,16 @@ def test_minhash_portable_prunes_verify_behind_semi_join(spark):
     plan = _plan(spark, "dedup_minhash_lsh")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ensure_min_parallelism_spreads_only_narrow_inputs(spark):
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import ensure_min_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    spread = ensure_min_parallelism(narrow)
+    assert spread.rdd.getNumPartitions() >= target
+    assert spread.count() == 1000
+    wide = spark.range(1000).repartition(target * 2)
+    # already at/above target -> returned as-is, no extra shuffle
+    assert ensure_min_parallelism(wide) is wide
