@@ -285,13 +285,16 @@ def test_pagerank_edges_shuffle_reused(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 1), (2, 1)], "src long, dst long"
     )
-    ranks = pagerank(edges, iterations=3, materialize=False)
+    caches: list = []
+    ranks = pagerank(edges, iterations=3, materialize=False, caches_out=caches)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         ranks.explain("formatted")
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for c in caches:
+        c.unpersist()
     # the registered query still runs end to end
     spark.catalog.clearCache()
     assert QUERIES["graph_pagerank_purchases"](spark, SF_ORACLE).count() > 0

@@ -230,7 +230,7 @@ def test_sbd_sax_pruned_is_value_identical_subset(spark):
     # near-shape mass lives, so the subset keeps the pairs that matter
     from the_framework_for_clustering_time_series_data_spark.plans.spectral_plans import _sbd_pairs_frame
 
-    sf = "/root/testdata/sf0.01"
+    from tests.conftest import SF_ORACLE as sf
     key = lambda r: (r["sid_a"], r["sid_b"])  # noqa: E731
     pruned = {key(r): tuple(r) for r in _sbd_pairs_frame(spark, sf, prune=True).collect()}
     exact = {key(r): tuple(r) for r in _sbd_pairs_frame(spark, sf, prune=False).collect()}

@@ -317,12 +317,14 @@ def minhash_lsh_pairs(
         )
     )
     # cand is used twice below (id set + final join) and is tiny —
-    # cache IT rather than any per-doc array table.
+    # materialize IT (localCheckpoint, released with the plan when the
+    # result is dropped) rather than .cache(), which would pin a
+    # cache-manager entry per call for the session's lifetime.
     cand = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     # Pass 2: exact shingle sets for CANDIDATE docs only. The broadcast
     # semi-join prunes the corpus BEFORE tokenization, so this pass is

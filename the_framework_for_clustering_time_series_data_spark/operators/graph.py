@@ -84,9 +84,16 @@ def pagerank(
     if not materialize:
         # lazy unrolled plan; the iteration caches are handed to the
         # caller via caches_out (unpersist after YOUR materialization)
-        # so a composing plan pays ONE checkpoint, not two
-        if caches_out is not None:
-            caches_out.extend([contrib, nodes])
+        # so a composing plan pays ONE checkpoint, not two. caches_out
+        # is REQUIRED here — without it the two persists would leak for
+        # the session's lifetime with no handle to release them
+        if caches_out is None:
+            raise ValueError(
+                "pagerank(materialize=False) requires caches_out: the "
+                "caller owns releasing the iteration caches after its "
+                "own materialization"
+            )
+        caches_out.extend([contrib, nodes])
         return ranks
     res = ranks.localCheckpoint(eager=True)
     contrib.unpersist()

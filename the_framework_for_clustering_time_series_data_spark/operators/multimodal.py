@@ -41,7 +41,9 @@ try:  # pragma: no cover - depends on environment
 except Exception:  # pragma: no cover
     SOUNDFILE_AVAILABLE = False
 
-FFMPEG_AVAILABLE = shutil.which("ffmpeg") is not None
+FFMPEG_AVAILABLE = (
+    shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
+)
 
 #: True when EVERY modality has its real decoder — kept for callers
 #: that want a single switch; the kernels gate per modality.
@@ -160,13 +162,22 @@ def sample_frames(
             src = os.path.join(td, "clip.bin")
             with open(src, "wb") as fh:
                 fh.write(payload)
+            # probe the duration so the fps filter yields n_frames
+            # EVENLY spaced over the whole clip (a fixed frame-number
+            # stride would cluster at the clip start)
+            probe = subprocess.run(
+                ["ffprobe", "-v", "error", "-show_entries", "format=duration",
+                 "-of", "default=nw=1:nk=1", src],
+                check=True, capture_output=True, text=True,
+            )
+            duration = max(float(probe.stdout.strip() or 1.0), 1e-6)
             pattern = os.path.join(td, "f%04d.ppm")
-            # decode every  (total/n)-th frame; thumbnail-scale keeps
-            # the executor-local temp footprint bounded
+            # thumbnail-scale keeps the executor-local temp footprint
+            # bounded
             subprocess.run(
                 ["ffmpeg", "-v", "error", "-i", src,
-                 "-vf", f"select='not(mod(n\\,{max(1, n_frames)}))',scale=64:-1",
-                 "-vsync", "vfr", "-frames:v", str(n_frames), pattern],
+                 "-vf", f"fps={max(1, n_frames)}/{duration},scale=64:-1",
+                 "-frames:v", str(n_frames), pattern],
                 check=True, capture_output=True,
             )
             digests = []

@@ -78,6 +78,8 @@ def brute_force_topk(
             scale_route="ann_lsh_topk / ivf_topk (bucketed candidates)",
             limit=100_000,
         )
+        # query_id follows the QUERY frame's id type, nbr_id the corpus's
+        qid_t = id_spark_type(queries, id_col)
         id_t = id_spark_type(emb, id_col)
         qrows = queries.select(
             F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
@@ -115,7 +117,7 @@ def brute_force_topk(
 
         partial = emb.select(
             F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
-        ).mapInPandas(score, f"query_id {id_t}, nbr_id {id_t}, cosine double")
+        ).mapInPandas(score, f"query_id {qid_t}, nbr_id {id_t}, cosine double")
         return (
             partial.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -481,7 +483,7 @@ def pq_topk(
 
     _rbc(queries, op="pq_topk (query side)",
          scale_route="ivf_topk for bulk query fan-out", limit=100_000)
-    _id_t = _idt(emb, id_col)
+    _id_t = _idt(queries, id_col)
     _id_py = int if _id_t in ("bigint", "int", "smallint", "tinyint") else str
     qrows = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")

@@ -151,7 +151,10 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: decode → feature-extract over mapInPandas (stub
     decode kernel — no PIL/cv2 in this container; plumbing is real)."""
     d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
-    return multimodal.decode_image_features(d)
+    # payloads here are SYNTHETIC utf-8 text (attach_payload), never
+    # valid media — pin the stub path so a machine that happens to
+    # have PIL/ffmpeg/soundfile installed doesn't feed it text bytes
+    return multimodal.decode_image_features(d, use_real=False)
 
 
 @register("mm_frame_sample")  # stub ffmpeg kernel → rows-only oracle
@@ -159,7 +162,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: per-payload frame sampling (4 frames) — one output
     row per (media, frame), generated executor-side."""
     d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
-    return multimodal.sample_frames(d, n_frames=4)
+    return multimodal.sample_frames(d, n_frames=4, use_real=False)
 
 
 @register("mm_audio_features")  # stub decode kernel → rows-only oracle
@@ -168,7 +171,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope array) over mapInPandas (stub kernel — no
     soundfile/ffmpeg in this container; batching/schema real)."""
     d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_audio_features(d, n_windows=8)
+    return multimodal.extract_audio_features(d, n_windows=8, use_real=False)
 
 
 @register(

@@ -168,10 +168,18 @@ def _read_xlsx_stdlib(path: str, sheet_name: int | str = 0):
                     val = shared[int(v.text)]
                 elif t == "b":
                     val = bool(int(v.text))
-                elif t == "str":
+                elif t in ("str", "e"):
+                    # formula cache string / error cell (#DIV/0!, #N/A):
+                    # surface the literal text, never a float crash
                     val = v.text
                 else:
-                    val = float(v.text)
+                    try:
+                        val = float(v.text)
+                    except ValueError as exc:
+                        raise ValueError(
+                            f"unparseable numeric cell {ref or ci} "
+                            f"({v.text!r}) in {target}"
+                        ) from exc
                 cells[ci] = val
             rows.append(cells)
 
