@@ -355,20 +355,35 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document over lowercase word tokens.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash fingerprint per document over lowercase word tokens.
 
-    Per token, a 64-bit hash (xxhash64); per bit position, sum of ±1
-    across tokens; fingerprint bit b = 1 iff the sum > 0. Computed as a
-    single grouped aggregate over exploded (token, bit) pairs — no
-    Python, no per-row loops.
+    Per token, a hash; per bit position, sum of ±1 across tokens;
+    fingerprint bit b = 1 iff the sum > 0. Computed as a single grouped
+    aggregate over exploded (token, bit) pairs — no Python, no per-row
+    loops.
+
+    ``hash_family``: "xxhash64" (prod default, 64 bits) or "md5" — the
+    portable 60-bit family DuckDB reproduces bit-identically (pass
+    ``bits=60`` with it), giving the registered query a full value-hash
+    oracle; see minhash_lsh_pairs for the family definition.
     """
     from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import ensure_min_parallelism
 
+    if hash_family == "md5":
+        tok_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        tok_hash = F.xxhash64("tok")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ex = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(toks).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     bit_votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -483,17 +498,22 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) ≤
     ``max_hamming``.
 
-    Pigeonhole banding: the 64-bit fingerprint splits into 4 16-bit
-    bands; any pair within Hamming distance 3 agrees EXACTLY on at
-    least one band, so candidates = same-(band, value) bucket pairs
-    (one groupBy — same shape as the MinHash banding), then exact
-    verification via bit_count(xor). Never an O(n²) comparison.
+    Pigeonhole banding: the fingerprint splits into 4 bands (16 bits at
+    64, 15 at the portable 60); any pair within Hamming distance 3
+    agrees EXACTLY on at least one band, so candidates = same-(band,
+    value) bucket pairs (one groupBy — same shape as the MinHash
+    banding), then exact verification via bit_count(xor). Never an
+    O(n²) comparison.
     """
-    fp = simhash(df, text_col=text_col, id_col=id_col)
+    band_bits = bits // 4
+    band_mask = (1 << band_bits) - 1
+    fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits, hash_family=hash_family)
     bands = fp.select(
         "id",
         "simhash",
@@ -502,8 +522,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), band_bits * b)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("band_val"),
                     )
                     for b in range(4)

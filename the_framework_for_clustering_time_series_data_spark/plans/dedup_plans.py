@@ -213,11 +213,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # xxhash64-based → rows-only oracle
+#: DuckDB CTE chain ending in fp(id, simhash) — the 60-bit portable
+#: SimHash twin of ``dedup.simhash(bits=60, hash_family="md5")``: the
+#: same md5-60-bit token hashes, per-bit ±1 votes, fingerprint bit b
+#: set iff the vote sum is positive. 60 bits keep the fingerprint off
+#: the sign bit in both engines.
+_SIMHASH_FP_CTES = """
+tk AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+th AS (SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tk),
+bv AS (
+  SELECT id, b.range AS b,
+         sum(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN range(0, 60) b
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT id,
+         CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM bv GROUP BY id
+)"""
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH {_SIMHASH_FP_CTES}
+SELECT id AS doc_id, simhash FROM fp
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints per document (token-hash bit votes,
-    single grouped aggregate)."""
-    d = dedup.simhash(load_table(spark, sf_dir, "documents"))
+    """SimHash fingerprints per document (token-hash bit votes, single
+    grouped aggregate) — registered on the portable md5-60-bit family
+    so the DuckDB oracle reproduces every fingerprint bit-for-bit (the
+    64-bit xxhash64 family stays the operator default)."""
+    d = dedup.simhash(
+        load_table(spark, sf_dir, "documents"), bits=60, hash_family="md5"
+    )
     return d.withColumnRenamed("id", "doc_id")
 
 
@@ -244,11 +280,36 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash_pairs")  # xxhash64-based → rows-only oracle
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH {_SIMHASH_FP_CTES},
+bands AS (
+  SELECT id, simhash, b.range AS band_id,
+         (simhash >> (15 * b.range)) & 32767 AS band_val
+  FROM fp CROSS JOIN range(0, 4) b
+),
+bsz AS (SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                  a.simhash AS ha, b2.simhash AS hb
+  FROM bands a
+  JOIN bsz k ON k.band_id = a.band_id AND k.band_val = a.band_val
+            AND k.n BETWEEN 2 AND 1000
+  JOIN bands b2 ON b2.band_id = a.band_id AND b2.band_val = a.band_val
+               AND b2.id > a.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""",
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3) via 16-bit pigeonhole
-    banding + bit_count verification — no O(n²) scan."""
-    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs (Hamming ≤ 3) via 15-bit pigeonhole
+    banding + bit_count verification — no O(n²) scan. Registered on the
+    portable md5-60-bit family for a full value-hash oracle."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), bits=60, hash_family="md5"
+    )
 
 
 @register(
