@@ -189,8 +189,10 @@ def sample_frames(
             return digests
 
     def _frames_stub(payload: bytes) -> list[str]:
+        # ASCII frame suffix so the DuckDB oracle can reproduce the
+        # digest (md5 there is VARCHAR-only): md5(text || '#' || i)
         return [
-            hashlib.md5(payload + i.to_bytes(4, "little")).hexdigest()
+            hashlib.md5(payload + b"#" + str(i).encode()).hexdigest()
             for i in range(n_frames)
         ]
 
@@ -257,7 +259,9 @@ def extract_audio_features(
 
     def _decode_stub(payload: bytes) -> tuple[float, int, float, list[float]]:
         h = hashlib.sha256(payload).digest()
-        duration = round(1.0 + h[0] / 16, 3)
+        # /8 keeps 0.125 granularity: 3-dp rounding is then a no-op in
+        # every rounding mode, so the value is engine-agnostic
+        duration = round(1.0 + h[0] / 8, 3)
         rate = (8, 16, 22, 44, 48)[h[1] % 5] * 1000
         peak = round(-(h[2] % 24) - h[3] / 255, 3)
         env = [round(h[4 + i] / 255, 6) for i in range(n_windows)]

@@ -146,10 +146,25 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_image_features")  # stub decode kernel → rows-only oracle
+@register(
+    "mm_image_features",
+    f"""
+WITH h AS (SELECT doc_id, sha256(text) AS s FROM documents)
+SELECT doc_id,
+       64 + CAST(('0x' || substr(s, 1, 2)) AS INT) % 192 AS width,
+       64 + CAST(('0x' || substr(s, 3, 2)) AS INT) % 192 AS height,
+       round(({" + ".join(f"CAST(('0x' || substr(s, {2 * i + 1}, 2)) AS INT)" for i in range(2, 10))})
+             / 8 / 255, 6) AS mean_intensity
+FROM h
+""",
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: decode → feature-extract over mapInPandas (stub
-    decode kernel — no PIL/cv2 in this container; plumbing is real)."""
+    """Multimodal: decode → feature-extract over mapInPandas. The stub
+    decode kernel is a DETERMINISTIC sha256 transform of the payload,
+    so the DuckDB oracle value-checks the whole Arrow pipeline
+    (schema, batching, per-partition execution) bit-for-bit — the
+    strongest check a stubbed decoder admits. Real PIL decode stays
+    available via use_real (gated tests)."""
     d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
     # payloads here are SYNTHETIC utf-8 text (attach_payload), never
     # valid media — pin the stub path so a machine that happens to
@@ -157,10 +172,19 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image_features(d, use_real=False)
 
 
-@register("mm_frame_sample")  # stub ffmpeg kernel → rows-only oracle
+@register(
+    "mm_frame_sample",
+    """
+SELECT doc_id, CAST(i.range AS INT) AS frame_idx,
+       md5(text || '#' || i.range::VARCHAR) AS frame_md5
+FROM documents CROSS JOIN range(0, 4) i
+""",
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: per-payload frame sampling (4 frames) — one output
-    row per (media, frame), generated executor-side."""
+    row per (media, frame), generated executor-side. Stub digests are
+    md5(payload || '#' || frame_idx), reproduced exactly by the
+    oracle; the real ffmpeg path stays available via use_real."""
     d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
     return multimodal.sample_frames(d, n_frames=4, use_real=False)
 
