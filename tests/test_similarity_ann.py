@@ -260,3 +260,28 @@ def test_exact_kernels_follow_string_ids(spark):
     sd = semantic_dedup(emb, n_cells=2, threshold=0.9).collect()
     assert {r["id"] for r in sd} == {"s_a", "s_b", "s_c", "s_d"}
     assert all(isinstance(r["group_id"], str) for r in sd)
+
+
+def test_simhash_pairs_pigeonhole_holds_beyond_three(spark):
+    # regression: with a fixed 4-band split, a pair differing in 4+
+    # bits spread one-per-band was silently dropped even when
+    # max_hamming allowed it; bands must number max_hamming + 1
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    rows = [(i, base.replace("kappa", w)) for i, w in enumerate(
+        ["kappa", "kappa1", "kappa22", "lambda", "mu", "nu"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    mask = (1 << 64) - 1  # two's-complement view of the signed longs
+    truth = {
+        (a, b): bin((fps[a] ^ fps[b]) & mask).count("1")
+        for a in fps for b in fps if a < b
+    }
+    for mh in (3, 8, 12):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_pairs(df, max_hamming=mh).collect()
+        }
+        expect = {k: v for k, v in truth.items() if v <= mh}
+        assert got == expect, (mh, got, expect)

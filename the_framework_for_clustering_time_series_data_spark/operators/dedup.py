@@ -70,10 +70,7 @@ def _hashed_shingles(text_col: str, n: int, family: str = "xxhash64") -> F.Colum
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     if family == "md5":
-        th = F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-        )
+        th = F.transform(toks, md5_60bit_hash)
     else:
         th = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -169,6 +166,16 @@ def ngram_jaccard_pairs(
     )
 
 
+def md5_60bit_hash(col) -> F.Column:
+    """The portable 60-bit token-hash family shared by every
+    oracle-checked dedup twin: ``conv(substr(md5(x),1,15),16,10)``,
+    reproduced bit-identically in DuckDB as
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``. ONE
+    definition — the minhash/simhash/jaccard oracles all depend on
+    these two expressions staying in lockstep."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_xor_family(num_hashes: int) -> list[int]:
     """The seeded XOR-permutation constants shared by the Spark
     operator and the DuckDB oracle twin (plans/dedup_plans.py) — both
@@ -249,7 +256,7 @@ def minhash_lsh_pairs(
     # the documents table.
     rs = minhash_xor_family(num_hashes)
     if hash_family == "md5":
-        tok_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        tok_hash = md5_60bit_hash("tok")
     else:
         tok_hash = F.xxhash64("tok")
 
@@ -377,7 +384,7 @@ def simhash(
     from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import ensure_min_parallelism
 
     if hash_family == "md5":
-        tok_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        tok_hash = md5_60bit_hash("tok")
     else:
         tok_hash = F.xxhash64("tok")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -504,15 +511,23 @@ def simhash_pairs(
     """SimHash near-duplicate pairs: Hamming(simhash_a, simhash_b) ≤
     ``max_hamming``.
 
-    Pigeonhole banding: the fingerprint splits into 4 bands (16 bits at
-    64, 15 at the portable 60); any pair within Hamming distance 3
-    agrees EXACTLY on at least one band, so candidates = same-(band,
-    value) bucket pairs (one groupBy — same shape as the MinHash
-    banding), then exact verification via bit_count(xor). Never an
-    O(n²) comparison.
+    Pigeonhole banding: the fingerprint splits into ``max_hamming + 1``
+    contiguous bands COVERING all bits (sizes differ by at most one
+    bit); a pair within Hamming distance ``max_hamming`` has fewer
+    differing bits than bands, so it agrees EXACTLY on at least one —
+    candidates = same-(band, value) bucket pairs (one groupBy — same
+    shape as the MinHash banding), then exact verification via
+    bit_count(xor). Never an O(n²) comparison. (A fixed 4-band split
+    would silently drop pairs when max_hamming > 3.)
     """
-    band_bits = bits // 4
-    band_mask = (1 << band_bits) - 1
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    offsets, widths, off = [], [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
     fp = simhash(df, text_col=text_col, id_col=id_col, bits=bits, hash_family=hash_family)
     bands = fp.select(
         "id",
@@ -522,11 +537,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned(F.col("simhash"), band_bits * b)
-                        .bitwiseAND(F.lit(band_mask))
+                        F.shiftrightunsigned(F.col("simhash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
