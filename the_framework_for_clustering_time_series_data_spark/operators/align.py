@@ -162,7 +162,10 @@ def dtw_stretch_align(df: DataFrame) -> DataFrame:
             )
         return pd.DataFrame(out, columns=["series_id", "values"])
 
-    schema = "series_id long, values array<double>"
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import id_spark_type
+
+    # follow the input id type (sliding-window synthetic ids are strings)
+    schema = f"series_id {id_spark_type(df, 'series_id')}, values array<double>"
     # warp already iterates rows — run it per Arrow batch (each nested
     # row IS one series; per-group dispatch would call Python once per
     # series for a loop body that handles many)
