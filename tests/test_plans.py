@@ -357,3 +357,20 @@ def test_ensure_min_parallelism_spreads_only_narrow_inputs(spark):
     wide = spark.range(1000).repartition(target * 2)
     # already at/above target -> returned as-is, no extra shuffle
     assert ensure_min_parallelism(wide) is wide
+
+
+def test_quantile_segmentation_no_global_sort(spark):
+    """The round-2 scale-killer is locked out: the RFM and T5 quantile
+    segmentations must never plan an unpartitioned window (one-executor
+    sort of the whole per-customer / per-series table). ntile is
+    computed by operators/rank.with_global_ntiles — the only windows
+    allowed are partitioned, and no window spec may lead with a sort
+    direction (the unpartitioned-window signature)."""
+    for name in ("q25_rfm_segments", "t5_representative_plotdata"):
+        plan = _plan(spark, name)
+        assert not re.search(r"\bntile\(", plan), name
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+            head = spec.split(",")[0]
+            assert " ASC" not in head and " DESC" not in head, (
+                f"{name}: unpartitioned window over {spec[:80]}"
+            )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_ntiles
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
@@ -1343,29 +1344,35 @@ def q25_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile carries a custkey tie-break so quintile boundaries are a
     total order and the segmentation is deterministic cross-engine.
 
-    Shape: one per-customer aggregate, then three global ntile windows
-    over the customer DIMENSION (dimension-sized single-partition sort
-    — acceptable because customers are the small table; at fleet scale
-    the same scores come from approxQuantile boundaries broadcast as a
-    5-row join, the write_zordered bucketing trick, trading exactness
-    at the boundary for no global sort)."""
+    Shape: one per-customer aggregate, then three EXACT distributed
+    ntiles via operators/rank.with_global_ntiles — sketch-derived range
+    buckets broadcast back, per-bucket parallel rank, closed-form tile
+    from the exact global rank. Bit-identical to the flat
+    ``ntile() OVER`` the oracle states, but the per-customer table
+    (10⁸+ rows at 100 TB) never crosses an unpartitioned
+    single-partition window: the only global sorts left are over the
+    ≤64-row bucket-count tables."""
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
         F.round(F.sum("o_totalprice"), 4).alias("monetary"),
     )
-    r_w = Window.orderBy("last_order", "custkey")
-    f_w = Window.orderBy("frequency", "custkey")
-    m_w = Window.orderBy("monetary", "custkey")
-    q = m.select(
-        "custkey",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
-    )
+    q = with_global_ntiles(
+        m,
+        5,
+        [
+            # day-granular proxy: non-strict monotone is fine (intra-day
+            # ties share a bucket; the full key order refines inside it)
+            (
+                "r_score",
+                ["last_order", "custkey"],
+                F.datediff(F.col("last_order"), F.lit("1970-01-01")),
+            ),
+            ("f_score", ["frequency", "custkey"], None),
+            ("m_score", ["monetary", "custkey"], None),
+        ],
+    ).select("custkey", "frequency", "monetary", "r_score", "f_score", "m_score")
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
         .when(F.col("r_score") >= 4, "recent")

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators import align, prep, stats, trace
+from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_ntiles
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import events_as_series, load_table
 
@@ -520,10 +521,11 @@ def t5_representative_plotdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_pop("v").alias("sigma"),
         F.count("*").alias("n_days"),
     )
-    wq = Window.orderBy("mu", "series_id")
-    p = f.select(
+    p = with_global_ntiles(
+        f, 4, [("_tile", ["mu", "series_id"], None)]
+    ).select(
         "series_id", "mu", "sigma", "n_days",
-        (F.ntile(4).over(wq) - 1).alias("prediction"),
+        (F.col("_tile") - 1).alias("prediction"),
     )
     c = p.groupBy("prediction").agg(
         F.avg("mu").alias("cmu"), F.avg("sigma").alias("csigma")
