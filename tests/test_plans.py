@@ -340,8 +340,23 @@ def test_capped_jaccard_no_shingle_strings_in_shuffle(spark):
 
 def test_minhash_portable_prunes_verify_behind_semi_join(spark):
     # pass 2 (exact shingle sets) must scan documents behind a
-    # broadcast semi-join on candidate ids, pushed before tokenization
-    plan = _plan(spark, "dedup_minhash_lsh")
+    # broadcast semi-join on candidate ids, pushed before tokenization.
+    # materialize=False keeps the checkpointed frames symbolic so the
+    # semi-join is visible in one end-to-end plan (the registered query
+    # checkpoints them eagerly, hiding pass 2 from the final explain).
+    import contextlib
+    import io
+
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    spark.catalog.clearCache()
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = dedup.minhash_lsh_pairs(docs, hash_family="md5", materialize=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
 

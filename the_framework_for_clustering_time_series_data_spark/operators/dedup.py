@@ -194,9 +194,15 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash + LSH banding,
     verified with exact Jaccard on the candidates.
+
+    ``materialize=False`` skips the two eager localCheckpoints (the
+    candidate pairs and their shingle sets) so the full logical plan
+    stays inspectable — used by the plan-shape tests; production keeps
+    the default, which pins both candidate-sized frames exactly once.
 
     Pipeline (all DataFrame ops, deterministic):
       1. tokenize → posexplode tokens → ONE codegen'd xxhash64 per
@@ -331,8 +337,9 @@ def minhash_lsh_pairs(
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
     # Pass 2: exact shingle sets for CANDIDATE docs only. The broadcast
     # semi-join prunes the corpus BEFORE tokenization, so this pass is
     # linear in the candidate count, not the corpus.
@@ -342,12 +349,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
     df_cand = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    # materialized once (candidate-sized): the verify join consumes sh
+    # TWICE (as sh_a and sh_b) and without a checkpoint each side
+    # re-tokenizes the candidate docs — the load-sensitive recompute
+    # behind the round-2 run-to-run spread.
     sh = (
         shingle(df_cand)
         .groupBy("id")
         .agg(F.collect_set("sh").alias("hs"))
         .withColumn("n_sh", F.size("hs"))
     )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"), F.col("n_sh").alias("n_b")), "id_b")
