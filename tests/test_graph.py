@@ -46,3 +46,53 @@ def test_pagerank_degree_one_hub(spark):
     leaves = [out[i] for i in range(1, 5)]
     assert out[0] > max(leaves)
     assert max(leaves) == pytest.approx(min(leaves), abs=1e-12)
+
+
+def test_two_phase_components_path_graph_log_rounds(spark):
+    """Adversarial chain-shaped graph (containment chains a⊂b⊂c⊂…):
+    the two-phase star contraction must (a) agree exactly with
+    union-find and (b) converge in O(log n) rounds — min-label
+    propagation would need O(n) rounds on a 10k-node path."""
+    import math
+
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    n = 10_000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats: dict = {}
+    out = dedup.connected_components(df, small_graph_threshold=0, stats=stats)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 3, stats
+
+
+def test_two_phase_components_match_union_find_random(spark):
+    """Distributed path ≡ driver union-find fast path on the same
+    random multi-component graph (threshold crossed both ways)."""
+    import random
+
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    rng = random.Random(42)
+    edges = list(
+        {
+            (a, b)
+            for a, b in (
+                (rng.randint(0, 800), rng.randint(0, 800)) for _ in range(600)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    dist = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df, small_graph_threshold=0).collect()
+    }
+    fast = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(
+            df, small_graph_threshold=10**9
+        ).collect()
+    }
+    assert dist == fast and len(dist) > 0
