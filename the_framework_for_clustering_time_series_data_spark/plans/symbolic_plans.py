@@ -229,13 +229,21 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_CAP = 200  # deterministic series sample bounding the exact pair scan
+
+
 @register(
     "ts_pair_correlation",
-    """
-WITH b AS (
+    f"""
+WITH b0 AS (
   SELECT user_id AS series_id, date_trunc('day', ts) AS bucket, avg(value) AS v
   FROM events GROUP BY 1, 2
-)
+),
+keep AS (
+  SELECT series_id FROM (SELECT DISTINCT series_id FROM b0)
+  ORDER BY md5(series_id::VARCHAR), series_id LIMIT {_CORR_CAP}
+),
+b AS (SELECT b0.* FROM b0 JOIN keep USING (series_id))
 SELECT a.series_id AS sid_a, c.series_id AS sid_b,
        count(*) AS n_common, round(corr(a.v, c.v), 6) AS r
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.series_id < c.series_id
@@ -244,23 +252,37 @@ HAVING count(*) >= 20
 """,
 )
 def ts_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs Pearson correlation between series over their daily
-    rollups (co-movement discovery; feeds correlation-graph
-    clustering). Shape: daily rollup (one shuffle), self-join on the
-    day bucket (both sides reuse the rollup), pair-keyed aggregate with
-    map-side partials; pairs sharing <20 days drop. Quadratic in
-    concurrently-active series BY DESIGN — this is the exact baseline;
-    at fleet scale the same plan runs after a candidate filter (shared
-    SAX word from ts_sax_motifs, or same ts_features k-means cell)
-    that turns the bucket join into a sparse pair join."""
+    """Exact all-pairs Pearson correlation between series over their
+    daily rollups (co-movement discovery; feeds correlation-graph
+    clustering) — the EXACT BASELINE of the family, capped to a
+    deterministic sample so its quadratic pair scan is bounded at any
+    corpus size: the {_CORR_CAP} series with the smallest
+    md5(series_id) (a stable, engine-reproducible sample — the
+    sample_hash_bernoulli discipline, here with a fixed COUNT so the
+    pair budget is a constant ≤ cap²/2 even at 1000× the series).
+    Below the cap (sf0.01's 150 series) the output is identical to the
+    uncapped form. Shape: daily rollup (one shuffle), top-cap sample
+    broadcast back as a semi-join, self-join on the day bucket,
+    pair-keyed aggregate with map-side partials; pairs sharing <20
+    days drop. The UNCAPPED corpus-wide form of this query is
+    spectral_plans.ts_corr_sax_pruned — the SAX-word candidate filter
+    that turns the bucket join into a sparse pair join; this exact
+    kernel is its measuring stick."""
     ev = load_table(spark, sf_dir, "events")
-    b = (
+    b0 = (
         ev.groupBy(
             F.col("user_id").alias("series_id"),
             F.date_trunc("day", F.col("ts")).alias("bucket"),
         )
         .agg(F.avg("value").alias("v"))
     )
+    keep = (
+        b0.select("series_id")
+        .distinct()
+        .orderBy(F.md5(F.col("series_id").cast("string")), F.col("series_id"))
+        .limit(_CORR_CAP)
+    )
+    b = b0.join(F.broadcast(keep), "series_id", "left_semi")
     a = b.select(
         F.col("series_id").alias("sid_a"), "bucket", F.col("v").alias("va")
     )
