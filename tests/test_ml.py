@@ -619,3 +619,63 @@ def test_single_link_rejects_nonpositive_threshold(spark):
         single_link(emb, d=0.0)
     with _pytest.raises(ValueError, match="single_link"):
         single_link(emb, d=-1.0)
+
+
+def test_kmedoids_clara_recovers_blobs_and_is_deterministic(spark):
+    # CLARA (sampled PAM + full-corpus scoring) must recover the same
+    # well-separated blobs as exact PAM, keep medoids actual members,
+    # and reproduce bit-for-bit on a re-run
+    import random
+
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import kmedoids
+
+    rng = random.Random(7)
+    centers = [(0.0, 0.0), (12.0, 0.0), (0.0, 12.0)]
+    rows, truth = [], {}
+    for i in range(300):
+        ci = i % 3
+        rows.append(
+            (i, centers[ci][0] + rng.gauss(0, 0.8), centers[ci][1] + rng.gauss(0, 0.8))
+        )
+        truth[i] = ci
+    emb = spark.createDataFrame(rows, "series_id long, x double, y double")
+    out = {r["series_id"]: r for r in kmedoids(emb, k=3, method="clara").collect()}
+    by_truth = {}
+    for s, ci in truth.items():
+        by_truth.setdefault(ci, set()).add(out[s]["prediction"])
+    assert all(len(v) == 1 for v in by_truth.values()), by_truth
+    assert len({next(iter(v)) for v in by_truth.values()}) == 3
+    medoids = {s for s, r in out.items() if r["is_medoid"]}
+    assert len(medoids) == 3
+    again = {r["series_id"]: tuple(r) for r in kmedoids(emb, k=3, method="clara").collect()}
+    assert again == {s: tuple(r) for s, r in out.items()}
+
+
+def test_kmedoids_clara_scales_to_100k_points(spark):
+    # the scale path: 100k points must cluster in linear broadcast
+    # passes (PAM's quadratic per-cluster update would not finish) —
+    # bound generously to absorb machine-load variance
+    import random
+    import time
+
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import kmedoids
+
+    rng = random.Random(1)
+    centers = [(0.0, 0.0), (14.0, 14.0), (-11.0, 15.0)]
+    rows = [
+        (
+            i,
+            centers[i % 3][0] + rng.gauss(0, 1.5),
+            centers[i % 3][1] + rng.gauss(0, 1.5),
+        )
+        for i in range(100_000)
+    ]
+    emb = spark.createDataFrame(rows, "series_id long, x double, y double")
+    t0 = time.time()
+    out = kmedoids(emb, k=3, method="clara")
+    counts = {r["prediction"]: r["n"] for r in out.groupBy("prediction").agg(F.count("*").alias("n")).collect()}
+    elapsed = time.time() - t0
+    assert sum(counts.values()) == 100_000
+    # every blob holds one third of the mass (±2%)
+    assert all(abs(n - 33334) < 2000 for n in counts.values()), counts
+    assert elapsed < 120, f"CLARA took {elapsed:.0f}s on 100k points"

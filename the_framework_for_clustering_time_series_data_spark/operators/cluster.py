@@ -469,11 +469,59 @@ def power_iteration_clusters(
 # --------------------------------------------------------------------------
 
 
+def _pam_numpy(ids: list, X, k: int, max_iter: int = 20) -> list:
+    """Driver-side PAM on a small sample (the CLARA inner loop):
+    same deterministic conventions as the distributed PAM — greedy
+    farthest-point init seeded at the smallest md5(id), every argmin
+    tie-broken toward the smaller id. Returns the medoid ids."""
+    import hashlib
+
+    import numpy as np
+
+    s = len(ids)
+    k = min(k, s)
+    diff = X[:, None, :] - X[None, :, :]
+    D = np.sqrt((diff**2).sum(axis=2))
+    id_rank = sorted(
+        range(s), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), str(ids[i]))
+    )
+    med = [id_rank[0]]
+    while len(med) < k:
+        dmin = D[:, med].min(axis=1)
+        cands = [i for i in range(s) if i not in med]
+        dbest = max(dmin[i] for i in cands)
+        # farthest point next; deterministic tie-break → smaller id
+        med.append(
+            min((i for i in cands if dmin[i] == dbest), key=lambda i: ids[i])
+        )
+    by_id = sorted(range(s), key=lambda i: ids[i])
+    pos = {i: r for r, i in enumerate(by_id)}  # id order for tie-breaks
+    for _ in range(max_iter):
+        med_sorted = sorted(med, key=lambda i: ids[i])
+        dm = D[:, med_sorted]
+        assign = dm.argmin(axis=1)  # first (= smallest medoid id) wins ties
+        new_med = []
+        for c in range(len(med_sorted)):
+            members = np.flatnonzero(assign == c)
+            costs = D[np.ix_(members, members)].sum(axis=1)
+            order = sorted(
+                range(len(members)), key=lambda j: (costs[j], pos[members[j]])
+            )
+            new_med.append(int(members[order[0]]))
+        if sorted(new_med) == sorted(med):
+            break
+        med = new_med
+    return sorted((ids[i] for i in med))
+
+
 def kmedoids(
     emb: DataFrame,
     k: int = 3,
     max_iter: int = 10,
     feature_cols: tuple[str, ...] = ("x", "y"),
+    method: str = "pam",
+    clara_samples: int = 5,
+    clara_sample_size: int | None = None,
 ) -> DataFrame:
     """K-medoids over the embedding coordinates — the outlier-robust
     sibling of C1's K-Means (centers are actual MEMBERS minimizing
@@ -496,9 +544,14 @@ def kmedoids(
     1-row collects), and every argmin tie-breaks on id. Farthest
     -point guarantees one seed per well-separated mass, the failure
     mode a hash init leaves open (two seeds in one blob is a PAM
-    local optimum the alternation cannot escape). At fleet scale the
-    update step is the standard CLARA refinement: run it on a
-    per-cluster sample when Σ nᵢ² grows past the shuffle budget.
+    local optimum the alternation cannot escape).
+
+    ``method="clara"`` is the fleet-scale form: PAM fitted on
+    ``clara_samples`` deterministic md5-salted samples of
+    ``clara_sample_size`` (default 40+2k, Kaufman & Rousseeuw's
+    recommendation) driver-side, each candidate medoid set scored
+    against the full corpus with one linear broadcast pass, best set
+    wins — the quadratic update never touches the corpus.
     Returns (series_id, prediction, is_medoid).
     """
     cols = list(feature_cols)
@@ -510,6 +563,90 @@ def kmedoids(
             t = (F.col(f"{a_prefix}{c}") - F.col(f"{b_prefix}{c}")) ** 2
             d = t if d is None else d + t
         return F.sqrt(d)
+
+    if method not in ("pam", "clara"):
+        raise ValueError(f"unknown kmedoids method {method!r}")
+
+    idt = emb.schema["series_id"].dataType.simpleString()
+    med_schema = f"_mid {idt}, " + ", ".join(f"_m{c} double" for c in cols)
+
+    def finalize(medoid_ids: list, assign: DataFrame) -> DataFrame:
+        # relabel clusters 0..k-1 by medoid id order for stable output
+        label = {mid: i for i, mid in enumerate(sorted(medoid_ids))}
+        mapping = F.create_map(
+            *[F.lit(x) for pair in label.items() for x in pair]
+        )
+        out = assign.select(
+            "series_id",
+            mapping[F.col("prediction")].alias("prediction"),
+            F.col("series_id").isin(medoid_ids).alias("is_medoid"),
+        )
+        pts.unpersist()
+        return out
+
+    def assign_to_rows(med_rows: list) -> DataFrame:
+        med = F.broadcast(
+            emb.sparkSession.createDataFrame(med_rows, med_schema)
+        )
+        cand = pts.crossJoin(med).withColumn("_d", dist2("", "_m"))
+        w = Window.partitionBy("series_id").orderBy("_d", "_mid")
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("series_id", *cols, F.col("_mid").alias("prediction"))
+        )
+
+    if method == "clara":
+        # CLARA (Kaufman & Rousseeuw 1990): PAM exactly, but fitted on
+        # small deterministic samples — the scale path the PAM
+        # docstring promises. Each of ``clara_samples`` md5-salted
+        # samples (the engine's reproducible-sample discipline) is
+        # PAM-solved ON THE DRIVER (40+2k rows — microseconds), then
+        # scored against the FULL corpus with one broadcast
+        # assignment pass; the cheapest medoid set wins. Total
+        # distributed cost: clara_samples+1 linear broadcast passes —
+        # no Σ nᵢ² pair join ever touches the corpus, so this form
+        # holds at 100k+ points where PAM's quadratic update cannot.
+        import numpy as np
+
+        s_size = clara_sample_size or (40 + 2 * k)
+        best = None  # (cost, medoid id list, medoid rows)
+        for t in range(clara_samples):
+            salt = f"clara{t}:"
+            sample = (
+                pts.orderBy(
+                    F.md5(
+                        F.concat(F.lit(salt), F.col("series_id").cast("string"))
+                    ),
+                    "series_id",
+                )
+                .limit(s_size)
+                .collect()
+            )
+            ids = [r["series_id"] for r in sample]
+            X = np.array([[r[c] for c in cols] for r in sample], dtype=float)
+            mids = _pam_numpy(ids, X, k)
+            chosen = set(mids)
+            med_rows = [
+                tuple([r["series_id"]] + [float(r[c]) for c in cols])
+                for r in sample
+                if r["series_id"] in chosen
+            ]
+            med = F.broadcast(
+                emb.sparkSession.createDataFrame(med_rows, med_schema)
+            )
+            cost = (
+                pts.crossJoin(med)
+                .withColumn("_d", dist2("", "_m"))
+                .groupBy("series_id")
+                .agg(F.min("_d").alias("_dmin"))
+                .agg(F.sum("_dmin").alias("c"))
+                .collect()[0]["c"]
+            )
+            if best is None or (cost, mids) < (best[0], best[1]):
+                best = (cost, mids, med_rows)
+        assign = assign_to_rows(best[2]).localCheckpoint(eager=True)
+        return finalize(best[1], assign)
 
     first = (
         pts.select("series_id")
@@ -594,19 +731,8 @@ def kmedoids(
         # assign was computed — recompute once so predictions, the
         # relabel map, and is_medoid all use the FINAL medoid set
         assign = assign_to(medoid_ids)
-    # relabel clusters 0..k-1 by medoid id order for stable output
-    label = {mid: i for i, mid in enumerate(sorted(medoid_ids))}
-    mapping = F.create_map(
-        *[F.lit(x) for pair in label.items() for x in pair]
-    )
-    out = assign.select(
-        "series_id",
-        mapping[F.col("prediction")].alias("prediction"),
-        F.col("series_id").isin(medoid_ids).alias("is_medoid"),
-    )
     # assign is eagerly checkpointed — pts is no longer referenced
-    pts.unpersist()
-    return out
+    return finalize(medoid_ids, assign)
 
 
 # --------------------------------------------------------------------------

@@ -301,9 +301,20 @@ def c9_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 — K-medoids (PAM alternation, deterministic farthest-point
     init) on the 2-D embedding: the outlier-robust centers-are-members
     clustering MLlib lacks. Assignment is a broadcast-k argmin; the
-    update step's per-cluster quadratic cost is hash-local (CLARA
-    sampling is the documented fleet-scale refinement)."""
+    update step's per-cluster quadratic cost is hash-local (CLARA,
+    c9b, is the fleet-scale refinement)."""
     return cluster.kmedoids(_emb_xy(spark, sf_dir), k=5)
+
+
+@register("c9b_kmedoids_clara")  # sampled PAM → rows-only oracle (blob/scale-tested)
+def c9b_kmedoids_clara(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9b — CLARA (Kaufman & Rousseeuw): k-medoids' fleet-scale form.
+    PAM solved driver-side on 5 deterministic md5-salted samples of
+    40+2k points, each candidate medoid set scored against the FULL
+    corpus in one broadcast pass, cheapest set wins — no quadratic
+    update ever touches the corpus, so this is the plan that holds at
+    100k+ points (scale test in tests/test_ml.py)."""
+    return cluster.kmedoids(_emb_xy(spark, sf_dir), k=5, method="clara")
 
 
 @register("c10_single_link")  # iterative components → rows-only oracle (chain-tested)
