@@ -133,3 +133,45 @@ def resize_images(images: DataFrame, img_size: int, image_col: str = "image") ->
             yield pd.DataFrame(res, columns=["series_id", "image"])
 
     return images.mapInPandas(do_resize, schema=out_schema)
+
+
+def area_downsample(
+    images: DataFrame, factor: int, image_col: str = "image"
+) -> DataFrame:
+    """I3's INTER_AREA semantics for integer shrink factors, exact:
+    cv2 INTER_AREA with an integer scale IS the plain f×f box mean
+    (the reference resizes with INTER_AREA when shrinking,
+    app.py:468-470). Pure JVM nested array folds — block sums are
+    exact integers and the single final division is deterministic, so
+    a DuckDB oracle reproduces every output value bit-for-bit (unlike
+    the float-order-sensitive bilinear path in ``resize_images``,
+    whose accumulation order is NumPy's). Trailing rows/cols beyond
+    the last full block are dropped (cv2's behavior for exact-integer
+    scales never hits this; the guard keeps ragged inputs safe)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    f = factor
+    m = F.col(image_col)
+    side = F.floor(F.size(m) / f).cast("int")
+
+    def block(i: Column, j: Column) -> Column:
+        rows = F.slice(m, i * f + 1, f)
+        s = F.aggregate(
+            rows,
+            F.lit(0).cast("long"),
+            lambda acc, r: acc
+            + F.aggregate(
+                F.slice(r, j * f + 1, f),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x.cast("long"),
+            ),
+        )
+        return F.round(s / (f * f), 6)
+
+    idx = F.when(side >= 1, F.sequence(F.lit(0), side - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = F.transform(
+        idx, lambda i: F.transform(idx, lambda j: block(i, j))
+    )
+    return images.select("series_id", out.alias(image_col))

@@ -132,10 +132,57 @@ def c1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", "prediction")
 
 
-@register("c2_dbscan")  # iterative components → rows-only oracle (tested in tests/)
+@register(
+    "c2_dbscan",
+    """
+WITH RECURSIVE emb AS (
+  SELECT vec_id AS series_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+  FROM embeddings
+),
+e AS (  -- ε-neighbor pairs INCLUDING the self-pair (sklearn counts self)
+  SELECT a.series_id AS sid, b.series_id AS nid
+  FROM emb a JOIN emb b ON (a.x - b.x)^2 + (a.y - b.y)^2 <= 0.0004
+),
+core AS (SELECT sid FROM e GROUP BY sid HAVING count(*) >= 5),
+ce AS (
+  SELECT e.sid AS src, e.nid AS dst FROM e
+  JOIN core c1 ON c1.sid = e.sid JOIN core c2 ON c2.sid = e.nid
+  WHERE e.sid <> e.nid
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM ce
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN ce b ON b.src = r.dst WHERE b.dst <> r.src
+),
+comp AS (
+  SELECT c.sid AS series_id,
+         least(c.sid, coalesce(min(r.dst), c.sid)) AS label
+  FROM core c LEFT JOIN reach r ON r.src = c.sid
+  GROUP BY c.sid
+),
+rk AS (
+  SELECT label, dense_rank() OVER (ORDER BY label) - 1 AS cluster
+  FROM (SELECT DISTINCT label FROM comp)
+),
+core_lab AS (SELECT comp.series_id, rk.cluster FROM comp JOIN rk USING (label)),
+border AS (
+  SELECT e.sid AS series_id, min(cl.cluster) AS cluster
+  FROM e JOIN core_lab cl ON cl.series_id = e.nid
+  WHERE e.sid NOT IN (SELECT sid FROM core)
+  GROUP BY e.sid
+),
+lab AS (SELECT * FROM core_lab UNION ALL SELECT * FROM border)
+SELECT emb.series_id, CAST(coalesce(lab.cluster, -1) AS INT) AS prediction
+FROM emb LEFT JOIN lab USING (series_id)
+""",
+)
 def c2_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 — DBSCAN(eps=0.02, min_samples=5) via ε-grid join + label
-    propagation (app.py:748-752)."""
+    """C2 — DBSCAN(eps=0.02, min_samples=5) via ε-grid join + two-phase
+    component search (app.py:748-752). Fully deterministic (labels =
+    dense rank of each component's min id, border → min core
+    neighbor's cluster), so unlike the model-driven clusterings it
+    carries a complete value-hash oracle: the DuckDB twin states the
+    ε-graph directly and closes core components with a recursive CTE."""
     return cluster.dbscan(_emb_xy(spark, sf_dir), eps=0.02, min_samples=5)
 
 
@@ -193,6 +240,93 @@ def i3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate(flat, F.lit(0.0), lambda acc, x: acc + x), 2
         ).alias("pixel_sum"),
+    )
+
+
+@register(
+    "i3b_resize_area",
+    f"""
+WITH {EV},
+sel AS (SELECT * FROM ev WHERE series_id < 5 AND t < 48),
+n48 AS (SELECT series_id FROM sel GROUP BY series_id HAVING count(*) = 48),
+s AS (
+  SELECT sel.series_id, min(value) AS vmin, max(value) AS vmax
+  FROM sel JOIN n48 USING (series_id) GROUP BY sel.series_id
+),
+px AS (
+  SELECT a.series_id, a.t AS i, b.t AS j,
+         CAST(floor(abs(a.value - b.value) / (s.vmax - s.vmin) * 255) AS BIGINT)
+           AS pixel
+  FROM sel a
+  JOIN sel b ON a.series_id = b.series_id
+  JOIN s ON a.series_id = s.series_id
+)
+SELECT series_id, CAST(i // 3 AS INT) AS i, CAST(j // 3 AS INT) AS j,
+       round(sum(pixel) / 9.0, 6) AS v
+FROM px GROUP BY series_id, i // 3, j // 3
+""",
+)
+def i3b_resize_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3b — the reference's shrink path (cv2 INTER_AREA,
+    app.py:468-470) made exact: for integer factors INTER_AREA is the
+    f×f box mean, so resizing the 48×48 RP image (first-48-point
+    truncation of each series) down 3× is pure integer block sums with
+    one final division — bit-reproducible in DuckDB, giving the resize
+    family its first full value-hash oracle (the general bilinear
+    kernel in resize_images stays rows-only: its accumulation order is
+    NumPy's). Output: the full 16×16 pixel grid per series, long
+    form."""
+    ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 5)
+    nested = align.to_nested(ev)
+    n48 = nested.where(F.size("values") >= 48).select(
+        "series_id", F.slice("values", 1, 48).alias("values")
+    )
+    small = imaging.area_downsample(imaging.recurrence_plot(n48), 3)
+    return (
+        small.select("series_id", F.posexplode("image").alias("i", "row"))
+        .select("series_id", "i", F.posexplode("row").alias("j", "v"))
+    )
+
+
+@register(
+    "e2b_pca_variance",
+    """
+WITH emb AS (
+  SELECT embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y FROM embeddings
+),
+c AS (
+  SELECT var_samp(x) AS a, covar_samp(x, y) AS b, var_samp(y) AS d FROM emb
+),
+e AS (
+  SELECT (a + d + sqrt((a - d)^2 + 4 * b * b)) / 2 AS l1,
+         (a + d - sqrt((a - d)^2 + 4 * b * b)) / 2 AS l2,
+         a + d AS tot
+  FROM c
+)
+SELECT 0 AS component, round(l1 / tot * 100, 4) AS explained_pct FROM e
+UNION ALL
+SELECT 1 AS component, round(l2 / tot * 100, 4) AS explained_pct FROM e
+""",
+)
+def e2b_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b/A4 — PCA explained-variance percentages (app.py:678-680)
+    over the 2-D embedding coordinates, MLlib PCA. With two features
+    the covariance eigenvalues have a closed form
+    ((a+d ± sqrt((a-d)²+4b²))/2), so the variance-ratio output —
+    unlike the sign-indeterminate projections of e2_pca — carries a
+    full value-hash oracle against DuckDB's co-moment aggregates."""
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.feature import VectorAssembler
+
+    emb = _emb_xy(spark, sf_dir)
+    va = VectorAssembler(inputCols=["x", "y"], outputCol="_features")
+    model = MLPCA(k=2, inputCol="_features", outputCol="_pc").fit(
+        va.transform(emb)
+    )
+    ratios = model.explainedVariance
+    return spark.createDataFrame(
+        [(i, round(float(r) * 100, 4)) for i, r in enumerate(ratios)],
+        "component int, explained_pct double",
     )
 
 
@@ -317,10 +451,41 @@ def c9b_kmedoids_clara(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster.kmedoids(_emb_xy(spark, sf_dir), k=5, method="clara")
 
 
-@register("c10_single_link")  # iterative components → rows-only oracle (chain-tested)
+@register(
+    "c10_single_link",
+    """
+WITH RECURSIVE emb AS (
+  SELECT vec_id AS series_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+  FROM embeddings
+),
+e AS (
+  SELECT a.series_id AS src, b.series_id AS dst
+  FROM emb a JOIN emb b
+    ON a.series_id <> b.series_id
+   AND (a.x - b.x)^2 + (a.y - b.y)^2 <= 0.0025
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN e b ON b.src = r.dst WHERE b.dst <> r.src
+),
+comp AS (
+  SELECT emb.series_id,
+         least(emb.series_id, coalesce(min(r.dst), emb.series_id)) AS cluster
+  FROM emb LEFT JOIN reach r ON r.src = emb.series_id
+  GROUP BY emb.series_id
+)
+SELECT series_id, cluster,
+       count(*) OVER (PARTITION BY cluster) AS cluster_size
+FROM comp
+""",
+)
 def c10_single_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10 — single-linkage clustering cut at d=0.05 on the 2-D
     embedding: connected components of the d-threshold graph via the
-    ε-grid equi-join + min-label propagation — the chaining-sensitive
-    complement of DBSCAN (no core-point density gate)."""
+    ε-grid equi-join + two-phase star contraction — the
+    chaining-sensitive complement of DBSCAN (no core-point density
+    gate). Deterministic (cluster = min member id, singletons
+    included) ⇒ full value-hash oracle via a recursive CTE over the
+    same threshold graph."""
     return cluster.single_link(_emb_xy(spark, sf_dir), d=0.05)
