@@ -50,7 +50,7 @@ HEADLINE = [
     "corpus_training_assembly",
     "ts_anomaly_prequential",
     "ts_rollup_incremental",
-    # round-3 additions: the former perf tail, benched so regressions on
+    # round-2 additions: the former perf tail, benched so regressions on
     # the WORST plans are visible round-over-round, not just the fast set
     "c8_graph_clusters",
     "curate_corpus",

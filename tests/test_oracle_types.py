@@ -23,7 +23,7 @@ TABLES = (
 
 #: DuckDB result types the driver's hasher maps 1:1 onto Spark types.
 ALLOWED = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
-           "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE"}
+           "VARCHAR", "BOOLEAN", "TIMESTAMP", "TIMESTAMP_NS", "DATE"}
 
 
 def _con() -> duckdb.DuckDBPyConnection:

@@ -125,9 +125,12 @@ def test_csv_sink_roundtrip(spark, csv_fixture, tmp_path):
     assert emb_back.count() == 8
 
 
-def _write_minimal_xlsx(path):
+def _write_minimal_xlsx(path, absolute_target=False):
     """A valid single-sheet xlsx built with the stdlib only: header
-    (proc, v), three rows — shared strings for text, inline numbers."""
+    (proc, v), three rows — shared strings for text, inline numbers.
+    ``absolute_target`` emits the worksheet relationship as an OPC
+    absolute part name ('/xl/worksheets/sheet1.xml'), which some
+    writers produce."""
     import zipfile
 
     sheet = (
@@ -156,8 +159,9 @@ def _write_minimal_xlsx(path):
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
         '<Relationship Id="rId1" '
         'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
-        'Target="worksheets/sheet1.xml"/>'
-        '<Relationship Id="rId2" '
+        + ('Target="/xl/worksheets/sheet1.xml"/>' if absolute_target
+           else 'Target="worksheets/sheet1.xml"/>')
+        + '<Relationship Id="rId2" '
         'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" '
         'Target="sharedStrings.xml"/></Relationships>'
     )
@@ -208,6 +212,18 @@ def test_xlsx_stdlib_parser_direct(tmp_path):
     _write_minimal_xlsx(str(p))
     pdf = _read_xlsx_stdlib(str(p))
     assert list(pdf.columns) == ["proc", "v"]
+    assert pdf["proc"].tolist() == ["a", "a", "b"]
+    assert pdf["v"].tolist() == [1.0, 2.5, 3.0]
+
+
+def test_xlsx_stdlib_parser_absolute_rel_target(tmp_path):
+    """OPC-absolute worksheet targets ('/xl/worksheets/sheet1.xml')
+    must normalize instead of double-prefixing to 'xl/xl/…'."""
+    from the_framework_for_clustering_time_series_data_spark.sources.csv_source import _read_xlsx_stdlib
+
+    p = tmp_path / "abs.xlsx"
+    _write_minimal_xlsx(str(p), absolute_target=True)
+    pdf = _read_xlsx_stdlib(str(p))
     assert pdf["proc"].tolist() == ["a", "a", "b"]
     assert pdf["v"].tolist() == [1.0, 2.5, 3.0]
 

@@ -37,8 +37,14 @@ def require_bounded_corpus(
 
     Counts via ``limit(n+1).count()`` so the check stops scanning as
     soon as the bound is provably exceeded — never a full count of a
-    100 TB table.
+    100 TB table. NOTE: this is an EAGER Spark action at
+    operator-construction time; when ``df`` is a derived, uncached
+    pipeline its upstream computes once for the probe and again for
+    the real run. Pass ``limit=0`` to skip the probe entirely when the
+    input is known-bounded (already counted, or a dimension table).
     """
+    if limit == 0:
+        return
     limit = DEFAULT_MAX_CORPUS_ROWS if limit is None else limit
     n = df.limit(limit + 1).count()
     if n > limit:

@@ -134,8 +134,12 @@ def _read_xlsx_stdlib(path: str, sheet_name: int | str = 0):
             target = sheets[sheet_name][1]
         else:
             target = dict(sheets)[sheet_name]
+        # absolute part names ('/xl/worksheets/sheet1.xml') are legal in
+        # OPC relationships: strip the leading slash FIRST, then only
+        # prefix when the part is workbook-relative
+        target = target.lstrip("/")
         if not target.startswith("xl/"):
-            target = "xl/" + target.lstrip("/")
+            target = "xl/" + target
         ws = ET.fromstring(z.read(target))
 
         rows: list[dict[int, object]] = []
