@@ -58,6 +58,15 @@ HEADLINE = [
     "dedup_connected_groups",
     "dedup_edit_blocked",
     "dedup_ngram_jaccard_capped",
+    # round-3 additions: the queries whose scale paths this round
+    # rebuilt (distributed ntile, capped exact correlation, shared
+    # silhouette fits, CLARA) — benched so the rebuilt plans are
+    # tracked round-over-round
+    "q25_rfm_segments",
+    "t5_representative_plotdata",
+    "ts_pair_correlation",
+    "c4_silhouette_selection",
+    "c9b_kmedoids_clara",
 ]
 
 
