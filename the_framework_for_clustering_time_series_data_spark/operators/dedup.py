@@ -885,3 +885,54 @@ def incremental_dedup(
         F.coalesce("near_dup_of", F.lit(-1)).alias("near_dup_of"),
         F.coalesce("n_near", F.lit(0)).alias("n_near"),
     )
+
+
+def substring_span_audit(
+    df: DataFrame,
+    span: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-substring audit at token-span granularity (the
+    exact-substring duplication Lee et al. 2022 deduplicate with a
+    suffix array, reframed as a distributed hash query): every
+    ``span``-token window is hashed; a window is DUPLICATED when its
+    hash occurs in ≥2 distinct documents. Returns per-doc
+    ``(doc_id, n_windows, n_dup_windows, dup_frac)`` for docs with at
+    least one window — the curation signal for boilerplate/templated
+    spans that survive document-level dedup.
+
+    Shape: windows derive map-side (JVM array ops — one md5 per
+    window position), then ONE shuffle on the span hash for the
+    document-frequency count and one hash-keyed join back; the per-doc
+    rollup rides the id key. Window hashing is md5-of-span-string —
+    portable (the DuckDB oracle reproduces it verbatim); at fleet
+    scale swap xxhash64 over composed token hashes for ~8× cheaper
+    hashing at the cost of the oracle (the _hashed_shingles
+    tradeoff)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.when(
+        F.size(toks) >= span, F.sequence(F.lit(0), F.size(toks) - F.lit(span))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, span)).cast("binary")),
+    )
+    sp = df.select(F.col(id_col).alias("id"), F.explode(spans).alias("sh"))
+    hot = (
+        sp.groupBy("sh")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("sh", F.lit(True).alias("_dup"))
+    )
+    return (
+        sp.join(hot, "sh", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+        )
+    )

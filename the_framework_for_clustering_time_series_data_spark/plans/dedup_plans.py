@@ -620,3 +620,40 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("contained_id"),
         F.round(F.col("n_inter") * F.lit(1.0) / mn, 6).alias("containment"),
     )
+
+
+_SPAN_N = 15
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS arr
+  FROM documents
+),
+sp AS (
+  SELECT doc_id,
+         md5(array_to_string(arr[i : i + {_SPAN_N} - 1], ' ')) AS sh
+  FROM d, unnest(range(1, len(arr) - {_SPAN_N} + 2)) AS t(i)
+  WHERE len(arr) >= {_SPAN_N}
+),
+hot AS (
+  SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT sp.doc_id, count(*) AS n_windows,
+       count(hot.sh) AS n_dup_windows,
+       round(count(hot.sh) * 1.0 / count(*), 6) AS dup_frac
+FROM sp LEFT JOIN hot ON hot.sh = sp.sh
+GROUP BY sp.doc_id
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring audit (operators/dedup.substring_span_audit):
+    per-doc count and fraction of 15-token windows whose content
+    appears in at least one OTHER document — the span-granular
+    duplication signal document-level dedup misses (boilerplate
+    headers, templated paragraphs, quoted chunks). One shuffle on the
+    span hash; window derivation is map-side JVM array math."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_span_audit(docs, span=_SPAN_N)

@@ -548,3 +548,84 @@ def sample_weighted_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("lang", "rnk", "doc_id", "n_chars", F.round("es_key", 6).alias("es_key"))
     )
+
+
+@register(
+    "mix_temperature_resample",
+    """
+WITH r AS (SELECT lang, count(*) AS n_in FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_in) AS n FROM r),
+w AS (SELECT lang, n_in, pow(n_in / n, 0.7) AS wgt FROM r, tot),
+sh AS (SELECT lang, n_in, wgt / sum(wgt) OVER () AS share FROM w),
+rates AS (
+  SELECT sh.lang, sh.n_in, round(sh.share, 6) AS share,
+         round(least(1.0, sh.share * tot.n / sh.n_in), 6) AS rate
+  FROM sh, tot
+),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN rates USING (lang)
+  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':mixT'), 1, 6))::BIGINT
+        < rate * 16777216
+)
+SELECT r2.lang, r2.n_in, count(k.lang) AS n_out, r2.rate, r2.share
+FROM rates r2 LEFT JOIN kept k ON k.lang = r2.lang
+GROUP BY r2.lang, r2.n_in, r2.rate, r2.share
+""",
+)
+def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture rebalancing (the mT5/XLM-R recipe,
+    Conneau et al. 2020): language share_i ∝ p_i^α with α = 0.7 —
+    softer than mix_langs_resample's uniform target, so
+    high-resource languages shrink without head languages collapsing
+    to the tail's size. Downsample-only (rate = min(1, target/n_in)),
+    via the same deterministic salted-md5 Bernoulli filter; rates are
+    ROUNDED to 6 dp before thresholding so both engines draw the
+    identical keep set despite libm pow differences. Same broadcast
+    shape as mix_langs_resample: the corpus scans once, never
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.groupBy("lang").agg(F.count("*").alias("n_in"))
+    tot = r.agg(F.sum("n_in").alias("n"))
+    w = r.crossJoin(F.broadcast(tot)).withColumn(
+        "wgt", F.pow(F.col("n_in") / F.col("n"), 0.7)
+    )
+    sw = w.agg(F.sum("wgt").alias("sw"))
+    rates = w.crossJoin(F.broadcast(sw)).select(
+        "lang",
+        "n_in",
+        F.round(F.col("wgt") / F.col("sw"), 6).alias("share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("wgt") / F.col("sw")) * F.col("n") / F.col("n_in"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":mixT")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .where(h < F.col("rate") * F.lit(16777216))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_out"))
+    )
+    return rates.join(F.broadcast(kept), "lang", "left").select(
+        "lang",
+        "n_in",
+        F.coalesce("n_out", F.lit(0)).alias("n_out"),
+        "rate",
+        "share",
+    )

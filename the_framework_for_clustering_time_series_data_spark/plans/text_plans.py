@@ -795,3 +795,93 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.bpe_learn_merges). The merge table is the tokenizer
     every downstream token-count/packing operator presupposes."""
     return T.bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=10)
+
+
+@register(
+    "dsir_importance_select",
+    """
+WITH tk AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 128 AS bkt
+  FROM tk
+),
+tgt AS (SELECT bkt, count(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+rw AS (SELECT bkt, count(*) AS cr FROM b GROUP BY 1),
+tots AS (
+  SELECT (SELECT sum(ct) FROM tgt) AS nt, (SELECT sum(cr) FROM rw) AS nr
+),
+lr AS (
+  SELECT rw.bkt,
+         ln(((coalesce(tgt.ct, 0) + 1) / (tots.nt + 128)) /
+            ((rw.cr + 1) / (tots.nr + 128))) AS logr
+  FROM rw LEFT JOIN tgt USING (bkt), tots
+),
+sc AS (
+  SELECT b.doc_id, count(*) AS n_tokens, round(avg(lr.logr), 6) AS score
+  FROM b JOIN lr USING (bkt)
+  GROUP BY b.doc_id
+),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc
+)
+SELECT doc_id, n_tokens, score, CAST(rn AS INT) AS rank
+FROM rk WHERE rn <= 100
+""",
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169), hashed-n-gram form: estimate
+    target/raw log-likelihood ratios over 128 hashed unigram buckets
+    (target = the corpus' English slice standing in for the
+    high-quality target distribution; +1 smoothing) and score every
+    document by its mean token log-ratio; the top-100 by (rounded
+    score, doc_id) are the importance-selected training candidates.
+
+    Shape: one token-explode scan feeds both bucket histograms (tiny —
+    ≤128 rows each, broadcast back with their totals); doc scoring is
+    a broadcast join + one doc-keyed aggregate; top-k is TakeOrdered
+    with post-limit rank, so no corpus-wide window exists. Ranking
+    happens on the 6-dp ROUNDED score with a doc_id tie-break —
+    deterministic cross-engine despite float-sum ordering."""
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import md5_60bit_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", "lang", F.explode(T.tokens_expr("text")).alias("tok")
+    ).select("doc_id", "lang", (md5_60bit_hash("tok") % 128).alias("bkt"))
+    tgt = b.where(F.col("lang") == "en").groupBy("bkt").agg(
+        F.count("*").alias("ct")
+    )
+    rw = b.groupBy("bkt").agg(F.count("*").alias("cr"))
+    tots = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
+        rw.agg(F.sum("cr").alias("nr"))
+    )
+    lr = (
+        rw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bkt",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + 128))
+                / ((F.col("cr") + 1) / (F.col("nr") + 128))
+            ).alias("logr"),
+        )
+    )
+    sc = (
+        b.join(F.broadcast(lr), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logr"), 6).alias("score"),
+        )
+    )
+    top = sc.orderBy(F.desc("score"), "doc_id").limit(100)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_tokens", "score", "rank"
+    )
