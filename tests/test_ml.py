@@ -679,3 +679,30 @@ def test_kmedoids_clara_scales_to_100k_points(spark):
     # every blob holds one third of the mass (±2%)
     assert all(abs(n - 33334) < 2000 for n in counts.values()), counts
     assert elapsed < 120, f"CLARA took {elapsed:.0f}s on 100k points"
+
+
+def test_area_downsample_equals_relational_box_mean(spark):
+    # the nested-HOF operator and the rp_long groupBy formulation (the
+    # registered i3b plan) must agree cell-for-cell; also: dropping the
+    # ragged tail (10 % 3 -> 3x3 output over the first 9)
+    from the_framework_for_clustering_time_series_data_spark.operators import imaging
+
+    vals = [float((i * 37) % 11) for i in range(10)]
+    nested = spark.createDataFrame([(1, vals)], "series_id long, values array<double>")
+    small = imaging.area_downsample(imaging.recurrence_plot(nested), 3)
+    got = small.collect()[0]["image"]
+    assert len(got) == 3 and all(len(r) == 3 for r in got)
+    px = imaging.rp_long(nested)
+    rel = {
+        (r["i"], r["j"]): r["v"]
+        for r in px.where((F.col("i") < 9) & (F.col("j") < 9))
+        .groupBy(
+            F.floor(F.col("i") / 3).cast("int").alias("i"),
+            F.floor(F.col("j") / 3).cast("int").alias("j"),
+        )
+        .agg(F.round(F.sum("pixel") / 9.0, 6).alias("v"))
+        .collect()
+    }
+    for i in range(3):
+        for j in range(3):
+            assert got[i][j] == rel[(i, j)], (i, j)

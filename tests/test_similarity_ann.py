@@ -285,3 +285,35 @@ def test_simhash_pairs_pigeonhole_holds_beyond_three(spark):
         }
         expect = {k: v for k, v in truth.items() if v <= mh}
         assert got == expect, (mh, got, expect)
+
+
+def test_ivfpq_matches_ivf_recall_with_generous_rerank(spark):
+    """IVFADC composes IVF cell pruning with PQ byte pruning; with a
+    rerank window larger than any probed candidate set, the exact
+    re-rank must recover IVF's own recall ceiling exactly (the PQ
+    stage then only orders candidates, never drops true neighbors),
+    and re-running must reproduce the result bit-for-bit."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    ivf = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.ivf_topk(emb, qs, k=5, n_cells=16, nprobe=4).collect()
+    }
+    pq1 = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk(
+                emb, qs, k=5, n_cells=16, nprobe=4, rerank=10_000
+            ).collect(),
+        )
+    )
+    assert {(q, n) for q, n, _, _ in pq1} == ivf
+    pq2 = sorted(
+        map(
+            tuple,
+            similarity.ivfpq_topk(
+                emb, qs, k=5, n_cells=16, nprobe=4, rerank=10_000
+            ).collect(),
+        )
+    )
+    assert pq1 == pq2

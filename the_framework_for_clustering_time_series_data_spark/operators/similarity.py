@@ -542,3 +542,148 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    train_sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011, the structure behind FAISS's
+    IVFx,PQy): IVF cell pruning × PQ byte pruning composed — the
+    serving-scale ANN path. The probe scans only the query's
+    ``nprobe`` nearest cells (≈ n_cells/nprobe scan reduction) AND
+    reads only 8-byte PQ codes inside them (≈ 32× byte reduction);
+    the top ``rerank`` ADC candidates fetch their full vectors back
+    for exact cosine, so emitted scores are true cosines. Codes here
+    quantize the normalized vectors directly (classic IVFADC encodes
+    cell residuals — noted refinement; at these dims the plain-code
+    recall is already audited ≥ the PQ-only path in tests).
+
+    Plan shape: KMeans fit + one encode pass build the index (both
+    one-time, persistable like build_ivf_index); the probe is a
+    broadcast join on (cell) carrying each query's ADC lookup table,
+    an all-JVM array-fold scan, a per-query rerank window over
+    candidate rows only, and a bounded id fetch-back join.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import (
+        id_spark_type as _idt,
+        require_bounded_corpus as _rbc,
+    )
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    vecs = corpus.withColumn("_features", array_to_vector("v"))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell"
+    ).fit(vecs)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    sample = np.array(
+        [r["v"] for r in corpus.limit(train_sample).collect()], dtype=np.float64
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _train_pq_codebooks(sample, m, n_codes, seed)
+    dim = sample.shape[1]
+    sub = dim // m
+    b_books = emb.sparkSession.sparkContext.broadcast(books)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        B = b_books.value
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            X = M[:, j * sub : (j + 1) * sub]
+            d2 = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    cells = model.transform(vecs).select(
+        "nbr_id", F.col("_cell").alias("cell"), encode("v").alias("codes")
+    )
+
+    _rbc(queries, op="ivfpq_topk (query side)",
+         scale_route="per-cell batch probes", limit=100_000)
+    _id_t = _idt(queries, id_col)
+    _id_py = int if _id_t in ("bigint", "int", "smallint", "tinyint") else str
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    qcl_rows = []
+    for r in qrows:
+        q = np.asarray(r["qv"], dtype=np.float64)
+        q /= np.linalg.norm(q)
+        lut = np.stack(
+            [q[j * sub : (j + 1) * sub] @ books[j].T for j in range(m)]
+        ).ravel()
+        cell_order = np.argsort(
+            [((q - np.asarray(c)) ** 2).sum() for c in centers], kind="stable"
+        )[:nprobe]
+        for c in cell_order:
+            qcl_rows.append(
+                (_id_py(r["qid"]), int(c), [float(x) for x in lut])
+            )
+    qcl = emb.sparkSession.createDataFrame(
+        qcl_rows, f"query_id {_id_t}, cell int, lut array<double>"
+    )
+
+    approx = (
+        cells.join(F.broadcast(qcl), "cell")
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda c, j: F.element_at(
+                        F.col("lut"), (j * n_codes + c + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_score"),
+        )
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(F.desc("approx_score"), "nbr_id")
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w_pre))
+        .where(F.col("_r") <= rerank)
+        .select("query_id", "nbr_id")
+    )
+    qs = emb.sparkSession.createDataFrame(
+        [(_id_py(r["qid"]), list(map(float, r["qv"]))) for r in qrows],
+        f"query_id {_id_t}, qv array<double>",
+    )
+    exact = (
+        cand.join(corpus, "nbr_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

@@ -275,16 +275,27 @@ def i3b_resize_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     family its first full value-hash oracle (the general bilinear
     kernel in resize_images stays rows-only: its accumulation order is
     NumPy's). Output: the full 16×16 pixel grid per series, long
-    form."""
+    form.
+
+    Plan note: the box mean is computed RELATIONALLY — rp_long pixels
+    grouped by (i//3, j//3) — rather than through the nested
+    imaging.area_downsample form: one tiny shuffle instead of a
+    2304-cell × 256-block nested-HOF expression whose codegen compiles
+    for tens of seconds (equivalence of the two forms is pinned in
+    tests/test_ml.py)."""
     ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 5)
     nested = align.to_nested(ev)
     n48 = nested.where(F.size("values") >= 48).select(
         "series_id", F.slice("values", 1, 48).alias("values")
     )
-    small = imaging.area_downsample(imaging.recurrence_plot(n48), 3)
+    px = imaging.rp_long(n48)
     return (
-        small.select("series_id", F.posexplode("image").alias("i", "row"))
-        .select("series_id", "i", F.posexplode("row").alias("j", "v"))
+        px.groupBy(
+            "series_id",
+            F.floor(F.col("i") / 3).cast("int").alias("i"),
+            F.floor(F.col("j") / 3).cast("int").alias("j"),
+        )
+        .agg(F.round(F.sum("pixel") / 9.0, 6).alias("v"))
     )
 
 

@@ -186,6 +186,20 @@ def emb_mislabel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ivfpq_topk")  # KMeans cells + PQ codes → rows-only oracle
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVFADC (Jégou et al. 2011): IVF cell
+    pruning (16 cells, probe 4) composed with PQ byte pruning (8×16
+    codebooks, ADC lookup scan) and exact top-50 re-rank — the
+    serving-scale composition of sim_ivf_topk and sim_pq_topk; recall
+    vs brute force asserted in tests/test_similarity_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4,
+        rerank=100,
+    )
+
+
 @register("sim_pq_topk")  # driver-trained codebooks → rows-only oracle
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via product quantization (8 subspaces × 16
@@ -571,7 +585,7 @@ def emb_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sim_ann_recall_audit")  # audits rows-only ANN ops → rows-only oracle
 def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximation-quality audit AS A QUERY: recall@5 of both ANN
-    variants (multi-probe LSH and IVF probe-4) against the exact
+    variants (multi-probe LSH, IVF probe-4, and IVFADC) against the exact
     brute-force top-5, per query vector and per method — the
     continuous-monitoring form of the recall assertions in
     tests/test_similarity_ann.py. Run it per index rebuild; a recall
@@ -585,7 +599,11 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("nbr_id").alias("exact_nbr")
     )
     out = []
-    for method, fn in (("lsh", sim_ann_lsh_topk), ("ivf", sim_ivf_topk)):
+    for method, fn in (
+        ("lsh", sim_ann_lsh_topk),
+        ("ivf", sim_ivf_topk),
+        ("ivfpq", sim_ivfpq_topk),
+    ):
         approx = fn(spark, sf_dir).select(
             "query_id", F.col("nbr_id").alias("approx_nbr")
         )
@@ -610,5 +628,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out.append(per_q)
-    res = out[0].unionByName(out[1])
+    res = out[0]
+    for more in out[1:]:
+        res = res.unionByName(more)
     return res
