@@ -509,3 +509,44 @@ def test_watermark_advances_and_windows_finalize_once(spark, tmp_path):
         ("2024-03-20T12:00:00", 3),
         ("2024-03-20T12:30:00", 1),
     ]
+
+
+def test_streaming_countmin_sketch_matches_batch(spark, stream_dir):
+    """The count-min counters accumulated across micro-batches must
+    equal the one-pass batch sketch exactly (mergeability), the state
+    is the constant 256-row counter table, and probing the streamed
+    counters yields estimates >= true counts (the CMS guarantee)."""
+    from the_framework_for_clustering_time_series_data_spark.operators.sketch import (
+        CMS_W,
+        cms_bucket,
+        cms_hash_dim,
+    )
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_events_stream,
+        streaming_countmin_sketch,
+    )
+
+    batch_df = spark.read.parquet(stream_dir)
+    expect = {tuple(r) for r in streaming_countmin_sketch(batch_df).collect()}
+    streamed = _run_stream(
+        spark, streaming_countmin_sketch(read_events_stream(spark, stream_dir))
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == expect
+    assert len(got) <= 4 * CMS_W  # fixed-size state, whatever the keyspace
+    # probe: estimate = min over rows; never undercounts the truth
+    truth = batch_df.groupBy("user_id").agg(F.count("*").alias("n_true"))
+    probe = (
+        truth.crossJoin(F.broadcast(cms_hash_dim(spark)))
+        .select(
+            "user_id",
+            "n_true",
+            F.col("i").alias("row_i"),
+            cms_bucket(F.col("user_id"), F.col("a"), F.col("b")).alias("bucket"),
+        )
+        .join(streamed, ["row_i", "bucket"])
+        .groupBy("user_id", "n_true")
+        .agg(F.min("c").alias("n_est"))
+    )
+    bad = probe.where(F.col("n_est") < F.col("n_true")).count()
+    assert bad == 0

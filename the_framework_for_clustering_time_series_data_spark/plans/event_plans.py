@@ -1113,9 +1113,11 @@ def f2_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Affine (a·key + b) mod p mod w with a large prime p is the classic
 # pairwise-independent family — and, unlike xxhash64, both engines
 # evaluate it exactly, so the sketch itself is oracle-checkable.
-_CMS_P = 2147483647
-_CMS_HASHES = ((2654435761, 1), (40503, 977), (69069, 7919), (1103515245, 12345))
-_CMS_W = 64
+from the_framework_for_clustering_time_series_data_spark.operators.sketch import (  # noqa: E402
+    CMS_HASHES as _CMS_HASHES,
+    CMS_P as _CMS_P,
+    CMS_W as _CMS_W,
+)
 
 
 @register(
@@ -1162,20 +1164,17 @@ def d3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for point-frequency queries. The probe side joins the tiny sketch
     back broadcast-style; at fleet scale candidates come from a
     prior coarse filter, not the full key list."""
+    from the_framework_for_clustering_time_series_data_spark.operators.sketch import cms_bucket, cms_hash_dim, cms_sketch
+
     ev = load_table(spark, sf_dir, "events")
-    hashes = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(_CMS_HASHES)], "i int, a long, b long"
-    )
-    bucket = (F.col("user_id") * F.col("a") + F.col("b")) % _CMS_P % _CMS_W
-    sketch = (
-        ev.select("user_id")
-        .crossJoin(F.broadcast(hashes))
-        .groupBy(F.col("i").alias("row_i"), bucket.alias("bucket"))
-        .agg(F.count("*").alias("c"))
-    )
+    hashes = cms_hash_dim(spark)
+    sketch = cms_sketch(ev, "user_id")
     truth = ev.groupBy("user_id").agg(F.count("*").alias("n_true"))
     probe = truth.crossJoin(F.broadcast(hashes)).select(
-        "user_id", "n_true", F.col("i").alias("row_i"), bucket.alias("bucket")
+        "user_id",
+        "n_true",
+        F.col("i").alias("row_i"),
+        cms_bucket(F.col("user_id"), F.col("a"), F.col("b")).alias("bucket"),
     )
     est = (
         probe.join(sketch, ["row_i", "bucket"])

@@ -235,3 +235,30 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.sum(v_units).alias("v_units_sum"),
     )
+
+
+from the_framework_for_clustering_time_series_data_spark.operators.sketch import CMS_HASHES, CMS_P, CMS_W
+_vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_HASHES))
+_CMS_SQL = f'''
+SELECT h.i AS row_i,
+       CAST((user_id * h.a + h.b) % {CMS_P} % {CMS_W} AS BIGINT) AS bucket,
+       count(*) AS c
+FROM events
+CROSS JOIN (VALUES {_vals}) AS h(i, a, b)
+GROUP BY 1, 2
+'''
+
+
+@register("st_countmin_sketch", _CMS_SQL)
+def st_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4×64 count-min counter table over events — batch twin of
+    streaming.ops.streaming_countmin_sketch (micro-batch accumulation
+    == this one-pass aggregate; parity in tests/test_streaming.py).
+    As a streaming aggregation its state is these 256 rows however
+    many distinct keys arrive — the fixed-size mergeable summary that
+    answers point-frequency queries on an unbounded keyspace
+    (d3_countmin_heavy_hitters is the probe side)."""
+    from the_framework_for_clustering_time_series_data_spark.operators.sketch import cms_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_sketch(ev, "user_id")

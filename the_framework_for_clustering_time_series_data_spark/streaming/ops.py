@@ -467,3 +467,23 @@ def write_stream_upsert_partitioned(
     )
     q._upsert_fn = upsert  # exposed for idempotence tests
     return q
+
+
+def streaming_countmin_sketch(
+    events: DataFrame, key_col: str = "user_id"
+) -> DataFrame:
+    """Streaming twin of d3_countmin_heavy_hitters' build pass: the
+    4×64 count-min counter table maintained incrementally as a
+    streaming aggregation. The state is the sketch itself — a CONSTANT
+    256 rows however many distinct keys stream through, which is the
+    whole point: per-key running counts grow state with cardinality,
+    the sketch never does, so this is the frequency summary that
+    survives an unbounded keyspace. Emit in complete/update mode and
+    answer point-frequency queries by probing min-over-rows against
+    the latest counters (operators/sketch.cms_bucket). Runs
+    identically on a batch frame for parity testing — the sketch is
+    mergeable, so micro-batch accumulation and the one-pass batch
+    aggregate produce the same counters."""
+    from the_framework_for_clustering_time_series_data_spark.operators.sketch import cms_sketch
+
+    return cms_sketch(events, key_col)
