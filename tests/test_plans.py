@@ -381,11 +381,19 @@ def test_quantile_segmentation_no_global_sort(spark):
     computed by operators/rank.with_global_ntiles — the only windows
     allowed are partitioned, and no window spec may lead with a sort
     direction (the unpartitioned-window signature)."""
-    for name in ("q25_rfm_segments", "t5_representative_plotdata"):
+    for name in (
+        "q25_rfm_segments",
+        "t5_representative_plotdata",
+        "q29_revenue_pareto",
+    ):
         plan = _plan(spark, name)
         assert not re.search(r"\bntile\(", plan), name
         for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
             head = spec.split(",")[0]
+            if head.lstrip().startswith("_bk#"):
+                # rank.py's bucket-totals prefix window: <= buckets rows
+                # (bounded metadata), unpartitioned by design
+                continue
             assert " ASC" not in head and " DESC" not in head, (
                 f"{name}: unpartitioned window over {spec[:80]}"
             )

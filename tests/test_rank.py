@@ -105,3 +105,32 @@ def test_no_unpartitioned_window_over_input(spark):
         assert " ASC" not in head and " DESC" not in head, (
             f"unpartitioned window: {spec[:80]}"
         )
+
+
+def test_global_cumsum_matches_flat_window(spark):
+    import random
+
+    from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_cumsum
+
+    rng = random.Random(9)
+    df = spark.createDataFrame(
+        [(i, rng.randint(1, 5000)) for i in range(2500)], "id long, w long"
+    )
+    flat = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum",
+            F.sum("w").over(
+                Window.orderBy(F.desc("w"), "id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    mine = {
+        r["id"]: r["cum"]
+        for r in with_global_cumsum(
+            df, [F.desc("w"), F.col("id")], F.col("w"), "cum", -F.col("w")
+        ).collect()
+    }
+    assert flat == mine

@@ -145,3 +145,59 @@ def with_global_ntiles(
         *[f"_pv{i}" for i in range(len(specs))],
         *[f"_bk{i}" for i in range(len(specs))],
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    weight: Column,
+    out_col: str,
+    proxy: Column,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact inclusive running sum of ``weight`` over a global order,
+    without a single-partition sort — the value-ordered sibling of
+    packing.global_running_sum (whose md5-prefix buckets only work
+    because its sort key IS the hash; here the order is an arbitrary
+    total order, so buckets come from the same percentile sketch as
+    :func:`with_global_ntiles`).
+
+    ``order_by``: Column sort expressions forming a total order.
+    ``proxy``: numeric column ASCENDING along that order (pass the
+    negated leading key for descending orders); steers bucket
+    placement only — the sum is exact wherever boundaries land.
+    ``weight`` should be integer-typed for bit-exact cross-engine
+    totals (the BIGINT micro-unit discipline); doubles work but
+    inherit two-level association drift.
+    """
+    if not 2 <= buckets <= 4096:
+        raise ValueError("buckets must be in [2, 4096]")
+    fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
+    base = df.withColumn("_pv", proxy.cast("double")).withColumn("_wt", weight)
+    bounds = base.agg(
+        F.percentile_approx("_pv", fracs, F.lit(_SKETCH_ACCURACY)).alias("_bounds")
+    )
+    tagged = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn("_bk", F.size(F.filter("_bounds", lambda b: b <= F.col("_pv"))))
+        .drop("_bounds")
+    )
+    btot = tagged.groupBy("_bk").agg(F.sum("_wt").alias("_bt"))
+    # this window is unpartitioned BY DESIGN: it covers the <= buckets
+    # -row bucket-totals table, bounded whatever the input size; the
+    # plan-lock tests recognize the _bk ordering key as the bounded
+    # -metadata marker
+    w_pre = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = btot.select(
+        "_bk", F.coalesce(F.sum("_bt").over(w_pre), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_bk")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "_bk")
+        .withColumn(out_col, F.col("_off") + F.sum("_wt").over(w_in))
+        .drop("_pv", "_wt", "_bk", "_off")
+    )

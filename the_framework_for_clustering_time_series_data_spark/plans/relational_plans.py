@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_ntiles
+from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_cumsum, with_global_ntiles
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
@@ -1526,3 +1526,147 @@ def q28_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_orders"
         ),
     )
+
+
+@register(
+    "q29_revenue_pareto",
+    """
+WITH m AS (
+  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT custkey, spend, CAST(round(spend * 100) AS BIGINT) AS cents FROM m
+),
+w AS (
+  SELECT *, sum(cents) OVER (ORDER BY spend DESC, custkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+),
+t AS (SELECT sum(cents) AS tot FROM c)
+SELECT custkey, spend,
+       round(cum * 1.0 / tot, 6) AS cum_share,
+       (cum - cents) * 10 < tot * 8 AS is_top80
+FROM w, t
+""",
+)
+def q29_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration analysis: customers ranked by spend, each
+    carrying its cumulative revenue share and a flag for the head set
+    covering 80% of revenue — the 80/20 dashboard cut.
+
+    Scale shape: the running sum over the spend-DESC total order is
+    the same unpartitioned-window trap q25 had; it runs through
+    rank.with_global_cumsum (sketch range buckets + per-bucket windows
+    + exact offsets) so the per-customer table never crosses an
+    Exchange SinglePartition. Spend quantizes to BIGINT cents before
+    any sum — both engines accumulate exact integers, and the 80%
+    membership test is pure integer arithmetic ((cum-cents)·10 <
+    tot·8), immune to float association."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    base = m.withColumn("cents", F.round(F.col("spend") * 100).cast("long"))
+    cum = with_global_cumsum(
+        base,
+        [F.desc("spend"), F.col("custkey")],
+        F.col("cents"),
+        "cum",
+        -F.col("spend"),
+    )
+    tot = base.agg(F.sum("cents").alias("tot"))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "custkey",
+        "spend",
+        F.round(F.col("cum") * 1.0 / F.col("tot"), 6).alias("cum_share"),
+        ((F.col("cum") - F.col("cents")) * 10 < F.col("tot") * 8).alias("is_top80"),
+    )
+
+
+@register(
+    "dq_expectations",
+    """
+WITH li AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+  FROM lineitem
+),
+fk AS (
+  SELECT count(*) AS v FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+),
+oo AS (
+  SELECT count(*) AS n,
+         count(*) - count(DISTINCT o_orderkey) AS v_uniq,
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+  FROM orders
+)
+SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+FROM (
+  SELECT 'l_quantity_in_1_50' AS rule, li.n AS n_checked, li.v_qty AS n_violations FROM li
+  UNION ALL SELECT 'l_extendedprice_nonneg', li.n, li.v_price FROM li
+  UNION ALL SELECT 'l_discount_in_0_0.1', li.n, li.v_disc FROM li
+  UNION ALL SELECT 'l_orderkey_fk_orders', (SELECT n FROM li), fk.v FROM fk
+  UNION ALL SELECT 'o_orderkey_unique', oo.n, oo.v_uniq FROM oo
+  UNION ALL SELECT 'o_totalprice_positive', oo.n, oo.v_price FROM oo
+)
+""",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ/Great-
+    Expectations check suite as ONE query): range, non-negativity,
+    referential-integrity, and uniqueness rules over lineitem/orders,
+    each reporting checked/violation counts and a pass flag — the
+    admission gate a pipeline runs before trusting a new snapshot.
+
+    Shape: all lineitem range rules fuse into ONE scan's aggregate
+    (conditional sums), orders rules into another; the FK rule is a
+    broadcast-able anti-join count. Constant-size output; at 100 TB
+    each rule family still costs one map-side-combined scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    one = F.lit(1)
+    zero = F.lit(0)
+    li_agg = li.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), one).otherwise(zero)
+        ).alias("v_qty"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, one).otherwise(zero)).alias("v_price"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), one).otherwise(zero)
+        ).alias("v_disc"),
+    )
+    fk_v = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    o_agg = o.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("v_uniq"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, one).otherwise(zero)).alias("v_price"),
+    )
+
+    def rule(name: str, src: DataFrame, n_col, v_col) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("rule"),
+            n_col.alias("n_checked"),
+            v_col.alias("n_violations"),
+        )
+
+    li_n = li_agg.select("n")
+    rules = (
+        rule("l_quantity_in_1_50", li_agg, F.col("n"), F.col("v_qty"))
+        .unionByName(rule("l_extendedprice_nonneg", li_agg, F.col("n"), F.col("v_price")))
+        .unionByName(rule("l_discount_in_0_0.1", li_agg, F.col("n"), F.col("v_disc")))
+        .unionByName(
+            rule("l_orderkey_fk_orders", fk_v.crossJoin(F.broadcast(li_n)), F.col("n"), F.col("v"))
+        )
+        .unionByName(rule("o_orderkey_unique", o_agg, F.col("n"), F.col("v_uniq")))
+        .unionByName(rule("o_totalprice_positive", o_agg, F.col("n"), F.col("v_price")))
+    )
+    return rules.withColumn("pass", F.col("n_violations") == 0)
