@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators import dedup
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
@@ -657,3 +658,69 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span hash; window derivation is map-side JVM array math."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.substring_span_audit(docs, span=_SPAN_N)
+
+
+@register(
+    "dedup_quality_survivor",
+    f"""
+WITH RECURSIVE {_hashed_jaccard_pairs_ctes(0.2, NGRAM_DOC_FREQ_CAP)},
+bi AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM bi
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bi b ON b.src = r.dst WHERE b.dst <> r.src
+),
+comp AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id FROM reach GROUP BY src),
+sc AS (
+  SELECT c.doc_id, c.group_id,
+         len(string_split_regex(lower(trim(d.text)), '\\s+')) AS n_tokens
+  FROM comp c JOIN documents d USING (doc_id)
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY group_id ORDER BY n_tokens DESC, doc_id
+  ) AS rn,
+  count(*) OVER (PARTITION BY group_id) AS n_members
+  FROM sc
+)
+SELECT group_id, doc_id AS survivor_id, n_members,
+       CAST(n_tokens AS BIGINT) AS survivor_tokens
+FROM rk WHERE rn = 1
+""",
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship — the step after group formation:
+    instead of dedup_connected_groups' keep-min-id convention, each
+    near-dup group keeps its LONGEST member (token count, doc_id
+    tie-break) — the containment heuristic: when a⊂b⊂c chain into one
+    group, the superset document survives. Same capped pair kernel +
+    two-phase closure; the survivor pick is one group-keyed window
+    over the group-sized table."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, n=3,
+        max_doc_freq=NGRAM_DOC_FREQ_CAP, shingle_hash="md5",
+    )
+    comp = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    sc = comp.join(toks, "doc_id")
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_tokens"), "doc_id")
+    wc = Window.partitionBy("group_id")
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("survivor_id"),
+            "n_members",
+            F.col("n_tokens").alias("survivor_tokens"),
+        )
+    )

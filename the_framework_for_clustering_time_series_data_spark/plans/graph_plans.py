@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators.graph import pagerank
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
@@ -136,3 +137,78 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _pr_caches:
         c.unpersist()
     return res
+
+
+@register(
+    "graph_triangle_count",
+    """
+WITH co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+),
+tri AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM co e1
+  JOIN co e2 ON e2.pa = e1.pb
+  JOIN co e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+pern AS (
+  SELECT part, count(*) AS n_triangles FROM (
+    SELECT x AS part FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY part
+),
+rk AS (
+  SELECT part, n_triangles,
+         row_number() OVER (ORDER BY n_triangles DESC, part) AS rn
+  FROM pern
+)
+SELECT part, n_triangles, CAST(rn AS INT) AS rank
+FROM rk WHERE rn <= 20
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (edges =
+    part pairs co-occurring in ≥2 orders, the q23 support convention):
+    per-part triangle participation, top-20 — the local-clustering
+    signal behind community/complementary-product detection.
+
+    Shape: the canonical ordered-wedge plan (node ids totally ordered,
+    edges stored (lo, hi)) — each triangle x<y<z is found exactly once
+    by joining wedge (x,y)+(y,z) against closing edge (x,z): two
+    equi-joins on edge endpoints, no direction double-count, wedge
+    fan-out bounded by the co-purchase support threshold. Top-k is
+    TakeOrdered with post-limit rank."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("_s"))
+        .where(F.col("_s") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = co.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = co.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = co.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pern = (
+        tri.select(F.col("x").alias("part"))
+        .unionAll(tri.select(F.col("y").alias("part")))
+        .unionAll(tri.select(F.col("z").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    top = pern.orderBy(F.desc("n_triangles"), "part").limit(20)
+    w = Window.orderBy(F.desc("n_triangles"), "part")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "part", "n_triangles", "rank"
+    )

@@ -446,9 +446,19 @@ def c9_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 — K-medoids (PAM alternation, deterministic farthest-point
     init) on the 2-D embedding: the outlier-robust centers-are-members
     clustering MLlib lacks. Assignment is a broadcast-k argmin; the
-    update step's per-cluster quadratic cost is hash-local (CLARA,
-    c9b, is the fleet-scale refinement)."""
-    return cluster.kmedoids(_emb_xy(spark, sf_dir), k=5)
+    update step's per-cluster quadratic cost is hash-local, so the
+    EXACT form is bounded to the 2000 points with the smallest
+    md5(series_id) — the deterministic-sample discipline
+    ts_pair_correlation uses; below the cap (sf0.01's 500 vectors)
+    output is identical to uncapped. CLARA (c9b) is the uncapped
+    fleet-scale path this exact baseline measures."""
+    e = _emb_xy(spark, sf_dir)
+    keep = (
+        e.select("series_id")
+        .orderBy(F.md5(F.col("series_id").cast("string")), "series_id")
+        .limit(2000)
+    )
+    return cluster.kmedoids(e.join(F.broadcast(keep), "series_id", "left_semi"), k=5)
 
 
 @register("c9b_kmedoids_clara")  # sampled PAM → rows-only oracle (blob/scale-tested)
