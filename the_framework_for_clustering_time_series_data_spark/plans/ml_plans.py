@@ -225,11 +225,67 @@ def e3_umap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
 
 
-@register("i3_resize")  # numpy area/linear resample kernel → rows-only
+@register(
+    "i3_resize",
+    f"""
+WITH {EV},
+sel AS (SELECT * FROM ev WHERE series_id < 5),
+s AS (
+  SELECT series_id, count(*) AS n, min(value) AS vmin, max(value) AS vmax
+  FROM sel GROUP BY 1
+),
+px AS MATERIALIZED (
+  SELECT a.series_id, a.t AS i, b.t AS j,
+         CAST(floor(abs(a.value - b.value) / (s.vmax - s.vmin) * 255)
+              AS DOUBLE) AS p
+  FROM sel a
+  JOIN sel b ON a.series_id = b.series_id
+  JOIN s ON a.series_id = s.series_id
+),
+ks AS (SELECT unnest(generate_series(0, 15)) AS k),
+co AS (
+  SELECT s.series_id, ks.k, s.n,
+         CASE WHEN ks.k = 15 THEN CAST(s.n - 1 AS DOUBLE)
+              ELSE ks.k * ((s.n - 1) / 15.0) END AS idx
+  FROM s CROSS JOIN ks
+),
+cof AS MATERIALIZED (
+  SELECT series_id, k, i0, idx - i0 AS fr FROM (
+    SELECT series_id, k, idx,
+           CAST(least(greatest(floor(idx), 0.0), n - 2) AS BIGINT) AS i0
+    FROM co)
+),
+ri AS MATERIALIZED (
+  SELECT r.series_id, r.k AS oi, p0.j,
+         p0.p * (1.0 - r.fr) + p1.p * r.fr AS v
+  FROM cof r
+  JOIN px p0 ON p0.series_id = r.series_id AND p0.i = r.i0
+  JOIN px p1 ON p1.series_id = r.series_id AND p1.i = r.i0 + 1 AND p1.j = p0.j
+),
+o AS (
+  SELECT r0.series_id, r0.v * (1.0 - c.fr) + r1.v * c.fr AS val
+  FROM cof c
+  JOIN ri r0 ON r0.series_id = c.series_id AND r0.j = c.i0
+  JOIN ri r1 ON r1.series_id = c.series_id AND r1.j = c.i0 + 1 AND r1.oi = r0.oi
+)
+SELECT series_id, 16 AS side,
+       round(CAST(sum(CAST(floor(least(greatest(val, 0), 255)) AS BIGINT))
+                  AS DOUBLE), 2) AS pixel_sum
+FROM o GROUP BY series_id
+""",
+)
 def i3_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I3 — image resize to 16×16 (app.py:457-473) of RP images for
     series_id < 5, digest form (per-series pixel-sum checksum) to keep
-    the output row set small and stable."""
+    the output row set small and stable.
+
+    Full value-hash oracle (formerly rows-only): the align-corners
+    bilinear kernel (imaging.resize_images) writes uint8 pixels, so the
+    digest is an ORDER-FREE integer sum — the oracle only needs the
+    same truncated ints, and the per-element interpolation
+    (rows-then-columns, (1-frac) as a runtime subtraction, linspace's
+    forced exact endpoint) is mirrored operation-for-operation in SQL;
+    IEEE determinism then makes every uint8 cast agree."""
     ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 5)
     images = imaging.recurrence_plot(align.to_nested(ev))
     resized = imaging.resize_images(images, 16)

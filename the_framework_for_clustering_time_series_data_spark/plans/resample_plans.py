@@ -392,14 +392,69 @@ def ts_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ts_holt_forecast")  # recursive smoothing → rows-only oracle
+@register(
+    "ts_holt_forecast",
+    """
+WITH RECURSIVE b AS (
+  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket,
+         avg(value) AS v_avg
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT series_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1),
+grid AS (
+  SELECT series_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket
+  FROM span
+),
+g AS (
+  SELECT grid.series_id, grid.bucket,
+         round(last_value(b.v_avg IGNORE NULLS) OVER (
+           PARTITION BY grid.series_id ORDER BY grid.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v
+  FROM grid LEFT JOIN b ON b.series_id = grid.series_id AND b.bucket = grid.bucket
+),
+n AS (
+  SELECT series_id, v,
+         row_number() OVER (PARTITION BY series_id ORDER BY bucket) AS rn
+  FROM g
+),
+-- state after consuming rn points: level/trend exactly as the Python
+-- recursion (init level=y1, trend=y2-y1; each step sees only the
+-- PREVIOUS iteration's rows — SQL-standard recursive semantics)
+holt(series_id, i, level, trend) AS (
+  SELECT n1.series_id, 1, n1.v, n2.v - n1.v
+  FROM n n1 JOIN n n2 ON n2.series_id = n1.series_id AND n2.rn = 2
+  WHERE n1.rn = 1
+  UNION ALL
+  SELECT h.series_id, h.i + 1,
+         0.5 * nx.v + (1.0 - 0.5) * (h.level + h.trend),
+         0.3 * ((0.5 * nx.v + (1.0 - 0.5) * (h.level + h.trend)) - h.level)
+           + (1.0 - 0.3) * h.trend
+  FROM holt h JOIN n nx ON nx.series_id = h.series_id AND nx.rn = h.i + 1
+),
+fin AS (
+  SELECT series_id, level, trend,
+         row_number() OVER (PARTITION BY series_id ORDER BY i DESC) AS rk
+  FROM holt
+)
+SELECT f.series_id, CAST(hs.h AS INT) AS h,
+       round_even(f.level + hs.h * f.trend, 6) AS yhat,
+       round_even(f.level, 6) AS level,
+       round_even(f.trend, 6) AS trend
+FROM fin f CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) hs
+WHERE f.rk = 1
+""",
+)
 def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day-ahead Holt linear-trend forecast per series, fit on the
     LOCF-gap-filled daily grid (uniform steps, as the recursion
     requires). Chain: daily rollup → dense grid → gap-fill (all
     declarative, one series-keyed exchange) → applyInPandas recursion
-    (same partitioning — no extra shuffle). Rows-only at the gate;
-    closed-form behavior pinned in tests/test_symbolic.py."""
+    (same partitioning — no extra shuffle). Full value-hash oracle: the
+    recursion is mirrored as a recursive CTE whose working table IS the
+    (level, trend) state — same IEEE double ops in the same order, with
+    (1.0 - α) written as the same runtime subtraction and DuckDB's
+    round_even matching Python's banker's round. Closed-form behavior
+    additionally pinned in tests/test_symbolic.py."""
     from the_framework_for_clustering_time_series_data_spark.operators import forecast
 
     ev = load_table(spark, sf_dir, "events")
