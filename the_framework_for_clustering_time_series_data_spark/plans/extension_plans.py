@@ -189,13 +189,46 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(d, n_frames=4, use_real=False)
 
 
-@register("mm_audio_features")  # stub decode kernel → rows-only oracle
+def _sha_byte(i: int) -> str:
+    """DuckDB expression for byte ``i`` of a sha256 hex digest ``s``."""
+    return f"CAST(('0x' || substr(s, {2 * i + 1}, 2)) AS INT)"
+
+
+@register(
+    "mm_audio_features",
+    f"""
+WITH h AS (SELECT doc_id, sha256(text) AS s FROM documents)
+SELECT doc_id,
+       round(1.0 + {_sha_byte(0)} / 8.0, 3) AS duration_s,
+       CAST(([8,16,22,44,48])[({_sha_byte(1)} % 5) + 1] * 1000 AS INT) AS sample_rate,
+       round(-({_sha_byte(2)} % 24) - {_sha_byte(3)} / 255.0, 3) AS peak_dbfs,
+       {", ".join(f"round({_sha_byte(4 + i)} / 255.0, 6) AS env_{i}" for i in range(8))}
+FROM h
+""",
+)
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: audio decode → (duration, rate, peak dBFS, RMS
-    envelope array) over mapInPandas (stub kernel — no
-    soundfile/ffmpeg in this container; batching/schema real)."""
+    envelope) over mapInPandas (no soundfile/ffmpeg in this
+    container, so the env-forced default is the deterministic sha256
+    stub kernel — which the DuckDB oracle reproduces bit-for-bit, so
+    the whole Arrow batching/schema path is value-checked like
+    mm_image_features; the real soundfile path stays behind use_real).
+    The operator's array<double> envelope is projected to scalar
+    env_i columns here because the driver's value hasher has no
+    cross-engine LIST contract (see tests/test_oracle_parity.py
+    _DUCK_FAMILY). Stub arithmetic keeps engine-agnostic rounding:
+    duration has 0.125 granularity (3-dp round is a no-op) and k/255
+    never lands on a half-ulp boundary, so Python banker's rounding
+    == DuckDB round."""
     d = multimodal.attach_payload(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_audio_features(d, n_windows=8, use_real=False)
+    feats = multimodal.extract_audio_features(d, n_windows=8, use_real=False)
+    return feats.select(
+        "doc_id",
+        "duration_s",
+        "sample_rate",
+        "peak_dbfs",
+        *[F.col("rms_envelope")[i].alias(f"env_{i}") for i in range(8)],
+    )
 
 
 @register(
