@@ -397,3 +397,14 @@ def test_quantile_segmentation_no_global_sort(spark):
             assert " ASC" not in head and " DESC" not in head, (
                 f"{name}: unpartitioned window over {spec[:80]}"
             )
+
+
+def test_epoch_shards_one_shard_keyed_exchange(spark):
+    """Epoch-shard layout must cost exactly one exchange — hash on
+    (epoch, shard) — with per-shard window sorts; a global-order
+    formulation would show a SinglePartition window exchange, which is
+    the 100 TB failure mode this plan exists to avoid."""
+    plan = _plan(spark, "corpus_epoch_shards")
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(epoch" in plan

@@ -629,3 +629,60 @@ def mix_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate",
         "share",
     )
+
+
+@register(
+    "corpus_epoch_shards",
+    """
+WITH e AS (
+  SELECT d.doc_id, CAST(ep.range AS INT) AS epoch,
+         md5(ep.range::VARCHAR || '#' || d.doc_id::VARCHAR) AS sk
+  FROM documents d CROSS JOIN range(0, 2) ep
+),
+s AS (
+  SELECT doc_id, epoch, sk,
+         CAST(('0x' || substr(sk, 1, 2))::INT % 8 AS INT) AS shard
+  FROM e
+)
+SELECT epoch, shard, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY sk, doc_id) AS BIGINT) AS pos
+FROM s
+""",
+)
+def corpus_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training-shard assignment: the data-loader layout
+    step between a packed corpus and a training run. Each epoch gets
+    its own deterministic global reshuffle — shard = first byte of
+    md5(epoch # doc_id) mod 8, in-shard read order = md5 order — so
+    epoch 1 visits documents in a different order than epoch 0 without
+    any rand() (same engine-reproducibility contract as
+    pack_sequences_chunks; md5 hex order is ASCII order in both
+    engines).
+
+    Scale shape: the only exchange is hash-partitioning on
+    (epoch, shard) and each row_number window sorts ONE shard — shards
+    are the parallelism unit (a real pipeline uses n_shards ≈ cluster
+    width, so per-shard sorts stay ~corpus/n_shards regardless of
+    total size; at 100 TB you'd raise n_shards, never this plan
+    shape). No global sort, no single-partition window; epochs fan out
+    executor-side from one corpus scan (explode, not a re-read)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    e = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    ).withColumn(
+        "sk",
+        F.md5(F.concat_ws("#", F.col("epoch"), F.col("doc_id"))),
+    )
+    s = e.withColumn(
+        "shard", (F.conv(F.substring("sk", 1, 2), 16, 10).cast("int") % 8).cast("int")
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("sk", "doc_id")
+    return s.select(
+        "epoch",
+        "shard",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
