@@ -526,13 +526,87 @@ def ts_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ts_lttb_downsample")  # sequential per-series selection → rows-only oracle
+# --- LTTB oracle: the sequential per-series selection as a DuckDB
+# recursive CTE.  The kernel's float arithmetic is replicated with the
+# SAME association order (area = (ax-cx)*(y_j-ay) - (ax-x_j)*(ay-cy),
+# bucket means as sequential sum/len, np.linspace edges as
+# trunc(1 + i*((n-2)/18)) with the last edge pinned to n-1 exactly like
+# endpoint=True), so the integer SELECTION — the only thing the picks
+# depend on — is bit-identical.  x is the ns epoch as DOUBLE, matching
+# pandas datetime64[ns].astype('int64') in the kernel.  DuckDB can't
+# name a subexpression inside a recursive term, so the candidate-area
+# lambda appears twice (once under argmax's list_indexof, once under
+# max) — generated here from one helper to keep them identical.
+def _lttb_mean(coord: str) -> str:
+    """Mean of the NEXT bucket's coordinate slice (1-based inclusive
+    DuckDB slice == Python [nxt_lo:nxt_hi))."""
+    stop = "CASE WHEN r.step + 2 < 19 THEN e.edges[r.step + 3] ELSE e.n END"
+    return (
+        f"list_aggregate(e.{coord}[e.edges[r.step + 2] + 1 : {stop}], 'sum')"
+        f" / ({stop} - e.edges[r.step + 2])"
+    )
+
+
+_LTTB_AREAS = f"""list_transform(
+  range(e.edges[r.step + 1], e.edges[r.step + 2]),
+  j -> abs((e.xs[r.cur_i + 1] - {_lttb_mean("xs")})
+             * (e.ys[j + 1] - e.ys[r.cur_i + 1])
+           - (e.xs[r.cur_i + 1] - e.xs[j + 1])
+             * (e.ys[r.cur_i + 1] - {_lttb_mean("ys")})))"""
+
+
+@register(
+    "ts_lttb_downsample",
+    f"""
+WITH RECURSIVE b AS (
+  SELECT user_id AS series_id, date_trunc('day', ts)::TIMESTAMP AS bucket,
+         avg(value) AS v_avg
+  FROM events GROUP BY 1, 2
+),
+arr AS (
+  SELECT series_id,
+         list(bucket ORDER BY bucket) AS bs,
+         list(CAST(epoch_ns(bucket) AS DOUBLE) ORDER BY bucket) AS xs,
+         list(v_avg ORDER BY bucket) AS ys,
+         count(*)::INT AS n
+  FROM b GROUP BY 1
+),
+ed AS (
+  SELECT series_id, n, xs, ys,
+         list_concat(
+           list_transform(range(0, 18),
+             i -> CAST(trunc(1.0 + i * ((n - 2.0) / 18.0)) AS INT)),
+           [n - 1]) AS edges
+  FROM arr
+),
+rec AS (
+  SELECT series_id, 0 AS step, 0 AS cur_i FROM ed
+  UNION ALL
+  SELECT r.series_id, r.step + 1,
+         e.edges[r.step + 1]
+           + list_indexof({_LTTB_AREAS}, list_aggregate({_LTTB_AREAS}, 'max')) - 1
+  FROM rec r JOIN ed e USING (series_id)
+  WHERE r.step < 18
+),
+picks AS (
+  SELECT series_id, step AS pick, cur_i AS i FROM rec
+  UNION ALL
+  SELECT series_id, 19 AS pick, n - 1 AS i FROM ed
+)
+SELECT p.series_id, a.bs[p.i + 1] AS bucket, round(a.ys[p.i + 1], 6) AS v,
+       CAST(p.pick AS INT) AS pick
+FROM picks p JOIN arr a USING (series_id)
+""",
+)
 def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB visual downsampling to 20 points per series over the daily
     rollup: the scale-safe rendering path for the reference's raw
     series plots (app.py:1734, 2253). Declarative rollup → one
     series-keyed applyInPandas; selection invariants pinned in
-    tests/test_symbolic.py."""
+    tests/test_symbolic.py; the full value-hash oracle above replays
+    the sequential pick loop as a recursive CTE (valid whenever every
+    series has > threshold points, which holds for the daily rollup at
+    every test SF — 21+ days per series)."""
     ev = load_table(spark, sf_dir, "events")
     daily = resample.bucket_rollup(ev, unit="day")
     return resample.lttb_downsample(daily, threshold=20)
