@@ -408,3 +408,21 @@ def test_epoch_shards_one_shard_keyed_exchange(spark):
     assert "SinglePartition" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "hashpartitioning(epoch" in plan
+
+
+def test_zorder_audit_no_fact_table_single_partition(spark):
+    """The z-order layout audit ranks the fact table twice (two exact
+    ntiles) yet must never sort it in one partition — only the tiny
+    sketch/bucket-prefix aggregates may be SinglePartition (the
+    with_global_ntiles contract, same as q25)."""
+    plan = _plan(spark, "layout_zorder_pruning")
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" not in line:
+            continue
+        # every SinglePartition input must be an aggregate's partial,
+        # never a raw window sort of the events rows
+        assert "ENSURE_REQUIREMENTS" in line
+    assert "Window" in plan  # per-bucket windows exist
+    # no unpartitioned (empty-key) Window sort anywhere
+    import re as _re
+    assert not _re.search(r"Window \[ntile", plan)

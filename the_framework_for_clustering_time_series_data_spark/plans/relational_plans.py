@@ -1670,3 +1670,78 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rule("o_totalprice_positive", o_agg, F.col("n"), F.col("v_price")))
     )
     return rules.withColumn("pass", F.col("n_violations") == 0)
+
+
+@register(
+    "layout_zorder_pruning",
+    """
+WITH b AS (
+  SELECT event_id, user_id, value,
+         ntile(64) OVER (ORDER BY user_id, event_id) - 1 AS bu,
+         ntile(64) OVER (ORDER BY value, event_id) - 1 AS bv
+  FROM events
+),
+z AS (
+  SELECT user_id, value,
+         (  (((bu >> 0) & 1) << 1)  | (((bv >> 0) & 1) << 0)
+          | (((bu >> 1) & 1) << 3)  | (((bv >> 1) & 1) << 2)
+          | (((bu >> 2) & 1) << 5)  | (((bv >> 2) & 1) << 4)
+          | (((bu >> 3) & 1) << 7)  | (((bv >> 3) & 1) << 6)
+          | (((bu >> 4) & 1) << 9)  | (((bv >> 4) & 1) << 8)
+          | (((bu >> 5) & 1) << 11) | (((bv >> 5) & 1) << 10)) // 256 AS file_id
+  FROM b
+)
+SELECT CAST(file_id AS INT) AS file_id, count(*) AS n_rows,
+       min(user_id) AS u_min, max(user_id) AS u_max,
+       round(min(value), 6) AS v_min, round(max(value), 6) AS v_max
+FROM z GROUP BY 1
+""",
+)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: the registry-visible twin of
+    sources/writers.write_zordered. Rows are ranked into 64 exact
+    equi-depth buckets per dimension (user_id and value,
+    event_id-tie-broken), the bucket ids bit-interleave into a Morton
+    code, and the code's top bits assign one of 16 output "files";
+    the per-file min/max column statistics this emits are exactly what
+    parquet footer pruning sees after such a write — every file narrow
+    in BOTH dimensions at once, which a lexicographic sort only gives
+    the leading key.
+
+    Scale shape: bucketing is operators/rank.with_global_ntiles (one
+    percentile-sketch aggregate broadcast back, per-range-bucket
+    windows — never a single-partition sort over the fact table;
+    same machinery as q25), the interleave is pure JVM-side integer
+    bit arithmetic, and the audit aggregate is one map-side-combined
+    groupBy on 16 keys. The oracle states the flat ntile form of the
+    same layout. write_zordered itself uses approxQuantile boundaries
+    (cheaper, rank-approximate) — equivalent layout, not bit-equal,
+    which is why the audit query pins the exact-ntile form."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    b = with_global_ntiles(
+        ev,
+        64,
+        [
+            ("bu", ["user_id", "event_id"], None),
+            ("bv", ["value", "event_id"], None),
+        ],
+    ).select(
+        "user_id",
+        "value",
+        (F.col("bu") - 1).alias("bu"),
+        (F.col("bv") - 1).alias("bv"),
+    )
+    z = F.lit(0)
+    for i in range(6):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright("bu", i).bitwiseAND(F.lit(1)), 2 * i + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright("bv", i).bitwiseAND(F.lit(1)), 2 * i))
+        )
+    files = b.withColumn("file_id", (z / 256).cast("int"))
+    return files.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
