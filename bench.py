@@ -67,6 +67,12 @@ HEADLINE = [
     "ts_pair_correlation",
     "c4_silhouette_selection",
     "c9b_kmedoids_clara",
+    # round-3 late additions: the two new layout/ordering plans (both
+    # built on the distributed-ntile/prefix machinery) and the LTTB
+    # render path now that its oracle pins the pick loop
+    "layout_zorder_pruning",
+    "corpus_epoch_shards",
+    "ts_lttb_downsample",
 ]
 
 

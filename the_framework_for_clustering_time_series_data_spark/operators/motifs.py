@@ -232,9 +232,13 @@ def matrix_profile(
     motif. Series with fewer than m + ⌈m/2⌉ + 1 points drop (no
     non-excluded neighbor exists).
 
-    Rows-only at the driver gate (per-series NumPy kernel); tests plant
-    identical subsequences and assert mutual nearest neighbors at
-    distance ≈ 0 (tests/test_symbolic.py).
+    Oracle-checked at the driver gate: ts_matrix_profile's DuckDB SQL
+    replays this kernel pairwise (same association order everywhere
+    except the dgemm inner products, whose ≤1-ulp drift is absorbed by
+    the 6-dp round; the degenerate pins are exact constants in both
+    engines, so their ties break identically by index). Tests also
+    plant identical subsequences and assert mutual nearest neighbors
+    at distance ≈ 0 (tests/test_symbolic.py).
     """
     import numpy as np
     import pandas as pd

@@ -612,7 +612,79 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample.lttb_downsample(daily, threshold=20)
 
 
-@register("ts_matrix_profile")  # per-series NumPy kernel → rows-only oracle
+@register(
+    "ts_matrix_profile",
+    """
+WITH b AS (
+  SELECT user_id AS series_id, date_trunc('day', ts)::TIMESTAMP AS bucket, avg(value) AS v_avg
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT series_id, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1),
+grid AS (
+  SELECT series_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket FROM span
+),
+g AS (
+  SELECT grid.series_id, grid.bucket,
+         round(last_value(b.v_avg IGNORE NULLS) OVER (
+           PARTITION BY grid.series_id ORDER BY grid.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v
+  FROM grid LEFT JOIN b USING (series_id, bucket)
+),
+arr AS (SELECT series_id, list(v ORDER BY bucket) AS vs, count(*)::INT AS n FROM g GROUP BY 1),
+wi AS (
+  SELECT series_id, vs, CAST(unnest(range(0, n - 6)) AS INT) AS i
+  FROM arr WHERE n - 6 >= 6
+),
+st AS (
+  SELECT series_id, vs, i,
+         list_aggregate(vs[i + 1 : i + 7], 'sum') / 7.0 AS mu
+  FROM wi
+),
+st2 AS (
+  SELECT series_id, vs, i, mu,
+         sqrt(list_aggregate(list_transform(vs[i + 1 : i + 7],
+                x -> (x - mu) * (x - mu)), 'sum') / 7.0) AS sd
+  FROM st
+),
+pr AS (
+  SELECT a.series_id, a.i, b.i AS j,
+         CASE
+           WHEN a.sd < 1e-12 AND b.sd < 1e-12 THEN 0.0
+           WHEN (a.sd < 1e-12) != (b.sd < 1e-12) THEN 14.0
+           ELSE least(greatest(14.0 * (1.0 -
+             ((list_aggregate(list_transform(range(0, 7),
+                  k -> a.vs[a.i + k + 1] * b.vs[b.i + k + 1]), 'sum')
+               - 7.0 * (a.mu * b.mu))
+              / (7.0 * ((CASE WHEN a.sd < 1e-12 THEN 1.0 ELSE a.sd END)
+                        * (CASE WHEN b.sd < 1e-12 THEN 1.0 ELSE b.sd END))))),
+             0.0), 28.0)
+         END AS d2
+  FROM st2 a JOIN st2 b
+    ON a.series_id = b.series_id AND abs(a.i - b.i) >= 4
+),
+nn AS (
+  SELECT series_id, i AS idx, j AS nn_idx, d2,
+         row_number() OVER (PARTITION BY series_id, i ORDER BY d2, j) AS rn
+  FROM pr
+),
+prof AS (
+  SELECT series_id, idx, nn_idx, round(sqrt(d2), 6) AS mp FROM nn WHERE rn = 1
+),
+ranked AS (
+  SELECT series_id, idx, nn_idx, mp,
+         row_number() OVER (PARTITION BY series_id ORDER BY mp ASC, idx ASC) AS rm,
+         row_number() OVER (PARTITION BY series_id ORDER BY mp DESC, idx ASC) AS rd
+  FROM prof
+)
+SELECT series_id,
+       CAST(min(CASE WHEN rm = 1 THEN idx END) AS INT) AS motif_idx,
+       CAST(min(CASE WHEN rm = 1 THEN nn_idx END) AS INT) AS motif_nn_idx,
+       min(CASE WHEN rm = 1 THEN mp END) AS motif_mp,
+       CAST(min(CASE WHEN rd = 1 THEN idx END) AS INT) AS discord_idx,
+       min(CASE WHEN rd = 1 THEN mp END) AS discord_mp
+FROM ranked GROUP BY 1
+""",
+)
 def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series matrix-profile summary over the LOCF daily grid
     (window m=7): the top MOTIF (lowest-profile window pair — the most
