@@ -33,7 +33,15 @@ def grouped_apply(
 ) -> DataFrame:
     import pandas as pd
 
-    rep = df.repartition(*key_cols)
+    # Explicit partition count: a bare repartition(cols) lets AQE
+    # coalesce this exchange by BYTE size, and a per-series rollup is
+    # tiny in bytes while expensive in per-group Python — AQE folds it
+    # to one partition and the whole kernel runs on a single worker
+    # (measured 7.5 s → 2.0 s for ts_lttb_downsample at sf0.1). The
+    # cost model that matters here is groups-per-core, so pin the
+    # shuffle width instead of letting the byte-based model shrink it.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    rep = df.repartition(n_parts, *key_cols)
 
     def run(batches):
         buf = list(batches)
