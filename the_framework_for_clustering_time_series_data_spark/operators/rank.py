@@ -10,20 +10,31 @@ per-series tables a 100 TB corpus produces.
 
 This module computes the *bit-identical* ntile result distributively:
 
-1. **Range buckets from a sketch.** One ``percentile_approx`` aggregate
-   over a numeric proxy of the leading sort key yields ~``buckets``
-   boundary values (a single sketch row — broadcast). Every row's
-   bucket = #boundaries ≤ its proxy, a JVM ``size(filter(...))`` over a
+1. **Range buckets from a sketch.** One eager ``approxQuantile`` pass
+   over the numeric proxies of all leading sort keys yields ~``buckets``
+   boundary values per spec, held on the driver (≤ buckets×specs
+   doubles) and embedded as array LITERALS. Every row's bucket =
+   #boundaries ≤ its proxy, a JVM ``size(filter(...))`` over a
    63-element array. Buckets are contiguous spans of the global order
    by construction (the proxy is monotone in the leading key), so
    bucket boundaries never have to be *accurate* — only order-aligned.
    Sketch error only skews bucket SIZES, never the final rank.
+   Literals, not a broadcast of a lazy sketch aggregate: the input
+   subtree feeds the bucket histogram AND each spec's output lineage,
+   and Spark's exchange reuse does NOT dedupe the sketch across those
+   consumers (measured: six scan+sketch executions per
+   two-spec query) — one driver-held pass makes the sketch cost exactly
+   one job regardless of how many lineages consume the buckets. The
+   eager action at call time is deliberate and mirrors
+   sources/writers.write_zordered.
 2. **Local rank.** ``row_number`` partitioned by bucket — a parallel
    hash exchange, each partition sorting ~N/buckets rows.
-3. **Exact offsets.** Bucket counts aggregate to ≤ buckets×specs rows;
-   their prefix sums (a constant-size window) broadcast back. Global
-   rank = bucket offset + local rank — exact, independent of where the
-   sketch put the boundaries.
+3. **Exact offsets.** Bucket counts aggregate to ≤ buckets×specs rows
+   in one eager pass; their prefix sums embed as a map LITERAL (no
+   join of the fact lineage back onto itself — the self-join form both
+   recomputed the input per consumer and tripped Catalyst's relation
+   dedup). Global rank = bucket offset + local rank — exact,
+   independent of where the sketch put the boundaries.
 4. **Closed-form ntile.** With N = total rows, q = N div k,
    r = N mod k, SQL-standard ntile gives the first r tiles q+1 rows:
    ``tile = (rank-1) div (q+1) + 1`` when ``rank <= r*(q+1)`` else
@@ -32,10 +43,12 @@ This module computes the *bit-identical* ntile result distributively:
    key), so DuckDB oracles keep stating the flat ``ntile() OVER``
    form — the point of the comparison.
 
-Shuffle budget per scored column: one hash exchange of the table on the
-bucket key + one broadcast join; all metadata passes reuse the input's
-aggregate exchange (Spark exchange reuse), so the input is physically
-computed once.
+Cost model: two eager metadata jobs at call time (the quantile sketch
+and the bucket histogram — each one scan with map-side partials,
+yielding driver-held literals), then a returned plan that scans the
+input ONCE with one hash exchange + per-bucket window per scored
+column. Callers composing several lazy consumers of the result pay no
+re-derivation of the metadata — that is the point of the literals.
 """
 
 from __future__ import annotations
@@ -69,33 +82,38 @@ def with_global_ntiles(
     """
     if not 2 <= buckets <= 4096:
         raise ValueError("buckets must be in [2, 4096]")
-    fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
-
     base = df
     for i, (_, order_cols, proxy) in enumerate(specs):
         pv = proxy if proxy is not None else F.col(order_cols[0]).cast("double")
         base = base.withColumn(f"_pv{i}", pv.cast("double"))
+    # one materialization feeds the two metadata jobs AND the returned
+    # plan (executor-local blocks, reclaimed by the ContextCleaner when
+    # the frame is dropped — no session cache leak); without it each
+    # consumer recomputes the upstream pipeline per job
+    base = base.localCheckpoint(eager=False)
 
-    # 1. all boundary arrays in ONE aggregate pass (single broadcast row)
-    bounds = base.agg(
-        *[
-            F.percentile_approx(f"_pv{i}", fracs, F.lit(_SKETCH_ACCURACY)).alias(
-                f"_bounds{i}"
-            )
-            for i in range(len(specs))
-        ]
+    # 1. all boundary arrays in ONE eager pass, driver-held, embedded
+    # as literals (see module docstring: exchange reuse does not dedupe
+    # a lazy sketch across this plan's multiple consumers of the input)
+    probs = [i / buckets for i in range(1, buckets)]
+    all_bounds = base.stat.approxQuantile(
+        [f"_pv{i}" for i in range(len(specs))], probs, 0.01
     )
+
     def _le_pv(i: int):
         return lambda b: b <= F.col(f"_pv{i}")
 
-    tagged = base.crossJoin(F.broadcast(bounds))
+    tagged = base
     for i in range(len(specs)):
+        barr = F.array(*[F.lit(float(b)) for b in all_bounds[i]])
         tagged = tagged.withColumn(
-            f"_bk{i}", F.size(F.filter(f"_bounds{i}", _le_pv(i)))
+            f"_bk{i}", F.size(F.filter(barr, _le_pv(i)))
         )
-    tagged = tagged.drop(*[f"_bounds{i}" for i in range(len(specs))])
 
-    # 2. exact per-bucket counts for every spec in one tiny aggregate
+    # 2. exact per-bucket counts for every spec in one tiny aggregate,
+    # collected (≤ buckets×specs rows) and embedded as map LITERALS —
+    # no self-join of the fact lineage, so the returned plan is ONE
+    # scan, one exchange per spec, per-bucket windows, literal lookups
     pairs = F.explode(
         F.array(
             *[
@@ -106,41 +124,39 @@ def with_global_ntiles(
             ]
         )
     )
-    hist = (
+    hist_rows = (
         tagged.select(pairs.alias("_p"))
         .select("_p._i", "_p._bk")
         .groupBy("_i", "_bk")
         .agg(F.count("*").alias("_bn"))
-    )
-    w_pre = (
-        Window.partitionBy("_i").orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = hist.select(
-        "_i",
-        "_bk",
-        F.coalesce(F.sum("_bn").over(w_pre), F.lit(0)).alias("_off"),
-        F.sum("_bn").over(Window.partitionBy("_i")).alias("_N"),
+        .collect()
     )
 
-    # 3+4. per spec: partitioned local rank + broadcast offsets + formula
+    # 3+4. per spec: partitioned local rank + literal offsets + formula
     out = tagged
     for i, (out_col, order_cols, _) in enumerate(specs):
         w_in = Window.partitionBy(f"_bk{i}").orderBy(*order_cols)
-        off_i = offsets.where(F.col("_i") == i).select(
-            F.col("_bk").alias(f"_bk{i}"), "_off", "_N"
+        counts = sorted((r["_bk"], r["_bn"]) for r in hist_rows if r["_i"] == i)
+        offs: dict[int, int] = {}
+        acc = 0
+        for bk, cnt in counts:
+            offs[bk] = acc
+            acc += cnt
+        big_n = acc
+        off_map = F.create_map(
+            *[
+                c
+                for bk, off in offs.items()
+                for c in (F.lit(bk), F.lit(off).cast("long"))
+            ]
         )
-        rank = F.col("_off") + F.row_number().over(w_in)
-        q = F.floor(F.col("_N") / n)
-        rem = F.col("_N") % n
+        rank = F.element_at(off_map, F.col(f"_bk{i}")) + F.row_number().over(w_in)
+        q, rem = divmod(big_n, n)
         thr = rem * (q + 1)
         tile = F.when(
-            rank <= thr, F.floor((rank - 1) / (q + 1)) + 1
+            rank <= F.lit(thr), F.floor((rank - 1) / (q + 1)) + 1
         ).otherwise(rem + F.floor((rank - thr - 1) / q) + 1)
-        out = (
-            out.join(F.broadcast(off_i), f"_bk{i}")
-            .withColumn(out_col, tile.cast("int"))
-            .drop("_off", "_N")
-        )
+        out = out.withColumn(out_col, tile.cast("int"))
     return out.drop(
         *[f"_pv{i}" for i in range(len(specs))],
         *[f"_bk{i}" for i in range(len(specs))],
@@ -172,32 +188,40 @@ def with_global_cumsum(
     """
     if not 2 <= buckets <= 4096:
         raise ValueError("buckets must be in [2, 4096]")
-    fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
     base = df.withColumn("_pv", proxy.cast("double")).withColumn("_wt", weight)
-    bounds = base.agg(
-        F.percentile_approx("_pv", fracs, F.lit(_SKETCH_ACCURACY)).alias("_bounds")
+    # one materialization for metadata jobs + returned plan (see
+    # with_global_ntiles)
+    base = base.localCheckpoint(eager=False)
+    # driver-held boundary literals, one eager pass — same rationale as
+    # with_global_ntiles (exchange reuse does not dedupe a lazy sketch
+    # across the histogram and output lineages)
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = base.stat.approxQuantile("_pv", probs, 0.01)
+    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    tagged = base.withColumn(
+        "_bk", F.size(F.filter(barr, lambda b: b <= F.col("_pv")))
     )
-    tagged = (
-        base.crossJoin(F.broadcast(bounds))
-        .withColumn("_bk", F.size(F.filter("_bounds", lambda b: b <= F.col("_pv"))))
-        .drop("_bounds")
+    # bucket totals collected (≤ buckets rows) and their prefix sums
+    # embedded as a map literal — same no-self-join shape as
+    # with_global_ntiles
+    btot = sorted(
+        (r["_bk"], r["_bt"])
+        for r in tagged.groupBy("_bk").agg(F.sum("_wt").alias("_bt")).collect()
     )
-    btot = tagged.groupBy("_bk").agg(F.sum("_wt").alias("_bt"))
-    # this window is unpartitioned BY DESIGN: it covers the <= buckets
-    # -row bucket-totals table, bounded whatever the input size; the
-    # plan-lock tests recognize the _bk ordering key as the bounded
-    # -metadata marker
-    w_pre = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = btot.select(
-        "_bk", F.coalesce(F.sum("_bt").over(w_pre), F.lit(0)).alias("_off")
+    offs: dict[int, object] = {}
+    acc = 0
+    for bk, tot in btot:
+        offs[bk] = acc
+        acc += tot
+    off_t = "double" if any(isinstance(v, float) for v in offs.values()) else "long"
+    off_map = F.create_map(
+        *[c for bk, off in offs.items() for c in (F.lit(bk), F.lit(off).cast(off_t))]
     )
     w_in = (
         Window.partitionBy("_bk")
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        tagged.join(F.broadcast(offsets), "_bk")
-        .withColumn(out_col, F.col("_off") + F.sum("_wt").over(w_in))
-        .drop("_pv", "_wt", "_bk", "_off")
-    )
+    return tagged.withColumn(
+        out_col, F.element_at(off_map, F.col("_bk")) + F.sum("_wt").over(w_in)
+    ).drop("_pv", "_wt", "_bk")
