@@ -134,3 +134,19 @@ def test_global_cumsum_matches_flat_window(spark):
         ).collect()
     }
     assert flat == mine
+
+
+def test_empty_input(spark):
+    """Zero-row input: the metadata jobs yield empty boundary/offset
+    literals (a zero-entry create_map) and the plan still builds and
+    returns zero rows for both rank forms."""
+    from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_cumsum
+
+    df = spark.createDataFrame([], "id long, v double")
+    assert with_global_ntiles(df, 4, [("t", ["v", "id"], None)]).count() == 0
+    assert (
+        with_global_cumsum(
+            df, [F.col("v"), F.col("id")], F.lit(1).cast("long"), "c", F.col("v")
+        ).count()
+        == 0
+    )
