@@ -57,10 +57,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# One sketch row of ~buckets doubles is broadcast; rank exactness does
-# not depend on sketch accuracy (see module docstring), so a cheap
-# sketch is enough.
-_SKETCH_ACCURACY = 1000
+# Rank exactness does not depend on sketch accuracy (see module
+# docstring), so approxQuantile runs at a loose 0.01 relative error.
+_SKETCH_RELATIVE_ERROR = 0.01
 
 
 def with_global_ntiles(
@@ -97,7 +96,7 @@ def with_global_ntiles(
     # a lazy sketch across this plan's multiple consumers of the input)
     probs = [i / buckets for i in range(1, buckets)]
     all_bounds = base.stat.approxQuantile(
-        [f"_pv{i}" for i in range(len(specs))], probs, 0.01
+        [f"_pv{i}" for i in range(len(specs))], probs, _SKETCH_RELATIVE_ERROR
     )
 
     def _le_pv(i: int):
@@ -196,7 +195,7 @@ def with_global_cumsum(
     # with_global_ntiles (exchange reuse does not dedupe a lazy sketch
     # across the histogram and output lineages)
     probs = [i / buckets for i in range(1, buckets)]
-    bounds = base.stat.approxQuantile("_pv", probs, 0.01)
+    bounds = base.stat.approxQuantile("_pv", probs, _SKETCH_RELATIVE_ERROR)
     barr = F.array(*[F.lit(float(b)) for b in bounds])
     tagged = base.withColumn(
         "_bk", F.size(F.filter(barr, lambda b: b <= F.col("_pv")))
