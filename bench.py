@@ -122,19 +122,42 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf),
-            }
-        )
-    )
+    # The driver tail-captures only the LAST ~2000 chars of stdout, so the
+    # single stdout JSON line must stay compact: steady per-query map only
+    # (the spec's required "queries" key), totals, and a pointer to the
+    # full detail file.  Cold per-query timings (which doubled the line
+    # past the capture window in round 3 and left BENCH_r03.json with
+    # parsed: null) go to BENCH_FULL.json instead.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": float(sf),
+    }
+    detail_path = os.path.join(REPO, "BENCH_FULL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": full["cold_total"],
+        "sf": float(sf),
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        # stay inside the driver's capture window: drop to the slowest
+        # queries only (full map is always in BENCH_FULL.json)
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+        compact["queries"] = slowest
+        compact["queries_truncated_to_slowest"] = len(slowest)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

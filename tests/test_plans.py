@@ -338,6 +338,55 @@ def test_capped_jaccard_no_shingle_strings_in_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_exact_jaccard_doc_sample_bounds_self_join(spark):
+    # the EXACT jaccard form's registered plan must be bounded by the
+    # deterministic md5 doc sample: a GlobalLimit (the cap) feeding a
+    # broadcast LEFT SEMI join upstream of the shingle self-join, so the
+    # pair budget is <= cap^2/2 at any corpus size
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    # Catalyst compiles orderBy+limit into TakeOrderedAndProject (the
+    # distributed top-k — no global sort materializes)
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_jaccard_doc_cap_identity_below_cap(spark):
+    # sf0.01 has 500 docs < _JACCARD_DOC_CAP, so the capped registered
+    # form must be row-for-row identical to the uncapped kernel there
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup as dd
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    capped = set(
+        tuple(r) for r in QUERIES["dedup_ngram_jaccard"](spark, SF_ORACLE).collect()
+    )
+    uncapped = set(
+        tuple(r)
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.2, n=3).collect()
+    )
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_exact_jaccard_doc_cap_restricts_ids(spark):
+    # with max_docs smaller than the corpus, every output id must come
+    # from the deterministic md5 sample — and the sample is stable
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup as dd
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    keep = {
+        r[0]
+        for r in docs.select("doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(50)
+        .collect()
+    }
+    out = dd.ngram_jaccard_pairs(docs, threshold=0.05, n=3, max_docs=50).collect()
+    ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
+    assert ids <= keep
+
+
 def test_minhash_portable_prunes_verify_behind_semi_join(spark):
     # pass 2 (exact shingle sets) must scan documents behind a
     # broadcast semi-join on candidate ids, pushed before tokenization.

@@ -104,6 +104,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
     shingle_hash: str | None = None,
+    max_docs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity ≥
     threshold.
@@ -127,6 +128,15 @@ def ngram_jaccard_pairs(
     hashes instead — no shingle strings ever materialize or shuffle
     (the scale form; ``"md5"`` is the portable family a DuckDB oracle
     reproduces bit-identically, see ``_hashed_shingles``).
+
+    ``max_docs`` (off by default) bounds the EXACT form's otherwise
+    unbounded Σ df² self-join by restricting it to a deterministic
+    document sample: the ``max_docs`` ids with the smallest
+    md5(id) (stable across engines and corpus growth — the
+    ``ts_pair_correlation`` sampling discipline). Below the cap the
+    output is identical to the uncapped form; above it, the pair
+    budget is a constant ≤ max_docs²/2 regardless of corpus size.
+    Jaccard within the sample is exact.
     """
     from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import ensure_min_parallelism
 
@@ -135,7 +145,15 @@ def ngram_jaccard_pairs(
         if shingle_hash is None
         else _hashed_shingles(text_col, n, family=shingle_hash)
     )
-    docs = ensure_min_parallelism(df).select(
+    base = ensure_min_parallelism(df)
+    if max_docs is not None:
+        keep = (
+            base.select(F.col(id_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(max_docs)
+        )
+        base = base.join(F.broadcast(keep), id_col, "left_semi")
+    docs = base.select(
         F.col(id_col).alias("id"), sh_col.alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     ex = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))

@@ -26,17 +26,30 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
+#: Deterministic document-sample cap bounding the EXACT Jaccard form's
+#: self-join (the ts_pair_correlation sampling discipline): the
+#: _JACCARD_DOC_CAP docs with the smallest md5(doc_id) — stable across
+#: engines and corpus growth, pair budget ≤ cap²/2 at ANY corpus size.
+#: sf0.01's 500 documents sit below the cap, so the registered output
+#: is identical to the uncapped form there (oracle continuity).
+_JACCARD_DOC_CAP = 1000
+
+
 @register(
     "dedup_ngram_jaccard",
-    """
-WITH d AS (
+    f"""
+WITH keep AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT {_JACCARD_DOC_CAP}
+),
+d AS (
   SELECT doc_id AS id,
          list_distinct([
            array_to_string(toks[i:i+2], ' ')
            FOR i IN range(1, len(toks) - 1)
          ]) AS sh
   FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-        FROM documents)
+        FROM documents JOIN keep USING (doc_id))
   WHERE len(toks) >= 3
 ),
 e AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS shingle FROM d),
@@ -55,10 +68,14 @@ WHERE n_inter / (n_a + n_b - n_inter) >= 0.2
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs (threshold 0.2) via
     inverted-index join — only co-shingled pairs are compared. The
-    EXACT (uncapped, string-shingle) form, kept as the oracle-literal
-    reference; the scale form is dedup_ngram_jaccard_capped."""
+    EXACT (string-shingle) form, kept as the oracle-literal reference
+    and bounded by a deterministic {_JACCARD_DOC_CAP}-doc md5 sample
+    stated in BOTH engines (identical to uncapped below the cap —
+    sf0.01 has 500 docs). The corpus-wide scale form is
+    dedup_ngram_jaccard_capped (hashed shingles + df cap)."""
     return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.2, n=3
+        load_table(spark, sf_dir, "documents"), threshold=0.2, n=3,
+        max_docs=_JACCARD_DOC_CAP,
     )
 
 
