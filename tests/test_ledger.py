@@ -1,0 +1,53 @@
+"""Coverage-ledger integrity: every query name CLAIMED in SURVEY.md §8
+or OPERATORS.md must exist in the live registry — the ledger is the
+coverage contract a reader greps, and round 3 shipped two names that
+had drifted from the registry (audit_repeated_spans /
+dsir_importance_sample)."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+#: snake_case prefixes that denote REGISTERED QUERY names when they
+#: appear in SURVEY §8 prose (helper functions/operators are named
+#: outside these families or carry module paths)
+_QUERY_PREFIX = re.compile(
+    r"^(q\d+|ts|dedup|sim|mm|dq|corpus|layout|mix|dsir|text|pack|curate|"
+    r"graph|st|flagship|[acdegijprt]\d+[a-z]?|sj\d+|k\d+)_[a-z0-9_]+$"
+)
+
+#: §8 identifiers matching the prefix families that are NOT registry
+#: queries (operator/function names cited in prose)
+_EXEMPT = {
+    "graph_plans",  # module name cited in prose, not a query
+}
+
+
+def _registry_names():
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+
+    return set(QUERIES)
+
+
+def test_survey_s8_names_exist_in_registry():
+    text = Path(REPO / "SURVEY.md").read_text()
+    s8 = text.split("## 8.", 1)[1]
+    tokens = set(re.findall(r"[a-z][a-z0-9_]*", s8))
+    claimed = {
+        t for t in tokens if _QUERY_PREFIX.match(t) and t not in _EXEMPT
+    }
+    missing = sorted(claimed - _registry_names())
+    assert not missing, f"SURVEY §8 claims unregistered query names: {missing}"
+
+
+def test_operators_md_in_sync_with_registry():
+    text = Path(REPO / "OPERATORS.md").read_text()
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    reg = _registry_names()
+    assert listed == reg, (
+        f"OPERATORS.md stale — regenerate with tools/gen_operators_md.py; "
+        f"extra={sorted(listed - reg)[:5]} missing={sorted(reg - listed)[:5]}"
+    )

@@ -54,6 +54,16 @@ def test_no_hugeint_or_exotic_types():
     )
 
 
+def test_allowed_matches_parity_family_surface():
+    """The two type gates (this file's ALLOWED and test_oracle_parity's
+    _DUCK_FAMILY) must enforce the SAME DuckDB-type surface — they
+    drifted once (TIMESTAMP_NS) and the gap let one gate pass types the
+    other rejected."""
+    from tests.test_oracle_parity import _DUCK_FAMILY
+
+    assert ALLOWED == set(_DUCK_FAMILY)
+
+
 def test_sweep_detects_introduced_hugeint():
     """The gate itself must trip on a bare integer sum (HUGEINT)."""
     con = _con()

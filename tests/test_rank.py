@@ -150,3 +150,38 @@ def test_empty_input(spark):
         ).count()
         == 0
     )
+
+
+def test_global_cumsum_decimal_weights(spark):
+    """Decimal weight columns must keep fractional bucket offsets:
+    offset literals follow SUM's Catalyst output type (decimal), not a
+    long cast that silently truncates. Compared against the flat
+    single-partition window, which Spark types identically."""
+    from decimal import Decimal
+
+    from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_cumsum
+
+    rows = [(i, Decimal(f"{(i * 7) % 50}.{(i * 13) % 100:02d}")) for i in range(800)]
+    df = spark.createDataFrame(rows, "id long, w decimal(10,2)")
+    flat = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum",
+            F.sum("w").over(
+                Window.orderBy(F.desc("w"), "id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    mine = {
+        r["id"]: r["cum"]
+        for r in with_global_cumsum(
+            df,
+            [F.desc("w"), F.col("id")],
+            F.col("w"),
+            "cum",
+            -F.col("w").cast("double"),
+        ).collect()
+    }
+    assert flat == mine

@@ -174,6 +174,64 @@ def test_lttb_keeps_extremum(spark):
     assert any(abs(r["v"] - 1000.0) < 1e-9 for r in out)
 
 
+def test_lttb_sequential_means_long_series(spark):
+    """On a 500-point series (next-bucket slices of ~26 points — well
+    inside numpy's >=8-element pairwise-summation regime) the kernel's
+    picks must equal a pure-Python reference that sums bucket means
+    sequentially left-to-right, the association order the DuckDB oracle
+    uses. Locks the sequential-mean contract the oracle's
+    bit-identical-selection claim depends on."""
+    import datetime
+    import random
+
+    from the_framework_for_clustering_time_series_data_spark.operators import resample
+
+    rng = random.Random(7)
+    base = datetime.datetime(2024, 1, 1)
+    pts = [
+        (base + datetime.timedelta(days=i), rng.uniform(-5, 5))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        [(1, b, v) for b, v in pts],
+        "series_id long, bucket timestamp, v_avg double",
+    )
+    got = sorted(
+        (r["pick"], r["bucket"]) for r in
+        resample.lttb_downsample(df, threshold=20).collect()
+    )
+
+    # pure-Python sequential reference (no numpy in the hot arithmetic)
+    x = [float(b.timestamp() * 1e9) for b, _ in pts]
+    y = [v for _, v in pts]
+    n = len(pts)
+    import numpy as np
+
+    edges = np.linspace(1, n - 1, 19).astype(int)
+    idx = [0]
+    for b in range(18):
+        lo, hi = edges[b], edges[b + 1]
+        nxt_lo = edges[b + 1]
+        nxt_hi = edges[b + 2] if b + 2 < len(edges) else n
+        ax, ay = x[idx[-1]], y[idx[-1]]
+        sx = 0.0
+        sy = 0.0
+        for j in range(nxt_lo, nxt_hi):
+            sx += x[j]
+            sy += y[j]
+        w = nxt_hi - nxt_lo
+        cx, cy = sx / w, sy / w
+        best, best_a = lo, -1.0
+        for j in range(lo, hi):
+            a = abs((ax - cx) * (y[j] - ay) - (ax - x[j]) * (ay - cy))
+            if a > best_a:
+                best, best_a = j, a
+        idx.append(best)
+    idx.append(n - 1)
+    want = sorted((p, pts[i][0]) for p, i in enumerate(idx))
+    assert got == want
+
+
 def test_matrix_profile_planted_motif(spark):
     # sawtooth noise base + the SAME sharp spike shape planted at t=10
     # and t=40: those two windows must be mutual nearest neighbors at

@@ -33,9 +33,23 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     No-op when the scan already has ≥ defaultParallelism × factor
     partitions — on a real cluster reading a 100 TB table (thousands of
     splits) this never fires; it only corrects the
-    few-files-many-cores imbalance."""
+    few-files-many-cores imbalance.
+
+    Probe order: ``df.inputFiles()`` first — metadata already cached on
+    the file-source relation, no physical planning. Each file yields at
+    least one scan partition, so ``files ≥ target`` proves the no-op
+    without ever converting the plan to an RDD (the ``df.rdd`` probe
+    re-plans the query on EVERY call — a fixed cost this helper used to
+    pay even on wide production scans). Only the narrow/non-file cases
+    fall through to the exact RDD-partition probe."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - sources without file listings
+        files = []
+    if len(files) >= target:
+        return df
     try:
         cur = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - exotic plans without RDD conversion
@@ -43,6 +57,46 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     if cur < target:
         return df.repartition(target)
     return df
+
+
+def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage-truncating materialization for iterative loops and
+    multi-consumer plans — the engine's single switch between the two
+    Spark checkpoint flavors:
+
+    - default: ``localCheckpoint`` — executor-local blocks, no dir
+      needed, fast. CAVEAT: blocks are UNREPLICATED and executor-bound;
+      on a cluster with dynamic allocation / spot nodes, losing one
+      executor makes every plan built on the checkpoint unrecoverable
+      (the lineage was truncated), and the full frame must fit the
+      executors' memory+disk.
+    - ``spark.graft.checkpoint.reliable=true`` (session conf, opt-in):
+      ``df.checkpoint()`` against the ``sc.setCheckpointDir(...)``
+      directory — survives executor loss, the fleet-hardened form for
+      long iterative jobs at 100 TB. Costs one distributed write per
+      call.
+
+    ``eager=True`` materializes now; ``eager=False`` defers to the
+    first action but STILL truncates lineage. Either way the caller's
+    plan-construction may run Spark jobs — callers that sketch
+    metadata (operators/rank.py) document this eager contract.
+    Use via ``df.transform(stage_checkpoint, eager=...)`` to keep
+    method-chain style."""
+    reliable = (
+        str(
+            df.sparkSession.conf.get("spark.graft.checkpoint.reliable", "false")
+        ).lower()
+        == "true"
+    )
+    if reliable:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise RuntimeError(
+                "spark.graft.checkpoint.reliable=true requires "
+                "sc.setCheckpointDir(<fault-tolerant path>) first"
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def formatted_plan(df: DataFrame) -> str:

@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
 
 # --------------------------------------------------------------------------
 # C1 — K-Means
@@ -248,7 +250,7 @@ def dbscan(
         .join(core_ids, "e_src")
         .join(core_ids2, "e_dst")
         .repartition(n_parts, "e_src")
-        .localCheckpoint(eager=True)  # truncate lineage before the loop
+        .transform(stage_checkpoint, eager=True)  # truncate lineage before the loop
     )
 
     # component search: dedup.connected_components carries both the
@@ -275,7 +277,7 @@ def dbscan(
         comp.select("label").distinct()
         .withColumn("cluster", F.dense_rank().over(Window.orderBy("label")) - 1)
     )
-    core_labeled = comp.join(rank, "label").select("series_id", "cluster").localCheckpoint(eager=True)
+    core_labeled = comp.join(rank, "label").select("series_id", "cluster").transform(stage_checkpoint, eager=True)
 
     # border points: non-core with a core ε-neighbor → min core neighbor's cluster
     non_core = pts.select("series_id").join(core, "series_id", "left_anti")
@@ -474,7 +476,7 @@ def power_iteration_clusters(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("double").alias("weight"),
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint, eager=True)
     # checkpoint first: PIC's internal RDD conversion re-evaluates its
     # input several times per power iteration — without materializing,
     # an expensive upstream (the pair kernel) reruns each time
@@ -663,7 +665,7 @@ def kmedoids(
             )
             if best is None or (cost, mids) < (best[0], best[1]):
                 best = (cost, mids, med_rows)
-        assign = assign_to_rows(best[2]).localCheckpoint(eager=True)
+        assign = assign_to_rows(best[2]).transform(stage_checkpoint, eager=True)
         return finalize(best[1], assign)
 
     first = (
@@ -710,7 +712,7 @@ def kmedoids(
             cand.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("series_id", *cols, F.col("_mid").alias("prediction"))
-            .localCheckpoint(eager=True)
+            .transform(stage_checkpoint, eager=True)
         )
 
     assign = None
@@ -818,8 +820,8 @@ def single_link(
     )
     w = Window.partitionBy("cluster")
     # materialize before unpersisting pts (the result plan reads it)
-    res = out.withColumn("cluster_size", F.count("*").over(w)).localCheckpoint(
-        eager=True
+    res = out.withColumn("cluster_size", F.count("*").over(w)).transform(
+        stage_checkpoint, eager=True
     )
     pts.unpersist()
     return res

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: md5(text) → (text_hash, n_dups, keep_id)
@@ -357,7 +359,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if materialize:
-        cand = cand.localCheckpoint(eager=True)
+        cand = cand.transform(stage_checkpoint, eager=True)
     # Pass 2: exact shingle sets for CANDIDATE docs only. The broadcast
     # semi-join prunes the corpus BEFORE tokenization, so this pass is
     # linear in the candidate count, not the corpus.
@@ -378,7 +380,7 @@ def minhash_lsh_pairs(
         .withColumn("n_sh", F.size("hs"))
     )
     if materialize:
-        sh = sh.localCheckpoint(eager=True)
+        sh = sh.transform(stage_checkpoint, eager=True)
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"), F.col("n_sh").alias("n_b")), "id_b")
@@ -641,7 +643,7 @@ def connected_components(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
         .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint, eager=True)
     )
     n_edges = bi.count()
     if n_edges <= small_graph_threshold:
@@ -685,7 +687,7 @@ def connected_components(
     E = (
         bi.where(F.col("e_src") > F.col("e_dst"))
         .select(F.col("e_src").alias("u"), F.col("e_dst").alias("v"))
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint, eager=True)
     )
 
     def _signature(e: DataFrame) -> tuple:
@@ -720,7 +722,7 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m_sm.select(F.col("u"), F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(stage_checkpoint, eager=True)
         )
         rounds += 1
         new_sig = _signature(sm)
@@ -783,7 +785,7 @@ def semantic_dedup(
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="_features", predictionCol="cell"
     ).fit(vecs)
-    pred = model.transform(vecs).drop("_features").localCheckpoint(eager=True)
+    pred = model.transform(vecs).drop("_features").transform(stage_checkpoint, eager=True)
 
     # within-cell pair scan as ONE matmul per cell (applyInPandas on
     # the cell key) — the interpreted per-pair cosine fold this

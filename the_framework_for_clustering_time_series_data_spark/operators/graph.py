@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -95,7 +97,7 @@ def pagerank(
             )
         caches_out.extend([contrib, nodes])
         return ranks
-    res = ranks.localCheckpoint(eager=True)
+    res = ranks.transform(stage_checkpoint, eager=True)
     contrib.unpersist()
     nodes.unpersist()
     return res

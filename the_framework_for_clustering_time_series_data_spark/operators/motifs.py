@@ -235,7 +235,9 @@ def matrix_profile(
     Oracle-checked at the driver gate: ts_matrix_profile's DuckDB SQL
     replays this kernel pairwise (same association order everywhere
     except the dgemm inner products, whose ≤1-ulp drift is absorbed by
-    the 6-dp round; the degenerate pins are exact constants in both
+    the 6-dp round of mp AND neutralized for nn_idx by keying the
+    neighbor selection on half-up-6dp-rounded d2 with first-index ties
+    in BOTH engines; the degenerate pins are exact constants in both
     engines, so their ties break identically by index). Tests also
     plant identical subsequences and assert mutual nearest neighbors
     at distance ≈ 0 (tests/test_symbolic.py).
@@ -283,7 +285,16 @@ def matrix_profile(
         # exclusion zone around the diagonal
         ii, jj = np.indices(d2.shape)
         d2[np.abs(ii - jj) < excl] = np.inf
-        nn = d2.argmin(axis=1)
+        # neighbor SELECTION keys on half-up-6dp-rounded d2 (identical
+        # floor(x*1e6+0.5)/1e6 arithmetic in the DuckDB oracle's ORDER
+        # BY): the dgemm inner products can drift <=1 ulp vs the
+        # oracle's sequential sums, and an unrounded argmin over two
+        # near-equal candidates could flip nn_idx across engines even
+        # when mp agrees after rounding. argmin takes the FIRST minimum
+        # == ORDER BY key, j ascending. mp itself still derives from
+        # the unrounded d2 of the selected neighbor.
+        d2r = np.floor(d2 * 1e6 + 0.5) / 1e6
+        nn = d2r.argmin(axis=1)
         mp = np.sqrt(d2[np.arange(w), nn])
         sid = pdf[series_col].iloc[0]
         return pd.DataFrame(

@@ -57,6 +57,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
 # Rank exactness does not depend on sketch accuracy (see module
 # docstring), so approxQuantile runs at a loose 0.01 relative error.
 _SKETCH_RELATIVE_ERROR = 0.01
@@ -78,6 +80,18 @@ def with_global_ntiles(
     in ``order_cols[0]`` (None → the column cast to double); it only
     steers bucket placement, never the result. Leading keys must be
     non-null (rank of a null-keyed row is undefined here).
+
+    EAGER CONTRACT: calling this function runs two Spark jobs (the
+    quantile sketch and the bucket histogram) and materializes the
+    input via :func:`~...functions.plan_tools.stage_checkpoint` —
+    construction is not free, unlike a plain withColumn. The
+    materialization is localCheckpoint by default: executor-local
+    unreplicated blocks (an executor loss during the downstream job
+    makes the plan unrecoverable; the input must fit executor
+    memory+disk). For fleet runs set
+    ``spark.graft.checkpoint.reliable=true`` +
+    ``sc.setCheckpointDir(...)`` to switch every such site to a
+    fault-tolerant reliable checkpoint.
     """
     if not 2 <= buckets <= 4096:
         raise ValueError("buckets must be in [2, 4096]")
@@ -89,7 +103,7 @@ def with_global_ntiles(
     # plan (executor-local blocks, reclaimed by the ContextCleaner when
     # the frame is dropped — no session cache leak); without it each
     # consumer recomputes the upstream pipeline per job
-    base = base.localCheckpoint(eager=False)
+    base = base.transform(stage_checkpoint, eager=False)
 
     # 1. all boundary arrays in ONE eager pass, driver-held, embedded
     # as literals (see module docstring: exchange reuse does not dedupe
@@ -183,14 +197,20 @@ def with_global_cumsum(
     placement only — the sum is exact wherever boundaries land.
     ``weight`` should be integer-typed for bit-exact cross-engine
     totals (the BIGINT micro-unit discipline); doubles work but
-    inherit two-level association drift.
+    inherit two-level association drift. Decimal weights are
+    supported: offset literals take SUM's own Catalyst output type.
+
+    EAGER CONTRACT + checkpoint caveats: same as
+    :func:`with_global_ntiles` — two metadata jobs at call time over a
+    stage_checkpoint'd input (localCheckpoint by default; opt into
+    reliable checkpointing via ``spark.graft.checkpoint.reliable``).
     """
     if not 2 <= buckets <= 4096:
         raise ValueError("buckets must be in [2, 4096]")
     base = df.withColumn("_pv", proxy.cast("double")).withColumn("_wt", weight)
     # one materialization for metadata jobs + returned plan (see
     # with_global_ntiles)
-    base = base.localCheckpoint(eager=False)
+    base = base.transform(stage_checkpoint, eager=False)
     # driver-held boundary literals, one eager pass — same rationale as
     # with_global_ntiles (exchange reuse does not dedupe a lazy sketch
     # across the histogram and output lineages)
@@ -203,16 +223,18 @@ def with_global_cumsum(
     # bucket totals collected (≤ buckets rows) and their prefix sums
     # embedded as a map literal — same no-self-join shape as
     # with_global_ntiles
-    btot = sorted(
-        (r["_bk"], r["_bt"])
-        for r in tagged.groupBy("_bk").agg(F.sum("_wt").alias("_bt")).collect()
-    )
+    btot_df = tagged.groupBy("_bk").agg(F.sum("_wt").alias("_bt"))
+    # offset literal type follows SUM's Catalyst output type (long /
+    # double / decimal(p,s)) — a value sniff on the collected Python
+    # objects missed Decimal and silently truncated fractional offsets
+    # to long
+    off_t = btot_df.schema["_bt"].dataType.simpleString()
+    btot = sorted((r["_bk"], r["_bt"]) for r in btot_df.collect())
     offs: dict[int, object] = {}
     acc = 0
     for bk, tot in btot:
         offs[bk] = acc
         acc += tot
-    off_t = "double" if any(isinstance(v, float) for v in offs.values()) else "long"
     off_map = F.create_map(
         *[c for bk, off in offs.items() for c in (F.lit(bk), F.lit(off).cast(off_t))]
     )

@@ -149,7 +149,14 @@ def lttb_downsample(
                     edges[b + 2] if b + 2 < len(edges) else n
                 )
                 ax, ay = x[idx[-1]], y[idx[-1]]
-                cx, cy = x[nxt_lo:nxt_hi].mean(), y[nxt_lo:nxt_hi].mean()
+                # sequential left-to-right sum/len, NOT np.mean: numpy
+                # switches to pairwise summation at >=8 elements, which
+                # differs from the DuckDB oracle's running-sum
+                # list_aggregate at the ulp level and can flip the
+                # argmax pick on near-tie areas for long series
+                w = nxt_hi - nxt_lo
+                cx = sum(x[nxt_lo:nxt_hi].tolist()) / w
+                cy = sum(y[nxt_lo:nxt_hi].tolist()) / w
                 seg_x, seg_y = x[lo:hi], y[lo:hi]
                 area = np.abs(
                     (ax - cx) * (seg_y - ay) - (ax - seg_x) * (ay - cy)

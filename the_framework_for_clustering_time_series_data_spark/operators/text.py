@@ -10,6 +10,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
 TOKEN_RE = r"\s+"
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -342,7 +344,7 @@ def quality_classifier_scores(
     heur = quality_score(df, text_col, id_col).select(
         F.col(id_col).alias("id"), "quality"
     )
-    base = feats.join(heur, "id").localCheckpoint(eager=True)
+    base = feats.join(heur, "id").transform(stage_checkpoint, eager=True)
     lo, hi = base.stat.approxQuantile("quality", [0.25, 0.75], 0.001)
     labeled = base.withColumn(
         "weak_label",
@@ -510,7 +512,7 @@ def bpe_learn_merges(
     )
     cur = words.select(
         "freq", F.split("word", "").alias("syms")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint, eager=True)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -551,8 +553,8 @@ def bpe_learn_merges(
 
         merge_udf = _make_apply(l, r)
         prev = cur
-        cur = cur.select("freq", merge_udf("syms").alias("syms")).localCheckpoint(
-            eager=True
+        cur = cur.select("freq", merge_udf("syms").alias("syms")).transform(
+            stage_checkpoint, eager=True
         )
         prev.unpersist()
 

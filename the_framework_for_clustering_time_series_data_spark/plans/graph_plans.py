@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators.graph import pagerank
+
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
@@ -131,7 +133,7 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize (part-dimension-sized) so the shared `base`
         # subtree cache and pagerank's iteration caches can be
         # released instead of leaking
-        .localCheckpoint(eager=True)
+        .transform(stage_checkpoint, eager=True)
     )
     base.unpersist()
     for c in _pr_caches:

@@ -664,7 +664,8 @@ pr AS (
 ),
 nn AS (
   SELECT series_id, i AS idx, j AS nn_idx, d2,
-         row_number() OVER (PARTITION BY series_id, i ORDER BY d2, j) AS rn
+         row_number() OVER (PARTITION BY series_id, i
+                            ORDER BY floor(d2 * 1e6 + 0.5) / 1e6, j) AS rn
   FROM pr
 ),
 prof AS (

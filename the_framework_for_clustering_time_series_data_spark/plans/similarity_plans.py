@@ -6,6 +6,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from the_framework_for_clustering_time_series_data_spark.operators import similarity
+
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
@@ -478,7 +480,7 @@ def emb_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = emb.select(
         "vec_id", "label", (unit < 0.2).alias("seeded")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint, eager=True)
     cur = seeds.select(
         "vec_id",
         F.when(F.col("seeded"), F.col("label")).otherwise(F.lit(-1)).alias("cur"),
