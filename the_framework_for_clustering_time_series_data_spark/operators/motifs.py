@@ -47,6 +47,7 @@ def verified_motifs(
     series_col: str = "series_id",
     t_col: str = "t",
     value_col: str = "value",
+    cap_hash: str = "xxhash64",
 ) -> DataFrame:
     """Best exactly-verified motif pair per SAX word.
 
@@ -56,6 +57,15 @@ def verified_motifs(
     start segments and ``dist`` is the z-normalized Euclidean distance
     between the two raw windows (length ``seg_len·word_len``). Same-
     series pairs must not overlap (``|w_a - w_b| ≥ word_len``).
+
+    ``cap_hash`` orders the deterministic per-word candidate cap:
+    ``"xxhash64"`` (prod — one JVM op) or ``"md5"`` — the portable
+    string family a DuckDB oracle reproduces bit-identically (the
+    registered query uses it; same discipline as minhash_lsh_pairs).
+    The best-pair selection keys on half-up-6dp-rounded dist (identical
+    floor(x*1e6+0.5)/1e6 arithmetic in the oracle) so a <1-ulp
+    cross-engine drift in the einsum dot product cannot flip which
+    pair wins a word.
     """
     L = seg_len * word_len
 
@@ -114,9 +124,15 @@ def verified_motifs(
 
     cand = words.join(windows, [series_col, "w"])
     # bound the per-word quadratic term, hash-ordered for determinism
-    wcap = Window.partitionBy("word").orderBy(
-        F.xxhash64(series_col, F.col("w")), series_col, "w"
-    )
+    if cap_hash == "md5":
+        cap_key = F.md5(
+            F.concat_ws(
+                ",", F.col(series_col).cast("string"), F.col("w").cast("string")
+            )
+        )
+    else:
+        cap_key = F.xxhash64(series_col, F.col("w"))
+    wcap = Window.partitionBy("word").orderBy(cap_key, series_col, "w")
     cand = cand.withColumn("_rk", F.row_number().over(wcap)).where(
         F.col("_rk") <= max_per_word
     )
@@ -187,8 +203,10 @@ def verified_motifs(
         "word", "sid_a", "w_a", "sid_b", "w_b",
         _znorm_dist("zn_a", "zn_b").alias("dist"),
     )
+    # selection keys on the half-up-6dp round (see docstring)
     top = Window.partitionBy("word").orderBy(
-        "dist", "sid_a", "w_a", "sid_b", "w_b"
+        F.floor(F.col("dist") * 1e6 + 0.5) / 1e6,
+        "sid_a", "w_a", "sid_b", "w_b",
     )
     return (
         scored.withColumn("_rn", F.row_number().over(top))

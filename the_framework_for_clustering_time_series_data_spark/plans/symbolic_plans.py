@@ -569,18 +569,89 @@ def ts_anomaly_prequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ts_motif_verified")  # pair verification on raw windows → rows-only
+@register(
+    "ts_motif_verified",
+    f"""
+WITH {_ZSEG_SQL},
+words AS (
+  SELECT series_id, seg AS w,
+         sym || lead(sym, 1) OVER ws || lead(sym, 2) OVER ws
+             || lead(sym, 3) OVER ws AS word,
+         least(n_pts, lead(n_pts, 1) OVER ws, lead(n_pts, 2) OVER ws,
+               lead(n_pts, 3) OVER ws) AS min_pts
+  FROM sym WINDOW ws AS (PARTITION BY series_id ORDER BY seg)
+),
+wok AS (SELECT series_id, w, word FROM words
+        WHERE word IS NOT NULL AND min_pts = 8),
+arrz AS (SELECT series_id, list(z ORDER BY t) AS zs FROM z GROUP BY 1),
+win AS (
+  SELECT k.series_id, k.w, k.word,
+         a.zs[k.w * 8 + 1 : k.w * 8 + 32] AS zw
+  FROM wok k JOIN arrz a USING (series_id)
+  WHERE len(a.zs) >= k.w * 8 + 32
+),
+cap AS (
+  SELECT series_id, w, word, zw,
+         row_number() OVER (PARTITION BY word
+           ORDER BY md5(series_id::VARCHAR || ',' || w::VARCHAR),
+                    series_id, w) AS rk
+  FROM win
+),
+wm AS (
+  SELECT series_id, w, word, zw,
+         list_aggregate(zw, 'sum') / 32 AS m
+  FROM cap WHERE rk <= 50
+),
+wsd AS (
+  SELECT series_id, w, word, zw, m,
+         sqrt(list_aggregate(list_transform(zw, x -> (x - m) * (x - m)),
+                             'sum') / 32) AS s
+  FROM wm
+),
+zn AS (
+  SELECT series_id, w, word,
+         list_transform(zw, x -> (x - m) / s) AS zn
+  FROM wsd WHERE s > 0
+),
+pd AS (
+  SELECT a.word, a.series_id AS sid_a, a.w AS w_a,
+         b.series_id AS sid_b, b.w AS w_b,
+         sqrt(greatest(
+           64.0 - 2.0 * list_aggregate(
+             list_transform(range(1, 33), k -> a.zn[k] * b.zn[k]), 'sum'),
+           0.0)) AS dist
+  FROM zn a JOIN zn b
+    ON a.word = b.word
+   AND (a.series_id < b.series_id
+        OR (a.series_id = b.series_id AND b.w >= a.w + 4))
+),
+best AS (
+  SELECT word, sid_a, w_a, sid_b, w_b, dist,
+         row_number() OVER (PARTITION BY word
+           ORDER BY floor(dist * 1e6 + 0.5) / 1e6,
+                    sid_a, w_a, sid_b, w_b) AS rn
+  FROM pd
+)
+SELECT word, sid_a, w_a, sid_b, w_b, round(dist, 6) AS dist
+FROM best WHERE rn = 1
+""",
+)
 def ts_motif_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best exactly-verified motif pair per repeated SAX word over the
     events series: SAX-bucket candidate pruning (linear) + z-normalized
     Euclidean verification on the raw 32-point windows (bounded
-    quadratic per bucket, capped at 50 hash-ordered windows/word) —
+    quadratic per bucket, capped at 50 md5-ordered windows/word) —
     the scalable skeleton of matrix-profile motif discovery
-    (operators/motifs.py). Rows-only at the gate; planted-motif
-    recovery is pinned in tests/test_symbolic.py."""
+    (operators/motifs.py). Full value-hash oracle: the DuckDB twin
+    replays the identical pipeline on the shared _ZSEG_SQL base
+    (portable md5 cap order; window z-norm as sequential sum/len; the
+    pair dot product's ≤1-ulp einsum drift neutralized by keying the
+    best-pair selection on half-up-6dp-rounded dist in BOTH engines).
+    Planted-motif recovery is additionally pinned in
+    tests/test_symbolic.py."""
     from the_framework_for_clustering_time_series_data_spark.operators import motifs
 
-    return motifs.verified_motifs(events_as_series(spark, sf_dir))
+    return motifs.verified_motifs(events_as_series(spark, sf_dir), cap_hash="md5")
 
 
 @register(
