@@ -18,7 +18,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+def stage_checkpoint(df, eager=True):
+    """Lazy proxy for functions.plan_tools.stage_checkpoint: this
+    module is imported by functions/__init__, so a module-level
+    import of the functions package would be circular."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import (
+        stage_checkpoint as _sc,
+    )
+
+    return _sc(df, eager=eager)
+
+
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -847,6 +857,138 @@ def semantic_dedup(
         "group_id",
         "group_size",
         (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+def semantic_dedup_deterministic(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    threshold: float = 0.9,
+    lloyd_rounds: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with a DETERMINISTIC,
+    cross-engine-replayable cell assignment — the oracle-checkable twin
+    of :func:`semantic_dedup` (whose MLlib k-means seeding is
+    RNG-/implementation-defined and therefore rows-only at the gate).
+
+    Cells come from ``lloyd_rounds`` fixed Lloyd assignment rounds
+    seeded by the ``n_cells`` vectors with the smallest md5(id) (the
+    engine's standard deterministic-sample family), expressed entirely
+    as DataFrame ops. Parity disciplines making a DuckDB twin
+    value-identical:
+
+    * assignment distances are SEQUENTIAL left-to-right folds over the
+      array (``zip_with``+``aggregate`` ↔ DuckDB
+      ``list_transform``+``list_aggregate``) — bit-identical given
+      identical inputs;
+    * updated centroid components round half-up to 6 dp with the
+      engine-agnostic ``floor(x*1e6 + 0.5)/1e6`` form in BOTH engines,
+      absorbing the mean's partial-aggregation association drift;
+    * the pair-stage cosine runs as one BLAS matmul per cell (speed)
+      but its threshold DECISION keys on the same half-up-6dp round in
+      both engines, so matmul-vs-fold ulp drift cannot flip a pair;
+    * argmin assignment keys on (d2, cell); the survivor pick on
+      (d2-to-own-centroid, id) — all deterministic ties.
+
+    Output matches semantic_dedup: one row per vector,
+    ``(id, cell, group_id, group_size, keep)``.
+
+    Scale shape: centroids are a broadcast ≤ n_cells×dim literal-sized
+    frame; each round is one scan + per-id argmin (no shuffle of the
+    vectors beyond the first exchange); the pair scan is bounded per
+    cell exactly as the paper intends. The Lloyd round count is FIXED
+    (not convergence-driven) — determinism over optimality, which is
+    fine for cell BOUNDING where any reasonable partition works.
+    """
+    v0 = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).transform(stage_checkpoint, eager=False)
+
+    init = (
+        v0.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(n_cells)
+    )
+    # n_cells rows — the single-partition window is over the seed set
+    # only, never the corpus
+    w_seed = Window.orderBy("_h", "id")
+    cdf = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
+        "cell", F.col("v").alias("cvec")
+    )
+
+    d2_expr = F.aggregate(
+        F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        j = v0.crossJoin(F.broadcast(centroids)).withColumn("d2", d2_expr)
+        w_id = Window.partitionBy("id").orderBy("d2", "cell")
+        return (
+            j.withColumn("_rn", F.row_number().over(w_id))
+            .where(F.col("_rn") == 1)
+            .select("id", "v", "cell", "d2")
+        )
+
+    for _ in range(lloyd_rounds - 1):
+        a = _assign(cdf)
+        ex = a.select("cell", F.posexplode("v").alias("pos", "val"))
+        cm = ex.groupBy("cell", "pos").agg(
+            (F.floor(F.avg("val") * 1e6 + 0.5) / 1e6).alias("cv")
+        )
+        cdf = cm.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("cvec")
+        )
+    final = _assign(cdf).transform(stage_checkpoint, eager=True)
+
+    # pair scan as ONE matmul per cell (the semantic_dedup lesson: an
+    # interpreted zip_with/aggregate HOF per pair costs ~µs per ELEMENT
+    # — |pairs|·dim elements — measured 9.9 s vs ~2 s at sf0.1). The
+    # cosine DECISION keys on the half-up-6dp round in BOTH engines, so
+    # BLAS-vs-sequential-fold ulp drift cannot flip a pair across the
+    # threshold.
+    import numpy as np
+    import pandas as pd
+
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import id_spark_type
+
+    id_t = id_spark_type(emb, id_col)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        simsr = np.floor(sims * 1e6 + 0.5) / 1e6
+        ri, ci = np.nonzero((simsr >= threshold) & (ids[None, :] > ids[:, None]))
+        # condition (r, c) reads ids[c] > ids[r] → id_a is the row id
+        return pd.DataFrame({"id_a": ids[ri], "id_b": ids[ci]})
+
+    pairs = (
+        final.select("cell", "id", "v")
+        .groupBy("cell")
+        .applyInPandas(cell_pairs, f"id_a {id_t}, id_b {id_t}")
+    )
+    comp = connected_components(pairs)  # (node, component) — min-id label
+    gsz = comp.groupBy("component").agg(F.count("*").alias("group_size"))
+    mem = (
+        final.join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .withColumn("group_id", F.coalesce("component", "id"))
+        .join(gsz.withColumnRenamed("component", "group_id"), "group_id", "left")
+        .withColumn("group_size", F.coalesce("group_size", F.lit(1).cast("long")))
+    )
+    w_keep = Window.partitionBy("group_id").orderBy("d2", "id")
+    return mem.select(
+        "id",
+        "cell",
+        "group_id",
+        "group_size",
+        (F.row_number().over(w_keep) == 1).alias("keep"),
     )
 
 

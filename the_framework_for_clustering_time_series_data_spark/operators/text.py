@@ -10,7 +10,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+def stage_checkpoint(df, eager=True):
+    """Lazy proxy for functions.plan_tools.stage_checkpoint: this
+    module is imported by functions/__init__, so a module-level
+    import of the functions package would be circular."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import (
+        stage_checkpoint as _sc,
+    )
+
+    return _sc(df, eager=eager)
+
+
 
 TOKEN_RE = r"\s+"
 

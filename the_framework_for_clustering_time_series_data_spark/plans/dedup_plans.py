@@ -362,14 +362,102 @@ def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_groups(pairs)
 
 
-@register("dedup_semantic")  # seeded k-means cell assignment → rows-only oracle
+def _semantic_assign_sql(src: str, cent: str, out: str, dim: int) -> str:
+    """One Lloyd assignment round as a CTE pair: nearest centroid by
+    sequential-fold squared distance, ties to the lower cell index —
+    the exact argmin discipline of semantic_dedup_deterministic."""
+    d2 = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"k -> (s.v[k] - c.cvec[k]) * (s.v[k] - c.cvec[k])), 'sum')"
+    )
+    return f"""{out} AS (
+  SELECT id, v, cell, d2 FROM (
+    SELECT s.id, s.v, c.cell, {d2} AS d2,
+           row_number() OVER (PARTITION BY s.id ORDER BY {d2}, c.cell) AS rn
+    FROM {src} s CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+
+def _semantic_oracle_sql(n_cells: int, threshold: float, dim: int = 64) -> str:
+    """DuckDB twin of ``semantic_dedup_deterministic(lloyd_rounds=2)``:
+    md5-seeded centroids → assign → half-up-6dp mean update → final
+    assign → in-cell cosine pairs (all sequential folds) → recursive-CTE
+    transitive closure → centroid-closest survivor."""
+    seq = f"range(1, {dim + 1})"
+    cos = (
+        f"list_aggregate(list_transform({seq}, k -> a.v[k] * b.v[k]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum')))"
+    )
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT {n_cells})
+),
+{_semantic_assign_sql("e", "c0", "a0", dim)},
+cm AS (
+  SELECT cell, pos, floor(avg(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+{_semantic_assign_sql("e", "c1", "a1", dim)},
+p AS (
+  -- the cosine DECISION keys on the half-up-6dp round in both engines
+  -- (kernel: np.floor(sims*1e6+0.5)/1e6) so BLAS/fold ulp drift can't
+  -- flip a pair across the threshold
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.id < b.id
+  WHERE floor(({cos}) * 1e6 + 0.5) / 1e6 >= {threshold}
+),
+ed AS (SELECT id_a AS u, id_b AS nb FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT u, nb FROM ed
+  UNION
+  SELECT r.src, ed.nb FROM reach r JOIN ed ON ed.u = r.dst
+  WHERE ed.nb <> r.src
+),
+comp AS (
+  SELECT n.id, least(n.id, min(r.dst)) AS group_id
+  FROM (SELECT DISTINCT u AS id FROM ed) n
+  LEFT JOIN reach r ON r.src = n.id
+  GROUP BY n.id
+),
+gsz AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1),
+mem AS (
+  SELECT a1.id, a1.cell, coalesce(comp.group_id, a1.id) AS group_id,
+         coalesce(gsz.group_size, 1) AS group_size, a1.d2
+  FROM a1 LEFT JOIN comp ON comp.id = a1.id
+  LEFT JOIN gsz ON gsz.group_id = comp.group_id
+)
+SELECT id, CAST(cell AS INT) AS cell, group_id,
+       CAST(group_size AS BIGINT) AS group_size,
+       (row_number() OVER (PARTITION BY group_id ORDER BY d2, id) = 1) AS keep
+FROM mem
+"""
+
+
+@register("dedup_semantic", _semantic_oracle_sql(4, 0.4))
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup over the embeddings table: k-means cells
     bound the pairwise cosine scan, duplicate groups close
     transitively, the centroid-closest member of each group survives.
     Threshold 0.4 sits in the synthetic table's actual near-dup regime
-    (see dedup_embedding_cosine); real corpora use 0.9+."""
-    return dedup.semantic_dedup(
+    (see dedup_embedding_cosine); real corpora use 0.9+.
+
+    Registered on the DETERMINISTIC md5-seeded fixed-Lloyd variant
+    (operators/dedup.semantic_dedup_deterministic) so the full pipeline
+    carries a DuckDB value-hash oracle — the MLlib-seeded
+    semantic_dedup kernel stays available for library users who prefer
+    kmeans|| initialization over determinism."""
+    return dedup.semantic_dedup_deterministic(
         load_table(spark, sf_dir, "embeddings"), n_cells=4, threshold=0.4
     )
 
