@@ -51,3 +51,19 @@ def test_operators_md_in_sync_with_registry():
         f"OPERATORS.md stale — regenerate with tools/gen_operators_md.py; "
         f"extra={sorted(listed - reg)[:5]} missing={sorted(reg - listed)[:5]}"
     )
+
+
+def test_rows_only_notes_cover_exactly_the_rows_only_set():
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from gen_operators_md import ROWS_ONLY_NOTES
+
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import ORACLE, QUERIES
+
+    rows_only = set(QUERIES) - set(ORACLE)
+    assert set(ROWS_ONLY_NOTES) == rows_only, (
+        f"annotate new rows-only entries / drop notes for converted ones: "
+        f"missing={sorted(rows_only - set(ROWS_ONLY_NOTES))} "
+        f"stale={sorted(set(ROWS_ONLY_NOTES) - rows_only)}"
+    )

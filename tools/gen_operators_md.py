@@ -12,6 +12,43 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
+#: Why each remaining rows-only entry has no DuckDB value-hash oracle —
+#: the documented per-entry verdict the coverage contract requires.
+#: Categories: RNG/impl-defined (the value depends on MLlib/numpy
+#: internals no SQL engine reproduces), iterative-fit (data-dependent
+#: iteration counts / float convergence), sign-indeterminate,
+#: approx-sketch (implementation-defined summaries), convertible (a
+#: replay oracle is feasible with bounded effort — candidates for the
+#: next conversion round). Local invariant/equivalence tests cover all
+#: of them (tests/, cited per entry).
+ROWS_ONLY_NOTES = {
+    "a5b_percentile_sketch": "approx-sketch: approxQuantile is a Greenwald-Khanna sketch whose outputs are implementation-defined within the error bound; DuckDB has no replayable twin. Exact-percentile parity is covered by a7_histogram/q25 oracles; sketch error bound tested in test_properties.py.",
+    "c1_kmeans": "RNG/impl-defined: MLlib kmeans|| seeding + parallel float reductions; labels are run-stable but not engine-reproducible. ARI-vs-ground-truth and determinism tests in test_ml.py.",
+    "c3_kshape": "iterative-fit: driver Lloyd loop over FFT-based NCC and an eigenvector extraction (sign-normalized), data-dependent iteration count. Separation + convergence tests in test_ml.py.",
+    "c4_silhouette_selection": "depends on c1-family MLlib fits (RNG/impl-defined); the EXACT silhouette arithmetic is oracle-checked separately (c4_silhouette_exact).",
+    "c6_bisecting_kmeans": "RNG/impl-defined: MLlib bisecting k-means split sequence. Hierarchy-shape invariants tested in test_ml.py.",
+    "c7_gmm": "RNG/impl-defined + iterative-fit: EM from random init, responsibilities depend on float exp/log reductions. Mixture-recovery test in test_ml.py.",
+    "c8_graph_clusters": "iterative-fit: MLlib PowerIterationClustering RDD loop; eigen-iteration floats are reduction-order-dependent. Cluster-agreement invariants in test_graph.py.",
+    "c9_kmedoids": "iterative-fit: PAM swap sequence is a data-dependent argmin chain over float deltas; no bounded SQL replay. Medoid-membership + cost-descent tests in test_ml.py.",
+    "c9b_kmedoids_clara": "iterative-fit: CLARA = PAM (above) on md5 samples + broadcast scoring; inherits PAM's non-replayability. Equivalence-to-PAM-below-sample-size test in test_ml.py.",
+    "d2_approx_distinct": "approx-sketch: HLL++ registers are implementation-defined; DuckDB's approx_count_distinct uses a different sketch. Relative-error bound vs exact COUNT(DISTINCT) tested in test_properties.py.",
+    "e1_autoencoder_latent": "iterative-fit: gradient-descent-trained autoencoder weights; inference is deterministic given weights but weights are not SQL-derivable. Reconstruction-learning tests in test_ml.py.",
+    "e2_pca": "sign-indeterminate: eigenvector signs/column order are solver-defined; the VARIANCE spectrum is oracle-checked (e2b_pca_variance). Projection-geometry tests in test_ml.py.",
+    "e3_umap": "iterative-fit: SGD layout (umap-learn) or Laplacian eigenmaps fallback; both solver-defined. Neighborhood-preservation test in test_ml.py.",
+    "g6_dtw_align": "CONVERTIBLE in principle: DTW is a deterministic 2D DP; a recursive-CTE replay over anti-diagonals is feasible (the LTTB/matrix-profile technique in two dimensions) but O(n*m) rows per pair — next-round candidate. Alignment-invariant tests in test_ml.py.",
+    "pipeline_e2e": "composite: chains model fits (autoencoder/kmeans) whose stages are individually rows-only above; the relational stages of the pipeline are oracle-checked as separate queries. End-to-end matrix tested in test_pipeline_matrix.py.",
+    "sim_ann_lsh_topk": "CONVERTIBLE in principle: seeded random hyperplanes could embed as literals in a generated oracle (the minhash_xor_family trick) with 6dp-rounded distance ordering — next-round candidate. Recall-vs-bruteforce audit is itself a registered query (sim_ann_recall_audit).",
+    "sim_ann_recall_audit": "derived metric over sim_ann_lsh_topk (above) and the oracle-checked brute-force baseline; becomes convertible the day the LSH side converts.",
+    "sim_ivf_persisted_topk": "depends on a seeded MLlib kmeans coarse quantizer (RNG/impl-defined); list-pruning correctness tested via parity-with-bruteforce in test_similarity_ann.py.",
+    "sim_ivf_topk": "same MLlib coarse-quantizer dependency as sim_ivf_persisted_topk; recall floor tested in test_similarity_ann.py.",
+    "sim_ivfpq_topk": "MLlib kmeans coarse quantizer + per-subspace PQ codebooks (nested seeded fits); ADC-vs-exact parity tested in test_similarity_ann.py.",
+    "sim_pq_topk": "seeded per-subspace kmeans codebooks (RNG/impl-defined); quantization-error + recall tests in test_similarity_ann.py.",
+    "text_bpe_merges": "iterative-fit with data-dependent tie cascades: each merge rewrites the symbol table the next round aggregates; a SQL replay would need one recursive layer per merge over the full vocab. Merge-sequence determinism + reference-tokenizer tests in test_text_extra.py.",
+    "text_quality_classifier": "iterative-fit: logistic regression trained by LBFGS (float reduction order); score monotonicity + AUC tests in test_text_extra.py.",
+    "text_tfidf_kmeans": "RNG/impl-defined: MLlib kmeans over TF-IDF vectors; the TF-IDF arithmetic itself is oracle-checked in the text family. Topic-separation test in test_text_extra.py.",
+}
+
+
 def main() -> None:
     from the_framework_for_clustering_time_series_data_spark.plans.registry import ORACLE, QUERIES
 
@@ -39,8 +76,34 @@ def main() -> None:
     ]
     for name, module, check, summary in rows:
         out.append(f"| `{name}` | {module} | {check} | {summary} |")
+
+    rows_only = sorted(n for n, _, c, _ in rows if c == "rows-only")
+    missing = [n for n in rows_only if n not in ROWS_ONLY_NOTES]
+    stale = [n for n in ROWS_ONLY_NOTES if n not in rows_only]
+    if missing or stale:
+        raise SystemExit(
+            f"ROWS_ONLY_NOTES out of sync: missing={missing} stale={stale} — "
+            "every rows-only entry needs a documented reason (or drop notes "
+            "for entries that gained oracles)"
+        )
+    out += [
+        "",
+        "## Why the rows-only entries have no value-hash oracle",
+        "",
+        "Every rows-only entry carries a documented verdict: either the "
+        "value is not SQL-reproducible (RNG / solver-defined floats / "
+        "approx sketches / sign indeterminacy) or a replay oracle is "
+        "feasible and queued (`CONVERTIBLE`). All are covered by local "
+        "invariant/equivalence tests.",
+        "",
+        "| query | verdict |",
+        "|---|---|",
+    ]
+    for n in rows_only:
+        out.append(f"| `{n}` | {ROWS_ONLY_NOTES[n]} |")
     (REPO / "OPERATORS.md").write_text("\n".join(out) + "\n")
-    print(f"wrote OPERATORS.md: {len(rows)} queries, {n_oracle} oracles")
+    print(f"wrote OPERATORS.md: {len(rows)} queries, {n_oracle} oracles, "
+          f"{len(rows_only)} rows-only (all annotated)")
 
 
 if __name__ == "__main__":
