@@ -73,6 +73,12 @@ HEADLINE = [
     "layout_zorder_pruning",
     "corpus_epoch_shards",
     "ts_lttb_downsample",
+    # round-4 additions: the plans this round rebuilt (md5-doc-capped
+    # exact jaccard, oracle-backed motif verification, deterministic-
+    # Lloyd semantic dedup) — benched so the new shapes are tracked
+    "dedup_ngram_jaccard",
+    "ts_motif_verified",
+    "dedup_semantic",
 ]
 
 

@@ -16,10 +16,113 @@ from the_framework_for_clustering_time_series_data_spark.plans.timeseries_plans 
 from the_framework_for_clustering_time_series_data_spark.sources.tables import events_as_series, load_table
 
 
-@register("g6_dtw_align")  # pandas-UDF DTW → rows-only oracle
+#: DTW stretch-align replayed in SQL: the DP fills by ANTI-DIAGONAL
+#: waves — one recursive-CTE row per (series, wave) carrying the two
+#: previous diagonals as DOUBLE[] state (cell (i,j) on wave i+j needs
+#: up/left from wave k-1 and diag from wave k-2), so the recursion
+#: references itself exactly once and runs with no joins against its
+#: own history. acc is BIT-identical to the NumPy kernel: each cell is
+#: the same |a_i-b_j| + min(three neighbors) IEEE arithmetic, and the
+#: recurrence's value is evaluation-order-independent. The backtrack
+#: walks all series in parallel (one cell per series per step) against
+#: the MATERIALIZED cell table (without the hint DuckDB re-evaluates
+#: the unnested DP per iteration — measured minutes instead of ~6 s at
+#: sf0.01), replicating Python's lexicographic (acc, i, j) tie-break:
+#: diag wins ties, then up, then left. delta sums per long-index j run
+#: in increasing-i order (list ORDER BY i, sequential fold) exactly as
+#: the kernel's forward path loop.
+_G6_DTW_ORACLE = r"""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+),
+arr AS (SELECT series_id, list(value ORDER BY t) AS vs, count(*)::INT AS n
+        FROM ev GROUP BY 1),
+lng AS (SELECT vs AS lvs, n AS m FROM arr ORDER BY n DESC, series_id LIMIT 1),
+wrp AS MATERIALIZED (
+  SELECT a.series_id, a.vs, a.n, l.lvs, l.m FROM arr a, lng l WHERE a.n <> l.m
+),
+dp(series_id, k, d1, d2) AS (
+  SELECT series_id, 2, [abs(vs[1] - lvs[1])], CAST([] AS DOUBLE[]) FROM wrp
+  UNION ALL
+  SELECT w.series_id, dp.k + 1,
+         list_transform(
+           range(greatest(1, dp.k + 1 - w.m), least(w.n, dp.k) + 1),
+           i -> abs(w.vs[i] - w.lvs[dp.k + 1 - i]) + least(
+             CASE WHEN i - 1 - greatest(1, dp.k - w.m) + 1 >= 1
+                  THEN coalesce(dp.d1[CAST(i - 1 - greatest(1, dp.k - w.m) + 1 AS INT)], 'infinity'::DOUBLE)
+                  ELSE 'infinity'::DOUBLE END,
+             CASE WHEN i - greatest(1, dp.k - w.m) + 1 >= 1
+                  THEN coalesce(dp.d1[CAST(i - greatest(1, dp.k - w.m) + 1 AS INT)], 'infinity'::DOUBLE)
+                  ELSE 'infinity'::DOUBLE END,
+             CASE WHEN i - 1 - greatest(1, dp.k - 1 - w.m) + 1 >= 1
+                  THEN coalesce(dp.d2[CAST(i - 1 - greatest(1, dp.k - 1 - w.m) + 1 AS INT)], 'infinity'::DOUBLE)
+                  ELSE 'infinity'::DOUBLE END)),
+         dp.d1
+  FROM dp JOIN wrp w USING (series_id)
+  WHERE dp.k < w.n + w.m
+),
+cells AS MATERIALIZED (
+  SELECT dp.series_id,
+         CAST(greatest(1, dp.k - w.m) + generate_subscripts(dp.d1, 1) - 1 AS INT) AS i,
+         CAST(dp.k - (greatest(1, dp.k - w.m) + generate_subscripts(dp.d1, 1) - 1) AS INT) AS j,
+         unnest(dp.d1) AS acc
+  FROM dp JOIN wrp w USING (series_id)
+),
+bt(series_id, i, j) AS (
+  SELECT series_id, n, m FROM wrp
+  UNION ALL
+  SELECT b.series_id,
+         CASE WHEN dga <= upa AND dga <= lfa THEN b.i - 1
+              WHEN upa <= lfa THEN b.i - 1
+              ELSE b.i END,
+         CASE WHEN dga <= upa AND dga <= lfa THEN b.j - 1
+              WHEN upa <= lfa THEN b.j
+              ELSE b.j - 1 END
+  FROM (
+    SELECT b.series_id, b.i, b.j,
+           CASE WHEN b.i = 1 AND b.j = 1 THEN 0.0
+                WHEN b.i = 1 OR b.j = 1 THEN 'infinity'::DOUBLE
+                ELSE cd.acc END AS dga,
+           CASE WHEN b.i = 1 THEN 'infinity'::DOUBLE ELSE cu.acc END AS upa,
+           CASE WHEN b.j = 1 THEN 'infinity'::DOUBLE ELSE cl.acc END AS lfa
+    FROM bt b
+    LEFT JOIN cells cu ON cu.series_id = b.series_id AND cu.i = b.i - 1 AND cu.j = b.j
+    LEFT JOIN cells cl ON cl.series_id = b.series_id AND cl.i = b.i AND cl.j = b.j - 1
+    LEFT JOIN cells cd ON cd.series_id = b.series_id AND cd.i = b.i - 1 AND cd.j = b.j - 1
+  ) b
+  WHERE NOT (b.i = 1 AND b.j = 1)
+),
+dlt AS (
+  SELECT b.series_id, b.j,
+         list_aggregate(list(w.lvs[b.j] - w.vs[b.i] ORDER BY b.i), 'sum') AS delta
+  FROM bt b JOIN wrp w USING (series_id)
+  GROUP BY 1, 2
+),
+warped AS (
+  SELECT d.series_id, d.j - 1 AS t, l.lvs[d.j] - d.delta AS value
+  FROM dlt d, lng l
+),
+idn AS (
+  SELECT a.series_id, generate_subscripts(a.vs, 1) - 1 AS t, unnest(a.vs) AS value
+  FROM arr a, lng l WHERE a.n = l.m
+)
+SELECT series_id, CAST(t AS INT) AS t, value FROM warped
+UNION ALL
+SELECT series_id, CAST(t AS INT) AS t, value FROM idn
+"""
+
+
+@register("g6_dtw_align", _G6_DTW_ORACLE)
 def g6_dtw_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6 — DTW stretch-alignment of every series to the longest one
-    (app.py:300-350), exact O(n·m) DTW in applyInPandas."""
+    (app.py:300-350), exact O(n·m) DTW in applyInPandas. Full
+    value-hash oracle: DTW is a deterministic DP, so the DuckDB twin
+    replays it bit-exactly as an anti-diagonal recursive CTE + parallel
+    backtrack (see _G6_DTW_ORACLE's header comment for the wave-state
+    formulation and the float-parity argument)."""
     return align.dtw_stretch_align(events_as_series(spark, sf_dir))
 
 

@@ -35,7 +35,6 @@ ROWS_ONLY_NOTES = {
     "e1_autoencoder_latent": "iterative-fit: gradient-descent-trained autoencoder weights; inference is deterministic given weights but weights are not SQL-derivable. Reconstruction-learning tests in test_ml.py.",
     "e2_pca": "sign-indeterminate: eigenvector signs/column order are solver-defined; the VARIANCE spectrum is oracle-checked (e2b_pca_variance). Projection-geometry tests in test_ml.py.",
     "e3_umap": "iterative-fit: SGD layout (umap-learn) or Laplacian eigenmaps fallback; both solver-defined. Neighborhood-preservation test in test_ml.py.",
-    "g6_dtw_align": "CONVERTIBLE in principle: DTW is a deterministic 2D DP; a recursive-CTE replay over anti-diagonals is feasible (the LTTB/matrix-profile technique in two dimensions) but O(n*m) rows per pair — next-round candidate. Alignment-invariant tests in test_ml.py.",
     "pipeline_e2e": "composite: chains model fits (autoencoder/kmeans) whose stages are individually rows-only above; the relational stages of the pipeline are oracle-checked as separate queries. End-to-end matrix tested in test_pipeline_matrix.py.",
     "sim_ann_lsh_topk": "CONVERTIBLE in principle: seeded random hyperplanes could embed as literals in a generated oracle (the minhash_xor_family trick) with 6dp-rounded distance ordering — next-round candidate. Recall-vs-bruteforce audit is itself a registered query (sim_ann_recall_audit).",
     "sim_ann_recall_audit": "derived metric over sim_ann_lsh_topk (above) and the oracle-checked brute-force baseline; becomes convertible the day the LSH side converts.",
