@@ -36,13 +36,82 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-@register("sim_ann_lsh_topk")  # driver-seeded hyperplanes → rows-only oracle
+def _lsh_oracle_sql(k: int = 5, n_planes: int = 6, n_tables: int = 8,
+                    seed: int = 42, dim: int = 64) -> str:
+    """DuckDB twin of ``ann_lsh_topk``: the seeded hyperplanes are
+    drawn HERE from the same ``np.random.default_rng(seed)`` the kernel
+    uses and embedded as repr() literals (shortest-round-trip floats —
+    DuckDB parses them to the identical doubles; the minhash_xor_family
+    trick scaled up to 48×64 floats). Bucket bits compare the
+    sequential-fold dot against 0 — the kernel's BLAS matmul sign can
+    differ only if a dot sits within ~1 ulp of 0, negligible for O(1)
+    magnitudes. Scoring reuses the sim_bruteforce discipline
+    (list_cosine_similarity, 6-dp round, (cosine DESC, nbr_id) rank).
+    ``dim`` is pinned to the embeddings tables' width (64 at every test
+    SF)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    rows = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            vec = ", ".join(repr(float(x)) for x in planes[t, p])
+            rows.append(f"({t}, {p}, [{vec}]::DOUBLE[])")
+    plv = ",\n  ".join(rows)
+    return f"""
+WITH plv(tbl, pl, w) AS (VALUES
+  {plv}
+),
+e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bits AS (
+  SELECT e.id, plv.tbl, plv.pl,
+         CASE WHEN list_aggregate(
+                list_transform(range(1, {dim + 1}), j -> e.v[j] * plv.w[j]),
+                'sum') > 0
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM e CROSS JOIN plv
+),
+codes AS (
+  SELECT id, tbl, CAST(sum(bit << pl) AS BIGINT) AS bkt FROM bits GROUP BY 1, 2
+),
+qcodes AS (SELECT id AS query_id, tbl, bkt FROM codes WHERE id < 10),
+qp AS (
+  SELECT query_id, tbl, bkt FROM qcodes
+  UNION ALL
+  SELECT query_id, tbl, xor(bkt, 1::BIGINT << CAST(r.range AS INT))
+  FROM qcodes CROSS JOIN range(0, {n_planes}) r
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.id AS nbr_id
+  FROM qp q JOIN codes c ON c.tbl = q.tbl AND c.bkt = q.bkt
+  WHERE c.id <> q.query_id
+),
+sc AS (
+  SELECT cand.query_id, cand.nbr_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM cand
+  JOIN e a ON a.id = cand.query_id
+  JOIN e b ON b.id = cand.nbr_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id) AS rank
+  FROM sc
+)
+SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("sim_ann_lsh_topk", _lsh_oracle_sql())
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-probe random-hyperplane LSH (6
     planes × 8 tables, 1-bit probing, seed 42): candidates =
     same-bucket pairs only — the scale path where brute force is
-    O(n²). Recall vs brute force asserted in
-    tests/test_similarity_ann.py."""
+    O(n²). Full value-hash oracle: the seeded hyperplanes embed as
+    literals in the generated DuckDB twin (_lsh_oracle_sql), which
+    replays bucketing, multi-probe, and ranking exactly. Recall vs
+    brute force additionally asserted in tests/test_similarity_ann.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
