@@ -925,12 +925,21 @@ def semantic_dedup_deterministic(
     )
 
     def _assign(centroids: DataFrame) -> DataFrame:
+        # argmin over (d2, cell) as a min_by AGGREGATE, not a
+        # partitionBy(id) window: the aggregate combines map-side (the
+        # n_cells candidate rows for an id are produced adjacently by
+        # the broadcast cross join, so partials collapse before any
+        # exchange), where the window form shuffles AND sorts the full
+        # n×n_cells frame by id at 100×. min_by ties are impossible —
+        # the (d2, cell) key is unique per id (cell is).
         j = v0.crossJoin(F.broadcast(centroids)).withColumn("d2", d2_expr)
-        w_id = Window.partitionBy("id").orderBy("d2", "cell")
-        return (
-            j.withColumn("_rn", F.row_number().over(w_id))
-            .where(F.col("_rn") == 1)
-            .select("id", "v", "cell", "d2")
+        best = j.groupBy("id").agg(
+            F.min_by(
+                F.struct("cell", "v", "d2"), F.struct("d2", "cell")
+            ).alias("_best")
+        )
+        return best.select(
+            "id", "_best.v", "_best.cell", "_best.d2"
         )
 
     for _ in range(lloyd_rounds - 1):
