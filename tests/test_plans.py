@@ -475,3 +475,48 @@ def test_zorder_audit_no_fact_table_single_partition(spark):
     # no unpartitioned (empty-key) Window sort anywhere
     import re as _re
     assert not _re.search(r"Window \[ntile", plan)
+
+
+def test_prefix_filter_jaccard_lossless(spark):
+    """PPJoin prefix filtering must be LOSSLESS: identical output to
+    the full inverted-index join at every threshold — on the real
+    table and on a synthetic corpus dense with near-dups (shared
+    boilerplate + overlapping windows), where a broken prefix bound
+    would actually drop pairs."""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup as dd
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for t in (0.15, 0.4):
+        base = set(
+            map(tuple, dd.ngram_jaccard_pairs(docs, threshold=t, n=3).collect())
+        )
+        pf = set(
+            map(
+                tuple,
+                dd.ngram_jaccard_pairs(
+                    docs, threshold=t, n=3, prefix_filter=True
+                ).collect(),
+            )
+        )
+        assert base == pf and base
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(60):
+        body = " ".join(words[(i + j) % len(words)] for j in range(12))
+        rows.append((i, "common header boilerplate " + body))
+    syn = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.1, 0.3, 0.6, 0.9):
+        base = set(
+            map(tuple, dd.ngram_jaccard_pairs(syn, threshold=t, n=2).collect())
+        )
+        pf = set(
+            map(
+                tuple,
+                dd.ngram_jaccard_pairs(
+                    syn, threshold=t, n=2, prefix_filter=True
+                ).collect(),
+            )
+        )
+        assert base == pf

