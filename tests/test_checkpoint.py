@@ -100,3 +100,26 @@ def test_bpe_loop_reliable_identical(spark, tmp_path):
         rel = [tuple(r) for r in bpe_learn_merges(docs, n_merges=4).collect()]
         assert _tree_files(ck)
     assert base == rel
+
+
+def test_pam_loop_reliable_identical(spark, tmp_path):
+    # the cluster-family loop (PAM assignment/update iterations)
+    import random
+
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import kmedoids
+
+    rng = random.Random(5)
+    pts = spark.createDataFrame(
+        [
+            (i, rng.gauss(cx, 0.4), rng.gauss(cy, 0.4))
+            for i, (cx, cy) in enumerate(
+                [(0, 0)] * 40 + [(5, 5)] * 40 + [(0, 5)] * 40
+            )
+        ],
+        "series_id long, x double, y double",
+    )
+    base = sorted(map(tuple, kmedoids(pts, k=3, max_iter=4).collect()))
+    with reliable(spark, tmp_path) as ck:
+        rel = sorted(map(tuple, kmedoids(pts, k=3, max_iter=4).collect()))
+        assert _tree_files(ck)
+    assert base == rel
