@@ -706,3 +706,24 @@ def test_area_downsample_equals_relational_box_mean(spark):
     for i in range(3):
         for j in range(3):
             assert got[i][j] == rel[(i, j)], (i, j)
+
+
+def test_deterministic_lloyd_recovers_blobs(spark):
+    """The md5-seeded fixed-round Lloyd twin must separate
+    well-separated blobs as cleanly as the MLlib fit (ARI 1.0 needs
+    luck with only 2 fixed rounds and arbitrary seeds, so assert a
+    strong-agreement floor), and be exactly reproducible run to run."""
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
+
+    emb, truth = _blobs(spark)
+    emb = emb.where(F.col("series_id") < 120)
+    v = emb.select("series_id", F.array("x", "y").alias("v"))
+    out = deterministic_lloyd_assign(v, 4, id_col="series_id", vec_col="v",
+                                     lloyd_rounds=4)
+    got = {r["id"]: r["cell"] for r in out.collect()}
+    truth_b = {k: t for k, t in truth.items() if t != -1}
+    assert _ari(got, truth_b) > 0.6
+    again = {r["id"]: r["cell"] for r in
+             deterministic_lloyd_assign(v, 4, id_col="series_id",
+                                        vec_col="v", lloyd_rounds=4).collect()}
+    assert got == again

@@ -43,6 +43,85 @@ def kmeans_fit_predict(
     return out, [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def deterministic_lloyd_assign(
+    df: DataFrame,
+    k: int,
+    id_col: str = "id",
+    vec_col: str = "v",
+    lloyd_rounds: int = 2,
+) -> DataFrame:
+    """Deterministic, cross-engine-replayable Lloyd assignment over an
+    ``array<double>`` feature column — the reproducible k-means twin
+    the RNG-seeded MLlib fit cannot be (kmeans|| init + parallel float
+    reductions are implementation-defined).
+
+    Initial centroids are the ``k`` rows with the smallest md5(id)
+    (the engine's deterministic-sample family, cell index = rank in
+    that order); each of the fixed ``lloyd_rounds`` assignment rounds
+    is a broadcast cross join + map-side ``min_by`` argmin on
+    (d2, cell). Parity disciplines (shared with the dedup_semantic
+    oracle): distances are SEQUENTIAL left-to-right folds
+    (``zip_with``+``aggregate`` ↔ DuckDB list_transform/list_aggregate
+    — bit-identical given identical inputs); updated centroid
+    components round half-up to 6 dp via ``floor(x*1e6+0.5)/1e6`` in
+    both engines.
+
+    Returns one row per input: ``(id, v, cell, d2)`` with ``d2`` the
+    squared distance to the FINAL centroid (deterministic survivor /
+    exemplar picks key on it downstream).
+
+    EAGER CONTRACT: materializes the projected input via
+    stage_checkpoint (lazily) and runs one Spark job per round for the
+    centroid means; see with_global_ntiles for the checkpoint
+    fault-tolerance caveats and the reliable opt-in.
+    """
+    v0 = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).transform(stage_checkpoint, eager=False)
+
+    init = (
+        v0.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(k)
+    )
+    # k rows — the single-partition window is over the seed set only
+    w_seed = Window.orderBy("_h", "id")
+    cdf = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
+        "cell", F.col("v").alias("cvec")
+    )
+
+    d2_expr = F.aggregate(
+        F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        # argmin as a map-side-combinable min_by aggregate (the
+        # partitionBy(id) window form shuffles AND sorts the n×k
+        # candidate frame); ties impossible — cell is unique per id
+        j = v0.crossJoin(F.broadcast(centroids)).withColumn("d2", d2_expr)
+        best = j.groupBy("id").agg(
+            F.min_by(
+                F.struct("cell", "v", "d2"), F.struct("d2", "cell")
+            ).alias("_best")
+        )
+        return best.select("id", "_best.v", "_best.cell", "_best.d2")
+
+    for _ in range(lloyd_rounds - 1):
+        a = _assign(cdf)
+        ex = a.select("cell", F.posexplode("v").alias("pos", "val"))
+        cm = ex.groupBy("cell", "pos").agg(
+            (F.floor(F.avg("val") * 1e6 + 0.5) / 1e6).alias("cv")
+        )
+        cdf = cm.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("cvec")
+        )
+    return _assign(cdf)
+
+
 # --------------------------------------------------------------------------
 # C4 — silhouette
 # --------------------------------------------------------------------------

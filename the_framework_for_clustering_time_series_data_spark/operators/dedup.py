@@ -983,58 +983,11 @@ def semantic_dedup_deterministic(
     (not convergence-driven) — determinism over optimality, which is
     fine for cell BOUNDING where any reasonable partition works.
     """
-    v0 = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).transform(stage_checkpoint, eager=False)
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
 
-    init = (
-        v0.withColumn("_h", F.md5(F.col("id").cast("string")))
-        .orderBy("_h", "id")
-        .limit(n_cells)
-    )
-    # n_cells rows — the single-partition window is over the seed set
-    # only, never the corpus
-    w_seed = Window.orderBy("_h", "id")
-    cdf = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
-        "cell", F.col("v").alias("cvec")
-    )
-
-    d2_expr = F.aggregate(
-        F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def _assign(centroids: DataFrame) -> DataFrame:
-        # argmin over (d2, cell) as a min_by AGGREGATE, not a
-        # partitionBy(id) window: the aggregate combines map-side (the
-        # n_cells candidate rows for an id are produced adjacently by
-        # the broadcast cross join, so partials collapse before any
-        # exchange), where the window form shuffles AND sorts the full
-        # n×n_cells frame by id at 100×. min_by ties are impossible —
-        # the (d2, cell) key is unique per id (cell is).
-        j = v0.crossJoin(F.broadcast(centroids)).withColumn("d2", d2_expr)
-        best = j.groupBy("id").agg(
-            F.min_by(
-                F.struct("cell", "v", "d2"), F.struct("d2", "cell")
-            ).alias("_best")
-        )
-        return best.select(
-            "id", "_best.v", "_best.cell", "_best.d2"
-        )
-
-    for _ in range(lloyd_rounds - 1):
-        a = _assign(cdf)
-        ex = a.select("cell", F.posexplode("v").alias("pos", "val"))
-        cm = ex.groupBy("cell", "pos").agg(
-            (F.floor(F.avg("val") * 1e6 + 0.5) / 1e6).alias("cv")
-        )
-        cdf = cm.groupBy("cell").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
-            ).alias("cvec")
-        )
-    final = _assign(cdf).transform(stage_checkpoint, eager=True)
+    final = deterministic_lloyd_assign(
+        emb, n_cells, id_col=id_col, vec_col=vec_col, lloyd_rounds=lloyd_rounds
+    ).transform(stage_checkpoint, eager=True)
 
     # pair scan as ONE matmul per cell (the semantic_dedup lesson: an
     # interpreted zip_with/aggregate HOF per pair costs ~µs per ELEMENT

@@ -235,6 +235,71 @@ def c1_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", "prediction")
 
 
+def _lloyd_assign_sql(src: str, cent: str, out: str, dim: int) -> str:
+    """One deterministic-Lloyd assignment round as a CTE (sequential-
+    fold distances, (d2, cell) argmin ties) — shared discipline with
+    dedup_plans._semantic_assign_sql, restated here for the 2-D case."""
+    d2 = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"k -> (s.v[k] - c.cvec[k]) * (s.v[k] - c.cvec[k])), 'sum')"
+    )
+    return f"""{out} AS (
+  SELECT id, v, cell, d2 FROM (
+    SELECT s.id, s.v, c.cell, {d2} AS d2,
+           row_number() OVER (PARTITION BY s.id ORDER BY {d2}, c.cell) AS rn
+    FROM {src} s CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+
+_C1B_K = 9
+
+
+@register(
+    "c1b_kmeans_md5lloyd",
+    f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         [embedding[1]::DOUBLE, embedding[2]::DOUBLE] AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT {_C1B_K})
+),
+{_lloyd_assign_sql("e", "c0", "a0", 2)},
+cm AS (
+  SELECT cell, pos, floor(avg(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+{_lloyd_assign_sql("e", "c1", "a1", 2)}
+SELECT id AS series_id, CAST(cell AS INT) AS prediction
+FROM a1
+""",
+)
+def c1b_kmeans_md5lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1b — DETERMINISTIC k-means twin of C1 (k=9): md5-seeded
+    centroids + fixed two-round Lloyd assignment
+    (cluster.deterministic_lloyd_assign), fully DuckDB-replayable —
+    the reproducible-clustering form a regression-tested pipeline
+    pins, where MLlib's kmeans|| init is RNG/impl-defined and
+    therefore rows-only at the gate. Same parity disciplines as
+    dedup_semantic (sequential-fold distances, half-up-6dp centroid
+    means, (d2, cell) ties)."""
+    e = _emb_xy(spark, sf_dir)
+    v = e.select("series_id", F.array("x", "y").alias("v"))
+    out = cluster.deterministic_lloyd_assign(
+        v, _C1B_K, id_col="series_id", vec_col="v"
+    )
+    return out.select(
+        F.col("id").alias("series_id"), F.col("cell").cast("int").alias("prediction")
+    )
+
+
 @register(
     "c2_dbscan",
     """
