@@ -228,3 +228,77 @@ def test_pagerank_1m_node_ring_uniform(spark):
     assert stats["n"] == n
     assert abs(stats["mn"] - 1.0 / n) < 1e-15
     assert abs(stats["mx"] - 1.0 / n) < 1e-15
+
+
+def test_deterministic_lloyd_200k_points(spark):
+    """Round-4 operator at scale: 200k 8-dim points in 4 well-separated
+    hypercube corners. The md5-seeded fixed-Lloyd assignment must (a)
+    run without any driver-side loop over the data (the only collected
+    artifacts are the k centroid lists), (b) converge to the corner
+    structure after the mean update — every point's final cell must
+    agree with its corner for a clean majority."""
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
+
+    n = 200_000
+    # corner c in {0..3}: coordinates alternate 0/10 by bit pattern,
+    # plus a small deterministic jitter
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 4).alias("corner"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda d: (
+                    F.when(
+                        (
+                            F.floor(
+                                (F.col("id") % 4)
+                                / F.pow(F.lit(2.0), (d % 2).cast("double"))
+                            ).cast("long")
+                            % 2
+                        )
+                        == 1,
+                        10.0,
+                    ).otherwise(0.0)
+                    + (F.abs(F.xxhash64(F.col("id"), d)) % 100) / 1000.0
+                ),
+            ).alias("v"),
+        )
+    )
+    out = deterministic_lloyd_assign(df, 4, id_col="id", vec_col="v", lloyd_rounds=3)
+    joined = out.join(df.select("id", "corner"), "id")
+    # majority cell per corner must cover ~all its points
+    agg = (
+        joined.groupBy("corner", "cell").count()
+        .groupBy("corner")
+        .agg(F.max("count").alias("top"), F.sum("count").alias("n"))
+        .agg(F.sum("top").alias("top"), F.sum("n").alias("n"))
+        .collect()[0]
+    )
+    assert agg["n"] == n
+    assert agg["top"] / agg["n"] > 0.99
+
+
+def test_dtw_align_long_series(spark):
+    """Round-4 oracle target at larger n·m: 24 series of 1200 points
+    warped to one 1600-point series — ~2M-cell DP per series inside
+    the Arrow batch, no driver involvement beyond the broadcast
+    longest series. Output length and identity-branch invariants
+    hold."""
+    from the_framework_for_clustering_time_series_data_spark.operators.align import dtw_stretch_align
+
+    rows = (
+        spark.range(25)
+        .select(
+            F.col("id").alias("series_id"),
+            F.explode(
+                F.sequence(F.lit(0), F.when(F.col("id") == 0, 1599).otherwise(1199))
+            ).alias("t"),
+        )
+        .withColumn("value", F.sin(F.col("t") / 50.0) * 10 + (F.col("series_id") % 7))
+    )
+    out = dtw_stretch_align(rows)
+    per = out.groupBy("series_id").count().collect()
+    assert all(r["count"] == 1600 for r in per)
+    assert len(per) == 25
