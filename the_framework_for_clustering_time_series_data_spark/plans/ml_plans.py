@@ -300,6 +300,117 @@ def c1b_kmeans_md5lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4b_k_chain(k: int) -> str:
+    """Per-k CTE chain for the deterministic model-selection oracle:
+    md5-seeded two-round Lloyd (dim 2) + exact silhouette + per-k mean
+    score. Ends in ``sc{k}(k, score)``."""
+    kk = f"k{k}"
+    d2 = (
+        "list_aggregate(list_transform(range(1, 3), "
+        "j -> (s.v[j] - c.cvec[j]) * (s.v[j] - c.cvec[j])), 'sum')"
+    )
+
+    def assign(src, cent, out):
+        return f"""{out} AS (
+  SELECT id, v, cell FROM (
+    SELECT s.id, s.v, c.cell,
+           row_number() OVER (PARTITION BY s.id ORDER BY {d2}, c.cell) AS rn
+    FROM {src} s CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    return f"""c0{kk} AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT {k})
+),
+{assign("e", f"c0{kk}", f"a0{kk}")},
+cm{kk} AS (
+  SELECT cell, pos, floor(avg(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0{kk})
+  GROUP BY 1, 2
+),
+c1{kk} AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm{kk} GROUP BY 1),
+{assign("e", f"c1{kk}", f"a1{kk}")},
+p{kk} AS (
+  SELECT a.id, a.cell AS la, b.cell AS lb,
+         avg(sqrt((a.v[1] - b.v[1])^2 + (a.v[2] - b.v[2])^2)) AS md
+  FROM a1{kk} a JOIN a1{kk} b ON a.id != b.id
+  GROUP BY 1, 2, 3
+),
+own{kk} AS (SELECT id, md AS a_dist FROM p{kk} WHERE la = lb),
+oth{kk} AS (SELECT id, min(md) AS b_dist FROM p{kk} WHERE la != lb GROUP BY id),
+sil{kk} AS (
+  SELECT a1.id,
+         round(CASE WHEN o1.a_dist IS NULL OR o2.b_dist IS NULL THEN 0.0
+                    ELSE (o2.b_dist - o1.a_dist)
+                         / greatest(o1.a_dist, o2.b_dist) END, 6) AS s
+  FROM a1{kk} a1
+  LEFT JOIN own{kk} o1 ON o1.id = a1.id
+  LEFT JOIN oth{kk} o2 ON o2.id = a1.id
+),
+sc{kk} AS (SELECT {k} AS k, round(avg(s), 6) AS score FROM sil{kk})"""
+
+
+_C4B_KS = (2, 3, 4, 5, 6)
+
+
+@register(
+    "c4b_selection_md5lloyd",
+    f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         [embedding[1]::DOUBLE, embedding[2]::DOUBLE] AS v
+  FROM embeddings
+),
+{",".join(_c4b_k_chain(k) for k in _C4B_KS)},
+allk AS ({" UNION ALL ".join(f"SELECT * FROM sck{k}" for k in _C4B_KS)})
+SELECT CAST(k AS INT) AS k, score,
+       CAST(row_number() OVER (ORDER BY score DESC, k) AS INT) AS rank
+FROM allk
+""",
+)
+def c4b_selection_md5lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4b — fully oracle-checked model selection: for k = 2..6 fit
+    the DETERMINISTIC md5-seeded Lloyd clustering
+    (cluster.deterministic_lloyd_assign), score each with the EXACT
+    mean silhouette (same pairwise arithmetic as c4_silhouette_exact,
+    per-point 6-dp round then 6-dp rounded mean in BOTH engines), and
+    rank (score DESC, k). The end-to-end verifiable twin of
+    c4_silhouette_selection, whose MLlib fits keep it rows-only —
+    here fits, scores, and the ranking all replay in DuckDB."""
+    e = _emb_xy(spark, sf_dir)
+    v = e.select(F.col("series_id").alias("id"), F.array("x", "y").alias("v"))
+    per_k = []
+    for k in _C4B_KS:
+        assign = cluster.deterministic_lloyd_assign(v, k, id_col="id", vec_col="v")
+        pred = assign.select(
+            F.col("id").alias("series_id"),
+            F.col("v")[0].alias("x"),
+            F.col("v")[1].alias("y"),
+            F.col("cell").alias("prediction"),
+        )
+        sil = cluster.silhouette_exact(pred).select(
+            F.round("silhouette", 6).alias("s")
+        )
+        per_k.append(
+            sil.agg(
+                F.lit(k).cast("int").alias("k"),
+                F.round(F.avg("s"), 6).alias("score"),
+            )
+        )
+    allk = per_k[0]
+    for nxt in per_k[1:]:
+        allk = allk.unionAll(nxt)
+    from pyspark.sql.window import Window as W
+
+    return allk.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.desc("score"), "k")).cast("int"),
+    )
+
+
 @register(
     "c2_dbscan",
     """
