@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ts_motif_verified",
     "dedup_semantic",
+    "c4b_selection_md5lloyd",
 ]
 
 
