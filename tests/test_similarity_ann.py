@@ -317,3 +317,24 @@ def test_ivfpq_matches_ivf_recall_with_generous_rerank(spark):
         )
     )
     assert pq1 == pq2
+
+
+def test_ivfb_deterministic_recall_and_reproducibility(spark):
+    """The deterministic-Lloyd IVF twin must hit the same recall floor
+    as the MLlib-quantized variant AND return byte-identical results
+    across invocations (the property the MLlib build can't promise
+    across environments)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    exact = _topk_sets(similarity.brute_force_topk(emb, qs, k=5))
+    approx_df = similarity.ivf_topk_deterministic(
+        emb, qs, k=5, n_cells=16, nprobe=4
+    )
+    approx = _topk_sets(approx_df)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"deterministic IVF recall {hits}/{total}"
+    again = sorted(map(tuple, similarity.ivf_topk_deterministic(
+        emb, qs, k=5, n_cells=16, nprobe=4
+    ).collect()))
+    assert sorted(map(tuple, approx_df.collect())) == again

@@ -49,7 +49,8 @@ def deterministic_lloyd_assign(
     id_col: str = "id",
     vec_col: str = "v",
     lloyd_rounds: int = 2,
-) -> DataFrame:
+    with_centroids: bool = False,
+):
     """Deterministic, cross-engine-replayable Lloyd assignment over an
     ``array<double>`` feature column — the reproducible k-means twin
     the RNG-seeded MLlib fit cannot be (kmeans|| init + parallel float
@@ -68,7 +69,11 @@ def deterministic_lloyd_assign(
 
     Returns one row per input: ``(id, v, cell, d2)`` with ``d2`` the
     squared distance to the FINAL centroid (deterministic survivor /
-    exemplar picks key on it downstream).
+    exemplar picks key on it downstream). With
+    ``with_centroids=True``, returns ``(assignments, centroids)``
+    where ``centroids`` is the final ``(cell, cvec)`` frame (the
+    half-up-6dp rounded means the last assignment used — index
+    metadata, ≤ k×dim values).
 
     EAGER CONTRACT: materializes the projected input via
     stage_checkpoint (lazily) and runs one Spark job per round for the
@@ -119,7 +124,10 @@ def deterministic_lloyd_assign(
                 F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
             ).alias("cvec")
         )
-    return _assign(cdf)
+    out = _assign(cdf)
+    if with_centroids:
+        return out, cdf
+    return out
 
 
 # --------------------------------------------------------------------------

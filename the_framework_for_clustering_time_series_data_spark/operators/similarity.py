@@ -278,12 +278,62 @@ def ivf_topk(
     return _ivf_probe_scored(cells, qs, centers, k, nprobe)
 
 
+def ivf_topk_deterministic(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer — the
+    oracle-checkable twin of :func:`ivf_topk`, whose MLlib KMeans index
+    build is RNG/impl-defined.
+
+    The index build is ``cluster.deterministic_lloyd_assign``
+    (md5-seeded, fixed rounds, sequential-fold distances, half-up-6dp
+    centroid means — every value a DuckDB twin reproduces); the probe
+    tail is the SAME ``_ivf_probe_scored`` the MLlib variant uses, fed
+    the collected final centroids (≤ n_cells×dim values — index
+    metadata, the legitimate collect class). Probe-cell ranking keys
+    on (fold distance, cell) — bit-identical across engines because
+    the centroid literals are.
+    """
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    assign, cdf = deterministic_lloyd_assign(
+        corpus, n_cells, id_col="nbr_id", vec_col="v",
+        lloyd_rounds=lloyd_rounds, with_centroids=True,
+    )
+    cells = assign.select(F.col("id").alias("nbr_id"), "v", "cell")
+    crows = sorted(
+        ((r["cell"], [float(x) for x in r["cvec"]]) for r in cdf.collect())
+    )
+    # centers indexed by cell id; empty cells simply have no members
+    centers = {c: v for c, v in crows}
+    center_list = [centers[c] for c in sorted(centers)]
+    cell_ids = sorted(centers)
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    return _ivf_probe_scored(cells, qs, center_list, k, nprobe, cell_ids=cell_ids)
+
+
 def _ivf_probe_scored(
-    cells: DataFrame, qs: DataFrame, centers: list[list[float]], k: int, nprobe: int
+    cells: DataFrame, qs: DataFrame, centers: list[list[float]], k: int,
+    nprobe: int, cell_ids: list[int] | None = None,
 ) -> DataFrame:
     """Shared IVF probe tail: pick each query's nprobe nearest cells
     (literal centroid distances — the centroid table is index metadata,
-    tiny by construction), then score only same-cell candidates."""
+    tiny by construction), then score only same-cell candidates.
+    ``cell_ids`` maps positions in ``centers`` to cell labels when the
+    quantizer's cells are not a dense 0..k-1 range (the deterministic
+    Lloyd build can leave empty cells)."""
 
     def sq_dist(vcol: Column, center: list[float]) -> Column:
         c = F.array(*[F.lit(x) for x in center])
@@ -293,11 +343,15 @@ def _ivf_probe_scored(
             lambda acc, x: acc + x,
         )
 
+    ids = cell_ids if cell_ids is not None else list(range(len(centers)))
     ranked_cells = F.slice(
         F.array_sort(
             F.array(
                 *[
-                    F.struct(sq_dist(F.col("qv"), centers[i]).alias("d"), F.lit(i).alias("cell"))
+                    F.struct(
+                        sq_dist(F.col("qv"), centers[i]).alias("d"),
+                        F.lit(ids[i]).alias("cell"),
+                    )
                     for i in range(len(centers))
                 ]
             )

@@ -116,6 +116,75 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def _ivfb_oracle_sql(k: int = 5, n_cells: int = 16, nprobe: int = 4,
+                     dim: int = 64) -> str:
+    """DuckDB twin of ``ivf_topk_deterministic``: the md5-seeded Lloyd
+    quantizer (shared CTE shape with dedup_plans._semantic_assign_sql),
+    probe-cell ranking on (sequential-fold distance, cell), and the
+    sim_bruteforce cosine/rank discipline."""
+    from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import _semantic_assign_sql
+
+    qd2 = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"j -> (q.qv[j] - c.cvec[j]) * (q.qv[j] - c.cvec[j])), 'sum')"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT {n_cells})
+),
+{_semantic_assign_sql("e", "c0", "a0", dim)},
+cm AS (
+  SELECT cell, pos, floor(avg(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+{_semantic_assign_sql("e", "c1", "a1", dim)},
+q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+qc AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qd2}, c.cell) AS rn
+    FROM q CROSS JOIN c1 c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT qc.query_id, qc.qv, a.id AS nbr_id, a.v
+  FROM qc JOIN a1 a ON a.cell = qc.cell
+  WHERE a.id <> qc.query_id
+),
+sc AS (
+  SELECT query_id, nbr_id,
+         round(list_cosine_similarity(qv, v), 6) AS cosine
+  FROM cand
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id) AS rank
+  FROM sc
+)
+SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("sim_ivfb_topk", _ivfb_oracle_sql())
+def sim_ivfb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVF with a DETERMINISTIC md5-seeded Lloyd
+    coarse quantizer (16 cells, probe 4) — the fully oracle-checked
+    twin of sim_ivf_topk (whose MLlib KMeans index build is
+    RNG-defined): index build, probe-cell ranking, candidate scoring,
+    and the final ranking all replay in DuckDB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_deterministic(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_cells=16, nprobe=4
+    )
+
+
 @register("sim_ivf_topk")  # KMeans index build → rows-only oracle
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF partitioning (16 KMeans cells, probe
