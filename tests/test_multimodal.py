@@ -75,8 +75,10 @@ def test_forcing_real_without_dependency_raises(spark):
         with _pytest.raises(Exception, match="PIL"):
             multimodal.decode_image_features(d, use_real=True).collect()
     if not multimodal.SOUNDFILE_AVAILABLE:
-        with _pytest.raises(ImportError, match="soundfile"):
-            multimodal.extract_audio_features(d, use_real=True)
+        # WAV now decodes stdlib-only; the error fires at decode time
+        # for non-WAV payloads (these are synthetic text)
+        with _pytest.raises(Exception, match="soundfile"):
+            multimodal.extract_audio_features(d, use_real=True).collect()
     if not multimodal.FFMPEG_AVAILABLE:
         with _pytest.raises(ImportError, match="ffmpeg"):
             multimodal.sample_frames(d, use_real=True)
@@ -102,17 +104,13 @@ def test_real_image_decode_pil(spark):
     assert out[2]["mean_intensity"] == 0.0
 
 
-def test_real_audio_decode_soundfile(spark):
-    # self-skips without soundfile. The WAV is built with the stdlib
-    # wave module: 1 s of silence at 8 kHz -> duration 1.0, rate 8000,
-    # zero envelope, floor dBFS.
+def test_real_audio_decode_wav(spark):
+    # No skip: WAV decodes via the pure-stdlib path in any container.
+    # The WAV is built with the stdlib wave module: 1 s of silence at
+    # 8 kHz -> duration 1.0, rate 8000, zero envelope, floor dBFS.
     import io
     import wave
 
-    import pytest as _pytest
-
-    if not multimodal.SOUNDFILE_AVAILABLE:
-        _pytest.skip("soundfile not available")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -307,3 +305,92 @@ def test_png_stdlib_matches_pil(spark):
     n = sum(hist)
     pil_mean = round(sum(i * c for i, c in enumerate(hist)) / n / 255.0, 6)
     assert multimodal.decode_png_stdlib(png) == (5, 4, pil_mean)
+
+
+def test_wav_stdlib_decode_values():
+    """Exact feature values for a hand-built 16-bit PCM WAV: a square
+    wave at half amplitude — duration, rate, peak dBFS (20·log10(0.5)),
+    and a constant RMS envelope of 0.5 (square wave RMS = amplitude)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    amp = 1 << 14  # 0.5 full scale
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        frames = b"".join(
+            struct.pack("<h", amp if (i // 8) % 2 == 0 else -amp)
+            for i in range(16000)
+        )
+        w.writeframes(frames)
+    dur, rate, peak, env = multimodal.decode_wav_features(buf.getvalue(), n_windows=4)
+    assert (dur, rate) == (1.0, 16000)
+    assert peak == round(20 * math.log10(amp / 32768.0), 3)
+    assert env == [round(amp / 32768.0, 6)] * 4
+
+
+def test_wav_stdlib_stereo_and_widths():
+    """Stereo mixes down by mean; 8-bit unsigned and 32-bit widths
+    normalize with the PCM scalings; non-PCM width raises."""
+    import io
+    import struct
+    import wave
+
+    import pytest as _pytest
+
+    # stereo 16-bit: L=+0.5, R=-0.5 -> mean 0 everywhere
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<hh", 1 << 14, -(1 << 14)) * 800)
+    dur, rate, peak, env = multimodal.decode_wav_features(buf.getvalue(), n_windows=2)
+    assert peak == -120.0 and env == [0.0, 0.0]
+
+    # 8-bit unsigned: constant 192 -> (192-128)/128 = 0.5
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([192]) * 400)
+    _, _, _, env = multimodal.decode_wav_features(buf.getvalue(), n_windows=2)
+    assert env == [0.5, 0.5]
+
+    # 3-byte width is unsupported by the stdlib path
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00" * 16)
+    with _pytest.raises(ValueError, match="sample width"):
+        multimodal.decode_wav_features(buf.getvalue())
+
+
+def test_wav_real_path_in_spark_without_soundfile(spark):
+    """REAL audio decode end-to-end in this container: WAV payloads
+    through the mapInPandas kernel with use_real=True, no soundfile."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<h", 1 << 13) * 4000)  # 0.5 s at 0.25FS
+    df = spark.createDataFrame(
+        [(7, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    r = multimodal.extract_audio_features(df, n_windows=4, use_real=True).collect()[0]
+    assert r["duration_s"] == 0.5 and r["sample_rate"] == 8000
+    assert r["rms_envelope"] == [0.25] * 4
+    auto = multimodal.extract_audio_features(df, n_windows=4).collect()[0]
+    assert tuple(auto) == tuple(r)

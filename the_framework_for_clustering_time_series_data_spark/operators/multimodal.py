@@ -5,9 +5,13 @@ stages.
 
 Each kernel carries BOTH code paths:
 
-* a REAL decoder (PIL for images, soundfile for audio, the ffmpeg
-  binary for video frames), used automatically when its dependency is
-  importable/installed — gated per modality below;
+* a REAL decoder, used automatically when available — and for the
+  two mainstream container formats it needs NO dependency at all:
+  PNG decodes pure-stdlib (zlib + scanline unfiltering,
+  :func:`decode_png_stdlib`) and RIFF/WAVE PCM decodes pure-stdlib
+  (``wave`` + struct, :func:`decode_wav_features`); other formats use
+  PIL for images, soundfile for audio, the ffmpeg binary for video
+  frames — gated per modality below;
 * a DETERMINISTIC STUB (seeded from the payload bytes, clearly marked)
   that keeps the distributed plumbing — schema, Arrow batching,
   partition behavior, UDF signatures — exercised end to end in
@@ -338,6 +342,71 @@ def sample_frames(
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
 
 
+#: RIFF/WAVE signature — payloads with it route through the
+#: pure-stdlib decoder below, soundfile or not.
+WAV_MAGIC_RIFF = b"RIFF"
+WAV_MAGIC_WAVE = b"WAVE"
+
+
+def _is_wav(payload: bytes) -> bool:
+    return bytes(payload[:4]) == WAV_MAGIC_RIFF and bytes(payload[8:12]) == WAV_MAGIC_WAVE
+
+
+def decode_wav_features(
+    payload: bytes, n_windows: int = 8
+) -> tuple[float, int, float, list[float]]:
+    """Pure-stdlib WAV (PCM) decode → (duration_s, sample_rate,
+    peak_dbfs, rms_envelope) — the audio sibling of
+    :func:`decode_png_stdlib`: RIFF/WAVE PCM parses with the stdlib
+    ``wave`` module + struct, so this container runs a REAL audio
+    decode without soundfile. Samples normalize to float64 with
+    soundfile's PCM scaling (int16 → x/2¹⁵, int32 → x/2³¹, 8-bit
+    unsigned → (x−128)/2⁷); multi-channel mixes down by mean exactly
+    like the soundfile path. Compressed WAV (non-PCM) raises —
+    soundfile stays the route for those.
+    """
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if width == 2:
+        ints = struct.unpack(f"<{len(raw) // 2}h", raw)
+        scale = float(1 << 15)
+        samples = [x / scale for x in ints]
+    elif width == 4:
+        ints = struct.unpack(f"<{len(raw) // 4}i", raw)
+        scale = float(1 << 31)
+        samples = [x / scale for x in ints]
+    elif width == 1:  # 8-bit WAV is unsigned
+        samples = [(x - 128) / 128.0 for x in raw]
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}; use soundfile")
+    if n_ch > 1:
+        samples = [
+            sum(samples[i : i + n_ch]) / n_ch
+            for i in range(0, len(samples), n_ch)
+        ]
+    n = len(samples)
+    duration = round(n / rate, 3)
+    peak = max((abs(s) for s in samples), default=0.0)
+    peak_dbfs = round(20 * math.log10(peak) if peak > 0 else -120.0, 3)
+    env = []
+    for i in range(n_windows):
+        seg = samples[i * n // n_windows : (i + 1) * n // n_windows]
+        if seg:
+            env.append(round(math.sqrt(sum(s * s for s in seg) / len(seg)), 6))
+        else:
+            env.append(0.0)
+    return duration, int(rate), peak_dbfs, env
+
+
 def extract_audio_features(
     df: DataFrame,
     n_windows: int = 8,
@@ -348,25 +417,30 @@ def extract_audio_features(
     sample rate, peak dBFS) plus an ``n_windows``-slot RMS loudness
     envelope (array<double>).
 
-    Real path (soundfile): decode the payload, window the samples,
-    RMS per window, 20·log10(peak) dBFS. Stub path: deterministic
+    Real path: RIFF/WAVE PCM payloads decode via the pure-stdlib
+    :func:`decode_wav_features` — no library needed; other formats
+    (FLAC, OGG, …) go through soundfile. Stub path: deterministic
     functions of the payload hash. The Spark-side contract is
     identical — Arrow-batched mapInPandas, one row per clip with a
     fixed-length envelope array, so a multi-GB audio file is decoded
     where its bytes already live and only the tiny feature row crosses
     the wire.
+
+    Dispatch mirrors decode_image_features: ``use_real=False`` → stub
+    always (registered queries pin it — payloads are synthetic text);
+    ``True`` → real required (WAV always works; non-WAV without
+    soundfile raises executor-side); ``None`` → per-payload auto.
     """
     import hashlib
 
     import pandas as pd
 
-    real = _resolve(use_real, SOUNDFILE_AVAILABLE, "soundfile")
     out_schema = (
         f"{id_col} long, duration_s double, sample_rate int, "
         "peak_dbfs double, rms_envelope array<double>"
     )
 
-    def _decode_real(payload: bytes) -> tuple[float, int, float, list[float]]:  # pragma: no cover - needs soundfile
+    def _decode_soundfile(payload: bytes) -> tuple[float, int, float, list[float]]:  # pragma: no cover - needs soundfile
         import io
         import math
 
@@ -396,7 +470,20 @@ def extract_audio_features(
         env = [round(h[4 + i] / 255, 6) for i in range(n_windows)]
         return duration, rate, peak, env
 
-    decode = _decode_real if real else _decode_stub
+    def decode(payload: bytes) -> tuple[float, int, float, list[float]]:
+        if use_real is False:
+            return _decode_stub(payload)
+        if _is_wav(payload):
+            return decode_wav_features(payload, n_windows=n_windows)
+        if SOUNDFILE_AVAILABLE:
+            return _decode_soundfile(payload)
+        if use_real:
+            raise ImportError(
+                "real decode requested for a non-WAV payload but soundfile "
+                "is not available (WAV decodes stdlib-only; other formats "
+                "need soundfile)"
+            )
+        return _decode_stub(payload)
 
     def run(batches):
         for pdf in batches:
