@@ -80,8 +80,10 @@ def test_forcing_real_without_dependency_raises(spark):
         with _pytest.raises(Exception, match="soundfile"):
             multimodal.extract_audio_features(d, use_real=True).collect()
     if not multimodal.FFMPEG_AVAILABLE:
-        with _pytest.raises(ImportError, match="ffmpeg"):
-            multimodal.sample_frames(d, use_real=True)
+        # Y4M now parses stdlib-only; the error fires at decode time
+        # for non-Y4M payloads (these are synthetic text)
+        with _pytest.raises(Exception, match="ffmpeg"):
+            multimodal.sample_frames(d, use_real=True).collect()
 
 
 def test_real_image_decode_pil(spark):
@@ -394,3 +396,56 @@ def test_wav_real_path_in_spark_without_soundfile(spark):
     assert r["rms_envelope"] == [0.25] * 4
     auto = multimodal.extract_audio_features(df, n_windows=4).collect()[0]
     assert tuple(auto) == tuple(r)
+
+
+def _encode_y4m(w, h, frames_yuv):
+    """Minimal stdlib Y4M encoder for the parser tests: C420, one
+    bytes object of w*h*3//2 per frame."""
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420jpeg\n" % (w, h))
+    for f in frames_yuv:
+        assert len(f) == w * h * 3 // 2
+        out += b"FRAME\n" + f
+    return bytes(out)
+
+
+def test_y4m_stdlib_frame_sampling_values():
+    import hashlib
+
+    w, h = 8, 6
+    fb = w * h * 3 // 2
+    frames = [bytes([i]) * fb for i in range(10)]
+    payload = _encode_y4m(w, h, frames)
+    digests = multimodal.sample_frames_y4m(payload, n_frames=4)
+    # evenly spaced picks: floor(i*10/4) = 0, 2, 5, 7
+    want = [hashlib.md5(frames[i]).hexdigest() for i in (0, 2, 5, 7)]
+    assert digests == want
+    # fewer frames than requested: every distinct frame sampled once
+    short = _encode_y4m(w, h, frames[:2])
+    assert len(multimodal.sample_frames_y4m(short, n_frames=4)) == 2
+
+
+def test_y4m_stdlib_rejects_malformed():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        multimodal.sample_frames_y4m(b"RIFF....")
+    with _pytest.raises(ValueError, match="colourspace"):
+        multimodal.sample_frames_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAME\n" + b"0" * 12)
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.sample_frames_y4m(b"YUV4MPEG2 W4 H4 C420\nFRAME\n" + b"0" * 5)
+
+
+def test_y4m_real_path_in_spark_without_ffmpeg(spark):
+    """REAL video frame sampling end-to-end in this container: Y4M
+    payloads through the mapInPandas kernel with use_real=True."""
+    w, h = 4, 4
+    fb = w * h * 3 // 2
+    payload = _encode_y4m(w, h, [bytes([i * 7]) * fb for i in range(8)])
+    df = spark.createDataFrame(
+        [(3, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = multimodal.sample_frames(df, n_frames=4, use_real=True).collect()
+    assert len(rows) == 4
+    assert len({r["frame_md5"] for r in rows}) == 4  # distinct frames
+    auto = multimodal.sample_frames(df, n_frames=4).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, rows))

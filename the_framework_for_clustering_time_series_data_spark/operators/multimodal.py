@@ -5,13 +5,14 @@ stages.
 
 Each kernel carries BOTH code paths:
 
-* a REAL decoder, used automatically when available — and for the
-  two mainstream container formats it needs NO dependency at all:
+* a REAL decoder, used automatically when available — and EVERY
+  modality has one mainstream format needing NO dependency at all:
   PNG decodes pure-stdlib (zlib + scanline unfiltering,
-  :func:`decode_png_stdlib`) and RIFF/WAVE PCM decodes pure-stdlib
-  (``wave`` + struct, :func:`decode_wav_features`); other formats use
-  PIL for images, soundfile for audio, the ffmpeg binary for video
-  frames — gated per modality below;
+  :func:`decode_png_stdlib`), RIFF/WAVE PCM decodes pure-stdlib
+  (``wave`` + struct, :func:`decode_wav_features`), and YUV4MPEG2
+  video parses pure-stdlib (:func:`sample_frames_y4m`); other formats
+  use PIL for images, soundfile for audio, the ffmpeg binary for
+  video frames — gated per modality below;
 * a DETERMINISTIC STUB (seeded from the payload bytes, clearly marked)
   that keeps the distributed plumbing — schema, Arrow batching,
   partition behavior, UDF signatures — exercised end to end in
@@ -263,6 +264,69 @@ def decode_image_features(
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
 
 
+#: YUV4MPEG2 stream signature — payloads with it route through the
+#: pure-stdlib frame parser below, ffmpeg or not.
+Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def sample_frames_y4m(payload: bytes, n_frames: int = 4) -> list[str]:
+    """Pure-stdlib Y4M (YUV4MPEG2) frame sampling → ``n_frames``
+    evenly-spaced raw-frame md5 digests — the video sibling of
+    :func:`decode_png_stdlib` / :func:`decode_wav_features`: Y4M is an
+    uncompressed stream (one ASCII header, then ``FRAME...\\n`` +
+    ``w*h*3/2`` bytes of YUV420 per frame), so this container samples
+    REAL video frames without ffmpeg.
+
+    Sampling picks frame indices ``floor(i * n_total / n_frames)`` —
+    evenly spaced over the whole clip, matching the intent of the
+    ffmpeg path's fps filter (digest VALUES differ by path: raw YUV
+    here vs ffmpeg's scaled PPM; the contract is the deterministic
+    per-frame digest, not cross-path equality). Only C420 variants
+    (the overwhelmingly common chroma mode) are supported; other
+    colourspace tags raise and stay with ffmpeg.
+    """
+    import hashlib
+
+    buf = bytes(payload)
+    if not buf.startswith(Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 payload")
+    hdr_end = buf.index(b"\n")
+    header = buf[len(Y4M_MAGIC):hdr_end].decode("ascii", "replace")
+    w = h = None
+    cspace = "420"
+    for tok in header.split():
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            cspace = tok[1:]
+    if w is None or h is None:
+        raise ValueError("malformed Y4M: missing W/H in stream header")
+    if not cspace.startswith("420"):
+        raise ValueError(f"unsupported Y4M colourspace C{cspace}; use ffmpeg")
+    frame_bytes = w * h * 3 // 2
+    frames = []
+    pos = hdr_end + 1
+    n = len(buf)
+    while pos < n:
+        fh_end = buf.index(b"\n", pos)
+        if not buf[pos:fh_end].startswith(b"FRAME"):
+            raise ValueError("malformed Y4M: expected FRAME marker")
+        start = fh_end + 1
+        if start + frame_bytes > n:
+            raise ValueError("malformed Y4M: truncated frame")
+        frames.append((start, start + frame_bytes))
+        pos = start + frame_bytes
+    if not frames:
+        return []
+    if len(frames) <= n_frames:
+        idxs = list(range(len(frames)))
+    else:
+        idxs = sorted({i * len(frames) // n_frames for i in range(n_frames)})
+    return [hashlib.md5(buf[a:b]).hexdigest() for a, b in (frames[i] for i in idxs)]
+
+
 def sample_frames(
     df: DataFrame,
     n_frames: int = 4,
@@ -272,18 +336,22 @@ def sample_frames(
     """Video frame sampling: emit ``n_frames`` evenly-spaced frame
     records per payload (frame_idx + per-frame digest).
 
-    Real path (ffmpeg binary): write the payload to a temp file, pull
-    evenly-spaced frames via one ``-vf select`` invocation, digest the
-    decoded frame bytes. Stub path: frame digests are deterministic
-    slices of the payload hash. The output shape — one row per
-    (media, frame), produced inside mapInPandas so a 10 GB video never
-    leaves its executor — is the real contract either way.
+    Real path: Y4M payloads parse via the pure-stdlib
+    :func:`sample_frames_y4m` — no binary needed; compressed formats
+    (mp4, mkv, …) go through the ffmpeg binary. Stub path: frame
+    digests are deterministic slices of the payload hash. The output
+    shape — one row per (media, frame), produced inside mapInPandas so
+    a 10 GB video never leaves its executor — is the real contract
+    either way.
+
+    Dispatch mirrors the image/audio kernels: ``use_real=False`` →
+    stub always; ``True`` → real required (Y4M always works; non-Y4M
+    without ffmpeg raises executor-side); ``None`` → per-payload auto.
     """
     import hashlib
 
     import pandas as pd
 
-    real = _resolve(use_real, FFMPEG_AVAILABLE, "the ffmpeg binary")
     out_schema = f"{id_col} long, frame_idx int, frame_md5 string"
 
     def _frames_real(payload: bytes) -> list[str]:  # pragma: no cover - needs ffmpeg
@@ -329,7 +397,20 @@ def sample_frames(
             for i in range(n_frames)
         ]
 
-    frames = _frames_real if real else _frames_stub
+    def frames(payload: bytes) -> list[str]:
+        if use_real is False:
+            return _frames_stub(payload)
+        if bytes(payload[: len(Y4M_MAGIC)]) == Y4M_MAGIC:
+            return sample_frames_y4m(payload, n_frames=n_frames)
+        if FFMPEG_AVAILABLE:
+            return _frames_real(payload)
+        if use_real:
+            raise ImportError(
+                "real frame sampling requested for a non-Y4M payload but "
+                "ffmpeg is not available (Y4M parses stdlib-only; "
+                "compressed formats need ffmpeg)"
+            )
+        return _frames_stub(payload)
 
     def run(batches):
         for pdf in batches:
