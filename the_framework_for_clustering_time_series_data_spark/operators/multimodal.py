@@ -18,11 +18,13 @@ Each kernel carries BOTH code paths:
   partition behavior, UDF signatures — exercised end to end in
   environments without media libraries (this container has none).
 
-``use_real=None`` (default) auto-selects; ``True`` forces the real
-decoder (raising if its dependency is absent); ``False`` forces the
-stub. Tests for the real paths self-skip when the libraries are
-missing, so the stub→real swap is zero-risk the day the environment
-gains them.
+``use_real=None`` (default) auto-selects per payload; ``True``
+forces real decoding (the stdlib formats always work; other formats
+raise executor-side when their dependency is absent); ``False``
+forces the stub. Tests for the library-backed real paths self-skip
+when the libraries are missing, so the stub→real swap is zero-risk
+the day the environment gains them; the stdlib paths are tested
+unconditionally.
 """
 
 from __future__ import annotations
@@ -53,17 +55,6 @@ FFMPEG_AVAILABLE = (
 #: True when EVERY modality has its real decoder — kept for callers
 #: that want a single switch; the kernels gate per modality.
 REAL_DECODERS_AVAILABLE = PIL_AVAILABLE and SOUNDFILE_AVAILABLE and FFMPEG_AVAILABLE
-
-
-def _resolve(use_real: bool | None, available: bool, dep: str) -> bool:
-    if use_real is None:
-        return available
-    if use_real and not available:
-        raise ImportError(
-            f"real decoder requested but {dep} is not available in this "
-            "environment; pass use_real=False for the deterministic stub"
-        )
-    return use_real
 
 
 #: PNG signature — payloads starting with this route through the
