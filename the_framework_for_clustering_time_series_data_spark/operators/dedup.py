@@ -200,8 +200,6 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), sh_col.alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     if prefix_filter:
-        import math
-
         # lossless PPJoin candidate generation (see docstring): index
         # each doc's |A| - ceil(t|A|) + 1 rarest shingles only, then
         # verify candidates EXACTLY on the full shingle sets
