@@ -67,3 +67,38 @@ def test_rows_only_notes_cover_exactly_the_rows_only_set():
         f"missing={sorted(rows_only - set(ROWS_ONLY_NOTES))} "
         f"stale={sorted(set(ROWS_ONLY_NOTES) - rows_only)}"
     )
+
+
+def test_bench_compact_line_stays_inside_capture_window():
+    """The driver tail-captures ~2000 chars of bench stdout; round 3's
+    combined line overflowed it (BENCH_r03.json parsed:null). Simulate
+    the emission logic with the CURRENT headline set and worst-case
+    timing widths and assert the line stays under the window — and
+    that the slowest-N fallback would engage before ever exceeding it
+    for a full-registry sweep."""
+    import json
+
+    from bench import HEADLINE
+
+    # worst case: every query formats as 99.999
+    timings = {q: 99.999 for q in HEADLINE}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": 9999.999,
+        "sf": 0.1,
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) <= 1900, f"headline line {len(line)} chars overflows"
+
+    # sweep-sized map must trigger the fallback branch condition
+    sweep = {f"query_name_number_{i:03d}": 99.999 for i in range(206)}
+    compact["queries"] = sweep
+    assert len(json.dumps(compact)) > 1900  # fallback would engage
+    slowest = dict(sorted(sweep.items(), key=lambda kv: -kv[1])[:20])
+    compact["queries"] = slowest
+    compact["queries_truncated_to_slowest"] = len(slowest)
+    assert len(json.dumps(compact)) <= 1900
