@@ -727,3 +727,21 @@ def test_deterministic_lloyd_recovers_blobs(spark):
              deterministic_lloyd_assign(v, 4, id_col="series_id",
                                         vec_col="v", lloyd_rounds=4).collect()}
     assert got == again
+
+
+def test_bisecting_lloyd_recovers_blobs(spark):
+    """Deterministic bisecting on 4 well-separated blobs (k=4 → 3
+    splits) must recover the blob structure with strong agreement and
+    reproduce exactly across runs."""
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import bisecting_lloyd_assign
+
+    emb, truth = _blobs(spark)
+    emb = emb.where(F.col("series_id") < 120)
+    v = emb.select("series_id", F.array("x", "y").alias("v"))
+    out = bisecting_lloyd_assign(v, 4, id_col="series_id", vec_col="v")
+    got = {r["id"]: r["lab"] for r in out.collect()}
+    truth_b = {k: t for k, t in truth.items() if t != -1}
+    assert _ari(got, truth_b) > 0.6
+    again = {r["id"]: r["lab"] for r in
+             bisecting_lloyd_assign(v, 4, id_col="series_id", vec_col="v").collect()}
+    assert got == again

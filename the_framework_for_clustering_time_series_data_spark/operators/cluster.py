@@ -130,6 +130,95 @@ def deterministic_lloyd_assign(
     return out
 
 
+def bisecting_lloyd_assign(
+    df: DataFrame,
+    k: int,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Deterministic bisecting k-means assignment — the
+    cross-engine-replayable twin of MLlib's BisectingKMeans (whose
+    split RNG and float reductions are implementation-defined), built
+    from the same parity disciplines as
+    :func:`deterministic_lloyd_assign`.
+
+    Start with every row in cluster 0; repeat ``k−1`` times (step s):
+    split the LARGEST cluster (ties → smallest label) with a
+    two-centroid, two-round Lloyd seeded by the cluster's two
+    smallest-md5(id) members; members assigned to the second centroid
+    take the new label ``s``. Labels are therefore the split-step ids
+    0..k−1 — deterministic, no relabeling pass. A cluster too small to
+    seed two centroids simply keeps its members (both engines behave
+    identically), so degenerate inputs stay well-defined.
+
+    Returns ``(id, v, lab)``. EAGER CONTRACT: each split materializes
+    the label frame via stage_checkpoint (k−1 short job chains) — the
+    fixed-depth loop form every iterative operator here uses; opt into
+    reliable checkpointing via ``spark.graft.checkpoint.reliable``.
+    """
+    labels = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.lit(0).alias("lab"),
+    ).transform(stage_checkpoint, eager=True)
+
+    d2_expr = F.aggregate(
+        F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _assign(members: DataFrame, centroids: DataFrame) -> DataFrame:
+        j = members.crossJoin(F.broadcast(centroids)).withColumn("d2", d2_expr)
+        return (
+            j.groupBy("id")
+            .agg(
+                F.min_by(F.struct("cell", "v"), F.struct("d2", "cell")).alias("_b")
+            )
+            .select("id", "_b.v", "_b.cell")
+        )
+
+    for step in range(1, k):
+        tgt = (
+            labels.groupBy("lab")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "lab")
+            .limit(1)
+        )
+        mem = labels.join(F.broadcast(tgt.select("lab")), "lab").select("id", "v")
+        seeds = (
+            mem.withColumn("_h", F.md5(F.col("id").cast("string")))
+            .orderBy("_h", "id")
+            .limit(2)
+        )
+        w_seed = Window.orderBy("_h", "id")
+        cdf = seeds.withColumn("cell", F.row_number().over(w_seed) - 1).select(
+            "cell", F.col("v").alias("cvec")
+        )
+        a = _assign(mem, cdf)
+        cm = a.select("cell", F.posexplode("v").alias("pos", "val")).groupBy(
+            "cell", "pos"
+        ).agg((F.floor(F.avg("val") * 1e6 + 0.5) / 1e6).alias("cv"))
+        cdf2 = cm.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("cvec")
+        )
+        b = _assign(mem, cdf2).select("id", F.col("cell").alias("_cell"))
+        labels = (
+            labels.join(b, "id", "left")
+            .select(
+                "id",
+                "v",
+                F.when(F.col("_cell") == 1, F.lit(step))
+                .otherwise(F.col("lab"))
+                .alias("lab"),
+            )
+            .transform(stage_checkpoint, eager=True)
+        )
+    return labels
+
+
 # --------------------------------------------------------------------------
 # C4 — silhouette
 # --------------------------------------------------------------------------

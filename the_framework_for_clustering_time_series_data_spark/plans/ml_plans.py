@@ -252,6 +252,86 @@ def _lloyd_assign_sql(src: str, cent: str, out: str, dim: int) -> str:
 )"""
 
 
+def _c6b_split_chain(s: int, dim: int = 2) -> str:
+    """One bisecting split step as a CTE chain: largest cluster
+    (count DESC, lab) → two md5-seeded centroids among its members →
+    two-round Lloyd → members on centroid 1 take label ``s``.
+    ``L{s-1}`` in, ``L{s}`` out."""
+    d2 = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"j -> (s.v[j] - c.cvec[j]) * (s.v[j] - c.cvec[j])), 'sum')"
+    )
+
+    def assign(src, cent, out):
+        return f"""{out} AS (
+  SELECT id, v, cell FROM (
+    SELECT s.id, s.v, c.cell,
+           row_number() OVER (PARTITION BY s.id ORDER BY {d2}, c.cell) AS rn
+    FROM {src} s CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    p = s - 1
+    return f"""tgt{s} AS (
+  SELECT lab FROM (SELECT lab, count(*) AS n FROM L{p} GROUP BY lab)
+  ORDER BY n DESC, lab LIMIT 1
+),
+mem{s} AS MATERIALIZED (SELECT l.id, l.v FROM L{p} l JOIN tgt{s} t ON l.lab = t.lab),
+sd{s} AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM mem{s} ORDER BY md5(id::VARCHAR), id LIMIT 2)
+),
+{assign(f"mem{s}", f"sd{s}", f"a{s}")},
+cmm{s} AS (
+  SELECT cell, pos, floor(avg(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a{s})
+  GROUP BY 1, 2
+),
+cc{s} AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cmm{s} GROUP BY 1),
+{assign(f"mem{s}", f"cc{s}", f"b{s}")},
+L{s} AS MATERIALIZED (
+  SELECT l.id, l.v,
+         CASE WHEN b.cell = 1 THEN {s} ELSE l.lab END AS lab
+  FROM L{p} l LEFT JOIN b{s} b ON b.id = l.id
+)"""
+
+
+_C6B_K = 8
+
+
+@register(
+    "c6b_bisecting_md5lloyd",
+    f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         [embedding[1]::DOUBLE, embedding[2]::DOUBLE] AS v
+  FROM embeddings
+),
+L0 AS MATERIALIZED (SELECT id, v, 0 AS lab FROM e),
+{",".join(_c6b_split_chain(s) for s in range(1, _C6B_K))}
+SELECT id AS series_id, CAST(lab AS INT) AS prediction
+FROM L{_C6B_K - 1}
+""",
+)
+def c6b_bisecting_md5lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6b — DETERMINISTIC bisecting k-means twin of c6 (k=8): each of
+    the 7 splits divides the largest cluster with a two-centroid
+    md5-seeded two-round Lloyd (cluster.bisecting_lloyd_assign),
+    labels = split-step ids — fully DuckDB-replayable where MLlib's
+    BisectingKMeans split RNG is implementation-defined. Same parity
+    disciplines as c1b/c4b."""
+    e = _emb_xy(spark, sf_dir)
+    v = e.select("series_id", F.array("x", "y").alias("v"))
+    out = cluster.bisecting_lloyd_assign(
+        v, _C6B_K, id_col="series_id", vec_col="v"
+    )
+    return out.select(
+        F.col("id").alias("series_id"), F.col("lab").cast("int").alias("prediction")
+    )
+
+
 _C1B_K = 9
 
 
