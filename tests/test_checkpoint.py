@@ -34,20 +34,22 @@ def _tree_files(root):
     ]
 
 
-def test_reliable_requires_checkpoint_dir(spark):
+def test_reliable_requires_checkpoint_dir(spark, monkeypatch):
     from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
 
-    # a fresh context in these tests may already carry a dir from a
-    # sibling test; only assert the error contract when unset
-    if spark.sparkContext.getCheckpointDir() is None:
-        spark.conf.set("spark.graft.checkpoint.reliable", "true")
-        try:
-            with pytest.raises(RuntimeError, match="setCheckpointDir"):
-                stage_checkpoint(spark.range(5))
-        finally:
-            spark.conf.set("spark.graft.checkpoint.reliable", "false")
-    else:
-        pytest.skip("checkpoint dir already set by a sibling test")
+    # a sibling test may already have set a dir on the shared context;
+    # shadow the probe on THIS instance so the RuntimeError contract is
+    # asserted deterministically under any suite ordering (the patch
+    # only affects the unset-dir branch stage_checkpoint reads)
+    monkeypatch.setattr(
+        spark.sparkContext, "getCheckpointDir", lambda: None
+    )
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try:
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            stage_checkpoint(spark.range(5))
+    finally:
+        spark.conf.set("spark.graft.checkpoint.reliable", "false")
 
 
 def test_rank_family_reliable_identical(spark, tmp_path):

@@ -520,3 +520,46 @@ def test_prefix_filter_jaccard_lossless(spark):
             )
         )
         assert base == pf
+
+
+def test_prefix_filter_boundary_lossless(spark):
+    """The two boundary cases a naive prefix bound drops (ADVICE r4):
+    (a) float-ceil overshoot — 0.55*100 = 55.000000000000007 → ceil 56
+    makes the prefix one element short, so B ⊂ A with |A∩B| EXACTLY
+    t·|A| loses its only indexed shared shingle; (b) a pair with true
+    J marginally below t that the 6-dp-rounded admission keeps
+    (round(5/9, 6) = 0.555556 ≥ t = 0.555556 while 5/9 < t). n=1
+    shingles make the token sets the shingle sets exactly, and the
+    doc-frequency canonical order puts every shared shingle AFTER the
+    A-only ones — the worst case for the prefix."""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup as dd
+
+    # (a) |A| = 100 unique tokens, B = 55-token subset → J = 0.55 = t
+    a_only = [f"a{i:03d}" for i in range(45)]
+    shared = [f"s{i:03d}" for i in range(55)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(a_only + shared)), (1, " ".join(shared))],
+        "doc_id long, text string",
+    )
+    for flt in (False, True):
+        out = dd.ngram_jaccard_pairs(
+            docs, threshold=0.55, n=1, prefix_filter=flt
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [
+            (0, 1, 0.55)
+        ], f"prefix_filter={flt} dropped the exact-boundary pair"
+
+    # (b) J = 5/9 < t = 0.555556, admitted because round(J, 6) = t
+    a_only2 = [f"x{i}" for i in range(4)]
+    shared2 = [f"y{i}" for i in range(5)]
+    docs2 = spark.createDataFrame(
+        [(0, " ".join(a_only2 + shared2)), (1, " ".join(shared2))],
+        "doc_id long, text string",
+    )
+    for flt in (False, True):
+        out = dd.ngram_jaccard_pairs(
+            docs2, threshold=0.555556, n=1, prefix_filter=flt
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [
+            (0, 1, 0.555556)
+        ], f"prefix_filter={flt} dropped the rounded-admission pair"

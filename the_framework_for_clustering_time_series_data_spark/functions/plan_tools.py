@@ -35,28 +35,38 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     splits) this never fires; it only corrects the
     few-files-many-cores imbalance.
 
-    Probe order: ``df.inputFiles()`` first — metadata already cached on
-    the file-source relation, no physical planning. Each file yields at
-    least one scan partition, so ``files ≥ target`` proves the no-op
-    without ever converting the plan to an RDD (the ``df.rdd`` probe
-    re-plans the query on EVERY call — a fixed cost this helper used to
-    pay even on wide production scans). Only the narrow/non-file cases
-    fall through to the exact RDD-partition probe."""
+    Probe: the EXACT ``df.rdd.getNumPartitions()``, memoized per
+    semantic plan (``df.semanticHash``). A file-count shortcut is NOT
+    sound — FileSourceScan bin-packs many small files into fewer
+    partitions (maxSplitBytes/openCostInBytes), and a coalesced plan
+    keeps its few partitions while ``inputFiles()`` still reports many
+    files — so the shortcut could silently skip the repartition this
+    helper exists to apply. The memo pays the ``df.rdd`` re-planning
+    cost once per distinct plan per session instead of on every call
+    (stale only if the files under an identical plan change mid-session,
+    which the engine's immutable-snapshot inputs rule out)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     try:
-        files = df.inputFiles()
-    except Exception:  # pragma: no cover - sources without file listings
-        files = []
-    if len(files) >= target:
-        return df
-    try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - exotic plans without RDD conversion
-        return df
+        key = df.semanticHash()
+    except Exception:  # pragma: no cover - plans without a semantic hash
+        key = None
+    cur = _NUM_PARTS_CACHE.get(key) if key is not None else None
+    if cur is None:
+        try:
+            cur = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - exotic plans without RDD conversion
+            return df
+        if key is not None:
+            if len(_NUM_PARTS_CACHE) > 1024:  # bound the session memo
+                _NUM_PARTS_CACHE.clear()
+            _NUM_PARTS_CACHE[key] = cur
     if cur < target:
         return df.repartition(target)
     return df
+
+
+_NUM_PARTS_CACHE: dict[int, int] = {}
 
 
 def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -65,7 +65,12 @@ def deterministic_lloyd_assign(
     (``zip_with``+``aggregate`` ↔ DuckDB list_transform/list_aggregate
     — bit-identical given identical inputs); updated centroid
     components round half-up to 6 dp via ``floor(x*1e6+0.5)/1e6`` in
-    both engines.
+    both engines. CAVEAT (accepted risk, same as the matrix-profile
+    discipline): ``F.avg``'s partial-aggregation association order
+    differs from the oracle's sequential mean, so when a mean sits
+    within an ulp of a 0.5e-6 boundary the 6-dp round can flip across
+    engines — cross-engine parity is overwhelmingly probable
+    (~1e-10/value), not absolute.
 
     Returns one row per input: ``(id, v, cell, d2)`` with ``d2`` the
     squared distance to the FINAL centroid (deterministic survivor /

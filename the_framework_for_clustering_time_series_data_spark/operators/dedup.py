@@ -155,8 +155,12 @@ def ngram_jaccard_pairs(
     prefix filter (Bayardo et al., WWW'07; Chaudhuri et al.): order
     every document's shingles by a GLOBAL canonical order (ascending
     document frequency, then shingle — rarest first) and index only
-    each document's first ``|A| − ⌈t·|A|⌉ + 1`` shingles in the
-    self-join. PROVABLY LOSSLESS for Jaccard ≥ t: if two sets with
+    each document's first ``|A| − ⌈t′·|A|⌉ + 1`` shingles in the
+    self-join, where ``t′ = t − 5e-7`` (the admission test below is
+    ``round(J, 6) ≥ t``, so the bound is sized for the 6-dp-rounded
+    admission set, and the ceil carries a −1e-9 epsilon against
+    float-product overshoot — both widenings only lengthen the
+    prefix). PROVABLY LOSSLESS for the admitted set: if two sets with
     J ≥ t shared no prefix shingle, the smallest shared shingle in the
     global order would force the entire intersection into one
     document's ⌈t·|A|⌉−1 suffix, contradicting |A∩B| ≥ t·|A|. The
@@ -217,10 +221,21 @@ def ngram_jaccard_pairs(
                 ).alias("_ordered")
             )
         )
-        # prefix length: a - ceil(t*a) + 1 (>= 1 whenever a >= 1)
+        # prefix length: a - ceil(t'*a) + 1 (>= 1 whenever a >= 1), with
+        # TWO conservative widenings so the bound covers exactly what the
+        # final filter admits: (1) the admission test is round(J,6) >= t,
+        # so pairs with true J in [t - 5e-7, t) pass — the prefix must
+        # therefore be sized for t' = t - 5e-7, not t; (2) ceil over a
+        # float product can overshoot an exact integer (0.55*100 =
+        # 55.000000000000007 → ceil 56, prefix one element short) — the
+        # -1e-9 epsilon guards the float-integer boundary. Both widenings
+        # only ever LENGTHEN the prefix (more candidates, never fewer),
+        # so losslessness is preserved by construction.
         plen = (
             F.size("_ordered")
-            - F.ceil(F.size("_ordered") * F.lit(float(threshold))).cast("int")
+            - F.ceil(
+                F.size("_ordered") * F.lit(float(threshold) - 5e-7) - F.lit(1e-9)
+            ).cast("int")
             + 1
         )
         pex = ordered.select(
