@@ -810,9 +810,21 @@ def kmedoids(
         # holds at 100k+ points where PAM's quadratic update cannot.
         import numpy as np
 
+        from concurrent.futures import ThreadPoolExecutor
+
         s_size = clara_sample_size or (40 + 2 * k)
-        best = None  # (cost, medoid id list, medoid rows)
-        for t in range(clara_samples):
+        # materialize the cache ONCE before the concurrent trials (five
+        # threads racing to build the same cache would duplicate the scan)
+        pts.count()
+
+        def solve_trial(t: int):
+            # md5-salted deterministic sample via orderBy+limit —
+            # TakeOrderedAndProject, i.e. map-side top-K with a driver
+            # merge: no shuffle, no single-task corpus sort, the form
+            # that holds at fleet scale. The trials are independent
+            # seeded jobs the scheduler overlaps (same pattern as
+            # silhouette_selection) — wall-clock ≈ one trial instead of
+            # clara_samples sequential job rounds.
             salt = f"clara{t}:"
             sample = (
                 pts.orderBy(
@@ -833,19 +845,38 @@ def kmedoids(
                 for r in sample
                 if r["series_id"] in chosen
             ]
-            med = F.broadcast(
-                emb.sparkSession.createDataFrame(med_rows, med_schema)
+            return (t, mids, med_rows)
+
+        with ThreadPoolExecutor(max_workers=clara_samples) as pool:
+            cand_rows = sorted(pool.map(solve_trial, range(clara_samples)))
+        # score ALL candidate medoid sets in ONE broadcast pass: the
+        # tagged union of every trial's k medoids (clara_samples × k
+        # rows, still broadcast-tiny) cross-joins the corpus once;
+        # per-(trial, point) min distance then per-trial sum gives every
+        # trial's cost in a single job instead of clara_samples jobs.
+        tagged = [
+            (t,) + row for t, _, rows in cand_rows for row in rows
+        ]
+        med_all = F.broadcast(
+            emb.sparkSession.createDataFrame(
+                tagged, f"_trial int, {med_schema}"
             )
-            cost = (
-                pts.crossJoin(med)
+        )
+        costs = {
+            r["_trial"]: r["c"]
+            for r in (
+                pts.crossJoin(med_all)
                 .withColumn("_d", dist2("", "_m"))
-                .groupBy("series_id")
+                .groupBy("_trial", "series_id")
                 .agg(F.min("_d").alias("_dmin"))
+                .groupBy("_trial")
                 .agg(F.sum("_dmin").alias("c"))
-                .collect()[0]["c"]
+                .collect()
             )
-            if best is None or (cost, mids) < (best[0], best[1]):
-                best = (cost, mids, med_rows)
+        }
+        best = min(
+            (costs[t], mids, rows) for t, mids, rows in cand_rows
+        )
         assign = assign_to_rows(best[2]).transform(stage_checkpoint, eager=True)
         return finalize(best[1], assign)
 
