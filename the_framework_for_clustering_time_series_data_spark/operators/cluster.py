@@ -586,6 +586,192 @@ def kshape(
     return spark.createDataFrame(out)
 
 
+def _round6(c: F.Column) -> F.Column:
+    """Half-up 6-dp round — the engine's shared cross-engine rounding
+    discipline (``floor(x*1e6+0.5)/1e6`` in both Spark and DuckDB).
+    Never yields -0.0 (the integer floor divides to +0.0), so rounded
+    values order identically under ASC/DESC in both engines."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def _znorm6(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Sequential-fold z-normalization of an ``array<double>`` column
+    with the half-up-6dp discipline: mean and population std are
+    LEFT-TO-RIGHT folds (``F.aggregate`` ↔ DuckDB list_aggregate),
+    each rounded to 6 dp before use, as is every output element —
+    cross-engine-replayable, unlike per-row ``F.avg`` reductions.
+    Constant series (sd = 0) center only."""
+    L = F.size(F.col(src)).cast("double")
+    with_m = df.withColumn(
+        "_zm",
+        _round6(
+            F.aggregate(F.col(src), F.lit(0.0), lambda a, x: a + x) / L
+        ),
+    )
+    with_sd = with_m.withColumn(
+        "_zsd",
+        _round6(
+            F.sqrt(
+                F.aggregate(
+                    F.col(src),
+                    F.lit(0.0),
+                    lambda a, x: a + (x - F.col("_zm")) * (x - F.col("_zm")),
+                )
+                / L
+            )
+        ),
+    )
+    z = F.when(
+        F.col("_zsd") > 0,
+        F.transform(
+            F.col(src), lambda x: _round6((x - F.col("_zm")) / F.col("_zsd"))
+        ),
+    ).otherwise(F.transform(F.col(src), lambda x: _round6(x - F.col("_zm"))))
+    return with_sd.withColumn(dst, z).drop("_zm", "_zsd")
+
+
+def kshape_md5_assign(
+    nested: DataFrame,
+    k: int,
+    max_lag: int = 4,
+    rounds: int = 2,
+    id_col: str = "series_id",
+    values_col: str = "values",
+) -> DataFrame:
+    """Deterministic, cross-engine-replayable K-Shape twin — the
+    c1b/c4b/c6b md5-Lloyd discipline applied to the reference's
+    HEADLINE algorithm (app.py:731-737; Paparrizos & Gravano SIGMOD'15
+    semantics). The full algorithm's RNG init and eigenvector shape
+    extraction are implementation-defined, so :func:`kshape` stays
+    rows-only at the gate; this twin replaces exactly those two pieces
+    with replayable forms and keeps the K-Shape structure:
+
+    * series are z-normalized (sequential folds, 6-dp half-up — see
+      :func:`_znorm6`);
+    * initial shape centroids = the ``k`` smallest-md5(id) series;
+    * assignment = argmax over (cell, lag ∈ [−max_lag, max_lag]) of
+      the coefficient-normalized cross-correlation
+      ``NCC(w) = Σ_p x[p]·c[p−w] / √(Σx²·Σc²)`` — every sum a
+      SEQUENTIAL fold, NCC rounded 6 dp, ties → (cell, lag) ascending
+      (the bounded-lag NCC is the same kernel ts_sbd_pairs oracles);
+    * shape update = per-position mean of members SHIFTED by their
+      best lag (zero-padded), mean rounded 6 dp, then z-normalized
+      with the same sequential discipline — the aligned-mean baseline
+      the SIGMOD'15 paper evaluates, standing in for the Rayleigh
+      eigenvector;
+    * fixed ``rounds`` assignment rounds (no data-dependent
+      convergence test — both engines run the identical schedule).
+
+    Input series must be equal length (truncate_to_min upstream).
+    Returns ``(id, cell, lag, ncc)`` — final assignment, aligning lag,
+    and the 6-dp NCC to the winning centroid. Unlike c1b's ``F.avg``
+    centroid means, the member mean here sums exact int64 micro-units
+    (the inputs are 6-dp quanta), so every reduction in the pipeline
+    is association-order-proof — no probabilistic rounding caveat.
+
+    EAGER CONTRACT: materializes the z-normed input via
+    stage_checkpoint (lazily); one short job chain per round.
+    """
+    v0 = _znorm6(
+        nested.select(
+            F.col(id_col).alias("id"),
+            F.col(values_col).cast("array<double>").alias("_v0"),
+        ),
+        "_v0",
+        "v",
+    ).select("id", "v").transform(stage_checkpoint, eager=False)
+
+    init = (
+        v0.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(k)
+    )
+    # k rows — the single-partition window is over the seed set only
+    w_seed = Window.orderBy("_h", "id")
+    cdf = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
+        "cell", F.col("v").alias("cvec")
+    )
+
+    lag_arr = F.array(*[F.lit(w) for w in range(-max_lag, max_lag + 1)])
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        j = (
+            v0.crossJoin(F.broadcast(centroids))
+            .withColumn("lag", F.explode(lag_arr))
+        )
+        L = F.size("v")
+        overlap = F.sequence(
+            F.greatest(F.lit(1), F.lit(1) + F.col("lag")),
+            F.least(L, L + F.col("lag")),
+        )
+        cc = F.aggregate(
+            overlap,
+            F.lit(0.0),
+            lambda acc, p: acc
+            + F.element_at(F.col("v"), p)
+            * F.element_at(F.col("cvec"), (p - F.col("lag")).cast("int")),
+        )
+        sx2 = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)
+        sc2 = F.aggregate(F.col("cvec"), F.lit(0.0), lambda a, x: a + x * x)
+        den = sx2 * sc2
+        ncc = F.when(den > 0, _round6(cc / F.sqrt(den))).otherwise(F.lit(0.0))
+        # argmax as a map-side-combinable min_by on (-ncc, cell, lag):
+        # best NCC wins, ties → smaller cell, then smaller lag — the
+        # ts_sbd_pairs tie discipline (6-dp-rounded NCC, so the argmax
+        # is deterministic cross-engine)
+        best = (
+            j.withColumn("ncc", ncc)
+            .groupBy("id")
+            .agg(
+                F.min_by(
+                    F.struct("cell", "v", "lag", "ncc"),
+                    F.struct(
+                        (F.col("ncc") * F.lit(-1.0)).alias("_neg"),
+                        "cell",
+                        "lag",
+                    ),
+                ).alias("_b")
+            )
+        )
+        return best.select("id", "_b.v", "_b.cell", "_b.lag", "_b.ncc")
+
+    a = _assign(cdf)
+    for _ in range(rounds - 1):
+        L = F.size("v")
+        shifted = F.transform(
+            F.sequence(F.lit(1), L),
+            lambda q: F.when(
+                ((q + F.col("lag")) >= 1) & ((q + F.col("lag")) <= L),
+                F.element_at(F.col("v"), (q + F.col("lag")).cast("int")),
+            ).otherwise(F.lit(0.0)),
+        )
+        ex = a.select("cell", F.posexplode(shifted).alias("pos", "val"))
+        # association-order-PROOF member mean (unlike c1b's F.avg): the
+        # values are already 6-dp quanta, so summing them as exact
+        # int64 micro-units is order-free under any partial-aggregation
+        # plan; one double division + half-up round then matches DuckDB
+        # bit-for-bit (the 1e-6*40-series boundary flip observed at
+        # sf0.1 with F.avg cannot occur)
+        micro = F.floor(F.col("val") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        cm = ex.groupBy("cell", "pos").agg(
+            (
+                F.floor(
+                    F.sum(micro).cast("double") / F.count("*") + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("cv")
+        )
+        cg = cm.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("_cg")
+        )
+        cdf = _znorm6(cg, "_cg", "cvec").select("cell", "cvec")
+        a = _assign(cdf)
+    return a.select("id", "cell", "lag", "ncc")
+
+
 # --------------------------------------------------------------------------
 # C6+ — Spark-native clustering beyond the reference's three algorithms
 # (the reference stops at KMeans/DBSCAN/K-Shape, app.py:704-824; these

@@ -555,6 +555,128 @@ def c4_silhouette_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c3b_znorm_sql(src: str, col: str, key: str, out: str, outcol: str) -> str:
+    """Sequential-fold z-norm of a list column, 6-dp half-up at every
+    step — the SQL mirror of cluster._znorm6 (mean and pop-std as
+    list_aggregate left folds, rounded before use; constant lists
+    center only)."""
+    return f"""{out} AS (
+  SELECT {key},
+         CASE WHEN _zsd > 0
+              THEN list_transform({col}, x -> floor((x - _zm) / _zsd * 1e6 + 0.5) / 1e6)
+              ELSE list_transform({col}, x -> floor((x - _zm) * 1e6 + 0.5) / 1e6)
+         END AS {outcol}
+  FROM (
+    SELECT *, floor(sqrt(list_aggregate(
+             list_transform({col}, x -> (x - _zm) * (x - _zm)), 'sum')
+             / len({col})) * 1e6 + 0.5) / 1e6 AS _zsd
+    FROM (
+      SELECT *, floor(list_aggregate({col}, 'sum') / len({col}) * 1e6 + 0.5) / 1e6 AS _zm
+      FROM {src}
+    )
+  )
+)"""
+
+
+_C3B_LAG = 4
+
+
+def _c3b_assign_sql(src: str, cent: str, out: str) -> str:
+    """One NCC assignment round: for every (series, cell, lag) compute
+    the coefficient-normalized cross-correlation with sequential-fold
+    sums, round 6 dp, argmax by (ncc DESC, cell, lag) — the SQL mirror
+    of cluster.kshape_md5_assign's _assign."""
+    ncc_expr = (
+        "CASE WHEN sx2 * sc2 > 0 "
+        "THEN floor(cc / sqrt(sx2 * sc2) * 1e6 + 0.5) / 1e6 ELSE 0.0 END"
+    )
+    return f"""{out}_raw AS (
+  SELECT s.series_id, s.z AS v, c.cell, l.lag,
+         coalesce(list_aggregate(list_transform(
+             range(greatest(1, 1 + l.lag), least(len(s.z), len(s.z) + l.lag) + 1),
+             p -> s.z[CAST(p AS INT)] * c.cvec[CAST(p - l.lag AS INT)]),
+           'sum'), 0.0) AS cc,
+         list_aggregate(list_transform(s.z, x -> x * x), 'sum') AS sx2,
+         list_aggregate(list_transform(c.cvec, x -> x * x), 'sum') AS sc2
+  FROM {src} s CROSS JOIN {cent} c
+  CROSS JOIN (SELECT unnest(range(-{_C3B_LAG}, {_C3B_LAG + 1})) AS lag) l
+),
+{out} AS (
+  SELECT series_id, v, cell, lag, ncc FROM (
+    SELECT series_id, v, cell, lag, {ncc_expr} AS ncc,
+           row_number() OVER (PARTITION BY series_id
+             ORDER BY {ncc_expr} DESC, cell, lag) AS rn
+    FROM {out}_raw
+  ) WHERE rn = 1
+)"""
+
+
+def _c3b_update_sql(src: str, out: str) -> str:
+    """Shape update: members shifted by their best lag (zero-padded),
+    per-position mean rounded 6 dp, then the sequential z-norm — the
+    SQL mirror of the kshape_md5_assign update step."""
+    return f"""{out}_sh AS (
+  SELECT a.cell, q.q AS pos,
+         CASE WHEN q.q + a.lag BETWEEN 1 AND len(a.v)
+              THEN a.v[CAST(q.q + a.lag AS INT)] ELSE 0.0 END AS val
+  FROM {src} a CROSS JOIN qs q
+),
+{out}_cm AS (
+  -- order-free member mean: exact int64 micro-unit sum, one division
+  SELECT cell, pos,
+         floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 1e6 AS cv
+  FROM {out}_sh GROUP BY 1, 2
+),
+{out}_cg AS (SELECT cell, list(cv ORDER BY pos) AS cg FROM {out}_cm GROUP BY 1),
+{_c3b_znorm_sql(f"{out}_cg", "cg", "cell", out, "cvec")}"""
+
+
+@register(
+    "c3b_kshape_md5",
+    f"""
+WITH {EV},
+sel AS (SELECT * FROM ev WHERE series_id < 40),
+ml AS (SELECT min(cnt) AS L
+       FROM (SELECT count(*) AS cnt FROM sel GROUP BY series_id)),
+tr AS (SELECT s.series_id, s.t, s.value FROM sel s, ml WHERE s.t < ml.L),
+arr AS (SELECT series_id, list(value ORDER BY t) AS raw FROM tr GROUP BY 1),
+{_c3b_znorm_sql("arr", "raw", "series_id", "zn", "z")},
+qs AS (SELECT unnest(range(1, (SELECT L FROM ml) + 1)) AS q),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(series_id::VARCHAR), series_id) - 1 AS cell,
+         z AS cvec
+  FROM (SELECT series_id, z FROM zn
+        ORDER BY md5(series_id::VARCHAR), series_id LIMIT 3)
+),
+{_c3b_assign_sql("zn", "c0", "a0")},
+{_c3b_update_sql("a0", "c1")},
+{_c3b_assign_sql("zn", "c1", "a1")}
+SELECT series_id, CAST(cell AS INT) AS prediction,
+       CAST(lag AS INT) AS lag, ncc
+FROM a1
+""",
+)
+def c3b_kshape_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3b — DETERMINISTIC K-Shape twin of c3 (k=3) with a FULL
+    value-hash oracle: md5-seeded shape centroids, bounded-lag NCC
+    assignment (the ts_sbd_pairs kernel), aligned-mean shape update,
+    two fixed rounds (cluster.kshape_md5_assign) — every sum a
+    sequential fold, every value 6-dp half-up in BOTH engines. The
+    replayable form of the reference's headline algorithm
+    (app.py:731-737), whose full RNG/eigenvector form keeps c3_kshape
+    rows-only."""
+    ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 40)
+    nested = align.to_nested(align.truncate_to_min(ev))
+    out = cluster.kshape_md5_assign(nested, k=3, max_lag=_C3B_LAG)
+    return out.select(
+        F.col("id").alias("series_id"),
+        F.col("cell").cast("int").alias("prediction"),
+        F.col("lag").cast("int").alias("lag"),
+        "ncc",
+    )
+
+
 @register("c3_kshape")  # driver Lloyd loop → rows-only oracle
 def c3_kshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 — K-Shape(k=3) per SIGMOD'15 on min-length-truncated series

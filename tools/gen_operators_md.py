@@ -24,7 +24,7 @@ sys.path.insert(0, str(REPO))
 ROWS_ONLY_NOTES = {
     "a5b_percentile_sketch": "approx-sketch: approxQuantile is a Greenwald-Khanna sketch whose outputs are implementation-defined within the error bound; DuckDB has no replayable twin. Exact-percentile parity is covered by a7_histogram/q25 oracles; sketch error bound tested in test_properties.py.",
     "c1_kmeans": "RNG/impl-defined: MLlib kmeans|| seeding + parallel float reductions; labels are run-stable but not engine-reproducible. ARI-vs-ground-truth and determinism tests in test_ml.py.",
-    "c3_kshape": "iterative-fit: driver Lloyd loop over FFT-based NCC and an eigenvector extraction (sign-normalized), data-dependent iteration count. Separation + convergence tests in test_ml.py.",
+    "c3_kshape": "iterative-fit: driver Lloyd loop over FFT-based NCC and an eigenvector extraction (sign-normalized), data-dependent iteration count. Separation + convergence tests in test_ml.py. Its deterministic twin c3b_kshape_md5 IS fully oracle-checked.",
     "c4_silhouette_selection": "depends on c1-family MLlib fits (RNG/impl-defined); the EXACT silhouette arithmetic is oracle-checked separately (c4_silhouette_exact).",
     "c6_bisecting_kmeans": "RNG/impl-defined: MLlib bisecting k-means split sequence. Hierarchy-shape invariants tested in test_ml.py. Its deterministic twin c6b_bisecting_md5lloyd IS fully oracle-checked.",
     "c7_gmm": "RNG/impl-defined + iterative-fit: EM from random init, responsibilities depend on float exp/log reductions. Mixture-recovery test in test_ml.py.",
