@@ -772,6 +772,189 @@ def kshape_md5_assign(
     return a.select("id", "cell", "lag", "ncc")
 
 
+def gmm_md5em_assign(
+    df: DataFrame,
+    k: int,
+    dim: int = 2,
+    em_rounds: int = 2,
+    var_floor: float = 1e-6,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Deterministic, cross-engine-replayable diagonal-covariance GMM
+    twin — the md5-Lloyd discipline applied to EM, standing in for
+    MLlib GaussianMixture (c7) whose random init and float-reduction
+    responsibilities are implementation-defined.
+
+    Replayable schedule: input vectors quantized to 6 dp; initial
+    means = the ``k`` smallest-md5(id) vectors, unit variances, uniform
+    weights; each of the fixed ``em_rounds`` E-steps computes diagonal
+    Gaussian log-densities with SEQUENTIAL dimension folds and
+    normalizes responsibilities with the log-sum-exp trick folded in
+    CELL ORDER (underflow-proof, order-deterministic), rounding each
+    responsibility half-up to 6 dp; the M-step between rounds updates
+    weights/means/variances from the ROUNDED responsibilities (counts
+    via exact int64 micro-sums; mean/variance numerators are float
+    sums), floors variances at ``var_floor``, rounds every parameter
+    to 6 dp, and drops cells whose soft count rounds to zero.
+
+    PARITY IS PROBABILISTIC, NOT ABSOLUTE (documented contract, same
+    class as the matrix-profile discipline): exp/ln are not
+    IEEE-mandated correctly-rounded, and the float M-step numerators
+    are association-order-dependent — each 6-dp round can flip across
+    engines with probability ~1e-10/value. The 6-dp rounding of every
+    decision input makes the assignment argmax and the emitted
+    confidences agree except on those measure-zero boundaries.
+
+    Returns ``(id, cell, r)`` — hard assignment (argmax responsibility,
+    ties → smaller cell) and the winning 6-dp responsibility.
+    EAGER CONTRACT: one ``count()`` job for the corpus size plus one
+    short job chain per round (stage_checkpoint, lazy).
+    """
+    import math
+
+    v0 = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: _round6(x)
+            ).alias("v"),
+        )
+        .transform(stage_checkpoint, eager=False)
+    )
+    n_total = v0.count()
+
+    init = (
+        v0.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(k)
+    )
+    # k rows — the single-partition window is over the seed set only
+    w_seed = Window.orderBy("_h", "id")
+    params = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
+        "cell",
+        F.col("v").alias("mu"),
+        F.transform(F.col("v"), lambda _: F.lit(1.0)).alias("var"),
+        F.lit(1.0 / k).alias("w"),
+    )
+
+    two_pi = F.lit(2.0 * math.pi)
+
+    def _estep(p: DataFrame) -> DataFrame:
+        j = v0.crossJoin(F.broadcast(p))
+        # per-dimension term parenthesized as ONE unit so the fold is
+        # acc + (quad_d + log_d) — the association the oracle's list
+        # elements produce (acc + A + C would differ in ulps)
+        quad = F.aggregate(
+            F.sequence(F.lit(1), F.size("v")),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + (
+                (F.element_at(F.col("v"), d) - F.element_at(F.col("mu"), d))
+                * (F.element_at(F.col("v"), d) - F.element_at(F.col("mu"), d))
+                / F.element_at(F.col("var"), d)
+                + F.log(two_pi * F.element_at(F.col("var"), d))
+            ),
+        )
+        rows = j.select(
+            "id", "v", "cell", (F.log("w") + F.lit(-0.5) * quad).alias("s")
+        )
+        g = (
+            rows.groupBy("id")
+            .agg(
+                F.first("v").alias("v"),  # identical per id
+                F.sort_array(F.collect_list(F.struct("cell", "s"))).alias("cs"),
+            )
+            .withColumn(
+                "m", F.array_max(F.transform("cs", lambda x: x["s"]))
+            )
+            .withColumn(
+                "den",
+                F.aggregate(
+                    F.col("cs"),
+                    F.lit(0.0),
+                    lambda a, x: a + F.exp(x["s"] - F.col("m")),
+                ),
+            )
+        )
+        return g.select(
+            "id",
+            "v",
+            F.explode(
+                F.transform(
+                    "cs",
+                    lambda x: F.struct(
+                        x["cell"].alias("cell"),
+                        _round6(
+                            F.exp(x["s"] - F.col("m")) / F.col("den")
+                        ).alias("r"),
+                    ),
+                )
+            ).alias("cr"),
+        ).select("id", "v", "cr.cell", "cr.r")
+
+    resp = _estep(params)
+    for _ in range(em_rounds - 1):
+        micro_r = F.floor(F.col("r") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        aggs = [F.sum(micro_r).alias("nr")] + [
+            F.sum(F.col("r") * F.element_at(F.col("v"), d)).alias(f"_s{d}")
+            for d in range(1, dim + 1)
+        ]
+        nc = F.col("nr").cast("double") / F.lit(1e6)
+        base = (
+            resp.groupBy("cell")
+            .agg(*aggs)
+            .where(F.col("nr") > 0)
+            .select(
+                "cell",
+                _round6(nc / F.lit(float(n_total))).alias("w"),
+                F.array(
+                    *[_round6(F.col(f"_s{d}") / nc) for d in range(1, dim + 1)]
+                ).alias("mu"),
+                F.col("nr").alias("nr"),
+            )
+        )
+        withmu = resp.join(F.broadcast(base), "cell")
+        var_aggs = [
+            F.sum(
+                F.col("r")
+                * (F.element_at(F.col("v"), d) - F.element_at(F.col("mu"), d))
+                * (F.element_at(F.col("v"), d) - F.element_at(F.col("mu"), d))
+            ).alias(f"_q{d}")
+            for d in range(1, dim + 1)
+        ]
+        params = (
+            withmu.groupBy("cell")
+            .agg(
+                F.first("w").alias("w"),
+                F.first("mu").alias("mu"),
+                F.first("nr").alias("nr"),
+                *var_aggs,
+            )
+            .select(
+                "cell",
+                "mu",
+                F.array(
+                    *[
+                        F.greatest(
+                            _round6(F.col(f"_q{d}") / nc), F.lit(var_floor)
+                        )
+                        for d in range(1, dim + 1)
+                    ]
+                ).alias("var"),
+                "w",
+            )
+        )
+        resp = _estep(params)
+    best = resp.groupBy("id").agg(
+        F.min_by(
+            F.struct("cell", "r"),
+            F.struct((F.col("r") * F.lit(-1.0)).alias("_n"), "cell"),
+        ).alias("_b")
+    )
+    return best.select("id", "_b.cell", "_b.r")
+
+
 # --------------------------------------------------------------------------
 # C6+ — Spark-native clustering beyond the reference's three algorithms
 # (the reference stops at KMeans/DBSCAN/K-Shape, app.py:704-824; these

@@ -924,6 +924,119 @@ def c6_bisecting_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", "prediction")
 
 
+_C7B_K = 9
+
+
+def _c7b_estep_sql(params: str, out: str, dim: int = 2) -> str:
+    """One deterministic-EM E-step as a CTE chain: diagonal Gaussian
+    log-densities with sequential dimension folds, log-sum-exp
+    normalization folded in cell order, responsibilities rounded 6 dp
+    half-up — the SQL mirror of cluster.gmm_md5em_assign's _estep."""
+    return f"""{out}_s AS (
+  SELECT e.id, e.v, c.cell,
+         ln(c.w) + -0.5 * list_aggregate(list_transform(range(1, {dim + 1}),
+           d -> (e.v[d] - c.mu[d]) * (e.v[d] - c.mu[d]) / c.var[d]
+                + ln(2 * pi() * c.var[d])), 'sum') AS s
+  FROM e CROSS JOIN {params} c
+),
+{out}_g AS (
+  SELECT id, any_value(v) AS v,
+         list(struct_pack(cell := cell, s := s) ORDER BY cell) AS cs
+  FROM {out}_s GROUP BY id
+),
+{out}_g2 AS (
+  SELECT *, list_aggregate(list_transform(cs, x -> x.s), 'max') AS m
+  FROM {out}_g
+),
+{out}_g3 AS (
+  SELECT *, list_aggregate(list_transform(cs, x -> exp(x.s - m)), 'sum') AS den
+  FROM {out}_g2
+),
+{out}_u AS (SELECT id, v, m, den, unnest(cs) AS u FROM {out}_g3),
+{out} AS (
+  SELECT id, v, u.cell AS cell,
+         floor(exp(u.s - m) / den * 1e6 + 0.5) / 1e6 AS r
+  FROM {out}_u
+)"""
+
+
+@register(
+    "c7b_gmm_md5em",
+    f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         [floor(embedding[1]::DOUBLE * 1e6 + 0.5) / 1e6,
+          floor(embedding[2]::DOUBLE * 1e6 + 0.5) / 1e6] AS v
+  FROM embeddings
+),
+n AS (SELECT count(*)::DOUBLE AS nt FROM e),
+p0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS mu, [1.0, 1.0] AS var, 1.0 / {_C7B_K} AS w
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT {_C7B_K})
+),
+{_c7b_estep_sql("p0", "r0")},
+ms1 AS (
+  SELECT cell,
+         sum(CAST(floor(r * 1e6 + 0.5) AS BIGINT)) AS nr,
+         sum(r * v[1]) AS _s1, sum(r * v[2]) AS _s2
+  FROM r0 GROUP BY cell
+),
+p1a AS (
+  SELECT cell,
+         floor((CAST(nr AS DOUBLE) / 1e6) / (SELECT nt FROM n) * 1e6 + 0.5)
+           / 1e6 AS w,
+         [floor(_s1 / (CAST(nr AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6,
+          floor(_s2 / (CAST(nr AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6] AS mu,
+         nr
+  FROM ms1 WHERE nr > 0
+),
+ms2 AS (
+  SELECT r0.cell,
+         any_value(p1a.w) AS w, any_value(p1a.mu) AS mu,
+         any_value(p1a.nr) AS nr,
+         sum(r0.r * (r0.v[1] - p1a.mu[1]) * (r0.v[1] - p1a.mu[1])) AS _q1,
+         sum(r0.r * (r0.v[2] - p1a.mu[2]) * (r0.v[2] - p1a.mu[2])) AS _q2
+  FROM r0 JOIN p1a ON r0.cell = p1a.cell
+  GROUP BY r0.cell
+),
+p1 AS (
+  SELECT cell, mu,
+         [greatest(floor(_q1 / (CAST(nr AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6, 1e-6),
+          greatest(floor(_q2 / (CAST(nr AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6, 1e-6)]
+           AS var,
+         w
+  FROM ms2
+),
+{_c7b_estep_sql("p1", "r1")}
+SELECT id AS series_id, CAST(cell AS INT) AS prediction, r AS confidence
+FROM (
+  SELECT id, cell, r,
+         row_number() OVER (PARTITION BY id ORDER BY r DESC, cell) AS rn
+  FROM r1
+) WHERE rn = 1
+""",
+)
+def c7b_gmm_md5em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7b — DETERMINISTIC diagonal-covariance GMM twin of c7 (k=9):
+    md5-seeded means, fixed two-round EM with log-sum-exp
+    responsibilities rounded 6 dp, parameters rounded 6 dp per round
+    (cluster.gmm_md5em_assign) — DuckDB-replayable where MLlib's
+    GaussianMixture init/reductions are RNG/impl-defined. Parity is
+    PROBABILISTIC (exp/ln ulps + float M-step numerators under 6-dp
+    rounds, ~1e-10/value — the documented matrix-profile class), the
+    accepted discipline for the one clustering family whose math
+    cannot avoid transcendentals."""
+    e = _emb_xy(spark, sf_dir)
+    v = e.select(F.col("series_id").alias("id"), F.array("x", "y").alias("v"))
+    out = cluster.gmm_md5em_assign(v, k=_C7B_K, dim=2)
+    return out.select(
+        F.col("id").alias("series_id"),
+        F.col("cell").cast("int").alias("prediction"),
+        F.col("r").alias("confidence"),
+    )
+
+
 @register("c7_gmm")  # MLlib EM model → rows-only oracle (ARI-tested)
 def c7_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 — Gaussian-mixture soft clustering (distributed EM) with the
