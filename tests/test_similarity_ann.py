@@ -338,3 +338,34 @@ def test_ivfb_deterministic_recall_and_reproducibility(spark):
         emb, qs, k=5, n_cells=16, nprobe=4
     ).collect()))
     assert sorted(map(tuple, approx_df.collect())) == again
+
+
+def test_pqb_deterministic_recall_and_reproducibility(spark):
+    """The md5-Lloyd-codebook PQ twin: recall floor vs brute force
+    (generous rerank makes the ADC pass a candidate filter, so the
+    re-ranked top-k should recover most exact neighbors), byte-identical
+    across invocations, and its emitted cosines must be EXACT (agree
+    with brute force on shared pairs — the rerank contract)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 20)
+    exact_df = similarity.brute_force_topk(emb, qs, k=5)
+    exact = _topk_sets(exact_df)
+    approx_df = similarity.pq_topk_deterministic(
+        emb, qs, k=5, m=8, n_codes=16, rerank=50
+    )
+    approx = _topk_sets(approx_df)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.6, f"deterministic PQ recall {hits}/{total}"
+    # cosine agreement on shared (query, nbr) pairs — the PQ twin
+    # quantizes vectors to 6dp, so cosines may differ from the raw
+    # brute-force values only in the 6th decimal
+    e_scores = {(r["query_id"], r["nbr_id"]): r["cosine"] for r in exact_df.collect()}
+    for r in approx_df.collect():
+        key = (r["query_id"], r["nbr_id"])
+        if key in e_scores:
+            assert abs(r["cosine"] - e_scores[key]) < 1e-4, key
+    again = sorted(map(tuple, similarity.pq_topk_deterministic(
+        emb, qs, k=5, m=8, n_codes=16, rerank=50
+    ).collect()))
+    assert sorted(map(tuple, approx_df.collect())) == again

@@ -598,6 +598,228 @@ def pq_topk(
     )
 
 
+def pq_topk_deterministic(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    lloyd_rounds: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k with DETERMINISTIC md5-Lloyd codebooks — the
+    oracle-checkable twin of :func:`pq_topk`, whose driver-trained
+    seeded-numpy codebooks are RNG/impl-defined.
+
+    Replayable build: vectors quantize to 6 dp; each of the ``m``
+    subspaces trains an ``n_codes``-centroid Lloyd quantizer in ONE
+    grouped dataflow (seed centroids = slices of the n_codes
+    smallest-md5(id) vectors — identical seed ids across subspaces;
+    sequential-fold distances; argmin ties → smaller code; centroid
+    means as exact int64 micro-unit sums of the 6-dp quanta —
+    association-order-proof, the c3b discipline). ADC lookup tables are
+    computed as a DataFrame (dense (subspace, code) grid per query —
+    missing codes hold 0.0 placeholders that encoded vectors can never
+    reference), the approximate distance is a SEQUENTIAL fold over the
+    code array in subspace order (j-ordered, like the oracle's list
+    fold), rounded 6 dp; the top ``rerank`` candidates per query
+    re-rank by exact cosine on the quantized vectors. Everything —
+    codebooks, codes, ADC, both rankings — replays in DuckDB.
+
+    Shape notes for scale: the grouped Lloyd shuffles m·n subvector
+    rows (constant fan-out), the code table is the only per-corpus
+    state the ADC scan touches (m small ints per vector — the PQ
+    memory story), LUTs are |Q|·m·n_codes rows broadcast, and the
+    exact re-rank is bounded at |Q|·rerank rows.
+    """
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    sub = dim // m
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: r6(x)
+        ).alias("v"),
+    ).transform(stage_checkpoint, eager=False)
+
+    spark = emb.sparkSession
+    jgrid = F.array(*[F.lit(j) for j in range(m)])
+    subrows = corpus.select(
+        "nbr_id",
+        F.explode(jgrid).alias("j"),
+        F.col("v"),
+    ).select(
+        "nbr_id",
+        "j",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(sub)),
+            lambda p: F.element_at(F.col("v"), (F.col("j") * sub + p).cast("int")),
+        ).alias("sv"),
+    )
+
+    seeds = (
+        corpus.withColumn("_h", F.md5(F.col("nbr_id").cast("string")))
+        .orderBy("_h", "nbr_id")
+        .limit(n_codes)
+    )
+    # n_codes rows — the single-partition window is over the seed set only
+    w_seed = Window.orderBy("_h", "nbr_id")
+    seedc = seeds.withColumn("cell", F.row_number().over(w_seed) - 1)
+    cdf = seedc.select(
+        F.explode(jgrid).alias("j"),
+        "cell",
+        F.col("v"),
+    ).select(
+        "j",
+        "cell",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(sub)),
+            lambda p: F.element_at(F.col("v"), (F.col("j") * sub + p).cast("int")),
+        ).alias("cvec"),
+    )
+
+    d2_expr = F.aggregate(
+        F.zip_with("sv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        j = subrows.join(F.broadcast(cents), "j").withColumn("d2", d2_expr)
+        return (
+            j.groupBy("nbr_id", "j")
+            .agg(
+                F.min_by(
+                    F.struct("cell", "sv"), F.struct("d2", "cell")
+                ).alias("_b")
+            )
+            .select("nbr_id", "j", "_b.sv", "_b.cell")
+        )
+
+    a = _assign(cdf)
+    for _ in range(lloyd_rounds - 1):
+        ex = a.select("j", "cell", F.posexplode("sv").alias("pos", "val"))
+        micro = F.floor(F.col("val") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        cm = ex.groupBy("j", "cell", "pos").agg(
+            (
+                F.floor(
+                    F.sum(micro).cast("double") / F.count("*") + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("cv")
+        )
+        cdf = cm.groupBy("j", "cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s.cv,
+            ).alias("cvec")
+        )
+        a = _assign(cdf)
+
+    codes_arr = a.groupBy("nbr_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "cell"))),
+            lambda s: s.cell,
+        ).alias("code")
+    )
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: r6(x)
+        ).alias("qv"),
+    )
+    qd2 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(sub)),
+        F.lit(0.0),
+        lambda acc, p: acc
+        + (
+            F.element_at(F.col("qv"), (F.col("j") * sub + p).cast("int"))
+            - F.element_at(F.col("cvec"), p)
+        )
+        * (
+            F.element_at(F.col("qv"), (F.col("j") * sub + p).cast("int"))
+            - F.element_at(F.col("cvec"), p)
+        ),
+    )
+    lutd = qs.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "j", "cell", qd2.alias("d2")
+    )
+    grid = spark.createDataFrame(
+        [(j, c) for j in range(m) for c in range(n_codes)], "j int, cell int"
+    )
+    lut_arr = (
+        qs.select("query_id")
+        .crossJoin(F.broadcast(grid))
+        .join(lutd, ["query_id", "j", "cell"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("j", "cell", F.coalesce("d2", F.lit(0.0)).alias("dv"))
+                    )
+                ),
+                lambda s: s.dv,
+            ).alias("lut")
+        )
+    )
+
+    approx = (
+        codes_arr.crossJoin(F.broadcast(lut_arr))
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.floor(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at(
+                        F.col("lut"),
+                        (
+                            j * n_codes
+                            + F.element_at(F.col("code"), (j + 1).cast("int"))
+                            + 1
+                        ).cast("int"),
+                    ),
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).alias("ad6"),
+        )
+    )
+    w_pre = Window.partitionBy("query_id").orderBy("ad6", "nbr_id")
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w_pre))
+        .where(F.col("_r") <= rerank)
+        .select("query_id", "nbr_id")
+    )
+    exact = (
+        cand.join(corpus, "nbr_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,

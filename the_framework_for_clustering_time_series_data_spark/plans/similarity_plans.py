@@ -185,6 +185,128 @@ def sim_ivfb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pqb_oracle_sql(k: int = 5, m: int = 8, n_codes: int = 16,
+                    rerank: int = 50, dim: int = 64) -> str:
+    """DuckDB twin of ``pq_topk_deterministic``: 6-dp-quantized
+    vectors, per-subspace md5-Lloyd codebooks (order-proof micro-unit
+    centroid means), dense ADC LUT lists, j-ordered sequential ADC
+    folds, and the sim_bruteforce cosine/rank discipline."""
+    sub = dim // m
+    d2 = (
+        f"list_aggregate(list_transform(range(1, {sub + 1}), "
+        f"p -> (s.sv[p] - c.cvec[p]) * (s.sv[p] - c.cvec[p])), 'sum')"
+    )
+
+    def assign(cent: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT j, id, sv, cell FROM (
+    SELECT s.j, s.id, s.sv, c.cell,
+           row_number() OVER (PARTITION BY s.j, s.id
+                              ORDER BY {d2}, c.cell) AS rn
+    FROM sub s JOIN {cent} c ON c.j = s.j
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1e6 + 0.5) / 1e6) AS v
+  FROM embeddings
+),
+js AS (SELECT unnest(range(0, {m})) AS j),
+sub AS (
+  SELECT js.j, e.id,
+         list_transform(range(1, {sub + 1}),
+                        p -> e.v[CAST(js.j * {sub} + p AS INT)]) AS sv
+  FROM e CROSS JOIN js
+),
+sd AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell, v
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT {n_codes})
+),
+c0 AS (
+  SELECT js.j, sd.cell,
+         list_transform(range(1, {sub + 1}),
+                        p -> sd.v[CAST(js.j * {sub} + p AS INT)]) AS cvec
+  FROM sd CROSS JOIN js
+),
+{assign("c0", "a0")},
+cm AS (
+  SELECT j, cell, pos,
+         floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 1e6 AS cv
+  FROM (SELECT j, cell, generate_subscripts(sv, 1) AS pos, unnest(sv) AS val
+        FROM a0)
+  GROUP BY 1, 2, 3
+),
+c1 AS (SELECT j, cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1, 2),
+{assign("c1", "a1")},
+codes AS (SELECT id, list(cell ORDER BY j) AS code FROM a1 GROUP BY id),
+q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+lutd AS (
+  SELECT q.query_id, c.j, c.cell,
+         list_aggregate(list_transform(range(1, {sub + 1}),
+           p -> (q.qv[CAST(c.j * {sub} + p AS INT)] - c.cvec[p])
+              * (q.qv[CAST(c.j * {sub} + p AS INT)] - c.cvec[p])), 'sum') AS d2
+  FROM q CROSS JOIN c1 c
+),
+grid AS (
+  SELECT a.j, b.cell
+  FROM js a, (SELECT unnest(range(0, {n_codes})) AS cell) b
+),
+lut AS (
+  SELECT g.query_id, list(coalesce(l.d2, 0.0) ORDER BY g.j, g.cell) AS lut
+  FROM (SELECT q.query_id, gr.j, gr.cell FROM q CROSS JOIN grid gr) g
+  LEFT JOIN lutd l
+    ON l.query_id = g.query_id AND l.j = g.j AND l.cell = g.cell
+  GROUP BY 1
+),
+approx AS (
+  SELECT l.query_id, c.id AS nbr_id,
+         floor(list_aggregate(list_transform(range(0, {m}),
+             j -> l.lut[CAST(j * {n_codes} + c.code[CAST(j + 1 AS INT)] + 1
+                             AS INT)]), 'sum') * 1e6 + 0.5) AS ad6
+  FROM codes c CROSS JOIN lut l
+  WHERE c.id <> l.query_id
+),
+cand AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ad6, nbr_id) AS rn
+    FROM approx
+  ) WHERE rn <= {rerank}
+),
+sc AS (
+  SELECT cand.query_id, cand.nbr_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM cand
+  JOIN e a ON a.id = cand.query_id
+  JOIN e b ON b.id = cand.nbr_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id) AS rank
+  FROM sc
+)
+SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("sim_pqb_topk", _pqb_oracle_sql())
+def sim_pqb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization with DETERMINISTIC
+    md5-Lloyd codebooks (8 subspaces × 16 codes, rerank 50) — the
+    fully oracle-checked twin of sim_pq_topk (whose driver-numpy
+    codebook training is RNG-defined): codebook build, ADC scan, and
+    both rankings all replay in DuckDB (see
+    similarity.pq_topk_deterministic for the parity disciplines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk_deterministic(
+        emb, emb.where(F.col("vec_id") < 10), k=5, m=8, n_codes=16, rerank=50
+    )
+
+
 @register("sim_ivf_topk")  # KMeans index build → rows-only oracle
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via IVF partitioning (16 KMeans cells, probe
