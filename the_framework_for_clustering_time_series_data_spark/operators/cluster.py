@@ -50,6 +50,7 @@ def deterministic_lloyd_assign(
     vec_col: str = "v",
     lloyd_rounds: int = 2,
     with_centroids: bool = False,
+    exact_mean: bool = False,
 ):
     """Deterministic, cross-engine-replayable Lloyd assignment over an
     ``array<double>`` feature column — the reproducible k-means twin
@@ -70,7 +71,10 @@ def deterministic_lloyd_assign(
     differs from the oracle's sequential mean, so when a mean sits
     within an ulp of a 0.5e-6 boundary the 6-dp round can flip across
     engines — cross-engine parity is overwhelmingly probable
-    (~1e-10/value), not absolute.
+    (~1e-10/value), not absolute. ``exact_mean=True`` (valid only when
+    the input vectors are already 6-dp quanta) replaces ``F.avg`` with
+    an exact int64 micro-unit sum + one division, removing that caveat
+    entirely (the c3b/pqb discipline).
 
     Returns one row per input: ``(id, v, cell, d2)`` with ``d2`` the
     squared distance to the FINAL centroid (deterministic survivor /
@@ -121,9 +125,23 @@ def deterministic_lloyd_assign(
     for _ in range(lloyd_rounds - 1):
         a = _assign(cdf)
         ex = a.select("cell", F.posexplode("v").alias("pos", "val"))
-        cm = ex.groupBy("cell", "pos").agg(
-            (F.floor(F.avg("val") * 1e6 + 0.5) / 1e6).alias("cv")
-        )
+        if exact_mean:
+            # valid ONLY for 6-dp-quantized inputs: sum the micro-unit
+            # integers exactly (order-free), divide once — removes the
+            # F.avg association-order caveat (the c3b discipline)
+            micro = F.floor(F.col("val") * F.lit(1e6) + F.lit(0.5)).cast("long")
+            cm = ex.groupBy("cell", "pos").agg(
+                (
+                    F.floor(
+                        F.sum(micro).cast("double") / F.count("*") + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("cv")
+            )
+        else:
+            cm = ex.groupBy("cell", "pos").agg(
+                (F.floor(F.avg("val") * 1e6 + 0.5) / 1e6).alias("cv")
+            )
         cdf = cm.groupBy("cell").agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv

@@ -36,6 +36,7 @@ class TimeSeriesPipeline:
         self.embedding: DataFrame | None = None    # (series_id, x, y)
         self.predictions: DataFrame | None = None  # (series_id, prediction)
         self.pca_variance: list[float] | None = None
+        self._det_assign: DataFrame | None = None  # (id, v, cell, d2) md5lloyd
 
     # --- sources (S1/S2) ---------------------------------------------------
 
@@ -116,7 +117,8 @@ class TimeSeriesPipeline:
 
     def cluster(self, method: str = "kmeans", k: int | None = None, eps: float = 0.5,
                 min_samples: int = 5, seed: int = 10) -> DataFrame:
-        if method != "kshape":
+        if method not in ("kshape", "md5lloyd"):
+            # these two cluster the series themselves — no embedding stage
             self._require("embedding", ".embed(...)")
         if method == "kmeans":
             if k is None:
@@ -130,10 +132,51 @@ class TimeSeriesPipeline:
             src = self.aligned if self.aligned is not None else self.raw
             nested = align.to_nested(src.select("series_id", "t", "value"))
             out = cluster.kshape(nested, k=k or 2, seed=seed)
+        elif method == "md5lloyd":
+            # the DETERMINISTIC pipeline spine: cluster the aligned,
+            # globally-min-max-normalized series VECTORS directly with
+            # the md5-seeded fixed-round Lloyd (no model fit, no
+            # embedding stage needed) — every stage of the chain
+            # replays in SQL, so the whole facade path is
+            # oracle-checkable (pipeline_e2e_det)
+            src = self.aligned if self.aligned is not None else self.raw
+            value_col = "min_max" if "min_max" in src.columns else "value"
+            nested = align.to_nested(
+                src.select("series_id", "t", F.col(value_col).alias("value"))
+            )
+            r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+            v = nested.select(
+                "series_id", F.transform("values", r6).alias("v")
+            )
+            self._det_assign = cluster.deterministic_lloyd_assign(
+                v, k or 4, id_col="series_id", vec_col="v", exact_mean=True
+            ).cache()
+            out = self._det_assign.select(
+                F.col("id").alias("series_id"),
+                F.col("cell").cast("int").alias("prediction"),
+            )
         else:
             raise ValueError(f"unknown cluster method {method!r}")
         self.predictions = out.cache()
         return self.predictions
+
+    def det_assignments(self) -> DataFrame:
+        """The md5lloyd cluster stage's full verifiable output:
+        ``(series_id, prediction, dist, is_rep)`` — every series'
+        assignment, its 6-dp distance to the final centroid, and the
+        T2-style representative flag (member minimizing distance, ties
+        → smaller id). Requires ``cluster("md5lloyd")``."""
+        if self._det_assign is None:
+            raise RuntimeError('pipeline stage missing: call cluster("md5lloyd") first')
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("cell").orderBy("d2", "id")
+        return self._det_assign.select(
+            F.col("id").alias("series_id"),
+            F.col("cell").cast("int").alias("prediction"),
+            (F.floor(F.col("d2") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("dist"),
+            (F.row_number().over(w) == 1).alias("is_rep"),
+        )
 
     def silhouette_options(self, max_k: int = 10, seed: int = 10) -> DataFrame:
         """C4 — the reference's top-5 k choices with score % (app.py:790-808)."""

@@ -891,6 +891,83 @@ def e1_autoencoder_latent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
 
 
+_P_E2E_D2 = (
+    "list_aggregate(list_transform(range(1, len(s.v) + 1), "
+    "j -> (s.v[j] - c.cvec[j]) * (s.v[j] - c.cvec[j])), 'sum')"
+)
+
+
+def _e2e_assign_sql(src: str, cent: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT id, v, cell, d2 FROM (
+    SELECT s.id, s.v, c.cell, {_P_E2E_D2} AS d2,
+           row_number() OVER (PARTITION BY s.id
+                              ORDER BY {_P_E2E_D2}, c.cell) AS rn
+    FROM {src} s CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "pipeline_e2e_det",
+    f"""
+WITH {EV},
+s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM ev),
+pre AS (
+  SELECT series_id, t,
+         CASE WHEN vmax - vmin != 0
+              THEN (value - vmin) / (vmax - vmin) ELSE 0.0 END AS mm
+  FROM ev, s
+),
+ml AS (SELECT min(cnt) AS L
+       FROM (SELECT count(*) AS cnt FROM pre GROUP BY series_id)),
+tr AS (SELECT p.series_id, p.t, p.mm FROM pre p, ml WHERE p.t < ml.L),
+arr AS (SELECT series_id AS id,
+               list(floor(mm * 1e6 + 0.5) / 1e6 ORDER BY t) AS v
+        FROM tr GROUP BY 1),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM arr ORDER BY md5(id::VARCHAR), id LIMIT 4)
+),
+{_e2e_assign_sql("arr", "c0", "a0")},
+cm AS (
+  SELECT cell, pos,
+         floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+{_e2e_assign_sql("arr", "c1", "a1")}
+SELECT id AS series_id, CAST(cell AS INT) AS prediction,
+       floor(d2 * 1e6 + 0.5) / 1e6 AS dist,
+       row_number() OVER (PARTITION BY cell ORDER BY d2, id) = 1 AS is_rep
+FROM a1
+""",
+)
+def pipeline_e2e_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DETERMINISTIC pipeline spine as ONE oracle-checked composite
+    through the facade: load events → preprocess (P3 global min-max) →
+    truncate (G3) → md5-Lloyd clustering of the 6-dp-quantized
+    normalized series vectors (exact_mean micro-sums) → per-cluster
+    representative pick (T2 semantics: member minimizing distance to
+    the final centroid, ties → smaller id). Unlike pipeline_e2e (whose
+    PCA/KMeans stages are solver-defined, rows-only), EVERY stage here
+    replays in DuckDB, and — because min/max are exact aggregates and
+    all later reductions are sequential folds or integer micro-sums —
+    parity is order-proof end to end, with no probabilistic caveat."""
+    from the_framework_for_clustering_time_series_data_spark.pipeline import TimeSeriesPipeline
+
+    pipe = TimeSeriesPipeline(spark)
+    pipe.load_events(sf_dir)
+    pipe.preprocess()
+    pipe.align("truncation")
+    pipe.cluster("md5lloyd", k=4)
+    return pipe.det_assignments()
+
+
 @register("pipeline_e2e")  # model-driven → rows-only oracle
 def pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full reference workflow as ONE lazy chain through the
