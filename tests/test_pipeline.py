@@ -204,6 +204,56 @@ def test_excel_source_reads_without_openpyxl(spark, tmp_path):
     assert rows == {("a", 0): 1.0, ("a", 1): 2.5, ("b", 0): 3.0}
 
 
+def test_upload_payload_csv_roundtrip(spark):
+    """S2 — the Dash-style base64 upload decode (reference
+    parse_contents, app.py:1597-1650): a data-URI CSV payload becomes a
+    wide DataFrame, previews as limit(5), and chains into the long-form
+    series model."""
+    import base64
+
+    from the_framework_for_clustering_time_series_data_spark.sources.csv_source import (
+        read_uploaded_payload,
+        to_long_form,
+        upload_preview,
+    )
+
+    csv_text = "Process,V\n" + "".join(
+        f"p{i % 2},{i}.5\n" for i in range(8)
+    )
+    contents = "data:text/csv;base64," + base64.b64encode(
+        csv_text.encode()
+    ).decode()
+    wide = read_uploaded_payload(spark, contents, "upload.csv")
+    assert wide.columns == ["Process", "V"] and wide.count() == 8
+    assert upload_preview(wide).count() == 5
+    long = to_long_form(wide, "V", "Process")
+    rows = {(r["series_id"], r["t"]): r["value"] for r in long.collect()}
+    assert rows[("p0", 0)] == 0.5 and rows[("p1", 3)] == 7.5
+
+
+def test_upload_payload_xlsx_and_unknown(spark, tmp_path):
+    """S2 xls branch — the same base64 payload path through the Excel
+    parser (stdlib fallback when openpyxl is absent), plus the
+    unsupported-extension contract."""
+    import base64
+
+    import pytest as _pytest
+
+    from the_framework_for_clustering_time_series_data_spark.sources.csv_source import read_uploaded_payload
+
+    p = tmp_path / "u.xlsx"
+    _write_minimal_xlsx(str(p))
+    contents = (
+        "data:application/vnd.ms-excel;base64,"
+        + base64.b64encode(p.read_bytes()).decode()
+    )
+    wide = read_uploaded_payload(spark, contents, "upload.xlsx")
+    got = sorted(map(tuple, wide.collect()))
+    assert got == [("a", 1.0), ("a", 2.5), ("b", 3.0)]
+    with _pytest.raises(ValueError, match="unsupported upload"):
+        read_uploaded_payload(spark, contents, "upload.parquet")
+
+
 def test_xlsx_stdlib_parser_direct(tmp_path):
     """The vendor-free parser itself, independent of openpyxl presence."""
     from the_framework_for_clustering_time_series_data_spark.sources.csv_source import _read_xlsx_stdlib

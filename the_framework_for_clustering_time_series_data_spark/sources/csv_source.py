@@ -72,6 +72,60 @@ def to_long_form(
     )
 
 
+def read_uploaded_payload(
+    spark: SparkSession,
+    contents: str,
+    filename: str,
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """S2 — decode an UPLOADED base64 payload to a wide DataFrame (the
+    reference's ``parse_contents``, app.py:1597-1650: the Dash upload
+    widget delivers ``"data:<mime>;base64,<payload>"`` plus the
+    filename, which routes csv vs xls).
+
+    Mirrored behavior: split on the first comma, base64-decode, then
+    ``csv`` in filename → text CSV at ``encoding`` (the reference uses
+    utf-8 here; its file-path reader uses euc-kr), ``xls`` → Excel from
+    the raw bytes (openpyxl when present, else the stdlib zip+XML
+    parser below — ``zipfile`` accepts the in-memory buffer directly).
+    Uploads are driver-sized by construction, so a driver-side parse +
+    ``createDataFrame`` is the honest plan; bulk data arrives as
+    CSV/parquet paths instead (S1). Chain ``to_long_form(df, value_col,
+    process_col)`` for the engine's series model and ``upload_preview``
+    for the reference's 5-row table."""
+    import base64
+    import io
+
+    _, _, content_string = contents.partition(",")
+    decoded = base64.b64decode(content_string)
+    if "csv" in filename:
+        import pandas as pd
+
+        pdf = pd.read_csv(io.StringIO(decoded.decode(encoding)))
+    elif "xls" in filename:
+        try:
+            import openpyxl  # noqa: F401
+
+            import pandas as pd
+
+            pdf = pd.read_excel(io.BytesIO(decoded))
+        except ImportError:
+            pdf = _read_xlsx_stdlib(io.BytesIO(decoded))
+    else:
+        raise ValueError(
+            f"unsupported upload {filename!r}: expected a csv or xls file "
+            "(the reference's parse_contents routes on the same substrings)"
+        )
+    return spark.createDataFrame(pdf)
+
+
+def upload_preview(df: DataFrame, n: int = 5) -> DataFrame:
+    """The reference's upload preview (first 5 rows as a table,
+    app.py:1633-1637) — ``limit`` keeps it a driver-safe O(n) plan at
+    any upload size."""
+    return df.limit(n)
+
+
 def read_timeseries_excel(
     spark: SparkSession,
     path: str,
