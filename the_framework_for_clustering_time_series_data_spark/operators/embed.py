@@ -414,23 +414,30 @@ def _conv_autoencoder(
     resized, X, pix_mean, img_size, out_schema, image_col,
     hidden, epochs, lr, patience, seed, loss_out,
 ):
-    """Conv2D-faithful E1 variant (``arch="conv"``): the ENCODER is the
-    reference's exact stack — Conv2D(16, 3, strides=2, ReLU) then
-    log2(S)-4 stride-2 conv layers doubling from 32 channels, Flatten,
-    Dense(2) (app.py:563-578) — implemented with im2col matmuls in
-    NumPy.
+    """Conv2D-faithful E1 variant (``arch="conv"``): BOTH halves of the
+    reference's architecture (app.py:560-590) in pure NumPy.
+
+    ENCODER — Conv2D(16, 3, strides=2, ReLU) then log2(S)-4 stride-2
+    conv layers doubling from 32 channels, Flatten, Dense(2)
+    (app.py:563-578) — as im2col matmuls. DECODER — Dense(units),
+    Reshape(g, g, S) (the reference reshapes to IMG_SIZE channels,
+    app.py:581-582), log2(S)-4 Conv2DTranspose(3, strides=2, ReLU)
+    layers halving from S/((log2(S)%2)+1) channels, final
+    Conv2DTranspose(1) (app.py:584-590) — each transpose layer is the
+    ADJOINT of the stride-2 conv, i.e. exactly ``_col2im`` applied to
+    ``A @ Wt.T`` (and its backward pass is ``_im2col``), so the up path
+    mirrors the down path operation-for-operation.
 
     Documented divergences from app.py:490-641: no BatchNormalization
     (running statistics add nothing at these batch sizes and the
     normalization changes the latent scale, not its topology), and the
-    DECODER is the dense tanh stack shared with ``arch="dense"``
-    rather than Conv2DTranspose — the decoder exists only to provide
-    the reconstruction gradient, it is discarded at encode time. The
-    latent spaces of the two archs therefore differ coordinate-wise
-    (different parameterizations reach different minima); the
-    invariants that matter downstream — determinism, learning (loss
-    decreases), latent differentiation across inputs — are asserted
-    for both in tests/test_ml.py.
+    final transpose layer is LINEAR rather than sigmoid — training
+    runs on per-pixel-centered data (see embedding_autoencoder), where
+    a sigmoid output could not even represent the targets. The latent
+    spaces still differ coordinate-wise from a Keras run (different
+    init RNG → different minima); the invariants that matter —
+    determinism, learning, latent differentiation — are asserted in
+    tests/test_ml.py.
     """
     import numpy as np
     import pandas as pd
@@ -452,10 +459,26 @@ def _conv_autoencoder(
     feat_dim = grid * grid * chans[-1]
     params["We"] = rng.standard_normal((feat_dim, 2)) * np.sqrt(2.0 / (feat_dim + 2))
     params["be"] = np.zeros(2)
-    params["W3"] = rng.standard_normal((2, hidden)) * np.sqrt(2.0 / (hidden + 2))
-    params["b3"] = np.zeros(hidden)
-    params["W4"] = rng.standard_normal((hidden, d)) * np.sqrt(2.0 / (d + hidden))
-    params["b4"] = np.zeros(d)
+    # decoder: Dense back to the reference's Reshape((g, g, S)) volume,
+    # then the ConvTranspose stack — S/((count%2)+1) halving to the
+    # single-channel output (app.py:581-590)
+    count = int(np.log2(S))
+    dec_chans = []
+    lenl = S // ((count % 2) + 1)
+    for _ in range(count - 4):
+        dec_chans.append(lenl)
+        lenl //= 2
+    dec_chans.append(1)
+    units_d = grid * grid * S
+    params["Wd"] = rng.standard_normal((2, units_d)) * np.sqrt(2.0 / (units_d + 2))
+    params["bd"] = np.zeros(units_d)
+    dcin = S
+    for li, dcout in enumerate(dec_chans):
+        params[f"tW{li}"] = rng.standard_normal((9 * dcout, dcin)) * np.sqrt(
+            2.0 / (9 * dcin)
+        )
+        params[f"tb{li}"] = np.zeros(dcout)
+        dcin = dcout
 
     adam_m = {k: np.zeros_like(v) for k, v in params.items()}
     adam_v = {k: np.zeros_like(v) for k, v in params.items()}
@@ -470,8 +493,20 @@ def _conv_autoencoder(
     for step in range(1, epochs + 1):
         feat, feat_shape, caches = _conv_encode(X_img, conv_params())
         z = feat @ params["We"] + params["be"]
-        h3 = np.tanh(z @ params["W3"] + params["b3"])
-        out = h3 @ params["W4"] + params["b4"]
+        # decoder forward: Dense → Reshape(g, g, S) → ConvT stack
+        D0 = z @ params["Wd"] + params["bd"]
+        A = D0.reshape(n, grid, grid, S)
+        dec_caches = []
+        g_cur = grid
+        for li, dcout in enumerate(dec_chans):
+            cols = (
+                A.reshape(-1, A.shape[-1]) @ params[f"tW{li}"].T
+            ).reshape(n, g_cur, g_cur, 9 * dcout)
+            Y = _col2im(cols, (n, 2 * g_cur, 2 * g_cur, dcout)) + params[f"tb{li}"]
+            dec_caches.append((A, Y))
+            A = np.maximum(Y, 0.0) if li < len(dec_chans) - 1 else Y
+            g_cur *= 2
+        out = A.reshape(n, d)
         err = out - X
         loss = float((err**2).mean())
         if first_loss is None:
@@ -486,10 +521,22 @@ def _conv_autoencoder(
                 break
 
         g_out = 2.0 * err / err.size
-        g = {"W4": h3.T @ g_out, "b4": g_out.sum(0)}
-        g_h3 = g_out @ params["W4"].T * (1 - h3**2)
-        g["W3"], g["b3"] = z.T @ g_h3, g_h3.sum(0)
-        g_z = g_h3 @ params["W3"].T
+        # back through the ConvT stack: adjoint pairs swap, so the
+        # backward of col2im(A @ Wt.T) is im2col → matmul
+        g = {}
+        g_A = g_out.reshape(n, S, S, 1)
+        for li in range(len(dec_chans) - 1, -1, -1):
+            A_in, Y = dec_caches[li]
+            g_Y = g_A if li == len(dec_chans) - 1 else g_A * (Y > 0)
+            g_cols = _im2col(g_Y)
+            flat_gc = g_cols.reshape(-1, g_cols.shape[-1])
+            flat_A = A_in.reshape(-1, A_in.shape[-1])
+            g[f"tW{li}"] = flat_gc.T @ flat_A
+            g[f"tb{li}"] = g_Y.sum(axis=(0, 1, 2))
+            g_A = (flat_gc @ params[f"tW{li}"]).reshape(A_in.shape)
+        g_D0 = g_A.reshape(n, units_d)
+        g["Wd"], g["bd"] = z.T @ g_D0, g_D0.sum(0)
+        g_z = g_D0 @ params["Wd"].T
         g["We"], g["be"] = feat.T @ g_z, g_z.sum(0)
         g_feat = (g_z @ params["We"].T).reshape(feat_shape)
         # back through the conv stack (reversed)
