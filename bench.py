@@ -127,6 +127,29 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # 5-run medians for the SLOWEST queries: single steady runs drift
+    # with machine state (round-4 verdict: 68.5 s under driver load vs
+    # a 60.5 s idle median over the same set), so the emitted record
+    # carries both — the median map ends the drift-vs-regression
+    # ambiguity for the queries that dominate the total. Knobs:
+    # SPARK_GRAFT_MEDIAN_TOP (how many of the slowest; 0 disables),
+    # SPARK_GRAFT_MEDIAN_RUNS (samples per query, incl. the steady run).
+    med_top = int(os.environ.get("SPARK_GRAFT_MEDIAN_TOP", "10"))
+    med_runs = int(os.environ.get("SPARK_GRAFT_MEDIAN_RUNS", "5"))
+    median5: dict[str, float] = {}
+    if med_top > 0 and med_runs > 1:
+        slowest = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])][:med_top]
+        for name in slowest:
+            samples = [timings[name]]
+            for _ in range(med_runs - 1):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, args.sf_dir).count()
+                samples.append(round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+            samples.sort()
+            median5[name] = samples[len(samples) // 2]
+            print(f"# median{med_runs} {name}: {median5[name]}s {samples}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver tail-captures only the LAST ~2000 chars of stdout, so the
@@ -142,6 +165,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "median5": median5,
         "sf": float(sf),
     }
     detail_path = os.path.join(REPO, "BENCH_FULL.json")
@@ -153,6 +177,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold_total": full["cold_total"],
+        "median5": median5,
         "sf": float(sf),
         "detail": "BENCH_FULL.json",
     }

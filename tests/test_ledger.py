@@ -80,14 +80,17 @@ def test_bench_compact_line_stays_inside_capture_window():
 
     from bench import HEADLINE
 
-    # worst case: every query formats as 99.999
+    # worst case: every query formats as 99.999, plus the round-5
+    # median5 map (10 slowest queries carry 5-run medians)
     timings = {q: 99.999 for q in HEADLINE}
+    median5 = {q: 99.999 for q in HEADLINE[:10]}
     compact = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "cold_total": 9999.999,
+        "median5": median5,
         "sf": 0.1,
         "detail": "BENCH_FULL.json",
     }

@@ -1006,6 +1006,12 @@ def q21_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scanned once and never joined back: the per-order qualifier is a
     # window over the (order, supplier) rollup — orders of magnitude
     # smaller than the fact at any scale.
+    # ONE exchange for both stages: hash partitioning on l_orderkey
+    # satisfies the (l_orderkey, l_suppkey) aggregate's clustering AND
+    # the per-order window's, so the explicit repartition replaces the
+    # agg's (ok, sk) exchange and the window's ok re-exchange that the
+    # default plan pays back to back (3 → 2 exchanges measured).
+    lines = lines.repartition("l_orderkey")
     per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("is_late").cast("int")).alias("supp_late"),
         F.sum(F.col("is_late").cast("long")).alias("n_late_lines"),
