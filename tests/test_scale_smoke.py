@@ -119,6 +119,44 @@ def test_minhash_lsh_200k_docs(spark):
     assert cross == 0, f"{cross} spurious cross-pair matches"
 
 
+def test_minhash_lsh_5m_docs(spark):
+    """The banding math at corpus scale: 5M generated docs (2.5M
+    planted near-duplicate pairs, 8-token bodies, the copy appends one
+    token → Jaccard on 3-gram shingles = 6/7 ≈ 0.857). The full
+    signature + banding + verify pipeline must recover ≥95% of the
+    planted pairs with ZERO spurious cross-pair matches — at this scale
+    an O(n²) candidate generator, an unbanded bucket join, or any
+    driver-side materialization would not finish. (~2-3 min on
+    local[32]; the per-doc work is deliberately small so the run
+    exercises the SHUFFLE shape, not string hashing.)"""
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    n_pairs = 2_500_000
+    base = spark.range(2 * n_pairs).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % n_pairs).alias("pair"),
+        (F.col("id") >= n_pairs).cast("int").alias("is_copy"),
+    )
+    body = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"w{j}_"), F.conv(F.col("pair") * 31 + j, 10, 16))
+            for j in range(8)
+        ],
+    )
+    docs = base.select(
+        "doc_id",
+        F.when(F.col("is_copy") == 1, F.concat(body, F.lit(" x")))
+        .otherwise(body)
+        .alias("text"),
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, n=3)
+    ok = pairs.where(F.col("id_b") - F.col("id_a") == n_pairs).count()
+    cross = pairs.where(F.col("id_b") - F.col("id_a") != n_pairs).count()
+    assert ok >= 0.95 * n_pairs, f"recovered {ok}/{n_pairs} planted pairs"
+    assert cross == 0, f"{cross} spurious cross-pair matches"
+
+
 GF_USERS = 20_000
 GF_OBS = 63  # observations per user, one every 4 hours
 

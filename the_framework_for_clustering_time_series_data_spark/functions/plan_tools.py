@@ -69,6 +69,28 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
 _NUM_PARTS_CACHE: dict[int, int] = {}
 
 
+def tiny_window(*order_cols, key: str):
+    """A window over a frame KNOWN to be bounded-small — post-limit
+    rank frames, md5-seed sets, fixed bucket prefixes, per-cluster
+    grids. Partitions by the CONSTANT ``xxhash64(key) % 1`` (= 0 for
+    every row, nulls included): semantically identical to an
+    unpartitioned window — everything lands in one partition either
+    way, fine by construction here — but ``WindowExec``'s
+    partitionSpec stays non-empty, so driver logs stay free of the
+    ``No Partition Defined`` warning and that warning remains a real
+    signal for unbounded global windows. A bare ``lit(0)`` would NOT
+    work: the optimizer strips foldable partition keys, which is why
+    the constant must reference a column (``key`` — any always-present
+    column of the frame; xxhash64 never returns null). Chain
+    ``.rowsBetween`` as usual; omit ``order_cols`` for a pure
+    whole-frame aggregate window (the ``Window.partitionBy()`` form)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.xxhash64(key) % F.lit(1))
+    return w.orderBy(*order_cols) if order_cols else w
+
+
 def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Lineage-truncating materialization for iterative loops and
     multi-consumer plans — the engine's single switch between the two

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint, tiny_window
 
 
 # --------------------------------------------------------------------------
@@ -98,8 +98,8 @@ def deterministic_lloyd_assign(
         .orderBy("_h", "id")
         .limit(k)
     )
-    # k rows — the single-partition window is over the seed set only
-    w_seed = Window.orderBy("_h", "id")
+    # k rows — constant-key window over the seed set only (tiny_window)
+    w_seed = tiny_window("_h", "id", key="_h")
     cdf = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
         "cell", F.col("v").alias("cvec")
     )
@@ -214,7 +214,7 @@ def bisecting_lloyd_assign(
             .orderBy("_h", "id")
             .limit(2)
         )
-        w_seed = Window.orderBy("_h", "id")
+        w_seed = tiny_window("_h", "id", key="_h")
         cdf = seeds.withColumn("cell", F.row_number().over(w_seed) - 1).select(
             "cell", F.col("v").alias("cvec")
         )
@@ -474,7 +474,7 @@ def dbscan(
     comp = labels.select("series_id", "label")
     rank = (
         comp.select("label").distinct()
-        .withColumn("cluster", F.dense_rank().over(Window.orderBy("label")) - 1)
+        .withColumn("cluster", F.dense_rank().over(tiny_window("label", key="label")) - 1)
     )
     core_labeled = comp.join(rank, "label").select("series_id", "cluster").transform(stage_checkpoint, eager=True)
 
@@ -704,8 +704,8 @@ def kshape_md5_assign(
         .orderBy("_h", "id")
         .limit(k)
     )
-    # k rows — the single-partition window is over the seed set only
-    w_seed = Window.orderBy("_h", "id")
+    # k rows — constant-key window over the seed set only (tiny_window)
+    w_seed = tiny_window("_h", "id", key="_h")
     cdf = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
         "cell", F.col("v").alias("cvec")
     )
@@ -847,8 +847,8 @@ def gmm_md5em_assign(
         .orderBy("_h", "id")
         .limit(k)
     )
-    # k rows — the single-partition window is over the seed set only
-    w_seed = Window.orderBy("_h", "id")
+    # k rows — constant-key window over the seed set only (tiny_window)
+    w_seed = tiny_window("_h", "id", key="_h")
     params = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
         "cell",
         F.col("v").alias("mu"),

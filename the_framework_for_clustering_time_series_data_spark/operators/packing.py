@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
 
 
 def sort_key(id_col: str) -> Column:
@@ -37,7 +38,7 @@ def global_running_sum(
     sk = sort_key(id_col)
     base = df.withColumn("_sk", sk).withColumn("_bk", F.substring(sk, 1, 2))
     btot = base.groupBy("_bk").agg(F.sum(weight_col).alias("_btot"))
-    w_b = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, 0)
+    w_b = tiny_window("_bk", key="_bk").rowsBetween(Window.unboundedPreceding, 0)
     offsets = btot.select(
         "_bk", (F.sum("_btot").over(w_b) - F.col("_btot")).alias("_offset")
     )

@@ -635,7 +635,7 @@ def pq_topk_deterministic(
     memory story), LUTs are |Q|·m·n_codes rows broadcast, and the
     exact re-rank is bounded at |Q|·rerank rows.
     """
-    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint, tiny_window
 
     sub = dim // m
 
@@ -669,8 +669,8 @@ def pq_topk_deterministic(
         .orderBy("_h", "nbr_id")
         .limit(n_codes)
     )
-    # n_codes rows — the single-partition window is over the seed set only
-    w_seed = Window.orderBy("_h", "nbr_id")
+    # n_codes rows — constant-key window over the seed set only
+    w_seed = tiny_window("_h", "nbr_id", key="_h")
     seedc = seeds.withColumn("cell", F.row_number().over(w_seed) - 1)
     cdf = seedc.select(
         F.explode(jgrid).alias("j"),

@@ -1268,19 +1268,22 @@ def e8_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
         F.count("*").alias("path_len"),
     )
+    # TakeOrdered the top-10 FIRST, rank the survivors after — the old
+    # rank-before-limit form dragged every distinct path through one
+    # unpartitioned window partition (the pack_sequences_chunks lesson)
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
+
+    agg = paths.groupBy("path").agg(
+        F.any_value("path_len").alias("path_len"),
+        F.count("*").alias("n_sessions"),
+    )
     top = (
-        paths.groupBy("path")
-        .agg(
-            F.any_value("path_len").alias("path_len"),
-            F.count("*").alias("n_sessions"),
-        )
+        agg.orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
         .withColumn(
             "rnk",
-            F.row_number().over(
-                Window.orderBy(F.col("n_sessions").desc(), "path")
-            ),
+            F.row_number().over(tiny_window(F.col("n_sessions").desc(), "path", key="path")),
         )
-        .where(F.col("rnk") <= 10)
     )
     return top.select("rnk", "path", "path_len", "n_sessions")
 

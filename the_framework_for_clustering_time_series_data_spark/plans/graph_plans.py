@@ -29,7 +29,7 @@ from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators.graph import pagerank
 
-from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint, tiny_window
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
@@ -210,7 +210,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     top = pern.orderBy(F.desc("n_triangles"), "part").limit(20)
-    w = Window.orderBy(F.desc("n_triangles"), "part")
+    w = tiny_window(F.desc("n_triangles"), "part", key="part")
     return top.withColumn("rank", F.row_number().over(w)).select(
         "part", "n_triangles", "rank"
     )

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_cumsum, with_global_ntiles
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
 
@@ -1523,7 +1524,7 @@ def q28_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.avg("n_parts"), 6).alias("avg_distinct_parts"),
     )
-    w = Window.partitionBy()
+    w = tiny_window(key="n_lines")
     return c.select(
         "n_lines",
         "n_orders",

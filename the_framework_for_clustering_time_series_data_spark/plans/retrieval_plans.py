@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
 _QUERY_TERMS = ("spark", "join", "window", "scan")
@@ -100,7 +101,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     scored = _bm25_scores(spark, sf_dir)
     top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_TOPK)
-    w = Window.orderBy(F.col("bm25").desc(), "doc_id")  # k rows post-limit
+    w = tiny_window(F.col("bm25").desc(), "doc_id", key="doc_id")  # k rows post-limit
     return top.withColumn("rank", F.row_number().over(w))
 
 
@@ -218,7 +219,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FUSE_DEPTH)
         .withColumn(
             "bm25_rank",
-            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+            F.row_number().over(tiny_window(F.col("bm25").desc(), "doc_id", key="doc_id")),
         )
         .select("doc_id", "bm25_rank")
     )
@@ -245,7 +246,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_FUSE_DEPTH)
         .withColumn(
             "cosine_rank",
-            F.row_number().over(Window.orderBy(F.col("cosine").desc(), "doc_id")),
+            F.row_number().over(tiny_window(F.col("cosine").desc(), "doc_id", key="doc_id")),
         )
         .select("doc_id", "cosine_rank")
     )
@@ -263,7 +264,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_TOPK)
-    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    w = tiny_window(F.col("rrf").desc(), "doc_id", key="doc_id")
     return top.withColumn("rank", F.row_number().over(w))
 
 

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
 _PERIODS = (2, 3, 7, 14)  # candidate seasonal periods, in days
@@ -484,7 +485,7 @@ def ts_shape_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row_number window BEFORE the limit would drag every window row
     # through one partition (the pack_sequences_chunks lesson)
     top = s.orderBy("dist", "series_id", "start_day").limit(_SHAPE_TOPK)
-    wr = Window.orderBy("dist", "series_id", "start_day")
+    wr = tiny_window("dist", "series_id", "start_day", key="series_id")
     return top.withColumn("rnk", F.row_number().over(wr)).select(
         "rnk", "series_id", "start_day", "dist"
     )

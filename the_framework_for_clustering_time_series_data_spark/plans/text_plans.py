@@ -12,6 +12,7 @@ from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans impor
     _hashed_jaccard_pairs_ctes,
 )
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
 
@@ -881,7 +882,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     top = sc.orderBy(F.desc("score"), "doc_id").limit(100)
-    w = Window.orderBy(F.desc("score"), "doc_id")
+    w = tiny_window(F.desc("score"), "doc_id", key="doc_id")
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_tokens", "score", "rank"
     )

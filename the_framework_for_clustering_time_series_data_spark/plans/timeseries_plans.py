@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from the_framework_for_clustering_time_series_data_spark.operators import align, prep, stats, trace
 from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_ntiles
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
 from the_framework_for_clustering_time_series_data_spark.sources.tables import events_as_series, load_table
 
 # Shared oracle CTE: events viewed as (series_id, t, value).
@@ -318,7 +319,7 @@ def c4_top5_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prediction")
         .agg(F.count("*").alias("n_members"), F.round(F.avg("x"), 6).alias("score"))
     )
-    w = Window.orderBy(F.desc("n_members"), "prediction")
+    w = tiny_window(F.desc("n_members"), "prediction", key="prediction")
     return (
         s.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
