@@ -12,9 +12,7 @@ from the_framework_for_clustering_time_series_data_spark.plans.registry import r
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
 
-@register(
-    "sim_bruteforce_topk",
-    """
+_BF_ORACLE_SQL = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
@@ -26,8 +24,10 @@ r AS (
   FROM scored
 )
 SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= 5
-""",
-)
+"""
+
+
+@register("sim_bruteforce_topk", _BF_ORACLE_SQL)
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for query vectors (vec_id < 10): broadcast
     queries × one corpus scan; JVM-side zip_with/aggregate dot product.
@@ -844,15 +844,47 @@ def emb_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_recall_audit")  # audits rows-only ANN ops → rows-only oracle
+def _recall_audit_oracle_sql() -> str:
+    """The audit's DuckDB twin: each deterministic ANN variant's oracle
+    embeds as a named subquery (nested WITH — legal in DuckDB), the
+    brute-force top-5 is the ground truth, and recall@5 joins the
+    bounded |Q|×5 result sets exactly like the Spark plan."""
+    return f"""
+WITH bf AS ({_BF_ORACLE_SQL}),
+lshq AS ({_lsh_oracle_sql()}),
+ivfbq AS ({_ivfb_oracle_sql()}),
+pqbq AS ({_pqb_oracle_sql()}),
+apx AS (
+  SELECT 'lsh' AS method, query_id, nbr_id FROM lshq
+  UNION ALL SELECT 'ivfb', query_id, nbr_id FROM ivfbq
+  UNION ALL SELECT 'pqb', query_id, nbr_id FROM pqbq
+),
+kk AS (SELECT query_id, count(*) AS k FROM bf GROUP BY 1),
+mm AS (SELECT unnest(['lsh', 'ivfb', 'pqb']) AS method),
+hits AS (
+  SELECT a.method, b.query_id, count(*) AS n_hits
+  FROM bf b JOIN apx a ON a.query_id = b.query_id AND a.nbr_id = b.nbr_id
+  GROUP BY 1, 2
+)
+SELECT mm.method, kk.query_id,
+       round(coalesce(h.n_hits, 0) * 1.0 / kk.k, 6) AS recall_at_5
+FROM mm CROSS JOIN kk
+LEFT JOIN hits h ON h.method = mm.method AND h.query_id = kk.query_id
+"""
+
+
+@register("sim_ann_recall_audit", _recall_audit_oracle_sql())
 def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximation-quality audit AS A QUERY: recall@5 of both ANN
-    variants (multi-probe LSH, IVF probe-4, and IVFADC) against the exact
-    brute-force top-5, per query vector and per method — the
-    continuous-monitoring form of the recall assertions in
-    tests/test_similarity_ann.py. Run it per index rebuild; a recall
-    drop flags a bad cell split or an unlucky hyperplane seed before
-    serving traffic does.
+    """Approximation-quality audit AS A QUERY: recall@5 of the three
+    DETERMINISTIC ANN variants (multi-probe LSH, md5-Lloyd IVF, and
+    md5-Lloyd PQ) against the exact brute-force top-5, per query
+    vector and per method — the continuous-monitoring form of the
+    recall assertions in tests/test_similarity_ann.py. Run it per
+    index rebuild; a recall drop flags a bad cell split or an unlucky
+    hyperplane seed before serving traffic does. FULLY oracle-checked
+    since round 5 (every audited variant is replayable, so the audit
+    itself is); the MLlib-quantized variants' recall floors remain
+    asserted by tests/test_similarity_ann.py.
 
     Shape: three top-k result sets (each already bounded to |Q|×5
     rows) semi-joined on (query, neighbor) and counted — the audit
@@ -863,8 +895,8 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
     for method, fn in (
         ("lsh", sim_ann_lsh_topk),
-        ("ivf", sim_ivf_topk),
-        ("ivfpq", sim_ivfpq_topk),
+        ("ivfb", sim_ivfb_topk),
+        ("pqb", sim_pqb_topk),
     ):
         approx = fn(spark, sf_dir).select(
             "query_id", F.col("nbr_id").alias("approx_nbr")

@@ -36,7 +36,6 @@ ROWS_ONLY_NOTES = {
     "e2_pca": "sign-indeterminate: eigenvector signs/column order are solver-defined; the VARIANCE spectrum is oracle-checked (e2b_pca_variance). Projection-geometry tests in test_ml.py.",
     "e3_umap": "iterative-fit: SGD layout (umap-learn) or Laplacian eigenmaps fallback; both solver-defined. Neighborhood-preservation test in test_ml.py.",
     "pipeline_e2e": "composite: chains model fits (autoencoder/kmeans) whose stages are individually rows-only above; the relational stages of the pipeline are oracle-checked as separate queries. End-to-end matrix tested in test_pipeline_matrix.py. Its deterministic spine pipeline_e2e_det IS fully oracle-checked through the same facade.",
-    "sim_ann_recall_audit": "audits three ANN variants at once; the LSH and brute-force sides are now oracle-checked, but the IVF/IVFADC sides depend on seeded MLlib kmeans quantizers (RNG/impl-defined) — stays rows-only until those convert.",
     "sim_ivf_persisted_topk": "depends on a seeded MLlib kmeans coarse quantizer (RNG/impl-defined); list-pruning correctness tested via parity-with-bruteforce in test_similarity_ann.py.",
     "sim_ivf_topk": "same MLlib coarse-quantizer dependency as sim_ivf_persisted_topk; recall floor tested in test_similarity_ann.py. Its deterministic-Lloyd twin sim_ivfb_topk IS fully oracle-checked.",
     "sim_ivfpq_topk": "MLlib kmeans coarse quantizer + per-subspace PQ codebooks (nested seeded fits); ADC-vs-exact parity tested in test_similarity_ann.py.",
