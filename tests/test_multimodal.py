@@ -449,3 +449,302 @@ def test_y4m_real_path_in_spark_without_ffmpeg(spark):
     assert len({r["frame_md5"] for r in rows}) == 4  # distinct frames
     auto = multimodal.sample_frames(df, n_frames=4).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, rows))
+
+
+# ---------------------------------------------------------------------------
+# stdlib baseline JPEG decoder
+# ---------------------------------------------------------------------------
+
+
+def _encode_jpeg_baseline(planes, sampling=None, quant=None, restart=0):
+    """Minimal baseline JPEG ENCODER (test-side, stdlib+numpy only):
+    one scan, canonical per-file Huffman tables (all used symbols at
+    8 bits — valid canonical tables the decoder must honor, unlike a
+    hardcoded Annex K pair), per-component 4:4:4-or-given sampling,
+    optional restart interval. Exists so the decoder is exercised
+    against an INDEPENDENT implementation of the T.81 bit layout."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import _JPEG_ZIGZAG, _dct_matrix
+
+    ncomp = len(planes)
+    sampling = sampling or [(1, 1)] * ncomp
+    q = quant or [1] * 64
+    h, w = planes[0].shape
+    C = _dct_matrix()
+
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # per-block symbol stream first (to build the canonical tables)
+    def blocks_of(ci):
+        hs, vs = sampling[ci]
+        ph, pw = planes[ci].shape
+        padded = np.zeros((mcuy * vs * 8, mcux * hs * 8))
+        padded[:ph, :pw] = planes[ci]
+        # replicate edges into padding (keeps DC continuity)
+        if ph < padded.shape[0]:
+            padded[ph:, :] = padded[ph - 1 : ph, :]
+        if pw < padded.shape[1]:
+            padded[:, pw:] = padded[:, pw - 1 : pw]
+        return padded
+
+    padded = [blocks_of(ci) for ci in range(ncomp)]
+
+    def fdct_quant(block):
+        X = C @ (block - 128.0) @ C.T
+        out = []
+        for k in range(64):
+            r, c = _JPEG_ZIGZAG[k]
+            out.append(int(round(X[r, c] / q[k])))
+        return out
+
+    def csize(v):
+        return 0 if v == 0 else int(math.floor(math.log2(abs(v)))) + 1
+
+    # emit (symbol stream, bit payload) per MCU in scan order
+    events = []  # (kind 'dc'/'ac', comp, symbol, value_bits_count, value)
+    dc_pred = [0] * ncomp
+    mcu_events = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            ev = []
+            for ci in range(ncomp):
+                hs, vs = sampling[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        blk = padded[ci][
+                            (my * vs + v) * 8 : (my * vs + v) * 8 + 8,
+                            (mx * hs + u) * 8 : (mx * hs + u) * 8 + 8,
+                        ]
+                        coef = fdct_quant(blk)
+                        diff = coef[0] - dc_pred[ci]
+                        dc_pred[ci] = coef[0]
+                        s = csize(diff)
+                        ev.append(("dc", ci, s, s, diff))
+                        run = 0
+                        last_nz = 0
+                        for k in range(1, 64):
+                            if coef[k]:
+                                last_nz = k
+                        k = 1
+                        while k <= last_nz:
+                            if coef[k] == 0:
+                                run += 1
+                                k += 1
+                                continue
+                            while run > 15:
+                                ev.append(("ac", ci, 0xF0, 0, 0))
+                                run -= 16
+                            s = csize(coef[k])
+                            ev.append(("ac", ci, (run << 4) | s, s, coef[k]))
+                            run = 0
+                            k += 1
+                        if last_nz < 63:
+                            ev.append(("ac", ci, 0x00, 0, 0))
+            mcu_events.append(ev)
+    # restart handling resets DC predictors per interval: recompute
+    # diffs if restart is used
+    if restart:
+        dc_pred = [0] * ncomp
+        mcu_events = []
+        dc_run = [0] * ncomp
+        cnt = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and cnt and cnt % restart == 0:
+                    dc_run = [0] * ncomp
+                ev = []
+                for ci in range(ncomp):
+                    hs, vs = sampling[ci]
+                    for v in range(vs):
+                        for u in range(hs):
+                            blk = padded[ci][
+                                (my * vs + v) * 8 : (my * vs + v) * 8 + 8,
+                                (mx * hs + u) * 8 : (mx * hs + u) * 8 + 8,
+                            ]
+                            coef = fdct_quant(blk)
+                            diff = coef[0] - dc_run[ci]
+                            dc_run[ci] = coef[0]
+                            s = csize(diff)
+                            ev.append(("dc", ci, s, s, diff))
+                            run = 0
+                            last_nz = 0
+                            for k in range(1, 64):
+                                if coef[k]:
+                                    last_nz = k
+                            k = 1
+                            while k <= last_nz:
+                                if coef[k] == 0:
+                                    run += 1
+                                    k += 1
+                                    continue
+                                while run > 15:
+                                    ev.append(("ac", ci, 0xF0, 0, 0))
+                                    run -= 16
+                                s = csize(coef[k])
+                                ev.append(("ac", ci, (run << 4) | s, s, coef[k]))
+                                run = 0
+                                k += 1
+                            if last_nz < 63:
+                                ev.append(("ac", ci, 0x00, 0, 0))
+                mcu_events.append(ev)
+                cnt += 1
+
+    dc_syms = sorted({e[2] for ev in mcu_events for e in ev if e[0] == "dc"})
+    ac_syms = sorted({e[2] for ev in mcu_events for e in ev if e[0] == "ac"})
+
+    def canon8(symbols):
+        # all symbols at code length 8 — canonical codes 0..k-1
+        codes = {sym: (8, i) for i, sym in enumerate(symbols)}
+        counts = [0] * 16
+        counts[7] = len(symbols)
+        return codes, counts, list(symbols)
+
+    dc_codes, dc_counts, dc_vals = canon8(dc_syms)
+    ac_codes, ac_counts, ac_vals = canon8(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + bytes(q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, counts, vals in ((0, dc_counts, dc_vals), (1, ac_counts, ac_vals)):
+        seg = bytes([tc << 4]) + bytes(counts) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # bit writer with 0xFF stuffing
+    acc, nbits = 0, 0
+    body = bytearray()
+
+    def put(val, k):
+        nonlocal acc, nbits
+        for i in range(k - 1, -1, -1):
+            acc = (acc << 1) | ((val >> i) & 1)
+            nbits += 1
+            if nbits == 8:
+                body.append(acc)
+                if acc == 0xFF:
+                    body.append(0x00)
+                acc, nbits = 0, 0
+
+    def flush():
+        nonlocal acc, nbits
+        if nbits:
+            acc <<= 8 - nbits
+            acc |= (1 << (8 - nbits)) - 1  # pad with 1s per convention
+            body.append(acc)
+            if acc == 0xFF:
+                body.append(0x00)
+            acc, nbits = 0, 0
+
+    for i, ev in enumerate(mcu_events):
+        if restart and i and i % restart == 0:
+            flush()
+            body.extend(bytes([0xFF, 0xD0 + ((i // restart - 1) % 8)]))
+        for kind, _ci, sym, nb, val in ev:
+            ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
+            put(code, ln)
+            if nb:
+                put(val if val >= 0 else val + (1 << nb) - 1, nb)
+    flush()
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_stdlib_flat_exact():
+    """DC-only ground truth: a flat gray image has a closed-form code
+    stream (one DC coefficient per block, zero AC), and the decode must
+    return the EXACT gray level — independent of the encoder's DCT."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_jpeg_stdlib
+
+    img = np.full((16, 24), 100.0)
+    payload = _encode_jpeg_baseline([img])
+    w, h, mean = decode_jpeg_stdlib(payload)
+    assert (w, h) == (24, 16)
+    assert abs(mean - 100.0 / 255.0) < 1e-6
+
+
+def test_jpeg_stdlib_gradient_roundtrip():
+    """Unit quantization: the only loss is FDCT rounding, so the
+    decoded mean must match the source within ~1 gray level, across a
+    non-multiple-of-8 size (exercises edge-MCU cropping)."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_jpeg_stdlib
+
+    yy, xx = np.meshgrid(np.arange(19), np.arange(37), indexing="ij")
+    img = (xx * 5 + yy * 3) % 256
+    payload = _encode_jpeg_baseline([img.astype(float)])
+    w, h, mean = decode_jpeg_stdlib(payload)
+    assert (w, h) == (37, 19)
+    assert abs(mean - img.mean() / 255.0) < 1.5 / 255.0
+
+
+def test_jpeg_stdlib_color_and_restart():
+    """Three-component 4:4:4 with a restart interval: chroma blocks
+    must be entropy-skipped in sync and RSTn markers honored (DC
+    predictors reset), leaving the luma mean intact."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_jpeg_stdlib
+
+    yy = np.tile(np.linspace(40, 200, 16)[:, None], (1, 16))
+    cb = np.full((16, 16), 90.0)
+    cr = np.full((16, 16), 160.0)
+    payload = _encode_jpeg_baseline([yy, cb, cr], restart=1)
+    w, h, mean = decode_jpeg_stdlib(payload)
+    assert (w, h) == (16, 16)
+    assert abs(mean - yy.mean() / 255.0) < 1.5 / 255.0
+
+
+def test_jpeg_stdlib_rejects_progressive():
+    import struct
+
+    import pytest
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_jpeg_stdlib
+
+    fake = (
+        b"\xff\xd8"
+        + b"\xff\xc2"  # SOF2 progressive
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_stdlib(fake)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_stdlib(b"plainbytes")
+
+
+def test_jpeg_real_path_in_spark_without_pil(spark):
+    """A real JPEG payload flows through decode_image_features'
+    auto-dispatch end to end (stdlib decode on executors, no PIL)."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators import multimodal as mm
+
+    img = np.full((8, 8), 50.0)
+    payload = _encode_jpeg_baseline([img])
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = mm.decode_image_features(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (8, 8)
+    assert abs(r["mean_intensity"] - 50.0 / 255.0) < 1e-6

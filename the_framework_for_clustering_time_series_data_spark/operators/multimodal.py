@@ -6,13 +6,16 @@ stages.
 Each kernel carries BOTH code paths:
 
 * a REAL decoder, used automatically when available — and EVERY
-  modality has one mainstream format needing NO dependency at all:
+  modality has mainstream formats needing NO dependency at all:
   PNG decodes pure-stdlib (zlib + scanline unfiltering,
-  :func:`decode_png_stdlib`), RIFF/WAVE PCM decodes pure-stdlib
-  (``wave`` + struct, :func:`decode_wav_features`), and YUV4MPEG2
-  video parses pure-stdlib (:func:`sample_frames_y4m`); other formats
-  use PIL for images, soundfile for audio, the ffmpeg binary for
-  video frames — gated per modality below;
+  :func:`decode_png_stdlib`), BASELINE JPEG decodes stdlib+NumPy
+  (markers + Huffman + IDCT, :func:`decode_jpeg_stdlib`), RIFF/WAVE
+  PCM decodes pure-stdlib (``wave`` + struct,
+  :func:`decode_wav_features`), and YUV4MPEG2 video parses
+  pure-stdlib (:func:`sample_frames_y4m`); remaining formats
+  (progressive JPEG, WebP, compressed audio/video) use PIL for
+  images, soundfile for audio, the ffmpeg binary for video frames —
+  gated per modality below;
 * a DETERMINISTIC STUB (seeded from the payload bytes, clearly marked)
   that keeps the distributed plumbing — schema, Arrow batching,
   partition behavior, UDF signatures — exercised end to end in
@@ -163,6 +166,274 @@ def decode_png_stdlib(payload: bytes) -> tuple[int, int, float]:
     return int(w), int(h), mean
 
 
+#: JPEG/JFIF signature (SOI + first marker byte) — payloads starting
+#: with it route through the pure-stdlib baseline decoder below.
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+#: JPEG zigzag order: ZIGZAG[k] = (row, col) of the k-th coefficient.
+_JPEG_ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+
+def _dct_matrix():
+    """Orthonormal 8×8 DCT-II matrix C: the JPEG FDCT is X = C·B·Cᵀ and
+    the IDCT is B = Cᵀ·X·C (ITU T.81 A.3.3 in orthonormal form)."""
+    import math
+
+    import numpy as np
+
+    C = np.empty((8, 8))
+    for u in range(8):
+        cu = math.sqrt(1 / 8) if u == 0 else math.sqrt(2 / 8)
+        for j in range(8):
+            C[u, j] = cu * math.cos((2 * j + 1) * u * math.pi / 16)
+    return C
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded JPEG data: 0xFF00 byte
+    stuffing is undone, and a non-stuffing marker ends the stream (the
+    reader then yields zero bits, per T.81 F.2.2.5 padding)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+        self.at_marker = False
+
+    def read1(self) -> int:
+        if self.n == 0:
+            if self.at_marker or self.p >= len(self.d):
+                return 0
+            c = self.d[self.p]
+            if c == 0xFF:
+                nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.p += 2
+                else:  # a real marker: stop consuming, pad with zeros
+                    self.at_marker = True
+                    return 0
+            else:
+                self.p += 1
+            self.acc = c
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read1()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker (T.81 F.2.1.3.1)."""
+        self.n = 0
+        self.at_marker = False
+        while self.p + 1 < len(self.d):
+            if self.d[self.p] == 0xFF and 0xD0 <= self.d[self.p + 1] <= 0xD7:
+                self.p += 2
+                return
+            self.p += 1
+        raise ValueError("malformed JPEG: missing restart marker")
+
+
+def _huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.read1()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("malformed JPEG: invalid huffman code")
+
+
+def _receive_extend(bits: _JpegBits, s: int) -> int:
+    if s == 0:
+        return 0
+    v = bits.read(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib(+NumPy) BASELINE JPEG decode → (width, height,
+    mean_intensity of the luma plane).
+
+    JPEG baseline is markers + canonical Huffman + dequantization +
+    zigzag + 8×8 IDCT — all expressible with ``struct`` and one NumPy
+    matrix product per block, so this container runs a REAL JPEG decode
+    without PIL (the PNG/WAV/Y4M story extended to the one remaining
+    mainstream image format). Supports: SOF0/SOF1 (sequential DCT,
+    8-bit), any component count and sampling factors (4:4:4 / 4:2:2 /
+    4:2:0 …), 8/16-bit DQT, multiple DHT segments, DRI restart
+    intervals. Progressive (SOF2) and arithmetic coding raise
+    ValueError (those stay behind PIL).
+
+    ``mean_intensity`` averages the Y component directly (JPEG stores
+    YCbCr — luma needs no color convert), cropped to the true image
+    rectangle before averaging so padded edge MCUs do not bias it.
+    Non-luma components are entropy-decoded to keep the bit stream in
+    sync but skip the IDCT (their pixels are not needed for the
+    feature row). Per-bit Python decode is the cost of zero
+    dependencies — fine for thumbnail features; use PIL for bulk
+    full-resolution work.
+    """
+    import struct
+
+    import numpy as np
+
+    data = bytes(payload)
+    if data[:3] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("malformed JPEG: marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 15
+                s += 1
+                if pq == 0:
+                    qt[tq] = list(seg[s : s + 64])
+                    s += 64
+                else:
+                    qt[tq] = [
+                        struct.unpack(">H", seg[s + 2 * i : s + 2 * i + 2])[0]
+                        for i in range(64)
+                    ]
+                    s += 128
+        elif marker in (0xC0, 0xC1):  # SOF0/1 — baseline sequential
+            h, w, nc = (
+                struct.unpack(">H", seg[1:3])[0],
+                struct.unpack(">H", seg[3:5])[0],
+                seg[5],
+            )
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 15,
+                 seg[8 + 3 * i])
+                for i in range(nc)
+            ]
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG (progressive/arithmetic SOF); use the PIL path"
+            )
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 15
+                s += 1
+                counts = list(seg[s : s + 16])
+                s += 16
+                symbols = list(seg[s : s + sum(counts)])
+                s += sum(counts)
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for bl in range(1, 17):
+                    for _ in range(counts[bl - 1]):
+                        table[(bl, code)] = symbols[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — decode the scan and finish
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            h, w, comps = frame
+            by_cid = {c[0]: c for c in comps}
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            C = _dct_matrix()
+            luma_cid = scan[0][0]  # first scan component = Y by convention
+            y_hs, y_vs = by_cid[luma_cid][1], by_cid[luma_cid][2]
+            plane = np.zeros((mcuy * y_vs * 8, mcux * y_hs * 8))
+            bits = _JpegBits(data, pos)
+            dc_pred = {cid: 0 for cid, _, _ in scan}
+            since_restart = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and since_restart == restart_interval:
+                        bits.sync_restart()
+                        dc_pred = {cid: 0 for cid, _, _ in scan}
+                        since_restart = 0
+                    for cid, tdc, tac in scan:
+                        _, hs, vs, tq = by_cid[cid]
+                        for v in range(vs):
+                            for u in range(hs):
+                                ssym = _huff_decode(bits, huff[(0, tdc)])
+                                diff = _receive_extend(bits, ssym)
+                                dc_pred[cid] += diff
+                                coef = [0] * 64
+                                coef[0] = dc_pred[cid]
+                                k = 1
+                                while k < 64:
+                                    rs = _huff_decode(bits, huff[(1, tac)])
+                                    r, sz = rs >> 4, rs & 15
+                                    if sz == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError(
+                                            "malformed JPEG: AC index overflow"
+                                        )
+                                    coef[k] = _receive_extend(bits, sz)
+                                    k += 1
+                                if cid != luma_cid:
+                                    continue  # stream stays in sync; skip IDCT
+                                q = qt[tq]
+                                block = np.zeros((8, 8))
+                                for kk in range(64):
+                                    if coef[kk]:
+                                        r_, c_ = _JPEG_ZIGZAG[kk]
+                                        block[r_, c_] = coef[kk] * q[kk]
+                                pix = C.T @ block @ C + 128.0
+                                py = (my * y_vs + v) * 8
+                                px = (mx * y_hs + u) * 8
+                                plane[py : py + 8, px : px + 8] = pix
+                    since_restart += 1
+            ch = -(-h * y_vs // vmax)  # true luma rectangle (ceil scale)
+            cw = -(-w * y_hs // hmax)
+            crop = np.clip(np.round(plane[:ch, :cw]), 0, 255)
+            return int(w), int(h), round(float(crop.mean()) / 255.0, 6)
+    raise ValueError("malformed JPEG: no SOS marker")
+
+
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach an opaque binary payload column + metadata struct.
 
@@ -235,13 +506,22 @@ def decode_image_features(
             return _decode_stub(payload)
         if bytes(payload[:8]) == PNG_MAGIC:
             return decode_png_stdlib(payload)
+        if bytes(payload[:3]) == JPEG_MAGIC and not PIL_AVAILABLE:
+            # baseline JPEG decodes stdlib-side; progressive raises and
+            # (without PIL) falls through to the stub unless use_real
+            try:
+                return decode_jpeg_stdlib(payload)
+            except ValueError:
+                if use_real:
+                    raise
+                return _decode_stub(payload)
         if PIL_AVAILABLE:
             return _decode_pil(payload)
         if use_real:
             raise ImportError(
-                "real decode requested for a non-PNG payload but PIL is "
-                "not available (PNG decodes stdlib-only; other formats "
-                "need PIL)"
+                "real decode requested for a non-PNG/JPEG payload but PIL "
+                "is not available (PNG and baseline JPEG decode "
+                "stdlib-only; other formats need PIL)"
             )
         return _decode_stub(payload)
 
