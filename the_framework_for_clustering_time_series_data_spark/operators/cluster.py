@@ -973,6 +973,101 @@ def gmm_md5em_assign(
     return best.select("id", "_b.cell", "_b.r")
 
 
+def pam_md5_assign(
+    df: DataFrame,
+    k: int,
+    rounds: int = 2,
+    id_col: str = "id",
+    vec_col: str = "v",
+    dim: int = 2,
+) -> DataFrame:
+    """Deterministic, cross-engine-replayable PAM (k-medoids) twin —
+    the c1b/c3b/c7b md5 discipline applied to the alternating
+    Voronoi scheme :func:`kmedoids` runs (reference context
+    app.py:704-737's clustering tab; PAM is the outlier-robust
+    centers-are-members sibling). The full :func:`kmedoids` stays
+    rows-only at the gate because its convergence loop is
+    data-dependent; this twin replaces exactly the non-replayable
+    pieces and keeps the PAM structure:
+
+    * init: medoids = the ``k`` smallest-md5(id) points (cell = md5
+      rank), replacing the farthest-point chain;
+    * assignment: argmin over the broadcast medoids of the squared
+      Euclidean distance — a fixed-order two-term sum of IEEE
+      products, bit-identical across engines; ties → smaller cell
+      (the c1b ``(d2, cell)`` discipline), expressed as a map-side
+      combinable ``min_by``;
+    * medoid update: per cluster, the member minimizing the summed
+      distance to all members — each pairwise distance half-up
+      6-dp-rounded into exact int64 MICRO-units before the sum, so
+      the reduction is association-order-proof under any partial
+      aggregation plan; ties → smaller id. The per-cluster quadratic
+      self-join is hash-local per cell (the same bounded-exact shape
+      :func:`kmedoids` documents; CLARA is the uncapped scale path);
+    * fixed ``rounds`` update rounds, then one final assignment —
+      both engines run the identical schedule.
+
+    Returns ``(id, cell, dist)`` — final cell and the 6-dp distance
+    to the winning medoid.
+    """
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    init = (
+        pts.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(k)
+    )
+    # k rows — constant-key window over the seed set only (tiny_window)
+    w_seed = tiny_window("_h", "id", key="_h")
+    meds = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
+        "cell", F.col("v").alias("mvec")
+    )
+
+    def _d2(a: str, b: str) -> F.Column:
+        # fixed-order sum of IEEE products — no pow(), no fold
+        acc = None
+        for j in range(dim):
+            t = (F.col(a)[j] - F.col(b)[j]) * (F.col(a)[j] - F.col(b)[j])
+            acc = t if acc is None else acc + t
+        return acc
+
+    def _assign(meds: DataFrame) -> DataFrame:
+        j = pts.crossJoin(F.broadcast(meds)).withColumn("_q", _d2("v", "mvec"))
+        best = j.groupBy("id").agg(
+            F.min_by(
+                F.struct("v", "cell", "_q"), F.struct("_q", "cell")
+            ).alias("_b")
+        )
+        return best.select("id", "_b.v", "_b.cell", "_b._q")
+
+    a = _assign(meds)
+    for _ in range(rounds):
+        rhs = a.select(F.col("cell").alias("_c2"), F.col("v").alias("v2"))
+        pairs = a.join(rhs, F.col("cell") == F.col("_c2"))
+        # 6-dp micro-unit distance: floor(d*1e6+0.5) as int64 — the
+        # association-order-proof sum discipline (c3b/c8b); the
+        # self-pair contributes an exact 0 in both engines
+        micro = F.floor(
+            F.sqrt(_d2("v", "v2")) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long")
+        cost = pairs.groupBy("cell", "id", "v").agg(
+            F.sum(micro).alias("_cost")
+        )
+        meds = cost.groupBy("cell").agg(
+            F.min_by(F.struct("v"), F.struct("_cost", "id")).alias("_m")
+        ).select("cell", F.col("_m.v").alias("mvec"))
+        a = _assign(meds)
+    return a.select(
+        "id",
+        "cell",
+        (F.floor(F.sqrt(F.col("_q")) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "dist"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # C6+ — Spark-native clustering beyond the reference's three algorithms
 # (the reference stops at KMeans/DBSCAN/K-Shape, app.py:704-824; these

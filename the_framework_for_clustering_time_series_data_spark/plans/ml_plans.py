@@ -1374,6 +1374,87 @@ def c9b_kmedoids_clara(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster.kmedoids(_emb_xy(spark, sf_dir), k=5, method="clara")
 
 
+def _pam_assign_sql(src: str, meds: str, out: str) -> str:
+    """One deterministic PAM assignment round as a CTE — the c1b
+    (d2, cell) argmin discipline against a medoid table. MATERIALIZED:
+    the following update step self-joins the assignment twice."""
+    d2 = (
+        "(s.v[1] - m.mvec[1]) * (s.v[1] - m.mvec[1])"
+        " + (s.v[2] - m.mvec[2]) * (s.v[2] - m.mvec[2])"
+    )
+    return f"""{out} AS MATERIALIZED (
+  SELECT id, v, cell, d2 FROM (
+    SELECT s.id, s.v, m.cell, {d2} AS d2,
+           row_number() OVER (PARTITION BY s.id ORDER BY {d2}, m.cell) AS rn
+    FROM {src} s CROSS JOIN {meds} m
+  ) WHERE rn = 1
+)"""
+
+
+def _pam_update_sql(asg: str, out: str) -> str:
+    """One PAM medoid-update round: per cluster, the member minimizing
+    the summed 6-dp micro-unit distance to all members (exact BIGINT
+    sum — association-order-proof), ties → smaller id."""
+    d2 = (
+        "(a.v[1] - b.v2[1]) * (a.v[1] - b.v2[1])"
+        " + (a.v[2] - b.v2[2]) * (a.v[2] - b.v2[2])"
+    )
+    return f"""cost_{out} AS (
+  SELECT a.cell, a.id, a.v,
+         sum(CAST(floor(sqrt({d2}) * 1e6 + 0.5) AS BIGINT)) AS cost
+  FROM {asg} a JOIN (SELECT cell AS _c2, v AS v2 FROM {asg}) b ON a.cell = b._c2
+  GROUP BY a.cell, a.id, a.v
+),
+{out} AS (
+  SELECT cell, v AS mvec FROM (
+    SELECT cell, v, row_number() OVER (PARTITION BY cell ORDER BY cost, id) AS rn
+    FROM cost_{out}
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "c9c_kmedoids_md5pam",
+    f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         [embedding[1]::DOUBLE, embedding[2]::DOUBLE] AS v
+  FROM embeddings
+),
+m0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS mvec
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT 5)
+),
+{_pam_assign_sql("e", "m0", "a0")},
+{_pam_update_sql("a0", "m1")},
+{_pam_assign_sql("e", "m1", "a1")},
+{_pam_update_sql("a1", "m2")},
+{_pam_assign_sql("e", "m2", "a2")}
+SELECT id AS series_id, CAST(cell AS INT) AS prediction,
+       floor(sqrt(d2) * 1e6 + 0.5) / 1e6 AS dist
+FROM a2
+""",
+)
+def c9c_kmedoids_md5pam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9c — DETERMINISTIC PAM (k-medoids) twin of c9 (k=5): md5-rank
+    medoid seeds + fixed two alternation rounds
+    (cluster.pam_md5_assign), fully DuckDB-replayable — the last
+    clustering family without a verified twin (c9/c9b's convergence
+    loop and farthest-point argmin chain are data-dependent float
+    cascades). Assignment replays the c1b (d2, cell) discipline;
+    medoid updates sum exact 6-dp micro-unit int64 distances, so every
+    reduction is association-order-proof (the c3b/c8b discipline)."""
+    e = _emb_xy(spark, sf_dir)
+    v = e.select(F.col("series_id").alias("id"), F.array("x", "y").alias("v"))
+    out = cluster.pam_md5_assign(v, k=5, rounds=2)
+    return out.select(
+        F.col("id").alias("series_id"),
+        F.col("cell").cast("int").alias("prediction"),
+        "dist",
+    )
+
+
 @register(
     "c10_single_link",
     """

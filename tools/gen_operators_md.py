@@ -29,8 +29,8 @@ ROWS_ONLY_NOTES = {
     "c6_bisecting_kmeans": "RNG/impl-defined: MLlib bisecting k-means split sequence. Hierarchy-shape invariants tested in test_ml.py. Its deterministic twin c6b_bisecting_md5lloyd IS fully oracle-checked.",
     "c7_gmm": "RNG/impl-defined + iterative-fit: EM from random init, responsibilities depend on float exp/log reductions. Mixture-recovery test in test_ml.py. Its deterministic twin c7b_gmm_md5em IS fully oracle-checked.",
     "c8_graph_clusters": "iterative-fit: MLlib PowerIterationClustering RDD loop; eigen-iteration floats are reduction-order-dependent. Cluster-agreement invariants in test_graph.py. Its deterministic twin c8b_graph_md5pic IS fully oracle-checked.",
-    "c9_kmedoids": "iterative-fit: PAM swap sequence is a data-dependent argmin chain over float deltas; no bounded SQL replay. Medoid-membership + cost-descent tests in test_ml.py.",
-    "c9b_kmedoids_clara": "iterative-fit: CLARA = PAM (above) on md5 samples + broadcast scoring; inherits PAM's non-replayability. Equivalence-to-PAM-below-sample-size test in test_ml.py.",
+    "c9_kmedoids": "iterative-fit: the convergence loop and farthest-point init are data-dependent argmin chains over float deltas; no bounded SQL replay. Medoid-membership + cost-descent tests in test_ml.py. Its deterministic twin c9c_kmedoids_md5pam IS fully oracle-checked.",
+    "c9b_kmedoids_clara": "iterative-fit: CLARA = PAM (above) on md5 samples + broadcast scoring; inherits PAM's non-replayability. Equivalence-to-PAM-below-sample-size test in test_ml.py. The family's deterministic twin c9c_kmedoids_md5pam IS fully oracle-checked.",
     "d2_approx_distinct": "approx-sketch: HLL++ registers are implementation-defined; DuckDB's approx_count_distinct uses a different sketch. Relative-error bound vs exact COUNT(DISTINCT) tested in test_properties.py.",
     "e1_autoencoder_latent": "iterative-fit: gradient-descent-trained autoencoder weights; inference is deterministic given weights but weights are not SQL-derivable. Reconstruction-learning tests in test_ml.py.",
     "e2_pca": "sign-indeterminate: eigenvector signs/column order are solver-defined; the VARIANCE spectrum is oracle-checked (e2b_pca_variance). Projection-geometry tests in test_ml.py.",
