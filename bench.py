@@ -89,6 +89,8 @@ HEADLINE = [
     "sim_pqb_topk",
     "pipeline_e2e_det",
     "sim_ann_recall_audit",
+    "sim_ivfpqb_topk",
+    "c9c_kmedoids_md5pam",
 ]
 
 

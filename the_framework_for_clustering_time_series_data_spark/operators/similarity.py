@@ -598,58 +598,26 @@ def pq_topk(
     )
 
 
-def pq_topk_deterministic(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    m: int = 8,
-    n_codes: int = 16,
-    rerank: int = 50,
-    lloyd_rounds: int = 2,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """PQ top-k with DETERMINISTIC md5-Lloyd codebooks — the
-    oracle-checkable twin of :func:`pq_topk`, whose driver-trained
-    seeded-numpy codebooks are RNG/impl-defined.
+def _r6(c: Column) -> Column:
+    """Half-up 6-dp round — the shared cross-engine discipline."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    Replayable build: vectors quantize to 6 dp; each of the ``m``
-    subspaces trains an ``n_codes``-centroid Lloyd quantizer in ONE
-    grouped dataflow (seed centroids = slices of the n_codes
-    smallest-md5(id) vectors — identical seed ids across subspaces;
-    sequential-fold distances; argmin ties → smaller code; centroid
-    means as exact int64 micro-unit sums of the 6-dp quanta —
-    association-order-proof, the c3b discipline). ADC lookup tables are
-    computed as a DataFrame (dense (subspace, code) grid per query —
-    missing codes hold 0.0 placeholders that encoded vectors can never
-    reference), the approximate distance is a SEQUENTIAL fold over the
-    code array in subspace order (j-ordered, like the oracle's list
-    fold), rounded 6 dp; the top ``rerank`` candidates per query
-    re-rank by exact cosine on the quantized vectors. Everything —
-    codebooks, codes, ADC, both rankings — replays in DuckDB.
 
-    Shape notes for scale: the grouped Lloyd shuffles m·n subvector
-    rows (constant fan-out), the code table is the only per-corpus
-    state the ADC scan touches (m small ints per vector — the PQ
-    memory story), LUTs are |Q|·m·n_codes rows broadcast, and the
-    exact re-rank is bounded at |Q|·rerank rows.
-    """
-    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint, tiny_window
+def _pq_det_build(
+    corpus: DataFrame, m: int, n_codes: int, sub: int, lloyd_rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic per-subspace md5-Lloyd codebook build + code
+    assignment over a 6-dp-quantized corpus ``(nbr_id, v)`` — the
+    replayable core shared by :func:`pq_topk_deterministic` and
+    :func:`ivfpq_topk_deterministic`. ONE grouped dataflow trains all
+    ``m`` subspaces (seed centroids = slices of the n_codes
+    smallest-md5(id) vectors; sequential-fold distances; argmin ties →
+    smaller code; centroid means as exact int64 micro-unit sums of the
+    6-dp quanta — association-order-proof, the c3b discipline).
+    Returns ``(codes_arr, cdf)``: per-vector code arrays (j-ordered)
+    and the final ``(j, cell, cvec)`` codebooks."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
 
-    sub = dim // m
-
-    def r6(c: Column) -> Column:
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-
-    corpus = emb.select(
-        F.col(id_col).alias("nbr_id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: r6(x)
-        ).alias("v"),
-    ).transform(stage_checkpoint, eager=False)
-
-    spark = emb.sparkSession
     jgrid = F.array(*[F.lit(j) for j in range(m)])
     subrows = corpus.select(
         "nbr_id",
@@ -729,13 +697,16 @@ def pq_topk_deterministic(
             lambda s: s.cell,
         ).alias("code")
     )
+    return codes_arr, cdf
 
-    qs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: r6(x)
-        ).alias("qv"),
-    )
+
+def _pq_adc_lut(
+    qs: DataFrame, cdf: DataFrame, m: int, n_codes: int, sub: int
+) -> DataFrame:
+    """Dense per-query ADC lookup tables as a DataFrame: one
+    (j, cell)-ordered flat list per query (missing codes hold 0.0
+    placeholders that encoded vectors can never reference)."""
+    spark = qs.sparkSession
     qd2 = F.aggregate(
         F.sequence(F.lit(1), F.lit(sub)),
         F.lit(0.0),
@@ -755,7 +726,7 @@ def pq_topk_deterministic(
     grid = spark.createDataFrame(
         [(j, c) for j in range(m) for c in range(n_codes)], "j int, cell int"
     )
-    lut_arr = (
+    return (
         qs.select("query_id")
         .crossJoin(F.broadcast(grid))
         .join(lutd, ["query_id", "j", "cell"], "left")
@@ -772,30 +743,204 @@ def pq_topk_deterministic(
         )
     )
 
+
+def _adc_fold6(m: int, n_codes: int) -> Column:
+    """The j-ordered sequential ADC fold over ``code`` against ``lut``,
+    floored to 6-dp micro-units (an exact int — rank ties on it are
+    deterministic in both engines)."""
+    return F.floor(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("lut"),
+                (
+                    j * n_codes
+                    + F.element_at(F.col("code"), (j + 1).cast("int"))
+                    + 1
+                ).cast("int"),
+            ),
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    )
+
+
+def pq_topk_deterministic(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    lloyd_rounds: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ top-k with DETERMINISTIC md5-Lloyd codebooks — the
+    oracle-checkable twin of :func:`pq_topk`, whose driver-trained
+    seeded-numpy codebooks are RNG/impl-defined.
+
+    Replayable build: vectors quantize to 6 dp; each of the ``m``
+    subspaces trains an ``n_codes``-centroid Lloyd quantizer in ONE
+    grouped dataflow (seed centroids = slices of the n_codes
+    smallest-md5(id) vectors — identical seed ids across subspaces;
+    sequential-fold distances; argmin ties → smaller code; centroid
+    means as exact int64 micro-unit sums of the 6-dp quanta —
+    association-order-proof, the c3b discipline). ADC lookup tables are
+    computed as a DataFrame (dense (subspace, code) grid per query —
+    missing codes hold 0.0 placeholders that encoded vectors can never
+    reference), the approximate distance is a SEQUENTIAL fold over the
+    code array in subspace order (j-ordered, like the oracle's list
+    fold), rounded 6 dp; the top ``rerank`` candidates per query
+    re-rank by exact cosine on the quantized vectors. Everything —
+    codebooks, codes, ADC, both rankings — replays in DuckDB.
+
+    Shape notes for scale: the grouped Lloyd shuffles m·n subvector
+    rows (constant fan-out), the code table is the only per-corpus
+    state the ADC scan touches (m small ints per vector — the PQ
+    memory story), LUTs are |Q|·m·n_codes rows broadcast, and the
+    exact re-rank is bounded at |Q|·rerank rows.
+    """
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    sub = dim // m
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("v"),
+    ).transform(stage_checkpoint, eager=False)
+
+    codes_arr, cdf = _pq_det_build(corpus, m, n_codes, sub, lloyd_rounds)
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("qv"),
+    )
+    lut_arr = _pq_adc_lut(qs, cdf, m, n_codes, sub)
+
     approx = (
         codes_arr.crossJoin(F.broadcast(lut_arr))
         .where(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", _adc_fold6(m, n_codes).alias("ad6"))
+    )
+    w_pre = Window.partitionBy("query_id").orderBy("ad6", "nbr_id")
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w_pre))
+        .where(F.col("_r") <= rerank)
+        .select("query_id", "nbr_id")
+    )
+    exact = (
+        cand.join(corpus, "nbr_id")
+        .join(F.broadcast(qs), "query_id")
         .select(
             "query_id",
             "nbr_id",
-            F.floor(
-                F.aggregate(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    F.lit(0.0),
-                    lambda acc, j: acc
-                    + F.element_at(
-                        F.col("lut"),
-                        (
-                            j * n_codes
-                            + F.element_at(F.col("code"), (j + 1).cast("int"))
-                            + 1
-                        ).cast("int"),
-                    ),
-                )
-                * F.lit(1e6)
-                + F.lit(0.5)
-            ).alias("ad6"),
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def ivfpq_topk_deterministic(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    lloyd_rounds: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC top-k with DETERMINISTIC quantizers end to end — the
+    oracle-checkable twin of :func:`ivfpq_topk` (whose MLlib coarse
+    cells and driver-numpy PQ codebooks are RNG/impl-defined),
+    composing the two already-verified deterministic builds:
+
+    * coarse quantizer: ``deterministic_lloyd_assign`` over the
+      6-dp-quantized vectors with ``exact_mean=True`` (int64
+      micro-unit centroid sums — association-order-proof; the inputs
+      are 6-dp quanta by construction, unlike sim_ivfb's raw-vector
+      build which keeps the F.avg caveat);
+    * PQ codebooks/codes: the same grouped md5-Lloyd build
+      :func:`pq_topk_deterministic` oracles (``_pq_det_build``);
+    * probe: each query ranks the coarse centroids by sequential-fold
+      distance (ties → cell) and keeps ``nprobe`` cells — a window
+      over |Q|×n_cells rows, all index metadata;
+    * ADC scan: candidates = codes of vectors WHOSE COARSE CELL IS
+      PROBED only (the IVF×PQ composition — ≈ n_cells/nprobe scan
+      and 8-byte-code read reduction), folded against the per-query
+      dense LUT (``_pq_adc_lut``/``_adc_fold6``), top ``rerank`` by
+      (ad6, nbr_id), exact cosine re-rank on the quantized vectors.
+
+    Everything — both quantizers, codes, probe ranking, ADC, and both
+    rankings — replays in DuckDB. Scale shape matches ivfpq_topk:
+    per-corpus state is (cell, m small ints) per vector; the probe
+    join broadcasts |Q|·nprobe rows; rerank is bounded at |Q|·rerank.
+    """
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
+
+    sub = dim // m
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("v"),
+    ).transform(stage_checkpoint, eager=False)
+
+    coarse, coarse_cdf = deterministic_lloyd_assign(
+        corpus, n_cells, id_col="nbr_id", vec_col="v",
+        lloyd_rounds=lloyd_rounds, with_centroids=True, exact_mean=True,
+    )
+    cells = coarse.select(F.col("id").alias("nbr_id"), "cell")
+
+    codes_arr, cdf = _pq_det_build(corpus, m, n_codes, sub, lloyd_rounds)
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("qv"),
+    )
+    probe_d2 = F.aggregate(
+        F.zip_with("qv", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("_d2", "cell")
+    qc = (
+        qs.crossJoin(F.broadcast(coarse_cdf))
+        .withColumn("_d2", probe_d2)
+        .withColumn("_r", F.row_number().over(w_probe))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    lut_arr = _pq_adc_lut(qs, cdf, m, n_codes, sub)
+
+    approx = (
+        codes_arr.join(cells, "nbr_id")
+        .join(F.broadcast(qc), "cell")
+        .join(F.broadcast(lut_arr), "query_id")
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", _adc_fold6(m, n_codes).alias("ad6"))
     )
     w_pre = Window.partitionBy("query_id").orderBy("ad6", "nbr_id")
     cand = (

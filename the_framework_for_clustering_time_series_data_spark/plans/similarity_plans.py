@@ -185,13 +185,23 @@ def sim_ivfb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pqb_oracle_sql(k: int = 5, m: int = 8, n_codes: int = 16,
-                    rerank: int = 50, dim: int = 64) -> str:
-    """DuckDB twin of ``pq_topk_deterministic``: 6-dp-quantized
-    vectors, per-subspace md5-Lloyd codebooks (order-proof micro-unit
-    centroid means), dense ADC LUT lists, j-ordered sequential ADC
-    folds, and the sim_bruteforce cosine/rank discipline."""
-    sub = dim // m
+#: quantized-corpus CTE shared by the PQ-family oracles
+_PQ_E_CTE = """e AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1e6 + 0.5) / 1e6) AS v
+  FROM embeddings
+)"""
+
+
+def _pq_build_ctes(m: int, n_codes: int, sub: int) -> str:
+    """The PQ codebook / code / ADC-LUT CTE block shared by
+    ``_pqb_oracle_sql`` and ``_ivfpqb_oracle_sql`` (the DuckDB twin of
+    ``similarity._pq_det_build`` + ``_pq_adc_lut``): per-subspace
+    md5-Lloyd codebooks with order-proof micro-unit centroid means,
+    j-ordered code lists, dense (j, cell)-ordered LUT lists. Expects
+    CTEs ``e`` (quantized vectors) and ``q (query_id, qv)`` upstream;
+    defines ``codes`` and ``lut``."""
     d2 = (
         f"list_aggregate(list_transform(range(1, {sub + 1}), "
         f"p -> (s.sv[p] - c.cvec[p]) * (s.sv[p] - c.cvec[p])), 'sum')"
@@ -207,14 +217,7 @@ def _pqb_oracle_sql(k: int = 5, m: int = 8, n_codes: int = 16,
   ) WHERE rn = 1
 )"""
 
-    return f"""
-WITH e AS (
-  SELECT vec_id AS id,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> floor(x * 1e6 + 0.5) / 1e6) AS v
-  FROM embeddings
-),
-js AS (SELECT unnest(range(0, {m})) AS j),
+    return f"""js AS (SELECT unnest(range(0, {m})) AS j),
 sub AS (
   SELECT js.j, e.id,
          list_transform(range(1, {sub + 1}),
@@ -243,7 +246,6 @@ cm AS (
 c1 AS (SELECT j, cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1, 2),
 {assign("c1", "a1")},
 codes AS (SELECT id, list(cell ORDER BY j) AS code FROM a1 GROUP BY id),
-q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
 lutd AS (
   SELECT q.query_id, c.j, c.cell,
          list_aggregate(list_transform(range(1, {sub + 1}),
@@ -261,12 +263,34 @@ lut AS (
   LEFT JOIN lutd l
     ON l.query_id = g.query_id AND l.j = g.j AND l.cell = g.cell
   GROUP BY 1
-),
+)"""
+
+
+def _adc_fold_sql(m: int, n_codes: int) -> str:
+    """The j-ordered sequential ADC fold floored to 6-dp micro-units —
+    the DuckDB twin of ``similarity._adc_fold6`` (aliases ``c`` =
+    codes row, ``l`` = lut row)."""
+    return (
+        f"floor(list_aggregate(list_transform(range(0, {m}), "
+        f"j -> l.lut[CAST(j * {n_codes} + c.code[CAST(j + 1 AS INT)] + 1 "
+        f"AS INT)]), 'sum') * 1e6 + 0.5)"
+    )
+
+
+def _pqb_oracle_sql(k: int = 5, m: int = 8, n_codes: int = 16,
+                    rerank: int = 50, dim: int = 64) -> str:
+    """DuckDB twin of ``pq_topk_deterministic``: 6-dp-quantized
+    vectors, per-subspace md5-Lloyd codebooks (order-proof micro-unit
+    centroid means), dense ADC LUT lists, j-ordered sequential ADC
+    folds, and the sim_bruteforce cosine/rank discipline."""
+    sub = dim // m
+    return f"""
+WITH {_PQ_E_CTE},
+q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+{_pq_build_ctes(m, n_codes, sub)},
 approx AS (
   SELECT l.query_id, c.id AS nbr_id,
-         floor(list_aggregate(list_transform(range(0, {m}),
-             j -> l.lut[CAST(j * {n_codes} + c.code[CAST(j + 1 AS INT)] + 1
-                             AS INT)]), 'sum') * 1e6 + 0.5) AS ad6
+         {_adc_fold_sql(m, n_codes)} AS ad6
   FROM codes c CROSS JOIN lut l
   WHERE c.id <> l.query_id
 ),
@@ -304,6 +328,97 @@ def sim_pqb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_topk_deterministic(
         emb, emb.where(F.col("vec_id") < 10), k=5, m=8, n_codes=16, rerank=50
+    )
+
+
+def _ivfpqb_oracle_sql(k: int = 5, n_cells: int = 16, nprobe: int = 4,
+                       m: int = 8, n_codes: int = 16, rerank: int = 50,
+                       dim: int = 64) -> str:
+    """DuckDB twin of ``ivfpq_topk_deterministic``: the exact-mean
+    md5-Lloyd coarse quantizer (the inputs are 6-dp quanta, so the
+    centroid means sum exact BIGINT micro-units — no F.avg caveat)
+    composed with the shared PQ codebook/LUT block; candidates are
+    restricted to probed coarse cells before the ADC fold."""
+    from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import _semantic_assign_sql
+
+    sub = dim // m
+    qd2 = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"j -> (q.qv[j] - c.cvec[j]) * (q.qv[j] - c.cvec[j])), 'sum')"
+    )
+    return f"""
+WITH {_PQ_E_CTE},
+q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+k0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT {n_cells})
+),
+{_semantic_assign_sql("e", "k0", "b0", dim)},
+gm AS (
+  SELECT cell, pos,
+         floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM b0)
+  GROUP BY 1, 2
+),
+g1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM gm GROUP BY 1),
+{_semantic_assign_sql("e", "g1", "b1", dim)},
+qc AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qd2}, c.cell) AS rn
+    FROM q CROSS JOIN g1 c
+  ) WHERE rn <= {nprobe}
+),
+{_pq_build_ctes(m, n_codes, sub)},
+approx AS (
+  SELECT qc.query_id, c.id AS nbr_id,
+         {_adc_fold_sql(m, n_codes)} AS ad6
+  FROM codes c
+  JOIN b1 mem ON mem.id = c.id
+  JOIN qc ON qc.cell = mem.cell
+  JOIN lut l ON l.query_id = qc.query_id
+  WHERE c.id <> qc.query_id
+),
+cand AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ad6, nbr_id) AS rn
+    FROM approx
+  ) WHERE rn <= {rerank}
+),
+sc AS (
+  SELECT cand.query_id, cand.nbr_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM cand
+  JOIN e a ON a.id = cand.query_id
+  JOIN e b ON b.id = cand.nbr_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id) AS rank
+  FROM sc
+)
+SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("sim_ivfpqb_topk", _ivfpqb_oracle_sql())
+def sim_ivfpqb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via IVFADC with DETERMINISTIC quantizers end
+    to end (16 coarse cells probe 4 × 8 subspaces × 16 codes, rerank
+    50) — the fully oracle-checked twin of sim_ivfpq_topk (whose MLlib
+    cells + driver-numpy codebooks are RNG-defined): both quantizer
+    builds, the probe ranking, the cell-pruned ADC scan, and both
+    rankings all replay in DuckDB (see
+    similarity.ivfpq_topk_deterministic for the parity disciplines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk_deterministic(
+        emb, emb.where(F.col("vec_id") < 10),
+        k=5, n_cells=16, nprobe=4, m=8, n_codes=16, rerank=50,
     )
 
 

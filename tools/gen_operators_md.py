@@ -38,7 +38,7 @@ ROWS_ONLY_NOTES = {
     "pipeline_e2e": "composite: chains model fits (autoencoder/kmeans) whose stages are individually rows-only above; the relational stages of the pipeline are oracle-checked as separate queries. End-to-end matrix tested in test_pipeline_matrix.py. Its deterministic spine pipeline_e2e_det IS fully oracle-checked through the same facade.",
     "sim_ivf_persisted_topk": "depends on a seeded MLlib kmeans coarse quantizer (RNG/impl-defined); list-pruning correctness tested via parity-with-bruteforce in test_similarity_ann.py.",
     "sim_ivf_topk": "same MLlib coarse-quantizer dependency as sim_ivf_persisted_topk; recall floor tested in test_similarity_ann.py. Its deterministic-Lloyd twin sim_ivfb_topk IS fully oracle-checked.",
-    "sim_ivfpq_topk": "MLlib kmeans coarse quantizer + per-subspace PQ codebooks (nested seeded fits); ADC-vs-exact parity tested in test_similarity_ann.py.",
+    "sim_ivfpq_topk": "MLlib kmeans coarse quantizer + per-subspace PQ codebooks (nested seeded fits); ADC-vs-exact parity tested in test_similarity_ann.py. Its deterministic twin sim_ivfpqb_topk IS fully oracle-checked.",
     "sim_pq_topk": "seeded per-subspace kmeans codebooks (RNG/impl-defined); quantization-error + recall tests in test_similarity_ann.py. Its deterministic twin sim_pqb_topk IS fully oracle-checked.",
     "text_bpe_merges": "iterative-fit with data-dependent tie cascades: each merge rewrites the symbol table the next round aggregates; a SQL replay would need one recursive layer per merge over the full vocab. Merge-sequence determinism + reference-tokenizer tests in test_text_extra.py.",
     "text_quality_classifier": "iterative-fit: logistic regression trained by LBFGS (float reduction order); score monotonicity + AUC tests in test_text_extra.py.",
