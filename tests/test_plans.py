@@ -208,7 +208,9 @@ def test_decompose_two_exchange_partial_agg_shape(spark):
     plan = _plan(spark, "ts_decompose_dow")
     n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_ex == 2, f"{n_ex} exchanges"
-    assert "partial_avg" in plan  # map-side combine before exchange 1
+    # map-side combine before exchange 1 (the exact micro-unit mean
+    # partial-aggregates sum+count instead of avg)
+    assert "partial_sum" in plan and "partial_count" in plan
 
 
 def test_pack_no_corpus_wide_single_partition_window(spark):

@@ -403,24 +403,30 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_decompose_dow",
     """
 WITH b AS (
-  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket,
+         CAST(floor(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS v_us
   FROM events GROUP BY 1, 2
 ),
 tr AS (
-  SELECT series_id, bucket, v,
-         avg(v) OVER (PARTITION BY series_id
-                      ORDER BY cast(floor(epoch(bucket)) AS BIGINT)
-                      RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING) AS trend
+  SELECT series_id, bucket, v_us,
+         CAST(floor(CAST(sum(v_us) OVER w AS DOUBLE)
+                    / (count(*) OVER w) + 0.5) AS BIGINT) AS trend_us
   FROM b
+  WINDOW w AS (PARTITION BY series_id
+               ORDER BY cast(floor(epoch(bucket)) AS BIGINT)
+               RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING)
 ),
 se AS (
-  SELECT series_id, bucket, v, trend,
-         avg(v - trend) OVER (PARTITION BY series_id, dayofweek(bucket) + 1) AS seasonal
+  SELECT series_id, bucket, v_us, trend_us,
+         CAST(floor(CAST(sum(v_us - trend_us) OVER w2 AS DOUBLE)
+                    / (count(*) OVER w2) + 0.5) AS BIGINT) AS seasonal_us
   FROM tr
+  WINDOW w2 AS (PARTITION BY series_id, dayofweek(bucket) + 1)
 )
-SELECT series_id, bucket::TIMESTAMP AS bucket, round(v, 6) AS v,
-       round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
-       round(v - trend - seasonal, 6) AS resid
+SELECT series_id, bucket::TIMESTAMP AS bucket, v_us / 1e6 AS v,
+       trend_us / 1e6 AS trend, seasonal_us / 1e6 AS seasonal,
+       (v_us - trend_us - seasonal_us) / 1e6 AS resid
 FROM se
 """,
 )
@@ -432,32 +438,63 @@ def ts_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows and the rollup partition on series_id, so the whole
     decomposition is one exchange; the seasonal window refines the
     partitioning (series, dow) without re-shuffling more than the
-    Window operator's local sort."""
+    Window operator's local sort.
+
+    PARITY DISCIPLINE: values quantize to 6-dp MICRO-units (int64) on
+    ingest and every mean in the chain is an exact integer micro-sum
+    + one division + half-up floor back to integer micro-units — the
+    c3b association-order-proof form. The original F.avg chain flaked
+    once at sf0.01 (a resid within an ulp of a 0.5e-6 boundary flipped
+    between Spark's partial-aggregation order and DuckDB's segment-
+    tree window sums — the documented probabilistic caveat, observed
+    in the wild round 5), so this query carries the exact form."""
     ev = load_table(spark, sf_dir, "events")
+    val_us = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     b = (
         ev.groupBy(
             F.col("user_id").alias("series_id"),
             F.date_trunc("day", F.col("ts")).alias("bucket"),
         )
-        .agg(F.avg("value").alias("v"))
+        .agg(
+            F.floor(
+                F.sum(val_us).cast("double") / F.count("*") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("v_us")
+        )
     )
     w_tr = (
         Window.partitionBy("series_id")
         .orderBy(F.col("bucket").cast("long"))
         .rangeBetween(-259200, 259200)
     )
-    tr = b.withColumn("trend", F.avg("v").over(w_tr))
+    tr = b.withColumn(
+        "trend_us",
+        F.floor(
+            F.sum("v_us").over(w_tr).cast("double")
+            / F.count("*").over(w_tr)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
     w_se = Window.partitionBy("series_id", F.dayofweek("bucket"))
     se = tr.withColumn(
-        "seasonal", F.avg(F.col("v") - F.col("trend")).over(w_se)
+        "seasonal_us",
+        F.floor(
+            F.sum(F.col("v_us") - F.col("trend_us")).over(w_se).cast("double")
+            / F.count("*").over(w_se)
+            + F.lit(0.5)
+        ).cast("long"),
     )
     return se.select(
         "series_id",
         "bucket",
-        F.round("v", 6).alias("v"),
-        F.round("trend", 6).alias("trend"),
-        F.round("seasonal", 6).alias("seasonal"),
-        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+        (F.col("v_us") / F.lit(1e6)).alias("v"),
+        (F.col("trend_us") / F.lit(1e6)).alias("trend"),
+        (F.col("seasonal_us") / F.lit(1e6)).alias("seasonal"),
+        (
+            (F.col("v_us") - F.col("trend_us") - F.col("seasonal_us"))
+            / F.lit(1e6)
+        ).alias("resid"),
     )
 
 
