@@ -91,6 +91,45 @@ def tiny_window(*order_cols, key: str):
     return w.orderBy(*order_cols) if order_cols else w
 
 
+def exact_mean6(col, window=None):
+    """Association-order-PROOF 6-dp mean of a float column: quantize
+    each value to int64 MICRO-units (half-up), sum exactly, divide
+    once, half-up floor back to a 6-dp quantum. Cross-engine parity
+    is absolute — unlike ``round(F.avg(x), 6)``, whose float sum
+    order differs between Spark partial aggregation and DuckDB (and
+    between Spark runs), flipping the 6-dp round when the exact mean
+    sits on a 0.5e-6 boundary. That is STRUCTURALLY common here: the
+    test data's values carry ~2 decimals, so a group mean is a
+    rational with denominator 100·n and lands exactly on a boundary
+    with probability ≈ 1/n per group (first observed in the wild as
+    the round-5 ts_decompose_dow resid flake). Null values are
+    skipped like F.avg (count(col) pairs with sum-over-non-null).
+
+    DuckDB twin::
+
+        floor(CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS
+              DOUBLE) / count(x) + 0.5) / 1e6
+
+    Pass ``window`` to get the windowed form (both aggregates run
+    over the same frame)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    us = F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+    s, c = F.sum(us), F.count(col)
+    if window is not None:
+        s, c = s.over(window), c.over(window)
+    return F.floor(s.cast("double") / c + F.lit(0.5)) / F.lit(1e6)
+
+
+#: the DuckDB twin of exact_mean6 — format with the column expression
+MEAN6_SQL = (
+    "floor(CAST(sum(CAST(floor(({x}) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / count({x}) + 0.5) / 1e6"
+)
+
+
 def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Lineage-truncating materialization for iterative loops and
     multi-consumer plans — the engine's single switch between the two

@@ -466,10 +466,12 @@ WITH w AS (
          round(percent_rank() OVER win, 6) AS pct_rank,
          round(cume_dist() OVER win, 6) AS cum_dist,
          round(first_value(value) OVER win, 6) AS v_min,
-         round(avg(value) OVER (PARTITION BY event_type ORDER BY value, event_id
-                                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_avg
+         floor(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER wr AS DOUBLE)
+               / (count(value) OVER wr) + 0.5) / 1e6 AS running_avg
   FROM events
-  WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id)
+  WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id),
+         wr AS (PARTITION BY event_type ORDER BY value, event_id
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT * FROM w WHERE pct_rank >= 0.99
 """,
@@ -478,7 +480,12 @@ def w2_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank / cume_dist /
     first_value / running avg) — all five share ONE window ordering, so
     Catalyst evaluates them in a single Window stage over a single
-    shuffle on event_type. Keeps the top percentile per type."""
+    shuffle on event_type. Keeps the top percentile per type. The
+    running mean is the exact micro-unit form (plan_tools.exact_mean6):
+    a prefix mean's denominator walks every n, so the float-avg 6-dp
+    boundary is reachable (the ts_decompose_dow flake class)."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import exact_mean6
+
     ev = load_table(spark, sf_dir, "events")
     win = Window.partitionBy("event_type").orderBy("value", "event_id")
     running = win.rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -492,7 +499,7 @@ def w2_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(win), 6).alias("pct_rank"),
             F.round(F.cume_dist().over(win), 6).alias("cum_dist"),
             F.round(F.first(v).over(win), 6).alias("v_min"),
-            F.round(F.avg(v).over(running), 6).alias("running_avg"),
+            exact_mean6(v, running).alias("running_avg"),
         )
         .where(F.col("pct_rank") >= 0.99)
     )

@@ -704,7 +704,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.c_mktsegment AS segment, count(*) AS numcust,
        round(sum(c.c_acctbal), 4) AS totacctbal
 FROM customer c
-WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c.c_acctbal > (SELECT floor(CAST(sum(CAST(floor(c_acctbal * 1e6 + 0.5)
+                                            AS BIGINT)) AS DOUBLE)
+                                  / count(c_acctbal) + 0.5) / 1e6
+                     FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')
@@ -718,14 +721,21 @@ def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar avg subquery becomes a broadcast cross join of a 1-row
     aggregate; NOT EXISTS becomes a LEFT ANTI join against the
     date-filtered orders — both sides shrink before touching
-    customer."""
+    customer. The threshold is the exact micro-unit mean
+    (plan_tools.exact_mean6): balances carry 2 decimals, so a
+    customer sitting exactly on the float mean would let reduction
+    order decide the filter (the ts_decompose_dow flake class)."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import exact_mean6
+
     cust = load_table(spark, sf_dir, "customer")
     recent = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
         .select("o_custkey")
     )
-    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        exact_mean6(F.col("c_acctbal")).alias("avg_bal")
+    )
     return (
         cust.join(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("avg_bal"))
@@ -800,7 +810,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     """
 WITH v AS (
-  SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+  SELECT l.l_partkey,
+         sum(CAST(floor(l.l_extendedprice * l.l_quantity * 1e6 + 0.5)
+                  AS BIGINT)) / 1e6 AS value
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -809,7 +821,10 @@ WITH v AS (
 )
 SELECT l_partkey AS partkey, round(value, 4) AS value
 FROM v
-WHERE value > (SELECT 1.5 * avg(value) FROM v)
+WHERE value > (SELECT 1.5 * (floor(CAST(sum(CAST(floor(value * 1e6 + 0.5)
+                                            AS BIGINT)) AS DOUBLE)
+                                   / count(value) + 0.5) / 1e6)
+               FROM v)
 """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,7 +832,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     two nations' suppliers, kept only above 1.5x the mean per-part value (scalar subquery;
     an average-based cut stays non-degenerate at every scale factor). The per-part rollup is computed once,
     cached, and the 1-row grand total broadcasts back onto it — no
-    second scan of the fact table for the threshold."""
+    second scan of the fact table for the threshold.
+
+    PARITY DISCIPLINE: both comparison sides are exact — each
+    extendedprice×quantity product rounds to int64 micro-units
+    (recovering the exact 2-dp rational the float product sits within
+    an ulp of) and sums exactly; the threshold is 1.5× the exact
+    micro-unit mean (×1.5 is exact in binary). A part sitting exactly
+    on the float threshold would otherwise let reduction order decide
+    the filter (the ts_decompose_dow flake class)."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import exact_mean6
+
     li = load_table(spark, sf_dir, "lineitem")
     supp_keys = (
         load_table(spark, sf_dir, "supplier")
@@ -831,12 +856,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    prod_us = F.floor(
+        F.col("l_extendedprice") * F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
     v = (
         li.join(F.broadcast(supp_keys), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .agg((F.sum(prod_us) / F.lit(1e6)).alias("value"))
     )
-    total = v.agg((1.5 * F.avg("value")).alias("threshold"))
+    total = v.agg((1.5 * exact_mean6(F.col("value"))).alias("threshold"))
     return (
         v.join(F.broadcast(total))
         .where(F.col("value") > F.col("threshold"))

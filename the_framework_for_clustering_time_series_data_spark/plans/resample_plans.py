@@ -145,7 +145,8 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_rolling_1h",
     """
 SELECT event_id, user_id AS series_id,
-       round(avg(value) OVER w, 6) AS v_roll_avg,
+       floor(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+             / (count(value) OVER w) + 0.5) / 1e6 AS v_roll_avg,
        count(*) OVER w AS n_roll
 FROM events
 WINDOW w AS (PARTITION BY user_id
@@ -157,7 +158,13 @@ def ts_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-hour mean/count: a time-RANGE window frame on
     epoch seconds (both engines order on the truncated second, so frame
     membership is identical). One shuffle on series_id; the frame is
-    streamed, not materialized — state is O(window span), not O(series)."""
+    streamed, not materialized — state is O(window span), not O(series).
+    The rolling mean is the exact micro-unit form
+    (plan_tools.exact_mean6): a sliding frame's denominator walks many
+    n, so the float-avg 6-dp boundary is reachable (the
+    ts_decompose_dow flake class)."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import exact_mean6
+
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -167,7 +174,7 @@ def ts_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.col("user_id").alias("series_id"),
-        F.round(F.avg("value").over(w), 6).alias("v_roll_avg"),
+        exact_mean6(F.col("value"), w).alias("v_roll_avg"),
         F.count("*").over(w).alias("n_roll"),
     )
 

@@ -695,32 +695,38 @@ def ts_motif_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_anomaly_seasonal",
     """
 WITH b AS (
-  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket, avg(value) AS v
+  SELECT user_id AS series_id, date_trunc('day', ts) AS bucket,
+         CAST(floor(CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / count(*) + 0.5) AS BIGINT) AS v_us
   FROM events GROUP BY 1, 2
 ),
 tr AS (
-  SELECT series_id, bucket, v,
-         avg(v) OVER (PARTITION BY series_id
-                      ORDER BY cast(floor(epoch(bucket)) AS BIGINT)
-                      RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING) AS trend
+  SELECT series_id, bucket, v_us,
+         CAST(floor(CAST(sum(v_us) OVER w AS DOUBLE)
+                    / (count(*) OVER w) + 0.5) AS BIGINT) AS trend_us
   FROM b
+  WINDOW w AS (PARTITION BY series_id
+               ORDER BY cast(floor(epoch(bucket)) AS BIGINT)
+               RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING)
 ),
 se AS (
-  SELECT series_id, bucket, v, trend,
-         avg(v - trend) OVER (PARTITION BY series_id, dayofweek(bucket) + 1) AS seasonal
+  SELECT series_id, bucket, v_us, trend_us,
+         CAST(floor(CAST(sum(v_us - trend_us) OVER w2 AS DOUBLE)
+                    / (count(*) OVER w2) + 0.5) AS BIGINT) AS seasonal_us
   FROM tr
+  WINDOW w2 AS (PARTITION BY series_id, dayofweek(bucket) + 1)
 ),
 r AS (
-  SELECT series_id, bucket, v,
-         round(v - trend - seasonal, 6) AS resid
+  SELECT series_id, bucket, v_us,
+         (v_us - trend_us - seasonal_us) / 1e6 AS resid
   FROM se
 ),
 s AS (
-  SELECT series_id, bucket, v, resid,
+  SELECT series_id, bucket, v_us, resid,
          stddev_pop(resid) OVER (PARTITION BY series_id) AS sd
   FROM r
 )
-SELECT series_id, bucket::TIMESTAMP AS bucket, round(v, 6) AS v, resid,
+SELECT series_id, bucket::TIMESTAMP AS bucket, v_us / 1e6 AS v, resid,
        round(resid / sd, 6) AS resid_z
 FROM s WHERE sd > 0 AND abs(resid) > 2.5 * sd
 """,
@@ -730,32 +736,60 @@ def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     RESIDUAL (ts_decompose_dow's trend + day-of-week model) exceeds
     2.5 per-series residual sigmas — catches a Tuesday that is wild
     FOR A TUESDAY even when its raw value is unremarkable, the miss
-    class of ts_anomaly_zscore's raw-value screen. The residual is
-    6-dp-rounded BEFORE the sigma pass so both engines score the
-    identical base series.
+    class of ts_anomaly_zscore's raw-value screen.
+
+    PARITY DISCIPLINE: the decomposition chain carries the same exact
+    integer micro-unit means as ts_decompose_dow (the chained-mean
+    6-dp boundary flake observed round 5), so the resid both engines
+    feed to the sigma pass is the identical exact 6-dp quantum; the
+    sigma ratio and threshold comparison are association-safe because
+    stddev_pop's square root is irrational (a boundary tie has
+    measure zero).
 
     Shape: the whole chain — rollup, trend time-RANGE window, seasonal
     (series, dow) window, sigma whole-partition window, flag filter —
     partitions by series_id; one exchange end-to-end like the
     decomposition itself."""
     ev = load_table(spark, sf_dir, "events")
+    val_us = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
     b = ev.groupBy(
         F.col("user_id").alias("series_id"),
         F.date_trunc("day", F.col("ts")).alias("bucket"),
-    ).agg(F.avg("value").alias("v"))
+    ).agg(
+        F.floor(F.sum(val_us).cast("double") / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("v_us")
+    )
     w_tr = (
         Window.partitionBy("series_id")
         .orderBy(F.col("bucket").cast("long"))
         .rangeBetween(-259200, 259200)
     )
-    tr = b.withColumn("trend", F.avg("v").over(w_tr))
+    tr = b.withColumn(
+        "trend_us",
+        F.floor(
+            F.sum("v_us").over(w_tr).cast("double")
+            / F.count("*").over(w_tr)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
     w_se = Window.partitionBy("series_id", F.dayofweek("bucket"))
-    se = tr.withColumn("seasonal", F.avg(F.col("v") - F.col("trend")).over(w_se))
+    se = tr.withColumn(
+        "seasonal_us",
+        F.floor(
+            F.sum(F.col("v_us") - F.col("trend_us")).over(w_se).cast("double")
+            / F.count("*").over(w_se)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
     r = se.select(
         "series_id",
         "bucket",
-        "v",
-        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+        "v_us",
+        (
+            (F.col("v_us") - F.col("trend_us") - F.col("seasonal_us"))
+            / F.lit(1e6)
+        ).alias("resid"),
     )
     w_sd = Window.partitionBy("series_id")
     s = r.withColumn("sd", F.stddev_pop("resid").over(w_sd))
@@ -764,7 +798,7 @@ def ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "series_id",
         "bucket",
-        F.round("v", 6).alias("v"),
+        (F.col("v_us") / F.lit(1e6)).alias("v"),
         "resid",
         F.round(F.col("resid") / F.col("sd"), 6).alias("resid_z"),
     )
