@@ -91,6 +91,7 @@ HEADLINE = [
     "sim_ann_recall_audit",
     "sim_ivfpqb_topk",
     "c9c_kmedoids_md5pam",
+    "text_tfidf_md5kmeans",
 ]
 
 
@@ -182,13 +183,19 @@ def main() -> None:
     detail_path = os.path.join(REPO, "BENCH_FULL.json")
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1)
+    # Compact-line economy (the window is ~2000 chars and the headline
+    # set is 50+ queries): timings round to 2 dp, the median map keeps
+    # only the 5 slowest, and cold totals stay in BENCH_FULL.json —
+    # the full-precision record is always the detail file.
     compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "cold_total": full["cold_total"],
-        "median5": median5,
+        "queries": {q: round(t, 2) for q, t in timings.items()},
+        "median5": {
+            q: round(t, 2)
+            for q, t in sorted(median5.items(), key=lambda kv: -kv[1])[:5]
+        },
         "sf": float(sf),
         "detail": "BENCH_FULL.json",
     }
@@ -196,7 +203,7 @@ def main() -> None:
     if len(line) > 1900:
         # stay inside the driver's capture window: drop to the slowest
         # queries only (full map is always in BENCH_FULL.json)
-        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+        slowest = dict(sorted(compact["queries"].items(), key=lambda kv: -kv[1])[:20])
         compact["queries"] = slowest
         compact["queries_truncated_to_slowest"] = len(slowest)
         line = json.dumps(compact)

@@ -1343,6 +1343,155 @@ def text_tfidf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TTK_DIMS = 64
+_TTK_K = 6
+
+
+def _ttk_lloyd_sql(dim: int, k: int) -> str:
+    """md5-Lloyd CTE chain over an ``e (id, v)`` frame of 6-dp quanta:
+    seeds by md5 rank, two assignment rounds, exact-mean centroid
+    update (the ivfpqb coarse-quantizer discipline)."""
+    from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import _semantic_assign_sql
+
+    return f"""k0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT {k})
+),
+{_semantic_assign_sql("e", "k0", "b0", dim)},
+gm AS (
+  SELECT cell, pos,
+         floor(CAST(sum(CAST(floor(val * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM b0)
+  GROUP BY 1, 2
+),
+g1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM gm GROUP BY 1),
+{_semantic_assign_sql("e", "g1", "b1", dim)}"""
+
+
+@register(
+    "text_tfidf_md5kmeans",
+    rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+nn AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (
+  SELECT tf.doc_id,
+         CAST(('0x' || substr(md5(tf.term), 1, 8)) AS BIGINT) % {_TTK_DIMS} AS dim,
+         CAST(floor(tf.tf * (ln((nn.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
+                    * 1e6 + 0.5) AS BIGINT) AS score_us
+  FROM tf JOIN dfq USING (term) CROSS JOIN nn
+),
+comp AS (SELECT doc_id, dim, sum(score_us) AS c_us FROM sc GROUP BY 1, 2),
+grid AS (SELECT unnest(range(0, {_TTK_DIMS})) AS dim),
+dense AS (
+  SELECT d.doc_id, list(coalesce(c.c_us, 0) / 1e6 ORDER BY g.dim) AS raw
+  FROM (SELECT doc_id FROM documents) d CROSS JOIN grid g
+  LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.dim = g.dim
+  GROUP BY 1
+),
+e AS (
+  SELECT doc_id AS id,
+         CASE WHEN nrm > 0
+              THEN list_transform(raw, x -> floor(x / nrm * 1e6 + 0.5) / 1e6)
+              ELSE list_transform(raw, x -> x * 0.0) END AS v
+  FROM (SELECT doc_id, raw,
+               sqrt(list_aggregate(list_transform(raw, x -> x * x), 'sum')) AS nrm
+        FROM dense)
+),
+{_ttk_lloyd_sql(_TTK_DIMS, _TTK_K)}
+SELECT id AS doc_id, CAST(cell AS INT) AS prediction
+FROM b1
+""",
+)
+def text_tfidf_md5kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC topic-clustering twin of text_tfidf_kmeans (whose
+    murmur3 HashingTF + MLlib kmeans|| keep it rows-only): md5-bucketed
+    64-dim TF-IDF vectors (sklearn-smoothed idf — the
+    text_keywords_tfidf arithmetic — each term score half-up-rounded
+    into int64 MICRO-units before the bucket sum, so components are
+    association-order-proof), L2-normalized with a SEQUENTIAL fold +
+    6-dp round per component, then the md5-Lloyd clustering
+    (cluster.deterministic_lloyd_assign, exact_mean — valid because
+    the normalized inputs are 6-dp quanta). Vectorization, normalize,
+    seeds, both assignment rounds, and the centroid means all replay
+    in DuckDB.
+
+    Shape matches the scale story of the original: no vocabulary
+    broadcast (hash bucketing), one (doc, term) aggregate, one
+    term-keyed df aggregate, a 1-row corpus count broadcast, a
+    constant 64-row grid join for the dense form, and the
+    broadcast-k Lloyd."""
+    from the_framework_for_clustering_time_series_data_spark.operators.text import TOKEN_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), TOKEN_RE)).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nn = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    sc = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+                % _TTK_DIMS
+            ).alias("dim"),
+            F.floor(F.col("tf") * idf * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("score_us"),
+        )
+    )
+    comp = sc.groupBy("doc_id", "dim").agg(F.sum("score_us").alias("c_us"))
+    grid = spark.range(_TTK_DIMS).select(F.col("id").cast("long").alias("dim"))
+    dense = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(grid))
+        .join(comp, ["doc_id", "dim"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("dim", F.coalesce("c_us", F.lit(0)).alias("c"))
+                    )
+                ),
+                lambda s: s.c.cast("double") / F.lit(1e6),
+            ).alias("raw")
+        )
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("raw"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    vec = dense.withColumn("_n", nrm).select(
+        F.col("doc_id").alias("id"),
+        F.when(
+            F.col("_n") > 0,
+            F.transform(F.col("raw"), lambda x: r6(x / F.col("_n"))),
+        )
+        .otherwise(F.transform(F.col("raw"), lambda x: x * F.lit(0.0)))
+        .alias("v"),
+    )
+    out = cluster.deterministic_lloyd_assign(
+        vec, _TTK_K, id_col="id", vec_col="v", exact_mean=True
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("cell").cast("int").alias("prediction")
+    )
+
+
 @register("c9_kmedoids")  # iterative PAM → rows-only oracle (property-tested)
 def c9_kmedoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 — K-medoids (PAM alternation, deterministic farthest-point
