@@ -504,6 +504,38 @@ def test_quality_classifier_separates_weak_labels(spark):
     assert means[0] < means.get(-1, 0.5) < means[1], means
 
 
+def test_quality_logit_det_ranks_labels(spark):
+    """The deterministic GD twin is calibration-poor by construction
+    (8 fixed rounds, no standardization) but must RANK the weak labels
+    near-perfectly: AUC(good vs bad) >= 0.95 and the class means must
+    order good > unlabeled > bad. Cross-engine value parity is the
+    oracle suite's job; this pins that the fixed schedule actually
+    learns the signal."""
+    from the_framework_for_clustering_time_series_data_spark.operators.text import quality_logit_det
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = quality_logit_det(docs).cache()
+    assert out.count() == docs.count()
+    rows = out.where(F.col("weak_label") >= 0).collect()
+    good = sorted(r.quality_prob for r in rows if r.weak_label == 1)
+    bad = sorted(r.quality_prob for r in rows if r.weak_label == 0)
+    import bisect
+
+    # AUC via rank counting (ties get half credit)
+    wins = sum(bisect.bisect_left(bad, g) for g in good)
+    ties = sum(
+        bisect.bisect_right(bad, g) - bisect.bisect_left(bad, g) for g in good
+    )
+    auc = (wins + 0.5 * ties) / (len(good) * len(bad))
+    assert auc >= 0.95, auc
+    means = {
+        r.weak_label: r.m
+        for r in out.groupBy("weak_label").agg(F.avg("quality_prob").alias("m")).collect()
+    }
+    assert means[0] < means.get(-1, (means[0] + means[1]) / 2) < means[1], means
+
+
 def test_kmedoids_recovers_blobs_deterministically(spark):
     # three tight, well-separated 2-D blobs: farthest-point init puts
     # one seed per blob, PAM converges to the exact partition, medoids

@@ -378,6 +378,140 @@ def quality_classifier_scores(
     )
 
 
+def quality_logit_det(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 8,
+    lr: float = 0.5,
+) -> DataFrame:
+    """DETERMINISTIC quality-classifier twin of
+    :func:`quality_classifier_scores` — the same weak-supervision
+    distillation (quartile extremes of the heuristic gate train a
+    logistic model that scores every document), with every
+    non-replayable piece swapped for a replayable form:
+
+    * labels: exact quartiles of (quality, id) via the distributed
+      ``with_global_ntiles`` (approxQuantile is a Greenwald-Khanna
+      sketch — implementation-defined); top quartile → 1, bottom → 0;
+    * features quantize to 6-dp (each a SINGLE division / log of
+      exact counts — cross-engine-safe because no reduction is
+      involved; ``ln`` may differ by an ulp between libms, a
+      measure-zero 6-dp hazard — the c7b exp discipline);
+    * training: ``rounds`` fixed FULL-BATCH gradient-descent steps
+      from zero weights (LBFGS's float reduction order is not
+      replayable). The per-round sigmoid rounds to 6 dp, so each
+      residual·feature product is an exact 1e-12-grid rational summed
+      as exact int64 PICO-units (association-order-proof); gradients
+      round back to their grid, weights to 6-dp quanta — both engines
+      run the identical schedule on identical doubles.
+
+    Returns ``(id, weak_label ∈ {-1,0,1}, quality_prob)``.
+
+    Shape: features + heuristic in one pass; with_global_ntiles'
+    two bounded jobs; each GD round is ONE map-side-combinable
+    aggregate over the (bounded, two-quartile) training frame
+    crossJoined with the 1-row weight frame — no driver-side data.
+    """
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+    from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_ntiles
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    text = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_chars = F.length(text)
+    n_tok = F.size(toks)
+    sw = LANG_STOPWORDS["en"]
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        r6(F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars).alias("x1"),
+        r6(F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", "")) / n_chars).alias("x2"),
+        r6(F.size(F.filter(toks, lambda t: t.isin(*sw))) / n_tok).alias("x3"),
+        r6(F.log(F.lit(1.0) + n_tok)).alias("x4"),
+        r6(n_chars / n_tok).alias("x5"),
+        r6(F.size(F.array_distinct(toks)) / n_tok).alias("x6"),
+    )
+    heur = quality_score(df, text_col, id_col).select(
+        F.col(id_col).alias("id"), "quality"
+    )
+    base = feats.join(heur, "id")
+    lab = with_global_ntiles(base, 4, [("_q4", ["quality", "id"], None)])
+    labeled = lab.withColumn(
+        "weak_label",
+        F.when(F.col("_q4") == 4, 1).when(F.col("_q4") == 1, 0).otherwise(-1),
+    ).drop("_q4")
+    train = (
+        labeled.where(F.col("weak_label") >= 0)
+        .withColumn("y", F.col("weak_label").cast("double"))
+        .transform(stage_checkpoint, eager=False)
+    )
+
+    spark = df.sparkSession
+    xs = [f"x{j}" for j in range(1, 7)]
+    w = spark.range(1).select(
+        F.lit(0.0).alias("b"), *[F.lit(0.0).alias(f"w{j}") for j in range(1, 7)]
+    )
+
+    def _p(weights: DataFrame, frame: DataFrame) -> Column:
+        j = frame.crossJoin(F.broadcast(weights))
+        z = F.col("b")
+        for i, x in enumerate(xs, start=1):
+            z = z + F.col(f"w{i}") * F.col(x)
+        return j.withColumn(
+            "p", r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        )
+
+    for _ in range(rounds):
+        pdf = _p(w, train)
+        e = F.col("p") - F.col("y")
+        # exact-grid gradient means: e is a 6-dp quantum, x a 6-dp
+        # quantum → e·x is an exact 1e-12-grid rational recovered by
+        # the pico round (double error « half a pico unit at these
+        # magnitudes); int64 sums are association-order-proof
+        aggs = [
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long")
+                    ).cast("double")
+                    / F.count("*")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("gb")
+        ]
+        for i, x in enumerate(xs, start=1):
+            aggs.append(
+                (
+                    F.floor(
+                        F.sum(
+                            F.floor(e * F.col(x) * F.lit(1e12) + F.lit(0.5)).cast(
+                                "long"
+                            )
+                        ).cast("double")
+                        / F.count("*")
+                        + F.lit(0.5)
+                    )
+                    / F.lit(1e12)
+                ).alias(f"g{i}")
+            )
+        g = pdf.agg(*aggs)
+        w = w.crossJoin(F.broadcast(g)).select(
+            r6(F.col("b") - F.lit(lr) * F.col("gb")).alias("b"),
+            *[
+                r6(F.col(f"w{i}") - F.lit(lr) * F.col(f"g{i}")).alias(f"w{i}")
+                for i in range(1, 7)
+            ],
+        )
+
+    scored = _p(w, labeled)
+    return scored.select(
+        "id", "weak_label", F.col("p").alias("quality_prob")
+    )
+
+
 # Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", Table A1) — the
 # standard pretraining-corpus document gates.

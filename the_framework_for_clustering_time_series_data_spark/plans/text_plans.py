@@ -513,6 +513,97 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_classifier_scores(load_table(spark, sf_dir, "documents"))
 
 
+def _logit_det_sql(rounds: int = 8, lr: float = 0.5) -> str:
+    """DuckDB twin of ``text.quality_logit_det``: exact-quartile weak
+    labels, 6-dp-quantized features, and ``rounds`` unrolled full-batch
+    GD steps whose gradients sum exact int64 pico-units."""
+    z = "w.b + " + " + ".join(f"w.w{i} * d.x{i}" for i in range(1, 7))
+    chain = []
+    for t in range(1, rounds + 1):
+        gs = ",\n         ".join(
+            f"floor(CAST(sum(CAST(floor((p - y) * x{i} * 1e12 + 0.5) AS BIGINT))"
+            f" AS DOUBLE) / count(*) + 0.5) / 1e12 AS g{i}"
+            for i in range(1, 7)
+        )
+        ws = ",\n         ".join(
+            f"floor((w.w{i} - {lr} * g.g{i}) * 1e6 + 0.5) / 1e6 AS w{i}"
+            for i in range(1, 7)
+        )
+        # r{t} is referenced twice (by p{t+1} and r{t+1}) — without
+        # MATERIALIZED DuckDB re-inlines the whole weight chain per
+        # reference and the train aggregate re-evaluates 2^rounds
+        # times (the DTW/c8b oracle lesson)
+        chain.append(f"""p{t} AS (
+  SELECT d.*, floor(1.0 / (1.0 + exp(-({z}))) * 1e6 + 0.5) / 1e6 AS p
+  FROM train d CROSS JOIN r{t - 1} w
+),
+g{t} AS (
+  SELECT floor(CAST(sum(CAST(floor((p - y) * 1e6 + 0.5) AS BIGINT))
+               AS DOUBLE) / count(*) + 0.5) / 1e6 AS gb,
+         {gs}
+  FROM p{t}
+),
+r{t} AS MATERIALIZED (
+  SELECT floor((w.b - {lr} * g.gb) * 1e6 + 0.5) / 1e6 AS b,
+         {ws}
+  FROM r{t - 1} w CROSS JOIN g{t} g
+)""")
+    rounds_sql = ",\n".join(chain)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, toks,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars AS alpha_ratio,
+         length(regexp_replace(text, '[^.,;:!?''"]', '', 'g'))::DOUBLE / n_chars AS punct_ratio,
+         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','for','it')))::DOUBLE
+           / len(toks) AS stop_ratio
+  FROM t
+),
+fx AS (
+  SELECT doc_id AS id,
+         floor(alpha_ratio * 1e6 + 0.5) / 1e6 AS x1,
+         floor(punct_ratio * 1e6 + 0.5) / 1e6 AS x2,
+         floor(stop_ratio * 1e6 + 0.5) / 1e6 AS x3,
+         floor(ln(1.0 + len(toks)) * 1e6 + 0.5) / 1e6 AS x4,
+         floor(n_chars::DOUBLE / len(toks) * 1e6 + 0.5) / 1e6 AS x5,
+         floor(len(list_distinct(toks))::DOUBLE / len(toks) * 1e6 + 0.5) / 1e6 AS x6,
+         round(least(len(toks) / 100.0, 1.0) * 0.3 + alpha_ratio * 0.4
+               + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality
+  FROM m
+),
+lab AS MATERIALIZED (
+  SELECT *, ntile(4) OVER (ORDER BY quality, id) AS q4 FROM fx
+),
+train AS MATERIALIZED (
+  SELECT *, CASE WHEN q4 = 4 THEN 1.0 ELSE 0.0 END AS y
+  FROM lab WHERE q4 IN (1, 4)
+),
+r0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+              0.0 AS w4, 0.0 AS w5, 0.0 AS w6),
+{rounds_sql}
+SELECT d.id,
+       CASE WHEN d.q4 = 4 THEN 1 WHEN d.q4 = 1 THEN 0 ELSE -1 END AS weak_label,
+       floor(1.0 / (1.0 + exp(-({z}))) * 1e6 + 0.5) / 1e6 AS quality_prob
+FROM lab d CROSS JOIN r{rounds} w
+"""
+
+
+@register("text_quality_logit_det", _logit_det_sql())
+def text_quality_logit_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC twin of text_quality_classifier: exact-quartile
+    weak labels (distributed ntile, not the approxQuantile sketch) and
+    8 fixed full-batch GD steps from zero weights in place of MLlib's
+    LBFGS — features, labels, every gradient (exact int64 pico-unit
+    sums), the weight schedule, and the final scores all replay in
+    DuckDB (see text.quality_logit_det for the parity disciplines;
+    exp/ln carry the measure-zero ulp caveat the c7b twin documents)."""
+    return T.quality_logit_det(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "text_gopher_rules",
     """

@@ -41,7 +41,7 @@ ROWS_ONLY_NOTES = {
     "sim_ivfpq_topk": "MLlib kmeans coarse quantizer + per-subspace PQ codebooks (nested seeded fits); ADC-vs-exact parity tested in test_similarity_ann.py. Its deterministic twin sim_ivfpqb_topk IS fully oracle-checked.",
     "sim_pq_topk": "seeded per-subspace kmeans codebooks (RNG/impl-defined); quantization-error + recall tests in test_similarity_ann.py. Its deterministic twin sim_pqb_topk IS fully oracle-checked.",
     "text_bpe_merges": "iterative-fit with data-dependent tie cascades: each merge rewrites the symbol table the next round aggregates; a SQL replay would need one recursive layer per merge over the full vocab. Merge-sequence determinism + reference-tokenizer tests in test_text_extra.py.",
-    "text_quality_classifier": "iterative-fit: logistic regression trained by LBFGS (float reduction order); score monotonicity + AUC tests in test_text_extra.py.",
+    "text_quality_classifier": "iterative-fit: logistic regression trained by LBFGS (float reduction order); score monotonicity + AUC tests in test_text_extra.py. Its deterministic twin text_quality_logit_det IS fully oracle-checked.",
     "text_tfidf_kmeans": "RNG/impl-defined: MLlib kmeans over TF-IDF vectors; the TF-IDF arithmetic itself is oracle-checked in the text family. Topic-separation test in test_text_extra.py. Its deterministic twin text_tfidf_md5kmeans IS fully oracle-checked.",
 }
 
