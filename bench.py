@@ -139,18 +139,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # 5-run medians for the SLOWEST queries: single steady runs drift
+    # 5-run medians for the SLOW queries: single steady runs drift
     # with machine state (round-4 verdict: 68.5 s under driver load vs
     # a 60.5 s idle median over the same set), so the emitted record
     # carries both — the median map ends the drift-vs-regression
-    # ambiguity for the queries that dominate the total. Knobs:
-    # SPARK_GRAFT_MEDIAN_TOP (how many of the slowest; 0 disables),
+    # ambiguity for the queries that dominate the total. Round 6
+    # (verdict ask #8): medians cover EVERY headline query with a
+    # steady run ≥ SPARK_GRAFT_MEDIAN_MIN seconds (default 1.0), so
+    # next round's regression adjudication needs no out-of-band
+    # BASELINE.md lookup, with SPARK_GRAFT_MEDIAN_TOP (default 10) as
+    # the floor on how many of the slowest are always covered. Knobs:
+    # SPARK_GRAFT_MEDIAN_TOP (0 disables), SPARK_GRAFT_MEDIAN_MIN,
     # SPARK_GRAFT_MEDIAN_RUNS (samples per query, incl. the steady run).
     med_top = int(os.environ.get("SPARK_GRAFT_MEDIAN_TOP", "10"))
+    med_min = float(os.environ.get("SPARK_GRAFT_MEDIAN_MIN", "1.0"))
     med_runs = int(os.environ.get("SPARK_GRAFT_MEDIAN_RUNS", "5"))
     median5: dict[str, float] = {}
     if med_top > 0 and med_runs > 1:
-        slowest = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])][:med_top]
+        by_cost = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])]
+        slowest = [
+            n for i, n in enumerate(by_cost) if i < med_top or timings[n] >= med_min
+        ]
         for name in slowest:
             samples = [timings[name]]
             for _ in range(med_runs - 1):
@@ -184,9 +193,12 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1)
     # Compact-line economy (the window is ~2000 chars and the headline
-    # set is 50+ queries): timings round to 2 dp, the median map keeps
-    # only the 5 slowest, and cold totals stay in BENCH_FULL.json —
-    # the full-precision record is always the detail file.
+    # set is 50+ queries): timings round to 2 dp, tight JSON separators
+    # (no spaces — worth ~150 chars over the default), the in-line
+    # median map keeps the 15 slowest (full map in BENCH_FULL.json),
+    # and cold totals stay in BENCH_FULL.json — the full-precision
+    # record is always the detail file.
+    med_line_n = int(os.environ.get("SPARK_GRAFT_MEDIAN_LINE_N", "15"))
     compact = {
         "metric": "headline_queries_total",
         "value": total,
@@ -194,19 +206,19 @@ def main() -> None:
         "queries": {q: round(t, 2) for q, t in timings.items()},
         "median5": {
             q: round(t, 2)
-            for q, t in sorted(median5.items(), key=lambda kv: -kv[1])[:5]
+            for q, t in sorted(median5.items(), key=lambda kv: -kv[1])[:med_line_n]
         },
         "sf": float(sf),
         "detail": "BENCH_FULL.json",
     }
-    line = json.dumps(compact)
+    line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         # stay inside the driver's capture window: drop to the slowest
         # queries only (full map is always in BENCH_FULL.json)
         slowest = dict(sorted(compact["queries"].items(), key=lambda kv: -kv[1])[:20])
         compact["queries"] = slowest
         compact["queries_truncated_to_slowest"] = len(slowest)
-        line = json.dumps(compact)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -103,6 +103,28 @@ def test_dtw_align_invariants(spark):
     assert got == pytest.approx(orig)
 
 
+def test_kshape_md5_short_series_lag_overlap_guard(spark):
+    """Series shorter than max_lag+1 (round-6 ADVICE): the degenerate
+    overlap (start > stop) must yield cc = 0 — NOT a descending
+    sequence whose out-of-range element_at nulls the NCC — matching
+    the DuckDB twin's empty range(). Every series must come back
+    assigned with a non-null finite ncc."""
+    from the_framework_for_clustering_time_series_data_spark.operators import cluster
+
+    rows = [
+        ("s1", [1.0, 2.0, 3.0]),
+        ("s2", [3.0, 1.0, 2.0]),
+        ("s3", [2.0, 3.0, 1.0]),
+        ("s4", [1.0, 3.0, 2.0]),
+    ]
+    nested = spark.createDataFrame(rows, "series_id string, values array<double>")
+    out = cluster.kshape_md5_assign(nested, k=2, max_lag=4, rounds=2).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["ncc"] is not None and math.isfinite(r["ncc"])
+        assert r["cell"] in (0, 1)
+
+
 def test_dtw_path_is_valid_warping():
     from the_framework_for_clustering_time_series_data_spark.operators.align import _dtw_path
 

@@ -44,29 +44,44 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     helper exists to apply. The memo pays the ``df.rdd`` re-planning
     cost once per distinct plan per session instead of on every call
     (stale only if the files under an identical plan change mid-session,
-    which the engine's immutable-snapshot inputs rule out)."""
+    which the engine's immutable-snapshot inputs rule out).
+
+    Memo discipline (hardened round 6): ``semanticHash`` is a 32-bit
+    hash, so a collision between distinct plans can serve a wrong
+    count. A cached count is therefore used ONLY as a fast-path proof
+    of sufficiency (``cached >= target`` → no-op, the common case this
+    memo exists for); any cached value that would trigger the
+    corrective repartition is re-verified with the exact rdd probe
+    first, so a collision can never cause a spurious repartition and a
+    stale/colliding low count never silently skips correction on the
+    re-probe path. Keys include ``defaultParallelism`` so a
+    target-changing context switch never reuses a proof computed for a
+    different target, and the >1024 bound evicts oldest-first instead
+    of dropping the whole memo."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     try:
-        key = df.semanticHash()
+        key = (df.semanticHash(), sc.defaultParallelism)
     except Exception:  # pragma: no cover - plans without a semantic hash
         key = None
-    cur = _NUM_PARTS_CACHE.get(key) if key is not None else None
-    if cur is None:
-        try:
-            cur = df.rdd.getNumPartitions()
-        except Exception:  # pragma: no cover - exotic plans without RDD conversion
+    if key is not None:
+        cached = _NUM_PARTS_CACHE.get(key)
+        if cached is not None and cached >= target:
             return df
-        if key is not None:
-            if len(_NUM_PARTS_CACHE) > 1024:  # bound the session memo
-                _NUM_PARTS_CACHE.clear()
-            _NUM_PARTS_CACHE[key] = cur
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans without RDD conversion
+        return df
+    if key is not None:
+        while len(_NUM_PARTS_CACHE) > 1024:  # bound the session memo
+            _NUM_PARTS_CACHE.pop(next(iter(_NUM_PARTS_CACHE)))
+        _NUM_PARTS_CACHE[key] = cur
     if cur < target:
         return df.repartition(target)
     return df
 
 
-_NUM_PARTS_CACHE: dict[int, int] = {}
+_NUM_PARTS_CACHE: dict[tuple[int, int], int] = {}
 
 
 def tiny_window(*order_cols, key: str):
@@ -111,12 +126,23 @@ def exact_mean6(col, window=None):
               DOUBLE) / count(x) + 0.5) / 1e6
 
     Pass ``window`` to get the windowed form (both aggregates run
-    over the same frame)."""
+    over the same frame).
+
+    OVERFLOW HEADROOM (round-6 hardening): the micro-unit sum runs in
+    ``decimal(38,0)`` (the per-row quantum casts to decimal(28,0);
+    Spark's sum adds 10 digits), NOT int64 — DuckDB's ``sum(BIGINT)``
+    already promotes to HUGEINT (int128), so an int64 Spark sum would
+    silently wrap (non-ANSI) around ~9.2e18 micro-units (~9.2e12 in
+    value·rows) while the oracle kept going, breaking both the result
+    and parity exactly at the scale this engine targets. Decimal(38,0)
+    holds ~1e38 micro-units ≈ 1e32 in value·rows — beyond any 100-TB
+    aggregate of 2-dp business values — and the final cast to double
+    is identical to the oracle's ``CAST(sum AS DOUBLE)``."""
     from pyspark.sql import functions as F
 
     if isinstance(col, str):
         col = F.col(col)
-    us = F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+    us = F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("decimal(28,0)")
     s, c = F.sum(us), F.count(col)
     if window is not None:
         s, c = s.over(window), c.over(window)

@@ -146,20 +146,21 @@ def dtw_stretch_align(df: DataFrame) -> DataFrame:
     long_vals = np.asarray(longest["values"], dtype=np.float64)
 
     def warp(pdf: pd.DataFrame) -> pd.DataFrame:
+        # zip over the two columns directly (no pdf.iterrows() — Series
+        # construction per row is pure overhead in an Arrow kernel);
+        # the delta accumulation is a vectorized scatter-add over the
+        # path's index arrays rather than a Python step loop.
         out = []
-        for _, row in pdf.iterrows():
-            short = np.asarray(row["values"], dtype=np.float64)
+        for sid, vals in zip(pdf["series_id"], pdf["values"]):
+            short = np.asarray(vals, dtype=np.float64)
             if len(short) == len(long_vals):
                 aligned = short
             else:
-                path = _dtw_path(short, long_vals)
+                path = np.asarray(_dtw_path(short, long_vals), dtype=np.int64)
                 delta = np.zeros(len(long_vals))
-                for i, j in path:
-                    delta[j] += long_vals[j] - short[i]
+                np.add.at(delta, path[:, 1], long_vals[path[:, 1]] - short[path[:, 0]])
                 aligned = long_vals - delta
-            out.append(
-                {"series_id": row["series_id"], "values": aligned.tolist()}
-            )
+            out.append({"series_id": sid, "values": aligned.tolist()})
         return pd.DataFrame(out, columns=["series_id", "values"])
 
     from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import id_spark_type

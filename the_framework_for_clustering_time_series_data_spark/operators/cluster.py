@@ -718,9 +718,16 @@ def kshape_md5_assign(
             .withColumn("lag", F.explode(lag_arr))
         )
         L = F.size("v")
-        overlap = F.sequence(
-            F.greatest(F.lit(1), F.lit(1) + F.col("lag")),
-            F.least(L, L + F.col("lag")),
+        # Guard the degenerate overlap (series shorter than max_lag+1,
+        # where start > stop): Spark's sequence(start, stop) would emit
+        # a DESCENDING range there — element_at past the array end →
+        # nulls → cc/ncc diverging from the DuckDB twin whose
+        # range(start, stop+1) is simply empty (coalesce 0). An empty
+        # array keeps both engines at cc = 0 for the impossible lags.
+        _start = F.greatest(F.lit(1), F.lit(1) + F.col("lag"))
+        _stop = F.least(L, L + F.col("lag"))
+        overlap = F.when(_start <= _stop, F.sequence(_start, _stop)).otherwise(
+            F.array().cast("array<int>")
         )
         cc = F.aggregate(
             overlap,

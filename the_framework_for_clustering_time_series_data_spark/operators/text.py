@@ -469,12 +469,16 @@ def quality_logit_det(
         # exact-grid gradient means: e is a 6-dp quantum, x a 6-dp
         # quantum → e·x is an exact 1e-12-grid rational recovered by
         # the pico round (double error « half a pico unit at these
-        # magnitudes); int64 sums are association-order-proof
+        # magnitudes); exact integer sums are association-order-proof.
+        # Sums run in decimal(38,0) (per-row quantum → decimal(28,0)):
+        # DuckDB's sum(BIGINT) is HUGEINT, so int64 Spark sums would
+        # wrap first (~1e7 training rows for the 1e12-grid terms)
+        # while the oracle kept going (plan_tools.exact_mean6 note).
         aggs = [
             (
                 F.floor(
                     F.sum(
-                        F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("long")
+                        F.floor(e * F.lit(1e6) + F.lit(0.5)).cast("decimal(28,0)")
                     ).cast("double")
                     / F.count("*")
                     + F.lit(0.5)
@@ -488,7 +492,7 @@ def quality_logit_det(
                     F.floor(
                         F.sum(
                             F.floor(e * F.col(x) * F.lit(1e12) + F.lit(0.5)).cast(
-                                "long"
+                                "decimal(28,0)"
                             )
                         ).cast("double")
                         / F.count("*")

@@ -63,8 +63,13 @@ jpairs AS MATERIALIZED (
   SELECT id_a, id_b,
          round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
   FROM i
-  WHERE n_inter / (n_a + n_b - n_inter) >= 0.2
+  WHERE round(n_inter / (n_a + n_b - n_inter), 6) >= 0.2
 )"""
+# ^ admission test matches the Spark operator's round(J, 6) >= θ (the
+#   very rounded-admission set the PPJoin prefix bound is sized for);
+#   filtering on the raw ratio would disagree with the twin on pairs
+#   whose exact J sits within 5e-7 below θ (reachable only at union
+#   sizes >~400k shingles, but the contract must be consistent).
 
 
 @register(

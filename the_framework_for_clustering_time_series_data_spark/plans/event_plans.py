@@ -11,6 +11,9 @@ never on engine-local timestamp rendering.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: PEP 563 stringifies the pandas-UDF
+# type hints and get_type_hints resolves them against MODULE globals,
+# so a function-local ``import pandas`` would NameError at inference
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1049,12 +1052,14 @@ def a8_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulations pick the v at which the cumulative crosses half, so
     tie order inside a value run cannot change the answer."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # functionType passed explicitly: this module uses PEP 563 lazy
-    # annotations, which defeats pandas_udf's hint-based inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    # Type-hint form (Series, Series) -> scalar == GROUPED_AGG; the
+    # legacy PandasUDFType enum is deprecated (was this suite's one
+    # warning). ``pd`` is the module-level import: PEP 563 stringifies
+    # these hints and get_type_hints resolves them against module
+    # globals, not function locals.
+    @pandas_udf("double")
     def wmedian(v: pd.Series, wt: pd.Series) -> float:
         order = np.argsort(v.to_numpy(), kind="stable")
         vv = v.to_numpy()[order]

@@ -856,9 +856,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
+    # decimal(28,0) per-row quantum → decimal(38,0) sum: DuckDB's
+    # sum(BIGINT) is HUGEINT, so an int64 Spark sum would wrap first
+    # (~sf 20 for this filtered-revenue aggregate) while the oracle
+    # kept going — 128-bit both sides keeps the exact-micro-unit
+    # discipline scale-safe (see plan_tools.exact_mean6).
     prod_us = F.floor(
         F.col("l_extendedprice") * F.col("l_quantity") * F.lit(1e6) + F.lit(0.5)
-    ).cast("long")
+    ).cast("decimal(28,0)")
     v = (
         li.join(F.broadcast(supp_keys), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
