@@ -92,6 +92,9 @@ HEADLINE = [
     "sim_ivfpqb_topk",
     "c9c_kmedoids_md5pam",
     "text_tfidf_md5kmeans",
+    # round-6 additions: the deterministic twins this round shipped
+    # (power-iteration PCA, persisted-IVF, BPE merge replay)
+    "e2c_pca_powerit",
 ]
 
 

@@ -103,6 +103,36 @@ def test_dtw_align_invariants(spark):
     assert got == pytest.approx(orig)
 
 
+def test_pca_powerit_recovers_principal_subspace(spark):
+    """e2c is a PCA, not just a deterministic ritual: on data with a
+    planted dominant direction, the twin's x scores must correlate
+    ~perfectly with the true first principal component's scores (up to
+    sign), and x must carry more variance than y."""
+    from the_framework_for_clustering_time_series_data_spark.operators import embed
+
+    rng = np.random.default_rng(11)
+    n, d = 300, 8
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    scales = np.array([10.0, 4.0, 1.0, 0.5, 0.3, 0.2, 0.1, 0.05])
+    X = rng.normal(size=(n, d)) * scales @ basis.T
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        embed.pca_powerit_det(df)
+        .orderBy("series_id")
+        .collect()
+    )
+    got_x = np.array([r["x"] for r in out])
+    got_y = np.array([r["y"] for r in out])
+    Xc = X - X.mean(axis=0)
+    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+    ref1 = Xc @ vt[0]
+    ref2 = Xc @ vt[1]
+    assert abs(np.corrcoef(got_x, ref1)[0, 1]) > 0.999
+    assert abs(np.corrcoef(got_y, ref2)[0, 1]) > 0.99
+    assert got_x.var() > got_y.var()
+
+
 def test_kshape_md5_short_series_lag_overlap_guard(spark):
     """Series shorter than max_lag+1 (round-6 ADVICE): the degenerate
     overlap (start > stop) must yield cc = 0 — NOT a descending

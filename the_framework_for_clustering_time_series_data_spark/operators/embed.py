@@ -48,6 +48,129 @@ def embedding_pca(
     return out.select("series_id", *coords), var_pct
 
 
+def pca_powerit_det(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 8,
+) -> DataFrame:
+    """E2c — DETERMINISTIC 2-component PCA twin of :func:`embedding_pca`
+    (reference app.py:677-691), the c1b/c3b/c8b replayable-twin
+    discipline applied to the one §2 embedding family whose production
+    form (MLlib PCA) is sign/impl-indeterminate. Every reduction is an
+    exact integer sum, every round result a 6-dp quantum, so a DuckDB
+    oracle replays the whole pipeline value-for-value:
+
+    * inputs quantize to int64 MICRO-units (``floor(v·1e6 + 0.5)``);
+    * per-position means are exact micro-unit means (int sums in
+      decimal(38,0) — DuckDB's sum(BIGINT) is HUGEINT, same headroom);
+    * centering is exact integer subtraction (both operands on-grid);
+    * the d×d scatter S = Σ c·cᵀ sums exact PICO-unit products
+      map-side-combined into ≤ d² groups (ONE tiny shuffle — the
+      standard distributed-Gramian shape: scales in n, constant in
+      shuffle width), then rounds to 6 dp;
+    * PC1 = ``rounds`` power-iteration steps from the all-ones seed,
+      L1-normalized each step (micro-int norm, no sqrt — the c8b
+      discipline); PC2 = ``rounds`` deflated steps from the
+      alternating ±1 seed (+1 at EVEN 0-based positions), each step
+      round6(S·w), Gram-Schmidt against PC1 (α from exact pico dots,
+      one double division), L1-normalize;
+    * scores x,y = round6(c·u), round6(c·w) — sequential int64 folds
+      over the ordered per-row arrays, distributed with u/w broadcast
+      as literals.
+
+    The 16 d-vector iterations run driver-side on the collected d×d
+    scatter (a bounded MODEL-STATE fetch, ≤ d² rows — the accepted
+    centroid/codebook pattern); per-row scoring is distributed.
+    Python's arbitrary-precision ints mirror DuckDB's HUGEINT sums
+    exactly; every int→double conversion is IEEE nearest in both.
+
+    Scale ceiling (documented per the micro-unit discipline): per-row
+    |value| < 3e3 keeps each pico product < 9.2e18; the scatter's
+    cross-row sums run in decimal(38,0)/HUGEINT (~1e38).
+
+    Returns ``(series_id, x, y)``.
+    """
+    import math
+
+    vu_arr = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    base = emb.select(F.col(id_col).alias("id"), vu_arr.alias("vu"))
+
+    stats = (
+        base.select("id", F.posexplode("vu").alias("p", "v"))
+        .groupBy("p")
+        .agg(
+            F.sum(F.col("v").cast("decimal(28,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    d = len(stats)
+    mmu = [0] * d
+    for r in stats:
+        mmu[r["p"]] = int(math.floor(float(int(r["s"])) / r["n"] + 0.5))
+    mmu_lit = F.array(*[F.lit(v) for v in mmu])
+
+    cdf = base.select(
+        "id", F.zip_with("vu", mmu_lit, lambda a, b: a - b).alias("c")
+    )
+
+    srows = (
+        cdf.select(F.posexplode("c").alias("p", "a"), "c")
+        .select("p", "a", F.posexplode("c").alias("q", "b"))
+        .groupBy("p", "q")
+        .agg(F.sum((F.col("a") * F.col("b")).cast("decimal(28,0)")).alias("sp"))
+        .collect()
+    )
+    S = [[0] * d for _ in range(d)]
+    for r in srows:
+        S[r["p"]][r["q"]] = int(math.floor(float(int(r["sp"])) / 1e6 + 0.5))
+
+    def matvec(vec: list[int]) -> list[int]:
+        return [sum(S[p][q] * vec[q] for q in range(d)) for p in range(d)]
+
+    def l1unit(vec: list[int]) -> list[int]:
+        nn = max(sum(abs(x) for x in vec), 1)
+        return [
+            int(math.floor(float(x) / float(nn) * 1e6 + 0.5)) for x in vec
+        ]
+
+    u = [10**6] * d
+    for _ in range(rounds):
+        u = l1unit(matvec(u))
+    # +1 at EVEN 0-based positions == odd 1-based positions (the
+    # oracle's generate_subscripts indexing — keep the two aligned)
+    w = [(10**6 if p % 2 == 0 else -(10**6)) for p in range(d)]
+    for _ in range(rounds):
+        t6 = [int(math.floor(float(x) / 1e6 + 0.5)) for x in matvec(w)]
+        a = sum(u[p] * t6[p] for p in range(d))
+        b = sum(u[p] * u[p] for p in range(d))
+        alpha = float(a) / float(b)
+        resid = [
+            t6[p] - int(math.floor(alpha * float(u[p]) + 0.5)) for p in range(d)
+        ]
+        w = l1unit(resid)
+
+    def score(lit) -> F.Column:
+        dot = F.aggregate(
+            F.zip_with("c", lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.floor(dot.cast("double") / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    u_lit = F.array(*[F.lit(v) for v in u])
+    w_lit = F.array(*[F.lit(v) for v in w])
+    return cdf.select(
+        F.col("id").alias("series_id"),
+        score(u_lit).alias("x"),
+        score(w_lit).alias("y"),
+    )
+
+
 def embedding_umap(
     nested: DataFrame,
     n_components: int = 2,

@@ -878,6 +878,119 @@ def e2b_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E2C_ROUNDS = 8
+
+
+def _e2c_round1_sql(prev: str, out: str) -> str:
+    """One PC1 power-iteration round: t = S·u as exact (micro×micro)
+    integer sums, then L1-normalize back to a 6-dp micro-unit vector
+    (no sqrt — the c8b norm discipline)."""
+    return f"""{out}_t AS (
+  SELECT s.p, sum(s.s6u * {prev}.umu) AS t
+  FROM S s JOIN {prev} ON {prev}.p = s.q GROUP BY s.p
+),
+{out}_n AS (SELECT greatest(sum(abs(t)), 1) AS nn FROM {out}_t),
+{out} AS MATERIALIZED (
+  SELECT p, CAST(floor(CAST(t AS DOUBLE) / CAST((SELECT nn FROM {out}_n) AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT) AS umu
+  FROM {out}_t
+)"""
+
+
+def _e2c_round2_sql(prev: str, out: str, ufinal: str) -> str:
+    """One deflated PC2 round: t6 = round6(S·w); Gram-Schmidt against
+    the final PC1 (α = exact-pico dots, ONE double division); then
+    L1-normalize. Every sum an integer sum, every stored vector a
+    micro-unit int."""
+    return f"""{out}_t AS (
+  SELECT s.p,
+         CAST(floor(CAST(sum(s.s6u * {prev}.wmu) AS DOUBLE) / 1e6 + 0.5)
+              AS BIGINT) AS t6
+  FROM S s JOIN {prev} ON {prev}.p = s.q GROUP BY s.p
+),
+{out}_a AS (
+  SELECT CAST(sum(u.umu * t.t6) AS DOUBLE)
+         / CAST(sum(u.umu * u.umu) AS DOUBLE) AS alpha
+  FROM {ufinal} u JOIN {out}_t t ON t.p = u.p
+),
+{out}_r AS (
+  SELECT t.p,
+         t.t6 - CAST(floor((SELECT alpha FROM {out}_a)
+                           * CAST(u.umu AS DOUBLE) + 0.5) AS BIGINT) AS r
+  FROM {out}_t t JOIN {ufinal} u ON u.p = t.p
+),
+{out}_rn AS (SELECT greatest(sum(abs(r)), 1) AS nn FROM {out}_r),
+{out} AS MATERIALIZED (
+  SELECT p, CAST(floor(CAST(r AS DOUBLE) / CAST((SELECT nn FROM {out}_rn) AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT) AS wmu
+  FROM {out}_r
+)"""
+
+
+def _e2c_oracle_sql() -> str:
+    r1 = ",\n".join(
+        _e2c_round1_sql(f"pu{r - 1}", f"pu{r}") for r in range(1, _E2C_ROUNDS + 1)
+    )
+    uf = f"pu{_E2C_ROUNDS}"
+    r2 = ",\n".join(
+        _e2c_round2_sql(f"pw{r - 1}", f"pw{r}", uf)
+        for r in range(1, _E2C_ROUNDS + 1)
+    )
+    wf = f"pw{_E2C_ROUNDS}"
+    return f"""
+WITH lf AS (
+  SELECT id, p, CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS vu
+  FROM (SELECT vec_id AS id, generate_subscripts(embedding, 1) AS p,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings)
+),
+mm AS (
+  SELECT p, CAST(floor(CAST(sum(vu) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mmu
+  FROM lf GROUP BY p
+),
+c AS MATERIALIZED (
+  SELECT id, lf.p, vu - mmu AS cmu FROM lf JOIN mm ON mm.p = lf.p
+),
+S AS MATERIALIZED (
+  SELECT a.p AS p, b.p AS q,
+         CAST(floor(CAST(sum(a.cmu * b.cmu) AS DOUBLE) / 1e6 + 0.5) AS BIGINT)
+           AS s6u
+  FROM c a JOIN c b ON a.id = b.id
+  GROUP BY 1, 2
+),
+pu0 AS (SELECT p, CAST(1000000 AS BIGINT) AS umu FROM mm),
+{r1},
+pw0 AS (SELECT p, CAST(CASE WHEN p % 2 = 1 THEN 1000000
+                            ELSE -1000000 END AS BIGINT) AS wmu
+        FROM mm),
+{r2},
+sc AS (
+  SELECT c.id, sum(c.cmu * u.umu) AS xs, sum(c.cmu * w.wmu) AS ys
+  FROM c JOIN {uf} u ON u.p = c.p JOIN {wf} w ON w.p = c.p
+  GROUP BY c.id
+)
+SELECT id AS series_id,
+       floor(CAST(xs AS DOUBLE) / 1e6 + 0.5) / 1e6 AS x,
+       floor(CAST(ys AS DOUBLE) / 1e6 + 0.5) / 1e6 AS y
+FROM sc
+"""
+
+
+@register("e2c_pca_powerit", _e2c_oracle_sql())
+def e2c_pca_powerit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2c — deterministic power-iteration PCA twin of e2_pca
+    (app.py:677-691) over the 64-d ``embeddings`` vectors, with a FULL
+    DuckDB value-hash oracle — closing the last SURVEY-§2 family
+    (E2) whose production form is sign/impl-indeterminate (e2b checks
+    eigenvalues only). Exact-integer scatter, 8 power rounds per
+    component with deflation, L1 norms — see
+    operators/embed.py:pca_powerit_det. The oracle replays all 16
+    rounds as unrolled CTEs (the c8b_graph_md5pic pattern); the Spark
+    side runs the d-vector iterations on the collected d×d scatter
+    (bounded model-state fetch) and scores rows distributed."""
+    return embed.pca_powerit_det(load_table(spark, sf_dir, "embeddings"))
+
+
 @register("e1_autoencoder_latent")  # trained model → rows-only oracle
 def e1_autoencoder_latent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 — autoencoder latent pipeline: RP-image → resize(64) →
