@@ -95,6 +95,7 @@ HEADLINE = [
     # round-6 additions: the deterministic twins this round shipped
     # (power-iteration PCA, persisted-IVF, BPE merge replay)
     "e2c_pca_powerit",
+    "sim_ivfb_persisted",
 ]
 
 

@@ -114,6 +114,25 @@ def test_ivf_persisted_index_probe(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), "cell join should dynamic-partition-prune"
 
 
+def test_ivfb_persisted_matches_in_memory_twin_and_prunes(spark, tmp_path):
+    """The deterministic persisted index must return EXACTLY the
+    in-memory sim_ivfb_topk result (same md5-Lloyd quantizer, same
+    probe tail) and the probe must dynamic-partition-prune the
+    cell-partitioned scan."""
+    from the_framework_for_clustering_time_series_data_spark.plans.similarity_plans import sim_ivfb_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfb_index")
+    similarity.build_ivf_index_deterministic(emb, path, n_cells=16)
+    probe = similarity.ivf_probe_index(spark, path, qs, k=5, nprobe=4)
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(map(tuple, sim_ivfb_topk(spark, SF_ORACLE).collect()))
+    assert a == b and len(a) == 50
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "cell join should dynamic-partition-prune"
+
+
 def test_connected_components_transitive_chain(spark):
     """A chain a-b, b-c, c-d must collapse into ONE group keyed by the
     min id, and disjoint pairs must stay separate components."""

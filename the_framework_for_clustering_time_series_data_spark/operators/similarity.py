@@ -415,6 +415,40 @@ def build_ivf_index(
     ).parquet(f"{path}/centroids")
 
 
+def build_ivf_index_deterministic(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    lloyd_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index whose coarse quantizer is the DETERMINISTIC
+    md5-seeded Lloyd build (``cluster.deterministic_lloyd_assign``, the
+    sim_ivfb_topk quantizer) instead of MLlib KMeans — same serving
+    layout as :func:`build_ivf_index` (hive-partitioned ``cells`` +
+    ``centroids`` metadata), but every persisted value is
+    DuckDB-replayable from the corpus alone, so the probe path carries
+    a full value-hash oracle (sim_ivfb_persisted). The deterministic
+    build can leave empty cells; the centroid table's explicit ``cell``
+    labels (not positional 0..k-1) carry that through the probe."""
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
+
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    assign, cdf = deterministic_lloyd_assign(
+        corpus, n_cells, id_col="nbr_id", vec_col="v",
+        lloyd_rounds=lloyd_rounds, with_centroids=True,
+    )
+    assign.select(F.col("id").alias("nbr_id"), "v", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+    cdf.select(
+        F.col("cell").cast("int").alias("cell"), F.col("cvec").alias("center")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
 def ivf_probe_index(
     spark,
     path: str,
@@ -425,19 +459,25 @@ def ivf_probe_index(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k against a persisted IVF index
-    (``build_ivf_index``): reads the centroid metadata (n_cells rows),
-    computes each query's nprobe nearest cells, and equi-joins the
-    cell-partitioned corpus on ``cell``. The broadcast query side makes
-    the join eligible for dynamic partition pruning, so the parquet
-    scan touches only probed ``cell=N`` directories (asserted on the
-    physical plan in tests/test_similarity_ann.py)."""
-    center_rows = spark.read.parquet(f"{path}/centroids").collect()
-    centers = [list(r["center"]) for r in sorted(center_rows, key=lambda r: r["cell"])]
+    (``build_ivf_index`` or ``build_ivf_index_deterministic``): reads
+    the centroid metadata (n_cells rows), computes each query's nprobe
+    nearest cells, and equi-joins the cell-partitioned corpus on
+    ``cell``. The broadcast query side makes the join eligible for
+    dynamic partition pruning, so the parquet scan touches only probed
+    ``cell=N`` directories (asserted on the physical plan in
+    tests/test_similarity_ann.py). Cell labels come from the centroid
+    table (not positional), so sparse cell id ranges — which the
+    deterministic build can produce — probe correctly."""
+    center_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r["cell"]
+    )
+    centers = [list(r["center"]) for r in center_rows]
+    cell_ids = [int(r["cell"]) for r in center_rows]
     cells = spark.read.parquet(f"{path}/cells")
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    return _ivf_probe_scored(cells, qs, centers, k, nprobe)
+    return _ivf_probe_scored(cells, qs, centers, k, nprobe, cell_ids=cell_ids)
 
 
 def _train_pq_codebooks(

@@ -452,6 +452,28 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ivfb_persisted", _ivfb_oracle_sql())
+def sim_ivfb_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path with a FULL value-hash oracle: the
+    deterministic md5-Lloyd coarse quantizer (sim_ivfb_topk's index
+    build) PERSISTED in the production layout — corpus
+    hive-partitioned by cell + centroid metadata table — then probed
+    via the dynamic-partition-pruned broadcast cell join
+    (similarity.build_ivf_index_deterministic / ivf_probe_index). The
+    oracle re-derives the index from the corpus exactly as
+    sim_ivfb_topk's does, so build → persist → scan-pruned probe is
+    value-verified end to end; DPP on the probe scan is asserted on
+    the physical plan in tests/test_similarity_ann.py."""
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="the_framework_for_clustering_time_series_data_spark_ivfb_")
+    similarity.build_ivf_index_deterministic(emb, path, n_cells=16)
+    return similarity.ivf_probe_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
+    )
+
+
 @register(
     "emb_label_centroids",
     """
