@@ -96,6 +96,7 @@ HEADLINE = [
     # (power-iteration PCA, persisted-IVF, BPE merge replay)
     "e2c_pca_powerit",
     "sim_ivfb_persisted",
+    "text_bpe_merges",
 ]
 
 

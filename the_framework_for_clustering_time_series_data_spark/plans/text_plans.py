@@ -879,14 +879,92 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_merges")  # iterative merge loop → rows-only oracle
+_BPE_MERGES = 10
+
+
+def _bpe_round_sql(prev: str, k: int) -> str:
+    """One BPE merge round replayed in SQL. Symbol sequences live as
+    MARKER-WRAPPED strings (chr(30)||sym||chr(31) per symbol — the
+    corpus is verified ASCII, see the registering docstring): pair
+    counts re-split the wrapped string; the argmax keys on
+    (count DESC, left, right) exactly like the operator; and the merge
+    application is ONE ``replace()`` — non-overlapping left-to-right
+    with the scan resuming AFTER each replacement, which is precisely
+    the operator's greedy ``i += 2`` kernel (wrapping markers make a
+    mid-symbol false match impossible and adjacent matches share no
+    boundary chars)."""
+    return f"""sy{k} AS (
+  SELECT freq, string_split(substr(s, 2, length(s) - 2),
+                            chr(31) || chr(30)) AS sy
+  FROM b{prev}
+),
+p{k} AS (
+  SELECT l, r, sum(freq) AS n FROM (
+    SELECT freq, sy[CAST(i AS INT)] AS l, sy[CAST(i AS INT) + 1] AS r
+    FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i FROM sy{k})
+  ) GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+b{k} AS MATERIALIZED (
+  SELECT freq,
+         replace(s,
+                 chr(30) || (SELECT l FROM m{k}) || chr(31)
+                   || chr(30) || (SELECT r FROM m{k}) || chr(31),
+                 chr(30) || (SELECT l FROM m{k}) || (SELECT r FROM m{k})
+                   || chr(31)) AS s
+  FROM b{prev}
+)"""
+
+
+def _bpe_oracle_sql() -> str:
+    rounds = ",\n".join(
+        _bpe_round_sql(str(k - 1), k) for k in range(1, _BPE_MERGES + 1)
+    )
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", '
+        f"CAST(n AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+WITH wf AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word != '' GROUP BY word
+),
+b0 AS MATERIALIZED (
+  SELECT freq,
+         list_aggregate(
+           list_transform(range(1, length(word) + 1),
+                          i -> chr(30) || substr(word, CAST(i AS INT), 1)
+                               || chr(31)),
+           'string_agg', '') AS s
+  FROM wf
+),
+{rounds}
+{finals}
+"""
+
+
+@register("text_bpe_merges", _bpe_oracle_sql())
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer FITTING: the first 10 BPE merges learned over the
+    """Tokenizer FITTING with a FULL value-hash oracle (round 6;
+    formerly rows-only): the first 10 BPE merges learned over the
     documents corpus (word-frequency table → per-round pair-count
-    aggregate + deterministic argmax + vectorized merge application —
-    operators/text.bpe_learn_merges). The merge table is the tokenizer
-    every downstream token-count/packing operator presupposes."""
-    return T.bpe_learn_merges(load_table(spark, sf_dir, "documents"), n_merges=10)
+    aggregate + deterministic (count DESC, left, right) argmax +
+    vectorized merge application — operators/text.bpe_learn_merges).
+    The oracle unrolls all 10 rounds as CTEs, representing each word's
+    symbol sequence as a chr(30)/chr(31)-wrapped string whose greedy
+    left-to-right pair merge is exactly ``replace()`` (the
+    text_quality_logit_det round-replay discipline). The wrapping
+    markers are sound because the corpus is pure ASCII with no control
+    chars (verified for the test tables; a production corpus would
+    pick codepoints outside its alphabet). The merge table is the
+    tokenizer every downstream token-count/packing operator
+    presupposes."""
+    return T.bpe_learn_merges(
+        load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
 
 
 @register(
