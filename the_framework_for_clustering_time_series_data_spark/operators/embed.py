@@ -367,18 +367,57 @@ def _col2im(g_cols, in_shape, k=3, stride=2):
     return gXp[:, :H, :W, :]
 
 
-def _conv_encode(X_img, conv_params):
-    """Forward pass through the stride-2 conv stack (ReLU), returning
-    the flattened feature map and the per-layer caches backprop needs."""
+_BN_EPS = 1e-3  # Keras BatchNormalization default epsilon
+
+
+def _bn_forward(A, gamma, beta):
+    """Train-mode BatchNorm over (n, h, w) per channel: batch mean/var,
+    normalize, scale/shift. Returns (out, cache)."""
+    import numpy as np
+
+    mu = A.mean(axis=(0, 1, 2))
+    var = A.var(axis=(0, 1, 2))
+    xhat = (A - mu) / np.sqrt(var + _BN_EPS)
+    return gamma * xhat + beta, (xhat, var, mu)
+
+
+def _bn_backward(gO, gamma, cache):
+    """Standard BatchNorm backward (train-mode batch statistics):
+    returns (g_input, g_gamma, g_beta)."""
+    import numpy as np
+
+    xhat, var, _ = cache
+    m = gO.shape[0] * gO.shape[1] * gO.shape[2]
+    gbeta = gO.sum(axis=(0, 1, 2))
+    ggamma = (gO * xhat).sum(axis=(0, 1, 2))
+    gx = (gamma / np.sqrt(var + _BN_EPS)) * (gO - gbeta / m - xhat * ggamma / m)
+    return gx, ggamma, gbeta
+
+
+def _conv_encode(X_img, conv_params, bn_params=None, bn_stats=None):
+    """Forward pass through the stride-2 conv stack (ReLU, then
+    BatchNorm when ``bn_params`` is given — the reference's
+    Conv2D(activation='relu') → BatchNormalization() order,
+    app.py:563-571), returning the flattened feature map and the
+    per-layer caches backprop needs. ``bn_stats`` (per-layer
+    (running_mean, running_var)) switches BN to inference mode."""
     import numpy as np
 
     caches = []
     A = X_img
-    for W, b in conv_params:
+    for li, (W, b) in enumerate(conv_params):
         cols = _im2col(A)
         Z = cols @ W + b
         A_next = np.maximum(Z, 0.0)
-        caches.append((A.shape, cols, Z))
+        bn_cache = None
+        if bn_params is not None:
+            gamma, beta = bn_params[li]
+            if bn_stats is not None:  # inference: running statistics
+                mu, var = bn_stats[li]
+                A_next = gamma * (A_next - mu) / np.sqrt(var + _BN_EPS) + beta
+            else:
+                A_next, bn_cache = _bn_forward(A_next, gamma, beta)
+        caches.append((A.shape, cols, Z, bn_cache))
         A = A_next
     n = A.shape[0]
     return A.reshape(n, -1), A.shape, caches
@@ -551,16 +590,22 @@ def _conv_autoencoder(
     ``A @ Wt.T`` (and its backward pass is ``_im2col``), so the up path
     mirrors the down path operation-for-operation.
 
-    Documented divergences from app.py:490-641: no BatchNormalization
-    (running statistics add nothing at these batch sizes and the
-    normalization changes the latent scale, not its topology), and the
-    final transpose layer is LINEAR rather than sigmoid — training
-    runs on per-pixel-centered data (see embedding_autoencoder), where
-    a sigmoid output could not even represent the targets. The latent
-    spaces still differ coordinate-wise from a Keras run (different
-    init RNG → different minima); the invariants that matter —
-    determinism, learning, latent differentiation — are asserted in
-    tests/test_ml.py.
+    BatchNormalization (round 6 — closing the last architecture
+    divergence): the reference inserts ``BatchNormalization()`` after
+    every ReLU conv AND transpose-conv layer (app.py:564, 570, 588);
+    this rebuild now does too — train-mode batch statistics with
+    learned γ/β (Keras eps 1e-3), momentum-0.99 running statistics
+    tracked for the encoder and used at inference exactly like Keras,
+    and the exact BN backward chained through both halves' adjoint
+    discipline.
+
+    Remaining documented divergences from app.py:490-641: weight-init
+    RNG (different init → different minima, latent coordinates differ
+    from a Keras run), and the final transpose layer is LINEAR rather
+    than sigmoid — training runs on per-pixel-centered data (see
+    embedding_autoencoder), where a sigmoid output could not even
+    represent the targets. The invariants that matter — determinism,
+    learning, latent differentiation — are asserted in tests/test_ml.py.
     """
     import numpy as np
     import pandas as pd
@@ -577,7 +622,13 @@ def _conv_autoencoder(
         fan_in = 9 * cin
         params[f"cW{li}"] = rng.standard_normal((fan_in, cout)) * np.sqrt(2.0 / fan_in)
         params[f"cb{li}"] = np.zeros(cout)
+        params[f"cg{li}"] = np.ones(cout)   # BN γ
+        params[f"cB{li}"] = np.zeros(cout)  # BN β
         cin = cout
+    # encoder BN running statistics (momentum 0.99, Keras default) —
+    # state, not parameters: tracked alongside, snapshotted with best
+    run_mu = {li: np.zeros(c) for li, c in enumerate(chans)}
+    run_var = {li: np.ones(c) for li, c in enumerate(chans)}
     grid = S >> len(chans)
     feat_dim = grid * grid * chans[-1]
     params["We"] = rng.standard_normal((feat_dim, 2)) * np.sqrt(2.0 / (feat_dim + 2))
@@ -601,6 +652,9 @@ def _conv_autoencoder(
             2.0 / (9 * dcin)
         )
         params[f"tb{li}"] = np.zeros(dcout)
+        if li < len(dec_chans) - 1:  # BN after every ReLU ConvT (not the output layer)
+            params[f"tg{li}"] = np.ones(dcout)
+            params[f"tB{li}"] = np.zeros(dcout)
         dcin = dcout
 
     adam_m = {k: np.zeros_like(v) for k, v in params.items()}
@@ -610,11 +664,20 @@ def _conv_autoencoder(
     def conv_params():
         return [(params[f"cW{li}"], params[f"cb{li}"]) for li in range(len(chans))]
 
+    def enc_bn():
+        return [(params[f"cg{li}"], params[f"cB{li}"]) for li in range(len(chans))]
+
+    bn_mom = 0.99  # Keras BatchNormalization default momentum
     best_loss, best_params, since_best = np.inf, None, 0
+    best_run = None
     first_loss = None
     loss = np.inf
     for step in range(1, epochs + 1):
-        feat, feat_shape, caches = _conv_encode(X_img, conv_params())
+        feat, feat_shape, caches = _conv_encode(X_img, conv_params(), bn_params=enc_bn())
+        for li, (_, _, _, bn_c) in enumerate(caches):
+            _, b_var, b_mu = bn_c
+            run_mu[li] = bn_mom * run_mu[li] + (1 - bn_mom) * b_mu
+            run_var[li] = bn_mom * run_var[li] + (1 - bn_mom) * b_var
         z = feat @ params["We"] + params["be"]
         # decoder forward: Dense → Reshape(g, g, S) → ConvT stack
         D0 = z @ params["Wd"] + params["bd"]
@@ -626,8 +689,14 @@ def _conv_autoencoder(
                 A.reshape(-1, A.shape[-1]) @ params[f"tW{li}"].T
             ).reshape(n, g_cur, g_cur, 9 * dcout)
             Y = _col2im(cols, (n, 2 * g_cur, 2 * g_cur, dcout)) + params[f"tb{li}"]
-            dec_caches.append((A, Y))
-            A = np.maximum(Y, 0.0) if li < len(dec_chans) - 1 else Y
+            if li < len(dec_chans) - 1:
+                R = np.maximum(Y, 0.0)
+                B, bn_c = _bn_forward(R, params[f"tg{li}"], params[f"tB{li}"])
+                dec_caches.append((A, Y, bn_c))
+                A = B
+            else:
+                dec_caches.append((A, Y, None))
+                A = Y
             g_cur *= 2
         out = A.reshape(n, d)
         err = out - X
@@ -638,6 +707,10 @@ def _conv_autoencoder(
         if loss < best_loss - 1e-9:
             best_loss, since_best = loss, 0
             best_params = {k: v.copy() for k, v in params.items()}
+            best_run = (
+                {li: v.copy() for li, v in run_mu.items()},
+                {li: v.copy() for li, v in run_var.items()},
+            )
         else:
             since_best += 1
             if since_best >= patience:
@@ -649,8 +722,14 @@ def _conv_autoencoder(
         g = {}
         g_A = g_out.reshape(n, S, S, 1)
         for li in range(len(dec_chans) - 1, -1, -1):
-            A_in, Y = dec_caches[li]
-            g_Y = g_A if li == len(dec_chans) - 1 else g_A * (Y > 0)
+            A_in, Y, bn_c = dec_caches[li]
+            if li == len(dec_chans) - 1:
+                g_Y = g_A
+            else:
+                g_relu, g[f"tg{li}"], g[f"tB{li}"] = _bn_backward(
+                    g_A, params[f"tg{li}"], bn_c
+                )
+                g_Y = g_relu * (Y > 0)
             g_cols = _im2col(g_Y)
             flat_gc = g_cols.reshape(-1, g_cols.shape[-1])
             flat_A = A_in.reshape(-1, A_in.shape[-1])
@@ -662,11 +741,15 @@ def _conv_autoencoder(
         g_z = g_D0 @ params["Wd"].T
         g["We"], g["be"] = feat.T @ g_z, g_z.sum(0)
         g_feat = (g_z @ params["We"].T).reshape(feat_shape)
-        # back through the conv stack (reversed)
+        # back through the conv stack (reversed): BN backward first
+        # (the forward order is conv → ReLU → BN)
         g_A = g_feat
         for li in range(len(chans) - 1, -1, -1):
-            in_shape, cols, Z = caches[li]
-            g_Z = g_A * (Z > 0)
+            in_shape, cols, Z, bn_c = caches[li]
+            g_relu, g[f"cg{li}"], g[f"cB{li}"] = _bn_backward(
+                g_A, params[f"cg{li}"], bn_c
+            )
+            g_Z = g_relu * (Z > 0)
             flat_cols = cols.reshape(-1, cols.shape[-1])
             flat_gZ = g_Z.reshape(-1, g_Z.shape[-1])
             g[f"cW{li}"] = flat_cols.T @ flat_gZ
@@ -687,6 +770,12 @@ def _conv_autoencoder(
     enc_conv = [
         (best_params[f"cW{li}"], best_params[f"cb{li}"]) for li in range(len(chans))
     ]
+    enc_bn_params = [
+        (best_params[f"cg{li}"], best_params[f"cB{li}"]) for li in range(len(chans))
+    ]
+    enc_bn_stats = [
+        (best_run[0][li], best_run[1][li]) for li in range(len(chans))
+    ]
     We, be = best_params["We"], best_params["be"]
 
     def _encode_batch(batches):
@@ -703,7 +792,11 @@ def _conv_autoencoder(
                 )
                 - pix_mean
             ).reshape(-1, S, S, 1)
-            feat, _, _ = _conv_encode(M, enc_conv)
+            # inference-mode BN: learned γ/β + momentum-0.99 running
+            # statistics snapshotted at the best epoch (Keras semantics)
+            feat, _, _ = _conv_encode(
+                M, enc_conv, bn_params=enc_bn_params, bn_stats=enc_bn_stats
+            )
             Z = feat @ We + be
             yield pd.DataFrame(
                 {"series_id": pdf["series_id"].values, "x": Z[:, 0], "y": Z[:, 1]}
