@@ -247,6 +247,70 @@ def test_pack_chunks_5m_docs(spark):
     assert agg.min_span >= 1
 
 
+def _ann_corpus(spark, n: int, d: int = 8, n_clusters: int = 64):
+    """n vectors in d dims: consecutive (even, odd) ids are planted
+    near-twins (odd = even + 1e-4 on dim 0); pairs spread over
+    n_clusters well-separated pseudo-grid centers with per-pair
+    offsets ~0.1-10 so the twin is each query's unambiguous nearest
+    neighbor at 6-dp cosine. Generated distributed via spark.range —
+    nothing touches the driver."""
+    pair = F.floor(F.col("id") / 2)
+    cluster = pair % n_clusters
+    dims = []
+    for j in range(d):
+        center = ((cluster * 37 + j * 11) % 64).cast("double") / F.lit(2.0)
+        offset = ((pair * 13 + j * 7) % 101).cast("double") * F.lit(0.1)
+        twin = F.when(
+            (F.col("id") % 2 == 1) & (F.lit(j) == 0), F.lit(1e-4)
+        ).otherwise(F.lit(0.0))
+        dims.append(center + offset + twin)
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+
+
+def test_ivf_deterministic_1m_vectors_recall(spark):
+    """1M-vector ANN scale smoke (the 5M-doc LSH pattern applied to
+    the IVF math): the deterministic md5-Lloyd IVF index at 1M vectors
+    must place ≥95% of the planted twins at rank 1 — at this scale a
+    driver-side kernel or an all-pairs candidate stage would not
+    finish; the run exercises the broadcast-quantizer assignment and
+    the probed-cell candidate join at real width. (~1-2 min on
+    local[32].)"""
+    from the_framework_for_clustering_time_series_data_spark.operators import similarity
+
+    n, n_q = 1_000_000, 20
+    emb = _ann_corpus(spark, n)
+    qs = emb.where((F.col("vec_id") < 2 * n_q) & (F.col("vec_id") % 2 == 0))
+    out = similarity.ivf_topk_deterministic(emb, qs, k=3, n_cells=16, nprobe=4)
+    top1 = {
+        r["query_id"]: r["nbr_id"] for r in out.where(F.col("rank") == 1).collect()
+    }
+    hits = sum(1 for q, nbr in top1.items() if nbr == q + 1)
+    assert hits >= 0.95 * n_q, f"twin recall {hits}/{n_q}: {top1}"
+
+
+def test_pq_deterministic_200k_vectors_recall(spark):
+    """200k-vector PQ smoke: the deterministic codebook build, ADC
+    scan, and exact rerank must surface ≥90% of the planted twins at
+    rank 1 — the ADC first pass is intentionally coarse (m=4 × 16
+    codes), so this asserts the rerank tail rescues exact neighbors
+    the way the serving path relies on."""
+    from the_framework_for_clustering_time_series_data_spark.operators import similarity
+
+    n, n_q = 200_000, 20
+    emb = _ann_corpus(spark, n)
+    qs = emb.where((F.col("vec_id") < 2 * n_q) & (F.col("vec_id") % 2 == 0))
+    out = similarity.pq_topk_deterministic(
+        emb, qs, k=3, m=4, n_codes=16, rerank=50, dim=8
+    )
+    top1 = {
+        r["query_id"]: r["nbr_id"] for r in out.where(F.col("rank") == 1).collect()
+    }
+    hits = sum(1 for q, nbr in top1.items() if nbr == q + 1)
+    assert hits >= 0.90 * n_q, f"twin recall {hits}/{n_q}: {top1}"
+
+
 def test_pagerank_1m_node_ring_uniform(spark):
     # 1M-node ring (every node degree 2): PageRank's fixed point is
     # exactly uniform, and power iteration started uniform STAYS
