@@ -40,10 +40,61 @@ ROWS_ONLY_NOTES = {
     "sim_ivf_topk": "same MLlib coarse-quantizer dependency as sim_ivf_persisted_topk; recall floor tested in test_similarity_ann.py. Its deterministic-Lloyd twin sim_ivfb_topk IS fully oracle-checked.",
     "sim_ivfpq_topk": "MLlib kmeans coarse quantizer + per-subspace PQ codebooks (nested seeded fits); ADC-vs-exact parity tested in test_similarity_ann.py. Its deterministic twin sim_ivfpqb_topk IS fully oracle-checked.",
     "sim_pq_topk": "seeded per-subspace kmeans codebooks (RNG/impl-defined); quantization-error + recall tests in test_similarity_ann.py. Its deterministic twin sim_pqb_topk IS fully oracle-checked.",
-    "text_bpe_merges": "iterative-fit with data-dependent tie cascades: each merge rewrites the symbol table the next round aggregates; a SQL replay would need one recursive layer per merge over the full vocab. Merge-sequence determinism + reference-tokenizer tests in test_text_extra.py.",
     "text_quality_classifier": "iterative-fit: logistic regression trained by LBFGS (float reduction order); score monotonicity + AUC tests in test_text_extra.py. Its deterministic twin text_quality_logit_det IS fully oracle-checked.",
     "text_tfidf_kmeans": "RNG/impl-defined: MLlib kmeans over TF-IDF vectors; the TF-IDF arithmetic itself is oracle-checked in the text family. Topic-separation test in test_text_extra.py. Its deterministic twin text_tfidf_md5kmeans IS fully oracle-checked.",
 }
+
+
+#: Static appendix: surfaces outside the registry whose verification
+#: status the coverage contract still inventories.
+_APPENDIX = [
+    "",
+    "## Environment-unverifiable surfaces (non-registry)",
+    "",
+    "| surface | verdict |",
+    "|---|---|",
+    "| `streaming/ops.py:running_series_stats_tws` (transformWithStateInPandas) | "
+    "UNVERIFIED IN THIS CONTAINER: the TWS state-server wire protocol needs the "
+    "`protobuf` package, which is not installed and (per the environment "
+    "contract) cannot be pip-installed; "
+    "`tests/test_streaming.py::test_running_stats_tws_state_across_batches` "
+    "self-skips with that reason. The SAME running-moments semantics ARE "
+    "verified through the `applyInPandasWithState` twin "
+    "(`running_series_stats_state`, checkpoint-restart exactly-once tests); "
+    "the TWS form exists for the Spark-4 surface and runs wherever protobuf "
+    "is present. |",
+    "| `operators/embed.py:embedding_umap` (umap-learn path) | env-gated: "
+    "umap-learn absent here; the Laplacian-Eigenmaps fallback is the active, "
+    "tested path (neighborhood-preservation test). |",
+    "| `operators/multimodal.py` progressive-JPEG / compressed audio+video "
+    "decode | env-gated stubs by design (no codec libs in this container); "
+    "PNG/WAV/Y4M/baseline-JPEG decode is real and tested. |",
+    "",
+    "## Micro-unit integer-sum scale ceilings (round-6 audit)",
+    "",
+    "The exact-arithmetic discipline sums `floor(x*1e6+0.5)` (or 1e12-grid "
+    "pico) quanta as integers. DuckDB's `sum(BIGINT)` promotes to HUGEINT "
+    "(int128); Spark's `sum(long)` silently wraps at ~9.2e18 under non-ANSI "
+    "mode — so every micro-unit aggregate whose cardinality grows with the "
+    "CORPUS runs in `decimal(38,0)` on the Spark side (~1e38 headroom): "
+    "`plan_tools.exact_mean6` (all chained-mean sites), q11's per-part "
+    "revenue sums, the quality-logit pico-gradient sums, and the e2c PCA "
+    "scatter/score sums. The remaining int64 micro-sums are bounded by "
+    "construction and carry these explicit ceilings:",
+    "",
+    "| site | sum cardinality bound | ceiling |",
+    "|---|---|---|",
+    "| cluster.py centroid means (c1b/c3b/c6b family) | members per cluster × "
+    "normalized values ≤ ~1e6 micro | ~9e12 rows per cluster |",
+    "| ml_plans c8b PIC weight/degree sums | nodes ≤ capped doc sample "
+    "(1000) | unreachable |",
+    "| symbolic/resample per-series window sums | points per series × value "
+    "micro ≤ 1e9 | ~9e9 points per series |",
+    "| similarity.py per-cell means | corpus cell members, values ≤ ~10 | "
+    "~9e11 rows per cell |",
+    "| e2c score folds (per-row dot) | 64 terms × pico products ≤ 2e13 | "
+    "per-row, unreachable |",
+]
 
 
 def main() -> None:
@@ -98,6 +149,7 @@ def main() -> None:
     ]
     for n in rows_only:
         out.append(f"| `{n}` | {ROWS_ONLY_NOTES[n]} |")
+    out += _APPENDIX
     (REPO / "OPERATORS.md").write_text("\n".join(out) + "\n")
     print(f"wrote OPERATORS.md: {len(rows)} queries, {n_oracle} oracles, "
           f"{len(rows_only)} rows-only (all annotated)")
