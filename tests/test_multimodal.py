@@ -712,7 +712,313 @@ def test_jpeg_stdlib_color_and_restart():
     assert abs(mean - yy.mean() / 255.0) < 1.5 / 255.0
 
 
-def test_jpeg_stdlib_rejects_progressive():
+def _encode_jpeg_progressive(planes, quant=None, scans=None, restart=0):
+    """Minimal PROGRESSIVE JPEG encoder (test-side, stdlib+numpy only,
+    4:4:4 sampling): spectral-selection + successive-approximation
+    scans per T.81 G.1 with the libjpeg encoder disciplines (DC point
+    transform = arithmetic shift, AC = magnitude shift; EOB-run
+    accumulation; AC-refinement correction bits buffered and emitted
+    after the next symbol / carried with the EOB run). Canonical
+    per-scan Huffman tables, optional DRI restart markers in every
+    scan. Exists so the progressive decoder is exercised against an
+    INDEPENDENT implementation of the scan layout — and cross-checked
+    against the (already-validated) baseline path on identical
+    coefficients."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import _JPEG_ZIGZAG, _dct_matrix
+
+    ncomp = len(planes)
+    q = quant or [1] * 64
+    h, w = planes[0].shape
+    C = _dct_matrix()
+    hb, wb = -(-h // 8), -(-w // 8)
+
+    def padded(ci):
+        ph, pw = planes[ci].shape
+        P = np.zeros((hb * 8, wb * 8))
+        P[:ph, :pw] = planes[ci]
+        if ph < P.shape[0]:
+            P[ph:, :] = P[ph - 1 : ph, :]
+        if pw < P.shape[1]:
+            P[:, pw:] = P[:, pw - 1 : pw]
+        return P
+
+    def csize(v):
+        return 0 if v == 0 else int(math.floor(math.log2(abs(v)))) + 1
+
+    coefs = []
+    for ci in range(ncomp):
+        P = padded(ci)
+        comp = [[None] * wb for _ in range(hb)]
+        for by in range(hb):
+            for bx in range(wb):
+                blk = P[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                X = C @ (blk - 128.0) @ C.T
+                comp[by][bx] = [
+                    int(round(X[_JPEG_ZIGZAG[k]] / q[k])) for k in range(64)
+                ]
+        coefs.append(comp)
+
+    if scans is None:
+        scans = [(list(range(ncomp)), 0, 0, 0, 1),
+                 (list(range(ncomp)), 0, 0, 1, 0)]
+        for ci in range(ncomp):
+            scans += [([ci], 1, 5, 0, 1), ([ci], 6, 63, 0, 1),
+                      ([ci], 1, 5, 1, 0), ([ci], 6, 63, 1, 0)]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + bytes(q)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    for comps_s, Ss, Se, Ah, Al in scans:
+        items = []  # ("sym", cls, symbol) | ("raw", value, nbits) | ("rst",)
+        if Ss == 0:  # DC scan (interleaved over comps_s)
+            pred = {ci: 0 for ci in comps_s}
+            cnt = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    if restart and cnt and cnt % restart == 0:
+                        items.append(("rst",))
+                        pred = {ci: 0 for ci in comps_s}
+                    cnt += 1
+                    for ci in comps_s:
+                        c0 = coefs[ci][by][bx][0]
+                        if Ah == 0:
+                            v = c0 >> Al  # arithmetic shift (T.81 DC PT)
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            s = csize(diff)
+                            items.append(("sym", "dc", s))
+                            if s:
+                                items.append(
+                                    ("raw",
+                                     diff if diff >= 0 else diff + (1 << s) - 1,
+                                     s)
+                                )
+                        else:  # refinement: one raw bit, no Huffman
+                            items.append(("raw", (c0 >> Al) & 1, 1))
+        else:  # AC scan: single component
+            ci = comps_s[0]
+            eobrun = 0
+            BE = []  # correction bits carried with the pending EOB run
+
+            def flush_eob():
+                nonlocal eobrun, BE
+                if eobrun > 0:
+                    nb = eobrun.bit_length() - 1
+                    items.append(("sym", "ac", nb << 4))
+                    if nb:
+                        items.append(("raw", eobrun - (1 << nb), nb))
+                    for b in BE:
+                        items.append(("raw", b, 1))
+                    eobrun, BE = 0, []
+
+            cnt = 0
+            for by in range(hb):
+                for bx in range(wb):
+                    if restart and cnt and cnt % restart == 0:
+                        flush_eob()
+                        items.append(("rst",))
+                    cnt += 1
+                    band = coefs[ci][by][bx][Ss : Se + 1]
+                    if Ah == 0:  # first pass: magnitude point transform
+                        vals = [
+                            (abs(t) >> Al) * (1 if t >= 0 else -1) for t in band
+                        ]
+                        last = -1
+                        for i, v in enumerate(vals):
+                            if v:
+                                last = i
+                        if last < 0:
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                flush_eob()
+                            continue
+                        flush_eob()
+                        run = 0
+                        for i in range(last + 1):
+                            v = vals[i]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                items.append(("sym", "ac", 0xF0))
+                                run -= 16
+                            s = csize(v)
+                            items.append(("sym", "ac", (run << 4) | s))
+                            items.append(
+                                ("raw", v if v >= 0 else v + (1 << s) - 1, s)
+                            )
+                            run = 0
+                        if last < Se - Ss:
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                flush_eob()
+                    else:  # refinement (jcphuff encode_mcu_AC_refine)
+                        absv = [abs(t) >> Al for t in band]
+                        eobpos = -1
+                        for i, a in enumerate(absv):
+                            if a == 1:
+                                eobpos = i
+                        r, BR = 0, []
+                        for i, a in enumerate(absv):
+                            if a == 0:
+                                r += 1
+                                continue
+                            # Emit pending ZRLs BEFORE the history test
+                            # (jcphuff): a deferred ZRL would reorder the
+                            # correction bits the decoder reads during
+                            # its ZRL walk. Not emitted past the last
+                            # newly-visible coef (folds into the EOB).
+                            while r > 15 and i <= eobpos:
+                                flush_eob()
+                                items.append(("sym", "ac", 0xF0))
+                                for b in BR:
+                                    items.append(("raw", b, 1))
+                                BR = []
+                                r -= 16
+                            if a > 1:  # history-nonzero: correction bit
+                                BR.append(a & 1)
+                                continue
+                            # newly visible (a == 1)
+                            flush_eob()
+                            items.append(("sym", "ac", (r << 4) | 1))
+                            items.append(
+                                ("raw", 1 if band[i] > 0 else 0, 1)
+                            )
+                            for b in BR:
+                                items.append(("raw", b, 1))
+                            BR = []
+                            r = 0
+                        if r > 0 or BR:
+                            eobrun += 1
+                            BE.extend(BR)
+                            if eobrun == 0x7FFF:
+                                flush_eob()
+            flush_eob()
+
+        dcsyms = sorted({it[2] for it in items if it[0] == "sym" and it[1] == "dc"})
+        acsyms = sorted({it[2] for it in items if it[0] == "sym" and it[1] == "ac"})
+        codes = {}
+        for cls, syms in (("dc", dcsyms), ("ac", acsyms)):
+            if syms:
+                codes[cls] = {s: (8, i) for i, s in enumerate(syms)}
+                counts = [0] * 16
+                counts[7] = len(syms)
+                seg = bytes([(0 if cls == "dc" else 1) << 4]) + bytes(counts) + bytes(syms)
+                out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+        sos = bytes([len(comps_s)])
+        for ci in comps_s:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        acc, nbits = 0, 0
+        body = bytearray()
+
+        def put(val, k):
+            nonlocal acc, nbits
+            for i in range(k - 1, -1, -1):
+                acc = (acc << 1) | ((val >> i) & 1)
+                nbits += 1
+                if nbits == 8:
+                    body.append(acc)
+                    if acc == 0xFF:
+                        body.append(0x00)
+                    acc, nbits = 0, 0
+
+        def flush_bits():
+            nonlocal acc, nbits
+            if nbits:
+                acc <<= 8 - nbits
+                acc |= (1 << (8 - nbits)) - 1
+                body.append(acc)
+                if acc == 0xFF:
+                    body.append(0x00)
+                acc, nbits = 0, 0
+
+        rst_n = 0
+        for it in items:
+            if it[0] == "rst":
+                flush_bits()
+                body.extend(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+                rst_n += 1
+            elif it[0] == "sym":
+                ln, code = codes[it[1]][it[2]]
+                put(code, ln)
+            else:
+                put(it[1], it[2])
+        flush_bits()
+        out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_stdlib_progressive_matches_baseline():
+    """Full progressive script (DC first + DC refine + banded AC first
+    + AC refine, Al 1 → 0) must decode to EXACTLY the baseline path's
+    mean on the same image and quant table — the scans reconstruct the
+    identical coefficient array, and the baseline path is already
+    validated against an independent encoder."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_jpeg_stdlib
+
+    yy, xx = np.meshgrid(np.arange(19), np.arange(37), indexing="ij")
+    img = ((xx * 5 + yy * 3) % 256).astype(float)
+    base = decode_jpeg_stdlib(_encode_jpeg_baseline([img]))
+    prog = decode_jpeg_stdlib(_encode_jpeg_progressive([img]))
+    assert prog == base
+    assert (prog[0], prog[1]) == (37, 19)
+
+
+def test_jpeg_stdlib_progressive_spectral_only():
+    """Spectral selection without successive approximation (Al = 0
+    everywhere, three AC bands → EOB runs across band-empty blocks)
+    also reconstructs the exact baseline coefficients."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_jpeg_stdlib
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 17)).astype(float)
+    scans = [([0], 0, 0, 0, 0), ([0], 1, 2, 0, 0), ([0], 3, 20, 0, 0),
+             ([0], 21, 63, 0, 0)]
+    base = decode_jpeg_stdlib(_encode_jpeg_baseline([img]))
+    prog = decode_jpeg_stdlib(_encode_jpeg_progressive([img], scans=scans))
+    assert prog == base
+
+
+def test_jpeg_stdlib_progressive_color_and_restart():
+    """Three-component progressive with a restart interval: interleaved
+    DC scan + per-component AC scans, RSTn markers inside every scan
+    (DC predictors and EOB runs reset); luma mean must equal the
+    baseline path's exactly."""
+    import numpy as np
+
+    yy = np.tile(np.linspace(40, 200, 16)[:, None], (1, 16))
+    cb = np.full((16, 16), 90.0)
+    cr = np.full((16, 16), 160.0)
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_jpeg_stdlib
+
+    base = decode_jpeg_stdlib(_encode_jpeg_baseline([yy, cb, cr]))
+    prog = decode_jpeg_stdlib(
+        _encode_jpeg_progressive([yy, cb, cr], restart=2)
+    )
+    assert prog == base
+
+
+def test_jpeg_stdlib_rejects_arithmetic_and_garbage():
     import struct
 
     import pytest
@@ -721,30 +1027,35 @@ def test_jpeg_stdlib_rejects_progressive():
 
     fake = (
         b"\xff\xd8"
-        + b"\xff\xc2"  # SOF2 progressive
+        + b"\xff\xc9"  # SOF9 — arithmetic sequential
         + struct.pack(">H", 11)
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
         + b"\xff\xd9"
     )
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="arithmetic"):
         decode_jpeg_stdlib(fake)
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg_stdlib(b"plainbytes")
 
 
 def test_jpeg_real_path_in_spark_without_pil(spark):
-    """A real JPEG payload flows through decode_image_features'
-    auto-dispatch end to end (stdlib decode on executors, no PIL)."""
+    """Baseline AND progressive JPEG payloads flow through
+    decode_image_features' auto-dispatch end to end (stdlib decode on
+    executors, no PIL)."""
     import numpy as np
 
     from the_framework_for_clustering_time_series_data_spark.operators import multimodal as mm
 
     img = np.full((8, 8), 50.0)
     payload = _encode_jpeg_baseline([img])
-    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
-    out = mm.decode_image_features(df).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert (r["width"], r["height"]) == (8, 8)
-    assert abs(r["mean_intensity"] - 50.0 / 255.0) < 1e-6
+    prog = _encode_jpeg_progressive([img])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(prog))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in mm.decode_image_features(df).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert (r["width"], r["height"]) == (8, 8)
+        assert abs(r["mean_intensity"] - 50.0 / 255.0) < 1e-6

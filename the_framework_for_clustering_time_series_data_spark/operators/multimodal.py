@@ -8,14 +8,15 @@ Each kernel carries BOTH code paths:
 * a REAL decoder, used automatically when available — and EVERY
   modality has mainstream formats needing NO dependency at all:
   PNG decodes pure-stdlib (zlib + scanline unfiltering,
-  :func:`decode_png_stdlib`), BASELINE JPEG decodes stdlib+NumPy
-  (markers + Huffman + IDCT, :func:`decode_jpeg_stdlib`), RIFF/WAVE
-  PCM decodes pure-stdlib (``wave`` + struct,
-  :func:`decode_wav_features`), and YUV4MPEG2 video parses
-  pure-stdlib (:func:`sample_frames_y4m`); remaining formats
-  (progressive JPEG, WebP, compressed audio/video) use PIL for
-  images, soundfile for audio, the ffmpeg binary for video frames —
-  gated per modality below;
+  :func:`decode_png_stdlib`), BASELINE **and PROGRESSIVE** JPEG
+  decode stdlib+NumPy (markers + Huffman + IDCT; multi-scan spectral
+  selection / successive approximation per T.81 G.2 — round 6,
+  :func:`decode_jpeg_stdlib`), RIFF/WAVE PCM decodes pure-stdlib
+  (``wave`` + struct, :func:`decode_wav_features`), and YUV4MPEG2
+  video parses pure-stdlib (:func:`sample_frames_y4m`); remaining
+  formats (arithmetic-coded JPEG, WebP, compressed audio/video) use
+  PIL for images, soundfile for audio, the ffmpeg binary for video
+  frames — gated per modality below;
 * a DETERMINISTIC STUB (seeded from the payload bytes, clearly marked)
   that keeps the distributed plumbing — schema, Arrow batching,
   partition behavior, UDF signatures — exercised end to end in
@@ -264,28 +265,176 @@ def _receive_extend(bits: _JpegBits, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
-    """Pure-stdlib(+NumPy) BASELINE JPEG decode → (width, height,
-    mean_intensity of the luma plane).
+def _prog_dc_scan(bits, huff, scan, frame, coefs, Al, first, restart_interval):
+    """Progressive DC scan (T.81 G.2): interleaved (MCU order, all
+    scan components) or single-component (the component's own block
+    grid). ``first`` (Ah == 0) Huffman-decodes shifted DC diffs; a
+    refinement scan reads ONE bit per block ORed in at bit Al."""
+    h, w, comps = frame
+    by_cid = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    dc_pred = {cid: 0 for cid, _, _ in scan}
+    since = 0
 
-    JPEG baseline is markers + canonical Huffman + dequantization +
-    zigzag + 8×8 IDCT — all expressible with ``struct`` and one NumPy
-    matrix product per block, so this container runs a REAL JPEG decode
+    def unit_blocks():
+        """Yield (cid, tdc, by, bx) per restart unit (MCU or block)."""
+        if len(scan) > 1:  # interleaved: MCU order
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for cid, tdc, _ in scan:
+                        _, hs, vs, _ = by_cid[cid]
+                        for v in range(vs):
+                            for u in range(hs):
+                                unit.append((cid, tdc, my * vs + v, mx * hs + u))
+                    yield unit
+        else:
+            cid, tdc, _ = scan[0]
+            _, hs, vs, _ = by_cid[cid]
+            wb = -(-(-(-w * hs // hmax)) // 8)
+            hb = -(-(-(-h * vs // vmax)) // 8)
+            for by in range(hb):
+                for bx in range(wb):
+                    yield [(cid, tdc, by, bx)]
+
+    for unit in unit_blocks():
+        if restart_interval and since == restart_interval:
+            bits.sync_restart()
+            dc_pred = {cid: 0 for cid, _, _ in scan}
+            since = 0
+        for cid, tdc, by, bx in unit:
+            blk = coefs[cid][by][bx]
+            if first:
+                s = _huff_decode(bits, huff[(0, tdc)])
+                diff = _receive_extend(bits, s)
+                dc_pred[cid] += diff
+                blk[0] = dc_pred[cid] << Al
+            else:
+                if bits.read1():
+                    blk[0] = int(blk[0]) | (1 << Al)
+        since += 1
+
+
+def _prog_ac_scan(bits, huff, scan, frame, coefs, Ss, Se, Ah, Al, restart_interval):
+    """Progressive AC scan (single component by definition, T.81
+    G.1.1.1.1): first pass (Ah == 0) decodes run/size symbols with
+    EOB-run extension; refinement follows the libjpeg
+    decode_mcu_AC_refine discipline — a correction bit for every
+    nonzero-history coefficient visited, newly-nonzero coefficients
+    inserted as ±1<<Al, EOB runs carrying the remaining correction
+    bits."""
+    h, w, comps = frame
+    by_cid = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    cid, _, tac = scan[0]
+    table = huff[(1, tac)]
+    _, hs, vs, _ = by_cid[cid]
+    wb = -(-(-(-w * hs // hmax)) // 8)
+    hb = -(-(-(-h * vs // vmax)) // 8)
+    eobrun = 0
+    p1, m1 = 1 << Al, -(1 << Al)
+    since = 0
+    for by in range(hb):
+        for bx in range(wb):
+            if restart_interval and since == restart_interval:
+                bits.sync_restart()
+                eobrun = 0
+                since = 0
+            since += 1
+            blk = coefs[cid][by][bx]
+            if Ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = _huff_decode(bits, table)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += bits.read(r)
+                            break
+                        k += 16
+                    else:
+                        k += r
+                        if k > Se:
+                            raise ValueError("malformed JPEG: AC band overflow")
+                        blk[k] = _receive_extend(bits, s) * (1 << Al)
+                        k += 1
+            else:  # refinement
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        rs = _huff_decode(bits, table)
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.read(r)
+                                break
+                            # r == 15: skip over 16 zero-history coefs
+                        else:
+                            val = p1 if bits.read1() else m1
+                        while k <= Se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if bits.read1() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= Se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= Se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if bits.read1() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib(+NumPy) JPEG decode → (width, height,
+    mean_intensity of the luma plane) — BASELINE and PROGRESSIVE.
+
+    JPEG is markers + canonical Huffman + dequantization + zigzag +
+    8×8 IDCT — all expressible with ``struct`` and one NumPy matrix
+    product per block, so this container runs a REAL JPEG decode
     without PIL (the PNG/WAV/Y4M story extended to the one remaining
     mainstream image format). Supports: SOF0/SOF1 (sequential DCT,
-    8-bit), any component count and sampling factors (4:4:4 / 4:2:2 /
-    4:2:0 …), 8/16-bit DQT, multiple DHT segments, DRI restart
-    intervals. Progressive (SOF2) and arithmetic coding raise
-    ValueError (those stay behind PIL).
+    8-bit) decoded scan-streaming, and — round 6 — SOF2 PROGRESSIVE:
+    multi-scan spectral selection + successive approximation per T.81
+    G.2 (interleaved/non-interleaved DC scans with point transform and
+    refinement bits, per-band AC scans with EOB-run extension, and the
+    libjpeg-discipline AC refinement with correction bits), coefficients
+    accumulated across scans and IDCT'd at EOI. Any component count
+    and sampling factors (4:4:4 / 4:2:2 / 4:2:0 …), 8/16-bit DQT,
+    multiple DHT segments, DRI restart intervals in both modes.
+    Arithmetic coding and lossless/hierarchical SOFs raise ValueError
+    (those stay behind PIL).
 
     ``mean_intensity`` averages the Y component directly (JPEG stores
     YCbCr — luma needs no color convert), cropped to the true image
     rectangle before averaging so padded edge MCUs do not bias it.
-    Non-luma components are entropy-decoded to keep the bit stream in
-    sync but skip the IDCT (their pixels are not needed for the
-    feature row). Per-bit Python decode is the cost of zero
-    dependencies — fine for thumbnail features; use PIL for bulk
-    full-resolution work.
+    In the baseline path non-luma components are entropy-decoded to
+    keep the bit stream in sync but skip the IDCT; the progressive
+    path must buffer all components' coefficients anyway (scans
+    interleave arbitrarily) but IDCTs only luma. Per-bit Python decode
+    is the cost of zero dependencies — fine for thumbnail features;
+    use PIL for bulk full-resolution work.
     """
     import struct
 
@@ -299,6 +448,8 @@ def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    coef_store: dict[int, "np.ndarray"] = {}
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("malformed JPEG: marker desync")
@@ -337,10 +488,38 @@ def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
                 for i in range(nc)
             ]
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # SOF2 — progressive DCT
+            import numpy as np
+
+            h, w, nc = (
+                struct.unpack(">H", seg[1:3])[0],
+                struct.unpack(">H", seg[3:5])[0],
+                seg[5],
+            )
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 15,
+                 seg[8 + 3 * i])
+                for i in range(nc)
+            ]
+            frame = (h, w, comps)
+            progressive = True
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hs, vs, _tq in comps:
+                # MCU-padded block grid covers interleaved DC scans;
+                # non-interleaved scans address the top-left subgrid.
+                # Coefficients live in ZIGZAG index space (like the
+                # baseline path's coef[64]).
+                coef_store[cid] = np.zeros(
+                    (mcuy * vs, mcux * hs, 64), dtype=np.int32
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG (progressive/arithmetic SOF); use the PIL path"
+                "unsupported JPEG (arithmetic/lossless/hierarchical SOF); "
+                "use the PIL path"
             )
         elif marker == 0xC4:  # DHT
             s = 0
@@ -362,7 +541,9 @@ def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
                 huff[(tc, th)] = table
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS — decode the scan and finish
+        elif marker == 0xDA:  # SOS — baseline: decode and finish;
+            # progressive: accumulate this scan's coefficients and
+            # continue the marker loop
             if frame is None:
                 raise ValueError("malformed JPEG: SOS before SOF")
             ns = seg[0]
@@ -370,6 +551,38 @@ def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
                 for i in range(ns)
             ]
+            if progressive:
+                Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah_al = seg[3 + 2 * ns]
+                Ah, Al = ah_al >> 4, ah_al & 15
+                bits = _JpegBits(data, pos)
+                if Ss == 0:
+                    if Se != 0:
+                        raise ValueError("malformed JPEG: DC scan with Se != 0")
+                    _prog_dc_scan(
+                        bits, huff, scan, frame, coef_store, Al, Ah == 0,
+                        restart_interval,
+                    )
+                else:
+                    if ns != 1:
+                        raise ValueError(
+                            "malformed JPEG: interleaved progressive AC scan"
+                        )
+                    _prog_ac_scan(
+                        bits, huff, scan, frame, coef_store, Ss, Se, Ah, Al,
+                        restart_interval,
+                    )
+                # skip any remaining entropy bytes (incl. stuffed 0xFF00
+                # and RSTn) up to the next true marker
+                p = bits.p
+                while p + 1 < len(data) and not (
+                    data[p] == 0xFF
+                    and data[p + 1] != 0x00
+                    and not (0xD0 <= data[p + 1] <= 0xD7)
+                ):
+                    p += 1
+                pos = p
+                continue
             h, w, comps = frame
             by_cid = {c[0]: c for c in comps}
             hmax = max(c[1] for c in comps)
@@ -431,6 +644,35 @@ def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
             cw = -(-w * y_hs // hmax)
             crop = np.clip(np.round(plane[:ch, :cw]), 0, 255)
             return int(w), int(h), round(float(crop.mean()) / 255.0, 6)
+    if progressive and frame is not None and coef_store:
+        # EOI reached with accumulated progressive coefficients:
+        # dequantize + IDCT the luma blocks (first frame component = Y
+        # by convention), crop to the true rectangle, average.
+        import numpy as np
+
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        luma_cid, y_hs, y_vs, y_tq = comps[0]
+        cw = -(-w * y_hs // hmax)
+        ch = -(-h * y_vs // vmax)
+        wb, hb = -(-cw // 8), -(-ch // 8)
+        C = _dct_matrix()
+        q = qt[y_tq]
+        plane = np.zeros((hb * 8, wb * 8))
+        blocks = coef_store[luma_cid]
+        for by in range(hb):
+            for bx in range(wb):
+                coef = blocks[by][bx]
+                block = np.zeros((8, 8))
+                for kk in range(64):
+                    if coef[kk]:
+                        r_, c_ = _JPEG_ZIGZAG[kk]
+                        block[r_, c_] = int(coef[kk]) * q[kk]
+                pix = C.T @ block @ C + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pix
+        crop = np.clip(np.round(plane[:ch, :cw]), 0, 255)
+        return int(w), int(h), round(float(crop.mean()) / 255.0, 6)
     raise ValueError("malformed JPEG: no SOS marker")
 
 
@@ -507,8 +749,9 @@ def decode_image_features(
         if bytes(payload[:8]) == PNG_MAGIC:
             return decode_png_stdlib(payload)
         if bytes(payload[:3]) == JPEG_MAGIC and not PIL_AVAILABLE:
-            # baseline JPEG decodes stdlib-side; progressive raises and
-            # (without PIL) falls through to the stub unless use_real
+            # baseline AND progressive JPEG decode stdlib-side;
+            # arithmetic/lossless raise and (without PIL) fall through
+            # to the stub unless use_real
             try:
                 return decode_jpeg_stdlib(payload)
             except ValueError:
@@ -520,8 +763,8 @@ def decode_image_features(
         if use_real:
             raise ImportError(
                 "real decode requested for a non-PNG/JPEG payload but PIL "
-                "is not available (PNG and baseline JPEG decode "
-                "stdlib-only; other formats need PIL)"
+                "is not available (PNG and baseline/progressive JPEG "
+                "decode stdlib-only; other formats need PIL)"
             )
         return _decode_stub(payload)
 
