@@ -133,6 +133,39 @@ def test_pca_powerit_recovers_principal_subspace(spark):
     assert got_x.var() > got_y.var()
 
 
+def test_e3b_spectral_separates_clusters(spark, tmp_path):
+    """e3b embeds neighborhood structure, not just a deterministic
+    ritual: two well-separated blobs must come out linearly separable
+    on the first diffusion coordinate (the kNN graph is two
+    near-disconnected components, so the first non-trivial eigenvector
+    splits them by sign)."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.plans.ml_plans import e3b_spectral_md5
+
+    rng = np.random.default_rng(5)
+    pts = []
+    for b in range(2):
+        center = np.zeros(64)
+        center[: 8] = 10.0 * b
+        for i in range(30):
+            pts.append((b * 30 + i, [float(x) for x in center + rng.normal(scale=0.5, size=64)], b))
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>, label int")
+    sf = str(tmp_path / "sfX")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    out = {r["series_id"]: r["x"] for r in e3b_spectral_md5(spark, sf).collect()}
+    xs0 = [out[i] for i in range(30)]
+    xs1 = [out[i] for i in range(30, 60)]
+    # one blob strictly positive, the other strictly negative
+    s0, s1 = np.sign(np.median(xs0)), np.sign(np.median(xs1))
+    assert s0 != 0 and s1 != 0 and s0 == -s1
+    assert all(np.sign(v) == s0 for v in xs0)
+    assert all(np.sign(v) == s1 for v in xs1)
+
+
 def test_kshape_md5_short_series_lag_overlap_guard(spark):
     """Series shorter than max_lag+1 (round-6 ADVICE): the degenerate
     overlap (start > stop) must yield cc = 0 — NOT a descending

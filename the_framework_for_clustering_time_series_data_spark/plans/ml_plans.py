@@ -991,6 +991,296 @@ def e2c_pca_powerit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed.pca_powerit_det(load_table(spark, sf_dir, "embeddings"))
 
 
+_E3B_CAP = 1000
+_E3B_NN = 8
+_E3B_ROUNDS = 6
+_E3B_DIM = 64
+
+
+def _e3b_center_norm_sql(o: str, src_expr: str) -> str:
+    """Shared per-round tail: exact-mean centering + L1 normalization
+    of a 6-dp vector CTE ``{o}_pre(id, c)`` into ``{o}(id, v)``."""
+    return f"""{o}_n AS (
+  SELECT greatest(CAST(sum(CAST(floor(abs(c) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 1e6, 1e-6) AS nn
+  FROM {src_expr}
+),
+{o} AS MATERIALIZED (
+  SELECT id, floor(c / (SELECT nn FROM {o}_n) * 1e6 + 0.5) / 1e6 AS v
+  FROM {src_expr}
+)"""
+
+
+def _e3b_matvec_sql(prev: str, o: str) -> str:
+    """round6(P·prev) with exact pico-unit integer sums, then exact-mean
+    centering — the ``{o}_c(id, c)`` frame both round flavors share."""
+    return f"""{o}_t AS (
+  SELECT p.src AS id,
+         floor(CAST(sum(CAST(floor(p.pw * 1e6 + 0.5) AS BIGINT)
+                        * CAST(floor(q.v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 + 0.5) / 1e6 AS t
+  FROM p JOIN {prev} q ON q.id = p.dst GROUP BY 1
+),
+{o}_m AS (
+  SELECT floor(CAST(sum(CAST(floor(t * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(*) + 0.5) / 1e6 AS m
+  FROM {o}_t
+),
+{o}_c AS (SELECT id, t - (SELECT m FROM {o}_m) AS c FROM {o}_t)"""
+
+
+def _e3b_round1_sql(prev: str, o: str) -> str:
+    return (
+        _e3b_matvec_sql(prev, o) + ",\n" + _e3b_center_norm_sql(o, f"{o}_c")
+    )
+
+
+def _e3b_round2_sql(prev: str, o: str, uf: str) -> str:
+    """Second-component round: matvec + center, then Gram-Schmidt
+    deflation against the final first component (exact pico dots, one
+    double division), then L1-normalize."""
+    return f"""{_e3b_matvec_sql(prev, o)},
+{o}_a AS (
+  SELECT CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)
+                  * CAST(floor(c.c * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         / CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)
+                    * CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) AS alpha
+  FROM {uf} u JOIN {o}_c c ON c.id = u.id
+),
+{o}_r AS (
+  SELECT c.id,
+         c.c - floor((SELECT alpha FROM {o}_a) * u.v * 1e6 + 0.5) / 1e6 AS c
+  FROM {o}_c c JOIN {uf} u ON u.id = c.id
+),
+{_e3b_center_norm_sql(o, f"{o}_r")}"""
+
+
+def _e3b_oracle_sql() -> str:
+    r1 = ",\n".join(
+        _e3b_round1_sql(f"xu{r - 1}", f"xu{r}") for r in range(1, _E3B_ROUNDS + 1)
+    )
+    uf = f"xu{_E3B_ROUNDS}"
+    r2 = ",\n".join(
+        _e3b_round2_sql(f"xw{r - 1}", f"xw{r}", uf)
+        for r in range(1, _E3B_ROUNDS + 1)
+    )
+    wf = f"xw{_E3B_ROUNDS}"
+    return f"""
+WITH keep AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {_E3B_CAP}
+),
+e AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1e6 + 0.5) / 1e6) AS v
+  FROM embeddings JOIN keep USING (vec_id)
+),
+knn AS (
+  SELECT src, dst, d2 FROM (
+    SELECT src, dst, d2,
+           row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+    FROM (
+      SELECT a.id AS src, b.id AS dst,
+             list_aggregate(list_transform(range(1, {_E3B_DIM + 1}),
+               j -> (a.v[j] - b.v[j]) * (a.v[j] - b.v[j])), 'sum') AS d2
+      FROM e a JOIN e b ON a.id <> b.id
+    )
+  ) WHERE rn <= {_E3B_NN}
+),
+ed AS MATERIALIZED (
+  SELECT src, dst, max(w) AS w FROM (
+    SELECT src, dst, floor(1.0 / (1.0 + d2) * 1e6 + 0.5) / 1e6 AS w FROM knn
+    UNION ALL
+    SELECT dst, src, floor(1.0 / (1.0 + d2) * 1e6 + 0.5) / 1e6 FROM knn
+  ) GROUP BY 1, 2
+),
+deg AS MATERIALIZED (
+  SELECT src AS id,
+         CAST(sum(CAST(floor(w * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS d
+  FROM ed GROUP BY 1
+),
+p AS MATERIALIZED (
+  SELECT ed.src, ed.dst, floor(ed.w / deg.d * 1e6 + 0.5) / 1e6 AS pw
+  FROM ed JOIN deg ON deg.id = ed.src
+),
+dtot AS (
+  SELECT CAST(sum(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS s
+  FROM deg
+),
+xu0 AS (SELECT id, floor(d / (SELECT s FROM dtot) * 1e6 + 0.5) / 1e6 AS v
+        FROM deg),
+{r1},
+xw0 AS (SELECT id, CASE WHEN id % 2 = 0 THEN 1.0 ELSE -1.0 END AS v FROM deg),
+{r2}
+SELECT u.id AS series_id, u.v AS x, w.v AS y
+FROM {uf} u JOIN {wf} w ON w.id = u.id
+"""
+
+
+@register("e3b_spectral_md5", _e3b_oracle_sql())
+def e3b_spectral_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3b — DETERMINISTIC spectral-embedding twin of e3_umap with a
+    FULL DuckDB value-hash oracle: diffusion-map coordinates (Coifman
+    & Lafon 2006 — the spectral structure UMAP's own init builds on)
+    over the md5-capped kNN graph of the embeddings table, made
+    cross-engine-replayable with the c8b/e2c discipline where the
+    umap-learn / eigensolver paths are solver-defined:
+
+    * corpus capped to the {_E3B_CAP} smallest-md5(vec_id) rows (full
+      corpus below the cap — sf0.01 has 500); vectors 6-dp quantized;
+    * exact kNN ({_E3B_NN} neighbors, sequential-fold d², ties → nbr
+      id), symmetrized; UMAP-shaped rational weights
+      ``round6(1/(1+d²))`` — no transcendentals, so parity is absolute;
+    * random-walk normalization P = D⁻¹W (exact micro-unit degrees);
+    * {_E3B_ROUNDS} power rounds per component: round6(P·v) with exact
+      pico-unit int sums, exact-mean centering (deflates the trivial
+      all-ones eigenvector), L1 normalization; the second component
+      additionally Gram-Schmidts against the first (exact pico dots);
+    * x, y = the two final vectors — every reduction integer-summed or
+      a sequential fold, replayed by unrolled CTEs.
+
+    O(cap·k) edges per round, one tiny shuffle each — the kNN build is
+    the only quadratic stage and is bounded by the md5 cap (the
+    corpus-scale route swaps in sim_knn_graph's ANN candidates)."""
+    from pyspark.sql.window import Window
+
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def micro(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    base = (
+        emb.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(_E3B_CAP)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: r6(x)
+            ).alias("v"),
+        )
+        .transform(stage_checkpoint, eager=False)
+    )
+    a = base.select(F.col("id").alias("src"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("dst"), F.col("v").alias("vb"))
+    d2 = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", d2.alias("d2"))
+    )
+    wknn = Window.partitionBy("src").orderBy("d2", "dst")
+    knn = (
+        pairs.withColumn("rn", F.row_number().over(wknn))
+        .where(F.col("rn") <= _E3B_NN)
+        .select("src", "dst", r6(F.lit(1.0) / (F.lit(1.0) + F.col("d2"))).alias("w"))
+    )
+    ed = (
+        knn.unionAll(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
+        .transform(stage_checkpoint, eager=False)
+    )
+    deg = ed.groupBy("src").agg(
+        (F.sum(micro(F.col("w"))).cast("double") / F.lit(1e6)).alias("d")
+    ).select(F.col("src").alias("id"), "d")
+    p = ed.join(deg.select(F.col("id").alias("src"), "d"), "src").select(
+        "src", "dst", r6(F.col("w") / F.col("d")).alias("pw")
+    ).transform(stage_checkpoint, eager=False)
+    dtot = deg.agg(
+        (F.sum(micro(F.col("d"))).cast("double") / F.lit(1e6)).alias("s")
+    )
+
+    def matvec_centered(vec: DataFrame) -> DataFrame:
+        t = (
+            p.join(vec.select(F.col("id").alias("dst"), F.col("v").alias("qv")), "dst")
+            .groupBy("src")
+            .agg(F.sum(micro(F.col("pw")) * micro(F.col("qv"))).alias("sp"))
+            .select(
+                F.col("src").alias("id"),
+                (F.floor(F.col("sp").cast("double") / F.lit(1e6) + F.lit(0.5))
+                 / F.lit(1e6)).alias("t"),
+            )
+        )
+        m = t.agg(
+            (
+                F.floor(
+                    F.sum(micro(F.col("t"))).cast("double") / F.count("*")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("m")
+        )
+        return t.crossJoin(F.broadcast(m)).select(
+            "id", (F.col("t") - F.col("m")).alias("c")
+        )
+
+    def l1_unit(cdf: DataFrame) -> DataFrame:
+        nn = cdf.agg(
+            F.greatest(
+                F.sum(micro(F.abs(F.col("c")))).cast("double") / F.lit(1e6),
+                F.lit(1e-6),
+            ).alias("nn")
+        )
+        return (
+            cdf.crossJoin(F.broadcast(nn))
+            .select("id", r6(F.col("c") / F.col("nn")).alias("v"))
+            .transform(stage_checkpoint, eager=False)
+        )
+
+    u = deg.crossJoin(F.broadcast(dtot)).select(
+        "id", r6(F.col("d") / F.col("s")).alias("v")
+    )
+    for _ in range(_E3B_ROUNDS):
+        u = l1_unit(matvec_centered(u))
+
+    wv = deg.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("v"),
+    )
+    for _ in range(_E3B_ROUNDS):
+        c = matvec_centered(wv)
+        num_den = c.join(u.select(F.col("id"), F.col("v").alias("uv")), "id").agg(
+            (
+                F.sum(micro(F.col("uv")) * micro(F.col("c"))).cast("double")
+                / F.sum(micro(F.col("uv")) * micro(F.col("uv"))).cast("double")
+            ).alias("alpha")
+        )
+        resid = (
+            c.join(u.select("id", F.col("v").alias("uv")), "id")
+            .crossJoin(F.broadcast(num_den))
+            .select(
+                "id",
+                (
+                    F.col("c")
+                    - F.floor(
+                        F.col("alpha") * F.col("uv") * F.lit(1e6) + F.lit(0.5)
+                    )
+                    / F.lit(1e6)
+                ).alias("c"),
+            )
+        )
+        wv = l1_unit(resid)
+
+    return (
+        u.select("id", F.col("v").alias("x"))
+        .join(wv.select("id", F.col("v").alias("y")), "id")
+        .select(F.col("id").alias("series_id"), "x", "y")
+    )
+
+
 @register("e1_autoencoder_latent")  # trained model → rows-only oracle
 def e1_autoencoder_latent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 — autoencoder latent pipeline: RP-image → resize(64) →
