@@ -97,6 +97,7 @@ HEADLINE = [
     "e2c_pca_powerit",
     "sim_ivfb_persisted",
     "text_bpe_merges",
+    "e3b_spectral_md5",
 ]
 
 

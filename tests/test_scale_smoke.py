@@ -311,6 +311,39 @@ def test_pq_deterministic_200k_vectors_recall(spark):
     assert hits >= 0.90 * n_q, f"twin recall {hits}/{n_q}: {top1}"
 
 
+def test_pca_powerit_1m_rows_recovers_planted_spectrum(spark):
+    """1M-row exact-PCA smoke: the Arrow-batched int64 Gramian + power
+    iteration must recover a planted two-factor spectrum — x correlates
+    ~perfectly with the dominant factor, y with the second. Exercises
+    the per-chunk overflow-bounded matmul and the distributed scoring
+    fold at a width where a row-generated n·d² stage would crawl."""
+    from the_framework_for_clustering_time_series_data_spark.operators.embed import pca_powerit_det
+
+    n, d = 1_000_000, 16
+    s = ((F.col("id") % 1000) - 500).cast("double") * 0.01   # dominant factor
+    t = ((F.col("id") % 97) - 48).cast("double") * 0.01      # second factor
+    dims = [
+        s * (1.0 if j < 8 else 0.0)
+        + t * (1.0 if j >= 8 else 0.0)
+        + ((F.col("id") * 7 + j) % 11).cast("double") * 1e-3  # jitter
+        for j in range(d)
+    ]
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+    out = pca_powerit_det(emb)
+    j = out.select(
+        "x", "y",
+        ((F.col("series_id") % 1000) - 500).cast("double").alias("s"),
+        ((F.col("series_id") % 97) - 48).cast("double").alias("t"),
+    )
+    stats = j.agg(
+        F.abs(F.corr("x", "s")).alias("cx"), F.abs(F.corr("y", "t")).alias("cy")
+    ).first()
+    assert stats["cx"] > 0.99, stats
+    assert stats["cy"] > 0.95, stats
+
+
 def test_pagerank_1m_node_ring_uniform(spark):
     # 1M-node ring (every node degree 2): PageRank's fixed point is
     # exactly uniform, and power iteration started uniform STAYS

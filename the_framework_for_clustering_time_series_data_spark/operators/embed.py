@@ -118,16 +118,42 @@ def pca_powerit_det(
         "id", F.zip_with("vu", mmu_lit, lambda a, b: a - b).alias("c")
     )
 
-    srows = (
-        cdf.select(F.posexplode("c").alias("p", "a"), "c")
-        .select("p", "a", F.posexplode("c").alias("q", "b"))
-        .groupBy("p", "q")
-        .agg(F.sum((F.col("a") * F.col("b")).cast("decimal(28,0)")).alias("sp"))
-        .collect()
-    )
-    S = [[0] * d for _ in range(d)]
-    for r in srows:
-        S[r["p"]][r["q"]] = int(math.floor(float(int(r["sp"])) / 1e6 + 0.5))
+    # Exact distributed Gramian: per-chunk int64 matmuls inside an
+    # Arrow kernel, chunk length bounded so no partial sum can exceed
+    # int64 (rows_per_chunk · max|c|² < 2⁶³); the ≤1-row-per-chunk
+    # partial matrices are summed exactly on the driver with Python
+    # arbitrary-precision ints. Identical integer totals to a
+    # groupBy-sum (integer addition is associative), at n·d² flops
+    # with matmul constants instead of n·d² generated codegen rows —
+    # the shape that holds at 10⁹ rows. DuckDB replays the same sums
+    # as HUGEINT.
+    import numpy as np
+    import pandas as pd
+
+    def scatter_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cm = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["c"]])
+            mx = max(int(np.abs(Cm).max()), 1)
+            step = max(1, int((2**63 - 1) // (mx * mx)))
+            for i in range(0, len(Cm), step):
+                part = Cm[i : i + step]
+                yield pd.DataFrame({"s": [(part.T @ part).reshape(-1).tolist()]})
+
+    flat = [0] * (d * d)
+    for r in cdf.select("c").mapInPandas(
+        scatter_partials, schema="s array<long>"
+    ).collect():
+        for idx, v in enumerate(r["s"]):
+            flat[idx] += int(v)
+    S = [
+        [
+            int(math.floor(float(flat[p * d + q]) / 1e6 + 0.5))
+            for q in range(d)
+        ]
+        for p in range(d)
+    ]
 
     def matvec(vec: list[int]) -> list[int]:
         return [sum(S[p][q] * vec[q] for q in range(d)) for p in range(d)]

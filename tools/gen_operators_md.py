@@ -34,7 +34,7 @@ ROWS_ONLY_NOTES = {
     "d2_approx_distinct": "approx-sketch: HLL++ registers are implementation-defined; DuckDB's approx_count_distinct uses a different sketch. Relative-error bound vs exact COUNT(DISTINCT) tested in test_properties.py.",
     "e1_autoencoder_latent": "iterative-fit: gradient-descent-trained autoencoder weights; inference is deterministic given weights but weights are not SQL-derivable. Reconstruction-learning tests in test_ml.py.",
     "e2_pca": "sign-indeterminate: eigenvector signs/column order are solver-defined; the VARIANCE spectrum is oracle-checked (e2b_pca_variance). Projection-geometry tests in test_ml.py.",
-    "e3_umap": "iterative-fit: SGD layout (umap-learn) or Laplacian eigenmaps fallback; both solver-defined. Neighborhood-preservation test in test_ml.py.",
+    "e3_umap": "iterative-fit: SGD layout (umap-learn) or Laplacian eigenmaps fallback; both solver-defined. Neighborhood-preservation test in test_ml.py. Its deterministic twin e3b_spectral_md5 IS fully oracle-checked.",
     "pipeline_e2e": "composite: chains model fits (autoencoder/kmeans) whose stages are individually rows-only above; the relational stages of the pipeline are oracle-checked as separate queries. End-to-end matrix tested in test_pipeline_matrix.py. Its deterministic spine pipeline_e2e_det IS fully oracle-checked through the same facade.",
     "sim_ivf_persisted_topk": "depends on a seeded MLlib kmeans coarse quantizer (RNG/impl-defined); list-pruning correctness tested via parity-with-bruteforce in test_similarity_ann.py.",
     "sim_ivf_topk": "same MLlib coarse-quantizer dependency as sim_ivf_persisted_topk; recall floor tested in test_similarity_ann.py. Its deterministic-Lloyd twin sim_ivfb_topk IS fully oracle-checked.",
