@@ -906,7 +906,7 @@ p{k} AS (
 ),
 m{k} AS MATERIALIZED (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
 b{k} AS MATERIALIZED (
-  SELECT freq,
+  SELECT word, freq,
          replace(s,
                  chr(30) || (SELECT l FROM m{k}) || chr(31)
                    || chr(30) || (SELECT r FROM m{k}) || chr(31),
@@ -916,24 +916,23 @@ b{k} AS MATERIALIZED (
 )"""
 
 
-def _bpe_oracle_sql() -> str:
+def _bpe_learn_ctes() -> str:
+    """Shared CTE chain (no leading WITH) replaying the 10 BPE merge
+    rounds; ends with per-round argmax CTEs ``m1..mN`` AND the fully
+    merged vocabulary ``b{N}(word, freq, s)`` — consumed by BOTH the
+    text_bpe_merges oracle and text_bpe_apply's (tokenizer application
+    shares the learned state, so the two stay in lockstep)."""
     rounds = ",\n".join(
         _bpe_round_sql(str(k - 1), k) for k in range(1, _BPE_MERGES + 1)
     )
-    finals = "\nUNION ALL\n".join(
-        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", '
-        f"CAST(n AS BIGINT) AS pair_count FROM m{k}"
-        for k in range(1, _BPE_MERGES + 1)
-    )
-    return f"""
-WITH wf AS (
+    return f"""wf AS (
   SELECT word, count(*) AS freq FROM (
     SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
     FROM documents
   ) WHERE word != '' GROUP BY word
 ),
 b0 AS MATERIALIZED (
-  SELECT freq,
+  SELECT word, freq,
          list_aggregate(
            list_transform(range(1, length(word) + 1),
                           i -> chr(30) || substr(word, CAST(i AS INT), 1)
@@ -941,7 +940,17 @@ b0 AS MATERIALIZED (
            'string_agg', '') AS s
   FROM wf
 ),
-{rounds}
+{rounds}"""
+
+
+def _bpe_oracle_sql() -> str:
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", '
+        f"CAST(n AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+WITH {_bpe_learn_ctes()}
 {finals}
 """
 
@@ -964,6 +973,73 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     presupposes."""
     return T.bpe_learn_merges(
         load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
+
+
+@register(
+    "text_bpe_apply",
+    f"""
+WITH {_bpe_learn_ctes()},
+vs AS (
+  SELECT word, length(s) - length(replace(s, chr(30), '')) AS n_sym
+  FROM b{_BPE_MERGES}
+),
+dw AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(CAST(sum(n_sym) AS DOUBLE) / count(*), 6) AS tokens_per_word
+FROM dw JOIN vs USING (word)
+WHERE word != ''
+GROUP BY doc_id
+""",
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION with a full oracle — the learned BPE
+    tokenizer (text_bpe_merges) applied corpus-wide: per-doc true BPE
+    token counts (not the regex approximation of text_bpe_tokens).
+
+    Spark-first shape: the merge table (10 rows, collected — model
+    state) applies to the DISTINCT-WORD vocabulary only, as 10 chained
+    JVM ``replace`` calls over the same marker-wrapped representation
+    the learn oracle replays (greedy left-to-right pair merge ==
+    non-overlapping replace — no Python, no per-word loop); per-doc
+    counts come from one word-level join back to the corpus + one
+    groupBy. At 100 TB the vocabulary is orders of magnitude smaller
+    than the corpus, so the expensive per-word merge work is
+    vocab-sized while the corpus pass is a plain shuffle join. The
+    oracle re-learns the merges and re-applies them through the SHARED
+    ``_bpe_learn_ctes`` chain, so learn and apply can never drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = T.bpe_learn_merges(docs, n_merges=_BPE_MERGES).collect()
+    RS, US = "\x1e", "\x1f"
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    vocab = words.select("word").distinct()
+    # wrap every char: one regex pass builds the marker representation
+    s = F.regexp_replace(F.col("word"), "(.)", RS + "$1" + US)
+    for row in sorted(merges, key=lambda r: r["rank"]):
+        l, r = row["left"], row["right"]
+        s = F.replace(s, F.lit(RS + l + US + RS + r + US), F.lit(RS + l + r + US))
+    vs = vocab.select(
+        "word",
+        (F.length(s) - F.length(F.replace(s, F.lit(RS), F.lit("")))).alias("n_sym"),
+    )
+    return (
+        words.join(vs, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").alias("n_bpe_tokens"),
+            F.count("*").alias("n_words"),
+            F.round(
+                F.sum("n_sym").cast("double") / F.count("*"), 6
+            ).alias("tokens_per_word"),
+        )
     )
 
 
