@@ -98,6 +98,7 @@ HEADLINE = [
     "sim_ivfb_persisted",
     "text_bpe_merges",
     "e3b_spectral_md5",
+    "text_bpe_apply",
 ]
 
 

@@ -627,28 +627,35 @@ def bpe_learn_merges(
     packing operator in this module.
 
     Spark-first decomposition: the corpus collapses to a WORD-FREQUENCY
-    table first (one corpus-sized aggregate; everything after runs on
-    the vocabulary, which is orders of magnitude smaller than 100 TB of
-    text), then each of the ``n_merges`` rounds is
+    table first (one corpus-sized aggregate materialized ONCE;
+    everything after runs on the vocabulary, which is orders of
+    magnitude smaller than 100 TB of text). Each word's symbol
+    sequence lives as a MARKER-WRAPPED string (chr(30)||sym||chr(31)
+    per symbol), because on that representation the greedy
+    left-to-right pair merge is exactly the built-in ``replace`` —
+    non-overlapping, resuming after each replacement — so each of the
+    ``n_merges`` rounds is pure JVM expressions (no Python, no Arrow
+    round-trips; round-6 rework of the former per-round pandas-UDF
+    kernel):
 
-      1. explode each word's symbol sequence into adjacent symbol
+      1. split the wrapped string back to symbols and explode adjacent
          pairs (two ``slice``s zipped — pure narrow fan-out);
       2. ONE vocab-sized groupBy summing word frequencies per pair;
       3. argmax pair (ties → lexicographic (left, right) so the merge
          sequence is deterministic cross-run) — a 1-row collect, the
          only driver data per round;
-      4. apply the merge to every word's symbol sequence (vectorized
-         Arrow kernel — merging changes adjacency, so it is inherently
-         sequential WITHIN a word and embarrassingly parallel across
-         words), checkpointed so each round's plan stays flat.
+      4. chain one ``replace`` onto the (lazily composed) symbol
+         expression — round k's aggregate evaluates k replaces in
+         flight over the one materialized vocab table, keeping the
+         whole learn at one corpus scan + n_merges vocab-local jobs.
 
-    Returns ``(rank, left, right, pair_count)`` — the ordered merge
-    table a BPE tokenizer is. Iterative → rows-only at the driver
-    gate; the classic hug/pug merge-order example is pinned in
-    tests/test_text_extra.py.
+    The same wrapped representation replays in the DuckDB oracle
+    (plans/text_plans._bpe_learn_ctes) and serves application
+    (text_bpe_apply). Returns ``(rank, left, right, pair_count)`` —
+    the ordered merge table a BPE tokenizer is. The classic hug/pug
+    merge-order example is pinned in tests/test_text_extra.py.
     """
-    import pandas as pd
-
+    RS, US = "\x1e", "\x1f"
     spark = df.sparkSession
     words = (
         df.select(
@@ -659,15 +666,20 @@ def bpe_learn_merges(
         .agg(F.count("*").alias("freq"))
     )
     cur = words.select(
-        "freq", F.split("word", "").alias("syms")
+        "freq",
+        F.regexp_replace("word", "(.)", RS + "$1" + US).alias("s"),
     ).transform(stage_checkpoint, eager=True)
 
+    s_expr = F.col("s")
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        l_arr = F.slice("syms", 1, F.size("syms") - 1)
-        r_arr = F.slice("syms", 2, F.size("syms") - 1)
+        sy = F.split(
+            F.regexp_replace(s_expr, "^" + RS + "|" + US + "$", ""), US + RS
+        )
+        l_arr = F.slice(sy, 1, F.size(sy) - 1)
+        r_arr = F.slice(sy, 2, F.size(sy) - 1)
         pairs = (
-            cur.where(F.size("syms") >= 2)
+            cur.where(F.size(sy) >= 2)
             .select("freq", F.explode(F.arrays_zip(l_arr.alias("l"), r_arr.alias("r"))).alias("p"))
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("n"))
@@ -677,34 +689,9 @@ def bpe_learn_merges(
             break
         l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
         merges.append((rank, l, r, n))
-
-        def _make_apply(_l, _r):
-            # hint-free closure: pandas_udf infers the legacy scalar
-            # eval type (explicit hints break on closure parameters)
-            def _apply(col):
-                out = []
-                for arr in col:
-                    a = list(arr)
-                    res = []
-                    i = 0
-                    while i < len(a):
-                        if i + 1 < len(a) and a[i] == _l and a[i + 1] == _r:
-                            res.append(_l + _r)
-                            i += 2
-                        else:
-                            res.append(a[i])
-                            i += 1
-                    out.append(res)
-                return pd.Series(out)
-
-            return F.pandas_udf(_apply, "array<string>")
-
-        merge_udf = _make_apply(l, r)
-        prev = cur
-        cur = cur.select("freq", merge_udf("syms").alias("syms")).transform(
-            stage_checkpoint, eager=True
+        s_expr = F.replace(
+            s_expr, F.lit(RS + l + US + RS + r + US), F.lit(RS + l + r + US)
         )
-        prev.unpersist()
 
     cur.unpersist()
     return spark.createDataFrame(
