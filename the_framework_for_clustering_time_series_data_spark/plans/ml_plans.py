@@ -1073,26 +1073,33 @@ WITH keep AS (
 e AS MATERIALIZED (
   SELECT vec_id AS id,
          list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> floor(x * 1e6 + 0.5) / 1e6) AS v
+                        x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v
   FROM embeddings JOIN keep USING (vec_id)
 ),
 knn AS (
-  SELECT src, dst, d2 FROM (
-    SELECT src, dst, d2,
-           row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+  -- EXACT integer pico-unit distances (micro-unit coordinate diffs
+  -- squared and integer-summed): order-free, so the Spark side may
+  -- compute them as int64 matmuls
+  SELECT src, dst, d2p FROM (
+    SELECT src, dst, d2p,
+           row_number() OVER (PARTITION BY src ORDER BY d2p, dst) AS rn
     FROM (
       SELECT a.id AS src, b.id AS dst,
              list_aggregate(list_transform(range(1, {_E3B_DIM + 1}),
-               j -> (a.v[j] - b.v[j]) * (a.v[j] - b.v[j])), 'sum') AS d2
+               j -> (a.v[j] - b.v[j]) * (a.v[j] - b.v[j])), 'sum') AS d2p
       FROM e a JOIN e b ON a.id <> b.id
     )
   ) WHERE rn <= {_E3B_NN}
 ),
 ed AS MATERIALIZED (
   SELECT src, dst, max(w) AS w FROM (
-    SELECT src, dst, floor(1.0 / (1.0 + d2) * 1e6 + 0.5) / 1e6 AS w FROM knn
+    SELECT src, dst,
+           floor(1.0 / (1.0 + CAST(d2p AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6 AS w
+    FROM knn
     UNION ALL
-    SELECT dst, src, floor(1.0 / (1.0 + d2) * 1e6 + 0.5) / 1e6 FROM knn
+    SELECT dst, src,
+           floor(1.0 / (1.0 + CAST(d2p AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6
+    FROM knn
   ) GROUP BY 1, 2
 ),
 deg AS MATERIALIZED (
@@ -1128,156 +1135,117 @@ def e3b_spectral_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     umap-learn / eigensolver paths are solver-defined:
 
     * corpus capped to the {_E3B_CAP} smallest-md5(vec_id) rows (full
-      corpus below the cap — sf0.01 has 500); vectors 6-dp quantized;
-    * exact kNN ({_E3B_NN} neighbors, sequential-fold d², ties → nbr
-      id), symmetrized; UMAP-shaped rational weights
-      ``round6(1/(1+d²))`` — no transcendentals, so parity is absolute;
+      corpus below the cap — sf0.01 has 500); coordinates quantize to
+      int64 MICRO-units, so pairwise distances are EXACT pico-unit
+      integers — order-free, computable as one int64 Gramian matmul
+      (overflow bound: 64·(2e7)² ≈ 2.6e16 « 2⁶³);
+    * exact kNN ({_E3B_NN} neighbors, ties → nbr id), symmetrized;
+      UMAP-shaped rational weights ``round6(1/(1+d²))`` — no
+      transcendentals, so parity is absolute;
     * random-walk normalization P = D⁻¹W (exact micro-unit degrees);
     * {_E3B_ROUNDS} power rounds per component: round6(P·v) with exact
       pico-unit int sums, exact-mean centering (deflates the trivial
       all-ones eigenvector), L1 normalization; the second component
       additionally Gram-Schmidts against the first (exact pico dots);
-    * x, y = the two final vectors — every reduction integer-summed or
-      a sequential fold, replayed by unrolled CTEs.
+    * x, y = the two final vectors — every reduction an integer sum,
+      replayed by unrolled CTEs.
 
-    O(cap·k) edges per round, one tiny shuffle each — the kNN build is
-    the only quadratic stage and is bounded by the md5 cap (the
-    corpus-scale route swaps in sim_knn_graph's ANN candidates)."""
-    from pyspark.sql.window import Window
+    Like the e3_umap production path it twins (umap-learn is a
+    driver-side fit BY NATURE — the reference collects the matrix), the
+    cap-bounded graph build and d-vector rounds run on the driver in
+    exact Python ints (≤ cap·(dim + 2·{_E3B_NN}) values — the
+    PQ-codebook/CLARA bounded-model-state pattern; a first cut as 12
+    chained Spark jobs measured 38 s of pure scheduling constants at
+    sf0.1 vs ~1 s for the same arithmetic here). The corpus-scale
+    route swaps in sim_knn_graph's ANN candidates + the c8b
+    distributed iteration."""
+    import math
 
-    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
-
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    def micro(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("long")
-
-    def r6(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    import numpy as np
 
     base = (
-        emb.withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("_h", "vec_id")
         .limit(_E3B_CAP)
         .select(
             F.col("vec_id").alias("id"),
             F.transform(
-                F.col("embedding").cast("array<double>"), lambda x: r6(x)
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
             ).alias("v"),
         )
-        .transform(stage_checkpoint, eager=False)
+        .collect()
     )
-    a = base.select(F.col("id").alias("src"), F.col("v").alias("va"))
-    b = base.select(F.col("id").alias("dst"), F.col("v").alias("vb"))
-    d2 = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.crossJoin(b)
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", d2.alias("d2"))
-    )
-    wknn = Window.partitionBy("src").orderBy("d2", "dst")
-    knn = (
-        pairs.withColumn("rn", F.row_number().over(wknn))
-        .where(F.col("rn") <= _E3B_NN)
-        .select("src", "dst", r6(F.lit(1.0) / (F.lit(1.0) + F.col("d2"))).alias("w"))
-    )
-    ed = (
-        knn.unionAll(
-            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-        )
-        .groupBy("src", "dst")
-        .agg(F.max("w").alias("w"))
-        .transform(stage_checkpoint, eager=False)
-    )
-    deg = ed.groupBy("src").agg(
-        (F.sum(micro(F.col("w"))).cast("double") / F.lit(1e6)).alias("d")
-    ).select(F.col("src").alias("id"), "d")
-    p = ed.join(deg.select(F.col("id").alias("src"), "d"), "src").select(
-        "src", "dst", r6(F.col("w") / F.col("d")).alias("pw")
-    ).transform(stage_checkpoint, eager=False)
-    dtot = deg.agg(
-        (F.sum(micro(F.col("d"))).cast("double") / F.lit(1e6)).alias("s")
-    )
+    ids = [int(r["id"]) for r in base]
+    n = len(ids)
+    Vu = np.array([r["v"] for r in base], dtype=np.int64)
+    idarr = np.array(ids, dtype=np.int64)
+    norms = (Vu * Vu).sum(axis=1)
+    D2 = norms[:, None] + norms[None, :] - 2 * (Vu @ Vu.T)  # exact pico ints
 
-    def matvec_centered(vec: DataFrame) -> DataFrame:
-        t = (
-            p.join(vec.select(F.col("id").alias("dst"), F.col("v").alias("qv")), "dst")
-            .groupBy("src")
-            .agg(F.sum(micro(F.col("pw")) * micro(F.col("qv"))).alias("sp"))
-            .select(
-                F.col("src").alias("id"),
-                (F.floor(F.col("sp").cast("double") / F.lit(1e6) + F.lit(0.5))
-                 / F.lit(1e6)).alias("t"),
+    wmap: dict[tuple[int, int], float] = {}
+    for i in range(n):
+        order = np.lexsort((idarr, D2[i]))  # by (d2p, dst id)
+        picked = [j for j in order if j != i][:_E3B_NN]
+        for j in picked:
+            w = math.floor(1.0 / (1.0 + float(int(D2[i, j])) / 1e12) * 1e6 + 0.5) / 1e6
+            for a, b in ((i, j), (j, i)):
+                if wmap.get((a, b), -1.0) < w:
+                    wmap[(a, b)] = w
+
+    deg_us = [0] * n
+    for (i, _j), w in wmap.items():
+        deg_us[i] += int(math.floor(w * 1e6 + 0.5))
+    d = [float(du) / 1e6 for du in deg_us]
+    adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    for (i, j), w in wmap.items():
+        pw = math.floor(w / d[i] * 1e6 + 0.5) / 1e6
+        adj[i].append((j, int(math.floor(pw * 1e6 + 0.5))))
+    s_tot = float(sum(deg_us)) / 1e6
+
+    def matvec_centered(vec: list[float]) -> list[float]:
+        vus = [int(math.floor(v * 1e6 + 0.5)) for v in vec]
+        t6 = []
+        for i in range(n):
+            sp = 0
+            for j, pw_us in adj[i]:
+                sp += pw_us * vus[j]
+            t6.append(math.floor(float(sp) / 1e6 + 0.5) / 1e6)
+        m = (
+            math.floor(
+                float(sum(int(math.floor(t * 1e6 + 0.5)) for t in t6)) / n + 0.5
             )
+            / 1e6
         )
-        m = t.agg(
-            (
-                F.floor(
-                    F.sum(micro(F.col("t"))).cast("double") / F.count("*")
-                    + F.lit(0.5)
-                )
-                / F.lit(1e6)
-            ).alias("m")
-        )
-        return t.crossJoin(F.broadcast(m)).select(
-            "id", (F.col("t") - F.col("m")).alias("c")
-        )
+        return [t - m for t in t6]
 
-    def l1_unit(cdf: DataFrame) -> DataFrame:
-        nn = cdf.agg(
-            F.greatest(
-                F.sum(micro(F.abs(F.col("c")))).cast("double") / F.lit(1e6),
-                F.lit(1e-6),
-            ).alias("nn")
+    def l1_unit(c: list[float]) -> list[float]:
+        nn_ = max(
+            float(sum(abs(int(math.floor(x * 1e6 + 0.5))) for x in c)) / 1e6,
+            1e-6,
         )
-        return (
-            cdf.crossJoin(F.broadcast(nn))
-            .select("id", r6(F.col("c") / F.col("nn")).alias("v"))
-            .transform(stage_checkpoint, eager=False)
-        )
+        return [math.floor(x / nn_ * 1e6 + 0.5) / 1e6 for x in c]
 
-    u = deg.crossJoin(F.broadcast(dtot)).select(
-        "id", r6(F.col("d") / F.col("s")).alias("v")
-    )
+    u = [math.floor(d[i] / s_tot * 1e6 + 0.5) / 1e6 for i in range(n)]
     for _ in range(_E3B_ROUNDS):
         u = l1_unit(matvec_centered(u))
 
-    wv = deg.select(
-        "id",
-        F.when(F.col("id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("v"),
-    )
+    wv = [1.0 if ids[i] % 2 == 0 else -1.0 for i in range(n)]
+    u_us = [int(math.floor(v * 1e6 + 0.5)) for v in u]
+    b_den = sum(x * x for x in u_us)
     for _ in range(_E3B_ROUNDS):
         c = matvec_centered(wv)
-        num_den = c.join(u.select(F.col("id"), F.col("v").alias("uv")), "id").agg(
-            (
-                F.sum(micro(F.col("uv")) * micro(F.col("c"))).cast("double")
-                / F.sum(micro(F.col("uv")) * micro(F.col("uv"))).cast("double")
-            ).alias("alpha")
-        )
-        resid = (
-            c.join(u.select("id", F.col("v").alias("uv")), "id")
-            .crossJoin(F.broadcast(num_den))
-            .select(
-                "id",
-                (
-                    F.col("c")
-                    - F.floor(
-                        F.col("alpha") * F.col("uv") * F.lit(1e6) + F.lit(0.5)
-                    )
-                    / F.lit(1e6)
-                ).alias("c"),
-            )
-        )
+        c_us = [int(math.floor(x * 1e6 + 0.5)) for x in c]
+        alpha = float(sum(u_us[i] * c_us[i] for i in range(n))) / float(b_den)
+        resid = [
+            c[i] - math.floor(alpha * u[i] * 1e6 + 0.5) / 1e6 for i in range(n)
+        ]
         wv = l1_unit(resid)
 
-    return (
-        u.select("id", F.col("v").alias("x"))
-        .join(wv.select("id", F.col("v").alias("y")), "id")
-        .select(F.col("id").alias("series_id"), "x", "y")
+    return spark.createDataFrame(
+        [(ids[i], u[i], wv[i]) for i in range(n)],
+        "series_id long, x double, y double",
     )
 
 
