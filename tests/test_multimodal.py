@@ -398,6 +398,182 @@ def test_wav_real_path_in_spark_without_soundfile(spark):
     assert tuple(auto) == tuple(r)
 
 
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacWriter:
+    """MSB-first bit writer for the test-side FLAC encoder."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, k: int):
+        for i in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def put_signed(self, v: int, k: int):
+        self.put(v & ((1 << k) - 1), k)
+
+    def align(self):
+        if self.n:
+            self.put(0, 8 - self.n)
+
+
+def _flac_utf8(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    for n_follow in range(1, 7):
+        if n < (1 << (6 - n_follow + 6 * n_follow)):
+            lead = (0xFF << (7 - n_follow)) & 0xFF | (n >> (6 * n_follow))
+            rest = [
+                0x80 | ((n >> (6 * (n_follow - 1 - i))) & 0x3F)
+                for i in range(n_follow)
+            ]
+            return bytes([lead] + rest)
+    raise ValueError("frame number too large")
+
+
+def _encode_flac(
+    channels,
+    sr=8000,
+    bps=16,
+    blocksize=256,
+    subframe="fixed2",
+    midside=False,
+    partition_order=0,
+    escape=False,
+    bs_code_192=False,
+):
+    """Minimal FLAC ENCODER (test-side, stdlib only): STREAMINFO +
+    fixed-blocksize frames with CONSTANT / VERBATIM / FIXED(0-2)
+    subframes, 4-bit rice partitions (optional escape partitions),
+    independent or mid/side stereo, real CRC-8/CRC-16. Exists so the
+    stdlib FLAC decoder is exercised against an INDEPENDENT
+    implementation of the bit layout."""
+    import struct
+
+    n_ch = len(channels)
+    total = len(channels[0])
+    if bs_code_192:
+        blocksize = 192
+    out = bytearray(b"fLaC")
+    info = bytearray()
+    info += struct.pack(">HH", blocksize, blocksize)
+    info += b"\x00\x00\x00" * 2  # min/max frame size unknown
+    packed = (sr << 44) | ((n_ch - 1) << 41) | ((bps - 1) << 36) | total
+    info += packed.to_bytes(8, "big")
+    info += b"\x00" * 16  # md5 unset
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+
+    def write_subframe(bw, x, ch_bps):
+        if subframe == "constant" and len(set(x)) == 1:
+            bw.put(0, 1); bw.put(0, 6); bw.put(0, 1)
+            bw.put_signed(x[0], ch_bps)
+            return
+        if subframe == "verbatim":
+            bw.put(0, 1); bw.put(1, 6); bw.put(0, 1)
+            for v in x:
+                bw.put_signed(v, ch_bps)
+            return
+        order = int(subframe[-1])  # "fixed0".."fixed2"
+        coefs = {0: [], 1: [1], 2: [2, -1]}[order]
+        bw.put(0, 1); bw.put(8 + order, 6); bw.put(0, 1)
+        for v in x[:order]:
+            bw.put_signed(v, ch_bps)
+        resid = []
+        for i in range(order, len(x)):
+            pred = sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
+            resid.append(x[i] - pred)
+        bw.put(0, 2)  # 4-bit rice method
+        po = partition_order
+        bw.put(po, 4)
+        nparts = 1 << po
+        idx = 0
+        for part in range(nparts):
+            count = (len(x) >> po) - (order if part == 0 else 0)
+            vals = resid[idx : idx + count]
+            idx += count
+            if escape:
+                nbits = max((v if v >= 0 else ~v).bit_length() + 1 for v in vals) if vals else 1
+                bw.put(15, 4)
+                bw.put(nbits, 5)
+                for v in vals:
+                    bw.put_signed(v, nbits)
+            else:
+                zz = [((abs(v) << 1) - (1 if v < 0 else 0)) for v in vals]
+                mx = max(zz, default=0)
+                p = 0
+                while (mx >> p) > 30:  # bound unary quotients
+                    p += 1
+                bw.put(p, 4)
+                for z in zz:
+                    q = z >> p
+                    if q:
+                        bw.put(0, q)
+                    bw.put(1, 1)
+                    if p:
+                        bw.put(z & ((1 << p) - 1), p)
+
+    nframes = -(-total // blocksize)
+    for fi in range(nframes):
+        seg = [ch[fi * blocksize : (fi + 1) * blocksize] for ch in channels]
+        bs = len(seg[0])
+        hdr = _FlacWriter()
+        hdr.put(0b11111111111110, 14)
+        hdr.put(0, 1)  # reserved
+        hdr.put(0, 1)  # fixed blocksize strategy
+        bs_code = 1 if (bs_code_192 and bs == 192) else 7
+        hdr.put(bs_code, 4)
+        hdr.put(0, 4)  # sample rate from STREAMINFO
+        ch_asgn = 10 if midside else n_ch - 1
+        hdr.put(ch_asgn, 4)
+        hdr.put(4 if bps == 16 else 1, 3)  # 16- or 8-bit code
+        hdr.put(0, 1)
+        for b in _flac_utf8(fi):
+            hdr.put(b, 8)
+        if bs_code == 7:
+            hdr.put(bs - 1, 16)
+        hdr.align()
+        hdr_bytes = bytes(hdr.out)
+        hdr_bytes += bytes([_flac_crc8(hdr_bytes)])
+        bw = _FlacWriter()
+        if midside:
+            l, r = seg
+            mid = [(a + b) >> 1 for a, b in zip(l, r)]
+            side = [a - b for a, b in zip(l, r)]
+            write_subframe(bw, mid, bps)
+            write_subframe(bw, side, bps + 1)
+        else:
+            for ch in seg:
+                write_subframe(bw, ch, bps)
+        bw.align()
+        frame = hdr_bytes + bytes(bw.out)
+        frame += struct.pack(">H", _flac_crc16(frame))
+        out += frame
+    return bytes(out)
+
+
 def _encode_y4m(w, h, frames_yuv):
     """Minimal stdlib Y4M encoder for the parser tests: C420, one
     bytes object of w*h*3//2 per frame."""
@@ -961,6 +1137,125 @@ def _encode_jpeg_progressive(planes, quant=None, scans=None, restart=0):
         out += body
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _wav_payload(samples_ints, sr=8000):
+    """16-bit mono WAV from signed ints (stdlib wave module)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(struct.pack(f"<{len(samples_ints)}h", *samples_ints))
+    return buf.getvalue()
+
+
+def _flac_test_wave(n=1000, amp=9000):
+    """Deterministic integer test signal with nonzero 2nd differences
+    (so FIXED-order residuals are non-trivial)."""
+    return [
+        int(amp * (((i * i * 7 + i * 31) % 997) - 498) / 498) for i in range(n)
+    ]
+
+
+def test_flac_stdlib_fixed_rice_matches_wav():
+    """FLAC FIXED-order-2 + rice residuals must decode to EXACTLY the
+    features of the same PCM through the (independently validated) WAV
+    path — lossless codec, identical samples, identical feature math."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        decode_flac_features,
+        decode_wav_features,
+    )
+
+    pcm = _flac_test_wave()
+    ref = decode_wav_features(_wav_payload(pcm))
+    got = decode_flac_features(_encode_flac([pcm], subframe="fixed2"))
+    assert got == ref
+    assert got[1] == 8000 and got[0] == round(len(pcm) / 8000, 3)
+
+
+def test_flac_stdlib_partitions_escape_and_192():
+    """Rice partition order 2, escape partitions, and the 192-sample
+    blocksize code all reconstruct the exact samples."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        decode_flac_features,
+        decode_wav_features,
+    )
+
+    pcm = _flac_test_wave(n=768)
+    ref = decode_wav_features(_wav_payload(pcm))
+    for kwargs in (
+        dict(subframe="fixed1", partition_order=2),
+        dict(subframe="fixed2", escape=True),
+        dict(subframe="verbatim", bs_code_192=True),
+    ):
+        got = decode_flac_features(_encode_flac([pcm], **kwargs))
+        assert got == ref, kwargs
+
+
+def test_flac_stdlib_stereo_midside_and_constant():
+    """Mid/side stereo decorrelation and CONSTANT subframes: the
+    decoded mixdown must equal the WAV path's mean-mixdown of the same
+    two channels."""
+    import io
+    import struct
+    import wave
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        decode_flac_features,
+        decode_wav_features,
+    )
+
+    left = _flac_test_wave(n=512, amp=8000)
+    right = [v // 3 for v in _flac_test_wave(n=512, amp=6000)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        inter = [x for pair in zip(left, right) for x in pair]
+        w.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+    ref = decode_wav_features(buf.getvalue())
+    got = decode_flac_features(
+        _encode_flac([left, right], midside=True, subframe="fixed2")
+    )
+    assert got == ref
+    # constant subframes (flat channels)
+    flat = [1234] * 512
+    ref2 = decode_wav_features(_wav_payload(flat))
+    got2 = decode_flac_features(_encode_flac([flat], subframe="constant"))
+    assert got2 == ref2
+
+
+def test_flac_real_path_in_spark_without_soundfile(spark):
+    """A FLAC payload flows through extract_audio_features'
+    auto-dispatch end to end (stdlib decode on executors)."""
+    from the_framework_for_clustering_time_series_data_spark.operators import multimodal as mm
+
+    pcm = _flac_test_wave(n=800)
+    payload = _encode_flac([pcm], subframe="fixed2")
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = mm.extract_audio_features(df, use_real=True).collect()
+    assert len(out) == 1
+    r = out[0]
+    ref = mm.decode_flac_features(payload)
+    assert (r["duration_s"], r["sample_rate"], r["peak_dbfs"]) == ref[:3]
+    assert list(r["rms_envelope"]) == ref[3]
+
+
+def test_flac_stdlib_rejects_garbage():
+    import pytest
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_flac_features
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac_features(b"plainbytes")
+    with pytest.raises(ValueError):
+        decode_flac_features(b"fLaC\x00\x00\x00")
 
 
 def test_jpeg_stdlib_progressive_matches_baseline():

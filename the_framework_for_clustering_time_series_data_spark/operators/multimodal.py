@@ -12,9 +12,11 @@ Each kernel carries BOTH code paths:
   decode stdlib+NumPy (markers + Huffman + IDCT; multi-scan spectral
   selection / successive approximation per T.81 G.2 — round 6,
   :func:`decode_jpeg_stdlib`), RIFF/WAVE PCM decodes pure-stdlib
-  (``wave`` + struct, :func:`decode_wav_features`), and YUV4MPEG2
-  video parses pure-stdlib (:func:`sample_frames_y4m`); remaining
-  formats (arithmetic-coded JPEG, WebP, compressed audio/video) use
+  (``wave`` + struct, :func:`decode_wav_features`), **FLAC decodes
+  pure-stdlib** (framing + rice + integer LPC — round 6,
+  :func:`decode_flac_features`), and YUV4MPEG2 video parses
+  pure-stdlib (:func:`sample_frames_y4m`); remaining formats
+  (arithmetic-coded JPEG, WebP, lossy audio, compressed video) use
   PIL for images, soundfile for audio, the ffmpeg binary for video
   frames — gated per modality below;
 * a DETERMINISTIC STUB (seeded from the payload bytes, clearly marked)
@@ -947,6 +949,302 @@ def _is_wav(payload: bytes) -> bool:
     return bytes(payload[:4]) == WAV_MAGIC_RIFF and bytes(payload[8:12]) == WAV_MAGIC_WAVE
 
 
+#: FLAC stream signature — payloads with it decode through the
+#: pure-stdlib FLAC decoder below, soundfile or not.
+FLAC_MAGIC = b"fLaC"
+
+
+def _is_flac(payload: bytes) -> bool:
+    return bytes(payload[:4]) == FLAC_MAGIC
+
+
+class _FlacBits:
+    """MSB-first bit reader for FLAC streams (no byte stuffing)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def at_end(self) -> bool:
+        return self.n == 0 and self.p >= len(self.d)
+
+    def read(self, k: int) -> int:
+        v = 0
+        while k > 0:
+            if self.n == 0:
+                if self.p >= len(self.d):
+                    raise ValueError("malformed FLAC: truncated stream")
+                self.acc = self.d[self.p]
+                self.p += 1
+                self.n = 8
+            take = min(k, self.n)
+            self.n -= take
+            v = (v << take) | ((self.acc >> self.n) & ((1 << take) - 1))
+            k -= take
+        return v
+
+    def read_signed(self, k: int) -> int:
+        v = self.read(k)
+        return v - (1 << k) if v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.n = 0
+
+
+_FLAC_SAMPLE_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_utf8_number(bits: _FlacBits) -> int:
+    """FLAC's UTF-8-style coded frame/sample number (1-7 bytes)."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n_follow = 0
+    mask = 0x40
+    while b0 & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow == 0 or n_follow > 6:
+        raise ValueError("malformed FLAC: bad coded number")
+    v = b0 & (mask - 1)
+    for _ in range(n_follow):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("malformed FLAC: bad coded-number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual section (both 4- and 5-bit parameter
+    methods, escape partitions) → ``blocksize - order`` ints."""
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("malformed FLAC: reserved residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = bits.read(4)
+    nparts = 1 << po
+    out: list[int] = []
+    for part in range(nparts):
+        count = (blocksize >> po) - (order if part == 0 else 0)
+        if count < 0:
+            raise ValueError("malformed FLAC: partition underflow")
+        param = bits.read(plen)
+        if param == escape:
+            nbits = bits.read(5)
+            for _ in range(count):
+                out.append(bits.read_signed(nbits) if nbits else 0)
+        else:
+            for _ in range(count):
+                q = bits.unary()
+                v = (q << param) | (bits.read(param) if param else 0)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_subframe(bits: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    """One subframe → ``blocksize`` channel samples (ints)."""
+    if bits.read(1) != 0:
+        raise ValueError("malformed FLAC: subframe pad bit")
+    ftype = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.unary() + 1
+    eb = bps - wasted
+    if ftype == 0:  # CONSTANT
+        x = [bits.read_signed(eb)] * blocksize
+    elif ftype == 1:  # VERBATIM
+        x = [bits.read_signed(eb) for _ in range(blocksize)]
+    elif 8 <= ftype <= 12:  # FIXED order 0-4
+        order = ftype - 8
+        x = [bits.read_signed(eb) for _ in range(order)]
+        resid = _flac_residual(bits, blocksize, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for r in resid:
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * x[-1 - j]
+            x.append(r + pred)
+    elif ftype >= 32:  # LPC, order 1-32
+        order = (ftype & 31) + 1
+        x = [bits.read_signed(eb) for _ in range(order)]
+        prec = bits.read(4) + 1
+        if prec == 16:
+            raise ValueError("malformed FLAC: invalid LPC precision")
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("malformed FLAC: negative LPC shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        resid = _flac_residual(bits, blocksize, order)
+        for r in resid:
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * x[-1 - j]
+            x.append(r + (acc >> shift))
+    else:
+        raise ValueError(f"malformed FLAC: reserved subframe type {ftype}")
+    if wasted:
+        x = [v << wasted for v in x]
+    return x
+
+
+def decode_flac_features(
+    payload: bytes, n_windows: int = 8
+) -> tuple[float, int, float, list[float]]:
+    """Pure-stdlib FLAC decode → (duration_s, sample_rate, peak_dbfs,
+    rms_envelope) — COMPRESSED audio without soundfile (round 6; the
+    WAV/PNG/JPEG/Y4M stdlib story extended to the mainstream lossless
+    codec). FLAC is framing + rice coding + integer linear prediction
+    — no transcendental math, no float DSP — so a complete decoder is
+    expressible with a bit reader and integer ops: STREAMINFO parse,
+    frame headers (all blocksize/sample-rate codes, UTF-8-style coded
+    numbers), CONSTANT/VERBATIM/FIXED(0-4)/LPC(1-32) subframes, wasted
+    bits, 4/5-bit rice partitions with escape codes, and left/side,
+    right/side, mid/side stereo decorrelation. CRCs are consumed but
+    not verified (feature extraction, not archival validation).
+
+    Features match :func:`decode_wav_features` exactly: samples
+    normalize by 2^(bits−1), channels mix down by mean, peak in dBFS,
+    ``n_windows``-slot RMS envelope. Lossy codecs (MP3/AAC/OGG) stay
+    behind soundfile."""
+    import math
+
+    data = bytes(payload)
+    if not _is_flac(data):
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    sr = None
+    n_ch = None
+    bps = None
+    total = None
+    # metadata blocks
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("malformed FLAC: truncated metadata")
+        hdr = data[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if btype == 0:  # STREAMINFO
+            if len(body) < 34:
+                raise ValueError("malformed FLAC: short STREAMINFO")
+            packed = int.from_bytes(body[10:18], "big")
+            sr = packed >> 44
+            n_ch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+        if last:
+            break
+    if not sr:
+        raise ValueError("malformed FLAC: no STREAMINFO sample rate")
+
+    bits = _FlacBits(data, pos)
+    mixed: list[float] = []
+    scale = float(1 << (bps - 1))
+    while not bits.at_end():
+        if total and len(mixed) >= total:
+            break
+        # frame header (byte-aligned)
+        sync = bits.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError("malformed FLAC: lost frame sync")
+        bits.read(1)  # reserved
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_asgn = bits.read(4)
+        ss_code = bits.read(3)
+        bits.read(1)  # reserved
+        _flac_utf8_number(bits)
+        if bs_code == 0:
+            raise ValueError("malformed FLAC: reserved blocksize code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = bits.read(8) + 1
+        elif bs_code == 7:
+            blocksize = bits.read(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        elif sr_code == 15:
+            raise ValueError("malformed FLAC: invalid sample-rate code")
+        bits.read(8)  # header CRC-8 (not verified)
+        fbps = _FLAC_SAMPLE_SIZES.get(ss_code, bps)
+        if ch_asgn <= 7:
+            chans = [
+                _flac_subframe(bits, blocksize, fbps)
+                for _ in range(ch_asgn + 1)
+            ]
+        elif ch_asgn == 8:  # left/side
+            left = _flac_subframe(bits, blocksize, fbps)
+            side = _flac_subframe(bits, blocksize, fbps + 1)
+            chans = [left, [l - s for l, s in zip(left, side)]]
+        elif ch_asgn == 9:  # side/right
+            side = _flac_subframe(bits, blocksize, fbps + 1)
+            right = _flac_subframe(bits, blocksize, fbps)
+            chans = [[s + r for s, r in zip(side, right)], right]
+        elif ch_asgn == 10:  # mid/side
+            mid = _flac_subframe(bits, blocksize, fbps)
+            side = _flac_subframe(bits, blocksize, fbps + 1)
+            chans = [[], []]
+            for m, s in zip(mid, side):
+                m = (m << 1) | (s & 1)
+                chans[0].append((m + s) >> 1)
+                chans[1].append((m - s) >> 1)
+        else:
+            raise ValueError("malformed FLAC: reserved channel assignment")
+        bits.align()
+        bits.read(16)  # frame CRC-16 (not verified)
+        k = len(chans)
+        for i in range(blocksize):
+            mixed.append(sum(ch[i] for ch in chans) / k / scale)
+    if total:
+        mixed = mixed[: int(total)]
+
+    n = len(mixed)
+    duration = round(n / sr, 3)
+    peak = max((abs(s) for s in mixed), default=0.0)
+    peak_dbfs = round(20 * math.log10(peak) if peak > 0 else -120.0, 3)
+    env = []
+    for i in range(n_windows):
+        seg = mixed[i * n // n_windows : (i + 1) * n // n_windows]
+        if seg:
+            env.append(round(math.sqrt(sum(s * s for s in seg) / len(seg)), 6))
+        else:
+            env.append(0.0)
+    return duration, int(sr), peak_dbfs, env
+
+
 def decode_wav_features(
     payload: bytes, n_windows: int = 8
 ) -> tuple[float, int, float, list[float]]:
@@ -1013,8 +1311,9 @@ def extract_audio_features(
     envelope (array<double>).
 
     Real path: RIFF/WAVE PCM payloads decode via the pure-stdlib
-    :func:`decode_wav_features` — no library needed; other formats
-    (FLAC, OGG, …) go through soundfile. Stub path: deterministic
+    :func:`decode_wav_features` and FLAC via the pure-stdlib
+    :func:`decode_flac_features` — no library needed; lossy formats
+    (MP3, OGG, …) go through soundfile. Stub path: deterministic
     functions of the payload hash. The Spark-side contract is
     identical — Arrow-batched mapInPandas, one row per clip with a
     fixed-length envelope array, so a multi-GB audio file is decoded
@@ -1070,13 +1369,15 @@ def extract_audio_features(
             return _decode_stub(payload)
         if _is_wav(payload):
             return decode_wav_features(payload, n_windows=n_windows)
+        if _is_flac(payload):
+            return decode_flac_features(payload, n_windows=n_windows)
         if SOUNDFILE_AVAILABLE:
             return _decode_soundfile(payload)
         if use_real:
             raise ImportError(
-                "real decode requested for a non-WAV payload but soundfile "
-                "is not available (WAV decodes stdlib-only; other formats "
-                "need soundfile)"
+                "real decode requested for a non-WAV/FLAC payload but "
+                "soundfile is not available (WAV and FLAC decode "
+                "stdlib-only; lossy formats need soundfile)"
             )
         return _decode_stub(payload)
 

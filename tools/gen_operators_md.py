@@ -66,9 +66,11 @@ _APPENDIX = [
     "| `operators/embed.py:embedding_umap` (umap-learn path) | env-gated: "
     "umap-learn absent here; the Laplacian-Eigenmaps fallback is the active, "
     "tested path (neighborhood-preservation test). |",
-    "| `operators/multimodal.py` progressive-JPEG / compressed audio+video "
-    "decode | env-gated stubs by design (no codec libs in this container); "
-    "PNG/WAV/Y4M/baseline-JPEG decode is real and tested. |",
+    "| `operators/multimodal.py` lossy audio (MP3/AAC/OGG) + compressed "
+    "video (H.264…) decode | env-gated stubs by design (these genuinely "
+    "need native codec libs, absent in this container); "
+    "PNG / baseline+progressive JPEG / WAV / FLAC / Y4M decode is real, "
+    "stdlib-only, and tested against independent test-side encoders. |",
     "",
     "## Micro-unit integer-sum scale ceilings (round-6 audit)",
     "",
