@@ -1313,6 +1313,95 @@ def test_jpeg_stdlib_progressive_color_and_restart():
     assert prog == base
 
 
+def test_jpeg_stdlib_progressive_random_scripts_fuzz():
+    """Randomized progressive scan scripts (random AC band partitions,
+    random successive-approximation depths per band, random scan
+    interleavings, random odd image sizes) must ALL reconstruct the
+    exact baseline coefficients — the scan machinery is script-shape
+    independent."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_jpeg_stdlib
+
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        h = int(rng.integers(9, 40))
+        w = int(rng.integers(9, 40))
+        img = rng.integers(0, 256, size=(h, w)).astype(float)
+        ncuts = int(rng.integers(0, 4))
+        cuts = sorted(int(c) for c in rng.choice(np.arange(2, 63), size=ncuts, replace=False))
+        lows = [1] + cuts
+        highs = [c - 1 for c in cuts] + [63]
+        dc_al = int(rng.integers(0, 3))
+        dc_chain = [([0], 0, 0, 0, dc_al)] + [
+            ([0], 0, 0, al, al - 1) for al in range(dc_al, 0, -1)
+        ]
+        chains = []
+        for lo, hi in zip(lows, highs):
+            b_al = int(rng.integers(0, 3))
+            chain = [([0], lo, hi, 0, b_al)] + [
+                ([0], lo, hi, al, al - 1) for al in range(b_al, 0, -1)
+            ]
+            chains.append(chain)
+        # random interleave of the per-band chains (order within a
+        # chain preserved; DC chain always first per T.81)
+        scans = list(dc_chain)
+        while any(chains):
+            pick = int(rng.integers(0, len(chains)))
+            if chains[pick]:
+                scans.append(chains[pick].pop(0))
+            chains = [c for c in chains if c]
+        base = decode_jpeg_stdlib(_encode_jpeg_baseline([img]))
+        prog = decode_jpeg_stdlib(_encode_jpeg_progressive([img], scans=scans))
+        assert prog == base, f"seed {seed}: {scans}"
+
+
+def test_flac_stdlib_random_options_fuzz():
+    """Randomized signals × encoder options (subframe type, partition
+    order, escape coding, mid/side) must all round-trip to the exact
+    WAV-path features."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        decode_flac_features,
+        decode_wav_features,
+    )
+
+    for seed in range(6):
+        rng = np.random.default_rng(200 + seed)
+        n = int(rng.integers(2, 5)) * 256
+        walk = np.cumsum(rng.integers(-500, 501, size=n))
+        pcm = [int(v) for v in np.clip(walk, -30000, 30000)]
+        sub = ["fixed0", "fixed1", "fixed2", "verbatim"][int(rng.integers(0, 4))]
+        po = int(rng.integers(0, 3))
+        esc = bool(rng.integers(0, 2))
+        stereo = bool(rng.integers(0, 2))
+        if stereo:
+            import io
+            import struct
+            import wave
+
+            right = [int(v) for v in np.clip(walk // 2 + 100, -30000, 30000)]
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wv:
+                wv.setnchannels(2)
+                wv.setsampwidth(2)
+                wv.setframerate(8000)
+                inter = [x for pair in zip(pcm, right) for x in pair]
+                wv.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+            ref = decode_wav_features(buf.getvalue())
+            got = decode_flac_features(
+                _encode_flac([pcm, right], midside=True, subframe=sub,
+                             partition_order=po, escape=esc)
+            )
+        else:
+            ref = decode_wav_features(_wav_payload(pcm))
+            got = decode_flac_features(
+                _encode_flac([pcm], subframe=sub, partition_order=po, escape=esc)
+            )
+        assert got == ref, f"seed {seed}: {sub} po={po} esc={esc} stereo={stereo}"
+
+
 def test_jpeg_stdlib_rejects_arithmetic_and_garbage():
     import struct
 
