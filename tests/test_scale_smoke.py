@@ -254,6 +254,7 @@ def _ann_corpus(spark, n: int, d: int = 8, n_clusters: int = 64):
     offsets ~0.1-10 so the twin is each query's unambiguous nearest
     neighbor at 6-dp cosine. Generated distributed via spark.range —
     nothing touches the driver."""
+    assert n_clusters <= 64, "center grid wraps mod 64 — keep clusters distinct"
     pair = F.floor(F.col("id") / 2)
     cluster = pair % n_clusters
     dims = []

@@ -48,16 +48,20 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
 
     Memo discipline (hardened round 6): ``semanticHash`` is a 32-bit
     hash, so a collision between distinct plans can serve a wrong
-    count. A cached count is therefore used ONLY as a fast-path proof
-    of sufficiency (``cached >= target`` → no-op, the common case this
+    count. A cached count is used ONLY as a fast-path proof of
+    sufficiency (``cached >= target`` → no-op, the common case this
     memo exists for); any cached value that would trigger the
     corrective repartition is re-verified with the exact rdd probe
     first, so a collision can never cause a spurious repartition and a
-    stale/colliding low count never silently skips correction on the
-    re-probe path. Keys include ``defaultParallelism`` so a
-    target-changing context switch never reuses a proof computed for a
-    different target, and the >1024 bound evicts oldest-first instead
-    of dropping the whole memo."""
+    low cached count never silently skips correction. RESIDUAL RISK
+    (accepted, per the round-5 advice): a collision delivering a HIGH
+    count can still fast-path a genuinely narrow plan un-repartitioned
+    — a ~2⁻³² perf (not correctness) event; eliminating it would mean
+    paying the exact probe on every call, the cost this memo exists to
+    avoid. Keys include ``defaultParallelism`` so a target-changing
+    context switch never reuses a proof computed for a different
+    target, and the >1024 bound evicts oldest-first instead of
+    dropping the whole memo."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     try:

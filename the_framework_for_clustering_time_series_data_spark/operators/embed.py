@@ -174,7 +174,10 @@ def pca_powerit_det(
         t6 = [int(math.floor(float(x) / 1e6 + 0.5)) for x in matvec(w)]
         a = sum(u[p] * t6[p] for p in range(d))
         b = sum(u[p] * u[p] for p in range(d))
-        alpha = float(a) / float(b)
+        # degenerate zero-variance corpus → u ≡ 0 → a = b = 0; the
+        # greatest(…,1) guard (mirrored in the oracle) yields α = 0
+        # instead of a ZeroDivisionError/NaN divergence
+        alpha = float(a) / float(max(b, 1))
         resid = [
             t6[p] - int(math.floor(alpha * float(u[p]) + 0.5)) for p in range(d)
         ]

@@ -1037,6 +1037,8 @@ def _flac_residual(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
     escape = (1 << plen) - 1
     po = bits.read(4)
     nparts = 1 << po
+    if nparts > 1 and blocksize % nparts:
+        raise ValueError("malformed FLAC: blocksize not partitionable")
     out: list[int] = []
     for part in range(nparts):
         count = (blocksize >> po) - (order if part == 0 else 0)
@@ -1199,7 +1201,12 @@ def decode_flac_features(
         elif sr_code == 15:
             raise ValueError("malformed FLAC: invalid sample-rate code")
         bits.read(8)  # header CRC-8 (not verified)
-        fbps = _FLAC_SAMPLE_SIZES.get(ss_code, bps)
+        if ss_code == 0:
+            fbps = bps  # "get from STREAMINFO"
+        elif ss_code in _FLAC_SAMPLE_SIZES:
+            fbps = _FLAC_SAMPLE_SIZES[ss_code]
+        else:
+            raise ValueError("malformed FLAC: reserved sample-size code")
         if ch_asgn <= 7:
             chans = [
                 _flac_subframe(bits, blocksize, fbps)

@@ -910,7 +910,7 @@ def _e2c_round2_sql(prev: str, out: str, ufinal: str) -> str:
 ),
 {out}_a AS (
   SELECT CAST(sum(u.umu * t.t6) AS DOUBLE)
-         / CAST(sum(u.umu * u.umu) AS DOUBLE) AS alpha
+         / CAST(greatest(sum(u.umu * u.umu), 1) AS DOUBLE) AS alpha
   FROM {ufinal} u JOIN {out}_t t ON t.p = u.p
 ),
 {out}_r AS (
@@ -1043,8 +1043,9 @@ def _e3b_round2_sql(prev: str, o: str, uf: str) -> str:
 {o}_a AS (
   SELECT CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)
                   * CAST(floor(c.c * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-         / CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)
-                    * CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) AS alpha
+         / CAST(greatest(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)
+                             * CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)),
+                         1) AS DOUBLE) AS alpha
   FROM {uf} u JOIN {o}_c c ON c.id = u.id
 ),
 {o}_r AS (
@@ -1108,14 +1109,17 @@ deg AS MATERIALIZED (
   FROM ed GROUP BY 1
 ),
 p AS MATERIALIZED (
-  SELECT ed.src, ed.dst, floor(ed.w / deg.d * 1e6 + 0.5) / 1e6 AS pw
+  SELECT ed.src, ed.dst,
+         floor(ed.w / greatest(deg.d, 1e-6) * 1e6 + 0.5) / 1e6 AS pw
   FROM ed JOIN deg ON deg.id = ed.src
 ),
 dtot AS (
   SELECT CAST(sum(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS s
   FROM deg
 ),
-xu0 AS (SELECT id, floor(d / (SELECT s FROM dtot) * 1e6 + 0.5) / 1e6 AS v
+xu0 AS (SELECT id,
+               floor(d / greatest((SELECT s FROM dtot), 1e-6) * 1e6 + 0.5)
+                 / 1e6 AS v
         FROM deg),
 {r1},
 xw0 AS (SELECT id, CASE WHEN id % 2 = 0 THEN 1.0 ELSE -1.0 END AS v FROM deg),
@@ -1200,7 +1204,7 @@ def e3b_spectral_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = [float(du) / 1e6 for du in deg_us]
     adj: list[list[tuple[int, int]]] = [[] for _ in range(n)]
     for (i, j), w in wmap.items():
-        pw = math.floor(w / d[i] * 1e6 + 0.5) / 1e6
+        pw = math.floor(w / max(d[i], 1e-6) * 1e6 + 0.5) / 1e6
         adj[i].append((j, int(math.floor(pw * 1e6 + 0.5))))
     s_tot = float(sum(deg_us)) / 1e6
 
@@ -1227,13 +1231,17 @@ def e3b_spectral_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return [math.floor(x / nn_ * 1e6 + 0.5) / 1e6 for x in c]
 
-    u = [math.floor(d[i] / s_tot * 1e6 + 0.5) / 1e6 for i in range(n)]
+    u = [
+        math.floor(d[i] / max(s_tot, 1e-6) * 1e6 + 0.5) / 1e6 for i in range(n)
+    ]
     for _ in range(_E3B_ROUNDS):
         u = l1_unit(matvec_centered(u))
 
     wv = [1.0 if ids[i] % 2 == 0 else -1.0 for i in range(n)]
     u_us = [int(math.floor(v * 1e6 + 0.5)) for v in u]
-    b_den = sum(x * x for x in u_us)
+    # greatest(…,1) (mirrored in the oracle): a zero-variance corpus
+    # degenerates u to all-zero — α must be 0, not a ZeroDivisionError
+    b_den = max(sum(x * x for x in u_us), 1)
     for _ in range(_E3B_ROUNDS):
         c = matvec_centered(wv)
         c_us = [int(math.floor(x * 1e6 + 0.5)) for x in c]

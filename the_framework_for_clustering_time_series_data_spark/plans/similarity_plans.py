@@ -434,6 +434,20 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_index_dir(prefix: str) -> str:
+    """A fresh index scratch dir, removed at interpreter exit —
+    per-invocation rebuild keeps the measured build→persist→probe
+    semantics honest, while the atexit sweep stops repeated bench/test
+    invocations from accumulating corpus copies in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 @register("sim_ivf_persisted_topk")  # KMeans index build + disk layout → rows-only oracle
 def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 against a PERSISTED IVF index: the corpus is
@@ -442,10 +456,8 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dynamic-partition-prunes the scan to the 4 probed cells. Same
     results as sim_ivf_topk (asserted in tests/test_similarity_ann.py);
     this entry exercises the build→persist→probe serving path."""
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="the_framework_for_clustering_time_series_data_spark_ivf_")
+    path = _scratch_index_dir("the_framework_for_clustering_time_series_data_spark_ivf_")
     similarity.build_ivf_index(emb, path, n_cells=16)
     return similarity.ivf_probe_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
@@ -464,10 +476,8 @@ def sim_ivfb_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ivfb_topk's does, so build → persist → scan-pruned probe is
     value-verified end to end; DPP on the probe scan is asserted on
     the physical plan in tests/test_similarity_ann.py."""
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="the_framework_for_clustering_time_series_data_spark_ivfb_")
+    path = _scratch_index_dir("the_framework_for_clustering_time_series_data_spark_ivfb_")
     similarity.build_ivf_index_deterministic(emb, path, n_cells=16)
     return similarity.ivf_probe_index(
         spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
