@@ -565,3 +565,35 @@ def test_prefix_filter_boundary_lossless(spark):
         assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [
             (0, 1, 0.555556)
         ], f"prefix_filter={flt} dropped the rounded-admission pair"
+
+
+def test_text_bpe_apply_all_jvm_no_python_eval(spark):
+    """The tokenizer-application plan must be pure JVM expressions —
+    10 chained replace()s over the vocab, one join back, one groupBy;
+    a pandas/Python eval node appearing here means the apply path
+    regressed onto the slow path."""
+    plan = _plan(spark, "text_bpe_apply")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_e2c_scatter_is_arrow_kernel_and_scoring_is_jvm(spark):
+    """e2c's returned frame (the distributed scoring pass) must be
+    JVM-side folds over broadcast literal vectors — the Arrow kernel
+    belongs to the Gramian build only, which runs before the returned
+    plan and must therefore NOT appear in it."""
+    plan = _plan(spark, "e2c_pca_powerit")
+    assert "MapInPandas" not in plan, "scatter kernel leaked into the scoring plan"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ivfb_persisted_probe_scans_only_probed_cells(spark):
+    """The registered persisted-IVF query's executed plan must carry
+    dynamic partition pruning on the cell-partitioned scan (the
+    operator-level test covers ivf_probe_index directly; this locks
+    the REGISTERED composition)."""
+    spark.catalog.clearCache()
+    df = QUERIES["sim_ivfb_persisted"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
