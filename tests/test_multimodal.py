@@ -574,6 +574,138 @@ def _encode_flac(
     return bytes(out)
 
 
+def _encode_wav_ima_adpcm(channels, sr=8000, samples_per_block=505):
+    """Minimal IMA-ADPCM WAV ENCODER (test-side, stdlib only): format
+    tag 0x0011, per-channel 4-byte block headers, nibble data in
+    4-byte per-channel groups. Returns (payload, reconstruction) —
+    the encoder tracks the decoder-visible reconstruction, which the
+    stdlib decoder must reproduce EXACTLY (the codec is a
+    deterministic state machine; lossiness lives in the quantizer,
+    not the reconstruction)."""
+    import struct
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        _IMA_STEPS,
+        _ima_decode_nibble,
+    )
+
+    n_ch = len(channels)
+    total = len(channels[0])
+    nib_per_block = samples_per_block - 1
+    assert nib_per_block % 8 == 0, "samples_per_block-1 must be multiple of 8"
+    ch_bytes = 4 + nib_per_block // 2
+    block_align = ch_bytes * n_ch
+    body = bytearray()
+    recon = [[] for _ in range(n_ch)]
+    idxs = [0] * n_ch
+    for b0 in range(0, total - samples_per_block + 1, samples_per_block):
+        nibbles = [[] for _ in range(n_ch)]
+        headers = []
+        for c in range(n_ch):
+            pred = channels[c][b0]
+            headers.append(struct.pack("<hBB", pred, idxs[c], 0))
+            recon[c].append(pred)
+            for i in range(1, samples_per_block):
+                target = channels[c][b0 + i]
+                step = _IMA_STEPS[idxs[c]]
+                diff = target - pred
+                nib = 0
+                if diff < 0:
+                    nib = 8
+                    diff = -diff
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                nibbles[c].append(nib)
+                pred, idxs[c] = _ima_decode_nibble(nib, pred, idxs[c])
+                recon[c].append(pred)
+        body += b"".join(headers)
+        # interleave 4-byte (8-nibble) groups round-robin per channel
+        ptr = [0] * n_ch
+        group = 0
+        while any(p < nib_per_block for p in ptr):
+            c = group % n_ch
+            for _ in range(4):
+                lo = nibbles[c][ptr[c]]
+                hi = nibbles[c][ptr[c] + 1]
+                body.append(lo | (hi << 4))
+                ptr[c] += 2
+            group += 1
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x0011, n_ch, sr, sr * block_align // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    out = bytearray()
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    riff = b"WAVE" + bytes(out)
+    return (
+        b"RIFF" + struct.pack("<I", len(riff)) + riff,
+        recon,
+    )
+
+
+def test_wav_ima_adpcm_decodes_encoder_reconstruction():
+    """The IMA-ADPCM decoder must reproduce the encoder's tracked
+    reconstruction EXACTLY — the nibble state machine is deterministic
+    — and the features must equal the WAV-path features of that
+    reconstruction (computed by re-encoding it as plain PCM)."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        decode_wav_features,
+    )
+
+    pcm = _flac_test_wave(n=1011, amp=20000)
+    payload, recon = _encode_wav_ima_adpcm([pcm], samples_per_block=505)
+    got = decode_wav_features(payload)
+    n_full = (len(pcm) // 505) * 505
+    ref = decode_wav_features(_wav_payload(recon[0][:n_full]))
+    assert got == ref
+
+
+def test_wav_ima_adpcm_stereo():
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        decode_wav_features,
+    )
+    import io
+    import struct
+    import wave
+
+    left = _flac_test_wave(n=505, amp=15000)
+    right = [v // 2 for v in left]
+    payload, recon = _encode_wav_ima_adpcm([left, right], samples_per_block=505)
+    got = decode_wav_features(payload)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        inter = [x for pair in zip(recon[0], recon[1]) for x in pair]
+        w.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+    assert got == decode_wav_features(buf.getvalue())
+
+
+def test_wav_unsupported_compressed_tag_raises():
+    import struct
+
+    import pytest
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_wav_features
+
+    fmt = struct.pack("<HHIIHH", 0x0055, 1, 8000, 8000, 1, 0)  # MP3 tag
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    riff = b"WAVE" + body
+    payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    with pytest.raises(ValueError, match="unsupported WAV format tag"):
+        decode_wav_features(payload)
+
+
 def _encode_y4m(w, h, frames_yuv):
     """Minimal stdlib Y4M encoder for the parser tests: C420, one
     bytes object of w*h*3//2 per frame."""

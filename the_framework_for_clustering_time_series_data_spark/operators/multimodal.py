@@ -1252,30 +1252,136 @@ def decode_flac_features(
     return duration, int(sr), peak_dbfs, env
 
 
+#: IMA-ADPCM step-size table (IMA ADPCM reference algorithm /
+#: Microsoft WAVE format 0x0011) — 89 entries.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(nib: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA-ADPCM nibble → (new predictor, new step index) — the
+    reference reconstruction state machine (shared with the test-side
+    encoder, which tracks the same reconstruction)."""
+    step = _IMA_STEPS[index]
+    delta = step >> 3
+    if nib & 1:
+        delta += step >> 2
+    if nib & 2:
+        delta += step >> 1
+    if nib & 4:
+        delta += step
+    pred = pred - delta if nib & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nib & 7]))
+    return pred, index
+
+
+def _decode_wav_ima_adpcm(payload: bytes) -> tuple[int, int, list[float]]:
+    """RIFF/WAVE format 0x0011 (IMA ADPCM) → (sample_rate, n_channels,
+    mean-mixed normalized samples). Block structure per channel: a
+    4-byte header (int16 predictor, step index, reserved) then nibble
+    data in 4-byte per-channel groups, low nibble first."""
+    import struct
+
+    data = bytes(payload)
+    pos = 12  # past RIFF....WAVE
+    fmt = None
+    frames = []
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        ln = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            frames.append(body)
+    if fmt is None or not frames:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    tag, n_ch, rate, _br, block_align, _bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 0x0011:
+        raise ValueError(f"unsupported WAV format tag 0x{tag:04x}")
+    raw = b"".join(frames)
+    mixed: list[float] = []
+    ch_bytes = block_align // n_ch
+    for b0 in range(0, len(raw) - block_align + 1, block_align):
+        block = raw[b0 : b0 + block_align]
+        preds, idxs = [], []
+        chans: list[list[int]] = []
+        for c in range(n_ch):
+            p, ix = struct.unpack_from("<hB", block, c * 4)
+            preds.append(p)
+            idxs.append(min(max(ix, 0), 88))
+            chans.append([p])
+        # nibble data: 4-byte groups round-robin across channels
+        off = 4 * n_ch
+        group = 0
+        while off < len(block):
+            c = group % n_ch
+            for byte in block[off : off + 4]:
+                for nib in (byte & 0xF, byte >> 4):
+                    preds[c], idxs[c] = _ima_decode_nibble(nib, preds[c], idxs[c])
+                    chans[c].append(preds[c])
+            off += 4
+            group += 1
+        n_samp = 1 + (ch_bytes - 4) * 2
+        for i in range(n_samp):
+            mixed.append(sum(ch[i] for ch in chans) / n_ch / 32768.0)
+    return int(rate), int(n_ch), mixed
+
+
 def decode_wav_features(
     payload: bytes, n_windows: int = 8
 ) -> tuple[float, int, float, list[float]]:
-    """Pure-stdlib WAV (PCM) decode → (duration_s, sample_rate,
-    peak_dbfs, rms_envelope) — the audio sibling of
-    :func:`decode_png_stdlib`: RIFF/WAVE PCM parses with the stdlib
-    ``wave`` module + struct, so this container runs a REAL audio
-    decode without soundfile. Samples normalize to float64 with
-    soundfile's PCM scaling (int16 → x/2¹⁵, int32 → x/2³¹, 8-bit
+    """Pure-stdlib WAV decode → (duration_s, sample_rate, peak_dbfs,
+    rms_envelope) — the audio sibling of :func:`decode_png_stdlib`:
+    RIFF/WAVE PCM parses with the stdlib ``wave`` module + struct, and
+    — round 6 — COMPRESSED WAV in the IMA-ADPCM format (tag 0x0011,
+    4-bit differential coding) decodes through the reference
+    reconstruction state machine, so this container runs a REAL audio
+    decode without soundfile for both. Samples normalize to float64
+    with soundfile's PCM scaling (int16 → x/2¹⁵, int32 → x/2³¹, 8-bit
     unsigned → (x−128)/2⁷); multi-channel mixes down by mean exactly
-    like the soundfile path. Compressed WAV (non-PCM) raises —
-    soundfile stays the route for those.
+    like the soundfile path. Other compressed WAV tags (µ-law, MP3…)
+    raise — soundfile stays the route for those.
     """
     import io
     import math
     import struct
     import wave
 
-    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-        rate = w.getframerate()
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        n_frames = w.getnframes()
-        raw = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            rate = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+    except wave.Error:
+        # non-PCM container: the stdlib module refuses; IMA-ADPCM
+        # decodes here, anything else re-raises as unsupported
+        rate, _nc, samples = _decode_wav_ima_adpcm(payload)
+        n = len(samples)
+        duration = round(n / rate, 3)
+        peak = max((abs(s) for s in samples), default=0.0)
+        peak_dbfs = round(20 * math.log10(peak) if peak > 0 else -120.0, 3)
+        env = []
+        for i in range(n_windows):
+            seg = samples[i * n // n_windows : (i + 1) * n // n_windows]
+            if seg:
+                env.append(round(math.sqrt(sum(s * s for s in seg) / len(seg)), 6))
+            else:
+                env.append(0.0)
+        return duration, int(rate), peak_dbfs, env
     if width == 2:
         ints = struct.unpack(f"<{len(raw) // 2}h", raw)
         scale = float(1 << 15)
