@@ -706,6 +706,163 @@ def test_wav_unsupported_compressed_tag_raises():
         decode_wav_features(payload)
 
 
+def _encode_gif(indices, w, h, palette, real_lzw=True, mcs=None):
+    """Minimal GIF89a ENCODER (test-side, stdlib only): global color
+    table + one image, with either a REAL LZW compressor (dictionary
+    growth, KwKwK-capable, 12-bit cap with clear codes) or the classic
+    'uncompressed' literal-code stream (clear codes before every width
+    growth). Exists so the stdlib decoder is exercised against an
+    independent implementation of the variable-width LSB-first
+    packing."""
+    import struct
+
+    n_colors = len(palette) // 3
+    depth = max(2, (n_colors - 1).bit_length())
+    mcs = mcs or depth
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += bytes(palette) + b"\x00" * (3 * ((1 << depth) - n_colors))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+
+    clear = 1 << mcs
+    end = clear + 1
+    codes = []
+    if real_lzw:
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        width_limit = 1 << 12
+        codes.append(clear)
+        cur = b""
+        for p in indices:
+            nxt = cur + bytes([p])
+            if nxt in table:
+                cur = nxt
+            else:
+                codes.append(table[cur])
+                if next_code < width_limit:
+                    table[nxt] = next_code
+                    next_code += 1
+                else:
+                    codes.append(clear)
+                    table = {bytes([i]): i for i in range(clear)}
+                    next_code = end + 1
+                cur = bytes([p])
+        if cur:
+            codes.append(table[cur])
+        codes.append(end)
+        # pack with the decoder-visible width schedule
+        bits = bytearray()
+        acc = nbits = 0
+        width = mcs + 1
+        n_entries = end + 1
+        for c in codes:
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            if c == clear:
+                n_entries = end + 1
+                width = mcs + 1
+            elif c != end:
+                n_entries += 1
+                if n_entries == (1 << width) and width < 12:
+                    width += 1
+        if nbits:
+            bits.append(acc & 0xFF)
+    else:
+        # literal codes with clear before each would-be width growth
+        bits = bytearray()
+        acc = nbits = 0
+        width = mcs + 1
+
+        def put(c):
+            nonlocal acc, nbits
+            acc |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        put(clear)
+        n_entries = end + 1
+        for p in indices:
+            if n_entries + 1 == (1 << width):
+                put(clear)
+                n_entries = end + 1
+            put(p)
+            n_entries += 1
+        put(end)
+        if nbits:
+            bits.append(acc & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_stdlib_decode_both_lzw_forms():
+    """Real-LZW and literal-code GIF streams of the same image must
+    both decode to the closed-form mean (palette luma average over the
+    known index grid)."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_gif_stdlib
+
+    w, h = 37, 19
+    palette = [0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 64, 128]
+    indices = [(x * 7 + y * 3) % 4 for y in range(h) for x in range(w)]
+    luma = [0, 255, (299 * 255 + 500) // 1000, (587 * 64 + 114 * 128 + 500) // 1000]
+    expect = round(sum(luma[p] for p in indices) / (w * h) / 255.0, 6)
+    for real in (True, False):
+        got = decode_gif_stdlib(_encode_gif(indices, w, h, palette, real_lzw=real))
+        assert got == (w, h, expect), f"real_lzw={real}"
+
+
+def test_gif_stdlib_dictionary_growth_and_kwkwk():
+    """A long run of one index forces immediate KwKwK codes and
+    dictionary growth through several width increases — the classic
+    LZW stress shape."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_gif_stdlib
+
+    w, h = 120, 40
+    palette = [10, 20, 30, 200, 100, 50]
+    indices = [0] * (w * h // 2) + [1] * (w * h - w * h // 2)
+    luma = [(299 * 10 + 587 * 20 + 114 * 30 + 500) // 1000,
+            (299 * 200 + 587 * 100 + 114 * 50 + 500) // 1000]
+    expect = round(sum(luma[p] for p in indices) / (w * h) / 255.0, 6)
+    got = decode_gif_stdlib(_encode_gif(indices, w, h, palette))
+    assert got == (w, h, expect)
+
+
+def test_gif_stdlib_skips_extensions_and_rejects_garbage(spark):
+    import pytest
+
+    from the_framework_for_clustering_time_series_data_spark.operators import multimodal as mm
+
+    w, h = 8, 8
+    palette = [0, 0, 0, 255, 255, 255]
+    indices = [(x + y) % 2 for y in range(h) for x in range(w)]
+    payload = bytearray(_encode_gif(indices, w, h, palette))
+    # splice a graphic-control extension before the image descriptor
+    idx = payload.index(0x2C)
+    payload[idx:idx] = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    got = mm.decode_gif_stdlib(bytes(payload))
+    assert got[:2] == (w, h)
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm.decode_gif_stdlib(b"plainbytes")
+    # end-to-end dispatch through Spark without PIL
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_gif(indices, w, h, palette)))],
+        "doc_id long, payload binary",
+    )
+    out = mm.decode_image_features(df).collect()
+    assert (out[0]["width"], out[0]["height"]) == (w, h)
+
+
 def _encode_y4m(w, h, frames_yuv):
     """Minimal stdlib Y4M encoder for the parser tests: C420, one
     bytes object of w*h*3//2 per frame."""

@@ -678,6 +678,131 @@ def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
     raise ValueError("malformed JPEG: no SOS marker")
 
 
+#: GIF signatures — payloads with either decode through the
+#: pure-stdlib LZW decoder below, PIL or not.
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def decode_gif_stdlib(payload: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib GIF decode → (width, height, mean_intensity of the
+    first frame) — the third real stdlib image format (round 6). GIF
+    is a palette + variable-width LSB-first LZW stream: header /
+    logical screen descriptor, global+local color tables, extension
+    blocks skipped, first image descriptor decoded (interlace is a
+    row-placement permutation, which a mean is invariant to). Mean
+    uses integer Rec.601 luma of the palette
+    (``(299R + 587G + 114B + 500) // 1000``), normalized /255 and
+    rounded 6 dp — deterministic across platforms."""
+    data = bytes(payload)
+    if data[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"malformed GIF: unexpected block 0x{b:02x}")
+        # image descriptor
+        iw = int.from_bytes(data[pos + 4 : pos + 6], "little")
+        ih = int.from_bytes(data[pos + 6 : pos + 8], "little")
+        iflags = data[pos + 8]
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("malformed GIF: no color table")
+        mcs = data[pos]
+        pos += 1
+        comp = bytearray()
+        while pos < len(data) and data[pos]:
+            ln = data[pos]
+            comp += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        # variable-width LSB-first LZW. Width schedule follows the
+        # giflib discipline: the next-code counter advances once per
+        # DATA CODE read (in lockstep with the encoder's emits), while
+        # the actual table entry lags one code behind (it needs the
+        # following code's first char) — growing on table length
+        # instead desyncs the width by one code position.
+        clear = 1 << mcs
+        end = clear + 1
+        width = mcs + 1
+        table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        next_code = end + 1
+        acc = 0
+        nbits = 0
+        out = bytearray()
+        prev: bytes | None = None
+        for byte in comp:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                    next_code = end + 1
+                    width = mcs + 1
+                    prev = None
+                    continue
+                if code == end:
+                    prev = None
+                    nbits = 0
+                    acc = 0
+                    break
+                if prev is None:
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                        table.append(prev + entry[:1])
+                    elif code == len(table):  # KwKwK case
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    else:
+                        raise ValueError("malformed GIF: LZW code out of range")
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+                out += entry
+                prev = entry
+                if len(out) >= iw * ih:
+                    break
+            if len(out) >= iw * ih:
+                break
+        if len(out) < iw * ih:
+            raise ValueError("malformed GIF: short pixel stream")
+        luma = [
+            (299 * pal[3 * i] + 587 * pal[3 * i + 1] + 114 * pal[3 * i + 2] + 500)
+            // 1000
+            for i in range(len(pal) // 3)
+        ]
+        total = sum(luma[p] for p in out[: iw * ih])
+        return int(sw or iw), int(sh or ih), round(total / (iw * ih) / 255.0, 6)
+    raise ValueError("malformed GIF: no image descriptor")
+
+
 def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach an opaque binary payload column + metadata struct.
 
@@ -750,6 +875,8 @@ def decode_image_features(
             return _decode_stub(payload)
         if bytes(payload[:8]) == PNG_MAGIC:
             return decode_png_stdlib(payload)
+        if bytes(payload[:6]) in GIF_MAGICS and not PIL_AVAILABLE:
+            return decode_gif_stdlib(payload)
         if bytes(payload[:3]) == JPEG_MAGIC and not PIL_AVAILABLE:
             # baseline AND progressive JPEG decode stdlib-side;
             # arithmetic/lossless raise and (without PIL) fall through
