@@ -11,9 +11,11 @@ Each kernel carries BOTH code paths:
   :func:`decode_png_stdlib`), BASELINE **and PROGRESSIVE** JPEG
   decode stdlib+NumPy (markers + Huffman + IDCT; multi-scan spectral
   selection / successive approximation per T.81 G.2 — round 6,
-  :func:`decode_jpeg_stdlib`), RIFF/WAVE PCM decodes pure-stdlib
-  (``wave`` + struct, :func:`decode_wav_features`), **FLAC decodes
-  pure-stdlib** (framing + rice + integer LPC — round 6,
+  :func:`decode_jpeg_stdlib`), GIF decodes pure-stdlib (variable-width
+  LZW — round 6, :func:`decode_gif_stdlib`), RIFF/WAVE PCM **and
+  IMA-ADPCM** decode pure-stdlib (``wave`` + struct + the ADPCM state
+  machine, :func:`decode_wav_features`), **FLAC decodes pure-stdlib**
+  (framing + rice + integer LPC — round 6,
   :func:`decode_flac_features`), and YUV4MPEG2 video parses
   pure-stdlib (:func:`sample_frames_y4m`); remaining formats
   (arithmetic-coded JPEG, WebP, lossy audio, compressed video) use
