@@ -496,15 +496,33 @@ def _encode_flac(
             for v in x:
                 bw.put_signed(v, ch_bps)
             return
-        order = int(subframe[-1])  # "fixed0".."fixed2"
-        coefs = {0: [], 1: [1], 2: [2, -1]}[order]
-        bw.put(0, 1); bw.put(8 + order, 6); bw.put(0, 1)
-        for v in x[:order]:
-            bw.put_signed(v, ch_bps)
-        resid = []
-        for i in range(order, len(x)):
-            pred = sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
-            resid.append(x[i] - pred)
+        if subframe == "lpc":
+            # order-2 quantized-LPC subframe: coefs [3, -1] at shift 1
+            # (a gentle low-pass predictor — any values exercise the
+            # integer prediction path; decoder must reproduce exactly)
+            order, shift, coefs = 2, 1, [3, -1]
+            bw.put(0, 1); bw.put(32 + (order - 1), 6); bw.put(0, 1)
+            for v in x[:order]:
+                bw.put_signed(v, ch_bps)
+            prec = 4
+            bw.put(prec - 1, 4)
+            bw.put_signed(shift, 5)
+            for c in coefs:
+                bw.put_signed(c, prec)
+            resid = []
+            for i in range(order, len(x)):
+                acc = sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
+                resid.append(x[i] - (acc >> shift))
+        else:
+            order = int(subframe[-1])  # "fixed0".."fixed2"
+            coefs = {0: [], 1: [1], 2: [2, -1]}[order]
+            bw.put(0, 1); bw.put(8 + order, 6); bw.put(0, 1)
+            for v in x[:order]:
+                bw.put_signed(v, ch_bps)
+            resid = []
+            for i in range(order, len(x)):
+                pred = sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
+                resid.append(x[i] - pred)
         bw.put(0, 2)  # 4-bit rice method
         po = partition_order
         bw.put(po, 4)
@@ -1177,18 +1195,22 @@ def test_jpeg_stdlib_color_and_restart():
     assert abs(mean - yy.mean() / 255.0) < 1.5 / 255.0
 
 
-def _encode_jpeg_progressive(planes, quant=None, scans=None, restart=0):
-    """Minimal PROGRESSIVE JPEG encoder (test-side, stdlib+numpy only,
-    4:4:4 sampling): spectral-selection + successive-approximation
-    scans per T.81 G.1 with the libjpeg encoder disciplines (DC point
-    transform = arithmetic shift, AC = magnitude shift; EOB-run
-    accumulation; AC-refinement correction bits buffered and emitted
-    after the next symbol / carried with the EOB run). Canonical
-    per-scan Huffman tables, optional DRI restart markers in every
-    scan. Exists so the progressive decoder is exercised against an
-    INDEPENDENT implementation of the scan layout — and cross-checked
-    against the (already-validated) baseline path on identical
-    coefficients."""
+def _encode_jpeg_progressive(planes, quant=None, scans=None, restart=0,
+                             sampling=None):
+    """Minimal PROGRESSIVE JPEG encoder (test-side, stdlib+numpy only):
+    spectral-selection + successive-approximation scans per T.81 G.1
+    with the libjpeg encoder disciplines (DC point transform =
+    arithmetic shift, AC = magnitude shift; EOB-run accumulation;
+    AC-refinement correction bits buffered and emitted after the next
+    symbol / carried with the EOB run). Supports per-component
+    ``sampling`` factors: DC scans interleave over the MCU-padded
+    grid, AC scans iterate each component's OWN (non-interleaved)
+    block grid — the two grid shapes the decoder must distinguish.
+    Canonical per-scan Huffman tables, optional DRI restart markers in
+    every scan. Exists so the progressive decoder is exercised against
+    an INDEPENDENT implementation of the scan layout — and
+    cross-checked against the (already-validated) baseline path on
+    identical coefficients."""
     import math
     import struct
 
@@ -1197,14 +1219,18 @@ def _encode_jpeg_progressive(planes, quant=None, scans=None, restart=0):
     from the_framework_for_clustering_time_series_data_spark.operators.multimodal import _JPEG_ZIGZAG, _dct_matrix
 
     ncomp = len(planes)
+    sampling = sampling or [(1, 1)] * ncomp
     q = quant or [1] * 64
     h, w = planes[0].shape
     C = _dct_matrix()
-    hb, wb = -(-h // 8), -(-w // 8)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
     def padded(ci):
+        hs, vs = sampling[ci]
         ph, pw = planes[ci].shape
-        P = np.zeros((hb * 8, wb * 8))
+        P = np.zeros((mcuy * vs * 8, mcux * hs * 8))
         P[:ph, :pw] = planes[ci]
         if ph < P.shape[0]:
             P[ph:, :] = P[ph - 1 : ph, :]
@@ -1217,16 +1243,25 @@ def _encode_jpeg_progressive(planes, quant=None, scans=None, restart=0):
 
     coefs = []
     for ci in range(ncomp):
+        hs, vs = sampling[ci]
         P = padded(ci)
-        comp = [[None] * wb for _ in range(hb)]
-        for by in range(hb):
-            for bx in range(wb):
+        gh, gw = mcuy * vs, mcux * hs
+        comp = [[None] * gw for _ in range(gh)]
+        for by in range(gh):
+            for bx in range(gw):
                 blk = P[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 X = C @ (blk - 128.0) @ C.T
                 comp[by][bx] = [
                     int(round(X[_JPEG_ZIGZAG[k]] / q[k])) for k in range(64)
                 ]
         coefs.append(comp)
+
+    def ni_grid(ci):
+        """Non-interleaved block grid (the component's own)."""
+        hs, vs = sampling[ci]
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        return -(-ch // 8), -(-cw // 8)
 
     if scans is None:
         scans = [(list(range(ncomp)), 0, 0, 0, 1),
@@ -1239,40 +1274,57 @@ def _encode_jpeg_progressive(planes, quant=None, scans=None, restart=0):
     out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + bytes(q)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])
+        sof += bytes([ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
     if restart:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
 
     for comps_s, Ss, Se, Ah, Al in scans:
         items = []  # ("sym", cls, symbol) | ("raw", value, nbits) | ("rst",)
-        if Ss == 0:  # DC scan (interleaved over comps_s)
+        if Ss == 0:  # DC scan
             pred = {ci: 0 for ci in comps_s}
             cnt = 0
-            for by in range(hb):
-                for bx in range(wb):
-                    if restart and cnt and cnt % restart == 0:
-                        items.append(("rst",))
-                        pred = {ci: 0 for ci in comps_s}
-                    cnt += 1
-                    for ci in comps_s:
-                        c0 = coefs[ci][by][bx][0]
-                        if Ah == 0:
-                            v = c0 >> Al  # arithmetic shift (T.81 DC PT)
-                            diff = v - pred[ci]
-                            pred[ci] = v
-                            s = csize(diff)
-                            items.append(("sym", "dc", s))
-                            if s:
-                                items.append(
-                                    ("raw",
-                                     diff if diff >= 0 else diff + (1 << s) - 1,
-                                     s)
-                                )
-                        else:  # refinement: one raw bit, no Huffman
-                            items.append(("raw", (c0 >> Al) & 1, 1))
+            if len(comps_s) > 1:  # interleaved: MCU order, all blocks
+                units = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        unit = []
+                        for ci in comps_s:
+                            hs, vs = sampling[ci]
+                            for v in range(vs):
+                                for u in range(hs):
+                                    unit.append((ci, my * vs + v, mx * hs + u))
+                        units.append(unit)
+            else:  # single component: its own grid, one block per unit
+                ci0 = comps_s[0]
+                hb, wb = ni_grid(ci0)
+                units = [
+                    [(ci0, by, bx)] for by in range(hb) for bx in range(wb)
+                ]
+            for unit in units:
+                if restart and cnt and cnt % restart == 0:
+                    items.append(("rst",))
+                    pred = {ci: 0 for ci in comps_s}
+                cnt += 1
+                for ci, by, bx in unit:
+                    c0 = coefs[ci][by][bx][0]
+                    if Ah == 0:
+                        v = c0 >> Al  # arithmetic shift (T.81 DC PT)
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = csize(diff)
+                        items.append(("sym", "dc", s))
+                        if s:
+                            items.append(
+                                ("raw",
+                                 diff if diff >= 0 else diff + (1 << s) - 1,
+                                 s)
+                            )
+                    else:  # refinement: one raw bit, no Huffman
+                        items.append(("raw", (c0 >> Al) & 1, 1))
         else:  # AC scan: single component
             ci = comps_s[0]
+            hb, wb = ni_grid(ci)
             eobrun = 0
             BE = []  # correction bits carried with the pending EOB run
 
@@ -1481,6 +1533,8 @@ def test_flac_stdlib_partitions_escape_and_192():
         dict(subframe="fixed1", partition_order=2),
         dict(subframe="fixed2", escape=True),
         dict(subframe="verbatim", bs_code_192=True),
+        dict(subframe="lpc"),
+        dict(subframe="lpc", partition_order=1, escape=True),
     ):
         got = decode_flac_features(_encode_flac([pcm], **kwargs))
         assert got == ref, kwargs
@@ -1580,6 +1634,30 @@ def test_jpeg_stdlib_progressive_spectral_only():
     base = decode_jpeg_stdlib(_encode_jpeg_baseline([img]))
     prog = decode_jpeg_stdlib(_encode_jpeg_progressive([img], scans=scans))
     assert prog == base
+
+
+def test_jpeg_stdlib_progressive_420_subsampling():
+    """Progressive with 4:2:0 sampling: the interleaved DC scan walks
+    the MCU-padded grid (4 luma blocks per MCU) while AC scans walk
+    each component's OWN non-interleaved grid — the luma mean must
+    equal the baseline path's exactly."""
+    import numpy as np
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_jpeg_stdlib
+
+    yy, xx = np.meshgrid(np.arange(19), np.arange(37), indexing="ij")
+    luma = ((xx * 5 + yy * 3) % 256).astype(float)
+    cb = np.full((10, 19), 90.0)
+    cr = ((np.arange(10)[:, None] + np.arange(19)[None, :]) * 9 % 256).astype(float)
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    base = decode_jpeg_stdlib(
+        _encode_jpeg_baseline([luma, cb, cr], sampling=sampling)
+    )
+    prog = decode_jpeg_stdlib(
+        _encode_jpeg_progressive([luma, cb, cr], sampling=sampling)
+    )
+    assert prog == base
+    assert (prog[0], prog[1]) == (37, 19)
 
 
 def test_jpeg_stdlib_progressive_color_and_restart():
