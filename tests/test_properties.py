@@ -150,3 +150,67 @@ def test_decontamination_flags_planted_overlap(spark):
     out = {r["doc_id"]: r for r in decontaminate_overlap(corpus, eval_set, n=4).collect()}
     assert set(out) == {1}
     assert out[1]["n_overlap"] >= 2  # "the secret benchmark answer", "secret benchmark answer is"
+
+
+# --- stdlib codec kernels (no Spark jobs — generous example counts) ---
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pcm=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=16, max_size=520
+    ),
+    sub=st.sampled_from(["fixed0", "fixed1", "fixed2", "verbatim", "lpc"]),
+    esc=st.booleans(),
+)
+def test_flac_roundtrip_property(pcm, sub, esc):
+    """Any int16 signal through any subframe/escape combination must
+    decode to exactly the WAV-path features of the same PCM (FLAC is
+    lossless; both paths share the feature math)."""
+    from tests.test_multimodal import _encode_flac, _wav_payload
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        decode_flac_features,
+        decode_wav_features,
+    )
+
+    payload = _encode_flac(
+        [pcm], blocksize=len(pcm), subframe=sub, escape=esc
+    )
+    assert decode_flac_features(payload) == decode_wav_features(_wav_payload(pcm))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    n_colors=st.integers(min_value=2, max_value=16),
+    real=st.booleans(),
+    data=st.data(),
+)
+def test_gif_roundtrip_property(w, h, n_colors, real, data):
+    """Any index grid over any palette, through either LZW form, must
+    decode to the closed-form palette-luma mean."""
+    from tests.test_multimodal import _encode_gif
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_gif_stdlib
+
+    palette = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=3 * n_colors,
+            max_size=3 * n_colors,
+        )
+    )
+    indices = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=n_colors - 1),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    luma = [
+        (299 * palette[3 * i] + 587 * palette[3 * i + 1]
+         + 114 * palette[3 * i + 2] + 500) // 1000
+        for i in range(n_colors)
+    ]
+    expect = round(sum(luma[p] for p in indices) / (w * h) / 255.0, 6)
+    got = decode_gif_stdlib(_encode_gif(indices, w, h, palette, real_lzw=real))
+    assert got == (w, h, expect)
