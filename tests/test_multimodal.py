@@ -708,6 +708,143 @@ def test_wav_ima_adpcm_stereo():
     assert got == decode_wav_features(buf.getvalue())
 
 
+def _g711_wav(samples_bytes, tag, sr=8000, n_ch=1):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, n_ch, sr, sr * n_ch, n_ch, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(samples_bytes)) + bytes(samples_bytes)
+    riff = b"WAVE" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_wav_g711_matches_audioop_reference():
+    """The µ-law/A-law expansions must agree byte-for-byte with the
+    stdlib audioop reference implementation (independent C code);
+    features then follow from PCM equality."""
+    import pytest
+
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+    import struct
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        _g711_alaw_to_linear,
+        _g711_ulaw_to_linear,
+        decode_wav_features,
+    )
+
+    for b in range(256):
+        assert _g711_ulaw_to_linear(b) == struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([b]), 2)
+        )[0], f"ulaw byte {b}"
+        assert _g711_alaw_to_linear(b) == struct.unpack(
+            "<h", audioop.alaw2lin(bytes([b]), 2)
+        )[0], f"alaw byte {b}"
+    # end-to-end: features equal the WAV-path features of the expansion
+    payload = bytes(range(256)) * 4
+    for tag, fn in ((0x0007, _g711_ulaw_to_linear), (0x0006, _g711_alaw_to_linear)):
+        got = decode_wav_features(_g711_wav(payload, tag))
+        ref = decode_wav_features(_wav_payload([fn(b) for b in payload]))
+        assert got == ref, f"tag 0x{tag:04x}"
+
+
+def test_wav_g711_stereo_mixdown():
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        _g711_ulaw_to_linear,
+        decode_wav_features,
+    )
+    import io
+    import struct
+    import wave
+
+    payload = bytes((i * 37) % 256 for i in range(512))
+    got = decode_wav_features(_g711_wav(payload, 0x0007, n_ch=2))
+    lin = [_g711_ulaw_to_linear(b) for b in payload]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack(f"<{len(lin)}h", *lin))
+    assert got == decode_wav_features(buf.getvalue())
+
+
+def _encode_bmp(pixels_rgb, w, h, bpp=24, top_down=False, palette=None):
+    """Minimal BMP ENCODER (test-side): BITMAPINFOHEADER, 8-bit
+    paletted or 24/32-bit BGR(X), bottom-up by default."""
+    import struct
+
+    row_bytes = ((w * bpp + 31) // 32) * 4
+    pal_bytes = b""
+    if bpp == 8:
+        pal_bytes = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in palette
+        )
+    pix = bytearray()
+    rows = range(h - 1, -1, -1) if not top_down else range(h)
+    for y in rows:
+        line = bytearray()
+        for x in range(w):
+            v = pixels_rgb[y * w + x]
+            if bpp == 8:
+                line.append(v)
+            else:
+                r, g, b = v
+                line += bytes([b, g, r] + ([0] if bpp == 32 else []))
+        line += b"\x00" * (row_bytes - len(line))
+        pix += line
+    off = 14 + 40 + len(pal_bytes)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0,
+        len(pix), 2835, 2835, len(pal_bytes) // 4, 0,
+    )
+    return bytes(hdr + pal_bytes + pix)
+
+
+def test_bmp_stdlib_decode_truecolor_and_paletted():
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_bmp_stdlib
+
+    w, h = 7, 5  # odd width exercises row padding
+    pixels = [((x * 40) % 256, (y * 60) % 256, (x + y) % 256) for y in range(h) for x in range(w)]
+    expect = round(
+        sum((299 * r + 587 * g + 114 * b + 500) // 1000 for r, g, b in pixels)
+        / (w * h) / 255.0, 6,
+    )
+    for bpp in (24, 32):
+        for td in (False, True):
+            got = decode_bmp_stdlib(_encode_bmp(pixels, w, h, bpp=bpp, top_down=td))
+            assert got == (w, h, expect), f"bpp={bpp} top_down={td}"
+    palette = [(0, 0, 0), (255, 255, 255), (10, 200, 30)]
+    idx = [(x + y) % 3 for y in range(h) for x in range(w)]
+    expect_p = round(
+        sum(
+            (299 * palette[p][0] + 587 * palette[p][1] + 114 * palette[p][2] + 500)
+            // 1000
+            for p in idx
+        )
+        / (w * h) / 255.0, 6,
+    )
+    got = decode_bmp_stdlib(_encode_bmp(idx, w, h, bpp=8, palette=palette))
+    assert got == (w, h, expect_p)
+
+
+def test_bmp_stdlib_rejects_unsupported():
+    import struct
+
+    import pytest
+
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import decode_bmp_stdlib
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp_stdlib(b"plainbytes")
+    # RLE8-compressed header must raise, not mis-decode
+    hdr = b"BM" + struct.pack("<IHHI", 200, 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, 0, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_bmp_stdlib(hdr + b"\x00" * 64)
+
+
 def test_wav_unsupported_compressed_tag_raises():
     import struct
 

@@ -680,6 +680,61 @@ def decode_jpeg_stdlib(payload: bytes) -> tuple[int, int, float]:
     raise ValueError("malformed JPEG: no SOS marker")
 
 
+#: BMP signature — payloads with it decode through the pure-stdlib
+#: DIB parser below, PIL or not.
+BMP_MAGIC = b"BM"
+
+
+def decode_bmp_stdlib(payload: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib BMP (Windows DIB) decode → (width, height,
+    mean_intensity) — uncompressed 8-bit-paletted and 24/32-bit
+    true-color bitmaps, bottom-up or top-down rows, 4-byte row
+    padding. Mean uses the same integer Rec.601 luma as the GIF path.
+    Compressed BMPs (RLE/bitfields) raise — PIL stays the route."""
+    import struct
+
+    data = bytes(payload)
+    if data[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header (pre-BITMAPINFOHEADER)")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression not in (0, 3) or bpp not in (8, 24, 32):
+        raise ValueError(
+            f"unsupported BMP (compression {compression}, {bpp} bpp); use PIL"
+        )
+    h = abs(h_raw)
+    row_bytes = ((w * bpp + 31) // 32) * 4
+    pal = None
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        pal = data[pal_off : pal_off + 4 * n_colors]  # BGRX entries
+        luma_tab = [
+            (299 * pal[4 * i + 2] + 587 * pal[4 * i + 1] + 114 * pal[4 * i]
+             + 500) // 1000
+            for i in range(len(pal) // 4)
+        ]
+    total = 0
+    for row in range(h):  # mean is row-order-invariant; no flip needed
+        base = pix_off + row * row_bytes
+        line = data[base : base + row_bytes]
+        if len(line) < row_bytes:
+            raise ValueError("malformed BMP: truncated pixel data")
+        if bpp == 8:
+            total += sum(luma_tab[p] for p in line[:w])
+        else:
+            step = bpp // 8
+            for x in range(w):
+                b, g, r = line[x * step : x * step + 3]
+                total += (299 * r + 587 * g + 114 * b + 500) // 1000
+    return int(w), int(h), round(total / (w * h) / 255.0, 6)
+
+
 #: GIF signatures — payloads with either decode through the
 #: pure-stdlib LZW decoder below, PIL or not.
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
@@ -879,6 +934,13 @@ def decode_image_features(
             return decode_png_stdlib(payload)
         if bytes(payload[:6]) in GIF_MAGICS and not PIL_AVAILABLE:
             return decode_gif_stdlib(payload)
+        if bytes(payload[:2]) == BMP_MAGIC and not PIL_AVAILABLE:
+            try:
+                return decode_bmp_stdlib(payload)
+            except ValueError:
+                if use_real:
+                    raise
+                return _decode_stub(payload)
         if bytes(payload[:3]) == JPEG_MAGIC and not PIL_AVAILABLE:
             # baseline AND progressive JPEG decode stdlib-side;
             # arithmetic/lossless raise and (without PIL) fall through
@@ -1414,11 +1476,35 @@ def _ima_decode_nibble(nib: int, pred: int, index: int) -> tuple[int, int]:
     return pred, index
 
 
-def _decode_wav_ima_adpcm(payload: bytes) -> tuple[int, int, list[float]]:
-    """RIFF/WAVE format 0x0011 (IMA ADPCM) → (sample_rate, n_channels,
-    mean-mixed normalized samples). Block structure per channel: a
-    4-byte header (int16 predictor, step index, reserved) then nibble
-    data in 4-byte per-channel groups, low nibble first."""
+def _g711_ulaw_to_linear(u: int) -> int:
+    """ITU-T G.711 µ-law byte → linear PCM (the reference expansion)."""
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _g711_alaw_to_linear(a: int) -> int:
+    """ITU-T G.711 A-law byte → linear PCM (the reference expansion)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def _decode_wav_compressed(payload: bytes) -> tuple[int, int, list[float]]:
+    """Compressed RIFF/WAVE the stdlib ``wave`` module refuses →
+    (sample_rate, n_channels, mean-mixed normalized samples).
+    Handles format 0x0011 (IMA ADPCM — per-channel 4-byte block
+    headers, nibble data in 4-byte per-channel groups, low nibble
+    first) and the G.711 telephony codecs 0x0006 (A-law) / 0x0007
+    (µ-law, one byte per sample, table expansion). Anything else
+    raises with the offending tag named."""
     import struct
 
     data = bytes(payload)
@@ -1437,9 +1523,20 @@ def _decode_wav_ima_adpcm(payload: bytes) -> tuple[int, int, list[float]]:
     if fmt is None or not frames:
         raise ValueError("malformed WAV: missing fmt/data chunk")
     tag, n_ch, rate, _br, block_align, _bits = struct.unpack("<HHIIHH", fmt[:16])
+    raw = b"".join(frames)
+    if tag in (0x0006, 0x0007):  # G.711 A-law / µ-law
+        table = [
+            (_g711_alaw_to_linear if tag == 0x0006 else _g711_ulaw_to_linear)(b)
+            for b in range(256)
+        ]
+        lin = [table[b] / 32768.0 for b in raw]
+        if n_ch > 1:
+            lin = [
+                sum(lin[i : i + n_ch]) / n_ch for i in range(0, len(lin), n_ch)
+            ]
+        return int(rate), int(n_ch), lin
     if tag != 0x0011:
         raise ValueError(f"unsupported WAV format tag 0x{tag:04x}")
-    raw = b"".join(frames)
     mixed: list[float] = []
     ch_bytes = block_align // n_ch
     for b0 in range(0, len(raw) - block_align + 1, block_align):
@@ -1474,14 +1571,16 @@ def decode_wav_features(
     """Pure-stdlib WAV decode → (duration_s, sample_rate, peak_dbfs,
     rms_envelope) — the audio sibling of :func:`decode_png_stdlib`:
     RIFF/WAVE PCM parses with the stdlib ``wave`` module + struct, and
-    — round 6 — COMPRESSED WAV in the IMA-ADPCM format (tag 0x0011,
-    4-bit differential coding) decodes through the reference
-    reconstruction state machine, so this container runs a REAL audio
-    decode without soundfile for both. Samples normalize to float64
-    with soundfile's PCM scaling (int16 → x/2¹⁵, int32 → x/2³¹, 8-bit
+    — round 6 — COMPRESSED WAV decodes through the reference
+    expansions for IMA-ADPCM (tag 0x0011, 4-bit differential state
+    machine) and the G.711 telephony codecs (tag 0x0006 A-law /
+    0x0007 µ-law, table expansion validated against the audioop
+    reference), so this container runs a REAL audio decode without
+    soundfile for all of them. Samples normalize to float64 with
+    soundfile's PCM scaling (int16 → x/2¹⁵, int32 → x/2³¹, 8-bit
     unsigned → (x−128)/2⁷); multi-channel mixes down by mean exactly
-    like the soundfile path. Other compressed WAV tags (µ-law, MP3…)
-    raise — soundfile stays the route for those.
+    like the soundfile path. Other compressed WAV tags (MP3…) raise —
+    soundfile stays the route for those.
     """
     import io
     import math
@@ -1498,7 +1597,7 @@ def decode_wav_features(
     except wave.Error:
         # non-PCM container: the stdlib module refuses; IMA-ADPCM
         # decodes here, anything else re-raises as unsupported
-        rate, _nc, samples = _decode_wav_ima_adpcm(payload)
+        rate, _nc, samples = _decode_wav_compressed(payload)
         n = len(samples)
         duration = round(n / rate, 3)
         peak = max((abs(s) for s in samples), default=0.0)

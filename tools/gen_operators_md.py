@@ -69,9 +69,10 @@ _APPENDIX = [
     "| `operators/multimodal.py` lossy audio (MP3/AAC/OGG) + compressed "
     "video (H.264…) decode | env-gated stubs by design (these genuinely "
     "need native codec libs, absent in this container); "
-    "PNG / baseline+progressive JPEG / GIF / WAV-PCM / WAV-IMA-ADPCM / "
-    "FLAC / Y4M decode is real, stdlib-only, and tested against "
-    "independent test-side encoders. |",
+    "PNG / baseline+progressive JPEG / GIF / BMP / WAV-PCM / "
+    "WAV-IMA-ADPCM / G.711 µ-law+A-law / FLAC / Y4M decode is real, "
+    "stdlib-only, and tested against independent test-side encoders "
+    "(G.711 byte-for-byte against the audioop reference). |",
     "",
     "## Micro-unit integer-sum scale ceilings (round-6 audit)",
     "",
