@@ -12,15 +12,16 @@ Each kernel carries BOTH code paths:
   decode stdlib+NumPy (markers + Huffman + IDCT; multi-scan spectral
   selection / successive approximation per T.81 G.2 — round 6,
   :func:`decode_jpeg_stdlib`), GIF decodes pure-stdlib (variable-width
-  LZW — round 6, :func:`decode_gif_stdlib`), RIFF/WAVE PCM **and
-  IMA-ADPCM** decode pure-stdlib (``wave`` + struct + the ADPCM state
-  machine, :func:`decode_wav_features`), **FLAC decodes pure-stdlib**
-  (framing + rice + integer LPC — round 6,
+  LZW — round 6, :func:`decode_gif_stdlib`), BMP decodes pure-stdlib
+  (:func:`decode_bmp_stdlib`), RIFF/WAVE PCM, **IMA-ADPCM, and G.711
+  µ-law/A-law** decode pure-stdlib (``wave`` + struct + the reference
+  codec expansions, :func:`decode_wav_features`), **FLAC decodes
+  pure-stdlib** (framing + rice + integer LPC — round 6,
   :func:`decode_flac_features`), and YUV4MPEG2 video parses
   pure-stdlib (:func:`sample_frames_y4m`); remaining formats
-  (arithmetic-coded JPEG, WebP, lossy audio, compressed video) use
-  PIL for images, soundfile for audio, the ffmpeg binary for video
-  frames — gated per modality below;
+  (arithmetic-coded JPEG, WebP, psychoacoustic lossy audio,
+  compressed video) use PIL for images, soundfile for audio, the
+  ffmpeg binary for video frames — gated per modality below;
 * a DETERMINISTIC STUB (seeded from the payload bytes, clearly marked)
   that keeps the distributed plumbing — schema, Arrow batching,
   partition behavior, UDF signatures — exercised end to end in
