@@ -597,3 +597,56 @@ def test_ivfb_persisted_probe_scans_only_probed_cells(spark):
     df = QUERIES["sim_ivfb_persisted"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_d4_bloom_broadcast_probe_and_pushdown(spark):
+    # runtime-filter shape: the bit table, hash dim, and truth set all
+    # broadcast — the customer probe side must never shuffle — and the
+    # build month is pushed to the orders parquet scan
+    plan = _plan(spark, "d4_bloom_md5")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+def test_d4_bloom_invariants(spark):
+    rows = QUERIES["d4_bloom_md5"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_missed"] == 0  # Bloom filters have no false negatives
+        assert r["n_bloom_pass"] >= r["n_with_orders"]
+        # the filter must actually prune: one order-month covers ~12%
+        # of customers, so the pass set stays well under a quarter
+        assert r["n_bloom_pass"] <= 0.25 * r["n_customers"]
+
+
+def test_hll_kmv_estimates_close_to_exact(spark):
+    # both sketches are deterministic (md5 hash family), so these are
+    # fixed draws, not flaky statistics: HLL m=256 → σ≈6.5% (and the
+    # small-range regime at this SF is linear counting, tighter); KMV
+    # k=64 → σ≈12.6%, bounded here at ~3σ for the one fixed draw
+    for name, col, tol in (
+        ("d2b_hll_md5", "rel_err", 0.15),
+        ("d5_kmv_distinct", "rel_err", 0.38),
+    ):
+        rows = QUERIES[name](spark, SF_ORACLE).collect()
+        assert rows
+        for r in rows:
+            assert abs(r[col]) <= tol, f"{name} {r['event_type']}: {r[col]}"
+
+
+def test_bottomk_quantiles_close_to_exact(spark):
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["a5_percentiles"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p50_est"], r["p90_est"], r["p99_est"])
+        for r in QUERIES["a5c_quantile_bottomk"](spark, SF_ORACLE).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et in exact:
+        for e, a in zip(exact[et], approx[et]):
+            # bottom-k (k=1024) rank deviation ~1/sqrt(k) ≈ 3%; value
+            # tolerance widened for tail sparseness at p99
+            assert abs(e - a) <= max(2.0, 0.12 * abs(e)), f"{et}: {e} vs {a}"

@@ -1,13 +1,22 @@
-"""Count-min sketch primitives (Cormode & Muthukrishnan, J.Alg'05),
-shared by the batch heavy-hitters plan (plans/event_plans.py:
-d3_countmin_heavy_hitters) and its streaming twin
+"""Mergeable-sketch primitives, shared by the batch sketch plans
+(plans/event_plans.py: d3_countmin_heavy_hitters, d2b_hll_md5,
+d4_bloom_md5, d5_kmv_distinct) and the streaming twin
 (streaming/ops.streaming_countmin_sketch).
 
-The affine-modular hash family is chosen so BOTH engines (Spark and
-the DuckDB oracle) evaluate the sketch exactly — integer multiply/add/
-mod only — which is what buys d3 its full value-hash oracle, rare for
-a sketch. One definition here keeps the two consumers and the oracle
-SQL in lockstep.
+Two deterministic hash disciplines, chosen so BOTH engines (Spark and
+the DuckDB oracle) evaluate the sketch exactly:
+
+- the affine-modular family ``(a·key + b) mod P mod W`` — integer
+  multiply/add/mod only (count-min rows, Bloom bit positions);
+- the portable md5-60-bit family
+  ``conv(substr(md5(key),1,15),16,10)`` (HLL register updates, KMV
+  bottom-k), the same family the dedup/minhash twins use
+  (operators/dedup.py:md5_60bit_hash).
+
+That determinism is what buys each sketch a full value-hash oracle —
+rare for sketch code, whose production forms (approx_count_distinct,
+percentile_approx) are engine-specific by construction. One definition
+here keeps the consumers and the oracle SQL in lockstep.
 """
 
 from __future__ import annotations
@@ -31,6 +40,54 @@ def cms_hash_dim(df_or_spark) -> DataFrame:
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(CMS_HASHES)], "i int, a long, b long"
     )
+
+
+# HyperLogLog geometry (Flajolet et al., AofA'07): p=8 → m=256
+# registers over the md5-60-bit hash. bucket = h mod 256; the register
+# value is ρ(w) for the remaining 52-bit word w, here the
+# Flajolet–Martin-style LSB rank (index of the lowest set bit + 1; 53
+# caps the w=0 word) — same geometric law as the leading-zero form.
+# The harmonic term 2^(53-ρ) is computed WITHOUT floats or a rank
+# lookup: lsb(w) = w & -w = 2^(ρ-1), so 2^(53-ρ) = 2^52 / lsb(w)
+# exactly, and a register's max-ρ is its max-lsb. Σ over 256 registers
+# ≤ 256·2^53 = 2^61 — exact in int64.
+HLL_M = 256
+HLL_TWO52 = 1 << 52
+HLL_TWO53 = 1 << 53
+#: α_m·m²·2^53 for m=256 written as the literal expression BOTH engines
+#: evaluate: every step is IEEE-correctly-rounded on identical doubles,
+#: so the raw estimate α·m²/Σ2^-M is bit-identical across engines.
+#: Exponent notation is load-bearing: a bare ``0.7213`` parses as
+#: DECIMAL in DuckDB (and Spark), whose division rounds differently
+#: from IEEE double — ``0.7213e0`` parses as DOUBLE in both.
+HLL_ALPHA_NUM_SQL = (
+    "(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0)) * 65536.0e0 * 9007199254740992.0e0"
+)
+
+# Bloom filter geometry: k=4 affine-modular hash rows (the CMS family,
+# reused) over m=2^14 bits. A Bloom's m is ALWAYS sized to the expected
+# build cardinality (m ≈ -n·ln(p)/ln(2)² for target FPR p); here the
+# build side is the distinct custkeys of one order-month (n≈1.8k at
+# sf0.1) → kn/m≈0.44 → FPR=(1-e^(-kn/m))^4 ≈ 1.5%, small enough to
+# prune ~87% of the probe yet large enough that the measured-fpr column
+# is nonzero at the bench SF (the measurement surface stays exercised).
+# At fleet scale the same rule scales m with n; the bit table remains a
+# kilobytes-scale broadcast either way.
+BLOOM_M = 16384
+
+# KMV / bottom-k geometry: the k smallest DISTINCT md5-60-bit hashes.
+# Unbiased estimator n̂ = (k-1)·2^60 / h_(k) (Bar-Yossef et al.,
+# RANDOM'02); below k distinct hashes the sample IS the key set and the
+# count is exact. (k-1)·2^60 = 63·2^60 has a 6-bit mantissa — exact as
+# a double — and the one division is IEEE-correctly-rounded, so the
+# estimate is bit-identical across engines.
+KMV_K = 64
+
+
+def bloom_pos(key: Column, a: Column, b: Column) -> Column:
+    """Row-``i`` bit position of ``key``: ((key·a + b) mod P) mod m —
+    the CMS affine family with the Bloom modulus."""
+    return (key * a + b) % CMS_P % BLOOM_M
 
 
 def cms_sketch(df: DataFrame, key_col: str = "user_id") -> DataFrame:

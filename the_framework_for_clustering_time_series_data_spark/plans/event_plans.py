@@ -1201,6 +1201,415 @@ def d3_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sketch twins (d2b / d4 / d5 / a5c): the md5-60-bit and
+# affine-modular hash families make each sketch's STATE integer-exact in
+# both engines, so — unlike their production forms d2/a5b whose
+# HLL++/t-digest internals are engine-specific — the full sketch, not
+# just its error band, is value-hash-verified.
+from the_framework_for_clustering_time_series_data_spark.operators.dedup import md5_60bit_hash as _md5_60bit  # noqa: E402
+from the_framework_for_clustering_time_series_data_spark.operators.sketch import (  # noqa: E402
+    BLOOM_M as _BLOOM_M,
+    HLL_ALPHA_NUM_SQL as _HLL_ALPHA_NUM,
+    HLL_TWO52 as _HLL_TWO52,
+    HLL_TWO53 as _HLL_TWO53,
+    KMV_K as _KMV_K,
+)
+
+_CMS_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_HASHES))
+
+
+@register(
+    "d2b_hll_md5",
+    f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+regs AS (
+  SELECT event_type, h % 256 AS bucket,
+         max(CASE WHEN h // 256 = 0 THEN {_HLL_TWO52}
+                  ELSE (h // 256) & (-(h // 256)) END) AS lsbmax
+  FROM h GROUP BY 1, 2
+),
+sk AS (
+  SELECT event_type,
+         CAST(sum({_HLL_TWO52} // lsbmax) AS BIGINT)
+           + (256 - count(*)) * {_HLL_TWO53} AS s_harmonic,
+         CAST(256 - count(*) AS BIGINT) AS v_zero
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_users_exact FROM events GROUP BY 1
+),
+est AS (
+  SELECT s.event_type, s.v_zero, s.s_harmonic, x.n_users_exact,
+         CASE WHEN {_HLL_ALPHA_NUM} / CAST(s.s_harmonic AS DOUBLE) <= 640.0e0
+                   AND s.v_zero > 0
+              THEN 256.0e0 * ln(256.0e0 / s.v_zero)
+              ELSE {_HLL_ALPHA_NUM} / CAST(s.s_harmonic AS DOUBLE) END AS e
+  FROM sk s JOIN exact x ON x.event_type = s.event_type
+)
+SELECT event_type, v_zero, s_harmonic, n_users_exact,
+       round(e, 6) AS est_hll,
+       round((e - n_users_exact) / n_users_exact, 6) AS rel_err
+FROM est
+""",
+)
+def d2b_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog twin of d2_approx_distinct (Flajolet
+    et al., AofA'07), value-hash-verified END TO END — registers,
+    harmonic sum, and estimate — where d2's HLL++ internals are
+    engine-private. md5-60-bit hash → bucket = h mod 256, register =
+    max ρ(h div 256) with ρ the LSB rank; the harmonic term 2^(53-ρ)
+    is the EXACT integer 2^52 / (w & -w) (operators/sketch.py), so the
+    whole sketch state is integer arithmetic in both engines. Σ is
+    structurally ≤ 256·2^53 = 2^61 — inside int64 at ANY data scale
+    (the ceiling is the register count, not the row count), so this
+    aggregate is exempt from the decimal(38,0) micro-unit discipline.
+    The raw estimate α_m·m²·2^53/Σ is a chain of IEEE-correctly-rounded
+    ops on identical literals — bit-identical across engines; the
+    small-range branch (E ≤ 2.5m, V > 0) is linear counting m·ln(m/V),
+    the one transcendental: parity there is probabilistic under the
+    exp/ln cross-engine discipline (c7b-style; exact at all tested SFs
+    in practice, V takes ≤ 256 integer values).
+
+    Why it matters at 100 TB: same story as d2 — a fixed 256-register
+    mergeable summary per group flows through map-side partial
+    aggregation instead of a count(DISTINCT) expand+re-shuffle — but
+    auditable: rel_err is pinned against the exact count per group.
+
+    Reference: app.py has no sketch surface; extension per SURVEY §2.9.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", _md5_60bit(F.col("user_id").cast("string")).alias("h")
+    ).select(
+        "event_type",
+        F.expr("h % 256").alias("bucket"),
+        F.expr("h div 256").alias("w"),
+    )
+    regs = base.groupBy("event_type", "bucket").agg(
+        F.max(
+            F.expr(f"CASE WHEN w = 0 THEN {_HLL_TWO52}L ELSE w & (-w) END")
+        ).alias("lsbmax")
+    )
+    sk = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr(f"{_HLL_TWO52}L div lsbmax"))
+            + (F.lit(256) - F.count("*")) * F.lit(_HLL_TWO53)
+        ).alias("s_harmonic"),
+        (F.lit(256) - F.count("*")).cast("long").alias("v_zero"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    e = F.expr(
+        f"CASE WHEN {_HLL_ALPHA_NUM} / CAST(s_harmonic AS DOUBLE) <= 640.0e0"
+        "          AND v_zero > 0"
+        "     THEN 256.0e0 * ln(256.0e0 / v_zero)"
+        f"     ELSE {_HLL_ALPHA_NUM} / CAST(s_harmonic AS DOUBLE) END"
+    )
+    return (
+        sk.join(F.broadcast(exact), "event_type")
+        .withColumn("e", e)
+        .select(
+            "event_type",
+            "v_zero",
+            "s_harmonic",
+            "n_users_exact",
+            F.round(F.col("e"), 6).alias("est_hll"),
+            F.round(
+                (F.col("e") - F.col("n_users_exact")) / F.col("n_users_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "d5_kmv_distinct",
+    f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+bot AS (
+  SELECT event_type, h FROM h
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {_KMV_K}
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_bottom, max(h) AS kth_hash
+  FROM bot GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_users_exact FROM events GROUP BY 1
+),
+est AS (
+  SELECT a.event_type, a.n_bottom, a.kth_hash, x.n_users_exact,
+         CASE WHEN a.n_bottom < {_KMV_K} THEN CAST(a.n_bottom AS DOUBLE)
+              ELSE {_KMV_K - 1}.0e0 * 1152921504606846976.0e0 / CAST(a.kth_hash AS DOUBLE)
+         END AS e
+  FROM agg a JOIN exact x ON x.event_type = a.event_type
+)
+SELECT event_type, n_bottom, kth_hash, n_users_exact,
+       round(e, 6) AS est_kmv,
+       round((e - n_users_exact) / n_users_exact, 6) AS rel_err
+FROM est
+""",
+)
+def d5_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al.,
+    RANDOM'02), the third mergeable cardinality discipline next to
+    d2b's HLL and d2's HLL++: keep the k = 64 smallest DISTINCT
+    md5-60-bit hashes per group; n̂ = (k-1)·2^60 / h_(k). Both the
+    bottom-k state and the estimate are integer-exact up to ONE
+    IEEE-correctly-rounded division ((k-1)·2^60 = 63·2^60 is a 6-bit
+    mantissa — an exact double), so the oracle verifies the full
+    sketch; below k distinct hashes the sample is the key set and the
+    estimate is exactly the count (the sf0.001 regime here).
+
+    Scale shape: the distinct pre-pass shuffles (group, hash) once with
+    map-side combine; the bottom-k is a per-group secondary sort on
+    that already-shuffled key (external-sort-safe, no driver state).
+    Bottom-k sets merge by union+truncate — the property that makes KMV
+    the standard distributed distinct sketch when register memory (HLL)
+    isn't the binding constraint but mergeable EVIDENCE (the actual
+    sample) is wanted.
+
+    Reference: app.py has no sketch surface; extension per SURVEY §2.9.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hs = ev.select(
+        "event_type", _md5_60bit(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    bot = hs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _KMV_K)
+    agg = bot.groupBy("event_type").agg(
+        F.count("*").alias("n_bottom"), F.max("h").alias("kth_hash")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    e = F.expr(
+        f"CASE WHEN n_bottom < {_KMV_K} THEN CAST(n_bottom AS DOUBLE)"
+        f"     ELSE {_KMV_K - 1}.0e0 * 1152921504606846976.0e0 / CAST(kth_hash AS DOUBLE)"
+        "      END"
+    )
+    return (
+        agg.join(F.broadcast(exact), "event_type")
+        .withColumn("e", e)
+        .select(
+            "event_type",
+            "n_bottom",
+            "kth_hash",
+            "n_users_exact",
+            F.round(F.col("e"), 6).alias("est_kmv"),
+            F.round(
+                (F.col("e") - F.col("n_users_exact")) / F.col("n_users_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "d4_bloom_md5",
+    f"""
+WITH build AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+),
+bits AS (
+  SELECT DISTINCT (k * h.a + h.b) % {_CMS_P} % {_BLOOM_M} AS pos
+  FROM build
+  CROSS JOIN (VALUES {_CMS_VALUES}) AS h(i, a, b)
+),
+probe AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         (c.c_custkey * h.a + h.b) % {_CMS_P} % {_BLOOM_M} AS pos
+  FROM customer c
+  CROSS JOIN (VALUES {_CMS_VALUES}) AS h(i, a, b)
+),
+per_cust AS (
+  SELECT p.c_custkey, p.c_mktsegment,
+         CASE WHEN count(b.pos) = 4 THEN 1 ELSE 0 END AS maybe
+  FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+  GROUP BY 1, 2
+),
+flagged AS (
+  SELECT pc.c_custkey, pc.c_mktsegment, pc.maybe,
+         CASE WHEN bu.k IS NULL THEN 0 ELSE 1 END AS has_orders
+  FROM per_cust pc LEFT JOIN build bu ON bu.k = pc.c_custkey
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(has_orders) AS BIGINT) AS n_with_orders,
+       CAST(sum(maybe) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(maybe * (1 - has_orders)) AS BIGINT) AS n_false_pos,
+       CAST(sum((1 - maybe) * has_orders) AS BIGINT) AS n_missed,
+       round(CAST(sum(maybe * (1 - has_orders)) AS DOUBLE)
+             / nullif(count(*) - sum(has_orders), 0), 6) AS fpr
+FROM flagged GROUP BY 1
+""",
+)
+def d4_bloom_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning (Bloom, CACM'70), fully
+    value-verified: the fact-side predicate (orders placed in
+    1995-03) becomes a membership filter on the dim probe — k = 4
+    affine-modular hash rows (the d3 CMS family — integer-exact in
+    both engines) over m = 2^14 bits built from the month's DISTINCT
+    custkeys (≈12% of customers at sf0.1), probed by every customer.
+    Per market segment the plan reports the bloom pass-rate against
+    the exact semi-join truth — n_missed is structurally 0 (no false
+    negatives) and fpr is the measured false-positive rate among true
+    negatives (m sized for ≈1.5% at the bench build cardinality so the
+    measurement surface is exercised; sizing rule in
+    operators/sketch.py:BLOOM_M).
+
+    Why it matters at 100 TB: this is runtime filter pushdown made
+    explicit — the probe side joins a kilobytes-scale BROADCAST bit
+    table and drops ~87% of its rows before any shuffle, the same
+    mechanism as Spark's AQE bloom runtime filters, but with the
+    filter's quality (fpr) measured in-plan against truth. The build
+    side is a filtered distinct+project with map-side combine; the bit
+    table is a constant-size mergeable OR-set.
+
+    Reference: app.py has no join-pruning surface; extension per
+    SURVEY §2.9."""
+    from the_framework_for_clustering_time_series_data_spark.operators.sketch import bloom_pos, cms_hash_dim
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    hashes = cms_hash_dim(spark)
+    build = (
+        orders.where(
+            (F.col("o_orderdate") >= "1995-03-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        build.crossJoin(F.broadcast(hashes))
+        .select(bloom_pos(F.col("k"), F.col("a"), F.col("b")).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        cust.select("c_custkey", "c_mktsegment")
+        .crossJoin(F.broadcast(hashes))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            bloom_pos(F.col("c_custkey"), F.col("a"), F.col("b")).alias("pos"),
+        )
+    )
+    per_cust = (
+        probe.join(F.broadcast(bits.withColumn("bit", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.when(F.count("bit") == 4, 1).otherwise(0).alias("maybe"))
+    )
+    flagged = per_cust.join(
+        F.broadcast(build.withColumn("has_orders", F.lit(1))),
+        per_cust.c_custkey == F.col("k"),
+        "left",
+    ).select(
+        "c_mktsegment", "maybe", F.coalesce("has_orders", F.lit(0)).alias("has_orders")
+    )
+    neg = F.count("*") - F.sum("has_orders")
+    return flagged.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("has_orders").cast("long").alias("n_with_orders"),
+        F.sum("maybe").cast("long").alias("n_bloom_pass"),
+        F.sum(F.col("maybe") * (1 - F.col("has_orders"))).cast("long").alias("n_false_pos"),
+        F.sum((1 - F.col("maybe")) * F.col("has_orders")).cast("long").alias("n_missed"),
+        F.round(
+            F.sum(F.col("maybe") * (1 - F.col("has_orders"))).cast("double")
+            / F.nullif(neg, F.lit(0)),
+            6,
+        ).alias("fpr"),
+    )
+
+
+@register(
+    "a5c_quantile_bottomk",
+    """
+WITH h AS (
+  SELECT event_type, event_id, value,
+         CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+samp AS (
+  SELECT event_type, event_id, value FROM h
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) <= 1024
+),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rv,
+         count(*) OVER (PARTITION BY event_type) AS ns
+  FROM samp
+)
+SELECT event_type,
+       CAST(max(ns) AS BIGINT) AS n_sample,
+       round(max(CASE WHEN rv = (ns + 1) // 2 THEN value END), 6) AS p50_est,
+       round(max(CASE WHEN rv = (9 * ns + 9) // 10 THEN value END), 6) AS p90_est,
+       round(max(CASE WHEN rv = (99 * ns + 99) // 100 THEN value END), 6) AS p99_est
+FROM ranked GROUP BY 1
+""",
+)
+def a5c_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantile-sketch twin of a5b_percentile_sketch:
+    a bottom-k uniform sample (the 1024 rows with the smallest
+    md5-60-bit event_id hash per group — deterministic, MERGEABLE:
+    bottom-k of a union is the truncated merge of bottom-ks) followed
+    by exact nearest-rank selection ceil(q·n) on the sample, computed
+    in pure integer arithmetic ((q_num·n + q_den-1) div q_den — no
+    float interpolation anywhere). Where a5b's t-digest internals are
+    engine-specific and rows-only-checkable, this sketch's sample AND
+    quantiles are value-hash-verified; at SFs where a group holds
+    ≤1024 rows the sample is the group and the estimates are the exact
+    nearest-rank percentiles.
+
+    Scale shape: the sample pass is one window on the group key
+    (external-sort-safe; at fleet scale a per-partition bottom-k
+    pre-combine bounds the sort input at k·partitions); the quantile
+    pass runs on ≤1024 rows per group. Estimator error is the standard
+    bottom-k sampling bound (±O(1/√k) quantile deviation w.h.p.).
+
+    Reference: app.py:214-217 (describe() percentiles); sketch form is
+    an extension per SURVEY §2.9."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        _md5_60bit(F.col("event_id").cast("string")).alias("h"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("h", "event_id")
+    samp = (
+        base.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") <= 1024)
+        .select("event_type", "event_id", "value")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = samp.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("rv"),
+        F.count("*").over(wp).alias("ns"),
+    )
+    def _at(rank_expr: str):
+        return F.max(F.when(F.expr(f"rv = {rank_expr}"), F.col("value")))
+
+    return ranked.groupBy("event_type").agg(
+        F.max("ns").alias("n_sample"),
+        F.round(_at("(ns + 1) div 2"), 6).alias("p50_est"),
+        F.round(_at("(9 * ns + 9) div 10"), 6).alias("p90_est"),
+        F.round(_at("(99 * ns + 99) div 100"), 6).alias("p99_est"),
+    )
+
+
 @register(
     "e8_session_paths",
     """
