@@ -650,3 +650,30 @@ def test_bottomk_quantiles_close_to_exact(spark):
             # bottom-k (k=1024) rank deviation ~1/sqrt(k) ≈ 3%; value
             # tolerance widened for tail sparseness at p99
             assert abs(e - a) <= max(2.0, 0.12 * abs(e)), f"{et}: {e} vs {a}"
+
+
+def test_hll_daily_merge_equals_direct(spark):
+    # mergeability invariant: register-wise max over daily partials
+    # reconstructs the direct sketch exactly, so the merged estimate
+    # must equal d2b's direct estimate to the last rounded digit
+    direct = {
+        r["event_type"]: r["est_hll"]
+        for r in QUERIES["d2b_hll_md5"](spark, SF_ORACLE).collect()
+    }
+    rows = QUERIES["d2c_hll_merge_daily"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_register_mismatch"] == 0
+        assert r["n_days"] > 1  # the merge actually merged partials
+        assert r["est_hll"] == direct[r["event_type"]]
+
+
+def test_kmv_setops_estimates_in_band(spark):
+    # k=64 theta sketches: union error σ ≈ 1/sqrt(k-2) ≈ 12.7%; the
+    # draws are deterministic (md5), so these bounds are fixed checks
+    rows = QUERIES["d5b_kmv_setops"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert 0 <= r["n_inter_s"] <= r["n_union_s"]
+        assert abs(r["err_union"]) <= 0.4, f"{r['ta']}/{r['tb']}: {r['err_union']}"
+        assert abs(r["jac_est"] - r["jac_true"]) <= 0.15

@@ -550,3 +550,44 @@ def test_streaming_countmin_sketch_matches_batch(spark, stream_dir):
     )
     bad = probe.where(F.col("n_est") < F.col("n_true")).count()
     assert bad == 0
+
+
+def test_streaming_hll_registers_match_batch(spark, stream_dir):
+    """HLL registers accumulated across micro-batches must equal the
+    one-pass batch sketch exactly (register-wise max is associative +
+    idempotent), the state is the bounded register table, and the
+    estimate folded from the streamed registers lands inside the m=256
+    HLL error band against the true distinct count."""
+    from the_framework_for_clustering_time_series_data_spark.operators.sketch import (
+        hll_estimate_sql,
+        hll_sketch_agg,
+    )
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_events_stream,
+        streaming_hll_registers,
+    )
+
+    batch_df = spark.read.parquet(stream_dir)
+    expect = {tuple(r) for r in streaming_hll_registers(batch_df).collect()}
+    streamed = _run_stream(
+        spark, streaming_hll_registers(read_events_stream(spark, stream_dir))
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == expect
+    n_groups = batch_df.select("event_type").distinct().count()
+    assert len(got) <= 256 * n_groups  # fixed-size state per group
+    truth = {
+        r["event_type"]: r["n"]
+        for r in batch_df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["e"]
+        for r in hll_sketch_agg(streamed)
+        .withColumn("e", F.expr(hll_estimate_sql()))
+        .collect()
+    }
+    assert est.keys() == truth.keys()
+    for et, n in truth.items():
+        assert abs(est[et] - n) <= max(3, 0.15 * n), f"{et}: {est[et]} vs {n}"

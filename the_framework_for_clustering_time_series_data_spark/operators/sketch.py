@@ -84,6 +84,55 @@ BLOOM_M = 16384
 KMV_K = 64
 
 
+def hll_registers(df: DataFrame, key: Column, group_cols: tuple = ("event_type",)) -> DataFrame:
+    """The ≤256-row HLL register table ``(group..., bucket, lsbmax)``
+    per group — fixed-size however many keys stream through, and
+    MERGEABLE by ``max(lsbmax)`` (register-wise max is associative and
+    idempotent), which is what lets daily/per-partition partials roll
+    up without recompute (d2c) and the same groupBy run as a bounded-
+    state streaming aggregation (streaming/ops.streaming_hll_registers).
+    ``lsbmax`` encodes the register value ρ exactly as lsb = 2^(ρ-1);
+    the harmonic term is recovered as the exact integer 2^52/lsbmax.
+    """
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import md5_60bit_hash
+
+    base = df.select(*group_cols, md5_60bit_hash(key).alias("h")).select(
+        *group_cols,
+        F.expr("h % 256").alias("bucket"),
+        F.expr("h div 256").alias("w"),
+    )
+    return base.groupBy(*group_cols, "bucket").agg(
+        F.max(
+            F.expr(f"CASE WHEN w = 0 THEN {HLL_TWO52}L ELSE w & (-w) END")
+        ).alias("lsbmax")
+    )
+
+
+def hll_sketch_agg(regs: DataFrame, group_cols: tuple = ("event_type",)) -> DataFrame:
+    """Fold a register table to ``(group..., s_harmonic, v_zero)`` —
+    exact int64 (Σ ≤ 256·2^53 = 2^61 structurally, independent of data
+    scale; exempt from the decimal(38,0) micro-unit discipline)."""
+    return regs.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr(f"{HLL_TWO52}L div lsbmax"))
+            + (F.lit(256) - F.count("*")) * F.lit(HLL_TWO53)
+        ).alias("s_harmonic"),
+        (F.lit(256) - F.count("*")).cast("long").alias("v_zero"),
+    )
+
+
+def hll_estimate_sql(s: str = "s_harmonic", v: str = "v_zero") -> str:
+    """The estimate expression BOTH engines evaluate on the folded
+    sketch: raw α·m²/Σ2^-M with the small-range linear-counting branch
+    (E ≤ 2.5m, V > 0) — the latter is the one transcendental (ln);
+    everything else is IEEE-exact on identical literals."""
+    raw = f"{HLL_ALPHA_NUM_SQL} / CAST({s} AS DOUBLE)"
+    return (
+        f"CASE WHEN {raw} <= 640.0e0 AND {v} > 0 "
+        f"THEN 256.0e0 * ln(256.0e0 / {v}) ELSE {raw} END"
+    )
+
+
 def bloom_pos(key: Column, a: Column, b: Column) -> Column:
     """Row-``i`` bit position of ``key``: ((key·a + b) mod P) mod m —
     the CMS affine family with the Bloom modulus."""

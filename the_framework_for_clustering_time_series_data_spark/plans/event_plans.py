@@ -1214,6 +1214,9 @@ from the_framework_for_clustering_time_series_data_spark.operators.sketch import
     HLL_TWO52 as _HLL_TWO52,
     HLL_TWO53 as _HLL_TWO53,
     KMV_K as _KMV_K,
+    hll_estimate_sql as _hll_est,
+    hll_registers as _hll_registers,
+    hll_sketch_agg as _hll_sketch_agg,
 )
 
 _CMS_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_HASHES))
@@ -1283,34 +1286,11 @@ def d2b_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: app.py has no sketch surface; extension per SURVEY §2.9.
     """
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "event_type", _md5_60bit(F.col("user_id").cast("string")).alias("h")
-    ).select(
-        "event_type",
-        F.expr("h % 256").alias("bucket"),
-        F.expr("h div 256").alias("w"),
-    )
-    regs = base.groupBy("event_type", "bucket").agg(
-        F.max(
-            F.expr(f"CASE WHEN w = 0 THEN {_HLL_TWO52}L ELSE w & (-w) END")
-        ).alias("lsbmax")
-    )
-    sk = regs.groupBy("event_type").agg(
-        (
-            F.sum(F.expr(f"{_HLL_TWO52}L div lsbmax"))
-            + (F.lit(256) - F.count("*")) * F.lit(_HLL_TWO53)
-        ).alias("s_harmonic"),
-        (F.lit(256) - F.count("*")).cast("long").alias("v_zero"),
-    )
+    sk = _hll_sketch_agg(_hll_registers(ev, F.col("user_id").cast("string")))
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact")
     )
-    e = F.expr(
-        f"CASE WHEN {_HLL_ALPHA_NUM} / CAST(s_harmonic AS DOUBLE) <= 640.0e0"
-        "          AND v_zero > 0"
-        "     THEN 256.0e0 * ln(256.0e0 / v_zero)"
-        f"     ELSE {_HLL_ALPHA_NUM} / CAST(s_harmonic AS DOUBLE) END"
-    )
+    e = F.expr(_hll_est())
     return (
         sk.join(F.broadcast(exact), "event_type")
         .withColumn("e", e)
@@ -1323,6 +1303,292 @@ def d2b_hll_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.col("e") - F.col("n_users_exact")) / F.col("n_users_exact"), 6
             ).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "d2c_hll_merge_daily",
+    f"""
+WITH h AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+b AS (SELECT event_type, day, h % 256 AS bucket, h // 256 AS w FROM h),
+daily AS (
+  SELECT event_type, day, bucket,
+         max(CASE WHEN w = 0 THEN {_HLL_TWO52} ELSE w & (-w) END) AS lsbmax
+  FROM b GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, max(lsbmax) AS lsbmax FROM daily GROUP BY 1, 2
+),
+direct AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN w = 0 THEN {_HLL_TWO52} ELSE w & (-w) END) AS lsbmax
+  FROM b GROUP BY 1, 2
+),
+cmp AS (
+  SELECT coalesce(m.event_type, d.event_type) AS event_type,
+         CAST(count(*) AS BIGINT) AS n_registers,
+         CAST(sum(CASE WHEN m.lsbmax IS DISTINCT FROM d.lsbmax THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_register_mismatch
+  FROM merged m FULL JOIN direct d
+    ON d.event_type = m.event_type AND d.bucket = m.bucket
+  GROUP BY 1
+),
+days AS (
+  SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM h GROUP BY 1
+),
+sk AS (
+  SELECT event_type,
+         CAST(sum({_HLL_TWO52} // lsbmax) AS BIGINT)
+           + (256 - count(*)) * {_HLL_TWO53} AS s_harmonic,
+         CAST(256 - count(*) AS BIGINT) AS v_zero
+  FROM merged GROUP BY 1
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_users_exact FROM events GROUP BY 1
+),
+est AS (
+  SELECT s.event_type, x.n_users_exact,
+         {{EST}} AS e
+  FROM sk s JOIN exact x ON x.event_type = s.event_type
+)
+SELECT c.event_type, dy.n_days, c.n_registers, c.n_register_mismatch,
+       round(e.e, 6) AS est_hll, e.n_users_exact,
+       round((e.e - e.n_users_exact) / e.n_users_exact, 6) AS rel_err
+FROM cmp c
+JOIN days dy ON dy.event_type = c.event_type
+JOIN est e ON e.event_type = c.event_type
+""".replace("{EST}", _hll_est("s.s_harmonic", "s.v_zero")),
+)
+def d2c_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability proven IN-PLAN: build one register table per
+    (event_type, day) — the partial a 100 TB pipeline would persist
+    per partition/day — merge the ~30 daily partials by register-wise
+    max, and full-outer-join the merged sketch against the
+    directly-built one: n_register_mismatch is structurally 0 (max is
+    associative + idempotent), and the estimate from the MERGED sketch
+    is reported with its error vs the exact count. This is the
+    property that makes HLL the standard incremental-rollup
+    cardinality statistic — late-arriving days re-merge without
+    recomputing history (same contract as ts_rollup_incremental, here
+    for count-distinct, which plain rollups cannot do).
+
+    Scale shape: daily partials are one map-side-combined aggregate
+    (≤256 rows per group-day); the merge shuffles only register rows
+    (≤256·groups·days), never raw keys. All sketch state is exact
+    int64 (sketch.py ceiling note); the estimate branch follows d2b's
+    discipline.
+
+    Reference: app.py has no sketch surface; extension per SURVEY §2.9.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    evd = ev.withColumn("day", F.to_date("ts").cast("string"))
+    daily = _hll_registers(evd, key, ("event_type", "day"))
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("lsbmax").alias("lsbmax")
+    )
+    direct = _hll_registers(ev, key)
+    j = merged.withColumnRenamed("lsbmax", "lm").join(
+        direct.withColumnRenamed("lsbmax", "ld"), ["event_type", "bucket"], "full"
+    )
+    cmp = j.groupBy("event_type").agg(
+        F.count("*").alias("n_registers"),
+        F.sum(
+            F.when(~F.col("lm").eqNullSafe(F.col("ld")), 1).otherwise(0)
+        ).alias("n_register_mismatch"),
+    )
+    days = evd.groupBy("event_type").agg(F.countDistinct("day").alias("n_days"))
+    sk = _hll_sketch_agg(merged)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    est = (
+        sk.join(F.broadcast(exact), "event_type")
+        .withColumn("e", F.expr(_hll_est()))
+    )
+    return (
+        cmp.join(F.broadcast(days), "event_type")
+        .join(F.broadcast(est), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_registers",
+            "n_register_mismatch",
+            F.round(F.col("e"), 6).alias("est_hll"),
+            "n_users_exact",
+            F.round(
+                (F.col("e") - F.col("n_users_exact")) / F.col("n_users_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "d5b_kmv_setops",
+    f"""
+WITH el AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(user_id::VARCHAR || '|' ||
+                              CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+bot AS (
+  SELECT event_type, h FROM el
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {_KMV_K}
+),
+th AS (
+  SELECT event_type,
+         CASE WHEN count(*) >= {_KMV_K} THEN max(h)
+              ELSE 1152921504606846976 END AS theta
+  FROM bot GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, least(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.event_type < b.event_type
+),
+samp AS (
+  SELECT p.ta, p.tb, p.theta, bo.h,
+         max(CASE WHEN bo.event_type = p.ta THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN bo.event_type = p.tb THEN 1 ELSE 0 END) AS ib
+  FROM pairs p JOIN bot bo ON bo.event_type IN (p.ta, p.tb) AND bo.h < p.theta
+  GROUP BY 1, 2, 3, 4
+),
+s AS (
+  SELECT ta, tb, theta,
+         CAST(count(*) AS BIGINT) AS n_union_s,
+         CAST(sum(ia * ib) AS BIGINT) AS n_inter_s
+  FROM samp GROUP BY 1, 2, 3
+),
+tagged AS (
+  SELECT p.ta, p.tb, e.h,
+         max(CASE WHEN e.event_type = p.ta THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN e.event_type = p.tb THEN 1 ELSE 0 END) AS ib
+  FROM pairs p JOIN el e ON e.event_type IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3
+),
+truth AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_union_true,
+         CAST(sum(ia * ib) AS BIGINT) AS n_inter_true
+  FROM tagged GROUP BY 1, 2
+)
+SELECT s.ta, s.tb, s.n_union_s, s.n_inter_s,
+       round(s.n_union_s * 1152921504606846976.0e0 / CAST(s.theta AS DOUBLE), 6) AS est_union,
+       round(s.n_inter_s * 1152921504606846976.0e0 / CAST(s.theta AS DOUBLE), 6) AS est_inter,
+       round(CAST(s.n_inter_s AS DOUBLE) / s.n_union_s, 6) AS jac_est,
+       t.n_union_true, t.n_inter_true,
+       round(CAST(t.n_inter_true AS DOUBLE) / t.n_union_true, 6) AS jac_true,
+       round((s.n_union_s * 1152921504606846976.0e0 / CAST(s.theta AS DOUBLE)
+              - t.n_union_true) / t.n_union_true, 6) AS err_union
+FROM s JOIN truth t ON t.ta = s.ta AND t.tb = s.tb
+""",
+)
+def d5b_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set-operation algebra over KMV/bottom-k summaries
+    (Dasgupta et al., the DataSketches theta family): for every pair
+    of event types, estimate |A∪B|, |A∩B|, and Jaccard of their
+    active (user, day) sets from the two k = 64 bottom-k sketches
+    alone — θ = min(θ_A, θ_B), S = {x ∈ S_A ∪ S_B : x < θ},
+    n̂_∪ = |S|/θ, n̂_∩ = |S ∩ S_A ∩ S_B|/θ — with the exact
+    pair-distinct truth joined alongside as the audit (err_union,
+    jac_true). Deterministic md5 hashes make the whole pipeline —
+    samples, thetas, estimates — value-hash-verified; when both
+    sketches hold fewer than k hashes θ is the 2^60 sentinel and the
+    estimates collapse to exact counts (the sf0.001 regime).
+
+    Why it matters at 100 TB: pairwise distinct-set overlap across G
+    groups is normally G² distinct-joins over raw keys; from mergeable
+    k-row summaries it is a broadcast algebra over G² constant-size
+    sketch pairs — the signature theta-sketch use case (audience
+    overlap, cross-corpus contamination). Work scales with G², never
+    with rows; the truth CTE exists only as the test-SF audit. The
+    intersection estimator's variance is amplified by 1/J relative to
+    union (documented DataSketches caveat) — k sizes the error band.
+
+    Reference: app.py has no sketch surface; extension per SURVEY §2.9.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    el = ev.select(
+        "event_type",
+        _md5_60bit(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.to_date("ts").cast("string"),
+            )
+        ).alias("h"),
+    ).distinct()
+    wb = Window.partitionBy("event_type").orderBy("h")
+    bot = (
+        el.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    th = bot.groupBy("event_type").agg(
+        F.when(F.count("*") >= _KMV_K, F.max("h"))
+        .otherwise(F.lit(1152921504606846976))
+        .alias("theta")
+    )
+    ta = th.select(F.col("event_type").alias("ta"), F.col("theta").alias("tha"))
+    tb = th.select(F.col("event_type").alias("tb"), F.col("theta").alias("thb"))
+    pairs = (
+        ta.join(tb, F.col("ta") < F.col("tb"))
+        .select("ta", "tb", F.least("tha", "thb").alias("theta"))
+    )
+    pair_cond = (F.col("event_type") == F.col("ta")) | (
+        F.col("event_type") == F.col("tb")
+    )
+    samp = (
+        bot.join(F.broadcast(pairs), pair_cond)
+        .where(F.col("h") < F.col("theta"))
+        .groupBy("ta", "tb", "theta", "h")
+        .agg(
+            F.max(F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)).alias("ia"),
+            F.max(F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)).alias("ib"),
+        )
+    )
+    s = samp.groupBy("ta", "tb", "theta").agg(
+        F.count("*").alias("n_union_s"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_inter_s"),
+    )
+    tagged = (
+        el.join(F.broadcast(pairs.select("ta", "tb")), pair_cond)
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max(F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0)).alias("ia"),
+            F.max(F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0)).alias("ib"),
+        )
+    )
+    truth = tagged.groupBy("ta", "tb").agg(
+        F.count("*").alias("n_union_true"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_inter_true"),
+    )
+    eu = "n_union_s * 1152921504606846976.0e0 / CAST(theta AS DOUBLE)"
+    ei = "n_inter_s * 1152921504606846976.0e0 / CAST(theta AS DOUBLE)"
+    return (
+        s.join(truth, ["ta", "tb"])
+        .select(
+            "ta",
+            "tb",
+            "n_union_s",
+            "n_inter_s",
+            F.round(F.expr(eu), 6).alias("est_union"),
+            F.round(F.expr(ei), 6).alias("est_inter"),
+            F.round(
+                F.col("n_inter_s").cast("double") / F.col("n_union_s"), 6
+            ).alias("jac_est"),
+            "n_union_true",
+            "n_inter_true",
+            F.round(
+                F.col("n_inter_true").cast("double") / F.col("n_union_true"), 6
+            ).alias("jac_true"),
+            F.round(
+                F.expr(f"({eu} - n_union_true) / n_union_true"), 6
+            ).alias("err_union"),
         )
     )
 

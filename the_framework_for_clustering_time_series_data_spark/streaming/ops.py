@@ -487,3 +487,20 @@ def streaming_countmin_sketch(
     from the_framework_for_clustering_time_series_data_spark.operators.sketch import cms_sketch
 
     return cms_sketch(events, key_col)
+
+
+def streaming_hll_registers(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Streaming twin of d2b_hll_md5's build pass: the ≤256-row HLL
+    register table per group maintained incrementally as a streaming
+    max-aggregation. Same bounded-state story as the count-min twin —
+    per-key distinct tracking grows state with cardinality, the
+    register table never does — and because register-wise max is
+    associative and idempotent (the d2c merge proof), micro-batch
+    accumulation equals the one-pass batch sketch EXACTLY, late or
+    re-delivered rows included. Emit in complete/update mode; estimate
+    cardinality by folding the latest registers through
+    sketch.hll_sketch_agg + hll_estimate_sql. Runs identically on a
+    batch frame for parity testing."""
+    from the_framework_for_clustering_time_series_data_spark.operators.sketch import hll_registers
+
+    return hll_registers(events, F.col(key_col).cast("string"))
