@@ -99,6 +99,14 @@ HEADLINE = [
     "text_bpe_merges",
     "e3b_spectral_md5",
     "text_bpe_apply",
+    # round-6 continuation: the deterministic sketch family (HLL /
+    # daily-merge proof / Bloom runtime pruning / theta set-ops /
+    # bottom-k quantiles) — benched so the sketch plans are tracked
+    "d2b_hll_md5",
+    "d2c_hll_merge_daily",
+    "d4_bloom_md5",
+    "d5b_kmv_setops",
+    "a5c_quantile_bottomk",
 ]
 
 
