@@ -48,3 +48,4 @@ from the_framework_for_clustering_time_series_data_spark.plans import quality_pl
 from the_framework_for_clustering_time_series_data_spark.plans import spectral_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import retrieval_plans  # noqa: E402,F401
 from the_framework_for_clustering_time_series_data_spark.plans import graph_plans  # noqa: E402,F401
+from the_framework_for_clustering_time_series_data_spark.plans import cdc_plans  # noqa: E402,F401
