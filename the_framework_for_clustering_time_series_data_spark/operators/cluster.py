@@ -1526,3 +1526,150 @@ def single_link(
     )
     pts.unpersist()
     return res
+
+
+# --------------------------------------------------------------------------
+# C11 — DTW Barycenter Averaging (DBA), deterministic twin
+# --------------------------------------------------------------------------
+
+def _dtw_path_int(a: list, b: list):
+    """Exact DTW between two INT64 micro-unit series (cost = |a_i-b_j|,
+    steps {diag, up, left}) — the arithmetic is pure integer, so every
+    cell, tie-break, and the returned distance are reproducible
+    bit-for-bit in any engine (the property the c11 DuckDB oracle
+    relies on). Backtrack ties resolve diag -> up -> left, the same
+    lexicographic (acc, i, j) preference as :func:`_dtw_path` / the g6
+    oracle. Returns (path cells 1-based from (n,m) down to (1,1),
+    total distance)."""
+    import numpy as np
+
+    BIG = 1 << 62
+    n, m = len(a), len(b)
+    av = np.asarray(a, dtype=np.int64)
+    bv = np.asarray(b, dtype=np.int64)
+    cost = np.abs(av[:, None] - bv[None, :])
+    acc = np.full((n + 1, m + 1), BIG, dtype=np.int64)
+    for i in range(1, n + 1):
+        row = cost[i - 1]
+        prev = acc[i - 1]
+        cur = acc[i]
+        for j in range(1, m + 1):
+            if i == 1 and j == 1:
+                cur[j] = row[0]
+            else:
+                cur[j] = row[j - 1] + min(prev[j], cur[j - 1], prev[j - 1])
+    path = [(n, m)]
+    i, j = n, m
+    while not (i == 1 and j == 1):
+        dga = acc[i - 1, j - 1] if (i > 1 and j > 1) else BIG
+        upa = acc[i - 1, j] if i > 1 else BIG
+        lfa = acc[i, j - 1] if j > 1 else BIG
+        if dga <= upa and dga <= lfa:
+            i, j = i - 1, j - 1
+        elif upa <= lfa:
+            i = i - 1
+        else:
+            j = j - 1
+        path.append((i, j))
+    return path, int(acc[n, m])
+
+
+def dba_md5(
+    nested: DataFrame,
+    n_series: int = 12,
+    length: int = 24,
+    rounds: int = 2,
+) -> DataFrame:
+    """C11 — deterministic DTW Barycenter Averaging (Petitjean et al.,
+    Pattern Recognition 2011): the centroid computation under the DTW
+    metric that tslearn-style TimeSeriesKMeans uses where the
+    reference's K-Shape uses SBD (app.py:731-737 family). Fully
+    replayable, hence fully DuckDB-oracle-able:
+
+    * corpus = the ``n_series`` smallest-md5(id) equal-``length``
+      series, values quantized to INT64 micro-units (floor(v*1e6+.5))
+      — from here the ENTIRE computation is integer-exact;
+    * b0 = per-position mean, integer round-half-up
+      ``(2*sum + cnt) // (2*cnt)`` (values nonnegative);
+    * each round: exact integer DTW path of every series against the
+      broadcast barycenter (:func:`_dtw_path_int`, distributed via
+      applyInPandas — per-series work is embarrassingly parallel), new
+      barycenter[j] = integer round-half-up mean of ALL aligned values
+      across series, inertia = sum of path distances;
+    * fixed ``rounds`` (no data-dependent stopping — both engines run
+      the identical schedule).
+
+    Per round, only the path cells come back to the driver —
+    ``n_series * (2*length)`` rows of bounded model state (the
+    barycenter update), never corpus data; exact Python-int sums
+    mirror DuckDB's HUGEINT. Returns the full round history
+    ``(rnd, j, bary, inertia)`` — barycenter trajectories plus the
+    monotone DBA inertia — so the oracle verifies every iteration,
+    not just the fixed point.
+    """
+    spark = nested.sparkSession
+    MICRO = 1_000_000
+    sub = (
+        nested.where(F.size("values") >= length)
+        .select(
+            "series_id",
+            F.transform(
+                F.slice("values", 1, length),
+                lambda x: F.floor(x * MICRO + F.lit(0.5)).cast("long"),
+            ).alias("vus"),
+        )
+        .withColumn("_h", F.md5(F.col("series_id").cast("string")))
+        .orderBy("_h", "series_id")
+        .limit(n_series)
+        .drop("_h")
+        .transform(stage_checkpoint, eager=False)
+    )
+
+    rows = (
+        sub.select(F.posexplode("vus").alias("j", "v"))
+        .groupBy("j")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        .collect()
+    )
+    b = [0] * length
+    for r in rows:
+        b[r["j"]] = (2 * r["s"] + r["c"]) // (2 * r["c"])
+    barys, inertias = [list(b)], [0]
+
+    import pandas as pd
+
+    for _ in range(rounds):
+        bref = list(b)
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"series_id": [], "j": [], "a_us": [], "dist_us": []}
+            for sid, vals in zip(pdf["series_id"], pdf["vus"]):
+                path, dist = _dtw_path_int(list(vals), bref)
+                for pi, pj in path:
+                    out["series_id"].append(sid)
+                    out["j"].append(pj - 1)
+                    out["a_us"].append(int(vals[pi - 1]))
+                    out["dist_us"].append(dist)
+            return pd.DataFrame(out)
+
+        prows = (
+            sub.groupBy("series_id")
+            .applyInPandas(kernel, "series_id long, j int, a_us long, dist_us long")
+            .collect()
+        )
+        sums, cnts = [0] * length, [0] * length
+        dist_by_id: dict = {}
+        for r in prows:
+            sums[r["j"]] += r["a_us"]
+            cnts[r["j"]] += 1
+            dist_by_id[r["series_id"]] = r["dist_us"]
+        b = [(2 * sums[j] + cnts[j]) // (2 * cnts[j]) for j in range(length)]
+        barys.append(list(b))
+        inertias.append(sum(dist_by_id.values()))
+
+    data = [
+        (rnd, j, v / MICRO, iner / MICRO)
+        for rnd, (bb, iner) in enumerate(zip(barys, inertias))
+        for j, v in enumerate(bb)
+    ]
+    return spark.createDataFrame(data, "rnd int, j int, bary double, inertia double")

@@ -2021,3 +2021,134 @@ def c10_single_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     included) ⇒ full value-hash oracle via a recursive CTE over the
     same threshold graph."""
     return cluster.single_link(_emb_xy(spark, sf_dir), d=0.05)
+
+
+# --------------------------------------------------------------------------
+# C11 — DTW Barycenter Averaging twin
+# --------------------------------------------------------------------------
+
+_DBA_BIG = str(1 << 62)
+_DBA_L = 24  # series/barycenter length (square DP)
+
+
+def _dba_round_sql(r: int, b_prev: str) -> str:
+    """One unrolled DBA round: integer DTW DP against barycenter CTE
+    ``b_prev`` (the g6 anti-diagonal recursion, BIGINT arithmetic with a
+    2^62 sentinel instead of float infinity), MATERIALIZED cell table,
+    path backtrack with the diag->up->left tie-break, and the
+    round-half-up integer mean barycenter update."""
+    L, BIG = _DBA_L, _DBA_BIG
+    return f"""
+dp{r}(series_id, k, d1, d2) AS (
+  SELECT s.series_id, 2, [abs(s.vs[1] - b.bs[1])], CAST([] AS BIGINT[])
+  FROM sub s CROSS JOIN {b_prev} b
+  UNION ALL
+  SELECT d.series_id, d.k + 1,
+         list_transform(
+           range(greatest(1, d.k + 1 - {L}), least({L}, d.k) + 1),
+           i -> abs(s.vs[i] - b.bs[d.k + 1 - i]) + least(
+             CASE WHEN i - 1 - greatest(1, d.k - {L}) + 1 >= 1
+                  THEN coalesce(d.d1[CAST(i - 1 - greatest(1, d.k - {L}) + 1 AS INT)], {BIG})
+                  ELSE {BIG} END,
+             CASE WHEN i - greatest(1, d.k - {L}) + 1 >= 1
+                  THEN coalesce(d.d1[CAST(i - greatest(1, d.k - {L}) + 1 AS INT)], {BIG})
+                  ELSE {BIG} END,
+             CASE WHEN i - 1 - greatest(1, d.k - 1 - {L}) + 1 >= 1
+                  THEN coalesce(d.d2[CAST(i - 1 - greatest(1, d.k - 1 - {L}) + 1 AS INT)], {BIG})
+                  ELSE {BIG} END)),
+         d.d1
+  FROM dp{r} d JOIN sub s USING (series_id) CROSS JOIN {b_prev} b
+  WHERE d.k < {2 * L}
+),
+cells{r} AS MATERIALIZED (
+  SELECT d.series_id,
+         CAST(greatest(1, d.k - {L}) + generate_subscripts(d.d1, 1) - 1 AS INT) AS i,
+         CAST(d.k - (greatest(1, d.k - {L}) + generate_subscripts(d.d1, 1) - 1) AS INT) AS j,
+         unnest(d.d1) AS acc
+  FROM dp{r} d
+),
+bt{r}(series_id, i, j) AS (
+  SELECT series_id, {L}, {L} FROM sub
+  UNION ALL
+  SELECT b.series_id,
+         CASE WHEN b.dga <= b.upa AND b.dga <= b.lfa THEN b.i - 1
+              WHEN b.upa <= b.lfa THEN b.i - 1
+              ELSE b.i END,
+         CASE WHEN b.dga <= b.upa AND b.dga <= b.lfa THEN b.j - 1
+              WHEN b.upa <= b.lfa THEN b.j
+              ELSE b.j - 1 END
+  FROM (
+    SELECT t.series_id, t.i, t.j,
+           CASE WHEN t.i > 1 AND t.j > 1 THEN cd.acc ELSE {BIG} END AS dga,
+           CASE WHEN t.i > 1 THEN cu.acc ELSE {BIG} END AS upa,
+           CASE WHEN t.j > 1 THEN cl.acc ELSE {BIG} END AS lfa
+    FROM bt{r} t
+    LEFT JOIN cells{r} cu ON cu.series_id = t.series_id AND cu.i = t.i - 1 AND cu.j = t.j
+    LEFT JOIN cells{r} cl ON cl.series_id = t.series_id AND cl.i = t.i AND cl.j = t.j - 1
+    LEFT JOIN cells{r} cd ON cd.series_id = t.series_id AND cd.i = t.i - 1 AND cd.j = t.j - 1
+  ) b
+  WHERE NOT (b.i = 1 AND b.j = 1)
+),
+b{r} AS MATERIALIZED (
+  SELECT list(b ORDER BY j) AS bs FROM (
+    SELECT t.j, CAST((2 * sum(s.vs[t.i]) + count(*)) // (2 * count(*)) AS BIGINT) AS b
+    FROM bt{r} t JOIN sub s USING (series_id)
+    GROUP BY t.j)
+)"""
+
+
+_C11_DBA_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+),
+arr AS (
+  SELECT series_id,
+         list(CAST(floor(value * 1000000 + 0.5) AS BIGINT) ORDER BY t) AS vs
+  FROM ev WHERE t < {_DBA_L} GROUP BY series_id HAVING count(*) = {_DBA_L}
+),
+sub AS MATERIALIZED (
+  SELECT series_id, vs FROM arr ORDER BY md5(series_id::VARCHAR), series_id LIMIT 12
+),
+b0 AS MATERIALIZED (
+  SELECT list(b ORDER BY j) AS bs FROM (
+    SELECT g.j, CAST((2 * sum(s.vs[g.j]) + count(*)) // (2 * count(*)) AS BIGINT) AS b
+    FROM sub s CROSS JOIN (SELECT unnest(range(1, {_DBA_L} + 1)) AS j) g
+    GROUP BY g.j)
+),
+{_dba_round_sql(1, "b0")},
+{_dba_round_sql(2, "b1")}
+SELECT CAST(0 AS INT) AS rnd,
+       CAST(generate_subscripts(bs, 1) - 1 AS INT) AS j,
+       unnest(bs) / 1000000.0 AS bary, 0.0 AS inertia
+FROM b0
+UNION ALL
+SELECT CAST(1 AS INT), CAST(generate_subscripts(bs, 1) - 1 AS INT),
+       unnest(bs) / 1000000.0,
+       (SELECT sum(acc) / 1000000.0 FROM cells1 WHERE i = {_DBA_L} AND j = {_DBA_L})
+FROM b1
+UNION ALL
+SELECT CAST(2 AS INT), CAST(generate_subscripts(bs, 1) - 1 AS INT),
+       unnest(bs) / 1000000.0,
+       (SELECT sum(acc) / 1000000.0 FROM cells2 WHERE i = {_DBA_L} AND j = {_DBA_L})
+FROM b2
+"""
+
+
+@register("c11_dba_md5", _C11_DBA_ORACLE)
+def c11_dba_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 — deterministic DTW Barycenter Averaging (Petitjean 2011),
+    the DTW-metric centroid the reference's clustering family implies
+    but never ships (its K-Shape uses the SBD analogue, app.py:731-737)
+    — with a FULL value-hash oracle: the 12 smallest-md5 24-point
+    series in INT64 micro-units, integer DTW paths (cluster._dtw_path_int
+    == the oracle's BIGINT anti-diagonal recursive-CTE DP, sentinel
+    2^62), round-half-up integer barycenter means, two fixed rounds.
+    Output is the whole round HISTORY (rnd, j, bary, inertia), so the
+    oracle pins every iteration and the monotone inertia drop, not just
+    the final centroid."""
+    ev = events_as_series(spark, sf_dir).where(F.col("t") < 24)
+    nested = align.to_nested(ev)
+    return cluster.dba_md5(nested, n_series=12, length=24, rounds=2)
