@@ -677,3 +677,62 @@ def test_kmv_setops_estimates_in_band(spark):
         assert 0 <= r["n_inter_s"] <= r["n_union_s"]
         assert abs(r["err_union"]) <= 0.4, f"{r['ta']}/{r['tb']}: {r['err_union']}"
         assert abs(r["jac_est"] - r["jac_true"]) <= 0.15
+
+
+def test_cdc_scd2_windows_share_one_exchange(spark):
+    # both windows partition on user_id with compatible sorts — the
+    # compaction lag and the interval lead/row_number must reuse ONE
+    # hash exchange (the whole point of building SCD2 as stacked
+    # windows; a second exchange would double the changelog shuffle)
+    plan = _plan(spark, "cdc_scd2_compact")
+    data_exchanges = plan.count("+- Exchange")
+    assert data_exchanges == 1, plan
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    assert "event_type" in pushed  # changelog filter reaches the scan
+
+
+def test_cdc_merge_dedupes_before_join(spark):
+    # MERGE determinism: latest-op-per-key (rn=1) must be planned as a
+    # WindowGroupLimit (top-1 pushdown) BEFORE the full-outer join, and
+    # the join itself is the sort-merge full outer (broadcast cannot
+    # serve full outer in Spark)
+    plan = _plan(spark, "cdc_merge_apply")
+    assert "WindowGroupLimit" in plan
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c11_dba_round_kernel_is_arrow_grouped(spark):
+    # the per-series DTW of a DBA round must be ONE grouped-map Arrow
+    # kernel over the bounded sub-corpus — never a row-at-a-time
+    # Python UDF, and no corpus-sized plan feeding it
+    import contextlib
+    import io
+
+    from the_framework_for_clustering_time_series_data_spark.operators import align, cluster
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import events_as_series
+
+    ev = events_as_series(spark, SF_ORACLE).where(F.col("t") < 24)
+    nested = align.to_nested(ev)
+    sub = (
+        nested.where(F.size("values") == 24)
+        .withColumn("_h", F.md5(F.col("series_id").cast("string")))
+        .orderBy("_h", "series_id")
+        .limit(12)
+        .drop("_h")
+    )
+
+    def kern(pdf):
+        import pandas as pd
+
+        return pd.DataFrame({"series_id": pdf["series_id"], "j": 0, "a_us": 0, "dist_us": 0})
+
+    path_df = sub.groupBy("series_id").applyInPandas(
+        kern, "series_id long, j int, a_us long, dist_us long"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        path_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
