@@ -591,3 +591,26 @@ def test_streaming_hll_registers_match_batch(spark, stream_dir):
     assert est.keys() == truth.keys()
     for et, n in truth.items():
         assert abs(est[et] - n) <= max(3, 0.15 * n), f"{et}: {est[et]} vs {n}"
+
+
+def test_streaming_scd2_matches_batch_build(spark, ordered_stream_dir):
+    # incremental SCD2 with compaction == the batch cdc_scd2_compact
+    # build on the same data: same transitions, same version numbers,
+    # same valid_from stamps — state (2 scalars/key) survives batch
+    # boundaries, no-op updates are dropped across them too
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_events_stream,
+        streaming_scd2_compact,
+    )
+
+    batch = QUERIES["cdc_scd2_compact"](spark, SF_SMALL)
+    expect = {
+        (r.user_id, r.version, r.tier, r.valid_from) for r in batch.collect()
+    }
+
+    stream = read_events_stream(spark, ordered_stream_dir, max_files_per_trigger=1)
+    got_df = _run_stream(spark, streaming_scd2_compact(stream), "append")
+    got = {(r.user_id, r.version, r.tier, r.valid_from) for r in got_df.collect()}
+    assert len(got) > 0
+    assert got == expect

@@ -504,3 +504,76 @@ def streaming_hll_registers(events: DataFrame, key_col: str = "user_id") -> Data
     from the_framework_for_clustering_time_series_data_spark.operators.sketch import hll_registers
 
     return hll_registers(events, F.col(key_col).cast("string"))
+
+
+def streaming_scd2_compact(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    bucket: float = 50.0,
+) -> DataFrame:
+    """Incremental SCD Type-2 build with no-op compaction — the
+    streaming twin of plans.cdc_plans.cdc_scd2_compact: each purchase
+    event is a state transition (state = value bucket); transitions
+    equal to the key's current state are dropped (CDC compaction), the
+    rest are emitted as new dimension versions the sink upserts
+    (closing the previous version's interval is the upsert sink's
+    MERGE, write_stream_upsert_partitioned-style).
+
+    State per key is TWO scalars (current tier, version counter) —
+    constant in stream length, the property that lets a 100 TB/day
+    changelog compact continuously instead of re-windowing history.
+    Within a micro-batch rows replay in (ts, id) order; across batches
+    the file source must deliver time-ordered files (the
+    ordered_stream_dir contract, as for streaming_anomaly_zscore).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, version int, tier int, valid_from timestamp"
+    state_schema = "tier long, version long"
+    NO_TIER = -(1 << 31)
+
+    def update(key, pdfs, state: GroupState):
+        (uid,) = key
+        tier, version = state.get if state.exists else (NO_TIER, 0)
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values([ts_col, id_col])
+            rows = []
+            for ts, v in zip(pdf[ts_col], pdf[value_col].astype(float)):
+                t = int(v // bucket)
+                if t != tier:
+                    version += 1
+                    tier = t
+                    rows.append(
+                        {
+                            "user_id": int(uid),
+                            "version": version,
+                            "tier": t,
+                            "valid_from": ts,
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+        state.update((tier, version))
+
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col(key_col).cast("long").alias("_k"),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(value_col),
+        )
+        .groupBy("_k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
