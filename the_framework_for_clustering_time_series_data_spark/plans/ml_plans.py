@@ -2152,3 +2152,223 @@ def c11_dba_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_as_series(spark, sf_dir).where(F.col("t") < 24)
     nested = align.to_nested(ev)
     return cluster.dba_md5(nested, n_series=12, length=24, rounds=2)
+
+
+# --------------------------------------------------------------------------
+# C12 — cluster validity indices over the deterministic labels
+# --------------------------------------------------------------------------
+
+_C12_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id AS id,
+         [embedding[1]::DOUBLE, embedding[2]::DOUBLE] AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM e ORDER BY md5(id::VARCHAR), id LIMIT {_C1B_K})
+),
+{_lloyd_assign_sql("e", "c0", "a0", 2)},
+cm AS (
+  SELECT cell, pos, floor(avg(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+{_lloyd_assign_sql("e", "c1", "a1", 2)},
+q AS (
+  SELECT id, cell,
+         CAST(floor(v[1] * 1e6 + 0.5) AS BIGINT) AS q1,
+         CAST(floor(v[2] * 1e6 + 0.5) AS BIGINT) AS q2
+  FROM a1
+),
+st AS (SELECT cell, count(*) AS n_c, sum(q1) AS s1, sum(q2) AS s2 FROM q GROUP BY 1),
+ct AS (
+  SELECT cell, n_c,
+         CAST(floor(CAST(2 * s1 + n_c AS DOUBLE) / CAST(2 * n_c AS DOUBLE)) AS BIGINT) AS c1us,
+         CAST(floor(CAST(2 * s2 + n_c AS DOUBLE) / CAST(2 * n_c AS DOUBLE)) AS BIGINT) AS c2us
+  FROM st
+),
+gl AS (
+  SELECT count(*) AS n,
+         CAST(floor(CAST(2 * sum(q1) + count(*) AS DOUBLE) / CAST(2 * count(*) AS DOUBLE)) AS BIGINT) AS g1us,
+         CAST(floor(CAST(2 * sum(q2) + count(*) AS DOUBLE) / CAST(2 * count(*) AS DOUBLE)) AS BIGINT) AS g2us
+  FROM q
+),
+wm AS (
+  SELECT q.cell,
+         (q.q1 - ct.c1us) * (q.q1 - ct.c1us)
+           + (q.q2 - ct.c2us) * (q.q2 - ct.c2us) AS d2i
+  FROM q JOIN ct USING (cell)
+),
+wc AS (
+  SELECT cell, sum(d2i) AS w_c,
+         sum(CAST(floor(sqrt(CAST(d2i AS DOUBLE)) + 0.5) AS BIGINT)) AS sum_du
+  FROM wm GROUP BY 1
+),
+tot AS (SELECT sum(w_c) AS w_all FROM wc),
+bb AS (
+  SELECT sum(ct.n_c * ((ct.c1us - gl.g1us) * (ct.c1us - gl.g1us)
+                       + (ct.c2us - gl.g2us) * (ct.c2us - gl.g2us))) AS b_all
+  FROM ct, gl
+),
+ch AS (
+  SELECT floor(CAST(bb.b_all * (gl.n - {_C1B_K}) AS DOUBLE)
+               / CAST(tot.w_all * ({_C1B_K} - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ch_index
+  FROM bb, gl, tot
+),
+sc AS (
+  SELECT ct.cell, ct.n_c, ct.c1us, ct.c2us,
+         CAST(floor(CAST(2 * wc.sum_du + ct.n_c AS DOUBLE)
+                    / CAST(2 * ct.n_c AS DOUBLE)) AS BIGINT) AS s_us
+  FROM ct JOIN wc USING (cell)
+),
+pr AS (
+  SELECT a.cell,
+         max(CAST(a.s_us + b.s_us AS DOUBLE)
+             / CAST(floor(sqrt(CAST((a.c1us - b.c1us) * (a.c1us - b.c1us)
+                                    + (a.c2us - b.c2us) * (a.c2us - b.c2us) AS DOUBLE)) + 0.5) AS DOUBLE)) AS r_max
+  FROM sc a JOIN sc b ON a.cell <> b.cell
+  WHERE floor(sqrt(CAST((a.c1us - b.c1us) * (a.c1us - b.c1us)
+                        + (a.c2us - b.c2us) * (a.c2us - b.c2us) AS DOUBLE)) + 0.5) > 0
+  GROUP BY a.cell
+),
+dbc AS (SELECT cell, CAST(floor(r_max * 1e6 + 0.5) AS BIGINT) AS dbc_us FROM pr),
+dbi AS (SELECT CAST(sum(dbc_us) AS DOUBLE) / ({_C1B_K} * 1000000.0) AS db_index FROM dbc)
+SELECT CAST(sc.cell AS INT) AS cell, sc.n_c AS n_c,
+       CAST(sc.s_us AS DOUBLE) / 1000000.0 AS scatter,
+       CAST(dbc.dbc_us AS DOUBLE) / 1000000.0 AS db_component,
+       ch.ch_index AS ch_index, dbi.db_index AS db_index
+FROM sc JOIN dbc USING (cell), ch, dbi
+"""
+
+
+@register("c12_validity_indices", _C12_ORACLE)
+def c12_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 — Calinski-Harabasz and Davies-Bouldin cluster-validity
+    indices over the c1b deterministic labels: the two standard
+    internal indices the reference's silhouette-based model selection
+    (app.py:745-760, C4) does NOT cover, and the scalable ones — both
+    are O(n + k^2) single-pass aggregates (no pairwise point scan like
+    the exact silhouette), so they remain computable at 100 TB where
+    silhouette needs sampling. Fully integer-exact twin discipline:
+    member coordinates micro-quantized once, centroid/global means as
+    floor-division integer half-up means, CH from exact integer
+    between/within sums (decimal(38,0) accumulators — micro^2 units
+    overflow int64 near 3e7 rows/cluster), DB from integer-quantized
+    scatter and centroid-gap distances. Output: per-cluster rows
+    (size, scatter, DB component) with the global CH/DB repeated."""
+    K = _C1B_K
+    e = _emb_xy(spark, sf_dir)
+    v = e.select("series_id", F.array("x", "y").alias("v"))
+    a1 = cluster.deterministic_lloyd_assign(v, K, id_col="series_id", vec_col="v")
+
+    def fdiv(a, b):
+        return F.floor(a.cast("double") / b.cast("double")).cast("long")
+
+    q = a1.select(
+        "cell",
+        F.floor(F.col("v")[0] * 1e6 + 0.5).cast("long").alias("q1"),
+        F.floor(F.col("v")[1] * 1e6 + 0.5).cast("long").alias("q2"),
+    )
+    st = q.groupBy("cell").agg(
+        F.count("*").alias("n_c"), F.sum("q1").alias("s1"), F.sum("q2").alias("s2")
+    )
+    ct = st.select(
+        "cell",
+        "n_c",
+        fdiv(2 * F.col("s1") + F.col("n_c"), 2 * F.col("n_c")).alias("c1us"),
+        fdiv(2 * F.col("s2") + F.col("n_c"), 2 * F.col("n_c")).alias("c2us"),
+    )
+    gl = q.agg(
+        F.count("*").alias("n"),
+        fdiv(2 * F.sum("q1") + F.count("*"), 2 * F.count("*")).alias("g1us"),
+        fdiv(2 * F.sum("q2") + F.count("*"), 2 * F.count("*")).alias("g2us"),
+    )
+    d2i = (F.col("q1") - F.col("c1us")) * (F.col("q1") - F.col("c1us")) + (
+        F.col("q2") - F.col("c2us")
+    ) * (F.col("q2") - F.col("c2us"))
+    wm = q.join(F.broadcast(ct), "cell").select("cell", d2i.alias("d2i"))
+    wc = wm.groupBy("cell").agg(
+        F.sum(F.col("d2i").cast("decimal(38,0)")).alias("w_c"),
+        F.sum(F.floor(F.sqrt(F.col("d2i").cast("double")) + 0.5).cast("long")).alias(
+            "sum_du"
+        ),
+    )
+    tot = wc.agg(F.sum("w_c").alias("w_all"))
+    bgap = (F.col("c1us") - F.col("g1us")) * (F.col("c1us") - F.col("g1us")) + (
+        F.col("c2us") - F.col("g2us")
+    ) * (F.col("c2us") - F.col("g2us"))
+    bb = (
+        ct.crossJoin(F.broadcast(gl))
+        .select((F.col("n_c") * bgap).cast("decimal(38,0)").alias("bterm"))
+        .agg(F.sum("bterm").alias("b_all"))
+    )
+    ch = (
+        bb.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.floor(
+                    (F.col("b_all") * (F.col("n") - K)).cast("double")
+                    / (F.col("w_all") * (K - 1)).cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("ch_index")
+        )
+    )
+    sc = ct.join(wc, "cell").select(
+        "cell",
+        "n_c",
+        "c1us",
+        "c2us",
+        fdiv(2 * F.col("sum_du") + F.col("n_c"), 2 * F.col("n_c")).alias("s_us"),
+    )
+    a = sc.select(
+        F.col("cell"), F.col("s_us").alias("sa"), F.col("c1us").alias("x1"), F.col("c2us").alias("y1")
+    )
+    b = sc.select(
+        F.col("cell").alias("cell_b"),
+        F.col("s_us").alias("sb"),
+        F.col("c1us").alias("x2"),
+        F.col("c2us").alias("y2"),
+    )
+    gap2 = (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2")) + (
+        F.col("y1") - F.col("y2")
+    ) * (F.col("y1") - F.col("y2"))
+    m_us = F.floor(F.sqrt(gap2.cast("double")) + 0.5)
+    pr = (
+        a.join(F.broadcast(b), F.col("cell") != F.col("cell_b"))
+        .where(m_us > 0)
+        .select(
+            "cell",
+            (
+                (F.col("sa") + F.col("sb")).cast("double") / m_us.cast("double")
+            ).alias("r"),
+        )
+        .groupBy("cell")
+        .agg(F.max("r").alias("r_max"))
+    )
+    dbc = pr.select(
+        "cell", F.floor(F.col("r_max") * 1e6 + 0.5).cast("long").alias("dbc_us")
+    )
+    dbi = dbc.agg(
+        (F.sum("dbc_us").cast("double") / (K * 1000000.0)).alias("db_index")
+    )
+    return (
+        sc.join(dbc, "cell")
+        .crossJoin(F.broadcast(ch))
+        .crossJoin(F.broadcast(dbi))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "n_c",
+            (F.col("s_us").cast("double") / 1000000.0).alias("scatter"),
+            (F.col("dbc_us").cast("double") / 1000000.0).alias("db_component"),
+            "ch_index",
+            "db_index",
+        )
+    )
