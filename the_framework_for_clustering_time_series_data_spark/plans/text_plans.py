@@ -1131,3 +1131,161 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", "n_tokens", "score", "rank"
     )
+
+
+_WP_MAXL = 4  # longest learned piece (raw chars)
+_WP_TOPK = 40  # learned multi-char vocabulary size
+
+
+@register(
+    "text_wordpiece_apply",
+    f"""
+WITH wf AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word != '' GROUP BY word
+),
+gr AS (
+  SELECT word, freq, p, L,
+         CASE WHEN p = 1 THEN substr(word, CAST(p AS INT), CAST(L AS INT))
+              ELSE '##' || substr(word, CAST(p AS INT), CAST(L AS INT)) END AS piece
+  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS p FROM wf),
+       (SELECT unnest(range(1, {_WP_MAXL} + 1)) AS L)
+  WHERE p + L - 1 <= length(word)
+),
+cand AS (SELECT piece, L, sum(freq) AS w FROM gr GROUP BY 1, 2),
+multi AS (SELECT piece FROM cand WHERE L >= 2 ORDER BY w DESC, piece LIMIT {_WP_TOPK}),
+vocab AS (
+  SELECT DISTINCT piece FROM cand WHERE L = 1
+  UNION
+  SELECT piece FROM multi
+),
+step AS MATERIALIZED (
+  SELECT g.word, g.p, max(g.L) AS best_l
+  FROM gr g JOIN vocab v ON v.piece = g.piece
+  GROUP BY 1, 2
+),
+seg AS (
+  WITH RECURSIVE r(word, pos, n) AS (
+    SELECT word, 1, 0 FROM wf
+    UNION ALL
+    SELECT s.word, CAST(s.pos + st.best_l AS INT), s.n + 1
+    FROM r s JOIN step st ON st.word = s.word AND st.p = s.pos
+    WHERE s.pos <= length(s.word)
+  )
+  SELECT word, n AS n_sym FROM r WHERE pos = length(word) + 1
+),
+vs AS (SELECT wf.word, coalesce(seg.n_sym, 1) AS n_sym
+       FROM wf LEFT JOIN seg USING (word)),
+dw AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sum(n_sym) AS BIGINT) AS n_wp_tokens,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(CAST(sum(n_sym) AS DOUBLE) / count(*), 6) AS tokens_per_word
+FROM dw JOIN vs USING (word)
+WHERE word != ''
+GROUP BY doc_id
+""",
+)
+def text_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece (BERT-family) tokenization with a FULL oracle — the
+    OTHER major subword family next to BPE (text_bpe_apply), covering
+    greedy longest-match-first inference with '##' continuation
+    pieces. The vocabulary is learned deterministically from the same
+    corpus: every start/continuation substring up to 4 chars scored by
+    corpus frequency, all single characters admitted (so no word is
+    untokenizable), plus the top-40 multi-char pieces on the
+    (weight DESC, piece ASC) order. Segmentation is per DISTINCT
+    word — at 100 TB the vocabulary-sized greedy matching is orders of
+    magnitude smaller than the corpus, and the corpus pass is one word
+    join + groupBy (the text_bpe_apply scale shape). The matcher runs
+    as one Arrow-batched kernel against the broadcast piece set; the
+    oracle replays it as a longest-match step table + recursive-CTE
+    walk. The '##' marker is sound because the corpus contains no '#'
+    (verified; a production corpus would pick an out-of-alphabet
+    marker, the chr(30) discipline). Unmatchable words would emit one
+    [UNK] token in both engines (unreachable here: single chars are
+    always admitted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count("*").alias("freq"))
+    gr = (
+        wf.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("p"),
+        )
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, _WP_MAXL + 1).select(F.col("id").alias("L"))
+            )
+        )
+        .where(F.col("p") + F.col("L") - 1 <= F.length("word"))
+        .select(
+            "word",
+            "freq",
+            "p",
+            "L",
+            F.when(
+                F.col("p") == 1, F.expr("substr(word, p, L)")
+            )
+            .otherwise(F.concat(F.lit("##"), F.expr("substr(word, p, L)")))
+            .alias("piece"),
+        )
+    )
+    cand = gr.groupBy("piece", "L").agg(F.sum("freq").alias("w"))
+    multi = (
+        cand.where(F.col("L") >= 2)
+        .orderBy(F.col("w").desc(), "piece")
+        .limit(_WP_TOPK)
+        .select("piece")
+    )
+    singles = cand.where(F.col("L") == 1).select("piece").distinct()
+    vocab = {r["piece"] for r in singles.union(multi).distinct().collect()}
+
+    import pandas as pd
+
+    def segment(batches):
+        for pdf in batches:
+            ns = []
+            for word in pdf["word"]:
+                pos, n = 0, 0
+                ok = True
+                while pos < len(word):
+                    m = 0
+                    for L in range(min(_WP_MAXL, len(word) - pos), 0, -1):
+                        piece = word[pos : pos + L] if pos == 0 else "##" + word[pos : pos + L]
+                        if piece in vocab:
+                            m = L
+                            break
+                    if m == 0:
+                        ok = False
+                        break
+                    pos += m
+                    n += 1
+                ns.append(n if ok else 1)
+            yield pd.DataFrame({"word": pdf["word"], "n_sym": ns})
+
+    vs = (
+        wf.select("word")
+        .repartition("word")
+        .mapInPandas(segment, "word string, n_sym long")
+    )
+    return (
+        words.join(F.broadcast(vs), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sym").alias("n_wp_tokens"),
+            F.count("*").alias("n_words"),
+            F.round(F.sum("n_sym").cast("double") / F.count("*"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+    )
