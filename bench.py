@@ -107,6 +107,13 @@ HEADLINE = [
     "d4_bloom_md5",
     "d5b_kmv_setops",
     "a5c_quantile_bottomk",
+    # round-6 continuation 2: CDC pack, DBA barycenter, validity
+    # indices, WordPiece — the session's new oracle families
+    "cdc_scd2_compact",
+    "cdc_merge_apply",
+    "c11_dba_md5",
+    "c12_validity_indices",
+    "text_wordpiece_apply",
 ]
 
 
