@@ -438,3 +438,27 @@ def test_dtw_align_long_series(spark):
     per = out.groupBy("series_id").count().collect()
     assert all(r["count"] == 1600 for r in per)
     assert len(per) == 25
+
+
+def test_scd2_compaction_5m_changelog(spark, big_events):
+    # 5M-row changelog, 50k keys: tier cycles 0,1,2 every 10 events so
+    # every key compacts to exactly per_user/10 versions; the build is
+    # two stacked per-key windows (one exchange) — nothing driver-side
+    from the_framework_for_clustering_time_series_data_spark.plans.cdc_plans import scd2_compact_build
+
+    df, per_user = big_events
+    chg = df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("seq") / 10).cast("long") % 3).cast("int").alias("tier"),
+    )
+    iv = scd2_compact_build(chg)
+    agg = iv.agg(
+        F.count("*").alias("n_rows"),
+        F.max("version").alias("max_v"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias("n_open"),
+    ).first()
+    assert agg["n_rows"] == USERS * (per_user // 10)
+    assert agg["max_v"] == per_user // 10
+    assert agg["n_open"] == USERS  # exactly one current version per key

@@ -51,14 +51,10 @@ scd2 AS (
 """
 
 
-def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    chg = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.floor(F.col("value") / 50).cast("int").alias("tier"),
-    )
+def scd2_compact_build(chg: DataFrame) -> DataFrame:
+    """Core SCD2 build over a changelog ``(user_id, ts, event_id,
+    tier)``: no-op compaction then validity intervals — shared by the
+    registered plans and the 5M-row scale smoke."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     compact = (
         chg.withColumn("prev_tier", F.lag("tier").over(w))
@@ -73,6 +69,17 @@ def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
     )
+
+
+def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    chg = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 50).cast("int").alias("tier"),
+    )
+    return scd2_compact_build(chg)
 
 
 @register(
