@@ -1673,3 +1673,115 @@ def dba_md5(
         for j, v in enumerate(bb)
     ]
     return spark.createDataFrame(data, "rnd int, j int, bary double, inertia double")
+
+
+def dtw_kmeans_md5(
+    nested: DataFrame,
+    k: int = 3,
+    n_series: int = 12,
+    length: int = 24,
+) -> DataFrame:
+    """C13 — deterministic DTW-k-means (tslearn's TimeSeriesKMeans with
+    metric='dtw', made replayable): the c3b schedule (assign → one DBA
+    update → assign) under the DTW metric instead of SBD, on the same
+    integer micro-unit discipline as :func:`dba_md5` so every distance,
+    path, tie-break, and centroid mean is bit-identical across engines.
+
+    * corpus = the ``n_series`` smallest-md5(id) ``length``-point
+      series in INT64 micro-units;
+    * initial centroids = the ``k`` smallest-md5 series (cell = rank);
+    * assignment = argmin over (integer DTW distance, cell);
+    * update = DBA step per cell: aligned-value integer half-up means
+      over the members' DTW paths to their centroid; empty cells keep
+      their previous centroid;
+    * final output = the SECOND assignment, distributed (one grouped
+      Arrow kernel per round; only the k×length centroid state and the
+      bounded path rows touch the driver).
+
+    Returns ``(series_id, prediction, dist)`` with dist the exact DTW
+    distance (micro-units / 1e6) to the winning centroid.
+    """
+    MICRO = 1_000_000
+    sub = (
+        nested.where(F.size("values") >= length)
+        .select(
+            "series_id",
+            F.transform(
+                F.slice("values", 1, length),
+                lambda x: F.floor(x * MICRO + F.lit(0.5)).cast("long"),
+            ).alias("vus"),
+        )
+        .withColumn("_h", F.md5(F.col("series_id").cast("string")))
+        .orderBy("_h", "series_id")
+        .limit(n_series)
+        .drop("_h")
+        .transform(stage_checkpoint, eager=False)
+    )
+
+    seeds = (
+        sub.withColumn("_h", F.md5(F.col("series_id").cast("string")))
+        .orderBy("_h", "series_id")
+        .limit(k)
+        .collect()
+    )
+    cents = {i: list(r["vus"]) for i, r in enumerate(seeds)}
+
+    import pandas as pd
+
+    def assign_paths_kernel(cref):
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"series_id": [], "cell": [], "j": [], "a_us": [], "dist_us": []}
+            for sid, vals in zip(pdf["series_id"], pdf["vus"]):
+                best = None
+                for cell in sorted(cref):
+                    path, dist = _dtw_path_int(list(vals), cref[cell])
+                    if best is None or (dist, cell) < (best[0], best[1]):
+                        best = (dist, cell, path)
+                dist, cell, path = best
+                for pi, pj in path:
+                    out["series_id"].append(sid)
+                    out["cell"].append(cell)
+                    out["j"].append(pj - 1)
+                    out["a_us"].append(int(vals[pi - 1]))
+                    out["dist_us"].append(dist)
+            return pd.DataFrame(out)
+
+        return kern
+
+    schema = "series_id long, cell int, j int, a_us long, dist_us long"
+    prows = (
+        sub.groupBy("series_id")
+        .applyInPandas(assign_paths_kernel(cents), schema)
+        .collect()
+    )
+    sums: dict = {}
+    cnts: dict = {}
+    for r in prows:
+        key = (r["cell"], r["j"])
+        sums[key] = sums.get(key, 0) + r["a_us"]
+        cnts[key] = cnts.get(key, 0) + 1
+    cents1 = {}
+    for cell in range(k):
+        if (cell, 0) in cnts:
+            cents1[cell] = [
+                (2 * sums[(cell, j)] + cnts[(cell, j)]) // (2 * cnts[(cell, j)])
+                for j in range(length)
+            ]
+        else:
+            cents1[cell] = list(cents[cell])
+
+    final = sub.groupBy("series_id").applyInPandas(
+        assign_paths_kernel(cents1), schema
+    )
+    return (
+        final.groupBy("series_id")
+        .agg(
+            F.first("cell").alias("prediction"),
+            F.first("dist_us").alias("_d"),
+        )
+        .select(
+            "series_id",
+            F.col("prediction").cast("int").alias("prediction"),
+            (F.col("_d").cast("double") / MICRO).alias("dist"),
+        )
+    )

@@ -2372,3 +2372,134 @@ def c12_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db_index",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C13 — DTW-k-means twin (assignment under the DTW metric + DBA update)
+# --------------------------------------------------------------------------
+
+
+def _dtwkm_dp_sql(r: int, cents: str) -> str:
+    """Integer DTW DP for EVERY (series, centroid) pair — the c11
+    anti-diagonal recursion with the key widened to (series_id, cell)
+    — ending in the exact distance table ``distA{r}``."""
+    L, BIG = _DBA_L, _DBA_BIG
+    return f"""
+dpA{r}(series_id, cell, k, d1, d2) AS (
+  SELECT s.series_id, c.cell, 2, [abs(s.vs[1] - c.bs[1])], CAST([] AS BIGINT[])
+  FROM sub s CROSS JOIN {cents} c
+  UNION ALL
+  SELECT d.series_id, d.cell, d.k + 1,
+         list_transform(
+           range(greatest(1, d.k + 1 - {L}), least({L}, d.k) + 1),
+           i -> abs(s.vs[i] - c.bs[d.k + 1 - i]) + least(
+             CASE WHEN i - 1 - greatest(1, d.k - {L}) + 1 >= 1
+                  THEN coalesce(d.d1[CAST(i - 1 - greatest(1, d.k - {L}) + 1 AS INT)], {BIG})
+                  ELSE {BIG} END,
+             CASE WHEN i - greatest(1, d.k - {L}) + 1 >= 1
+                  THEN coalesce(d.d1[CAST(i - greatest(1, d.k - {L}) + 1 AS INT)], {BIG})
+                  ELSE {BIG} END,
+             CASE WHEN i - 1 - greatest(1, d.k - 1 - {L}) + 1 >= 1
+                  THEN coalesce(d.d2[CAST(i - 1 - greatest(1, d.k - 1 - {L}) + 1 AS INT)], {BIG})
+                  ELSE {BIG} END)),
+         d.d1
+  FROM dpA{r} d JOIN sub s USING (series_id) JOIN {cents} c USING (cell)
+  WHERE d.k < {2 * L}
+),
+distA{r} AS (SELECT series_id, cell, d1[1] AS dist FROM dpA{r} WHERE k = {2 * L}),
+asg{r} AS MATERIALIZED (
+  SELECT series_id, cell, dist FROM (
+    SELECT series_id, cell, dist,
+           row_number() OVER (PARTITION BY series_id ORDER BY dist, cell) AS rn
+    FROM distA{r}
+  ) WHERE rn = 1
+)"""
+
+
+_C13_ORACLE = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+),
+arr AS (
+  SELECT series_id,
+         list(CAST(floor(value * 1000000 + 0.5) AS BIGINT) ORDER BY t) AS vs
+  FROM ev WHERE t < {_DBA_L} GROUP BY series_id HAVING count(*) = {_DBA_L}
+),
+sub AS MATERIALIZED (
+  SELECT series_id, vs FROM arr ORDER BY md5(series_id::VARCHAR), series_id LIMIT 12
+),
+cents0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY md5(series_id::VARCHAR), series_id) - 1 AS cell,
+         vs AS bs
+  FROM (SELECT series_id, vs FROM sub ORDER BY md5(series_id::VARCHAR), series_id LIMIT 3)
+),
+{_dtwkm_dp_sql(1, "cents0")},
+cellsA1 AS MATERIALIZED (
+  SELECT d.series_id, d.cell,
+         CAST(greatest(1, d.k - {_DBA_L}) + generate_subscripts(d.d1, 1) - 1 AS INT) AS i,
+         CAST(d.k - (greatest(1, d.k - {_DBA_L}) + generate_subscripts(d.d1, 1) - 1) AS INT) AS j,
+         unnest(d.d1) AS acc
+  FROM dpA1 d
+),
+btU1(series_id, cell, i, j) AS (
+  SELECT series_id, cell, {_DBA_L}, {_DBA_L} FROM asg1
+  UNION ALL
+  SELECT b.series_id, b.cell,
+         CASE WHEN b.dga <= b.upa AND b.dga <= b.lfa THEN b.i - 1
+              WHEN b.upa <= b.lfa THEN b.i - 1
+              ELSE b.i END,
+         CASE WHEN b.dga <= b.upa AND b.dga <= b.lfa THEN b.j - 1
+              WHEN b.upa <= b.lfa THEN b.j
+              ELSE b.j - 1 END
+  FROM (
+    SELECT t.series_id, t.cell, t.i, t.j,
+           CASE WHEN t.i > 1 AND t.j > 1 THEN cd.acc ELSE {_DBA_BIG} END AS dga,
+           CASE WHEN t.i > 1 THEN cu.acc ELSE {_DBA_BIG} END AS upa,
+           CASE WHEN t.j > 1 THEN cl.acc ELSE {_DBA_BIG} END AS lfa
+    FROM btU1 t
+    LEFT JOIN cellsA1 cu ON cu.series_id = t.series_id AND cu.cell = t.cell
+                        AND cu.i = t.i - 1 AND cu.j = t.j
+    LEFT JOIN cellsA1 cl ON cl.series_id = t.series_id AND cl.cell = t.cell
+                        AND cl.i = t.i AND cl.j = t.j - 1
+    LEFT JOIN cellsA1 cd ON cd.series_id = t.series_id AND cd.cell = t.cell
+                        AND cd.i = t.i - 1 AND cd.j = t.j - 1
+  ) b
+  WHERE NOT (b.i = 1 AND b.j = 1)
+),
+cu1 AS (
+  SELECT cell, list(bv ORDER BY j) AS bs FROM (
+    SELECT t.cell, t.j,
+           CAST((2 * sum(s.vs[t.i]) + count(*)) // (2 * count(*)) AS BIGINT) AS bv
+    FROM btU1 t JOIN sub s USING (series_id)
+    GROUP BY t.cell, t.j)
+  GROUP BY cell
+),
+cents1 AS MATERIALIZED (
+  SELECT c0.cell, coalesce(cu.bs, c0.bs) AS bs
+  FROM cents0 c0 LEFT JOIN cu1 cu USING (cell)
+),
+{_dtwkm_dp_sql(2, "cents1")}
+SELECT a.series_id, CAST(a.cell AS INT) AS prediction,
+       CAST(a.dist AS DOUBLE) / 1000000.0 AS dist
+FROM asg2 a
+"""
+
+
+@register("c13_dtwkmeans_md5", _C13_ORACLE)
+def c13_dtwkmeans_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 — deterministic DTW-k-means (k=3) with a FULL value-hash
+    oracle: the c3b assign→update→assign schedule under the DTW metric
+    instead of SBD — tslearn's TimeSeriesKMeans(metric='dtw') made
+    replayable, completing the clustering-metric matrix next to the
+    reference's K-Shape (app.py:731-737). Assignment is argmin over
+    (exact integer DTW distance, cell); the update is a per-cell DBA
+    step (cluster.dtw_kmeans_md5, same integer micro-unit discipline
+    as c11); empty cells keep their centroid. The oracle widens the
+    c11 DP recursion key to (series_id, cell) — 36 integer DPs per
+    round — and backtracks only the winning pairs for the update."""
+    ev = events_as_series(spark, sf_dir).where(F.col("t") < 24)
+    nested = align.to_nested(ev)
+    return cluster.dtw_kmeans_md5(nested, k=3, n_series=12, length=24)
