@@ -114,6 +114,7 @@ HEADLINE = [
     "c11_dba_md5",
     "c12_validity_indices",
     "text_wordpiece_apply",
+    "c13_dtwkmeans_md5",
 ]
 
 

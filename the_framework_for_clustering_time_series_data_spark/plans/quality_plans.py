@@ -143,3 +143,53 @@ def dq_checks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(F.explode(checks).alias("c")).select(
         "c.check_name", "c.passed", "c.observed"
     )
+
+
+@register(
+    "priv_k_anonymity",
+    """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         count(*) AS class_size,
+         count(DISTINCT CAST(floor(c_acctbal / 1000) AS INT)) AS l_div
+  FROM customer
+  GROUP BY 1, 2
+),
+g AS (SELECT min(class_size) AS k_anonymity, min(l_div) AS l_diversity FROM cls)
+SELECT c.c_nationkey, c.c_mktsegment, c.class_size, c.l_div,
+       c.class_size < 5 AS suppress,
+       g.k_anonymity, g.l_diversity
+FROM cls c, g
+""",
+)
+def priv_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for release/training-data governance (Sweeney's
+    k-anonymity + distinct l-diversity), the structured-data
+    counterpart of text_pii_redact: quasi-identifier classes
+    (nation x market segment) with their size and the diversity of the
+    sensitive attribute (account-balance tier), the global k and l
+    (worst class), and a per-class suppression flag (k < 5 — the
+    classes a release pipeline must generalize or drop). ONE grouped
+    aggregate over the table + a broadcast of the two global minima;
+    at 100 TB the audit is a single map-side-combined shuffle on the
+    QI key."""
+    c = load_table(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("int")
+        ).alias("l_div"),
+    )
+    g = cls.agg(
+        F.min("class_size").alias("k_anonymity"),
+        F.min("l_div").alias("l_diversity"),
+    )
+    return cls.crossJoin(F.broadcast(g)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "l_div",
+        (F.col("class_size") < 5).alias("suppress"),
+        "k_anonymity",
+        "l_diversity",
+    )
