@@ -17,39 +17,28 @@ REPO = str(Path(__file__).resolve().parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Headline rotation (round-6 continuation): 22 fast-or-stable entries that
+# held their bands for 2+ rounds rotated OUT so the compact stdout line
+# stays inside the driver's ~2000-char capture window as new families
+# rotate in (g5, dedup_exact, text_quality, j1, j3, r1, q6, q14,
+# ts_resample/gapfill/ewma/decompose/paa_sax/anomaly_preq/rollup_inc,
+# corpus_epoch_shards, q2, q3, q18, sim_bruteforce, text_bigram_fluency,
+# ts_lttb). Rotated-out queries remain correctness-gated in
+# the registry and the full suite; BENCH_FULL.json keeps full history
+# whenever they are run explicitly via --queries.
 HEADLINE = [
     "q1_pricing_summary",
-    "q3_top_orders",
     "q5_region_revenue",
     "flagship_series_summary",
     "p5_preprocess_table",
-    "g5_sliding_window",
-    "dedup_exact_groups",
     "dedup_minhash_lsh",
-    "sim_bruteforce_topk",
-    "text_quality",
-    "j1_asof_join",
-    "j3_sessionize",
-    "r1_rollup_daily",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q18_large_orders",
     # round-2 additions: timeseries rollup family, LM scoring, and the
     # two heaviest of the newly-completed TPC-H analogs
-    "ts_resample_1h",
-    "ts_gapfill_locf",
-    "ts_ewma",
-    "text_bigram_fluency",
-    "q2_min_cost_supplier",
     "q21_blamed_suppliers",
     # symbolic/diagnostic + batch-assembly additions
-    "ts_decompose_dow",
-    "ts_paa_sax",
     "pack_sequences_chunks",
     # flagship LLM-corpus composition + online-anomaly + incremental rollup
     "corpus_training_assembly",
-    "ts_anomaly_prequential",
-    "ts_rollup_incremental",
     # round-2 additions: the former perf tail, benched so regressions on
     # the WORST plans are visible round-over-round, not just the fast set
     "c8_graph_clusters",
@@ -71,8 +60,6 @@ HEADLINE = [
     # built on the distributed-ntile/prefix machinery) and the LTTB
     # render path now that its oracle pins the pick loop
     "layout_zorder_pruning",
-    "corpus_epoch_shards",
-    "ts_lttb_downsample",
     # round-4 additions: the plans this round rebuilt (md5-doc-capped
     # exact jaccard, oracle-backed motif verification, deterministic-
     # Lloyd semantic dedup) — benched so the new shapes are tracked
