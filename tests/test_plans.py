@@ -736,3 +736,27 @@ def test_c11_dba_round_kernel_is_arrow_grouped(spark):
     plan = buf.getvalue()
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hilbert_files_tighter_than_morton(spark):
+    # the reason liquid clustering walks a Hilbert curve: at a file
+    # size that is NOT a power-of-4 cell count (here 128 cells), a
+    # Morton segment crosses a diagonal jump while a Hilbert segment
+    # stays two adjacent sub-quadrants — so the summed per-file
+    # bounding-box area (what parquet footer pruning sees) must be
+    # strictly tighter for the Hilbert layout
+    import duckdb
+
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_ORACLE}/events.parquet'"
+    )
+    area = {}
+    for name in ("layout_hilbert_pruning", "layout_zorder_pruning"):
+        sql = ORACLE[name].replace("// 256", "// 128")  # zorder at 32 files too
+        area[name] = con.execute(
+            f"SELECT sum((u_max-u_min)*(v_max-v_min)) FROM ({sql})"
+        ).fetchone()[0]
+    assert area["layout_hilbert_pruning"] < area["layout_zorder_pruning"]

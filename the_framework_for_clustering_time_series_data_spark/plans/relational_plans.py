@@ -1785,3 +1785,97 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("v_min"),
         F.round(F.max("value"), 6).alias("v_max"),
     )
+
+
+def _hilbert_round_sql(k: int, s: int) -> str:
+    """One level of the standard Hilbert xy->d transform (Wikipedia's
+    loop, unrolled): quadrant digit into d, reflect+swap into the next
+    level's frame. Pure integer CASE/bit arithmetic — bit-identical in
+    any engine."""
+    p = k - 1
+    return f"""h{k} AS (
+  SELECT user_id, value,
+         d + {s * s} * (xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                            (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END))) AS d,
+         CASE WHEN (y & {s}) = 0
+              THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN (y & {s}) = 0
+              THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END)
+              ELSE y END AS y
+  FROM h{p}
+)"""
+
+
+_HILBERT_ROUNDS = ",\n".join(
+    _hilbert_round_sql(k, 1 << (6 - k)) for k in range(1, 7)
+)
+
+
+@register(
+    "layout_hilbert_pruning",
+    f"""
+WITH b AS (
+  SELECT event_id, user_id, value,
+         ntile(64) OVER (ORDER BY user_id, event_id) - 1 AS bu,
+         ntile(64) OVER (ORDER BY value, event_id) - 1 AS bv
+  FROM events
+),
+h0 AS (SELECT user_id, value, 0 AS d, bu AS x, bv AS y FROM b),
+{_HILBERT_ROUNDS}
+SELECT CAST(d // 128 AS INT) AS file_id, count(*) AS n_rows,
+       min(user_id) AS u_min, max(user_id) AS u_max,
+       round(min(value), 6) AS v_min, round(max(value), 6) AS v_max
+FROM h6 GROUP BY 1
+""",
+)
+def layout_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit — the liquid-clustering counterpart
+    of layout_zorder_pruning (Databricks' successor to Z-order uses a
+    Hilbert walk precisely because it has no Morton diagonal jumps, so
+    per-file bounding boxes are tighter). Same harness as the Z-order
+    audit: 64 exact equi-depth buckets per dimension (with_global_ntiles
+    — never a single-partition fact sort), then the standard Hilbert
+    xy→d transform UNROLLED over the 6 bit-levels (quadrant digit +
+    reflect/swap per level — pure JVM integer CASE/bit arithmetic, no
+    UDF), top bits of d → 32 files, per-file min/max column stats = the
+    parquet-footer pruning view. 32 files (128-cell curve segments) is
+    the deliberate choice: at power-of-4 segment sizes both curves
+    degenerate to identical quadrant files, while at 128 cells a
+    Morton segment spans a diagonal jump and a Hilbert segment is two
+    ADJACENT sub-quadrants — tests/test_plans.py asserts the Hilbert
+    layout's total bounding-box area is strictly tighter at this
+    granularity. The oracle replays the same 6 unrolled levels as
+    chained CTEs; d is integer-exact in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    b = with_global_ntiles(
+        ev,
+        64,
+        [
+            ("bu", ["user_id", "event_id"], None),
+            ("bv", ["value", "event_id"], None),
+        ],
+    ).select(
+        "user_id",
+        "value",
+        (F.col("bu") - 1).alias("x"),
+        (F.col("bv") - 1).alias("y"),
+    )
+    d = F.lit(0)
+    x, y = F.col("x"), F.col("y")
+    for k in range(1, 7):
+        s = 1 << (6 - k)
+        rx = F.when((x.bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        ry = F.when((y.bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        d = d + F.lit(s * s) * ((rx * 3).bitwiseXOR(ry))
+        nx = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)).otherwise(x)
+        ny = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)).otherwise(y)
+        x, y = nx, ny
+    files = b.withColumn("file_id", F.floor(d / 128).cast("int"))
+    return files.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+    )
