@@ -295,3 +295,56 @@ def st_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cms_sketch(ev, "user_id")
+
+
+_ORC_DIRS: dict = {}
+
+
+@register(
+    "src_orc_roundtrip",
+    """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_cents,
+       min(epoch_ns(ts) // 1000) AS ts_min_us,
+       max(epoch_ns(ts) // 1000) AS ts_max_us
+FROM events
+GROUP BY event_type
+""",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip — format breadth next to the parquet/
+    CSV/xlsx/upload/Python-DataSource scans: events written once to a
+    scratch ORC dataset (native ORC writer, zstd, partitioned by
+    event_type so the read-back exercises partition discovery), read
+    back and aggregated. The oracle computes the same aggregate from
+    the ORIGINAL parquet — so the value-hash check proves the
+    roundtrip preserved every value bit-for-bit (sums are exact int64
+    cent/µs units; no float reduction reaches the comparison).
+    Scratch dir per (process, sf) with atexit sweep, the
+    sim_ivf_persisted discipline."""
+    import atexit
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    key = (id(spark), sf_dir)
+    path = _ORC_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="the_framework_for_clustering_time_series_data_spark_orc_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        (
+            ev.select("event_id", "ts", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("event_type")
+            .orc(path)
+        )
+        _ORC_DIRS[key] = path
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("v_cents"),
+        F.min(F.unix_micros("ts")).alias("ts_min_us"),
+        F.max(F.unix_micros("ts")).alias("ts_max_us"),
+    )
