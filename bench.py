@@ -102,6 +102,7 @@ HEADLINE = [
     "c12_validity_indices",
     "text_wordpiece_apply",
     "c13_dtwkmeans_md5",
+    "boot_poisson_ci",
 ]
 
 

@@ -2270,3 +2270,131 @@ def a9_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals (single-pass uncertainty)
+# --------------------------------------------------------------------------
+
+#: exact integer thresholds for the Poisson(1) CDF on a 60-bit uniform
+#: (floor(P(X<=k) * 2^60), k = 0..3; counts cap at 4). Embedded as
+#: integer literals so both engines compare the same int64 values —
+#: no transcendental evaluated in-plan.
+_BOOT_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+)
+_BOOT_REPS = 32
+
+
+@register(
+    "boot_poisson_ci",
+    f"""
+WITH x AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+         event_id
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT x.event_type, x.v_cents,
+         g.rep,
+         CAST(('0x' || substr(md5(x.event_id || ':' || g.rep), 1, 15)) AS BIGINT) AS h
+  FROM x CROSS JOIN (SELECT unnest(range({_BOOT_REPS})) AS rep) g
+),
+c AS (
+  SELECT event_type, rep,
+         sum(CASE WHEN h < {_BOOT_T[0]} THEN 0
+                  WHEN h < {_BOOT_T[1]} THEN 1
+                  WHEN h < {_BOOT_T[2]} THEN 2
+                  WHEN h < {_BOOT_T[3]} THEN 3
+                  ELSE 4 END * v_cents) AS s,
+         sum(CASE WHEN h < {_BOOT_T[0]} THEN 0
+                  WHEN h < {_BOOT_T[1]} THEN 1
+                  WHEN h < {_BOOT_T[2]} THEN 2
+                  WHEN h < {_BOOT_T[3]} THEN 3
+                  ELSE 4 END) AS n
+  FROM r GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, rep,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE), rep) AS rn
+  FROM c
+),
+f AS (
+  SELECT event_type,
+         CAST(sum(v_cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0 AS mean_full
+  FROM x GROUP BY 1
+)
+SELECT f.event_type,
+       round(f.mean_full, 6) AS mean_full,
+       round(max(CASE WHEN m.rn = 2 THEN m.mean_r END), 6) AS boot_lo,
+       round(max(CASE WHEN m.rn = {_BOOT_REPS - 1} THEN m.mean_r END), 6) AS boot_hi
+FROM f JOIN m USING (event_type)
+GROUP BY 1, 2
+""",
+)
+def boot_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals for the per-type value
+    mean — the SINGLE-PASS bootstrap (Chamandy et al., Google 2012):
+    each row joins every replicate with an independent Poisson(1)
+    weight, so 32 resampled means come out of ONE map-side-combined
+    aggregate instead of 32 resampling passes — the only bootstrap
+    that works at 100 TB. Deterministic twin discipline: the weight is
+    md5(event_id:rep)'s top 60 bits compared against exact integer
+    Poisson-CDF thresholds (precomputed literals — no transcendental
+    in-plan, counts cap at 4), sums in exact cent units, the CI is the
+    (2nd, 31st) order statistic of the replicate means ((rep)-pinned
+    ties). Row volume is corpus x 32 in the map stage only; the
+    shuffle carries type x rep partial sums."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
+        "event_id",
+    )
+    r = x.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "event_id", "rep")), 1, 15), 16, 10
+    ).cast("long")
+    cnt = (
+        F.when(h < _BOOT_T[0], 0)
+        .when(h < _BOOT_T[1], 1)
+        .when(h < _BOOT_T[2], 2)
+        .when(h < _BOOT_T[3], 3)
+        .otherwise(4)
+    )
+    c = r.groupBy("event_type", "rep").agg(
+        F.sum(cnt * F.col("v_cents")).alias("s"),
+        F.sum(cnt).alias("n"),
+    )
+    mean_r = F.col("s").cast("double") / F.col("n").cast("double") / 100.0
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("s").cast("double") / F.col("n").cast("double")), F.col("rep")
+    )
+    m = c.select("event_type", mean_r.alias("mean_r"), F.row_number().over(w).alias("rn"))
+    f = x.groupBy("event_type").agg(
+        (F.sum("v_cents").cast("double") / F.count("*").cast("double") / 100.0).alias(
+            "mean_full"
+        )
+    )
+    return (
+        f.join(m, "event_type")
+        .groupBy("event_type", "mean_full")
+        .agg(
+            F.round(F.max(F.when(F.col("rn") == 2, F.col("mean_r"))), 6).alias("boot_lo"),
+            F.round(
+                F.max(F.when(F.col("rn") == _BOOT_REPS - 1, F.col("mean_r"))), 6
+            ).alias("boot_hi"),
+        )
+        .select(
+            "event_type",
+            F.round("mean_full", 6).alias("mean_full"),
+            "boot_lo",
+            "boot_hi",
+        )
+    )
