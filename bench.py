@@ -23,7 +23,7 @@ if REPO not in sys.path:
 # rotate in (g5, dedup_exact, text_quality, j1, j3, r1, q6, q14,
 # ts_resample/gapfill/ewma/decompose/paa_sax/anomaly_preq/rollup_inc,
 # corpus_epoch_shards, q2, q3, q18, sim_bruteforce, text_bigram_fluency,
-# ts_lttb). Rotated-out queries remain correctness-gated in
+# ts_lttb, q25). Rotated-out queries remain correctness-gated in
 # the registry and the full suite; BENCH_FULL.json keeps full history
 # whenever they are run explicitly via --queries.
 HEADLINE = [
@@ -51,7 +51,6 @@ HEADLINE = [
     # rebuilt (distributed ntile, capped exact correlation, shared
     # silhouette fits, CLARA) — benched so the rebuilt plans are
     # tracked round-over-round
-    "q25_rfm_segments",
     "t5_representative_plotdata",
     "ts_pair_correlation",
     "c4_silhouette_selection",
