@@ -555,3 +555,97 @@ def t5_representative_plotdata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("v", 6).alias("v"),
         )
     )
+
+
+@register(
+    "ts_trend_robust",
+    f"""
+WITH {EV},
+tr AS (SELECT series_id, t, value FROM ev WHERE t < 100),
+pr AS (
+  SELECT a.series_id,
+         (b.value - a.value) / CAST(b.t - a.t AS DOUBLE) AS slope,
+         CASE WHEN b.value > a.value THEN 1
+              WHEN b.value < a.value THEN -1 ELSE 0 END AS sgn,
+         a.t AS ti, b.t AS tj
+  FROM tr a JOIN tr b ON a.series_id = b.series_id AND b.t > a.t
+),
+med AS (
+  SELECT series_id, slope AS ts_slope FROM (
+    SELECT series_id, slope,
+           row_number() OVER (PARTITION BY series_id ORDER BY slope, ti, tj) AS rn,
+           count(*) OVER (PARTITION BY series_id) AS np
+    FROM pr
+  ) WHERE rn = (np + 1) // 2
+),
+mk AS (
+  SELECT series_id, CAST(sum(sgn) AS BIGINT) AS mk_s FROM pr GROUP BY 1
+),
+nn AS (SELECT series_id, count(*) AS n FROM tr GROUP BY 1)
+SELECT nn.series_id, nn.n,
+       round(med.ts_slope, 6) AS ts_slope,
+       mk.mk_s,
+       round(CASE WHEN mk.mk_s > 0 THEN (mk.mk_s - 1)
+                    / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0)
+                  WHEN mk.mk_s < 0 THEN (mk.mk_s + 1)
+                    / sqrt(nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0)
+                  ELSE 0.0 END, 6) AS mk_z
+FROM nn JOIN med USING (series_id) JOIN mk USING (series_id)
+""",
+)
+def ts_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend panel per series — Theil-Sen median slope + the
+    Mann-Kendall test (S statistic and continuity-corrected z, no-ties
+    variance form; sign handles tied values in S): the
+    outlier-resistant trend detection a monitoring pipeline runs where
+    least squares breaks. Deterministic: the median is the LOWER
+    median order statistic with (slope, t_i, t_j)-pinned ties, S is an
+    exact integer sum, and every division/sqrt is a single identical
+    IEEE op in both engines. Pairs are generated per series (first 100
+    points → ≤4,950 pairs each) by an equi-join on series_id — work is
+    n² per KEY, embarrassingly parallel across keys, never a global
+    product; at 100 TB the same plan holds with per-series caps."""
+    ev = events_as_series(spark, sf_dir).where(F.col("t") < 100)
+    a = ev.select("series_id", F.col("t").alias("ti"), F.col("value").alias("va"))
+    b = ev.select("series_id", F.col("t").alias("tj"), F.col("value").alias("vb"))
+    pr = a.join(b, "series_id").where(F.col("tj") > F.col("ti")).select(
+        "series_id",
+        ((F.col("vb") - F.col("va")) / (F.col("tj") - F.col("ti")).cast("double")).alias(
+            "slope"
+        ),
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        "ti",
+        "tj",
+    )
+    wroworder = Window.partitionBy("series_id").orderBy("slope", "ti", "tj")
+    wcnt = Window.partitionBy("series_id")
+    med = (
+        pr.withColumn("rn", F.row_number().over(wroworder))
+        .withColumn("np", F.count("*").over(wcnt))
+        .where(F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        .select("series_id", F.col("slope").alias("ts_slope"))
+    )
+    mk = pr.groupBy("series_id").agg(F.sum("sgn").cast("long").alias("mk_s"))
+    nn = ev.groupBy("series_id").agg(F.count("*").alias("n"))
+    var_sqrt = F.sqrt(
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
+    )
+    z = (
+        F.when(F.col("mk_s") > 0, (F.col("mk_s") - 1) / var_sqrt)
+        .when(F.col("mk_s") < 0, (F.col("mk_s") + 1) / var_sqrt)
+        .otherwise(0.0)
+    )
+    return (
+        nn.join(med, "series_id")
+        .join(mk, "series_id")
+        .select(
+            "series_id",
+            "n",
+            F.round("ts_slope", 6).alias("ts_slope"),
+            "mk_s",
+            F.round(z, 6).alias("mk_z"),
+        )
+    )
