@@ -862,3 +862,25 @@ def test_bisecting_lloyd_recovers_blobs(spark):
     again = {r["id"]: r["lab"] for r in
              bisecting_lloyd_assign(v, 4, id_col="series_id", vec_col="v").collect()}
     assert got == again
+
+
+def test_isotonic_mllib_matches_exact_minimax(spark):
+    # MLlib's distributed PAV (per-partition pools merged) must land on
+    # the same fit as the exact minimax identity — an independent
+    # whole-implementation check of the production calibrator — and
+    # both fits must be monotone in the score
+    from tests.conftest import SF_ORACLE
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+
+    exact = {
+        round(r["x"], 6): r["iso_p"]
+        for r in QUERIES["ml_isotonic_minimax"](spark, SF_ORACLE).collect()
+    }
+    mllib = {
+        round(r["x"], 6): r["iso_p"]
+        for r in QUERIES["ml_isotonic"](spark, SF_ORACLE).collect()
+    }
+    assert set(mllib) == set(exact)
+    assert max(abs(mllib[x] - exact[x]) for x in mllib) <= 1e-6
+    ps = [p for _, p in sorted(exact.items())]
+    assert all(ps[i] <= ps[i + 1] + 1e-12 for i in range(len(ps) - 1))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators import align, cluster, embed, imaging
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
@@ -2503,3 +2504,132 @@ def c13_dtwkmeans_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_as_series(spark, sf_dir).where(F.col("t") < 24)
     nested = align.to_nested(ev)
     return cluster.dtw_kmeans_md5(nested, k=3, n_series=12, length=24)
+
+
+# --------------------------------------------------------------------------
+# Isotonic regression — exact minimax twin + MLlib production variant
+# --------------------------------------------------------------------------
+
+_ISO_CTES = """
+pts AS (
+  SELECT CAST(floor(embedding[1]::DOUBLE * 1000000 + 0.5) AS BIGINT) AS x_us,
+         label % 2 AS y
+  FROM embeddings
+),
+tie AS (
+  SELECT x_us, sum(y) AS sy, count(*) AS w
+  FROM pts GROUP BY 1
+),
+ix AS (
+  SELECT x_us, sy, w,
+         row_number() OVER (ORDER BY x_us) AS i,
+         sum(sy) OVER (ORDER BY x_us) AS cy,
+         sum(w) OVER (ORDER BY x_us) AS cw
+  FROM tie
+),
+grid AS (
+  SELECT a.i AS j, b.i AS k, b.x_us,
+         CAST(b.cy - (a.cy - a.sy) AS DOUBLE)
+           / CAST(b.cw - (a.cw - a.w) AS DOUBLE) AS m
+  FROM ix a JOIN ix b ON a.i <= b.i
+),
+sm AS (
+  SELECT j, k, x_us,
+         min(m) OVER (PARTITION BY j ORDER BY k DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS suffmin
+  FROM grid
+)
+"""
+
+
+@register(
+    "ml_isotonic_minimax",
+    f"""
+WITH {_ISO_CTES}
+SELECT CAST(x_us AS DOUBLE) / 1000000.0 AS x,
+       round(max(suffmin), 6) AS iso_p
+FROM sm
+GROUP BY x_us
+""",
+)
+def ml_isotonic_minimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression (PAV) via the exact minimax identity
+    ``iso[i] = max_{{j<=i}} min_{{k>=i}} mean(y[j..k])`` — the
+    monotone probability calibration step of a training pipeline
+    (score → P(label)), value-verified: prefix sums are exact
+    integers, each block mean is ONE double division of exact ints,
+    and the min/max lattice is order-free, so both engines produce
+    bit-identical fits. Ties aggregate per distinct 6-dp-quantized
+    score FIRST, so the O(n²) grid is over DISTINCT SCORES (bounded by
+    the quantization, not the corpus — at 100 TB you calibrate on
+    binned scores); the fully-distributed production alternative is
+    ml_isotonic (MLlib's parallel PAV), which tests/test_ml.py holds
+    to this exact fit. Output: (score, calibrated monotone
+    probability)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.floor(F.col("embedding")[0].cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("x_us"),
+        (F.col("label") % 2).alias("y"),
+    )
+    tie = pts.groupBy("x_us").agg(F.sum("y").alias("sy"), F.count("*").alias("w"))
+    wx = Window.orderBy("x_us").rowsBetween(Window.unboundedPreceding, 0)
+    # single-partition windows over the DISTINCT-SCORE table only
+    # (bounded model-sized state, not the corpus)
+    ix = tie.select(
+        "x_us",
+        "sy",
+        "w",
+        F.row_number().over(Window.orderBy("x_us")).alias("i"),
+        F.sum("sy").over(wx).alias("cy"),
+        F.sum("w").over(wx).alias("cw"),
+    )
+    a = ix.select(
+        F.col("i").alias("j"),
+        (F.col("cy") - F.col("sy")).alias("cy0"),
+        (F.col("cw") - F.col("w")).alias("cw0"),
+    )
+    b = ix.select("i", "x_us", "cy", "cw")
+    grid = F.broadcast(a).join(b, F.col("j") <= F.col("i")).select(
+        "j",
+        F.col("i").alias("k"),
+        "x_us",
+        (
+            (F.col("cy") - F.col("cy0")).cast("double")
+            / (F.col("cw") - F.col("cw0")).cast("double")
+        ).alias("m"),
+    )
+    wsuff = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sm = grid.select("k", "x_us", F.min("m").over(wsuff).alias("suffmin"))
+    return sm.groupBy("x_us").agg(
+        F.round(F.max("suffmin"), 6).alias("iso_p")
+    ).select(
+        (F.col("x_us").cast("double") / 1000000.0).alias("x"), "iso_p"
+    )
+
+
+@register("ml_isotonic")  # MLlib parallel PAV — impl-defined ties → rows-only
+def ml_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production isotonic calibration: MLlib's DISTRIBUTED PAV
+    (per-partition pools merged associatively — the form that runs on
+    a 100 TB score table). Same (score, binary label) task as
+    ml_isotonic_minimax; tests/test_ml.py asserts the two fits agree
+    to 1e-6 on shared scores and that this fit is monotone. Rows-only
+    at the gate (MLlib's pooling order is impl-defined)."""
+    from pyspark.ml.regression import IsotonicRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("x"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    )
+    va = VectorAssembler(inputCols=["x"], outputCol="features")
+    model = IsotonicRegression(labelCol="y").fit(va.transform(pts))
+    out = model.transform(va.transform(pts.dropDuplicates(["x"])))
+    return out.select("x", F.round(F.col("prediction"), 6).alias("iso_p"))
