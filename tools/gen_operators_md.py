@@ -22,6 +22,7 @@ sys.path.insert(0, str(REPO))
 #: next conversion round). Local invariant/equivalence tests cover all
 #: of them (tests/, cited per entry).
 ROWS_ONLY_NOTES = {
+    "ml_isotonic": "impl-defined pooling order: MLlib's distributed PAV merges per-partition pools associatively but the merge order is scheduler-defined. test_ml.py holds its fit equal (1e-6) to the fully-oracled exact twin ml_isotonic_minimax — the strongest check in the registry for a rows-only entry.",
     "a5b_percentile_sketch": "approx-sketch: approxQuantile is a Greenwald-Khanna sketch whose outputs are implementation-defined within the error bound; DuckDB has no replayable twin. Exact-percentile parity is covered by a7_histogram/q25 oracles; sketch error bound tested in test_properties.py.",
     "c1_kmeans": "RNG/impl-defined: MLlib kmeans|| seeding + parallel float reductions; labels are run-stable but not engine-reproducible. ARI-vs-ground-truth and determinism tests in test_ml.py.",
     "c3_kshape": "iterative-fit: driver Lloyd loop over FFT-based NCC and an eigenvector extraction (sign-normalized), data-dependent iteration count. Separation + convergence tests in test_ml.py. Its deterministic twin c3b_kshape_md5 IS fully oracle-checked.",
