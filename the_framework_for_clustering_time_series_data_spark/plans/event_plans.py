@@ -2398,3 +2398,113 @@ def boot_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boot_hi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED experiment readout (variance-reduced A/B lift)
+# --------------------------------------------------------------------------
+
+#: final-stage float arithmetic, written ONCE and evaluated verbatim by
+#: BOTH engines (DuckDB directly; Spark via selectExpr) so the chained
+#: double operations have identical expression trees. Inputs are exact
+#: integer moment sums (cents / cents^2) cast to double.
+_CUPED_FINALS = """
+round(CAST(sy_t AS DOUBLE) / n_t / 100.0, 6) AS mean_y_t,
+round(CAST(sy_c AS DOUBLE) / n_c / 100.0, 6) AS mean_y_c,
+round((CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c) / 100.0, 6) AS lift_raw,
+round(((CAST(sy_t AS DOUBLE) / n_t
+        - (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+          / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+          * (CAST(sx_t AS DOUBLE) / n_t - CAST(sx AS DOUBLE) / n))
+       - (CAST(sy_c AS DOUBLE) / n_c
+        - (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+          / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+          * (CAST(sx_c AS DOUBLE) / n_c - CAST(sx AS DOUBLE) / n))) / 100.0, 6) AS lift_cuped,
+round((CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+      / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6) AS theta,
+round(((CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+       * (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+      / ((CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+       * (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))), 6) AS var_reduction
+"""
+
+_CUPED_MOMENTS = """
+u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS arm,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+mo AS (
+  SELECT count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
+         sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx_t,
+         sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sx_c,
+         sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS sy_t,
+         sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sy_c
+  FROM u
+)
+"""
+
+
+@register(
+    "ab_cuped_lift",
+    f"""
+WITH {_CUPED_MOMENTS}
+SELECT n, n_t, n_c,
+{_CUPED_FINALS}
+FROM mo
+""",
+)
+def ab_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment readout (Deng et al., WSDM'13) — the
+    variance-reduced A/B lift every large experimentation platform
+    computes: users md5-hash-split into arms, pre-period spend (Jan
+    1-15) as the covariate for post-period spend (Jan 16+),
+    θ = cov(X,Y)/var(X) pooled, adjusted lift via the closed form
+    mean(Y_adj) = mean(Y) − θ(mean(X_arm) − mean(X)), variance
+    reduction via the CUPED identity var(Y_adj) = var(Y)(1 − ρ²).
+    Parity discipline: ALL moments are exact integer cent sums in ONE
+    grouped pass + one global aggregate (no float touches a row), and
+    the final float arithmetic is ONE shared SQL expression evaluated
+    verbatim by both engines (Spark selectExpr == DuckDB text), so the
+    chained double operations are identical trees. Per-row work is a
+    map-side-combined groupBy on user — the same single-pass shape at
+    100 TB."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(F.lit(0))).alias("y"),
+    ).select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("arm"),
+        "x",
+        "y",
+    )
+    mo = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(F.lit(0))).alias("sx_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(F.lit(0))).alias("sx_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(F.lit(0))).alias("sy_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(F.lit(0))).alias("sy_c"),
+    )
+    return mo.selectExpr("n", "n_t", "n_c", *_CUPED_FINALS.strip().split(",\n"))
