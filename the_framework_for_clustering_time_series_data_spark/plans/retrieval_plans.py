@@ -275,3 +275,84 @@ text_bm25_topk.__doc__ = text_bm25_topk.__doc__.replace("{k}", str(_TOPK)).repla
 retrieval_hybrid_rrf.__doc__ = retrieval_hybrid_rrf.__doc__.replace(
     "{terms}", " ".join(_QUERY_TERMS)
 ).replace("{depth}", str(_FUSE_DEPTH))
+
+
+@register(
+    "retrieval_phrase_topk",
+    """
+WITH tk AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+           generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS p
+    FROM documents
+  ) WHERE tok != ''
+),
+bg AS (
+  SELECT a.tok AS w1, b.tok AS w2, count(*) AS n
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+q AS (SELECT w1, w2 FROM bg ORDER BY n DESC, w1, w2 LIMIT 1),
+hits AS (
+  SELECT a.doc_id, count(*) AS n_occ
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1, q
+  WHERE a.tok = q.w1 AND b.tok = q.w2
+  GROUP BY 1
+)
+SELECT h.doc_id, h.n_occ, q.w1, q.w2
+FROM hits h, q
+ORDER BY h.n_occ DESC, h.doc_id
+LIMIT 20
+""",
+)
+def retrieval_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE retrieval over a positional index — the capability
+    BM25 bag-of-words scoring (text_bm25_topk) cannot express: token
+    positions per doc, the query phrase learned in-plan as the
+    corpus's most frequent bigram ((count DESC, w1, w2) argmax — the
+    bpe-style deterministic pick), adjacency matched by the positional
+    equi-join (doc_id, pos+1), top-20 docs by occurrence count with
+    doc_id-pinned ties. Scale shape: the positional index is the
+    (term, doc, pos) postings relation — adjacency is an equi-join on
+    (doc, pos), never a scan of raw text per query, and a real
+    deployment partitions postings by term so the phrase join touches
+    only the query terms' postings."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "p", "tok"
+            ),
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "tok",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("p"))
+            .alias("pos"),
+        )
+    )
+    a = tk.select("doc_id", F.col("tok").alias("w1"), "pos")
+    b = tk.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok").alias("w2"), F.col("pos").alias("pos_b")
+    )
+    pairs = a.join(
+        b, (F.col("doc_id") == F.col("doc_b")) & (F.col("pos_b") == F.col("pos") + 1)
+    )
+    bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    q = bg.orderBy(F.col("n").desc(), "w1", "w2").limit(1).select("w1", "w2")
+    hits = (
+        pairs.join(F.broadcast(q), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(q))
+        .orderBy(F.col("n_occ").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_occ", "w1", "w2")
+    )
