@@ -2458,7 +2458,7 @@ mo AS (
     "ab_cuped_lift",
     f"""
 WITH {_CUPED_MOMENTS}
-SELECT n, n_t, n_c,
+SELECT n, CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
 {_CUPED_FINALS}
 FROM mo
 """,
