@@ -462,3 +462,63 @@ def test_scd2_compaction_5m_changelog(spark, big_events):
     assert agg["n_rows"] == USERS * (per_user // 10)
     assert agg["max_v"] == per_user // 10
     assert agg["n_open"] == USERS  # exactly one current version per key
+
+
+def test_poisson_bootstrap_5m_rows(spark, big_events):
+    # 5M rows, closed-form truth: click rows carry even values 0..98
+    # (mean 49), purchase rows odd values 1..99 (mean 50). All 32
+    # single-pass replicate means must land within ±0.2 of truth
+    # (SE ≈ 0.02 at this n) — the bootstrap itself never leaves one
+    # map-side-combined aggregate
+    from the_framework_for_clustering_time_series_data_spark.operators.stats import (
+        POISSON_T60,
+        poisson_bootstrap_moments,
+    )
+    from the_framework_for_clustering_time_series_data_spark.plans.event_plans import _BOOT_T
+
+    assert tuple(_BOOT_T) == POISSON_T60  # one threshold table, two homes
+
+    df, _ = big_events
+    x = df.select(
+        "event_type",
+        (F.col("value").cast("long") * 100).alias("v_cents"),
+        "event_id",
+    )
+    c = poisson_bootstrap_moments(x, ["event_type"], "v_cents", "event_id", reps=32)
+    rows = c.collect()
+    assert len(rows) == 2 * 32
+    truth = {"click": 49.0, "purchase": 50.0}
+    for r in rows:
+        mean_r = r["s"] / r["n"] / 100.0
+        assert abs(mean_r - truth[r["event_type"]]) < 0.2, (r["event_type"], mean_r)
+
+
+def test_theilsen_5m_pairs_planted_trend(spark):
+    # 50k series x 30 points with value = 3 + 2t: every pairwise slope
+    # is exactly 2, so Theil-Sen = 2.0 and Mann-Kendall S = C(30,2) =
+    # 435 for every series — ~21.7M pair rows through the per-key
+    # join/window, closed-form checkable to the last bit
+    from the_framework_for_clustering_time_series_data_spark.operators.stats import theilsen_mk
+
+    n_series, pts = 50_000, 30
+    df = (
+        spark.range(n_series * pts)
+        .select(
+            (F.col("id") % n_series).alias("series_id"),
+            (F.col("id") / n_series).cast("long").alias("t"),
+        )
+        .withColumn("value", (3 + 2 * F.col("t")).cast("double"))
+    )
+    out = theilsen_mk(df)
+    agg = out.agg(
+        F.count("*").alias("ns"),
+        F.min("ts_slope").alias("lo"),
+        F.max("ts_slope").alias("hi"),
+        F.min("mk_s").alias("smin"),
+        F.max("mk_s").alias("smax"),
+        F.min("mk_z").alias("zmin"),
+    ).first()
+    assert agg["ns"] == n_series
+    assert agg["lo"] == agg["hi"] == 2.0
+    assert agg["smin"] == agg["smax"] == pts * (pts - 1) // 2
+    assert agg["zmin"] > 7  # strongly positive trend everywhere

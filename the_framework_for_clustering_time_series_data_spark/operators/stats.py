@@ -48,3 +48,102 @@ def length_stats(df: DataFrame) -> DataFrame:
         F.round(F.avg("length"), 6).alias("len_mean"),
         F.count("*").alias("n_series"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic resampling / robust-trend kernels (shared by the
+# registered plans and the 5M-row scale smokes)
+# --------------------------------------------------------------------------
+
+#: exact integer thresholds for the Poisson(1) CDF on a 60-bit uniform
+#: (floor(P(X<=k) * 2^60), k = 0..3; weights cap at 4) — see
+#: plans/event_plans.boot_poisson_ci for the derivation.
+POISSON_T60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+)
+
+
+def poisson_bootstrap_moments(
+    df: DataFrame,
+    key_cols: list,
+    value_cents_col: str,
+    id_col: str,
+    reps: int = 32,
+) -> DataFrame:
+    """Single-pass Poisson-bootstrap replicate moments: every row joins
+    each replicate with an md5-deterministic Poisson(1) weight (top 60
+    bits of md5(id:rep) vs exact integer CDF thresholds — no RNG, no
+    transcendental in-plan) and one map-side-combined aggregate emits
+    ``(key..., rep, s, n)``: the weighted cent-sum and weight-count per
+    replicate. Replicate mean = s/n/100. The row blow-up (× reps) lives
+    only in the map stage; the shuffle carries key × rep partials."""
+    r = df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", id_col, "rep")), 1, 15), 16, 10
+    ).cast("long")
+    cnt = (
+        F.when(h < POISSON_T60[0], 0)
+        .when(h < POISSON_T60[1], 1)
+        .when(h < POISSON_T60[2], 2)
+        .when(h < POISSON_T60[3], 3)
+        .otherwise(4)
+    )
+    return r.groupBy(*key_cols, "rep").agg(
+        F.sum(cnt * F.col(value_cents_col)).alias("s"),
+        F.sum(cnt).alias("n"),
+    )
+
+
+def theilsen_mk(series: DataFrame) -> DataFrame:
+    """Robust trend panel over long-form ``(series_id, t, value)``:
+    Theil-Sen lower-median pairwise slope ((slope, t_i, t_j)-pinned
+    selection) + Mann-Kendall exact integer S and continuity-corrected
+    z (no-ties variance form). Pair generation is an equi-join on
+    series_id — n² per KEY, parallel across keys, never a global
+    product."""
+    from pyspark.sql.window import Window
+
+    a = series.select("series_id", F.col("t").alias("ti"), F.col("value").alias("va"))
+    b = series.select("series_id", F.col("t").alias("tj"), F.col("value").alias("vb"))
+    pr = a.join(b, "series_id").where(F.col("tj") > F.col("ti")).select(
+        "series_id",
+        ((F.col("vb") - F.col("va")) / (F.col("tj") - F.col("ti")).cast("double")).alias(
+            "slope"
+        ),
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+        "ti",
+        "tj",
+    )
+    wroworder = Window.partitionBy("series_id").orderBy("slope", "ti", "tj")
+    wcnt = Window.partitionBy("series_id")
+    med = (
+        pr.withColumn("rn", F.row_number().over(wroworder))
+        .withColumn("np", F.count("*").over(wcnt))
+        .where(F.col("rn") == F.floor((F.col("np") + 1) / 2))
+        .select("series_id", F.col("slope").alias("ts_slope"))
+    )
+    mk = pr.groupBy("series_id").agg(F.sum("sgn").cast("long").alias("mk_s"))
+    nn = series.groupBy("series_id").agg(F.count("*").alias("n"))
+    var_sqrt = F.sqrt(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0)
+    z = (
+        F.when(F.col("mk_s") > 0, (F.col("mk_s") - 1) / var_sqrt)
+        .when(F.col("mk_s") < 0, (F.col("mk_s") + 1) / var_sqrt)
+        .otherwise(0.0)
+    )
+    return (
+        nn.join(med, "series_id")
+        .join(mk, "series_id")
+        .select(
+            "series_id",
+            "n",
+            F.round("ts_slope", 6).alias("ts_slope"),
+            "mk_s",
+            F.round(z, 6).alias("mk_z"),
+        )
+    )

@@ -2280,6 +2280,8 @@ def a9_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (floor(P(X<=k) * 2^60), k = 0..3; counts cap at 4). Embedded as
 #: integer literals so both engines compare the same int64 values —
 #: no transcendental evaluated in-plan.
+# (operators/stats.POISSON_T60 carries the same table for the reusable kernel;
+# tests assert the two stay identical)
 _BOOT_T = (
     424136118829305344,
     848272237658610688,
@@ -2357,20 +2359,10 @@ def boot_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v_cents"),
         "event_id",
     )
-    r = x.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))))
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", "event_id", "rep")), 1, 15), 16, 10
-    ).cast("long")
-    cnt = (
-        F.when(h < _BOOT_T[0], 0)
-        .when(h < _BOOT_T[1], 1)
-        .when(h < _BOOT_T[2], 2)
-        .when(h < _BOOT_T[3], 3)
-        .otherwise(4)
-    )
-    c = r.groupBy("event_type", "rep").agg(
-        F.sum(cnt * F.col("v_cents")).alias("s"),
-        F.sum(cnt).alias("n"),
+    from the_framework_for_clustering_time_series_data_spark.operators.stats import poisson_bootstrap_moments
+
+    c = poisson_bootstrap_moments(
+        x, ["event_type"], "v_cents", "event_id", reps=_BOOT_REPS
     )
     mean_r = F.col("s").cast("double") / F.col("n").cast("double") / 100.0
     w = Window.partitionBy("event_type").orderBy(

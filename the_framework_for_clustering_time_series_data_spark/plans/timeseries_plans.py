@@ -606,46 +606,4 @@ def ts_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² per KEY, embarrassingly parallel across keys, never a global
     product; at 100 TB the same plan holds with per-series caps."""
     ev = events_as_series(spark, sf_dir).where(F.col("t") < 100)
-    a = ev.select("series_id", F.col("t").alias("ti"), F.col("value").alias("va"))
-    b = ev.select("series_id", F.col("t").alias("tj"), F.col("value").alias("vb"))
-    pr = a.join(b, "series_id").where(F.col("tj") > F.col("ti")).select(
-        "series_id",
-        ((F.col("vb") - F.col("va")) / (F.col("tj") - F.col("ti")).cast("double")).alias(
-            "slope"
-        ),
-        F.when(F.col("vb") > F.col("va"), 1)
-        .when(F.col("vb") < F.col("va"), -1)
-        .otherwise(0)
-        .alias("sgn"),
-        "ti",
-        "tj",
-    )
-    wroworder = Window.partitionBy("series_id").orderBy("slope", "ti", "tj")
-    wcnt = Window.partitionBy("series_id")
-    med = (
-        pr.withColumn("rn", F.row_number().over(wroworder))
-        .withColumn("np", F.count("*").over(wcnt))
-        .where(F.col("rn") == F.floor((F.col("np") + 1) / 2))
-        .select("series_id", F.col("slope").alias("ts_slope"))
-    )
-    mk = pr.groupBy("series_id").agg(F.sum("sgn").cast("long").alias("mk_s"))
-    nn = ev.groupBy("series_id").agg(F.count("*").alias("n"))
-    var_sqrt = F.sqrt(
-        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) / 18.0
-    )
-    z = (
-        F.when(F.col("mk_s") > 0, (F.col("mk_s") - 1) / var_sqrt)
-        .when(F.col("mk_s") < 0, (F.col("mk_s") + 1) / var_sqrt)
-        .otherwise(0.0)
-    )
-    return (
-        nn.join(med, "series_id")
-        .join(mk, "series_id")
-        .select(
-            "series_id",
-            "n",
-            F.round("ts_slope", 6).alias("ts_slope"),
-            "mk_s",
-            F.round(z, 6).alias("mk_z"),
-        )
-    )
+    return stats.theilsen_mk(ev)
