@@ -214,3 +214,79 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "part", "n_triangles", "rank"
     )
+
+
+def _hits_round_sql(r: int, h_prev: str, a_prev: str) -> str:
+    """One unrolled HITS round in exact integers: hub score = sum of
+    neighbor authorities, authority = sum of updated neighbor hubs,
+    each max-normalized to micro-units by integer floor division
+    (operands nonnegative, so DuckDB's truncating ``//`` IS floor)."""
+    return f"""hr{r} AS (
+  SELECT e.c, sum(a.a_us) AS raw FROM e JOIN {a_prev} a USING (s) GROUP BY 1
+),
+h{r} AS (
+  SELECT c, (raw * 1000000) // (SELECT max(raw) FROM hr{r}) AS h_us FROM hr{r}
+),
+ar{r} AS (
+  SELECT e.s, sum(h.h_us) AS raw FROM e JOIN h{r} h USING (c) GROUP BY 1
+),
+a{r} AS (
+  SELECT s, (raw * 1000000) // (SELECT max(raw) FROM ar{r}) AS a_us FROM ar{r}
+)"""
+
+
+@register(
+    "graph_hits_authority",
+    f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+a0 AS (SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS a_us FROM e),
+{_hits_round_sql(1, "h0", "a0")},
+{_hits_round_sql(2, "h1", "a1")}
+SELECT s AS s_suppkey,
+       CAST(a_us AS DOUBLE) / 1000000.0 AS authority,
+       CAST(row_number() OVER (ORDER BY a_us DESC, s) AS INT) AS rnk
+FROM a2
+""",
+)
+def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM'99) on the bipartite
+    customer→supplier purchase graph — the authority side ranks
+    suppliers by how much well-connected customers buy from them, the
+    structural-quality weighting next to graph_pagerank_purchases. Two
+    fixed rounds fully unrolled (like the PageRank oracle), all
+    arithmetic exact integers: scores live in micro-units and each
+    round max-normalizes by integer floor division (nonnegative, so
+    both engines' integer division agree). Edge list is
+    |distinct (cust, supp)| — each round shuffles only node-sized
+    score tables, never the fact table. Output: every supplier's
+    final authority + deterministic (authority DESC, key) rank."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = e.select("s").distinct().withColumn("a_us", F.lit(1000000).cast("long"))
+    for _ in range(2):
+        hr = e.join(a, "s").groupBy("c").agg(F.sum("a_us").alias("raw"))
+        hmax = hr.agg(F.max("raw").alias("mx"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            "c", F.expr("(raw * 1000000) div mx").alias("h_us")
+        )
+        ar = e.join(h, "c").groupBy("s").agg(F.sum("h_us").alias("raw"))
+        amax = ar.agg(F.max("raw").alias("mx"))
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            "s", F.expr("(raw * 1000000) div mx").alias("a_us")
+        )
+    return a.select(
+        F.col("s").alias("s_suppkey"),
+        (F.col("a_us").cast("double") / 1000000.0).alias("authority"),
+        F.row_number()
+        .over(Window.orderBy(F.col("a_us").desc(), "s"))
+        .cast("int")
+        .alias("rnk"),
+    )
