@@ -1631,6 +1631,11 @@ def dba_md5(
         .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            f"dba_md5: no input series has >= {length} points; "
+            "shorten `length` or check the upstream filter"
+        )
     b = [0] * length
     for r in rows:
         b[r["j"]] = (2 * r["s"] + r["c"]) // (2 * r["c"])
@@ -1724,6 +1729,11 @@ def dtw_kmeans_md5(
         .limit(k)
         .collect()
     )
+    if len(seeds) < k:
+        raise ValueError(
+            f"dtw_kmeans_md5: only {len(seeds)} series of length >= {length} "
+            f"available for k={k} seeds; shorten `length` or lower `k`"
+        )
     cents = {i: list(r["vus"]) for i, r in enumerate(seeds)}
 
     import pandas as pd

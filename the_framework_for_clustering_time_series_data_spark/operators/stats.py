@@ -55,9 +55,14 @@ def length_stats(df: DataFrame) -> DataFrame:
 # registered plans and the 5M-row scale smokes)
 # --------------------------------------------------------------------------
 
-#: exact integer thresholds for the Poisson(1) CDF on a 60-bit uniform
-#: (floor(P(X<=k) * 2^60), k = 0..3; weights cap at 4) — see
-#: plans/event_plans.boot_poisson_ci for the derivation.
+#: integer thresholds for the Poisson(1) CDF on a 60-bit uniform,
+#: k = 0..3 (weights cap at 4). NORMATIVE VALUES: computed as
+#: int(float(P(X<=k)) * 2**60) in IEEE DOUBLE — i.e. from math.exp(-1),
+#: not from the exact rational CDF, whose floors differ in the last
+#: ~2 decimal digits. Do not re-derive with exact arithmetic: these
+#: literals ARE the definition both engines compare against (the
+#: ~1e-17 placement difference is statistically irrelevant; bit
+#: equality of the table is what parity needs).
 POISSON_T60 = (
     424136118829305344,
     848272237658610688,

@@ -37,15 +37,15 @@ mark AS (
   FROM chg
 ),
 compact AS (
-  SELECT user_id, ts, tier FROM mark
+  SELECT user_id, ts, event_id, tier FROM mark
   WHERE prev_tier IS NULL OR tier <> prev_tier
 ),
 scd2 AS (
   SELECT user_id,
-         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS INT) AS version,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
          tier,
          ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
   FROM compact
 )
 """
@@ -59,9 +59,13 @@ def scd2_compact_build(chg: DataFrame) -> DataFrame:
     compact = (
         chg.withColumn("prev_tier", F.lag("tier").over(w))
         .where(F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier")))
-        .select("user_id", "ts", "tier")
+        .select("user_id", "ts", "event_id", "tier")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak MUST survive into the interval windows too:
+    # two surviving transitions can share a ts, and a ts-only order
+    # would make version/valid_to nondeterministic (and diverge from
+    # the streaming twin's (ts, event_id) replay order)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return compact.select(
         "user_id",
         F.row_number().over(w2).cast("int").alias("version"),

@@ -2276,18 +2276,10 @@ def a9_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Poisson-bootstrap confidence intervals (single-pass uncertainty)
 # --------------------------------------------------------------------------
 
-#: exact integer thresholds for the Poisson(1) CDF on a 60-bit uniform
-#: (floor(P(X<=k) * 2^60), k = 0..3; counts cap at 4). Embedded as
-#: integer literals so both engines compare the same int64 values —
-#: no transcendental evaluated in-plan.
-# (operators/stats.POISSON_T60 carries the same table for the reusable kernel;
-# tests assert the two stay identical)
-_BOOT_T = (
-    424136118829305344,
-    848272237658610688,
-    1060340297073263360,
-    1131029650211480960,
-)
+#: the Poisson(1)-CDF threshold table (see operators/stats.POISSON_T60,
+#: the single normative home) — re-exported so the oracle f-string and
+#: older imports keep working.
+from the_framework_for_clustering_time_series_data_spark.operators.stats import POISSON_T60 as _BOOT_T
 _BOOT_REPS = 32
 
 
@@ -2434,7 +2426,13 @@ u AS (
 mo AS (
   SELECT count(*) AS n,
          sum(x) AS sx, sum(y) AS sy,
-         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+         -- promote BEFORE the product: per-user cents beyond ~3e9
+         -- would overflow an int64 square (DuckDB errors, Spark's
+         -- non-ANSI multiply wraps silently -- the c12 decimal(38,0)
+         -- discipline applies to second moments too)
+         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
          sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_t,
          sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_c,
          sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sx_t,
@@ -2489,9 +2487,9 @@ def ab_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y").cast("decimal(38,0)")).alias("syy"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
         F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(F.lit(0))).alias("sx_t"),

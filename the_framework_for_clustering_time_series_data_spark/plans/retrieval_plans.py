@@ -340,9 +340,14 @@ def retrieval_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = tk.select(
         F.col("doc_id").alias("doc_b"), F.col("tok").alias("w2"), F.col("pos").alias("pos_b")
     )
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    # the tokenize + positional self-join feeds BOTH the bigram argmax
+    # and the hit count — checkpoint it once instead of scanning the
+    # corpus twice (the dba_md5 `sub` discipline)
     pairs = a.join(
         b, (F.col("doc_id") == F.col("doc_b")) & (F.col("pos_b") == F.col("pos") + 1)
-    )
+    ).transform(stage_checkpoint, eager=False)
     bg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     q = bg.orderBy(F.col("n").desc(), "w1", "w2").limit(1).select("w1", "w2")
     hits = (
