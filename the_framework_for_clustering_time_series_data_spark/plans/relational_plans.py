@@ -1879,3 +1879,62 @@ def layout_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("v_min"),
         F.round(F.max("value"), 6).alias("v_max"),
     )
+
+
+@register(
+    "q30_skyline_parts",
+    """
+WITH g AS (
+  SELECT p_retailprice AS price, max(p_size) AS gmax
+  FROM part GROUP BY 1
+),
+w AS (
+  SELECT price, gmax,
+         max(gmax) OVER (ORDER BY price
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM g
+),
+sky AS (
+  SELECT price, gmax FROM w
+  WHERE prevmax IS NULL OR gmax > prevmax
+)
+SELECT p.p_partkey, round(p.p_retailprice, 6) AS price, p.p_size AS size
+FROM part p JOIN sky s
+  ON p.p_retailprice = s.price AND p.p_size = s.gmax
+""",
+)
+def q30_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Borzsony et al., ICDE'01) —
+    the preference operator the TPC-H set lacks: parts not dominated
+    on (minimize retailprice, maximize size). NOT the naive O(n²)
+    dominance self-join: 2-D skyline reduces to one grouped max per
+    price + one running-max window over the DISTINCT price table — a
+    point survives iff it carries its price group's max size AND that
+    size strictly exceeds every cheaper group's max (equal (price,
+    size) duplicates all survive; neither dominates the other). The
+    window runs over |distinct prices| rows, the verdict joins back
+    to the fact — O(n log n) with dimension-sized window state, the
+    form that still works when `part` is 100 TB."""
+    p = load_table(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    # bounded by the price DOMAIN (2-dp currency values), not the
+    # corpus — the tiny_window contract; a corpus-cardinality frontier
+    # dimension would need the with_global_ntiles range-partitioned form
+    w = tiny_window("price", key="price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        g.withColumn("prevmax", F.max("gmax").over(w))
+        .where(F.col("prevmax").isNull() | (F.col("gmax") > F.col("prevmax")))
+        .select("price", "gmax")
+    )
+    return p.join(
+        F.broadcast(sky),
+        (p["p_retailprice"] == sky["price"]) & (p["p_size"] == sky["gmax"]),
+    ).select(
+        "p_partkey",
+        F.round("p_retailprice", 6).alias("price"),
+        F.col("p_size").alias("size"),
+    )
