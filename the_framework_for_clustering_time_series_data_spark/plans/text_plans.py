@@ -1289,3 +1289,119 @@ def text_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_collocations_chi2",
+    """
+WITH tk AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS pos
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+           generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS p
+    FROM documents
+  ) WHERE tok != ''
+),
+bg AS (
+  SELECT a.tok AS w1, b.tok AS w2, count(*) AS a
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(a) AS n FROM bg),
+l AS (SELECT w1, sum(a) AS n1 FROM bg GROUP BY 1),
+r AS (SELECT w2, sum(a) AS n2 FROM bg GROUP BY 1),
+cell AS (
+  SELECT bg.w1, bg.w2,
+         CAST(bg.a AS HUGEINT) AS a,
+         CAST(l.n1 - bg.a AS HUGEINT) AS b,
+         CAST(r.n2 - bg.a AS HUGEINT) AS c,
+         CAST(tot.n - l.n1 - r.n2 + bg.a AS HUGEINT) AS d,
+         CAST(tot.n AS HUGEINT) AS n
+  FROM bg JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+  WHERE bg.a >= 5
+),
+sc AS (
+  SELECT w1, w2, CAST(a AS BIGINT) AS pair_count,
+         round(CAST(n * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
+               / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE), 6) AS chi2
+  FROM cell
+)
+SELECT w1, w2, pair_count, chi2 FROM sc
+ORDER BY chi2 DESC, w1, w2
+LIMIT 20
+""",
+)
+def text_collocations_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via the chi-square association statistic —
+    the Dunning-style bigram extraction a tokenizer/vocab pipeline
+    runs to find multi-word units, on chi2 rather than LLR
+    DELIBERATELY: chi2 is pure rational arithmetic (no ln), so the
+    statistic is exact integer products divided once — fully
+    replayable, where LLR's transcendental would reduce parity to
+    probabilistic. Contingency products promote to
+    decimal(38,0)/HUGEINT BEFORE multiplication ((ad-bc)^2 overflows
+    int64 at corpus sizes >= ~3e5 bigrams). One bigram aggregate +
+    two marginal joins; top-20 with (w1, w2)-pinned ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "p", "tok"
+            ),
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            "tok",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("p"))
+            .alias("pos"),
+        )
+    )
+    x = tk.select("doc_id", F.col("tok").alias("w1"), "pos")
+    y = tk.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok").alias("w2"), F.col("pos").alias("pos_b")
+    )
+    bg = (
+        x.join(y, (F.col("doc_id") == F.col("doc_b")) & (F.col("pos_b") == F.col("pos") + 1))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("a"))
+    )
+    tot = bg.agg(F.sum("a").alias("n"))
+    l = bg.groupBy("w1").agg(F.sum("a").alias("n1"))
+    r = bg.groupBy("w2").agg(F.sum("a").alias("n2"))
+    dec = lambda col: col.cast("decimal(38,0)")
+    cell = (
+        bg.join(F.broadcast(l), "w1")
+        .join(F.broadcast(r), "w2")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("a") >= 5)
+        .select(
+            "w1",
+            "w2",
+            F.col("a").alias("pair_count"),
+            dec(F.col("a")).alias("ca"),
+            dec(F.col("n1") - F.col("a")).alias("cb"),
+            dec(F.col("n2") - F.col("a")).alias("cc"),
+            dec(F.col("n") - F.col("n1") - F.col("n2") + F.col("a")).alias("cd"),
+            dec(F.col("n")).alias("cn"),
+        )
+    )
+    det = F.col("ca") * F.col("cd") - F.col("cb") * F.col("cc")
+    chi2 = F.round(
+        (F.col("cn") * det * det).cast("double")
+        / (
+            (F.col("ca") + F.col("cb"))
+            * (F.col("cc") + F.col("cd"))
+            * (F.col("ca") + F.col("cc"))
+            * (F.col("cb") + F.col("cd"))
+        ).cast("double"),
+        6,
+    )
+    return (
+        cell.select("w1", "w2", "pair_count", chi2.alias("chi2"))
+        .orderBy(F.col("chi2").desc(), "w1", "w2")
+        .limit(20)
+    )
