@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.operators import packing
 from the_framework_for_clustering_time_series_data_spark.operators.text import tokens_expr
@@ -685,4 +686,69 @@ def corpus_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "doc_id",
         F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+_HB_CAP = 256  # token capacity per bin
+
+
+@register(
+    "pack_harmonic_bins",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\\s+')) <= {_HB_CAP}
+),
+cls AS (
+  SELECT doc_id, n_tokens, {_HB_CAP} // n_tokens AS k
+  FROM d
+),
+asg AS (
+  SELECT doc_id, n_tokens, k,
+         (row_number() OVER (PARTITION BY k ORDER BY n_tokens DESC, doc_id) - 1)
+           // k AS bin_idx
+  FROM cls
+)
+SELECT CAST(k AS BIGINT) AS class_k, CAST(bin_idx AS BIGINT) AS bin_idx,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS load_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / {_HB_CAP}, 6) AS util
+FROM asg
+GROUP BY 1, 2
+""",
+)
+def pack_harmonic_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic bin packing for WHOLE-document batch assembly — the
+    no-split counterpart of pack_sequences_chunks (which concatenates
+    and cuts): each document lands in exactly one bin of capacity
+    256, no truncation. First-fit-decreasing is inherently
+    sequential (global bin state), so the scalable form is HARMONIC
+    packing (Lee & Lee, JACM'85): documents classify by
+    k = capacity // n_tokens (k items of this class fit per bin), and
+    within a class bins are pure index arithmetic over a
+    (length DESC, doc_id) rank — every class packs in parallel, no
+    global state, and each bin provably holds <= capacity
+    (k * max_len_in_class <= k * (capacity // k)). The price of
+    parallelism is bounded utilization loss (harmonic's classic
+    ~1.69x competitive ratio), which the emitted per-bin ``util``
+    column makes measurable. All arithmetic integer-exact; windows
+    partition by class."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens"),
+    ).where(F.col("n_tokens") <= _HB_CAP)
+    cls = d.withColumn("k", F.floor(F.lit(_HB_CAP) / F.col("n_tokens")).cast("long"))
+    w = Window.partitionBy("k").orderBy(F.col("n_tokens").desc(), "doc_id")
+    asg = cls.withColumn(
+        "bin_idx", F.floor((F.row_number().over(w) - 1) / F.col("k")).cast("long")
+    )
+    return asg.groupBy(
+        F.col("k").alias("class_k"), "bin_idx"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("load_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / _HB_CAP, 6).alias("util"),
     )
