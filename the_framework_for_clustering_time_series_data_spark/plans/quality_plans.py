@@ -193,3 +193,86 @@ def priv_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_anonymity",
         "l_diversity",
     )
+
+
+#: Benford first-digit probabilities log10(1+1/d), d=1..9, as IEEE-double
+#: literals (the Poisson-threshold discipline: constants are embedded,
+#: never re-derived in-plan, so both engines compare identical doubles).
+_BENFORD_P = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+_BENFORD_VALS = ", ".join(f"({d}, {p!r})" for d, p in enumerate(_BENFORD_P, 1))
+
+
+@register(
+    "dq_benford_firstdigit",
+    f"""
+WITH fd AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT digit, count(*) AS n_obs FROM fd GROUP BY 1),
+tot AS (SELECT sum(n_obs) AS n FROM obs),
+j AS (
+  SELECT b.digit, CAST(b.p AS DOUBLE) AS p, coalesce(o.n_obs, 0) AS n_obs, t.n
+  FROM (VALUES {_BENFORD_VALS}) AS b(digit, p)
+  LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+)
+SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+       round(CAST(n_obs AS DOUBLE) / n, 6) AS freq,
+       round(p, 6) AS benford_p,
+       round((CAST(n_obs AS DOUBLE) - n * p) * (CAST(n_obs AS DOUBLE) - n * p)
+             / (n * p), 6) AS chi2_term
+FROM j
+""",
+)
+def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the classic
+    fabricated-data / unit-mix detector a data-quality gate runs on
+    monetary columns: observed leading-digit frequencies against the
+    Benford expectation with per-digit chi-square terms (sum them for
+    the 8-df statistic). The expectation log10(1+1/d) is embedded as
+    IEEE-double LITERALS (never computed in-plan — the Poisson
+    threshold-table discipline), so every arithmetic step is an
+    identical double op in both engines; the integer truncation is an
+    explicit floor() (DuckDB's double->BIGINT cast ROUNDS while
+    Spark's truncates — a silent one-digit disagreement otherwise).
+    One scan + a 9-row broadcast join at any scale."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    fd = o.select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    obs = fd.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    b = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(_BENFORD_P, 1)], "digit int, p double"
+    )
+    j = (
+        b.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            "p",
+            "n",
+        )
+    )
+    dev = F.col("n_obs").cast("double") - F.col("n") * F.col("p")
+    return j.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.round(F.col("n_obs").cast("double") / F.col("n"), 6).alias("freq"),
+        F.round("p", 6).alias("benford_p"),
+        F.round(dev * dev / (F.col("n") * F.col("p")), 6).alias("chi2_term"),
+    )
