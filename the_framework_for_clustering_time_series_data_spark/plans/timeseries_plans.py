@@ -607,3 +607,125 @@ def ts_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     product; at 100 TB the same plan holds with per-series caps."""
     ev = events_as_series(spark, sf_dir).where(F.col("t") < 100)
     return stats.theilsen_mk(ev)
+
+
+# --------------------------------------------------------------------------
+# Granger causality panel (lag-1) over series pairs
+# --------------------------------------------------------------------------
+
+#: centered moments from exact integer sums — shared expression text
+#: evaluated verbatim by BOTH engines (the ab_cuped_lift discipline)
+_GRANGER_CM = """
+CAST(n AS DOUBLE) AS nn,
+CAST(s_ww AS DOUBLE) - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(n AS DOUBLE) AS sww,
+CAST(s_uu AS DOUBLE) - CAST(s_u AS DOUBLE) * CAST(s_u AS DOUBLE) / CAST(n AS DOUBLE) AS suu,
+CAST(s_vv AS DOUBLE) - CAST(s_v AS DOUBLE) * CAST(s_v AS DOUBLE) / CAST(n AS DOUBLE) AS svv,
+CAST(s_uw AS DOUBLE) - CAST(s_u AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(n AS DOUBLE) AS suw,
+CAST(s_vw AS DOUBLE) - CAST(s_v AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(n AS DOUBLE) AS svw,
+CAST(s_uv AS DOUBLE) - CAST(s_u AS DOUBLE) * CAST(s_v AS DOUBLE) / CAST(n AS DOUBLE) AS suv
+"""
+
+#: restricted/unrestricted RSS and the F statistic — also shared text.
+#: rss_r: y_t on y_{t-1}; rss_u: + x_{t-1}; F = (rss_r-rss_u)/(rss_u/(n-3))
+_GRANGER_F = """
+sww - suw * suw / suu AS rss_r,
+sww - (svv * suw * suw - 2 * suv * suw * svw + suu * svw * svw)
+      / (suu * svv - suv * suv) AS rss_u,
+suu * svv - suv * suv AS det
+"""
+
+
+@register(
+    "ts_granger_pairs",
+    f"""
+WITH ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE user_id < 10
+),
+lagd AS (
+  SELECT series_id, t, c,
+         lag(c) OVER (PARTITION BY series_id ORDER BY t) AS cl
+  FROM ev WHERE t < 100
+),
+yx AS (
+  SELECT y.series_id AS dst, x.series_id AS src, y.t,
+         y.c AS w, y.cl AS u, x.cl AS v
+  FROM lagd y JOIN lagd x ON y.t = x.t AND y.series_id <> x.series_id
+  WHERE y.cl IS NOT NULL AND x.cl IS NOT NULL
+),
+mo AS (
+  SELECT src, dst, count(*) AS n,
+         sum(w) AS s_w, sum(u) AS s_u, sum(v) AS s_v,
+         sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS s_ww,
+         sum(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS s_uu,
+         sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s_vv,
+         sum(CAST(u AS HUGEINT) * CAST(w AS HUGEINT)) AS s_uw,
+         sum(CAST(v AS HUGEINT) * CAST(w AS HUGEINT)) AS s_vw,
+         sum(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS s_uv
+  FROM yx GROUP BY 1, 2
+),
+cm AS (SELECT src, dst, n, {_GRANGER_CM} FROM mo),
+fs AS (SELECT src, dst, n, nn, {_GRANGER_F} FROM cm)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       round((rss_r - rss_u) / (rss_u / (nn - 3)), 6) AS f_stat
+FROM fs
+WHERE det > 0 AND rss_u > 0
+""",
+)
+def ts_granger_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 Granger-causality panel over the first 10 series (90
+    directed pairs): F test of whether x_{{t-1}} improves the
+    autoregression of y_t — the pairwise causal-screening pass a
+    monitoring/feature-discovery pipeline runs before fitting real
+    VAR models. Everything reduces to TEN exact integer moment sums
+    per pair (cents; products promoted to decimal(38,0)/HUGEINT
+    before multiplication), and the closed-form OLS algebra
+    (restricted/unrestricted RSS via centered moments, 2x2 normal
+    equations by determinant) is ONE shared SQL expression text
+    evaluated verbatim by both engines — identical double trees, no
+    matrix solver. Degenerate pairs (singular normal equations or
+    zero residual) filter on the same predicate in both engines.
+    Pair volume is a t-equi-join per ordered pair — at scale the
+    screening set is bounded (the pairs you screen), never corpus²."""
+    ev = events_as_series(spark, sf_dir).where(
+        (F.col("series_id") < 10) & (F.col("t") < 100)
+    )
+    lagd = ev.select(
+        "series_id",
+        "t",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+    ).withColumn(
+        "cl", F.lag("c").over(Window.partitionBy("series_id").orderBy("t"))
+    )
+    y = lagd.select(
+        F.col("series_id").alias("dst"), "t", F.col("c").alias("w"), F.col("cl").alias("u")
+    )
+    x = lagd.select(
+        F.col("series_id").alias("src"), F.col("t").alias("tx"), F.col("cl").alias("v")
+    )
+    yx = y.join(
+        x, (F.col("t") == F.col("tx")) & (F.col("dst") != F.col("src"))
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    mo = yx.groupBy("src", "dst").agg(
+        F.count("*").alias("n"),
+        F.sum("w").alias("s_w"),
+        F.sum("u").alias("s_u"),
+        F.sum("v").alias("s_v"),
+        F.sum(dec("w") * dec("w")).alias("s_ww"),
+        F.sum(dec("u") * dec("u")).alias("s_uu"),
+        F.sum(dec("v") * dec("v")).alias("s_vv"),
+        F.sum(dec("u") * dec("w")).alias("s_uw"),
+        F.sum(dec("v") * dec("w")).alias("s_vw"),
+        F.sum(dec("u") * dec("v")).alias("s_uv"),
+    )
+    cm = mo.selectExpr("src", "dst", "n", *_GRANGER_CM.strip().split(",\n"))
+    fs = cm.selectExpr("src", "dst", "n", "nn", *_GRANGER_F.strip().split(",\n"))
+    return fs.where((F.col("det") > 0) & (F.col("rss_u") > 0)).selectExpr(
+        "src",
+        "dst",
+        "CAST(n AS BIGINT) AS n",
+        "round((rss_r - rss_u) / (rss_u / (nn - 3)), 6) AS f_stat",
+    )
