@@ -2498,3 +2498,109 @@ def ab_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(F.lit(0))).alias("sy_c"),
     )
     return mo.selectExpr("n", "n_t", "n_c", *_CUPED_FINALS.strip().split(",\n"))
+
+
+@register(
+    "ml_kaplan_meier",
+    """
+WITH u AS (
+  SELECT user_id,
+         min(epoch_ns(ts)) AS t0,
+         min(CASE WHEN event_type = 'error' THEN epoch_ns(ts) END) AS t_err
+  FROM events GROUP BY 1
+),
+dur AS (
+  SELECT user_id,
+         CAST(floor((coalesce(t_err, (SELECT max(epoch_ns(ts)) FROM events)) - t0)
+                    / 3600e9) AS BIGINT) AS t_h,
+         (t_err IS NOT NULL) AS observed
+  FROM u WHERE coalesce(t_err, (SELECT max(epoch_ns(ts)) FROM events)) >= t0
+),
+et AS (
+  SELECT t_h, count(*) AS d
+  FROM dur WHERE observed GROUP BY 1
+),
+risk AS (
+  SELECT e.t_h, e.d,
+         (SELECT count(*) FROM dur WHERE dur.t_h >= e.t_h) AS n_risk
+  FROM et e
+),
+fold AS (
+  SELECT t_h, d, n_risk,
+         list_aggregate(
+           list(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+             OVER (ORDER BY t_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           'product') AS surv
+  FROM risk
+)
+SELECT CAST(t_h AS BIGINT) AS t_h, CAST(d AS BIGINT) AS d_events,
+       CAST(n_risk AS BIGINT) AS n_risk, round(surv, 6) AS surv
+FROM fold
+""",
+)
+def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator — churn/time-to-failure
+    analysis: per user, time from first activity to first 'error'
+    event (right-censored at the corpus horizon if none), risk sets
+    n_i and event counts d_i at each observed event hour, and the
+    survival curve S(t) = prod_{j<=i} (n_j - d_j)/n_j. The cumulative
+    product is an ORDERED SEQUENTIAL FOLD of identical double factors
+    in both engines (list ORDER BY t + 'product' fold == F.aggregate
+    multiply — the g6 discipline applied to products), so the curve is
+    bit-deterministic with no exp/ln. Risk sets come from one
+    duration table (suffix counts over event hours); everything else
+    is grouped aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.unix_micros("ts")).alias("h"))
+    u = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.unix_micros("ts"))
+        ).alias("t_err"),
+    )
+    dur = (
+        u.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.floor(
+                (F.coalesce("t_err", "h") - F.col("t0")) / 3.6e9
+            )
+            .cast("long")
+            .alias("t_h"),
+            F.col("t_err").isNotNull().alias("observed"),
+            (F.coalesce("t_err", "h") >= F.col("t0")).alias("_ok"),
+        )
+        .where("_ok")
+        .drop("_ok")
+    )
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
+
+    et = dur.where("observed").groupBy("t_h").agg(F.count("*").alias("d"))
+    durs = dur.select(F.col("t_h").alias("td"))
+    risk = et.join(
+        F.broadcast(durs), F.col("td") >= F.col("t_h"), "left"
+    ).groupBy("t_h", "d").agg(F.count("td").alias("n_risk"))
+    fold = risk.withColumn(
+        "factors",
+        F.collect_list(
+            F.struct(
+                "t_h",
+                ((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk").cast("double")).alias("f"),
+            )
+        ).over(
+            tiny_window("t_h", key="t_h").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "surv",
+        F.aggregate(
+            F.transform(F.sort_array("factors"), lambda s: s.f),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ),
+    )
+    return fold.select(
+        F.col("t_h").cast("long").alias("t_h"),
+        F.col("d").cast("long").alias("d_events"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.round("surv", 6).alias("surv"),
+    )
