@@ -2604,3 +2604,142 @@ def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("long").alias("n_risk"),
         F.round("surv", 6).alias("surv"),
     )
+
+
+#: log-rank finals — shared expression text (ab_cuped_lift discipline)
+_LOGRANK_FINALS = """
+round(CAST(sum_d1 AS DOUBLE) - sum_e1, 6) AS o_minus_e,
+round((CAST(sum_d1 AS DOUBLE) - sum_e1) * (CAST(sum_d1 AS DOUBLE) - sum_e1)
+      / sum_v, 6) AS chi2
+"""
+
+
+@register(
+    "ml_logrank_test",
+    f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':arm'), 1, 15)) AS BIGINT) % 2 AS arm,
+         min(epoch_ns(ts)) AS t0,
+         min(CASE WHEN event_type = 'error' THEN epoch_ns(ts) END) AS t_err
+  FROM events GROUP BY 1, 2
+),
+dur AS (
+  SELECT arm,
+         CAST(floor((coalesce(t_err, (SELECT max(epoch_ns(ts)) FROM events)) - t0)
+                    / 3600e9) AS BIGINT) AS t_h,
+         (t_err IS NOT NULL) AS observed
+  FROM u WHERE coalesce(t_err, (SELECT max(epoch_ns(ts)) FROM events)) >= t0
+),
+et AS (
+  SELECT t_h,
+         count(*) AS d,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d1
+  FROM dur WHERE observed GROUP BY 1
+),
+risk AS (
+  SELECT e.t_h, e.d, e.d1,
+         (SELECT count(*) FROM dur WHERE dur.t_h >= e.t_h) AS n,
+         (SELECT count(*) FROM dur WHERE dur.t_h >= e.t_h AND dur.arm = 1) AS n1
+  FROM et e
+),
+terms AS (
+  SELECT CAST(d1 AS DOUBLE) AS td1,
+         CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1,
+         CASE WHEN n > 1 THEN
+           CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+           ELSE 0.0 END AS v
+  FROM risk
+),
+agg AS (
+  SELECT CAST(sum(CAST(td1 AS BIGINT)) AS BIGINT) AS sum_d1,
+         list_aggregate(list(e1 ORDER BY e1), 'sum') AS sum_e1,
+         list_aggregate(list(v ORDER BY v), 'sum') AS sum_v
+  FROM terms
+)
+SELECT sum_d1, round(sum_e1, 6) AS e1_total,
+{_LOGRANK_FINALS}
+FROM agg
+""",
+)
+def ml_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between two md5-hashed user arms — the standard
+    hypothesis test on survival curves (does arm 1 churn faster?),
+    completing the survival family next to ml_kaplan_meier. At each
+    event hour: observed arm-1 events d1 vs hypergeometric expectation
+    E1 = d·n1/n and variance V; chi2 = (sum(d1-E1))^2 / sum(V), 1 df.
+    Parity: risk-set counts are exact integers; the per-time E1/V
+    doubles are identical op trees; the two float reductions run as
+    value-ORDERED sequential folds in both engines (sum order pinned
+    by sorting on the summand — e1/v values, not time — so both
+    engines fold the exact same sequence); finals are shared
+    expression text."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.unix_micros("ts")).alias("h"))
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":arm"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "error", F.unix_micros("ts"))
+        ).alias("t_err"),
+    ).select("user_id", arm.alias("arm"), "t0", "t_err")
+    dur = (
+        u.crossJoin(F.broadcast(horizon))
+        .select(
+            "arm",
+            F.floor((F.coalesce("t_err", "h") - F.col("t0")) / 3.6e9)
+            .cast("long")
+            .alias("t_h"),
+            F.col("t_err").isNotNull().alias("observed"),
+            (F.coalesce("t_err", "h") >= F.col("t0")).alias("_ok"),
+        )
+        .where("_ok")
+        .drop("_ok")
+    )
+    et = dur.where("observed").groupBy("t_h").agg(
+        F.count("*").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("d1"),
+    )
+    durs = dur.select(F.col("t_h").alias("td"), F.col("arm").alias("arm_d"))
+    risk = (
+        et.join(F.broadcast(durs), F.col("td") >= F.col("t_h"), "left")
+        .groupBy("t_h", "d", "d1")
+        .agg(
+            F.count("td").alias("n"),
+            F.sum(F.when(F.col("arm_d") == 1, 1).otherwise(0)).alias("n1"),
+        )
+    )
+    terms = risk.selectExpr(
+        "CAST(d1 AS DOUBLE) AS td1",
+        "CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1",
+        """CASE WHEN n > 1 THEN
+           CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+           ELSE 0.0 END AS v""",
+    )
+    agg = terms.agg(
+        F.sum(F.col("td1").cast("long")).alias("sum_d1"),
+        F.aggregate(
+            F.sort_array(F.collect_list("e1")), F.lit(0.0), lambda a, x: a + x
+        ).alias("sum_e1"),
+        F.aggregate(
+            F.sort_array(F.collect_list("v")), F.lit(0.0), lambda a, x: a + x
+        ).alias("sum_v"),
+    )
+    return agg.selectExpr(
+        "sum_d1",
+        "round(sum_e1, 6) AS e1_total",
+        *_LOGRANK_FINALS.strip().split(",\n"),
+    )
