@@ -865,3 +865,70 @@ def ts_cusum_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.abs("s") == F.col("s_max"), F.col("t"))).alias("t_change"),
         F.round(F.any_value("s_max"), 6).alias("cusum_max"),
     )
+
+
+@register(
+    "ts_ordinal_patterns",
+    """
+WITH ev AS (
+  SELECT user_id AS series_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t,
+         value
+  FROM events
+),
+tri AS (
+  SELECT series_id, t, value AS a,
+         lead(value, 1) OVER (PARTITION BY series_id ORDER BY t) AS b,
+         lead(value, 2) OVER (PARTITION BY series_id ORDER BY t) AS c
+  FROM ev
+),
+pat AS (
+  SELECT series_id,
+         CASE
+           WHEN a <= b AND b <= c THEN 0
+           WHEN a <= c AND c < b  THEN 1
+           WHEN b < a  AND a <= c THEN 2
+           WHEN c < a  AND a <= b THEN 3
+           WHEN b <= c AND c < a  THEN 4
+           ELSE 5
+         END AS pattern
+  FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+)
+SELECT series_id, pattern, count(*) AS n
+FROM pat GROUP BY 1, 2
+""",
+)
+def ts_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-pattern profile (Bandt & Pompe's permutation-entropy
+    substrate, m=3): every length-3 window of a series maps to one of
+    six order patterns via PURE integer-free comparisons (ties broken
+    toward ascending, the standard convention), and the per-series
+    pattern histogram is the complexity fingerprint — white noise is
+    uniform across patterns, monotone trends concentrate on 0/5,
+    regime changes shift the mass. Deterministic by construction (no
+    arithmetic at all, only comparisons); the entropy scalarization is
+    left to the consumer because ln() is the one transcendental the
+    parity discipline excludes. Two leads on one per-series window +
+    a grouped count — single exchange."""
+    ev = events_as_series(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("t")
+    tri = ev.select(
+        "series_id",
+        F.col("value").alias("a"),
+        F.lead("value", 1).over(w).alias("b"),
+        F.lead("value", 2).over(w).alias("c"),
+    ).where(F.col("b").isNotNull() & F.col("c").isNotNull())
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    pattern = (
+        F.when((a <= b) & (b <= c), 0)
+        .when((a <= c) & (c < b), 1)
+        .when((b < a) & (a <= c), 2)
+        .when((c < a) & (a <= b), 3)
+        .when((b <= c) & (c < a), 4)
+        .otherwise(5)
+    )
+    return (
+        tri.select("series_id", pattern.alias("pattern"))
+        .groupBy("series_id", "pattern")
+        .agg(F.count("*").alias("n"))
+    )
