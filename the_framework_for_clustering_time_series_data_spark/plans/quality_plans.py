@@ -276,3 +276,95 @@ def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p", 6).alias("benford_p"),
         F.round(dev * dev / (F.col("n") * F.col("p")), 6).alias("chi2_term"),
     )
+
+
+#: two-sided geometric mechanism (eps = 1, alpha = e^-1) cumulative
+#: thresholds on a 60-bit uniform, noise order 0, +1, -1, +2, -2, ...,
+#: +-19; IEEE-double-derived literals (the Poisson-table discipline:
+#: the table IS the definition, never re-derived in-plan). Residual
+#: tail mass ~3e-9 clamps to +20.
+_GEO_T60 = (
+    532784808252849344, 728785385777541632, 924785963302233856,
+    996890546231297664, 1068995129160361472, 1095520922834205312,
+    1122046716508049152, 1131804339802585344, 1141561963097121536,
+    1145151549800839168, 1148741136504556800, 1150061719764529664,
+    1151382303024502528, 1151868139432477952, 1152353975840453376,
+    1152532692812563456, 1152711409784673536, 1152777157868373504,
+    1152842905952073472, 1152867093425825536, 1152891280899577600,
+    1152900178774592000, 1152909076649606400, 1152912349715086592,
+    1152915622780566784, 1152916826884417792, 1152918030988268800,
+    1152918473984191744, 1152918916980114688, 1152919079951399168,
+    1152919242922683648, 1152919302879135232, 1152919362835586816,
+    1152919384892916992, 1152919406950247168, 1152919415064297728,
+    1152919423178348288, 1152919426163433216, 1152919429148518144,
+)
+
+
+def _geo_noise_k(i: int) -> int:
+    return 0 if i == 0 else (i + 1) // 2 if i % 2 == 1 else -(i // 2)
+
+
+def _geo_case_sql(h: str) -> str:
+    branches = "\n         ".join(
+        f"WHEN {h} < {t} THEN {_geo_noise_k(i)}"
+        for i, t in enumerate(_GEO_T60)
+    )
+    return f"CASE {branches}\n         ELSE 20 END"
+
+
+@register(
+    "priv_dp_counts",
+    f"""
+WITH g AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT event_type, day, n,
+         CAST(('0x' || substr(md5(event_type || ':' || CAST(epoch_ns(day) // 1000 AS VARCHAR) || ':dp'), 1, 15)) AS BIGINT) AS h
+  FROM g
+)
+SELECT event_type, CAST(epoch_ns(day) // 1000 AS BIGINT) AS day_us,
+       CAST(greatest(0, n + {_geo_case_sql("h")}) AS BIGINT) AS noisy_n
+FROM z
+""",
+)
+def priv_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release plumbing: per-(type, day) counts
+    through the two-sided GEOMETRIC mechanism (Ghosh-Roughgarden-
+    Sundararajan, the discrete Laplace — eps = 1), clamped at zero.
+    HONESTY NOTE: the noise here is md5-keyed, which makes the
+    mechanism REPLAYABLE for testing (this oracle) but NOT private —
+    a production release swaps the hash for a real RNG and this plan
+    is exactly the release query it runs. The inverse-CDF walk is a
+    39-branch threshold CASE over embedded integer literals (the
+    Poisson-table discipline; tail mass ~3e-9 clamps to +20), so no
+    transcendental is evaluated in-plan and both engines draw the
+    identical noise (the hash key uses epoch-micros integers, not
+    timestamp renders — DuckDB's date_trunc('day') stringifies as a
+    DATE while Spark keeps the midnight time part). One grouped count
+    + per-group scalar arithmetic at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", "event_type", F.unix_micros("day").cast("string"), F.lit("dp"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    noise = F.when(h < _GEO_T60[0], _geo_noise_k(0))
+    for i, t in enumerate(_GEO_T60[1:], 1):
+        noise = noise.when(h < t, _geo_noise_k(i))
+    noise = noise.otherwise(20)
+    return g.select(
+        "event_type",
+        F.unix_micros("day").alias("day_us"),
+        F.greatest(F.lit(0), F.col("n") + noise).cast("long").alias("noisy_n"),
+    )
