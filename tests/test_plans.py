@@ -760,3 +760,32 @@ def test_hilbert_files_tighter_than_morton(spark):
             f"SELECT sum((u_max-u_min)*(v_max-v_min)) FROM ({sql})"
         ).fetchone()[0]
     assert area["layout_hilbert_pruning"] < area["layout_zorder_pruning"]
+
+
+def test_continuation_wave_no_cartesians(spark):
+    # blanket lock over the round-6 continuation queries: pair joins
+    # (granger, collocations, phrase, trend) and frontier/packing
+    # windows must all plan as equi-joins/windows — a refactor that
+    # degrades any of them to a cartesian fails here, not at 100 TB
+    for name in (
+        "ts_granger_pairs",
+        "text_collocations_chi2",
+        "retrieval_phrase_topk",
+        "ts_trend_robust",
+        "q30_skyline_parts",
+        "pack_harmonic_bins",
+        "graph_hits_authority",
+        "ml_kaplan_meier",
+        "ml_logrank_test",
+        "ml_conformal_interval",
+        "ab_cuped_lift",
+        "boot_poisson_ci",
+        "dq_benford_firstdigit",
+        "priv_dp_counts",
+        "ts_ordinal_patterns",
+        "cdc_scd2_compact",
+        "cdc_merge_apply",
+        "cdc_snapshot_asof",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
