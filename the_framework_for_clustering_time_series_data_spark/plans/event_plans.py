@@ -2743,3 +2743,106 @@ def ml_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(sum_e1, 6) AS e1_total",
         *_LOGRANK_FINALS.strip().split(",\n"),
     )
+
+
+@register(
+    "ab_ks_test",
+    """
+WITH x AS (
+  SELECT value,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS arm,
+         event_id
+  FROM events WHERE value IS NOT NULL
+),
+n AS (
+  SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0
+  FROM x
+),
+st AS (
+  SELECT value, arm,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+           OVER (ORDER BY value, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY value, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+         row_number() OVER (ORDER BY value DESC, event_id DESC) AS rdesc,
+         value AS v
+  FROM x
+),
+-- ECDFs may only be compared at distinct-value boundaries: take the
+-- LAST pooled row of each value run (the next value's ECDF step)
+bnd AS (
+  SELECT v, c1, c0,
+         row_number() OVER (PARTITION BY v ORDER BY c1 + c0 DESC) AS rn
+  FROM st
+),
+d AS (
+  SELECT b.v,
+         abs(CAST(b.c1 AS DOUBLE) / n.n1 - CAST(b.c0 AS DOUBLE) / n.n0) AS gap
+  FROM bnd b CROSS JOIN n WHERE b.rn = 1
+),
+best AS (
+  SELECT v, gap, row_number() OVER (ORDER BY gap DESC, v) AS rk FROM d
+)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n0 AS BIGINT) AS n0,
+       round(b.gap, 6) AS ks_d, round(b.v, 6) AS at_value
+FROM best b CROSS JOIN n WHERE b.rk = 1
+""",
+)
+def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the md5 user
+    arms — the DISTRIBUTION-level experiment check next to the mean
+    tests (ab_cuped_lift) and survival tests (ml_logrank_test):
+    D = max |ECDF_1(x) − ECDF_0(x)|, evaluated at distinct-value
+    boundaries (the last pooled row of each value run), with the
+    maximizing value reported. Pure order statistics — cumulative
+    per-arm counts over one pooled sort, two exact-int divisions per
+    boundary, deterministic (gap DESC, value) argmax; no p-value
+    because its series expansion is transcendental (consumers compare
+    D against the c(α)·sqrt((n1+n0)/(n1·n0)) critical form). The
+    pooled cumulative window is the one global sort — at 100 TB this
+    runs per stratum or on the with_global_ntiles range-partitioned
+    form."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        "value",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("arm"),
+        "event_id",
+    )
+    n = x.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    wcum = tiny_window("value", "event_id", key="value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    st = x.select(
+        F.col("value").alias("v"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).over(wcum).alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).over(wcum).alias("c0"),
+    )
+    wlast = Window.partitionBy("v").orderBy((F.col("c1") + F.col("c0")).desc())
+    bnd = st.withColumn("rn", F.row_number().over(wlast)).where(F.col("rn") == 1)
+    d = bnd.crossJoin(F.broadcast(n)).select(
+        "v",
+        F.abs(
+            F.col("c1").cast("double") / F.col("n1")
+            - F.col("c0").cast("double") / F.col("n0")
+        ).alias("gap"),
+    )
+    wbest = tiny_window(F.col("gap").desc(), "v", key="v")
+    best = d.withColumn("rk", F.row_number().over(wbest)).where(F.col("rk") == 1)
+    return best.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+        F.round("gap", 6).alias("ks_d"),
+        F.round("v", 6).alias("at_value"),
+    )
