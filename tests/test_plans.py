@@ -786,6 +786,7 @@ def test_continuation_wave_no_cartesians(spark):
         "cdc_scd2_compact",
         "cdc_merge_apply",
         "cdc_snapshot_asof",
+        "ab_ks_test",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name

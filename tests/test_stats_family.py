@@ -101,3 +101,13 @@ def test_harmonic_bins_never_overfull(spark):
         bins.sort(key=lambda r: r["bin_idx"])
         for b in bins[:-1]:
             assert b["n_docs"] == k
+
+
+def test_ks_statistic_well_formed(spark):
+    (row,) = QUERIES["ab_ks_test"](spark, SF_ORACLE).collect()
+    assert 0.0 <= row["ks_d"] <= 1.0
+    assert row["n1"] > 0 and row["n0"] > 0
+    # a random hash split of one distribution: D must be small
+    # (far below the alpha=0.001 critical value ~1.95*sqrt(2/n))
+    crit = 1.95 * (2.0 / min(row["n1"], row["n0"])) ** 0.5
+    assert row["ks_d"] < crit
