@@ -2846,3 +2846,88 @@ def ab_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("gap", 6).alias("ks_d"),
         F.round("v", 6).alias("at_value"),
     )
+
+
+#: Mann-Whitney finals (shared text): U from half-unit rank sums, the
+#: tie-corrected normal approximation z. All inputs exact integers.
+_MWU_FINALS = """
+CAST((r2_1 - n1 * (n1 + 1)) AS DOUBLE) / 2 AS u1,
+round((CAST((r2_1 - n1 * (n1 + 1)) AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 2)
+      / sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) / 12.0
+             * (CAST(n1 + n0 + 1 AS DOUBLE)
+                - CAST(tie3 AS DOUBLE) / (CAST(n1 + n0 AS DOUBLE) * CAST(n1 + n0 - 1 AS DOUBLE)))), 6) AS z
+"""
+
+
+@register(
+    "ab_mann_whitney",
+    f"""
+WITH x AS (
+  SELECT value,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS arm
+  FROM events WHERE value IS NOT NULL
+),
+grp AS (
+  SELECT value, count(*) AS t,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS t1
+  FROM x GROUP BY 1
+),
+rk AS (
+  SELECT value, t, t1,
+         sum(t) OVER (ORDER BY value
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below
+  FROM grp
+),
+mo AS (
+  SELECT sum(t1 * (2 * coalesce(below, 0) + t + 1)) AS r2_1,
+         sum(t1) AS n1,
+         sum(t - t1) AS n0,
+         sum(t * t * t - t) AS tie3
+  FROM rk
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+{_MWU_FINALS}
+FROM mo
+""",
+)
+def ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the md5 user arms — the rank-based
+    location test completing the nonparametric family next to
+    ab_ks_test (shape) and ab_cuped_lift (parametric mean): pooled
+    midranks with exact tie handling carried in HALF-UNIT integers
+    (2*midrank = 2*rank_below + t + 1 per tie group, so no .5 float
+    ever exists), U from the rank-sum identity, and the tie-corrected
+    normal z as ONE shared expression text. The rank pass is a
+    grouped count per distinct value + one running sum over the
+    distinct-value table (bounded by the value domain, tiny_window) —
+    never a per-row global sort."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = ev.select(
+        "value",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    grp = x.groupBy("value").agg(
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("t1"),
+    )
+    wb = tiny_window("value", key="value").rowsBetween(Window.unboundedPreceding, -1)
+    rk = grp.withColumn("below", F.sum("t").over(wb))
+    mo = rk.agg(
+        F.sum(
+            F.col("t1") * (2 * F.coalesce("below", F.lit(0)) + F.col("t") + 1)
+        ).alias("r2_1"),
+        F.sum("t1").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).alias("n0"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    return mo.selectExpr(
+        "CAST(n1 AS BIGINT) AS n1",
+        "CAST(n0 AS BIGINT) AS n0",
+        *_MWU_FINALS.strip().split(",\n"),
+    )
