@@ -1035,9 +1035,19 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: three top-k result sets (each already bounded to |Q|×5
     rows) semi-joined on (query, neighbor) and counted — the audit
-    costs a fraction of any single index scan."""
-    exact = sim_bruteforce_topk(spark, sf_dir).select(
-        "query_id", F.col("nbr_id").alias("exact_nbr")
+    costs a fraction of any single index scan. The brute-force ground
+    truth is stage-checkpointed ONCE (it feeds one join plus the
+    per-query k-count for EACH audited method — six consumers without
+    the checkpoint, and Spark would re-run the full exact top-k scan
+    for every one), and the k-count is hoisted out of the method loop
+    so the |Q|-row denominator is computed a single time."""
+    exact = (
+        sim_bruteforce_topk(spark, sf_dir)
+        .select("query_id", F.col("nbr_id").alias("exact_nbr"))
+        .transform(stage_checkpoint, eager=False)
+    )
+    kk = exact.groupBy(F.col("query_id").alias("qid")).agg(
+        F.count("*").alias("k")
     )
     out = []
     for method, fn in (
@@ -1056,9 +1066,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_hits")
         )
         per_q = (
-            exact.groupBy(F.col("query_id").alias("qid"))
-            .agg(F.count("*").alias("k"))
-            .join(hits, "qid", "left")
+            kk.join(hits, "qid", "left")
             .select(
                 F.lit(method).alias("method"),
                 F.col("qid").alias("query_id"),
