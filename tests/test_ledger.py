@@ -69,6 +69,26 @@ def test_rows_only_notes_cover_exactly_the_rows_only_set():
     )
 
 
+def test_survey_head_counts_match_live_registry():
+    """Round-6 verdict ask #7: SURVEY's HEAD-state registry line said
+    257/236 while the live registry was 258/237 (post-close additions
+    landed after the doc line was written). The HEAD line is marked
+    'commit-anchored HEAD state' — assert the numbers in it equal the
+    imported registry so the doc can never silently lag again."""
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import ORACLE, QUERIES
+
+    text = Path(REPO / "SURVEY.md").read_text()
+    m = re.search(
+        r"\*\*(\d+) queries / (\d+) oracles\*\* \(the commit-anchored HEAD",
+        text,
+    )
+    assert m, "SURVEY.md lost its commit-anchored HEAD-state count line"
+    assert (int(m.group(1)), int(m.group(2))) == (len(QUERIES), len(ORACLE)), (
+        f"SURVEY.md HEAD-state line says {m.group(1)}/{m.group(2)} but the "
+        f"live registry is {len(QUERIES)}/{len(ORACLE)} — update the line"
+    )
+
+
 def test_bench_compact_line_stays_inside_capture_window():
     """The driver tail-captures ~2000 chars of bench stdout; round 3's
     combined line overflowed it (BENCH_r03.json parsed:null). Simulate
