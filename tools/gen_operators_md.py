@@ -24,25 +24,25 @@ sys.path.insert(0, str(REPO))
 ROWS_ONLY_NOTES = {
     "ml_isotonic": "impl-defined pooling order: MLlib's distributed PAV merges per-partition pools associatively but the merge order is scheduler-defined. test_ml.py holds its fit equal (1e-6) to the fully-oracled exact twin ml_isotonic_minimax — the strongest check in the registry for a rows-only entry.",
     "a5b_percentile_sketch": "approx-sketch: approxQuantile is a Greenwald-Khanna sketch whose outputs are implementation-defined within the error bound; DuckDB has no replayable twin. Exact-percentile parity is covered by a7_histogram/q25 oracles; sketch error bound tested in test_properties.py.",
-    "c1_kmeans": "RNG/impl-defined: MLlib kmeans|| seeding + parallel float reductions; labels are run-stable but not engine-reproducible. ARI-vs-ground-truth and determinism tests in test_ml.py.",
-    "c3_kshape": "iterative-fit: driver Lloyd loop over FFT-based NCC and an eigenvector extraction (sign-normalized), data-dependent iteration count. Separation + convergence tests in test_ml.py. Its deterministic twin c3b_kshape_md5 IS fully oracle-checked.",
-    "c4_silhouette_selection": "depends on c1-family MLlib fits (RNG/impl-defined); the EXACT silhouette arithmetic is oracle-checked separately (c4_silhouette_exact).",
-    "c6_bisecting_kmeans": "RNG/impl-defined: MLlib bisecting k-means split sequence. Hierarchy-shape invariants tested in test_ml.py. Its deterministic twin c6b_bisecting_md5lloyd IS fully oracle-checked.",
-    "c7_gmm": "RNG/impl-defined + iterative-fit: EM from random init, responsibilities depend on float exp/log reductions. Mixture-recovery test in test_ml.py. Its deterministic twin c7b_gmm_md5em IS fully oracle-checked.",
-    "c8_graph_clusters": "iterative-fit: MLlib PowerIterationClustering RDD loop; eigen-iteration floats are reduction-order-dependent. Cluster-agreement invariants in test_graph.py. Its deterministic twin c8b_graph_md5pic IS fully oracle-checked.",
-    "c9_kmedoids": "iterative-fit: the convergence loop and farthest-point init are data-dependent argmin chains over float deltas; no bounded SQL replay. Medoid-membership + cost-descent tests in test_ml.py. Its deterministic twin c9c_kmedoids_md5pam IS fully oracle-checked.",
-    "c9b_kmedoids_clara": "iterative-fit: CLARA = PAM (above) on md5 samples + broadcast scoring; inherits PAM's non-replayability. Equivalence-to-PAM-below-sample-size test in test_ml.py. The family's deterministic twin c9c_kmedoids_md5pam IS fully oracle-checked.",
+    "c1_kmeans": "RNG/impl-defined: MLlib kmeans|| seeding + parallel float reductions; labels are run-stable but not engine-reproducible. ARI-vs-ground-truth and determinism tests in test_ml.py; twin-bounded: ARI vs the fully-oracled c1b_kmeans_md5lloyd on planted blobs asserted in test_twin_bounds.py.",
+    "c3_kshape": "iterative-fit: driver Lloyd loop over FFT-based NCC and an eigenvector extraction (sign-normalized), data-dependent iteration count. Separation + convergence tests in test_ml.py. Its deterministic twin c3b_kshape_md5 IS fully oracle-checked; twin-bounded: both kernels held to ARI 1.0 on planted bounded-phase shape families in test_twin_bounds.py.",
+    "c4_silhouette_selection": "depends on c1-family MLlib fits (RNG/impl-defined); the EXACT silhouette arithmetic is oracle-checked separately (c4_silhouette_exact); twin-bounded: best-k agreement with the fully-oracled c4b_selection_md5lloyd on planted blobs asserted in test_twin_bounds.py.",
+    "c6_bisecting_kmeans": "RNG/impl-defined: MLlib bisecting k-means split sequence. Hierarchy-shape invariants tested in test_ml.py. Its deterministic twin c6b_bisecting_md5lloyd IS fully oracle-checked; twin-bounded: planted-blob ARI vs the twin asserted in test_twin_bounds.py.",
+    "c7_gmm": "RNG/impl-defined + iterative-fit: EM from random init, responsibilities depend on float exp/log reductions. Mixture-recovery test in test_ml.py. Its deterministic twin c7b_gmm_md5em IS fully oracle-checked; twin-bounded: planted-blob ARI vs the twin asserted in test_twin_bounds.py.",
+    "c8_graph_clusters": "iterative-fit: MLlib PowerIterationClustering RDD loop; eigen-iteration floats are reduction-order-dependent. Cluster-agreement invariants in test_graph.py. Its deterministic twin c8b_graph_md5pic IS fully oracle-checked; twin-bounded: planted asymmetric near-dup blocks, ARI vs the twin asserted in test_twin_bounds.py.",
+    "c9_kmedoids": "iterative-fit: the convergence loop and farthest-point init are data-dependent argmin chains over float deltas; no bounded SQL replay. Medoid-membership + cost-descent tests in test_ml.py. Its deterministic twin c9c_kmedoids_md5pam IS fully oracle-checked; twin-bounded: planted-blob ARI vs the twin asserted in test_twin_bounds.py.",
+    "c9b_kmedoids_clara": "iterative-fit: CLARA = PAM (above) on md5 samples + broadcast scoring; inherits PAM's non-replayability. Equivalence-to-PAM-below-sample-size test in test_ml.py. The family's deterministic twin c9c_kmedoids_md5pam IS fully oracle-checked; twin-bounded: planted-blob ARI vs the twin asserted in test_twin_bounds.py.",
     "d2_approx_distinct": "approx-sketch: HLL++ registers are implementation-defined; DuckDB's approx_count_distinct uses a different sketch. Relative-error bound vs exact COUNT(DISTINCT) tested in test_properties.py.",
     "e1_autoencoder_latent": "iterative-fit: gradient-descent-trained autoencoder weights; inference is deterministic given weights but weights are not SQL-derivable. Reconstruction-learning tests in test_ml.py.",
-    "e2_pca": "sign-indeterminate: eigenvector signs/column order are solver-defined; the VARIANCE spectrum is oracle-checked (e2b_pca_variance). Projection-geometry tests in test_ml.py.",
-    "e3_umap": "iterative-fit: SGD layout (umap-learn) or Laplacian eigenmaps fallback; both solver-defined. Neighborhood-preservation test in test_ml.py. Its deterministic twin e3b_spectral_md5 IS fully oracle-checked.",
-    "pipeline_e2e": "composite: chains model fits (autoencoder/kmeans) whose stages are individually rows-only above; the relational stages of the pipeline are oracle-checked as separate queries. End-to-end matrix tested in test_pipeline_matrix.py. Its deterministic spine pipeline_e2e_det IS fully oracle-checked through the same facade.",
-    "sim_ivf_persisted_topk": "depends on a seeded MLlib kmeans coarse quantizer (RNG/impl-defined); list-pruning correctness tested via parity-with-bruteforce in test_similarity_ann.py.",
-    "sim_ivf_topk": "same MLlib coarse-quantizer dependency as sim_ivf_persisted_topk; recall floor tested in test_similarity_ann.py. Its deterministic-Lloyd twin sim_ivfb_topk IS fully oracle-checked.",
-    "sim_ivfpq_topk": "MLlib kmeans coarse quantizer + per-subspace PQ codebooks (nested seeded fits); ADC-vs-exact parity tested in test_similarity_ann.py. Its deterministic twin sim_ivfpqb_topk IS fully oracle-checked.",
-    "sim_pq_topk": "seeded per-subspace kmeans codebooks (RNG/impl-defined); quantization-error + recall tests in test_similarity_ann.py. Its deterministic twin sim_pqb_topk IS fully oracle-checked.",
-    "text_quality_classifier": "iterative-fit: logistic regression trained by LBFGS (float reduction order); score monotonicity + AUC tests in test_text_extra.py. Its deterministic twin text_quality_logit_det IS fully oracle-checked.",
-    "text_tfidf_kmeans": "RNG/impl-defined: MLlib kmeans over TF-IDF vectors; the TF-IDF arithmetic itself is oracle-checked in the text family. Topic-separation test in test_text_extra.py. Its deterministic twin text_tfidf_md5kmeans IS fully oracle-checked.",
+    "e2_pca": "sign-indeterminate: eigenvector signs/column order are solver-defined; the VARIANCE spectrum is oracle-checked (e2b_pca_variance). Projection-geometry tests in test_ml.py, plus the strongest available equivalence: test_pca_matches_numpy_covariance_eigen holds the MLlib fit to an independent numpy eigendecomposition of the same covariance. The e2c_pca_powerit twin runs on the embeddings table (different input), so a direct pairwise bound is not same-shape; the numpy equivalence is the twin-bound here.",
+    "e3_umap": "iterative-fit: SGD layout (umap-learn) or Laplacian eigenmaps fallback; both solver-defined. Neighborhood-preservation test in test_ml.py. Its deterministic twin e3b_spectral_md5 IS fully oracle-checked but consumes the embeddings table (different input than e3's 15 aligned series), so no same-shape pairwise bound exists; the neighborhood-preservation invariant is the production form's bound.",
+    "pipeline_e2e": "composite: chains model fits (autoencoder/kmeans) whose stages are individually rows-only above; the relational stages of the pipeline are oracle-checked as separate queries. End-to-end matrix tested in test_pipeline_matrix.py. Its deterministic spine pipeline_e2e_det IS fully oracle-checked through the same facade; no direct pairwise bound — the two return different shapes (cluster centroids vs per-series assignments) by design, and every constituent stage is bounded individually (see c1/e1 rows).",
+    "sim_ivf_persisted_topk": "depends on a seeded MLlib kmeans coarse quantizer (RNG/impl-defined); list-pruning correctness tested via parity-with-bruteforce in test_similarity_ann.py; twin-bounded: result-set overlap >=0.9 with sim_ivfb_persisted on the planted-satellite corpus asserted in test_twin_bounds.py.",
+    "sim_ivf_topk": "same MLlib coarse-quantizer dependency as sim_ivf_persisted_topk; recall floor tested in test_similarity_ann.py. Its deterministic-Lloyd twin sim_ivfb_topk IS fully oracle-checked; twin-bounded: planted-satellite result-set overlap >=0.9 vs the twin asserted in test_twin_bounds.py.",
+    "sim_ivfpq_topk": "MLlib kmeans coarse quantizer + per-subspace PQ codebooks (nested seeded fits); ADC-vs-exact parity tested in test_similarity_ann.py. Its deterministic twin sim_ivfpqb_topk IS fully oracle-checked; twin-bounded: planted-satellite result-set overlap >=0.9 vs the twin asserted in test_twin_bounds.py.",
+    "sim_pq_topk": "seeded per-subspace kmeans codebooks (RNG/impl-defined); quantization-error + recall tests in test_similarity_ann.py. Its deterministic twin sim_pqb_topk IS fully oracle-checked; twin-bounded: planted-satellite result-set overlap >=0.9 vs the twin asserted in test_twin_bounds.py.",
+    "text_quality_classifier": "iterative-fit: logistic regression trained by LBFGS (float reduction order); score monotonicity + AUC tests in test_text_extra.py. Its deterministic twin text_quality_logit_det IS fully oracle-checked; twin-bounded: Spearman rank agreement >=0.8 between the two models' scores (measured 0.908) asserted in test_twin_bounds.py.",
+    "text_tfidf_kmeans": "RNG/impl-defined: MLlib kmeans over TF-IDF vectors; the TF-IDF arithmetic itself is oracle-checked in the text family. Topic-separation test in test_text_extra.py. Its deterministic twin text_tfidf_md5kmeans IS fully oracle-checked; twin-bounded: planted disjoint-vocabulary topics, ARI vs the twin asserted in test_twin_bounds.py.",
 }
 
 
