@@ -522,3 +522,216 @@ def test_theilsen_5m_pairs_planted_trend(spark):
     assert agg["lo"] == agg["hi"] == 2.0
     assert agg["smin"] == agg["smax"] == pts * (pts - 1) // 2
     assert agg["zmin"] > 7  # strongly positive trend everywhere
+
+
+# --------------------------------------------------------------------------
+# Overflow-ceiling empirical smokes (round-7 verdict ask #4): the round-6
+# decimal(38,0) hardening closed the int64 silent-wrap class ANALYTICALLY
+# (OPERATORS.md appendix); these tests exercise it EMPIRICALLY — synthetic
+# builder-generated slices whose micro-unit sums exceed the int64 ceiling
+# (9.2e18), where a pre-hardening int64 sum provably corrupts (asserted),
+# while the shipped decimal(38,0) plans stay in exact parity with DuckDB's
+# HUGEINT arithmetic. Few-rows × huge-values provokes the same sum
+# magnitudes as sf≳20 corpora without sf20 row counts.
+# --------------------------------------------------------------------------
+
+
+def _duck_views(con, sf_dir, tables):
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet')"
+        )
+
+
+def test_exact_mean6_parity_beyond_int64_ceiling(spark, tmp_path):
+    """plan_tools.exact_mean6 (the shared decimal(38,0) site behind
+    every chained-mean plan): 3M rows × ~6e12 micro-units each puts the
+    sum at ~1.8e19 — past int64's 9.2e18 — and the helper must still
+    match DuckDB's HUGEINT twin bit-for-bit, while a raw int64 sum of
+    the same quanta demonstrably corrupts (wraps, or raises under
+    ANSI)."""
+    import duckdb
+
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import exact_mean6
+
+    n = 3_000_000
+    df = spark.range(n).select(
+        (F.lit(6_000_000.0) + (F.col("id") % 1000) / F.lit(100.0)).alias("v")
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/big.parquet")
+
+    got = (
+        spark.read.parquet(f"{tmp_path}/big.parquet")
+        .agg(exact_mean6(F.col("v")).alias("m"))
+        .first()["m"]
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT floor(CAST(sum(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)"
+        "             / count(v) + 0.5) / 1e6 "
+        f"FROM read_parquet('{tmp_path}/big.parquet/*.parquet')"
+    ).fetchone()[0]
+    assert got == want
+
+    # teeth: the micro-unit sum really exceeds int64 — summing the same
+    # quanta AS int64 must corrupt (silent wrap) or raise (ANSI mode)
+    us = F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    decimal_sum = int(
+        spark.read.parquet(f"{tmp_path}/big.parquet")
+        .agg(
+            F.sum(
+                F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)).cast("decimal(28,0)")
+            ).alias("s")
+        )
+        .first()["s"]
+    )
+    assert decimal_sum > 2**63 - 1
+    try:
+        wrapped = (
+            spark.read.parquet(f"{tmp_path}/big.parquet")
+            .agg(F.sum(us).alias("s"))
+            .first()["s"]
+        )
+        assert wrapped != decimal_sum  # silent wrap under non-ANSI
+    except Exception:
+        pass  # ANSI overflow error — equally proves the ceiling is real
+
+
+def test_q11_parity_beyond_int64_ceiling(spark, tmp_path):
+    """q11_important_parts at wrap magnitude: 1M lineitem rows at
+    part-skewed revenue put the heaviest parts' per-part sums at
+    ~6e18 micro-units (65% of int64's 9.2e18 — each per-PART value
+    must stay under the discipline's per-row quantum ceiling of
+    ~9.2e12, because the threshold stage re-quantizes each part value
+    as one BIGINT row in both engines) while the threshold mean's
+    cross-part sum reaches ~1.3e20 — PAST int64 — and the registry
+    plan (decimal(28,0) quanta → decimal(38,0) sums,
+    relational_plans.py) must match its DuckDB HUGEINT oracle
+    row-for-row."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    n = 1_000_000
+    li = spark.range(n).select(
+        (F.col("id") % 40).alias("l_partkey"),
+        (F.col("id") % 10).alias("l_suppkey"),
+        # skew revenue linearly by part so the >1.5x-mean filter keeps
+        # a real survivor set (uniform parts keep zero rows)
+        (
+            (F.lit(100_000.0) + (F.col("id") % 100))
+            * (F.lit(1.0) + F.col("id") % 40)
+        ).alias("l_extendedprice"),
+        F.lit(50.0).alias("l_quantity"),
+    )
+    li.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    supp = spark.createDataFrame(
+        [(s, s % 4) for s in range(10)], "s_suppkey long, s_nationkey long"
+    )
+    supp.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/supplier.parquet")
+    nat = spark.createDataFrame(
+        [(0, "NATION_3"), (1, "NATION_7"), (2, "NATION_1"), (3, "NATION_2")],
+        "n_nationkey long, n_name string",
+    )
+    nat.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+
+    got = sorted(
+        map(
+            tuple,
+            entry_mod.queries()["q11_important_parts"](
+                spark, str(tmp_path)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    _duck_views(con, tmp_path, ["lineitem", "supplier", "nation"])
+    want = sorted(
+        con.execute(entry_mod.oracle_sql()["q11_important_parts"]).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0  # the threshold filter kept real rows
+
+
+def test_e2c_scatter_parity_beyond_int64_ceiling(spark, tmp_path):
+    """e2c_pca_powerit at the family's empirical ceiling: 2,000 64-d
+    vectors with |v| ~ 50 put each diagonal scatter entry's pico sum at
+    ~5e18 — 550× past double-precision exactness (9e15) and over half
+    of int64 — and the decimal(38,0) scatter
+    (operators/embed.py:pca_powerit_det) must hold exact value parity
+    with the DuckDB HUGEINT oracle across all 16 unrolled rounds.
+
+    EMPIRICAL CEILING (discovered by this test at |v| ~ 100): the
+    family's end-to-end bound is NOT the scatter sum (decimal/HUGEINT,
+    ~1e38) but the oracle's power-step S·w product — micro-quantized
+    scatter entry × micro weight in int64 — which caps |S| < ~9.2e6,
+    i.e. n·|v̄|² < 9.2e6 (DuckDB raises an explicit OutOfRange, never
+    silent). Recorded in the OPERATORS.md ceilings appendix."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    n, dims = 2_000, 64
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda d: (
+                (F.lit(30.0) + ((F.col("id") * 31 + d * 7) % 41))
+                * F.when((F.col("id") + d) % 2 == 0, 1).otherwise(-1)
+            ).cast("float"),
+        ).alias("embedding"),
+        (F.col("id") % 5).cast("int").alias("label"),
+    )
+    emb.coalesce(4).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = sorted(
+        map(
+            tuple,
+            entry_mod.queries()["e2c_pca_powerit"](spark, str(tmp_path)).collect(),
+        )
+    )
+    con = duckdb.connect()
+    _duck_views(con, tmp_path, ["embeddings"])
+    want = sorted(con.execute(entry_mod.oracle_sql()["e2c_pca_powerit"]).fetchall())
+    assert got == want
+
+
+def test_quality_logit_gradient_parity_beyond_int64_ceiling(spark, tmp_path):
+    """text_quality_logit_det at wrap magnitude: 700k docs of 40-char
+    words push x5 (chars/token) to ~41, so round-1 residual·feature
+    pico terms sit at ~2e13 each and the gradient sum at ~1.4e19 —
+    past int64 — and the decimal(38,0) pico-gradient sums
+    (operators/text.py) must hold the full 8-round GD schedule in
+    exact parity with the DuckDB HUGEINT oracle."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    n = 700_000
+    word = "abcdefghijklmnopqrstuvwxyzabcdefghijklm"  # 40 chars, 1 token
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.rtrim(
+            F.repeat(F.lit(word + " "), (F.col("id") % 8 + 5).cast("int"))
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synthetic").alias("source"),
+    )
+    docs = docs.withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = sorted(
+        map(
+            tuple,
+            entry_mod.queries()["text_quality_logit_det"](
+                spark, str(tmp_path)
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    _duck_views(con, tmp_path, ["documents"])
+    want = sorted(
+        con.execute(entry_mod.oracle_sql()["text_quality_logit_det"]).fetchall()
+    )
+    assert got == want

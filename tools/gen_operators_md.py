@@ -75,7 +75,8 @@ _APPENDIX = [
     "stdlib-only, and tested against independent test-side encoders "
     "(G.711 byte-for-byte against the audioop reference). |",
     "",
-    "## Micro-unit integer-sum scale ceilings (round-6 audit)",
+    "## Micro-unit integer-sum scale ceilings (round-6 audit; "
+    "empirically exercised round 7)",
     "",
     "The exact-arithmetic discipline sums `floor(x*1e6+0.5)` (or 1e12-grid "
     "pico) quanta as integers. DuckDB's `sum(BIGINT)` promotes to HUGEINT "
@@ -84,8 +85,21 @@ _APPENDIX = [
     "CORPUS runs in `decimal(38,0)` on the Spark side (~1e38 headroom): "
     "`plan_tools.exact_mean6` (all chained-mean sites), q11's per-part "
     "revenue sums, the quality-logit pico-gradient sums, and the e2c PCA "
-    "scatter/score sums. The remaining int64 micro-sums are bounded by "
-    "construction and carry these explicit ceilings:",
+    "scatter/score sums. EMPIRICALLY EXERCISED (round 7, "
+    "tests/test_scale_smoke.py `*_beyond_int64_ceiling`): synthetic slices "
+    "drive each hardened site's sums PAST 9.2e18 (exact_mean6 ~1.8e19; q11 "
+    "threshold mean ~1.3e20; quality-logit round-1 gradient ~1.4e19) with "
+    "exact DuckDB-HUGEINT parity asserted, and a raw int64 sum of the same "
+    "quanta is asserted to corrupt. Two per-ROW quantum ceilings of the "
+    "shared oracle discipline were discovered and are now explicit: (a) any "
+    "stage that re-quantizes an aggregate as one BIGINT row (q11's "
+    "threshold) needs that value < ~9.2e12; (b) e2c's end-to-end bound is "
+    "the oracle's power-step S·w int64 product — micro scatter entry × "
+    "micro weight — capping |S| < ~9.2e6, i.e. n·|v̄|² < 9.2e6 (DuckDB "
+    "raises an explicit OutOfRange, never silent; the e2c smoke runs at "
+    "~5e18 pico scatter sums, 550× past double exactness). The remaining "
+    "int64 micro-sums are bounded by construction and carry these explicit "
+    "ceilings:",
     "",
     "| site | sum cardinality bound | ceiling |",
     "|---|---|---|",
