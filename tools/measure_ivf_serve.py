@@ -1,0 +1,79 @@
+"""Serve-path honesty measurement for the persisted IVF family
+(round-7 verdict ask #5): the registry entry ``sim_ivfb_persisted``
+deliberately measures build + persist + probe per invocation (a
+self-contained value-verified query), which hides the serving probe's
+real latency. This tool splits the two: build + persist ONCE, then
+time the DPP-pruned probe alone over repeated runs — the number a
+serving deployment actually sees per query batch.
+
+Usage: python tools/measure_ivf_serve.py [--sf-dir DIR] [--runs N]
+Prints one JSON line: {"build_persist_sec": ..., "probe_median_sec":
+..., "probe_runs": [...], "sf_dir": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from the_framework_for_clustering_time_series_data_spark.operators import similarity
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    emb.count()  # JVM/scan warmup so build_persist_sec isn't cold-start
+    path = tempfile.mkdtemp(prefix="ivfb_serve_measure_")
+    try:
+        t0 = time.perf_counter()
+        similarity.build_ivf_index_deterministic(emb, path, n_cells=16)
+        build_s = round(time.perf_counter() - t0, 3)
+
+        queries = emb.where(F.col("vec_id") < 10)
+        probes = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            similarity.ivf_probe_index(
+                spark, path, queries, k=5, nprobe=4
+            ).collect()
+            probes.append(round(time.perf_counter() - t0, 3))
+        med = sorted(probes)[len(probes) // 2]
+        print(
+            json.dumps(
+                {
+                    "build_persist_sec": build_s,
+                    "probe_median_sec": med,
+                    "probe_runs": probes,
+                    "sf_dir": args.sf_dir,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
