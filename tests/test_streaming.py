@@ -614,3 +614,93 @@ def test_streaming_scd2_matches_batch_build(spark, ordered_stream_dir):
     got = {(r.user_id, r.version, r.tier, r.valid_from) for r in got_df.collect()}
     assert len(got) > 0
     assert got == expect
+
+
+def test_streaming_merge_apply_matches_batch_across_restart(
+    spark, ordered_stream_dir, tmp_path
+):
+    # foreachBatch MERGE-upsert == the batch cdc_merge_apply on the
+    # same feed, ACROSS micro-batches and a mid-stream restart: run the
+    # stream over the first half of the time-ordered files, stop, add
+    # the rest, restart with the SAME checkpoint (only the new files
+    # ingest), and the final target state — rows, balances, and the
+    # kept/updated/inserted action provenance — must equal the batch
+    # plan's output exactly. Soft-delete tombstones are what make the
+    # delete-then-revive keys match (see streaming_merge_apply).
+    import shutil
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_events_stream,
+        read_merge_target,
+        streaming_merge_apply,
+    )
+
+    expect = {tuple(r) for r in QUERIES["cdc_merge_apply"](spark, SF_SMALL).collect()}
+    base = load_table(spark, SF_SMALL, "customer")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = sorted(Path(ordered_stream_dir).glob("chunk_*.parquet"))
+    assert len(chunks) == 4
+    for c in chunks[:2]:
+        shutil.copy(c, src / c.name)
+
+    tgt = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_merge_apply(
+        read_events_stream(spark, str(src), max_files_per_trigger=1),
+        base,
+        tgt,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    versions_run1 = len(list(Path(tgt).glob("target_v*")))
+    assert versions_run1 >= 2  # seed + at least one applied batch
+
+    for c in chunks[2:]:
+        shutil.copy(c, src / c.name)
+    q2 = streaming_merge_apply(
+        read_events_stream(spark, str(src), max_files_per_trigger=1),
+        base,
+        tgt,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    # restart ingested ONLY the new files: exactly one new version per
+    # new file beyond run 1's
+    assert len(list(Path(tgt).glob("target_v*"))) == versions_run1 + 2
+
+    got = {tuple(r) for r in read_merge_target(spark, tgt).collect()}
+    assert len(got) > 0
+    assert got == expect
+
+    # idempotence: replaying the LAST batch (restart between sink
+    # write and checkpoint commit) leaves the final state unchanged
+    last_batch_id = len(list(Path(tgt).glob("target_v*"))) - 2
+    feed_files = sorted(Path(src).glob("chunk_*.parquet"))
+    replay = spark.read.parquet(str(feed_files[-1]))
+    from pyspark.sql import functions as F2
+
+    if "ts" in [f.name for f in replay.schema.fields]:
+        from pyspark.sql.types import LongType
+
+        if isinstance(replay.schema["ts"].dataType, LongType):
+            replay = replay.withColumn(
+                "ts", F2.timestamp_micros(F2.expr("ts div 1000"))
+            )
+    replay = replay.where(
+        (F2.col("ts") >= F2.lit("2024-01-25").cast("timestamp"))
+        & F2.col("event_type").isin("purchase", "error")
+    ).select(
+        (F2.col("user_id") * 11 + 3).alias("key"),
+        "ts",
+        "event_id",
+        (F2.col("event_type") == "error").alias("is_delete"),
+        F2.round(F2.col("value") * 10, 2).alias("new_bal"),
+    )
+    q2._merge_fn(replay, last_batch_id)
+    again = {tuple(r) for r in read_merge_target(spark, tgt).collect()}
+    assert again == expect
