@@ -787,6 +787,7 @@ def test_continuation_wave_no_cartesians(spark):
         "cdc_merge_apply",
         "cdc_snapshot_asof",
         "ab_ks_test",
+        "layout_compaction_pruning",
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name

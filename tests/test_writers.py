@@ -186,3 +186,75 @@ def test_merge_schema_evolution_read(spark, tmp_path):
     # and the narrow read (no mergeSchema) still prunes to one file's schema
     one = spark.read.parquet(base + "/batch=1")
     assert sorted(one.columns) == ["id", "v"]
+
+
+def test_compact_preserve_order_keeps_pruning(spark, tmp_path):
+    """Order-preserving compaction (round-7 layout-maintenance op):
+    a fragmented CLUSTERED dataset compacts to few files that stay
+    disjoint, contiguous ranges of the cluster key — per-file footer
+    min/max survive, so range predicates skip files after compaction
+    exactly as before. Round-robin compact_parquet is asserted to
+    LOSE the property on the same data (the reason this op exists)."""
+    import glob
+
+    from the_framework_for_clustering_time_series_data_spark.sources.writers import (
+        compact_parquet,
+        compact_parquet_preserve_order,
+    )
+
+    # 48 small files (~7 MB total), globally clustered on id
+    src = str(tmp_path / "frag")
+    df = spark.range(800_000).selectExpr("id", "rand(11) AS v")
+    df.repartitionByRange(48, "id").sortWithinPartitions("id").write.parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 48
+
+    dst = str(tmp_path / "compacted")
+    compact_parquet_preserve_order(spark, src, dst, ["id"], target_file_mb=1)
+    out_files = sorted(glob.glob(dst + "/*.parquet"))
+    assert 1 < len(out_files) <= 12, out_files
+
+    got = spark.read.parquet(dst)
+    assert got.count() == 800_000
+    assert (
+        got.selectExpr("sum(id)").first()[0]
+        == df.selectExpr("sum(id)").first()[0]
+    )
+
+    def file_ranges(files):
+        out = []
+        for f in files:
+            r = spark.read.parquet(f).agg(
+                F.min("id").alias("lo"), F.max("id").alias("hi")
+            ).first()
+            out.append((r["lo"], r["hi"]))
+        return sorted(out)
+
+    ranges = file_ranges(out_files)
+    # disjoint contiguous key ranges: every file's min exceeds the
+    # previous file's max — the exact property footer pruning needs
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
+    # and the ranges cover the data
+    assert ranges[0][0] == 0 and ranges[-1][1] == 799_999
+
+    # a point/range predicate physically scans ONE file
+    hit = (
+        spark.read.parquet(dst)
+        .where(F.col("id").between(100, 200))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert hit == 1
+
+    # contrast: round-robin compaction of the same source loses the
+    # property — files overlap over the whole key range
+    dst2 = str(tmp_path / "compacted_rr")
+    compact_parquet(spark, src, dst2, target_file_mb=1)
+    rr_files = sorted(glob.glob(dst2 + "/*.parquet"))
+    if len(rr_files) > 1:
+        rr = file_ranges(rr_files)
+        overlaps = sum(
+            1 for (l1, h1), (l2, h2) in zip(rr, rr[1:]) if h1 >= l2
+        )
+        assert overlaps > 0, rr

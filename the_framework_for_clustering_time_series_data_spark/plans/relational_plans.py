@@ -1882,6 +1882,47 @@ def layout_hilbert_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_compaction_pruning",
+    """
+WITH b AS (
+  SELECT user_id, event_id,
+         ntile(16) OVER (ORDER BY user_id, event_id) - 1 AS file_id
+  FROM events
+)
+SELECT CAST(file_id AS INT) AS file_id, count(*) AS n_rows,
+       min(user_id) AS u_min, max(user_id) AS u_max
+FROM b GROUP BY 1
+""",
+)
+def layout_compaction_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving compaction layout audit — the registry-visible
+    twin of sources/writers.compact_parquet_preserve_order (round-7
+    layout-maintenance op): rows bin-pack into 16 equi-depth files
+    along the cluster key (user_id, event_id-tie-broken), and the
+    per-file min/max stats this emits are the parquet-footer view after
+    such a rewrite — files are DISJOINT, contiguous key ranges, so a
+    range predicate on the cluster key skips the same files it skipped
+    before compaction (round-robin compact_parquet erases exactly this;
+    the physical property is asserted on real written files in
+    tests/test_writers.py).
+
+    Scale shape: bucketing is operators/rank.with_global_ntiles (one
+    percentile-sketch aggregate broadcast back — never a
+    single-partition fact sort; the exact-ntile stand-in for
+    repartitionByRange's sampled ranges), and the audit aggregate is a
+    map-side-combined groupBy on 16 keys."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    b = with_global_ntiles(
+        ev, 16, [("file_id", ["user_id", "event_id"], None)]
+    ).select("user_id", (F.col("file_id") - 1).cast("int").alias("file_id"))
+    return b.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+    )
+
+
+@register(
     "q30_skyline_parts",
     """
 WITH g AS (
