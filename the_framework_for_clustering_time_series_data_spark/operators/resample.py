@@ -73,18 +73,29 @@ def interpolate_linear(grid: DataFrame) -> DataFrame:
     6th decimal are common; Spark rounds HALF_UP, DuckDB HALF_EVEN.
     Rounding goes through an explicit floor identity so the double
     arithmetic is bitwise-identical across engines (oracle parity).
+
+    Both neighbor picks run as RUNNING frames ([unboundedPreceding,
+    CURRENT] — the next-observed pick over DESCENDING bucket order,
+    an identity: first non-null ahead ascending == last non-null seen
+    descending). Spark streams running frames in O(n) per partition,
+    but evaluates [CURRENT, unboundedFollowing] frames by rescanning
+    the remaining frame per row — O(n²) in the series length, which a
+    year-long 100-TB hypertable grid would pay per series. Cost here:
+    one extra in-partition sort (desc) on the SAME shuffle.
     """
     wp = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    wn = Window.partitionBy("series_id").orderBy("bucket").rowsBetween(
-        0, Window.unboundedFollowing
+    wn = (
+        Window.partitionBy("series_id")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     observed_bucket = F.when(F.col("v_avg").isNotNull(), F.col("bucket"))
     pv = F.last("v_avg", ignorenulls=True).over(wp)
     pb = F.last(observed_bucket, ignorenulls=True).over(wp)
-    nv = F.first("v_avg", ignorenulls=True).over(wn)
-    nb = F.first(observed_bucket, ignorenulls=True).over(wn)
+    nv = F.last("v_avg", ignorenulls=True).over(wn)
+    nb = F.last(observed_bucket, ignorenulls=True).over(wn)
     frac = (F.col("bucket").cast("double") - pb.cast("double")) / (
         nb.cast("double") - pb.cast("double")
     )

@@ -410,9 +410,19 @@ def quality_logit_det(
 
     Shape: features + heuristic in one pass; with_global_ntiles'
     two bounded jobs; each GD round is ONE map-side-combinable
-    aggregate over the (bounded, two-quartile) training frame
-    crossJoined with the 1-row weight frame — no driver-side data.
+    aggregate over the (checkpointed, two-quartile) training frame,
+    whose 1-row gradient (7 doubles of model state) is fetched to the
+    driver and folded into the weight schedule in Python — the same
+    IEEE-754 ops, so values are bit-identical to the in-plan form.
+    The fetch is the bounded-model-state pattern (e2c/e3b): chaining
+    the 1-row weight frame through crossJoins instead makes round t's
+    plan contain TWO copies of round t-1's (gradient + update), and
+    Spark does not dedupe common subtrees — the final plan re-ran the
+    train aggregate 2^rounds≈256 times (8.4 s at sf0.1; 2.0 s fixed).
+    The DuckDB oracle needed the same fix as MATERIALIZED CTEs.
     """
+    import math
+
     from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
     from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_ntiles
 
@@ -448,18 +458,19 @@ def quality_logit_det(
         .transform(stage_checkpoint, eager=False)
     )
 
-    spark = df.sparkSession
     xs = [f"x{j}" for j in range(1, 7)]
-    w = spark.range(1).select(
-        F.lit(0.0).alias("b"), *[F.lit(0.0).alias(f"w{j}") for j in range(1, 7)]
-    )
+    w = {"b": 0.0, **{f"w{j}": 0.0 for j in range(1, 7)}}
 
-    def _p(weights: DataFrame, frame: DataFrame) -> Column:
-        j = frame.crossJoin(F.broadcast(weights))
-        z = F.col("b")
+    def r6py(v: float) -> float:
+        # the Python twin of r6(): floor on an IEEE double then an
+        # exact-integer / 1e6 division — bit-identical to the JVM form
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    def _p(weights: dict, frame: DataFrame) -> DataFrame:
+        z = F.lit(weights["b"])
         for i, x in enumerate(xs, start=1):
-            z = z + F.col(f"w{i}") * F.col(x)
-        return j.withColumn(
+            z = z + F.lit(weights[f"w{i}"]) * F.col(x)
+        return frame.withColumn(
             "p", r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
         )
 
@@ -501,14 +512,14 @@ def quality_logit_det(
                     / F.lit(1e12)
                 ).alias(f"g{i}")
             )
-        g = pdf.agg(*aggs)
-        w = w.crossJoin(F.broadcast(g)).select(
-            r6(F.col("b") - F.lit(lr) * F.col("gb")).alias("b"),
-            *[
-                r6(F.col(f"w{i}") - F.lit(lr) * F.col(f"g{i}")).alias(f"w{i}")
+        g = pdf.agg(*aggs).collect()[0]  # 1 row / 7 doubles of model state
+        w = {
+            "b": r6py(w["b"] - lr * g["gb"]),
+            **{
+                f"w{i}": r6py(w[f"w{i}"] - lr * g[f"g{i}"])
                 for i in range(1, 7)
-            ],
-        )
+            },
+        }
 
     scored = _p(w, labeled)
     return scored.select(
