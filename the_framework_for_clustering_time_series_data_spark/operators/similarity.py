@@ -145,6 +145,96 @@ def brute_force_topk(
     )
 
 
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification of a cosine top-``pool``
+    candidate set (Carbonell & Goldstein, SIGIR'98) — the rerank stage a
+    retrieval / training-data-selection pipeline runs after ANN recall
+    to trade relevance against redundancy: greedily pick
+    ``argmax 0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s)`` until ``k``
+    documents are selected.
+
+    Returns ``(query_id, nbr_id, mmr_rank, mmr_score)`` —
+    ``mmr_rank`` is selection order (1 = plain top-1), ``mmr_score``
+    the (rounded) objective at selection time.
+
+    Determinism/parity: candidate cosines carry the brute-force 6-dp
+    quantization; pairwise candidate cosines are re-rounded to 6 dp,
+    so every objective value is the same IEEE double in both engines
+    (the literals 0.7/0.3 are written EXACTLY in both — never 1−λ,
+    which is a different double); argmax ties break on nbr_id. The
+    DuckDB twin replays the greedy loop as ``k`` unrolled CTE rounds.
+
+    Shape: one brute-force candidate pass (broadcast queries, single
+    corpus scan, per-batch top-pool), then ONE applyInPandas over
+    query_id groups — each group is ≤ pool rows, the greedy loop is
+    O(pool²·k) NumPy on a ~20×64 matrix, and queries rerank
+    embarrassingly parallel across executors. No driver-side state;
+    at 100 TB this is exactly the serving rerank topology (candidate
+    generation distributed, rerank per query-group).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import id_spark_type
+
+    qid_t = id_spark_type(queries, id_col)
+    id_t = id_spark_type(emb, id_col)
+    cands = brute_force_topk(emb, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    cv = cands.join(
+        emb.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ),
+        "nbr_id",
+    ).select("query_id", "nbr_id", "cosine", "v")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        ids = pdf["nbr_id"].to_numpy()
+        cosq = pdf["cosine"].to_numpy(dtype=np.float64)
+        vm = np.array(pdf["v"].tolist(), dtype=np.float64)
+        vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+        sim = np.round(vm @ vm.T, 6)  # the oracle's 6-dp pair quanta
+        n = len(ids)
+        take = min(k, n)
+        picked: list[int] = []
+        scores: list[float] = []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(take):
+            if not picked:
+                obj = cosq.copy()
+            else:
+                pen = sim[:, picked].max(axis=1)
+                obj = 0.7 * cosq - 0.3 * pen
+            cand_idx = np.nonzero(remaining)[0]
+            # argmax with nbr_id tie-break: identical to the oracle's
+            # row_number() ORDER BY score DESC, nbr_id
+            best = cand_idx[np.lexsort((ids[cand_idx], -obj[cand_idx]))[0]]
+            picked.append(best)
+            scores.append(float(np.round(obj[best], 6)))
+            remaining[best] = False
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "nbr_id": ids[picked],
+                "mmr_rank": np.arange(1, take + 1, dtype=np.int32),
+                "mmr_score": scores,
+            }
+        )
+
+    return cv.groupBy("query_id").applyInPandas(
+        greedy,
+        f"query_id {qid_t}, nbr_id {id_t}, mmr_rank int, mmr_score double",
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -275,6 +275,52 @@ def repetition_score(df: DataFrame, n: int = 3, text_col: str = "text", id_col: 
     )
 
 
+def boilerplate_shingles(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency boilerplate measurement (the CCNet/RefinedWeb
+    template-removal signal, one level up from
+    :func:`repetition_score`'s INTRA-doc ratio): a word n-gram is
+    *boilerplate* when it appears in at least ``min_df`` distinct
+    documents (headers, footers, nav chrome, license blurbs), and each
+    document reports how much of it is made of such grams.
+
+    Returns ``(doc_id, n_grams, n_boiler, boiler_frac)`` — instances,
+    boilerplate instances, and their exact-integer ratio (floor
+    identity, cross-engine parity). Docs with fewer than ``n`` tokens
+    have no grams and drop out (both engines).
+
+    Shape: one gram pass (posexplode + lead, shuffle on doc id), a
+    document-frequency aggregate (shuffle on gram; Zipfian hot grams
+    absorb into map-side partials), the gram→df join back (1 row per
+    key on the build side — the AQE skew-join shape), and a per-doc
+    aggregate. No driver state; the gram "model" stays distributed.
+    At 100 TB substitute the composed 64-bit shingle hashes of
+    dedup._hashed_shingles for gram strings (same plan, long keys).
+    """
+    grams = _word_ngrams(df, n, text_col, id_col)
+    dfreq = grams.groupBy("gram").agg(F.count_distinct("id").alias("gram_df"))
+    flagged = grams.join(dfreq, "gram").select(
+        "id", (F.col("gram_df") >= min_df).cast("int").alias("is_boiler")
+    )
+    agg = flagged.groupBy("id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("is_boiler").alias("n_boiler"),
+    )
+    return agg.select(
+        F.col("id").alias("doc_id"),
+        "n_grams",
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        (
+            F.floor(F.col("n_boiler") / F.col("n_grams") * 1e6 + 0.5) / 1e6
+        ).alias("boiler_frac"),
+    )
+
+
 def decontaminate_overlap(
     corpus: DataFrame,
     eval_set: DataFrame,
@@ -378,6 +424,126 @@ def quality_classifier_scores(
     )
 
 
+def quality_features6(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The deterministic 6-feature quality frame shared by
+    :func:`quality_logit_det` (training) and :func:`quality_feature_auc`
+    (evaluation): ``(id, x1..x6, quality)`` with every feature a SINGLE
+    division / log of exact counts quantized to a 6-dp grid
+    (cross-engine-safe — no reduction is involved; ``ln`` carries the
+    measure-zero ulp caveat), plus the heuristic gate's ``quality``
+    score the weak labels derive from. One JVM-side pass per input."""
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    text = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_chars = F.length(text)
+    n_tok = F.size(toks)
+    sw = LANG_STOPWORDS["en"]
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        r6(F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars).alias("x1"),
+        r6(F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", "")) / n_chars).alias("x2"),
+        r6(F.size(F.filter(toks, lambda t: t.isin(*sw))) / n_tok).alias("x3"),
+        r6(F.log(F.lit(1.0) + n_tok)).alias("x4"),
+        r6(n_chars / n_tok).alias("x5"),
+        r6(F.size(F.array_distinct(toks)) / n_tok).alias("x6"),
+    )
+    heur = quality_score(df, text_col, id_col).select(
+        F.col(id_col).alias("id"), "quality"
+    )
+    return feats.join(heur, "id")
+
+
+def quality_feature_auc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-feature ROC-AUC against the weak quality labels — the
+    feature audit a curation pipeline runs before trusting a distilled
+    classifier: for each of the six deterministic quality features,
+    how well does the feature ALONE rank the top weak-label quartile
+    above the bottom one (labels exactly as quality_logit_det trains
+    on: exact quartiles of (quality, id), q4=4 positive, q4=1
+    negative).
+
+    AUC via the Mann-Whitney identity on HALF-UNIT midrank integers
+    (the ab_mann_whitney discipline: 2*midrank = 2*rank_below + t + 1
+    per tie group, so no .5 float ever exists): AUC =
+    (R2_pos - n1*(n1+1)) / (2*n1*n0), exact integers into one
+    division. The rank pass is a grouped count per distinct
+    (feature, x) + one RUNNING window over the distinct-value table —
+    never a per-row global sort; shuffles on (feature, x) then
+    feature, both key-bounded.
+    """
+    lab = with_global_ntiles_quality(df, text_col, id_col)
+    train = lab.where(F.col("weak_label") >= 0)
+    xs = [f"x{j}" for j in range(1, 7)]
+    long = train.select(
+        F.col("weak_label").alias("y"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(x).alias("feature"), F.col(x).alias("x")
+                    )
+                    for x in xs
+                ]
+            )
+        ).alias("fx"),
+    ).select("y", F.col("fx.feature").alias("feature"), F.col("fx.x").alias("x"))
+    grp = long.groupBy("feature", "x").agg(
+        F.count("*").alias("t"),
+        F.sum("y").alias("t1"),
+    )
+    wb = (
+        Window.partitionBy("feature")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = grp.withColumn("below", F.sum("t").over(wb))
+    mo = rk.groupBy("feature").agg(
+        F.sum(
+            F.col("t1") * (2 * F.coalesce("below", F.lit(0)) + F.col("t") + 1)
+        ).alias("r2_1"),
+        F.sum("t1").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).alias("n0"),
+    )
+    return mo.select(
+        "feature",
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        (
+            F.floor(
+                (F.col("r2_1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+                / (F.lit(2.0) * F.col("n1") * F.col("n0"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("auc"),
+    )
+
+
+def with_global_ntiles_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality feature frame + exact-quartile weak labels
+    (``weak_label`` 1 = top quartile, 0 = bottom, -1 = middle) — the
+    shared labeling stage of quality_logit_det and
+    quality_feature_auc."""
+    from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_ntiles
+
+    base = quality_features6(df, text_col, id_col)
+    lab = with_global_ntiles(base, 4, [("_q4", ["quality", "id"], None)])
+    return lab.withColumn(
+        "weak_label",
+        F.when(F.col("_q4") == 4, 1).when(F.col("_q4") == 1, 0).otherwise(-1),
+    ).drop("_q4")
+
+
 def quality_logit_det(
     df: DataFrame,
     text_col: str = "text",
@@ -424,34 +590,11 @@ def quality_logit_det(
     import math
 
     from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
-    from the_framework_for_clustering_time_series_data_spark.operators.rank import with_global_ntiles
 
     def r6(c: Column) -> Column:
         return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    text = F.col(text_col)
-    toks = tokens_expr(text_col)
-    n_chars = F.length(text)
-    n_tok = F.size(toks)
-    sw = LANG_STOPWORDS["en"]
-    feats = df.select(
-        F.col(id_col).alias("id"),
-        r6(F.length(F.regexp_replace(text, r"[^A-Za-z]", "")) / n_chars).alias("x1"),
-        r6(F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", "")) / n_chars).alias("x2"),
-        r6(F.size(F.filter(toks, lambda t: t.isin(*sw))) / n_tok).alias("x3"),
-        r6(F.log(F.lit(1.0) + n_tok)).alias("x4"),
-        r6(n_chars / n_tok).alias("x5"),
-        r6(F.size(F.array_distinct(toks)) / n_tok).alias("x6"),
-    )
-    heur = quality_score(df, text_col, id_col).select(
-        F.col(id_col).alias("id"), "quality"
-    )
-    base = feats.join(heur, "id")
-    lab = with_global_ntiles(base, 4, [("_q4", ["quality", "id"], None)])
-    labeled = lab.withColumn(
-        "weak_label",
-        F.when(F.col("_q4") == 4, 1).when(F.col("_q4") == 1, 0).otherwise(-1),
-    ).drop("_q4")
+    labeled = with_global_ntiles_quality(df, text_col, id_col)
     train = (
         labeled.where(F.col("weak_label") >= 0)
         .withColumn("y", F.col("weak_label").cast("double"))

@@ -36,6 +36,194 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+def _jl_signs(m: int = 16, dim: int = 64, seed: int = 7):
+    """The deterministic Achlioptas sign matrix (entries ±1/√m = ±0.25,
+    exactly representable doubles) shared by the Spark plan and its
+    DuckDB twin — drawn once from ``np.random.default_rng(seed)`` and
+    embedded as literals on both sides (the _lsh_oracle_sql trick)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2, size=(m, dim)) * 0.5 - 0.25
+
+
+def _jl_oracle_sql(m: int = 16, dim: int = 64, seed: int = 7, sample: int = 30) -> str:
+    w = _jl_signs(m, dim, seed)
+    rows = ",\n  ".join(
+        f"({i + 1}, [{', '.join(repr(float(x)) for x in w[i])}]::DOUBLE[])"
+        for i in range(m)
+    )
+    return f"""
+WITH wm(i, w) AS (VALUES
+  {rows}
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < {sample}),
+p0 AS (
+  SELECT e.vec_id, wm.i,
+         list_aggregate(
+           list_transform(range(1, {dim + 1}), j -> wm.w[j] * e.v[j]),
+           'sum') AS comp
+  FROM e CROSS JOIN wm
+),
+p AS MATERIALIZED (
+  SELECT e.vec_id, e.v, pr.pv
+  FROM e JOIN (SELECT vec_id, list(comp ORDER BY i) AS pv
+               FROM p0 GROUP BY vec_id) pr USING (vec_id)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_orig,
+       round(list_cosine_similarity(a.pv, b.pv), 6) AS cos_proj,
+       round(abs(round(list_cosine_similarity(a.v, b.v), 6)
+                 - round(list_cosine_similarity(a.pv, b.pv), 6)), 6) AS abs_err
+FROM p a JOIN p b ON a.vec_id < b.vec_id
+"""
+
+
+@register("emb_rand_projection", _jl_oracle_sql())
+def emb_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims with a
+    cosine-distortion audit: project every sampled vector (vec_id <
+    30) through a deterministic Achlioptas ±1/√16 sign matrix and
+    report, per pair, the original vs projected cosine and their
+    absolute gap — the audit run before trusting a JL-compressed
+    prefilter in an ANN pipeline (4× fewer FLOPs/bytes per distance).
+
+    The projection is a map-only JVM pass (16 zip_with/aggregate folds
+    per vector — no Python, no shuffle); the audit joins the 30-row
+    sample against itself under a broadcast (435 pairs). At 100 TB the
+    projection runs over the full corpus as the same map stage and
+    only the audit stays sampled. Sign matrix literals are shared with
+    the DuckDB twin (seed 7); cosines round to the 6-dp grid before
+    differencing, so abs_err is a difference of shared quanta."""
+    import numpy as np
+
+    w = _jl_signs()
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 30)
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.array(*[F.lit(float(x)) for x in w[i]]),
+                    F.col("v"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for i in range(len(w))
+        ]
+    )
+    p = e.select("vec_id", "v", proj.alias("pv"))
+    a = p.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("pv").alias("pa")
+    )
+    b = p.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("pv").alias("pb")
+    )
+    cos_o = F.round(similarity.cosine_expr(F.col("va"), F.col("vb")), 6)
+    cos_p = F.round(similarity.cosine_expr(F.col("pa"), F.col("pb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cos_o.alias("cos_orig"),
+            cos_p.alias("cos_proj"),
+            F.round(F.abs(cos_o - cos_p), 6).alias("abs_err"),
+        )
+    )
+
+
+def _mmr_oracle_sql(k: int = 10, pool: int = 20, nq: int = 3) -> str:
+    """DuckDB twin of ``similarity.mmr_rerank``: candidate generation
+    reuses the sim_bruteforce discipline (6-dp cosine, (cosine DESC,
+    nbr_id) rank), pairwise candidate cosines re-round to the same
+    grid, and the greedy selection is ``k`` unrolled MATERIALIZED CTE
+    rounds — each round scores every unselected candidate as
+    ``0.7·cos_q − 0.3·max(cos to selected)`` (the literals written
+    exactly, never 1−λ) and picks row_number()=1 on (score DESC,
+    nbr_id)."""
+    rounds = []
+    for t in range(2, k + 1):
+        rounds.append(f"""s{t} AS MATERIALIZED (
+  SELECT query_id, nbr_id, {t} AS mmr_rank, round(score, 6) AS mmr_score
+  FROM (
+    SELECT sc.query_id, sc.nbr_id, sc.score,
+           row_number() OVER (PARTITION BY sc.query_id
+                              ORDER BY sc.score DESC, sc.nbr_id) AS rk
+    FROM (
+      SELECT c.query_id, c.nbr_id,
+             CAST(0.7 AS DOUBLE) * c.cosine
+               - CAST(0.3 AS DOUBLE) * max(p.cos_ab) AS score
+      FROM cand c
+      JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.nbr_id
+      JOIN cum{t - 1} s ON s.query_id = p.query_id AND s.nbr_id = p.b_id
+      WHERE NOT EXISTS (SELECT 1 FROM cum{t - 1} x
+                        WHERE x.query_id = c.query_id AND x.nbr_id = c.nbr_id)
+      GROUP BY c.query_id, c.nbr_id, c.cosine
+    ) sc
+  ) WHERE rk = 1
+),
+cum{t} AS MATERIALIZED (
+  SELECT * FROM cum{t - 1} UNION ALL SELECT * FROM s{t}
+)""")
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < {nq}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         round(list_cosine_similarity(q.v, CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, nbr_id, cosine FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, nbr_id) AS rk
+    FROM scored) WHERE rk <= {pool}
+),
+cv AS MATERIALIZED (
+  SELECT c.query_id, c.nbr_id, c.cosine, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.nbr_id
+),
+pair AS MATERIALIZED (
+  SELECT a.query_id, a.nbr_id AS a_id, b.nbr_id AS b_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_ab
+  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.nbr_id != b.nbr_id
+),
+cum1 AS MATERIALIZED (
+  SELECT query_id, nbr_id, 1 AS mmr_rank, round(cosine, 6) AS mmr_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, nbr_id) AS rk
+        FROM cand) WHERE rk = 1
+),
+{rounds_sql}
+SELECT query_id, nbr_id, mmr_rank, mmr_score FROM cum{k}
+"""
+
+
+@register("retrieval_mmr_rerank", _mmr_oracle_sql())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 from a cosine top-20 candidate pool for
+    query vectors vec_id < 3 (Carbonell & Goldstein SIGIR'98) — the
+    relevance-vs-redundancy rerank between ANN recall and final
+    serving/selection. Candidate generation is the distributed
+    brute-force scan; the greedy rerank runs per query group in ONE
+    applyInPandas (≤ pool rows each, queries parallel across
+    executors). Full value-hash oracle: k unrolled greedy CTE rounds
+    on shared 6-dp cosine quanta."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(emb, emb.where(F.col("vec_id") < 3), k=10, pool=20)
+
+
 def _lsh_oracle_sql(k: int = 5, n_planes: int = 6, n_tables: int = 8,
                     seed: int = 42, dim: int = 64) -> str:
     """DuckDB twin of ``ann_lsh_topk``: the seeded hyperplanes are

@@ -513,6 +513,44 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_classifier_scores(load_table(spark, sf_dir, "documents"))
 
 
+# Shared quality-feature + weak-label CTE prefix (DuckDB): the exact
+# frame text.quality_features6 / with_global_ntiles_quality build —
+# used by the logit-det twin (training) and ml_auc_features (the
+# feature audit), so both oracles replay ONE labeling definition.
+_QUALITY_LAB_SQL = r"""t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, toks,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars AS alpha_ratio,
+         length(regexp_replace(text, '[^.,;:!?''"]', '', 'g'))::DOUBLE / n_chars AS punct_ratio,
+         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','for','it')))::DOUBLE
+           / len(toks) AS stop_ratio
+  FROM t
+),
+fx AS (
+  SELECT doc_id AS id,
+         floor(alpha_ratio * 1e6 + 0.5) / 1e6 AS x1,
+         floor(punct_ratio * 1e6 + 0.5) / 1e6 AS x2,
+         floor(stop_ratio * 1e6 + 0.5) / 1e6 AS x3,
+         floor(ln(1.0 + len(toks)) * 1e6 + 0.5) / 1e6 AS x4,
+         floor(n_chars::DOUBLE / len(toks) * 1e6 + 0.5) / 1e6 AS x5,
+         floor(len(list_distinct(toks))::DOUBLE / len(toks) * 1e6 + 0.5) / 1e6 AS x6,
+         round(least(len(toks) / 100.0, 1.0) * 0.3 + alpha_ratio * 0.4
+               + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality
+  FROM m
+),
+lab AS MATERIALIZED (
+  SELECT *, ntile(4) OVER (ORDER BY quality, id) AS q4 FROM fx
+),
+train AS MATERIALIZED (
+  SELECT *, CASE WHEN q4 = 4 THEN 1.0 ELSE 0.0 END AS y
+  FROM lab WHERE q4 IN (1, 4)
+)"""
+
+
 def _logit_det_sql(rounds: int = 8, lr: float = 0.5) -> str:
     """DuckDB twin of ``text.quality_logit_det``: exact-quartile weak
     labels, 6-dp-quantized features, and ``rounds`` unrolled full-batch
@@ -550,38 +588,7 @@ r{t} AS MATERIALIZED (
 )""")
     rounds_sql = ",\n".join(chain)
     return rf"""
-WITH t AS (
-  SELECT doc_id, text, length(text) AS n_chars,
-         string_split_regex(lower(trim(text)), '\s+') AS toks
-  FROM documents
-),
-m AS (
-  SELECT doc_id, n_chars, toks,
-         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars AS alpha_ratio,
-         length(regexp_replace(text, '[^.,;:!?''"]', '', 'g'))::DOUBLE / n_chars AS punct_ratio,
-         len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that','for','it')))::DOUBLE
-           / len(toks) AS stop_ratio
-  FROM t
-),
-fx AS (
-  SELECT doc_id AS id,
-         floor(alpha_ratio * 1e6 + 0.5) / 1e6 AS x1,
-         floor(punct_ratio * 1e6 + 0.5) / 1e6 AS x2,
-         floor(stop_ratio * 1e6 + 0.5) / 1e6 AS x3,
-         floor(ln(1.0 + len(toks)) * 1e6 + 0.5) / 1e6 AS x4,
-         floor(n_chars::DOUBLE / len(toks) * 1e6 + 0.5) / 1e6 AS x5,
-         floor(len(list_distinct(toks))::DOUBLE / len(toks) * 1e6 + 0.5) / 1e6 AS x6,
-         round(least(len(toks) / 100.0, 1.0) * 0.3 + alpha_ratio * 0.4
-               + least(stop_ratio * 5, 1.0) * 0.3, 6) AS quality
-  FROM m
-),
-lab AS MATERIALIZED (
-  SELECT *, ntile(4) OVER (ORDER BY quality, id) AS q4 FROM fx
-),
-train AS MATERIALIZED (
-  SELECT *, CASE WHEN q4 = 4 THEN 1.0 ELSE 0.0 END AS y
-  FROM lab WHERE q4 IN (1, 4)
-),
+WITH {_QUALITY_LAB_SQL},
 r0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
               0.0 AS w4, 0.0 AS w5, 0.0 AS w6),
 {rounds_sql}
@@ -647,6 +654,89 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean word length, symbol ratio, alphabetic-word fraction, stopword
     presence — one shuffle-free JVM pass."""
     return T.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_boilerplate_shingles",
+    r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, list_aggregate(toks[i:i+2], 'string_agg', ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+),
+dfreq AS (SELECT gram, count(DISTINCT doc_id) AS gram_df FROM g GROUP BY 1)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN d.gram_df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       floor(CAST(sum(CASE WHEN d.gram_df >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1e6 + 0.5) / 1e6 AS boiler_frac
+FROM g JOIN dfreq d USING (gram)
+GROUP BY 1
+""",
+)
+def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate per document (CCNet/RefinedWeb
+    template-removal signal): a word trigram appearing in >= 5 distinct
+    docs is boilerplate; each doc reports its instance count and
+    fraction. Complements text_repetition (INTRA-doc) and
+    dedup_substring_spans (pairwise spans) with the corpus-level
+    document-frequency view — see operators.text.boilerplate_shingles
+    for the scale shape (gram-keyed shuffles, no driver state)."""
+    return T.boilerplate_shingles(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ml_auc_features",
+    f"""
+WITH {_QUALITY_LAB_SQL},
+long AS (
+  SELECT y, 'x1' AS feature, x1 AS x FROM train
+  UNION ALL SELECT y, 'x2', x2 FROM train
+  UNION ALL SELECT y, 'x3', x3 FROM train
+  UNION ALL SELECT y, 'x4', x4 FROM train
+  UNION ALL SELECT y, 'x5', x5 FROM train
+  UNION ALL SELECT y, 'x6', x6 FROM train
+),
+grp AS (
+  SELECT feature, x, count(*) AS t,
+         sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS t1
+  FROM long GROUP BY 1, 2
+),
+rk AS (
+  SELECT feature, t, t1,
+         sum(t) OVER (PARTITION BY feature ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below
+  FROM grp
+),
+mo AS (
+  SELECT feature,
+         sum(t1 * (2 * coalesce(below, 0) + t + 1)) AS r2_1,
+         sum(t1) AS n1,
+         sum(t - t1) AS n0
+  FROM rk GROUP BY 1
+)
+SELECT feature,
+       CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       floor(CAST(r2_1 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS auc
+FROM mo
+""",
+)
+def ml_auc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature ROC-AUC against the weak quality labels — the
+    feature audit run before trusting the distilled classifier: which
+    of the six deterministic quality features best ranks the top
+    weak-label quartile above the bottom one. AUC via the Mann-Whitney
+    identity on half-unit midrank integers (exact ties, one division,
+    floor-rounded — the ab_mann_whitney discipline); labels replay the
+    exact-quartile definition quality_logit_det trains on (shared
+    _QUALITY_LAB_SQL prefix, shared Spark labeling stage)."""
+    return T.quality_feature_auc(load_table(spark, sf_dir, "documents"))
 
 
 @register(
