@@ -123,7 +123,19 @@ def main() -> None:
         sys.exit(f"unknown queries: {unknown}; available: {sorted(QUERIES)}")
 
     # warm the JVM + parquet footers once (untimed)
-    QUERIES[names[0]](spark, args.sf_dir).count()
+    def evaluate(df) -> None:
+        # Timed action: a NOOP WRITE, not .count() and not .collect().
+        # count() lets Catalyst PRUNE cardinality-preserving expression
+        # work — Window/projection stages vanish from the counted plan
+        # (round-7 adjudication: ts_interpolate_linear "ran" in 0.3 s
+        # under count while full evaluation was 2-36 s) — and collect()
+        # adds 1M-row py4j serialization that no 100-TB pipeline pays
+        # (they write to storage). The noop sink evaluates every output
+        # column and discards rows executor-side: the honest engine
+        # cost. BASELINE.md re-bases all round-7+ numbers on this.
+        df.write.format("noop").mode("overwrite").save()
+
+    evaluate(QUERIES[names[0]](spark, args.sf_dir))
 
     # Each query runs twice: the first (cold) run pays one-time Janino
     # whole-stage-codegen compilation (~2-5 s for the widest plans —
@@ -135,15 +147,16 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, args.sf_dir).count()
+        evaluate(QUERIES[name](spark, args.sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
         # drop any .cache() an operator materialized during the cold
         # run — the steady run must re-execute, not read cached RDDs
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        QUERIES[name](spark, args.sf_dir).count()
+        evaluate(QUERIES[name](spark, args.sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
+        n = QUERIES[name](spark, args.sf_dir).count()  # untimed row report
         print(
             f"# {name}: {timings[name]}s steady / {cold[name]}s cold ({n} rows)",
             file=sys.stderr,
@@ -174,7 +187,7 @@ def main() -> None:
             samples = [timings[name]]
             for _ in range(med_runs - 1):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, args.sf_dir).count()
+                evaluate(QUERIES[name](spark, args.sf_dir))
                 samples.append(round(time.perf_counter() - t0, 3))
                 spark.catalog.clearCache()
             samples.sort()

@@ -14,6 +14,7 @@ Usage: python tools/sweep_registry.py [--sf-dir DIR] [--out FILE]
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import sys
 import time
@@ -47,11 +48,27 @@ def main() -> None:
     for i, name in enumerate(sorted(queries)):
         t0 = time.perf_counter()
         try:
-            queries[name](spark, args.sf_dir).collect()
+            # noop write, same rationale as bench.py: count() prunes
+            # window/projection work from the timed plan, collect()
+            # adds driver serialization no pipeline pays at scale
+            queries[name](spark, args.sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as ex:  # record, keep sweeping
             errors[name] = f"{type(ex).__name__}: {ex}"[:200]
         spark.catalog.clearCache()
+        # Per-query hygiene a long-lived query server would apply:
+        # Python GC releases py4j references so the JVM can collect
+        # retired plan trees/broadcasts (259 queries of accumulated
+        # refs otherwise squeeze old-gen late in the sweep), and any
+        # localCheckpoint blocks a query left behind are unpersisted
+        # (clearCache only drops catalog-cached frames).
+        gc.collect()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(True)
         print(
             f"[{i + 1}/{len(queries)}] {name}: "
             f"{timings.get(name, 'ERR')}s",
