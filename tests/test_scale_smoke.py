@@ -471,12 +471,12 @@ def test_poisson_bootstrap_5m_rows(spark, big_events):
     # (SE ≈ 0.02 at this n) — the bootstrap itself never leaves one
     # map-side-combined aggregate
     from the_framework_for_clustering_time_series_data_spark.operators.stats import (
-        POISSON_T60,
+        POISSON_T28,
         poisson_bootstrap_moments,
     )
     from the_framework_for_clustering_time_series_data_spark.plans.event_plans import _BOOT_T
 
-    assert tuple(_BOOT_T) == POISSON_T60  # one threshold table, two homes
+    assert tuple(_BOOT_T) == POISSON_T28  # one threshold table, two homes
 
     df, _ = big_events
     x = df.select(

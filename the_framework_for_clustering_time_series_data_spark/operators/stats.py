@@ -55,19 +55,21 @@ def length_stats(df: DataFrame) -> DataFrame:
 # registered plans and the 5M-row scale smokes)
 # --------------------------------------------------------------------------
 
-#: integer thresholds for the Poisson(1) CDF on a 60-bit uniform,
+#: integer thresholds for the Poisson(1) CDF on a 28-bit uniform,
 #: k = 0..3 (weights cap at 4). NORMATIVE VALUES: computed as
-#: int(float(P(X<=k)) * 2**60) in IEEE DOUBLE — i.e. from math.exp(-1),
-#: not from the exact rational CDF, whose floors differ in the last
-#: ~2 decimal digits. Do not re-derive with exact arithmetic: these
-#: literals ARE the definition both engines compare against (the
-#: ~1e-17 placement difference is statistically irrelevant; bit
-#: equality of the table is what parity needs).
-POISSON_T60 = (
-    424136118829305344,
-    848272237658610688,
-    1060340297073263360,
-    1131029650211480960,
+#: int(float(P(X<=k)) * 2**28) in IEEE DOUBLE — i.e. from math.exp(-1),
+#: not from the exact rational CDF. Do not re-derive with exact
+#: arithmetic: these literals ARE the definition both engines compare
+#: against (placement error ~4e-9 per threshold is statistically
+#: irrelevant; bit equality of the table is what parity needs). 28
+#: bits = 7 hex chars, so ONE md5 yields FOUR independent uniforms
+#: (chars 1-7, 8-14, 15-21, 22-28 of the 32-char digest) — the
+#: hash-budget layout poisson_bootstrap_moments exploits.
+POISSON_T28 = (
+    98751885,
+    197503771,
+    246879713,
+    263338361,
 )
 
 
@@ -79,26 +81,57 @@ def poisson_bootstrap_moments(
     reps: int = 32,
 ) -> DataFrame:
     """Single-pass Poisson-bootstrap replicate moments: every row joins
-    each replicate with an md5-deterministic Poisson(1) weight (top 60
-    bits of md5(id:rep) vs exact integer CDF thresholds — no RNG, no
-    transcendental in-plan) and one map-side-combined aggregate emits
-    ``(key..., rep, s, n)``: the weighted cent-sum and weight-count per
-    replicate. Replicate mean = s/n/100. The row blow-up (× reps) lives
-    only in the map stage; the shuffle carries key × rep partials."""
-    r = df.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))))
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", id_col, "rep")), 1, 15), 16, 10
-    ).cast("long")
-    cnt = (
-        F.when(h < POISSON_T60[0], 0)
-        .when(h < POISSON_T60[1], 1)
-        .when(h < POISSON_T60[2], 2)
-        .when(h < POISSON_T60[3], 3)
-        .otherwise(4)
+    each replicate with an md5-deterministic Poisson(1) weight and one
+    map-side-combined aggregate emits ``(key..., rep, s, n)``: the
+    weighted cent-sum and weight-count per replicate. Replicate mean =
+    s/n/100. The row blow-up (× reps) lives only in the map stage; the
+    shuffle carries key × rep partials.
+
+    Hash budget + codegen discipline: each digest is chopped into FOUR
+    independent 28-bit uniforms (7 hex chars each, vs the POISSON_T28
+    integer-CDF table), so replicate rep reads chunk rep%4 of
+    md5(id:rep//4) — reps/4 hashes per row. The kernel is a TWO-LEVEL
+    posexplode (rows × blocks, then × 4 chunks) so every expression
+    stays FLAT inside whole-stage codegen: computing the weights
+    inside a transform() lambda instead ran the md5 chunking
+    INTERPRETED (Spark evaluates higher-order-function lambdas outside
+    codegen) and was 25% SLOWER than the 32-md5 original. Measured at
+    sf0.1: 4.8 s → 3.0 s. Assumes reps % 4 == 0."""
+    blocks = (reps + 3) // 4
+    r1 = df.select(
+        *key_cols,
+        F.col(value_cents_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws(":", F.col(id_col), F.lit(b)).cast("binary"))
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("_blk", "_h"),
     )
-    return r.groupBy(*key_cols, "rep").agg(
-        F.sum(cnt * F.col(value_cents_col)).alias("s"),
-        F.sum(cnt).alias("n"),
+
+    def cnt(c: int):
+        u = F.conv(F.substring(F.col("_h"), 1 + 7 * c, 7), 16, 10).cast("long")
+        return (
+            F.when(u < POISSON_T28[0], 0)
+            .when(u < POISSON_T28[1], 1)
+            .when(u < POISSON_T28[2], 2)
+            .when(u < POISSON_T28[3], 3)
+            .otherwise(4)
+        )
+
+    r2 = r1.select(
+        *key_cols,
+        F.col(value_cents_col),
+        "_blk",
+        F.posexplode(F.array(*[cnt(c) for c in range(4)])).alias("_chunk", "_w"),
+    )
+    return r2.groupBy(
+        *key_cols, (F.col("_blk") * 4 + F.col("_chunk")).alias("rep")
+    ).agg(
+        F.sum(F.col("_w") * F.col(value_cents_col)).alias("s"),
+        F.sum("_w").alias("n"),
     )
 
 

@@ -2276,10 +2276,10 @@ def a9_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Poisson-bootstrap confidence intervals (single-pass uncertainty)
 # --------------------------------------------------------------------------
 
-#: the Poisson(1)-CDF threshold table (see operators/stats.POISSON_T60,
+#: the Poisson(1)-CDF threshold table (see operators/stats.POISSON_T28,
 #: the single normative home) — re-exported so the oracle f-string and
 #: older imports keep working.
-from the_framework_for_clustering_time_series_data_spark.operators.stats import POISSON_T60 as _BOOT_T
+from the_framework_for_clustering_time_series_data_spark.operators.stats import POISSON_T28 as _BOOT_T
 _BOOT_REPS = 32
 
 
@@ -2293,9 +2293,12 @@ WITH x AS (
   FROM events WHERE value IS NOT NULL
 ),
 r AS (
+  -- replicate rep reads 28-bit chunk rep%4 of md5(id:rep//4) — the
+  -- stats.POISSON_T28 hash-budget layout (4 uniforms per digest)
   SELECT x.event_type, x.v_cents,
          g.rep,
-         CAST(('0x' || substr(md5(x.event_id || ':' || g.rep), 1, 15)) AS BIGINT) AS h
+         CAST(('0x' || substr(md5(x.event_id || ':' || (g.rep // 4)),
+                              1 + 7 * (g.rep % 4), 7)) AS BIGINT) AS h
   FROM x CROSS JOIN (SELECT unnest(range({_BOOT_REPS})) AS rep) g
 ),
 c AS (
