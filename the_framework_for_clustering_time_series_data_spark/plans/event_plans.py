@@ -212,6 +212,66 @@ def r1_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_incremental_rollup",
+    """
+SELECT user_id AS series_id,
+       count(DISTINCT date_trunc('day', ts)) AS n_days,
+       count(*) AS n_events,
+       floor(CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100.0 * 1e6 + 0.5) / 1e6 AS mean_value,
+       CAST(min(floor(value * 100 + 0.5)) AS DOUBLE) / 100.0 AS v_min,
+       CAST(max(floor(value * 100 + 0.5)) AS DOUBLE) / 100.0 AS v_max
+FROM events WHERE value IS NOT NULL
+GROUP BY 1
+""",
+)
+def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance proof: per-series lifetime stats
+    computed ONLY from daily partial aggregates — the incremental-MV
+    path a 100-TB hypertable uses, where each new day appends one
+    (series, day) partial of mergeable state (cent-sum, count, min,
+    max) and every query reads partials, never raw history. The DuckDB
+    oracle computes the same stats from RAW rows, so the value-hash
+    match proves the daily-partial decomposition is lossless — exact
+    integer cent sums compose associatively, min/max compose, and the
+    partial ROW COUNT is exactly the distinct-day count. Two shuffles
+    ((series, day) then series), both map-side combined; at scale the
+    first materializes once per day, not per query."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = ev.groupBy(
+        F.col("user_id").alias("series_id"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(
+        F.sum(cents).alias("s"),
+        F.count("*").alias("n"),
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+    )
+    merged = daily.groupBy("series_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("n_events"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+    return merged.select(
+        "series_id",
+        "n_days",
+        "n_events",
+        (
+            F.floor(
+                F.col("s").cast("double") / F.col("n_events") / 100.0 * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("mean_value"),
+        (F.col("mn").cast("double") / 100.0).alias("v_min"),
+        (F.col("mx").cast("double") / 100.0).alias("v_max"),
+    )
+
+
+@register(
     "w1_rank_lag_lead",
     """
 WITH ranked AS (
