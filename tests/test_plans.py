@@ -818,3 +818,13 @@ def test_new_llm_queries_plan_shapes(spark):
     jl = _plan(spark, "emb_rand_projection")
     assert "CartesianProduct" not in jl
     assert "BroadcastNestedLoopJoin" in jl  # the 30-row broadcast pair join
+
+
+def test_cdc_dimension_lookup_is_keyed_join(spark):
+    """The per-event SCD2 lookup must plan as a KEYED join on user_id
+    (broadcast or sort-merge — the interval predicate rides as a
+    post-join filter), never a range cartesian."""
+    plan = _plan(spark, "cdc_dimension_lookup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)

@@ -209,3 +209,51 @@ def cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "version", "tier", "valid_from")
+
+
+@register(
+    "cdc_dimension_lookup",
+    f"""
+WITH {_SCD2_CTES},
+f AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT f.event_id, f.user_id,
+       coalesce(s.version, -1) AS version,
+       coalesce(s.tier, -1) AS tier
+FROM f LEFT JOIN scd2 s
+  ON s.user_id = f.user_id AND s.valid_from <= f.ts
+ AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+""",
+)
+def cdc_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event SCD2 version lookup — the temporal dimension enrich a
+    warehouse fact pipeline runs on every batch: each 'view' event
+    joins the dimension version valid AT ITS OWN event time
+    (half-open [valid_from, valid_to); views before the user's first
+    transition get version/tier −1). Completes the CDC read surface
+    next to cdc_snapshot_asof (ONE time for ALL keys) with the
+    per-row-time form (one time PER FACT row).
+
+    Shape: an EQUI join on user_id with the interval predicate as a
+    post-join filter — SortMergeJoin on the key, never a range
+    cartesian; intervals per key are disjoint and partition the
+    timeline, so at most one version survives per fact. At 100 TB the
+    dimension side is the compacted SCD2 table (small vs facts) and
+    broadcasts; the fact side never reshuffles more than once."""
+    iv = _scd2_intervals(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.where(F.col("event_type") == "view").select(
+        "event_id", F.col("user_id").alias("f_uid"), "ts"
+    )
+    j = f.join(
+        iv,
+        (F.col("f_uid") == iv["user_id"])
+        & (iv["valid_from"] <= F.col("ts"))
+        & (iv["valid_to"].isNull() | (F.col("ts") < iv["valid_to"])),
+        "left",
+    )
+    return j.select(
+        "event_id",
+        F.col("f_uid").alias("user_id"),
+        F.coalesce(F.col("version"), F.lit(-1)).alias("version"),
+        F.coalesce(F.col("tier"), F.lit(-1)).alias("tier"),
+    )
