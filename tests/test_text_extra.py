@@ -36,3 +36,47 @@ def test_bpe_merges_deterministic_and_monotone_on_corpus(spark):
         for side in (left, right):
             assert len(side) == 1 or side in known
         known.add(left + right)
+
+
+def test_round7_llm_query_invariants(spark):
+    """Structural invariants for the round-7 additions, on top of their
+    value-hash oracles: MMR's rank-1 pick IS the plain cosine top-1,
+    selections are distinct and pool-bounded; feature AUCs are valid
+    probabilities with the token-count feature (x4) dominant (quality
+    embeds a token-count term by construction); boilerplate fractions
+    are exact-count ratios in [0,1]; JL distortion is a shared-quanta
+    difference with the expected O(1/sqrt(m)) magnitude."""
+    from tests.conftest import SF_ORACLE
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+
+    mmr = QUERIES["retrieval_mmr_rerank"](spark, SF_ORACLE).collect()
+    top1 = {
+        (r["query_id"], r["nbr_id"])
+        for r in QUERIES["sim_bruteforce_topk"](spark, SF_ORACLE).collect()
+        if r["rank"] == 1
+    }
+    by_q: dict = {}
+    for r in mmr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 3
+    for qid, rows in by_q.items():
+        assert len(rows) == 10
+        assert len({r["nbr_id"] for r in rows}) == 10
+        first = min(rows, key=lambda r: r["mmr_rank"])
+        assert (qid, first["nbr_id"]) in top1
+
+    aucs = {r["feature"]: r["auc"] for r in QUERIES["ml_auc_features"](spark, SF_ORACLE).collect()}
+    assert set(aucs) == {f"x{i}" for i in range(1, 7)}
+    assert all(0.0 <= a <= 1.0 for a in aucs.values())
+    assert aucs["x4"] > 0.9  # log token count ranks the quartile extremes
+
+    bp = QUERIES["text_boilerplate_shingles"](spark, SF_ORACLE).collect()
+    assert bp and all(0 <= r["n_boiler"] <= r["n_grams"] for r in bp)
+    assert all(abs(r["boiler_frac"] * r["n_grams"] - r["n_boiler"]) < 1 for r in bp)
+
+    jl = QUERIES["emb_rand_projection"](spark, SF_ORACLE).collect()
+    assert len(jl) == 435
+    import statistics
+    errs = [r["abs_err"] for r in jl]
+    assert all(abs(r["abs_err"] - abs(r["cos_orig"] - r["cos_proj"])) < 2e-6 for r in jl)
+    assert statistics.mean(errs) < 3 / 16 ** 0.5  # JL: O(1/sqrt(m)) distortion
