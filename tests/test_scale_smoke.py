@@ -735,3 +735,45 @@ def test_quality_logit_gradient_parity_beyond_int64_ceiling(spark, tmp_path):
         con.execute(entry_mod.oracle_sql()["text_quality_logit_det"]).fetchall()
     )
     assert got == want
+
+
+def test_boilerplate_shingles_1m_docs(spark):
+    """The round-7 shifted-zip shingle fold at volume, closed-form: 1M
+    generated docs, 10% carrying a shared 5-token header before an
+    8-token unique body. Header-only trigrams have document frequency
+    100k (>= the min_df=5 gate); every trigram touching body tokens is
+    doc-unique (DF=1). So each header doc has EXACTLY 3 boilerplate
+    instances out of 11 trigrams and every clean doc has 0 — checkable
+    to the last row. Exercises the string-gram map stage + the
+    gram-keyed DF shuffle at 1M x 13 tokens (~11M gram rows), where
+    the old per-position slice form was 8x the map cost."""
+    from the_framework_for_clustering_time_series_data_spark.operators.text import boilerplate_shingles
+
+    n, header_every = 1_000_000, 10
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % header_every == 0).alias("has_hdr"),
+    )
+    body = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit(f"u{j}_"), F.conv(F.col("doc_id"), 10, 16))
+            for j in range(8)
+        ],
+    )
+    docs = base.select(
+        "doc_id",
+        F.when(
+            F.col("has_hdr"),
+            F.concat(F.lit("hdr1 hdr2 hdr3 hdr4 hdr5 "), body),
+        )
+        .otherwise(body)
+        .alias("text"),
+    )
+    out = boilerplate_shingles(docs, n=3, min_df=5)
+    agg = out.groupBy("n_boiler", "n_grams").count().collect()
+    got = {(r["n_boiler"], r["n_grams"]): r["count"] for r in agg}
+    assert got == {
+        (3, 11): n // header_every,   # header docs: 3 of 11 trigrams
+        (0, 6): n - n // header_every,  # clean docs: 8 tokens -> 6 trigrams
+    }
