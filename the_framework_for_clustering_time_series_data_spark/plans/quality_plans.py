@@ -368,3 +368,89 @@ def priv_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("day").alias("day_us"),
         F.greatest(F.lit(0), F.col("n") + noise).cast("long").alias("noisy_n"),
     )
+
+
+@register(
+    "dq_psi_value_drift",
+    """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS period,
+         CAST(greatest(least(floor(value / 10), 9), 0) AS INT) AS bin
+  FROM events WHERE value IS NOT NULL
+),
+c AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS nb
+  FROM e GROUP BY 1, 2
+),
+t AS (SELECT event_type, sum(na) AS ta, sum(nb) AS tb FROM c GROUP BY 1),
+q AS (
+  SELECT c.event_type,
+         floor(((CAST(c.nb AS DOUBLE) + 0.5) / (CAST(t.tb AS DOUBLE) + 5)
+                - (CAST(c.na AS DOUBLE) + 0.5) / (CAST(t.ta AS DOUBLE) + 5))
+               * ln(((CAST(c.nb AS DOUBLE) + 0.5) / (CAST(t.tb AS DOUBLE) + 5))
+                    / ((CAST(c.na AS DOUBLE) + 0.5) / (CAST(t.ta AS DOUBLE) + 5)))
+               * 1e12 + 0.5) AS term
+  FROM c JOIN t USING (event_type)
+)
+SELECT q.event_type,
+       CAST(t.ta AS BIGINT) AS n_a,
+       CAST(t.tb AS BIGINT) AS n_b,
+       floor(CAST(sum(CAST(q.term AS BIGINT)) AS DOUBLE) / 1e6 + 0.5) / 1e6 AS psi
+FROM q JOIN t USING (event_type)
+GROUP BY 1, 2, 3
+""",
+)
+def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the per-type value distribution
+    between two time periods (before/after 2024-01-16) — THE standard
+    production drift monitor for a feature/score column: 10 fixed
+    [0,100) decile-width bins (clamped), Laplace-smoothed proportions
+    (n+0.5)/(N+5), PSI = Σ (p_b − p_a)·ln(p_b/p_a). Rule of thumb:
+    <0.1 stable, 0.1-0.25 moderate, >0.25 drifted — emitted unflagged
+    so thresholds stay the caller's policy.
+
+    Parity: proportions are exact rationals on shared integer counts;
+    each bin term quantizes to an exact pico-unit int64 before the
+    association-order-proof integer sum (ln carries the measure-zero
+    ulp caveat, the c7b discipline). Shape: one shuffle on
+    (event_type, bin) with map-side partials, a broadcast-size totals
+    join, one 10-term reduce per type — a pure two-aggregate pass at
+    any scale. Bins absent in one period survive via smoothing; bins
+    absent in both contribute exactly 0 in either engine."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("period"),
+        F.greatest(
+            F.least(F.floor(F.col("value") / 10), F.lit(9)), F.lit(0)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    c = e.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("nb"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    j = c.join(t, "event_type")
+    pa = (F.col("na").cast("double") + 0.5) / (F.col("ta").cast("double") + 5)
+    pb = (F.col("nb").cast("double") + 0.5) / (F.col("tb").cast("double") + 5)
+    term = F.floor((pb - pa) * F.log(pb / pa) * 1e12 + 0.5)
+    q = j.select("event_type", "ta", "tb", term.alias("term"))
+    return q.groupBy(
+        "event_type",
+        F.col("ta").cast("long").alias("n_a"),
+        F.col("tb").cast("long").alias("n_b"),
+    ).agg(
+        (
+            F.floor(F.sum(F.col("term").cast("long")).cast("double") / 1e6 + 0.5)
+            / 1e6
+        ).alias("psi")
+    )
