@@ -752,3 +752,66 @@ def pack_harmonic_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("load_tokens"),
         F.round(F.sum("n_tokens").cast("double") / _HB_CAP, 6).alias("util"),
     )
+
+
+@register(
+    "corpus_token_budget",
+    r"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+         length(text) AS n_chars,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, n_tok,
+         round(least(n_tok / 100.0, 1.0) * 0.3
+               + (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / n_chars) * 0.4
+               + least((len(list_filter(toks,
+                     x -> x IN ('the','and','of','to','a','in','is','that','for','it')))::DOUBLE
+                     / n_tok) * 5, 1.0) * 0.3, 6) AS quality
+  FROM t
+),
+r AS (
+  SELECT doc_id, lang, n_tok, quality,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, lang, n_tok, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= 5000
+""",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted corpus selection: per language, keep the
+    highest-quality documents (heuristic gate score, doc_id tiebreak)
+    while the RUNNING token total stays within a 5000-token budget —
+    the 'best N tokens per language' cut every pretraining data recipe
+    makes between curation and packing (the greedy prefix by quality
+    under a cumulative constraint; the boundary-crossing doc is
+    dropped, the standard conservative form).
+
+    Shape: one map pass for tokens+quality, ONE shuffle on lang with a
+    streaming running-sum frame, a pushable filter on the cumulative —
+    no joins, no driver state. At 100 TB the per-lang sort is the only
+    superlinear stage and rides the same exchange as the window; for
+    heavily-skewed language mixes, pre-aggregate to (quality-bucket,
+    lang) partial sums first (the a5c bottom-k discipline). Quality
+    replays the gate's exact expression (shared with the DuckDB twin);
+    the running sum is exact integer tokens."""
+    from the_framework_for_clustering_time_series_data_spark.operators.text import quality_score, tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "lang", F.size(tokens_expr()).alias("n_tok")
+    ).join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = q.withColumn("cum_tokens", F.sum("n_tok").over(w))
+    return r.where(F.col("cum_tokens") <= 5000).select(
+        "doc_id", "lang", "n_tok", "quality", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )
