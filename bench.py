@@ -157,6 +157,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
         n = QUERIES[name](spark, args.sf_dir).count()  # untimed row report
+        # the untimed count can itself materialize an operator's
+        # .cache(); clear again so it can't warm the NEXT query's cold run
+        spark.catalog.clearCache()
         print(
             f"# {name}: {timings[name]}s steady / {cold[name]}s cold ({n} rows)",
             file=sys.stderr,

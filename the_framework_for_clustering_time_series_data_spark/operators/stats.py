@@ -96,7 +96,9 @@ def poisson_bootstrap_moments(
     inside a transform() lambda instead ran the md5 chunking
     INTERPRETED (Spark evaluates higher-order-function lambdas outside
     codegen) and was 25% SLOWER than the 32-md5 original. Measured at
-    sf0.1: 4.8 s → 3.0 s. Assumes reps % 4 == 0."""
+    sf0.1: 4.8 s → 3.0 s. When ``reps % 4 != 0`` the surplus chunk
+    replicates of the last block are filtered so rep ids are exactly
+    ``0..reps-1``."""
     blocks = (reps + 3) // 4
     r1 = df.select(
         *key_cols,
@@ -127,6 +129,10 @@ def poisson_bootstrap_moments(
         "_blk",
         F.posexplode(F.array(*[cnt(c) for c in range(4)])).alias("_chunk", "_w"),
     )
+    if reps % 4:
+        # drop the ceil(reps/4)*4 - reps surplus chunk replicates so a
+        # caller passing reps=30 gets exactly rep ids 0..29, not 32
+        r2 = r2.where(F.col("_blk") * 4 + F.col("_chunk") < F.lit(reps))
     return r2.groupBy(
         *key_cols, (F.col("_blk") * 4 + F.col("_chunk")).alias("rep")
     ).agg(

@@ -243,7 +243,11 @@ def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("series_id"),
         F.date_trunc("day", F.col("ts")).alias("day"),
     ).agg(
-        F.sum(cents).alias("s"),
+        # decimal(38,0) partials mirror DuckDB's sum(BIGINT)→HUGEINT
+        # promotion — int64 sums would wrap silently past 2^63-1 cents
+        # (the exact_mean6 hardening; ~9.2e16 dollars per series is the
+        # honest ceiling, effectively unreachable)
+        F.sum(cents.cast("decimal(38,0)")).alias("s"),
         F.count("*").alias("n"),
         F.min(cents).alias("mn"),
         F.max(cents).alias("mx"),

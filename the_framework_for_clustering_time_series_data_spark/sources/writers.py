@@ -83,6 +83,20 @@ def read_jsonl(spark, path: str, schema: str | None = None):
     return r.json(path)
 
 
+def _guard_distinct_paths(src_path: str, dst_path: str) -> None:
+    """Refuse in-place compaction: mode("overwrite") TRUNCATES the
+    destination before the lazy source read completes, so
+    dst == src would destroy the data being compacted."""
+    from pathlib import Path
+
+    if Path(dst_path).resolve() == Path(src_path).resolve():
+        raise ValueError(
+            f"dst_path must differ from src_path ({src_path!r}): "
+            "overwrite truncates the destination while the source is "
+            "still being read lazily — in-place compaction loses data"
+        )
+
+
 def compact_parquet(
     spark,
     src_path: str,
@@ -103,6 +117,7 @@ def compact_parquet(
     partition small-file explosion repartition(n) would reintroduce).
     Returns the number of files requested.
     """
+    _guard_distinct_paths(src_path, dst_path)
     df = spark.read.parquet(src_path)
     # inputFiles() lists paths; size them via Hadoop FS (metadata only, no data read)
     jvm = spark._jvm
@@ -236,6 +251,7 @@ def compact_parquet_preserve_order(
     ``sortWithinPartitions`` to restore within-file order. No
     all-to-one sort, no driver data. Returns the file count requested.
     """
+    _guard_distinct_paths(src_path, dst_path)
     df = spark.read.parquet(src_path)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -691,13 +691,24 @@ def read_merge_target(spark, target_dir: str) -> DataFrame:
     ``action`` column reconstructed from provenance (never touched →
     kept; touched base row → updated; touched non-base row →
     inserted) so the final state is schema-comparable to
-    cdc_merge_apply's output."""
+    cdc_merge_apply's output.
+
+    Reads the highest version that carries a ``_SUCCESS`` marker —
+    plain parquet overwrite is not atomic, so a concurrently running
+    stream (or a crash mid-write of ``target_v{b+1}``) can leave a
+    partially written top directory; the marker is committed last, so
+    marker-gated selection always reads a complete snapshot."""
     from pathlib import Path
 
     versions = sorted(
         int(p.name.rsplit("_v", 1)[1])
         for p in Path(target_dir).glob("target_v*")
+        if (p / "_SUCCESS").exists()
     )
+    if not versions:
+        raise FileNotFoundError(
+            f"no complete target_v* snapshot (with _SUCCESS) under {target_dir}"
+        )
     df = spark.read.parquet(f"{target_dir}/target_v{versions[-1]}")
     return df.where(~F.col("is_deleted")).select(
         "custkey",
