@@ -246,6 +246,16 @@ def test_dq_and_profile_single_scan(spark):
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
 
 
+def test_corpus_token_budget_single_scan_no_join(spark):
+    """The quality gate must be FOLDED into the token projection
+    (quality_expr), not joined back on doc_id — one FileScan of
+    documents, zero joins (round-8 verdict ask #2)."""
+    plan = _plan(spark, "corpus_token_budget")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join not in plan
+
+
 def test_e7_streaks_single_exchange(spark):
     # distinct, island window, island aggregate, and ranking windows
     # all key on user_id -> ONE hash exchange end-to-end

@@ -54,6 +54,24 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The combined [0,1] quality-gate score as a bare column
+    expression (rounded to 6 dp) — composable into any projection so
+    consumers (corpus_token_budget) can fold it into an existing scan
+    instead of joining :func:`quality_score` output back on doc_id."""
+    toks = tokens_expr(text_col)
+    text = F.col(text_col)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    sw = LANG_STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    score = (
+        F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.3
+        + (n_alpha / F.length(text)) * 0.4
+        + F.least((n_stop / F.size(toks)) * 5, F.lit(1.0)) * 0.3
+    )
+    return F.round(score, 6)
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality signals: length, alpha ratio, punctuation
     ratio, English-stopword ratio, and a combined [0,1] score (the

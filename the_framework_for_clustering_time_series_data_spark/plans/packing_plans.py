@@ -792,7 +792,9 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     under a cumulative constraint; the boundary-crossing doc is
     dropped, the standard conservative form).
 
-    Shape: one map pass for tokens+quality, ONE shuffle on lang with a
+    Shape: one map pass for tokens+quality (the gate score folded into
+    the token projection via ``quality_expr`` — a SINGLE FileScan of
+    documents, no join-back on doc_id), ONE shuffle on lang with a
     streaming running-sum frame, a pushable filter on the cumulative —
     no joins, no driver state. At 100 TB the per-lang sort is the only
     superlinear stage and rides the same exchange as the window; for
@@ -800,12 +802,15 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang) partial sums first (the a5c bottom-k discipline). Quality
     replays the gate's exact expression (shared with the DuckDB twin);
     the running sum is exact integer tokens."""
-    from the_framework_for_clustering_time_series_data_spark.operators.text import quality_score, tokens_expr
+    from the_framework_for_clustering_time_series_data_spark.operators.text import quality_expr, tokens_expr
 
     docs = load_table(spark, sf_dir, "documents")
     q = docs.select(
-        "doc_id", "lang", F.size(tokens_expr()).alias("n_tok")
-    ).join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+        "doc_id",
+        "lang",
+        F.size(tokens_expr()).alias("n_tok"),
+        quality_expr().alias("quality"),
+    )
     w = (
         Window.partitionBy("lang")
         .orderBy(F.col("quality").desc(), "doc_id")
