@@ -1,14 +1,18 @@
 """Serve-path honesty measurement for the persisted IVF family
-(round-7 verdict ask #5): the registry entry ``sim_ivfb_persisted``
-deliberately measures build + persist + probe per invocation (a
-self-contained value-verified query), which hides the serving probe's
+(round-7 verdict ask #5; MLlib variant added round 8, ask #3): the
+registry entries ``sim_ivfb_persisted`` and ``sim_ivf_persisted_topk``
+deliberately measure build + persist + probe per invocation
+(self-contained verified queries), which hides the serving probe's
 real latency. This tool splits the two: build + persist ONCE, then
 time the DPP-pruned probe alone over repeated runs — the number a
-serving deployment actually sees per query batch.
+serving deployment actually sees per query batch. Both index builders
+share ``ivf_probe_index``, so the probe numbers differ only by cell
+assignment balance.
 
 Usage: python tools/measure_ivf_serve.py [--sf-dir DIR] [--runs N]
-Prints one JSON line: {"build_persist_sec": ..., "probe_median_sec":
-..., "probe_runs": [...], "sf_dir": ...}.
+       [--variant deterministic|mllib|both]
+Prints one JSON line per variant: {"variant": ..., "build_persist_sec":
+..., "probe_median_sec": ..., "probe_runs": [...], "sf_dir": ...}.
 """
 
 from __future__ import annotations
@@ -28,6 +32,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument(
+        "--variant", choices=["deterministic", "mllib", "both"], default="both"
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,33 +53,43 @@ def main() -> None:
 
     emb = load_table(spark, args.sf_dir, "embeddings")
     emb.count()  # JVM/scan warmup so build_persist_sec isn't cold-start
-    path = tempfile.mkdtemp(prefix="ivfb_serve_measure_")
-    try:
-        t0 = time.perf_counter()
-        similarity.build_ivf_index_deterministic(emb, path, n_cells=16)
-        build_s = round(time.perf_counter() - t0, 3)
 
-        queries = emb.where(F.col("vec_id") < 10)
-        probes = []
-        for _ in range(args.runs):
+    builders = {
+        "deterministic": similarity.build_ivf_index_deterministic,
+        "mllib": similarity.build_ivf_index,
+    }
+    variants = (
+        list(builders) if args.variant == "both" else [args.variant]
+    )
+    for variant in variants:
+        path = tempfile.mkdtemp(prefix=f"ivf_serve_{variant}_")
+        try:
             t0 = time.perf_counter()
-            similarity.ivf_probe_index(
-                spark, path, queries, k=5, nprobe=4
-            ).collect()
-            probes.append(round(time.perf_counter() - t0, 3))
-        med = sorted(probes)[len(probes) // 2]
-        print(
-            json.dumps(
-                {
-                    "build_persist_sec": build_s,
-                    "probe_median_sec": med,
-                    "probe_runs": probes,
-                    "sf_dir": args.sf_dir,
-                }
+            builders[variant](emb, path, n_cells=16)
+            build_s = round(time.perf_counter() - t0, 3)
+
+            queries = emb.where(F.col("vec_id") < 10)
+            probes = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                similarity.ivf_probe_index(
+                    spark, path, queries, k=5, nprobe=4
+                ).collect()
+                probes.append(round(time.perf_counter() - t0, 3))
+            med = sorted(probes)[len(probes) // 2]
+            print(
+                json.dumps(
+                    {
+                        "variant": variant,
+                        "build_persist_sec": build_s,
+                        "probe_median_sec": med,
+                        "probe_runs": probes,
+                        "sf_dir": args.sf_dir,
+                    }
+                )
             )
-        )
-    finally:
-        shutil.rmtree(path, ignore_errors=True)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 if __name__ == "__main__":
