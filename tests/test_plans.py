@@ -838,3 +838,33 @@ def test_cdc_dimension_lookup_is_keyed_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_substring_spans_hashed_equivalence_and_plan(spark):
+    """Round-8 ask #4: the composed-hash span audit must return
+    IDENTICAL rows to the md5-of-span-string form (collisions in the
+    ~60-bit window key are whp-never at test scale) for BOTH hash
+    families, and keep the string form's plan shape: shingle-hash
+    equi-join only, long join keys, no cartesian."""
+    from tests.conftest import SF_SMALL
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    base = sorted(
+        map(tuple, dedup.substring_span_audit(docs, span=15).collect())
+    )
+    for family in ("md5", "xxhash64"):
+        got = sorted(
+            map(
+                tuple,
+                dedup.substring_span_audit_hashed(
+                    docs, span=15, family=family
+                ).collect(),
+            )
+        )
+        assert got == base, family
+
+    plan = _plan(spark, "dedup_substring_spans_hashed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1134,21 +1134,86 @@ def substring_span_audit(
     window position), then ONE shuffle on the span hash for the
     document-frequency count and one hash-keyed join back; the per-doc
     rollup rides the id key. Window hashing is md5-of-span-string —
-    portable (the DuckDB oracle reproduces it verbatim); at fleet
-    scale swap xxhash64 over composed token hashes for ~8× cheaper
-    hashing at the cost of the oracle (the _hashed_shingles
-    tradeoff)."""
-    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
-
+    portable (the DuckDB oracle reproduces it verbatim); the fleet
+    scale form is :func:`substring_span_audit_hashed` (xxhash64 over
+    composed token hashes — ~8× cheaper hashing, 8-byte keys)."""
     # window strings via the shared shifted-zip fold (_shingles_raw —
     # ~30% cheaper than per-position slice+concat_ws even at span=15),
-    # then one md5 per window. The (id, hash) posting list feeds TWO
-    # consumers (the document-frequency count and the join back), so
-    # it is checkpointed — without it Spark re-ran the whole
-    # window-build+md5 map stage per consumer (6.4 → ~3.8 s at sf0.1).
+    # then one md5 per window.
     spans = F.transform(
         _shingles_raw(text_col, span), lambda s: F.md5(s.cast("binary"))
     )
+    return _span_audit_rollup(df, spans, id_col)
+
+
+def _hashed_spans_raw(text_col: str, n: int, family: str = "xxhash64") -> F.Column:
+    """NON-distinct 64-bit composed window hashes — the scale form of
+    the span audit's window key: hash each token once, then combine
+    the n consecutive token hashes position-sensitively with
+    RIGHT-shift + xor (``xor_j(h_j >> j)``). Right shifts, unlike
+    ``_hashed_shingles``'s left shifts, never leave int64 — DuckDB
+    RAISES on left-shift overflow while Spark wraps, a silent
+    cross-engine divergence once n-1 shift bits exceed the 60-bit md5
+    family's 3 spare bits (fine at trigram n=3, fatal at span=15).
+    Each term keeps its high 64-n bits, so the composed key still has
+    ~60 bits of entropy — collisions whp-never at corpus scale.
+
+    ``family``: "xxhash64" (prod, one JVM op per token) or "md5" (the
+    portable ``md5_60bit_hash`` family DuckDB reproduces bit-
+    identically, for the oracle-checked twin)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if family == "md5":
+        th = F.transform(toks, md5_60bit_hash)
+    else:
+        th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def combine(th_arr: F.Column):
+        def h(i: F.Column) -> F.Column:
+            acc = F.get(th_arr, i)
+            for j in range(1, n):
+                acc = acc.bitwiseXOR(F.shiftright(F.get(th_arr, i + j), j))
+            return acc
+
+        # same size<n guard as _shingles_raw (sequence would descend)
+        idx = F.when(
+            F.size(th_arr) >= n, F.sequence(F.lit(0), F.size(th_arr) - F.lit(n))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, h)
+
+    # bind the token-hash array once per row (see _hashed_shingles)
+    return F.get(F.transform(F.array(th), combine), 0)
+
+
+def substring_span_audit_hashed(
+    df: DataFrame,
+    span: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    family: str = "xxhash64",
+) -> DataFrame:
+    """:func:`substring_span_audit` with 64-bit composed-hash window
+    keys instead of md5-of-span-string — the fleet-scale form: no
+    per-window string materialization (the string form builds and
+    md5-hashes a ~100-char string per window position), one token-hash
+    pass + integer shift/xor per window, and 8-byte long join/shuffle
+    keys instead of 32-char md5 strings. Same output schema and —
+    collisions whp-aside — identical values (equivalence asserted
+    against the string form in tests). ``family="md5"`` is the
+    oracle-checked twin; xxhash64 is the production default."""
+    return _span_audit_rollup(
+        df, _hashed_spans_raw(text_col, span, family=family), id_col
+    )
+
+
+def _span_audit_rollup(df: DataFrame, spans: F.Column, id_col: str) -> DataFrame:
+    """Shared tail of the span-audit family: explode the per-doc
+    window-key array, mark keys seen in ≥2 distinct docs, roll up per
+    doc. The (id, key) posting list feeds TWO consumers (the
+    document-frequency count and the join back), so it is
+    checkpointed — without it Spark re-ran the whole window-build map
+    stage per consumer (6.4 → ~3.8 s at sf0.1)."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
     sp = df.select(F.col(id_col).alias("id"), F.explode(spans).alias("sh")).transform(
         stage_checkpoint, eager=False
     )
