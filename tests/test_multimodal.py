@@ -1947,3 +1947,91 @@ def test_jpeg_real_path_in_spark_without_pil(spark):
     for r in out.values():
         assert (r["width"], r["height"]) == (8, 8)
         assert abs(r["mean_intensity"] - 50.0 / 255.0) < 1e-6
+
+
+# ---------------------------------------------------------------- phash
+
+
+def test_png_gray_encode_decode_roundtrip():
+    """encode_png_gray → decode_png_luma is the identity on pixels
+    (gray luma IS the raw byte), for filter-0 scanlines of any size."""
+    px = bytes((i * 37 + 11) % 256 for i in range(9 * 8))
+    payload = multimodal.encode_png_gray(px, 9, 8)
+    w, h, grid = multimodal.decode_png_luma(payload)
+    assert (w, h) == (9, 8)
+    assert [v for row in grid for v in row] == list(px)
+
+
+def test_dhash_ahash_kernels_known_values():
+    """Hand-computed hashes on tiny grids: dHash of a strictly
+    increasing row grid is all zeros (left never > right); of a
+    strictly decreasing one, all ones (-1 signed). aHash of a
+    half-dark/half-bright 8×8 is the expected sign split."""
+    inc = [[c * 10 for c in range(9)] for _ in range(8)]
+    dec = [[(8 - c) * 10 for c in range(9)] for _ in range(8)]
+    assert multimodal.dhash64_from_luma(inc, 9, 8) == 0
+    assert multimodal.dhash64_from_luma(dec, 9, 8) == -1
+    half = [[0] * 8 for _ in range(4)] + [[200] * 8 for _ in range(4)]
+    # bottom 32 bits set (px >= mean only in the bright half):
+    # 0x00000000FFFFFFFF
+    assert multimodal.ahash64_from_luma(half, 8, 8) == 0xFFFFFFFF
+
+
+def test_box_mean_downscale_exact():
+    """Area downscale is the exact floor box mean, including uneven
+    box edges (w % tw != 0)."""
+    grid = [[r * 10 + c for c in range(10)] for r in range(4)]
+    out = multimodal._box_mean_downscale(grid, 10, 4, 5, 2)
+    # box (0,0): rows 0-1, cols 0-1 → mean of [0,1,10,11] = 5
+    assert out[0][0] == 5
+    assert len(out) == 2 and len(out[0]) == 5
+    # 9→8 uneven split keeps exactness (floor semantics)
+    g2 = [[c * 3 for c in range(9)] for _ in range(8)]
+    o2 = multimodal._box_mean_downscale(g2, 9, 8, 8, 8)
+    assert all(len(row) == 8 for row in o2)
+
+
+def test_phash_neardup_planted_recall_with_downscale(spark):
+    """The FULL pipeline at a size that exercises the area-downscale
+    path (36×32 → 9×8): planted near-duplicates (same image, small
+    local perturbation) are recovered by the banded join; unrelated
+    random images are not collapsed."""
+    import hashlib
+
+    def img_bytes(seed: str) -> bytearray:
+        raw = b"".join(
+            hashlib.sha256(f"{seed}:{k}".encode()).digest() for k in range(36)
+        )
+        return bytearray(raw[: 36 * 32])
+
+    rows = []
+    for i in range(20):
+        base = img_bytes(f"img{i}")
+        rows.append((2 * i, bytes(multimodal.encode_png_gray(base, 36, 32))))
+        near = bytearray(base)
+        # perturb one 4x4 box slightly — survives the box mean with a
+        # small delta, flips at most a couple of dHash bits
+        for dy in range(4):
+            for dx in range(4):
+                j = (8 + dy) * 36 + (12 + dx)
+                near[j] = min(255, near[j] + 9)
+        rows.append((2 * i + 1, bytes(multimodal.encode_png_gray(near, 36, 32))))
+    df = spark.createDataFrame(rows, "image_id long, payload binary")
+    hashes = multimodal.image_phash(df)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_neardup_pairs(
+            hashes, bands=4, max_hamming=3
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= pairs, planted - pairs  # every planted pair found
+    assert pairs == planted, pairs - planted  # no unrelated collapse
+
+
+def test_phash_pigeonhole_requires_valid_threshold(spark):
+    import pytest
+
+    df = spark.createDataFrame([(0, 0)], "image_id long, dhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.phash_neardup_pairs(df, bands=4, max_hamming=4)

@@ -868,3 +868,21 @@ def test_substring_spans_hashed_equivalence_and_plan(spark):
     plan = _plan(spark, "dedup_substring_spans_hashed")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mm_phash_neardup_blocked_equi_join_one_decode(spark):
+    """Round-8 ask #5: the perceptual-hash near-dup must (a) block via
+    a hash EQUI-join on band keys — never a cartesian / nested-loop
+    all-pairs — and (b) decode each image ONCE: the hash table is
+    checkpointed, so both join sides must read the checkpoint RDD
+    instead of re-running the Python decode stage."""
+    plan = _plan(spark, "mm_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+    # both sides scan the checkpointed decode output; no Python stage
+    # survives in the joined plan
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2
+    assert "MapInPandas" not in plan

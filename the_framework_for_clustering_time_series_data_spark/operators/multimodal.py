@@ -90,6 +90,19 @@ def decode_png_stdlib(payload: bytes) -> tuple[int, int, float]:
     zero dependencies — fine for feature extraction on thumbnails;
     swap in PIL for bulk full-resolution decoding.
     """
+    w, h, grid = decode_png_luma(payload)
+    total = sum(sum(row) for row in grid)
+    mean = round(total / (w * h) / 255.0, 6)
+    return int(w), int(h), mean
+
+
+def decode_png_luma(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """:func:`decode_png_stdlib`'s decode core, returning the full
+    integer luma GRID (row-major, Rec.601 ints in [0, 255]) instead of
+    only its mean — the input the perceptual-hash kernels
+    (:func:`dhash64_from_luma` / :func:`ahash64_from_luma`) consume.
+    Same format support and the same per-pixel integers (the mean path
+    sums exactly these)."""
     import struct
     import zlib
 
@@ -127,7 +140,7 @@ def decode_png_stdlib(payload: bytes) -> tuple[int, int, float]:
         raise ValueError("malformed PNG: truncated scanline data")
     prev = bytearray(stride)
     bpp = channels
-    total = 0
+    grid: list[list[int]] = []
     p = 0
     for _row in range(h):
         f = raw[p]
@@ -155,21 +168,37 @@ def decode_png_stdlib(payload: bytes) -> tuple[int, int, float]:
         elif f != 0:
             raise ValueError(f"malformed PNG: unknown filter {f}")
         if ctype == 0:
-            total += sum(line)
+            grid.append(list(line))
         elif ctype == 4:
-            total += sum(line[0::2])
+            grid.append(list(line[0::2]))
         elif ctype == 3:
-            for idx in line:
-                r, g, b3 = plte[3 * idx : 3 * idx + 3]
-                total += (r * 19595 + g * 38470 + b3 * 7471 + 0x8000) >> 16
+            grid.append(
+                [
+                    (
+                        plte[3 * idx] * 19595
+                        + plte[3 * idx + 1] * 38470
+                        + plte[3 * idx + 2] * 7471
+                        + 0x8000
+                    )
+                    >> 16
+                    for idx in line
+                ]
+            )
         else:  # 2 / 6
-            for i in range(0, stride, channels):
-                total += (
-                    line[i] * 19595 + line[i + 1] * 38470 + line[i + 2] * 7471 + 0x8000
-                ) >> 16
+            grid.append(
+                [
+                    (
+                        line[i] * 19595
+                        + line[i + 1] * 38470
+                        + line[i + 2] * 7471
+                        + 0x8000
+                    )
+                    >> 16
+                    for i in range(0, stride, channels)
+                ]
+            )
         prev = line
-    mean = round(total / (w * h) / 255.0, 6)
-    return int(w), int(h), mean
+    return int(w), int(h), grid
 
 
 #: JPEG/JFIF signature (SOI + first marker byte) — payloads starting
@@ -970,6 +999,254 @@ def decode_image_features(
             yield out
 
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
+
+
+def encode_png_gray(pixels, w: int, h: int) -> bytes:
+    """Minimal pure-stdlib grayscale PNG encoder (8-bit, color type 0,
+    filter 0 scanlines) — the synthesis side of the decode round trip:
+    :func:`decode_png_luma` of its output returns exactly ``pixels``
+    (gray luma is the raw byte). Used to synthesize REAL image
+    payloads for the perceptual-hash pipeline and its tests."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    px = bytes(pixels)
+    if len(px) != w * h:
+        raise ValueError(f"need {w * h} pixels, got {len(px)}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[r * w : (r + 1) * w] for r in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _box_mean_downscale(
+    grid: list[list[int]], w: int, h: int, tw: int, th: int
+) -> list[list[int]]:
+    """Integer area-mean downscale to ``tw × th`` (floor of the box
+    mean; box edges at ``floor(i·dim/target)`` — the INTER_AREA
+    partition). Exact integer arithmetic: deterministic everywhere."""
+    out = []
+    for r in range(th):
+        y0, y1 = r * h // th, (r + 1) * h // th
+        row = []
+        for c in range(tw):
+            x0, x1 = c * w // tw, (c + 1) * w // tw
+            s = 0
+            for y in range(y0, y1):
+                g = grid[y]
+                for x in range(x0, x1):
+                    s += g[x]
+            row.append(s // ((y1 - y0) * (x1 - x0)))
+        out.append(row)
+    return out
+
+
+def _wrap_i64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash64_from_luma(grid: list[list[int]], w: int, h: int) -> int:
+    """64-bit difference hash (dHash) of a luma grid: area-downscale to
+    9×8 (identity when already 9×8), then bit (r, c) = 1 iff
+    ``px[r][c] > px[r][c+1]`` — row-major MSB-first, returned as a
+    SIGNED int64 (two's-complement wrap) so it lands in a Spark long.
+    Exact integer arithmetic end to end: the same image always hashes
+    identically, and a DuckDB oracle can replay every bit."""
+    g = grid if (w, h) == (9, 8) else _box_mean_downscale(grid, w, h, 9, 8)
+    v = 0
+    for r in range(8):
+        row = g[r]
+        for c in range(8):
+            v = (v << 1) | (1 if row[c] > row[c + 1] else 0)
+    return _wrap_i64(v)
+
+
+def ahash64_from_luma(grid: list[list[int]], w: int, h: int) -> int:
+    """64-bit average hash (aHash): area-downscale to 8×8, bit = 1 iff
+    the pixel is ≥ the 8×8 mean (compared exactly as
+    ``px * 64 >= total`` — no float division). Signed int64 like
+    :func:`dhash64_from_luma`."""
+    g = grid if (w, h) == (8, 8) else _box_mean_downscale(grid, w, h, 8, 8)
+    total = sum(sum(row) for row in g)
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v = (v << 1) | (1 if g[r][c] * 64 >= total else 0)
+    return _wrap_i64(v)
+
+
+#: Pixel count of the synthesized phash test images (9×8 — dHash's
+#: native geometry, so the decode→hash path needs no downscale and a
+#: SQL oracle can replay every bit from the md5 pixel bytes).
+PHASH_SYNTH_W, PHASH_SYNTH_H = 9, 8
+
+
+def synthesize_gray_png_variants(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_variants: int = 2,
+) -> DataFrame:
+    """Deterministic REAL-image corpus for the perceptual-hash
+    pipeline: each source row yields ``n_variants`` 9×8 grayscale PNGs
+    — variant 0's 72 pixels are md5 bytes of the text
+    (``md5(text || ':' || k)`` chunks, k = 0..4, first 72 of 80
+    bytes), and variant v ≥ 1 perturbs the single pixel at index
+    ``doc_id % 72`` by ``+v (mod 256)`` — a planted near-duplicate
+    ("same photo, slight re-encode"): one changed pixel flips at most
+    its two adjacent dHash comparisons, so planted pairs sit at
+    Hamming ≤ 2 while unrelated images sit near 32 (whp never ≤ 3).
+    ``image_id = id * n_variants + variant``. The payloads are REAL
+    PNGs (:func:`encode_png_gray`): the consumer must actually run the
+    zlib decode path, and a byte-level PNG regression would surface as
+    a value mismatch."""
+    import hashlib
+
+    import pandas as pd
+
+    n_px = PHASH_SYNTH_W * PHASH_SYNTH_H
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                base = b"".join(
+                    hashlib.md5(f"{text}:{k}".encode()).digest() for k in range(5)
+                )[:n_px]
+                hot = int(rid) % n_px
+                for v in range(n_variants):
+                    px = bytearray(base)
+                    if v:
+                        px[hot] = (px[hot] + v) % 256
+                    ids.append(int(rid) * n_variants + v)
+                    payloads.append(
+                        encode_png_gray(px, PHASH_SYNTH_W, PHASH_SYNTH_H)
+                    )
+            yield pd.DataFrame({"image_id": ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="image_id long, payload binary"
+    )
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "image_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-image perceptual hashes over Arrow batches: decode each PNG
+    payload to its luma grid (REAL stdlib decode — zlib + unfilter;
+    PIL handles non-PNG formats when present) and emit
+    ``(id, dhash, ahash)`` as signed int64s. The downstream
+    near-dup join then runs entirely JVM-side on 8-byte keys — Python
+    touches each image exactly once, where the bytes live."""
+    import pandas as pd
+
+    def _luma(payload: bytes) -> tuple[int, int, list[list[int]]]:
+        if bytes(payload[:8]) == PNG_MAGIC:
+            return decode_png_luma(payload)
+        if PIL_AVAILABLE:  # pragma: no cover - needs PIL
+            import io
+
+            from PIL import Image as _Image
+
+            with _Image.open(io.BytesIO(payload)) as im:
+                gray = im.convert("L")
+                w, h = gray.size
+                data = list(gray.getdata())
+                return w, h, [data[r * w : (r + 1) * w] for r in range(h)]
+        raise ValueError("non-PNG payload and PIL not available")
+
+    def run(batches):
+        for pdf in batches:
+            ids, dh, ah = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, grid = _luma(bytes(payload))
+                ids.append(int(rid))
+                dh.append(dhash64_from_luma(grid, w, h))
+                ah.append(ahash64_from_luma(grid, w, h))
+            yield pd.DataFrame({id_col: ids, "dhash": dh, "ahash": ah})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, dhash long, ahash long"
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "image_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance,
+    found via PIGEONHOLE band blocking (the dedup_simhash discipline):
+    split the 64-bit hash into ``bands`` equal bit-bands; any pair
+    with Hamming ≤ bands−1 must agree exactly on ≥ 1 band, so an
+    EQUI-join on (band_idx, band_value) generates every qualifying
+    candidate — never an all-pairs comparison — and
+    ``bit_count(a ^ b)`` verifies exactly. Requires
+    ``max_hamming < bands`` (asserted) or recall would silently drop.
+
+    Scale: the shuffle key is the 16-bit band value — random hashes
+    collide at ~n²/2^16 per band, so at fleet scale widen bands (8×8
+    bits over a 128-bit hash) or pre-bucket by a leading band. The
+    hash input is checkpointed by the CALLER when it is expensive
+    (one Python decode pass) since both join sides consume it."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole needs max_hamming < bands ({max_hamming} >= {bands})"
+        )
+    band_w = 64 // bands
+    mask = (1 << band_w) - 1
+    hs = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+    # arithmetic shiftright + mask == logical band extraction (the mask
+    # kills the sign extension), so bands agree with the oracle's
+    # unsigned floor-div extraction
+    banded = hs.select(
+        "id",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("h"), b * band_w).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()  # a pair can collide in several bands
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
 
 
 #: YUV4MPEG2 stream signature — payloads with it route through the

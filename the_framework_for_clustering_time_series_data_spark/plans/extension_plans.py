@@ -231,6 +231,80 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_oracle_sql() -> str:
+    """DuckDB twin of the perceptual-hash near-dup pipeline: the
+    synthesized 9×8 pixels are md5 bytes of the text (+ the planted
+    one-pixel perturbation), so the oracle recomputes every dHash BIT
+    from those bytes directly — the Spark side must round-trip the
+    same bytes through a REAL PNG encode → zlib decode → luma grid to
+    agree. Signed-int64 wrap via HUGEINT; all-pairs here (the oracle
+    is exact), band-blocked equi-join on the Spark side (pigeonhole-
+    exact for hamming ≤ bands−1)."""
+    md5s = ", ".join(f"md5(text || ':{k}') AS m{k}" for k in range(5))
+    px_exprs = ", ".join(
+        f"CAST(('0x' || substr(m{j // 16}, {2 * (j % 16) + 1}, 2)) AS INT)"
+        for j in range(72)
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN p[{r * 9 + c + 1}] > p[{r * 9 + c + 2}] "
+        f"THEN {1 << (63 - (r * 8 + c))}::HUGEINT ELSE 0::HUGEINT END)"
+        for r in range(8)
+        for c in range(8)
+    )
+    return f"""
+WITH m AS (SELECT doc_id, {md5s} FROM documents),
+base AS (SELECT doc_id, [{px_exprs}] AS bp FROM m),
+img AS (
+  SELECT doc_id * 2 + v.variant AS image_id,
+         list_transform(range(1, 73), j ->
+           CASE WHEN v.variant = 1 AND j - 1 = doc_id % 72
+                THEN (bp[j] + 1) % 256 ELSE bp[j] END) AS p
+  FROM base, (SELECT unnest([0, 1]) AS variant) v
+),
+hs AS (
+  SELECT image_id,
+         CAST(CASE WHEN vu >= 9223372036854775808::HUGEINT
+                   THEN vu - 18446744073709551616::HUGEINT
+                   ELSE vu END AS BIGINT) AS dhash
+  FROM (SELECT image_id, ({bit_terms}) AS vu FROM img) t
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+FROM hs a JOIN hs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
+@register("mm_phash_neardup", _phash_oracle_sql())
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate IMAGE detection (round-8 verdict ask
+    #5 — the north-star matrix's last empty cell): perceptual dHash
+    over real decoded pixels, then banded-Hamming candidate pairs.
+
+    Pipeline: each doc synthesizes TWO real 9×8 grayscale PNGs — the
+    original and a one-pixel-perturbed "re-encode" (the planted near
+    duplicate) — Python touches each image once (encode) + once
+    (decode → luma grid → integer dHash), then everything is JVM-side:
+    pigeonhole band blocking (4×16-bit bands, equi-join — Hamming ≤ 3
+    guarantees ≥ 1 exact band match, so blocked recall is EXACT, never
+    all-pairs) and bit_count(xor) verification on 8-byte keys. Output
+    is exactly the 2·n planted (original, re-encode) pairs at
+    Hamming ≤ 2; unrelated images sit near Hamming 32 (P[≤3] ≈ 2e-15).
+    The hash table is stage-checkpointed: both join sides consume it,
+    and without the checkpoint the Python decode pass would run twice.
+    Full value-hash oracle: DuckDB recomputes every dHash bit from the
+    md5 pixel bytes the PNGs were built from, so the real
+    encode→decode round trip is value-verified bit for bit."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_gray_png_variants(docs, n_variants=2)
+    hashes = multimodal.image_phash(imgs).transform(stage_checkpoint, eager=False)
+    return multimodal.phash_neardup_pairs(
+        hashes, id_col="image_id", hash_col="dhash", bands=4, max_hamming=3
+    )
+
+
 @register(
     "src_python_datasource",
     """
