@@ -236,22 +236,52 @@ def mv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cent sums compose associatively, min/max compose, and the
     partial ROW COUNT is exactly the distinct-day count. Two shuffles
     ((series, day) then series), both map-side combined; at scale the
-    first materializes once per day, not per query."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    first materializes once per day, not per query. Build/fold kernels
+    (mv_daily_partials / mv_merge_partials below) are SHARED with the
+    live maintainer (streaming/ops.streaming_mv_daily_maintainer)."""
+    ev = load_table(spark, sf_dir, "events")
+    return mv_merge_partials(mv_daily_partials(ev))
+
+
+def mv_daily_partials(ev: DataFrame) -> DataFrame:
+    """The MV's mergeable daily-partial state: per (series, day) —
+    exact cent-sum (decimal(38,0), mirroring DuckDB's sum(BIGINT) →
+    HUGEINT promotion; int64 would wrap silently past 2^63−1 cents),
+    row count, min/max cents. Partials COMPOSE: re-aggregating a union
+    of partials with ``merge_daily_partials`` is lossless, which is
+    what lets the live maintainer fold each micro-batch in."""
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
-    daily = ev.groupBy(
-        F.col("user_id").alias("series_id"),
-        F.date_trunc("day", F.col("ts")).alias("day"),
-    ).agg(
-        # decimal(38,0) partials mirror DuckDB's sum(BIGINT)→HUGEINT
-        # promotion — int64 sums would wrap silently past 2^63-1 cents
-        # (the exact_mean6 hardening; ~9.2e16 dollars per series is the
-        # honest ceiling, effectively unreachable)
-        F.sum(cents.cast("decimal(38,0)")).alias("s"),
-        F.count("*").alias("n"),
-        F.min(cents).alias("mn"),
-        F.max(cents).alias("mx"),
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(
+            F.col("user_id").alias("series_id"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(cents.cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+            F.min(cents).alias("mn"),
+            F.max(cents).alias("mx"),
+        )
     )
+
+
+def merge_daily_partials(partials: DataFrame) -> DataFrame:
+    """Re-aggregate (possibly duplicated-key) daily partials back to
+    one row per (series, day) — the associative merge the maintainer
+    applies per micro-batch."""
+    return partials.groupBy("series_id", "day").agg(
+        F.sum("s").cast("decimal(38,0)").alias("s"),
+        F.sum("n").alias("n"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def mv_merge_partials(daily: DataFrame) -> DataFrame:
+    """Fold daily partials to the per-series lifetime stats — the
+    query-time read of the materialized view (partials in, never raw
+    history)."""
     merged = daily.groupBy("series_id").agg(
         F.count("*").alias("n_days"),
         F.sum("n").alias("n_events"),

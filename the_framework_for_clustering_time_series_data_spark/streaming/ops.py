@@ -709,6 +709,89 @@ def streaming_merge_apply(
     return q
 
 
+def streaming_mv_daily_maintainer(
+    events: DataFrame, target_dir: str, checkpoint: str
+):
+    """foreachBatch incremental maintainer for mv_incremental_rollup's
+    daily partials (round-8 verdict ask #8): each micro-batch computes
+    its own (series, day) partials (plans.event_plans.mv_daily_partials
+    — the SAME kernel the batch plan uses) and merges them into the
+    stored partial table with the associative merge
+    (merge_daily_partials: cent-sums add, counts add, min/max
+    compose), so the maintained view always equals the batch rebuild
+    over whatever has arrived — a day's rows arriving across several
+    micro-batches fold in losslessly.
+
+    Exactly-once across restarts is streaming_merge_apply's
+    batch-id-versioned snapshot discipline: batch b reads
+    ``partials_v{b}`` and (over)writes ``partials_v{b+1}`` (v0 is the
+    empty table), so a batch replayed after a
+    restart-before-checkpoint-commit deterministically rewrites its
+    own output version. Read the serving state with
+    :func:`read_mv_rollup` (latest ``_SUCCESS``-gated version, folded
+    through the batch plan's mv_merge_partials).
+
+    At fleet scale the per-batch cost is one micro-batch aggregate +
+    one merge keyed on (series, day) — the stored partials stay
+    day-partitionable and snapshots compact at the maintenance
+    boundary; with Delta/Iceberg the merge becomes MERGE INTO."""
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.plans.event_plans import (
+        merge_daily_partials,
+        mv_daily_partials,
+    )
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        root = Path(target_dir)
+        v0 = root / "partials_v0"
+        if not v0.exists():
+            sp.createDataFrame(
+                [],
+                "series_id long, day timestamp, s decimal(38,0), "
+                "n long, mn long, mx long",
+            ).write.mode("overwrite").parquet(str(v0))
+        cur = sp.read.parquet(str(root / f"partials_v{batch_id}"))
+        new = mv_daily_partials(batch_df)
+        merged = merge_daily_partials(cur.unionByName(new))
+        merged.write.mode("overwrite").parquet(
+            str(root / f"partials_v{batch_id + 1}")
+        )
+
+    q = (
+        events.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q._maintain_fn = maintain  # exposed for idempotence tests
+    return q
+
+
+def read_mv_rollup(spark, target_dir: str) -> DataFrame:
+    """Serving-state reader for :func:`streaming_mv_daily_maintainer`:
+    fold the latest complete (``_SUCCESS``-gated) partial snapshot
+    through the batch plan's mv_merge_partials — schema-identical to
+    mv_incremental_rollup's output."""
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.plans.event_plans import mv_merge_partials
+
+    versions = sorted(
+        int(p.name.rsplit("_v", 1)[1])
+        for p in Path(target_dir).glob("partials_v*")
+        if (p / "_SUCCESS").exists()
+    )
+    if not versions:
+        raise FileNotFoundError(
+            f"no complete partials_v* snapshot (with _SUCCESS) under {target_dir}"
+        )
+    return mv_merge_partials(
+        spark.read.parquet(f"{target_dir}/partials_v{versions[-1]}")
+    )
+
+
 def read_merge_target(spark, target_dir: str) -> DataFrame:
     """Serving-state reader for :func:`streaming_merge_apply`: the
     highest target version, tombstones filtered, with the batch plan's
