@@ -777,3 +777,38 @@ def test_boilerplate_shingles_1m_docs(spark):
         (3, 11): n // header_every,   # header docs: 3 of 11 trigrams
         (0, 6): n - n // header_every,  # clean docs: 8 tokens -> 6 trigrams
     }
+
+
+def test_phash_banding_1m_hashes_planted_recall(spark):
+    """Perceptual-hash near-dup banding at 1M hashes with closed-form
+    ground truth: 1M md5-derived 64-bit 'dHashes' (generated JVM-side,
+    no Python decode — this smoke isolates the JOIN geometry), plus
+    1,000 planted near-duplicates at Hamming ≤ 2 (two low bits of the
+    twin flipped). The banded equi-join must (a) recover every planted
+    pair, (b) report NO unplanted pair (random 64-bit hashes collide
+    at Hamming ≤ 3 with P ≈ 2e-15 per pair), and (c) never degrade to
+    an all-pairs plan — 1M rows × 4 bands through a hash join, the
+    same geometry 100 TB of image hashes would shuffle."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import phash_neardup_pairs
+
+    n, planted = 1_000_000, 1_000
+    base = spark.range(n).select(
+        (F.col("id") * 2).alias("image_id"),
+        # 60-bit md5-derived hash (the portable family) — well mixed
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("dhash"),
+    )
+    twins = spark.range(planted).select(
+        (F.col("id") * 2 + 1).alias("image_id"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseXOR(F.lit(3))
+        .alias("dhash"),
+    )
+    pairs = phash_neardup_pairs(
+        base.unionByName(twins), bands=4, max_hamming=3
+    )
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+    expect = {(2 * i, 2 * i + 1, 2) for i in range(planted)}
+    assert got == expect
