@@ -2035,3 +2035,43 @@ def test_phash_pigeonhole_requires_valid_threshold(spark):
     df = spark.createDataFrame([(0, 0)], "image_id long, dhash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         multimodal.phash_neardup_pairs(df, bands=4, max_hamming=4)
+
+
+def test_y4m_synthesis_parses_and_plants_3of4(spark):
+    """synthesize_y4m_variants emits REAL Y4M that the stdlib parser
+    walks (header, FRAME markers, 96-byte frames); the planted variant
+    shares exactly 3 of the 4 sampled digests with its original."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(5)
+    clips = multimodal.synthesize_y4m_variants(docs, n_variants=2)
+    frames = multimodal.sample_frames(
+        clips, n_frames=4, id_col="video_id", use_real=True
+    ).collect()
+    by_vid: dict[int, dict[int, str]] = {}
+    for r in frames:
+        by_vid.setdefault(r["video_id"], {})[r["frame_idx"]] = r["frame_md5"]
+    assert all(len(v) == 4 for v in by_vid.values())
+    for vid in [v for v in by_vid if v % 2 == 0]:
+        shared = sum(
+            by_vid[vid][i] == by_vid[vid + 1][i] for i in range(4)
+        )
+        assert shared == 3, vid
+
+
+def test_video_neardup_pairs_threshold(spark):
+    """Pairs below the shared-frame threshold are dropped; position
+    alignment is enforced (same digest at a DIFFERENT position does
+    not count)."""
+    rows = [
+        # videos 0/1: share positions 0,1,2 -> pair at n_shared=3
+        *[(0, i, f"d{i}") for i in range(4)],
+        *[(1, i, f"d{i}" if i < 3 else "x3") for i in range(4)],
+        # video 2: same digests but shifted one position -> no pair
+        *[(2, i, f"d{i - 1}") for i in range(1, 4)],
+        (2, 0, "y0"),
+    ]
+    df = spark.createDataFrame(rows, "video_id long, frame_idx int, frame_md5 string")
+    got = {
+        (r["id_a"], r["id_b"], r["n_shared"])
+        for r in multimodal.video_neardup_pairs(df, min_shared=3).collect()
+    }
+    assert got == {(0, 1, 3)}

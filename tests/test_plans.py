@@ -886,3 +886,14 @@ def test_mm_phash_neardup_blocked_equi_join_one_decode(spark):
     # survives in the joined plan
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2
     assert "MapInPandas" not in plan
+
+
+def test_mm_video_neardup_equi_join_one_parse(spark):
+    """The video near-dup must join on (position, digest) as a hash
+    EQUI-join — never all-pairs — and parse each clip ONCE (both
+    self-join sides read the checkpointed sampled-frame table)."""
+    plan = _plan(spark, "mm_video_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2
+    assert "MapInPandas" not in plan

@@ -1408,6 +1408,102 @@ def sample_frames(
     return df.select(id_col, "payload").mapInPandas(run, schema=out_schema)
 
 
+#: Geometry of the synthesized near-dup test clips: 8 frames of
+#: 8×8 C420 (= 96 bytes of YUV per frame — exactly three 32-char md5
+#: hexdigests as ASCII, which is what lets a VARCHAR-only SQL md5
+#: replay the parser's raw-frame digests bit for bit).
+VIDEO_SYNTH_W, VIDEO_SYNTH_H, VIDEO_SYNTH_FRAMES = 8, 8, 8
+
+
+def synthesize_y4m_variants(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_variants: int = 2,
+) -> DataFrame:
+    """Deterministic REAL-video corpus for the frame-signature near-dup
+    pipeline: each source row yields ``n_variants`` Y4M clips of 8
+    8×8 C420 frames — frame f's 96 raw bytes are the ASCII
+    concatenation of ``md5(text:f:0) md5(text:f:1) md5(text:f:2)``
+    hexdigests (96 chars = w·h·3/2 exactly), and variant v ≥ 1
+    replaces frame 4's first chunk key with ``text:4:p{v}`` — a
+    planted near-duplicate ("same clip, one re-edited frame"; frame 4
+    IS one of the 4 evenly-sampled indices {0,2,4,6}, so the variant
+    shares exactly 3 of 4 sampled frame digests with its original).
+    ``video_id = id * n_variants + variant``. The payloads are REAL
+    YUV4MPEG2 streams: the consumer must actually run the Y4M header/
+    FRAME parsing, and — because the frame bytes are ASCII — a
+    VARCHAR-only SQL md5 can recompute every sampled digest, value-
+    verifying the parser round trip."""
+    import hashlib
+
+    import pandas as pd
+
+    w, h, nf = VIDEO_SYNTH_W, VIDEO_SYNTH_H, VIDEO_SYNTH_FRAMES
+    header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode("ascii")
+
+    def clip(text: str, variant: int) -> bytes:
+        parts = [header]
+        for f in range(nf):
+            k0 = f"{text}:{f}:p{variant}" if (variant and f == 4) else f"{text}:{f}:0"
+            raw = (
+                hashlib.md5(k0.encode()).hexdigest()
+                + hashlib.md5(f"{text}:{f}:1".encode()).hexdigest()
+                + hashlib.md5(f"{text}:{f}:2".encode()).hexdigest()
+            ).encode("ascii")
+            parts.append(b"FRAME\n" + raw)
+        return b"".join(parts)
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                for v in range(n_variants):
+                    ids.append(int(rid) * n_variants + v)
+                    payloads.append(clip(str(text), v))
+            yield pd.DataFrame({"video_id": ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="video_id long, payload binary"
+    )
+
+
+def video_neardup_pairs(
+    frames: DataFrame,
+    id_col: str = "video_id",
+    min_shared: int = 3,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by position-aligned sampled-frame
+    signatures: two clips are candidates when they share the same
+    frame digest at the same sampled position (an EQUI-join on
+    (frame_idx, frame_md5) — the shuffle key is the digest, never an
+    all-pairs compare), and near-duplicates when they share at least
+    ``min_shared`` of the sampled positions. Position alignment makes
+    the signature robust to coincidental content reuse and keeps the
+    join selective; digests are md5 — cross-clip collisions are
+    cryptographically never. Input is :func:`sample_frames` output
+    ``(id, frame_idx, frame_md5)``."""
+    fr = frames.select(
+        F.col(id_col).alias("id"), "frame_idx", "frame_md5"
+    )
+    a, b = fr.alias("a"), fr.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.frame_idx") == F.col("b.frame_idx"),
+                F.col("a.frame_md5") == F.col("b.frame_md5"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 #: RIFF/WAVE signature — payloads with it route through the
 #: pure-stdlib decoder below, soundfile or not.
 WAV_MAGIC_RIFF = b"RIFF"

@@ -306,6 +306,56 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_neardup",
+    """
+WITH v AS (SELECT unnest([0, 1]) AS variant),
+p AS (SELECT unnest(range(4)) AS pos),
+fr AS (
+  SELECT d.doc_id * 2 + v.variant AS video_id, p.pos,
+         md5(
+           md5(d.text || ':' || (2 * p.pos)
+               || CASE WHEN v.variant = 1 AND 2 * p.pos = 4
+                       THEN ':p1' ELSE ':0' END)
+           || md5(d.text || ':' || (2 * p.pos) || ':1')
+           || md5(d.text || ':' || (2 * p.pos) || ':2')
+         ) AS fm
+  FROM documents d, v, p
+)
+SELECT a.video_id AS id_a, b.video_id AS id_b,
+       count(*) AS n_shared
+FROM fr a JOIN fr b
+  ON a.pos = b.pos AND a.fm = b.fm AND a.video_id < b.video_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+""",
+)
+def mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate VIDEO detection — the frame-signature
+    sibling of mm_phash_neardup: each doc synthesizes TWO real
+    YUV4MPEG2 clips (8 frames of 8×8 C420; the planted near-dup
+    re-edits ONE sampled frame), the REAL stdlib Y4M parser samples 4
+    evenly-spaced raw-frame md5 digests per clip
+    (multimodal.sample_frames_y4m — header parse, FRAME markers,
+    w·h·3/2 frame walks all actually run), and near-dup pairs fall out
+    of a position-aligned digest EQUI-join with a ≥3-of-4 shared-frame
+    threshold. Output is exactly the n planted (original, re-edit)
+    pairs at n_shared = 3. Full value-hash oracle: the synthesized
+    frame bytes are ASCII md5 hexdigests, so DuckDB's VARCHAR md5
+    recomputes every sampled digest — the Y4M encode→parse→digest
+    round trip is value-verified bit for bit. The sampled-frame table
+    is stage-checkpointed (both self-join sides consume it: one Python
+    parse pass, not two)."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    clips = multimodal.synthesize_y4m_variants(docs, n_variants=2)
+    frames = multimodal.sample_frames(
+        clips, n_frames=4, id_col="video_id", use_real=True
+    ).transform(stage_checkpoint, eager=False)
+    return multimodal.video_neardup_pairs(frames, id_col="video_id", min_shared=3)
+
+
+@register(
     "src_python_datasource",
     """
 WITH g AS (
