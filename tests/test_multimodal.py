@@ -2075,3 +2075,45 @@ def test_video_neardup_pairs_threshold(spark):
         for r in multimodal.video_neardup_pairs(df, min_shared=3).collect()
     }
     assert got == {(0, 1, 3)}
+
+
+def test_afp64_kernel_known_values():
+    """Hand-checked fingerprints: strictly increasing window energies
+    → all ones (-1 signed); strictly decreasing → 0; a flat signal →
+    0 (ties are not >)."""
+    inc = [j for w in range(65) for j in [w] * 8]  # energy grows with w
+    dec = [j for w in range(65) for j in [64 - w] * 8]
+    flat = [5] * 520
+    assert multimodal.afp64_from_samples(inc) == -1
+    assert multimodal.afp64_from_samples(dec) == 0
+    assert multimodal.afp64_from_samples(flat) == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="65 windows"):
+        multimodal.afp64_from_samples(flat, n_windows=64)
+
+
+def test_wav_synthesis_roundtrip_and_planted_hamming(spark):
+    """synthesize_wav_variants emits REAL WAV containers the stdlib
+    path parses back to the exact md5 sample bytes; the planted
+    variant's fingerprint sits within Hamming 2 of its original and
+    is found by the banded join."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(10)
+    clips = multimodal.synthesize_wav_variants(docs, n_variants=2)
+    one = clips.orderBy("audio_id").limit(1).collect()[0]
+    rate, width, samples = multimodal.decode_wav_samples(bytes(one["payload"]))
+    assert (rate, width, len(samples)) == (multimodal.AUDIO_SYNTH_RATE, 1, 520)
+
+    fps = multimodal.audio_fingerprint(clips)
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.phash_neardup_pairs(
+            fps, id_col="audio_id", hash_col="afp", bands=4, max_hamming=3
+        ).collect()
+    }
+    ids = sorted({p[0] for p in pairs} | {p[1] for p in pairs})
+    assert {(a, b) for a, b, _ in pairs} == {
+        (2 * i, 2 * i + 1) for i in range(10)
+    }, pairs
+    assert all(h <= 2 for _, _, h in pairs)
+    assert len(ids) == 20

@@ -914,3 +914,13 @@ def test_sbd_pair_join_carries_day_key(spark):
     )
     assert m, "pair join lost the shifted-day equi key"
     assert m.group(1) == m.group(2) == "2"
+
+
+def test_mm_audio_neardup_equi_join_one_decode(spark):
+    """Audio near-dup: banded hash equi-join, no all-pairs, one Python
+    decode pass (checkpointed fingerprint table on both sides)."""
+    plan = _plan(spark, "mm_audio_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2
+    assert "MapInPandas" not in plan

@@ -1504,6 +1504,148 @@ def video_neardup_pairs(
     )
 
 
+#: Geometry of the synthesized near-dup test clips: 65 windows of 8
+#: unsigned-8-bit PCM samples (520 samples = 32.5 md5 digests' worth
+#: of bytes) → 64 window-energy comparisons → a 64-bit fingerprint.
+AUDIO_SYNTH_WINDOWS, AUDIO_SYNTH_WIN_LEN = 65, 8
+AUDIO_SYNTH_RATE = 8000
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
+    """PCM WAV decode to RAW integer samples → (rate, width_bytes,
+    samples) — the audio analog of :func:`decode_png_luma`: the
+    exact-integer hook the fingerprint kernel consumes
+    (:func:`decode_wav_features` keeps the float feature path).
+    Stdlib ``wave`` only (PCM 8/16/32-bit, mono or interleaved — the
+    fingerprint mixes channels itself if it wants to); compressed tags
+    stay with decode_wav_features' expansions."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:
+        return int(rate), 1, list(raw)
+    if width == 2:
+        return int(rate), 2, list(struct.unpack(f"<{len(raw) // 2}h", raw))
+    if width == 4:
+        return int(rate), 4, list(struct.unpack(f"<{len(raw) // 4}i", raw))
+    raise ValueError(f"unsupported PCM sample width {width}")
+
+
+def afp64_from_samples(
+    samples: list[int], n_windows: int = AUDIO_SYNTH_WINDOWS, zero: int = 0
+) -> int:
+    """64-bit audio fingerprint from raw integer samples: split into
+    ``n_windows`` equal windows (floor-edge partition like the image
+    downscale), window energy = Σ (s − zero)² in EXACT integers, bit w
+    = 1 iff energy[w+1] > energy[w] — the energy-delta sign profile, a
+    chromaprint-style shape signature that is loudness-scale
+    monotone-robust and, being exact integer arithmetic, SQL-
+    replayable bit for bit. ``n_windows`` must be 65 for a 64-bit
+    hash (asserted); ``zero=128`` for unsigned 8-bit PCM. MSB-first,
+    signed-int64 wrap (the dHash conventions)."""
+    if n_windows != 65:
+        raise ValueError("afp64 needs exactly 65 windows (64 comparisons)")
+    n = len(samples)
+    energies = []
+    for w in range(n_windows):
+        a, b = w * n // n_windows, (w + 1) * n // n_windows
+        energies.append(sum((s - zero) * (s - zero) for s in samples[a:b]))
+    v = 0
+    for w in range(64):
+        v = (v << 1) | (1 if energies[w + 1] > energies[w] else 0)
+    return _wrap_i64(v)
+
+
+def synthesize_wav_variants(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_variants: int = 2,
+) -> DataFrame:
+    """Deterministic REAL-audio corpus for the fingerprint near-dup
+    pipeline: each source row yields ``n_variants`` mono 8-bit PCM WAV
+    clips of 520 samples — variant 0's samples are md5 bytes of the
+    text (``md5(text:k)`` chunks, k = 0..32, first 520 of 528 bytes),
+    and variant v ≥ 1 adds ``+4·v (mod 256)`` to every sample of the
+    single window at index ``id % 65`` — a planted near-duplicate
+    ("same recording, one re-encoded chunk"): one changed window
+    flips at most its two adjacent energy comparisons, so planted
+    pairs sit at Hamming ≤ 2 while unrelated clips sit near 32.
+    ``audio_id = id * n_variants + variant``. Payloads are REAL WAV
+    containers (stdlib ``wave`` writer): the consumer must run the
+    RIFF/fmt/data parse, and the sample bytes are md5-derived so a
+    SQL oracle recomputes every fingerprint bit."""
+    import hashlib
+    import io
+    import wave
+
+    import pandas as pd
+
+    n_px = AUDIO_SYNTH_WINDOWS * AUDIO_SYNTH_WIN_LEN  # 520
+    n_chunks = (n_px + 15) // 16 + 1  # 33 digests ≥ 520 bytes
+
+    def clip(text: str, rid: int, variant: int) -> bytes:
+        base = b"".join(
+            hashlib.md5(f"{text}:{k}".encode()).digest() for k in range(n_chunks)
+        )[:n_px]
+        px = bytearray(base)
+        if variant:
+            hot = rid % AUDIO_SYNTH_WINDOWS
+            a, b = hot * AUDIO_SYNTH_WIN_LEN, (hot + 1) * AUDIO_SYNTH_WIN_LEN
+            for j in range(a, b):
+                px[j] = (px[j] + 4 * variant) % 256
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(AUDIO_SYNTH_RATE)
+            w.writeframes(bytes(px))
+        return buf.getvalue()
+
+    def run(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                for v in range(n_variants):
+                    ids.append(int(rid) * n_variants + v)
+                    payloads.append(clip(str(text), int(rid), v))
+            yield pd.DataFrame({"audio_id": ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="audio_id long, payload binary"
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "audio_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-clip 64-bit audio fingerprints over Arrow batches: REAL
+    stdlib WAV decode (RIFF parse → raw integer samples) then the
+    exact-integer energy-delta fingerprint — Python touches each clip
+    once; the near-dup join downstream is JVM-side on 8-byte keys
+    (reuse :func:`phash_neardup_pairs` with ``hash_col="afp"``)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _rate, width, samples = decode_wav_samples(bytes(payload))
+                zero = 128 if width == 1 else 0
+                ids.append(int(rid))
+                fps.append(afp64_from_samples(samples, zero=zero))
+            yield pd.DataFrame({id_col: ids, "afp": fps})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, afp long"
+    )
+
+
 #: RIFF/WAVE signature — payloads with it route through the
 #: pure-stdlib decoder below, soundfile or not.
 WAV_MAGIC_RIFF = b"RIFF"

@@ -305,6 +305,87 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _afp_oracle_sql() -> str:
+    """DuckDB twin of the audio-fingerprint near-dup pipeline: the
+    synthesized 8-bit PCM samples are md5 bytes of the text (+ the
+    planted one-window perturbation), so the oracle recomputes every
+    fingerprint bit — window energies as exact integer sums, bit =
+    lead(energy) > energy, packed MSB-first through a 64-row HUGEINT
+    weight table (DuckDB's ``**`` returns DOUBLE, so weights are
+    literals), signed-int64 wrap. The Spark side must round-trip the
+    same bytes through a REAL WAV write → RIFF parse to agree."""
+    hex_cat = " || ".join(f"md5(text || ':{k}')" for k in range(33))
+    weights = ", ".join(f"({w}, {1 << (63 - w)})" for w in range(64))
+    return f"""
+WITH hx AS (SELECT doc_id, {hex_cat} AS hex FROM documents),
+v AS (SELECT unnest([0, 1]) AS variant),
+j AS (SELECT unnest(range(520)) AS j),
+sm AS (
+  SELECT h.doc_id * 2 + v.variant AS audio_id, j.j // 8 AS w,
+         CASE WHEN v.variant = 1 AND j.j // 8 = h.doc_id % 65
+              THEN (CAST(('0x' || substr(h.hex, 2 * j.j + 1, 2)) AS INT) + 4) % 256
+              ELSE CAST(('0x' || substr(h.hex, 2 * j.j + 1, 2)) AS INT) END AS s
+  FROM hx h, v, j
+),
+en AS (
+  SELECT audio_id, w, sum((s - 128) * (s - 128)) AS e
+  FROM sm GROUP BY 1, 2
+),
+bn AS (
+  SELECT audio_id, w,
+         CASE WHEN lead(e) OVER (PARTITION BY audio_id ORDER BY w) > e
+              THEN 1 ELSE 0 END AS bit
+  FROM en
+),
+wt(w, wgt) AS (VALUES {weights}),
+hs AS (
+  SELECT audio_id,
+         CAST(CASE WHEN vu >= 9223372036854775808::HUGEINT
+                   THEN vu - 18446744073709551616::HUGEINT
+                   ELSE vu END AS BIGINT) AS afp
+  FROM (
+    SELECT b.audio_id, sum(b.bit * wt.wgt) AS vu
+    FROM bn b JOIN wt ON wt.w = b.w
+    WHERE b.w < 64 GROUP BY 1
+  ) t
+)
+SELECT a.audio_id AS id_a, b.audio_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM hs a JOIN hs b ON a.audio_id < b.audio_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+
+@register("mm_audio_neardup", _afp_oracle_sql())
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate AUDIO detection — completes the
+    image/video/audio near-dup trifecta: each doc synthesizes TWO real
+    mono 8-bit PCM WAV clips (520 samples; the planted near-dup
+    re-encodes ONE 8-sample window), the REAL stdlib WAV path parses
+    RIFF/fmt/data back to raw integer samples, the exact-integer
+    energy-delta fingerprint (afp64_from_samples: 65 window energies,
+    64 comparison bits) hashes each clip, and near-dup pairs fall out
+    of the SAME pigeonhole band-blocked Hamming join the image path
+    uses (phash_neardup_pairs, 4×16-bit bands, exact recall at
+    Hamming ≤ 3). One changed window flips at most its two adjacent
+    energy comparisons → planted pairs at Hamming ≤ 2, unrelated clips
+    near 32. Full value-hash oracle: DuckDB recomputes every
+    fingerprint bit from the md5 sample bytes (exact integer energies,
+    HUGEINT bit packing), value-verifying the WAV write→parse round
+    trip. Fingerprint table stage-checkpointed: one Python decode
+    pass feeds both join sides."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    clips = multimodal.synthesize_wav_variants(docs, n_variants=2)
+    hashes = multimodal.audio_fingerprint(clips).transform(
+        stage_checkpoint, eager=False
+    )
+    return multimodal.phash_neardup_pairs(
+        hashes, id_col="audio_id", hash_col="afp", bands=4, max_hamming=3
+    )
+
+
 @register(
     "mm_video_neardup",
     """
