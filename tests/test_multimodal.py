@@ -2117,3 +2117,49 @@ def test_wav_synthesis_roundtrip_and_planted_hamming(spark):
     }, pairs
     assert all(h <= 2 for _, _, h in pairs)
     assert len(ids) == 20
+
+
+def test_phash_banding_equals_brute_force(spark):
+    """Pigeonhole exactness, adversarially: 200 seeded 64-bit hashes
+    plus crafted pairs at EVERY Hamming distance 0..5 (including bit
+    flips straddling band boundaries). The banded join's result must
+    equal a Python brute force exactly — pairs at distance ≤ 3 all
+    found, pairs at 4..5 (which can evade every band) all excluded by
+    the verify filter even when a band matches."""
+    import hashlib
+
+    def h64(s: str) -> int:
+        v = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [(i, h64(f"base{i}")) for i in range(200)]
+    nxt = 200
+    # crafted: for d in 0..5, a twin of base{d} with d bits flipped,
+    # spread across bands (bits 3, 19, 35, 51, 60 live in 4 bands)
+    flip_bits = [3, 19, 35, 51, 60]
+    for d in range(6):
+        v = rows[d][1]
+        for b in flip_bits[:d]:
+            v ^= 1 << b
+        rows.append((nxt, v))
+        nxt += 1
+    df = spark.createDataFrame(rows, "image_id long, dhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.phash_neardup_pairs(
+            df, bands=4, max_hamming=3
+        ).collect()
+    }
+    mask = (1 << 64) - 1
+    expect = set()
+    vals = dict(rows)
+    ids = sorted(vals)
+    for i_pos, a in enumerate(ids):
+        for b in ids[i_pos + 1 :]:
+            ham = bin((vals[a] ^ vals[b]) & mask).count("1")
+            if ham <= 3:
+                expect.add((a, b, ham))
+    assert got == expect
+    # the crafted twins at d<=3 are present, d>=4 absent
+    assert {(0, 200, 0), (1, 201, 1), (2, 202, 2), (3, 203, 3)} <= got
+    assert not any(b in (204, 205) for _, b, _ in got)
