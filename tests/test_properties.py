@@ -214,3 +214,65 @@ def test_gif_roundtrip_property(w, h, n_colors, real, data):
     expect = round(sum(luma[p] for p in indices) / (w * h) / 255.0, 6)
     got = decode_gif_stdlib(_encode_gif(indices, w, h, palette, real_lzw=real))
     assert got == (w, h, expect)
+
+
+GRID_98 = st.lists(
+    st.lists(st.integers(min_value=0, max_value=255), min_size=9, max_size=9),
+    min_size=8,
+    max_size=8,
+)
+
+
+@given(grid=GRID_98, shift=st.integers(min_value=-50, max_value=50))
+@settings(max_examples=30, deadline=None)
+def test_dhash_brightness_shift_invariant(grid, shift):
+    """dHash compares adjacent pixels with strict > — adding a global
+    brightness offset (the classic re-exposure transform) never
+    changes any bit. Pure-Python kernels, no Spark per example."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import dhash64_from_luma
+
+    shifted = [[p + shift for p in row] for row in grid]
+    assert dhash64_from_luma(grid, 9, 8) == dhash64_from_luma(shifted, 9, 8)
+
+
+@given(
+    grid=st.lists(
+        st.lists(st.integers(min_value=0, max_value=255), min_size=18, max_size=18),
+        min_size=16,
+        max_size=16,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_dhash_downscale_2x_exact_means(grid):
+    """For an 18×16 grid the 9×8 downscale boxes are exact 2×2 blocks:
+    the kernel must equal dHash of the floor box means computed by
+    hand — the downscale path cannot drift from its spec."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import dhash64_from_luma
+
+    manual = [
+        [
+            (grid[2 * r][2 * c] + grid[2 * r][2 * c + 1]
+             + grid[2 * r + 1][2 * c] + grid[2 * r + 1][2 * c + 1]) // 4
+            for c in range(9)
+        ]
+        for r in range(8)
+    ]
+    assert dhash64_from_luma(grid, 18, 16) == dhash64_from_luma(manual, 9, 8)
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=520, max_size=520
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_afp64_reflection_invariant(samples):
+    """Window energies use (s − zero)², so reflecting every sample
+    around the zero level (phase inversion, the classic polarity flip)
+    never changes a fingerprint bit."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import afp64_from_samples
+
+    reflected = [256 - s for s in samples]
+    assert afp64_from_samples(samples, zero=128) == afp64_from_samples(
+        reflected, zero=128
+    )
