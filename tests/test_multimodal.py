@@ -2163,3 +2163,18 @@ def test_phash_banding_equals_brute_force(spark):
     # the crafted twins at d<=3 are present, d>=4 absent
     assert {(0, 200, 0), (1, 201, 1), (2, 202, 2), (3, 203, 3)} <= got
     assert not any(b in (204, 205) for _, b, _ in got)
+
+
+def test_phash_small_images_hash_deterministically():
+    """Images smaller than the hash geometry (review finding: empty
+    floor-partition boxes divided by zero) clamp to nearest-neighbor
+    boxes instead of crashing — a 5×5 or 1×1 thumbnail hashes."""
+    px = bytes(range(25))
+    w, h, grid = multimodal.decode_png_luma(multimodal.encode_png_gray(px, 5, 5))
+    d1 = multimodal.dhash64_from_luma(grid, w, h)
+    a1 = multimodal.ahash64_from_luma(grid, w, h)
+    assert isinstance(d1, int) and isinstance(a1, int)
+    # deterministic: same input, same hash
+    assert d1 == multimodal.dhash64_from_luma(grid, w, h)
+    one = [[128]]
+    assert multimodal.dhash64_from_luma(one, 1, 1) == 0  # flat → no bits

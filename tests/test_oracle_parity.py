@@ -6,40 +6,16 @@ order-insensitive rounded values.
 
 from __future__ import annotations
 
-import math
-
-import duckdb
 import pytest
 
 from tests.conftest import SF_ORACLE
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return con
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{round(v, 6):.6f}"
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return v
-
-
-def _canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
-    )
+# canonicalization + view setup shared with tools/vanilla_parity.py —
+# ONE definition of "same result" (functions/parity.py)
+from the_framework_for_clustering_time_series_data_spark.functions.parity import (
+    canon as _canon,
+    duck_connect as _duck,
+)
 
 
 #: DuckDB result type → comparison family. Anything absent (HUGEINT,

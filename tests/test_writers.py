@@ -258,3 +258,24 @@ def test_compact_preserve_order_keeps_pruning(spark, tmp_path):
             1 for (l1, h1), (l2, h2) in zip(rr, rr[1:]) if h1 >= l2
         )
         assert overlaps > 0, rr
+
+
+def test_compaction_refuses_in_place_all_spellings():
+    """The in-place guard must catch URI spellings of the same
+    location, not just string-equal paths — overwrite-while-lazily-
+    reading destroys the dataset being compacted."""
+    import pytest
+
+    from the_framework_for_clustering_time_series_data_spark.sources.writers import _guard_distinct_paths
+
+    for src, dst in [
+        ("/data/events", "/data/events"),
+        ("/data/events", "file:///data/events"),
+        ("s3a://bucket/x", "s3a://bucket/x/"),
+        ("/data/./events", "/data/events"),
+    ]:
+        with pytest.raises(ValueError, match="must differ"):
+            _guard_distinct_paths(src, dst)
+    # distinct locations pass
+    _guard_distinct_paths("/data/events", "/data/events_compact")
+    _guard_distinct_paths("s3a://bucket/x", "s3a://other/x")

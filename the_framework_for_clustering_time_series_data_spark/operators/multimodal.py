@@ -90,19 +90,29 @@ def decode_png_stdlib(payload: bytes) -> tuple[int, int, float]:
     zero dependencies — fine for feature extraction on thumbnails;
     swap in PIL for bulk full-resolution decoding.
     """
-    w, h, grid = decode_png_luma(payload)
-    total = sum(sum(row) for row in grid)
+    w, h, rows = _png_luma_rows(payload)
+    # streaming sum — one scanline's luma list alive at a time, never
+    # the full O(w·h) grid (a 12-MP photo would box ~12M ints)
+    total = sum(sum(row) for row in rows)
     mean = round(total / (w * h) / 255.0, 6)
     return int(w), int(h), mean
 
 
 def decode_png_luma(payload: bytes) -> tuple[int, int, list[list[int]]]:
-    """:func:`decode_png_stdlib`'s decode core, returning the full
-    integer luma GRID (row-major, Rec.601 ints in [0, 255]) instead of
-    only its mean — the input the perceptual-hash kernels
-    (:func:`dhash64_from_luma` / :func:`ahash64_from_luma`) consume.
-    Same format support and the same per-pixel integers (the mean path
-    sums exactly these)."""
+    """:func:`decode_png_stdlib`'s decode core materialized as the full
+    integer luma GRID (row-major, Rec.601 ints in [0, 255]) — the input
+    the perceptual-hash kernels (:func:`dhash64_from_luma` /
+    :func:`ahash64_from_luma`) consume. The mean path streams the same
+    per-row integers without materializing (see decode_png_stdlib)."""
+    w, h, rows = _png_luma_rows(payload)
+    return w, h, list(rows)
+
+
+def _png_luma_rows(payload: bytes):
+    """Shared PNG decode: parse chunks, inflate, unfilter, and yield
+    one Rec.601 luma row (list of ints) per scanline — returns
+    ``(w, h, row_iterator)`` so the mean path can stream while the
+    grid path materializes."""
     import struct
     import zlib
 
@@ -138,14 +148,19 @@ def decode_png_luma(payload: bytes) -> tuple[int, int, list[list[int]]]:
     stride = w * channels
     if len(raw) < h * (stride + 1):
         raise ValueError("malformed PNG: truncated scanline data")
-    prev = bytearray(stride)
     bpp = channels
-    grid: list[list[int]] = []
-    p = 0
-    for _row in range(h):
-        f = raw[p]
-        line = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
+
+    def rows():
+        prev = bytearray(stride)
+        p = 0
+        for _row in range(h):
+            f = raw[p]
+            line = bytearray(raw[p + 1 : p + 1 + stride])
+            p += 1 + stride
+            yield _unfilter_and_luma(f, line, prev)
+            prev = line
+
+    def _unfilter_and_luma(f: int, line: bytearray, prev: bytearray) -> list[int]:
         if f == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
@@ -168,37 +183,32 @@ def decode_png_luma(payload: bytes) -> tuple[int, int, list[list[int]]]:
         elif f != 0:
             raise ValueError(f"malformed PNG: unknown filter {f}")
         if ctype == 0:
-            grid.append(list(line))
-        elif ctype == 4:
-            grid.append(list(line[0::2]))
-        elif ctype == 3:
-            grid.append(
-                [
-                    (
-                        plte[3 * idx] * 19595
-                        + plte[3 * idx + 1] * 38470
-                        + plte[3 * idx + 2] * 7471
-                        + 0x8000
-                    )
-                    >> 16
-                    for idx in line
-                ]
+            return list(line)
+        if ctype == 4:
+            return list(line[0::2])
+        if ctype == 3:
+            return [
+                (
+                    plte[3 * idx] * 19595
+                    + plte[3 * idx + 1] * 38470
+                    + plte[3 * idx + 2] * 7471
+                    + 0x8000
+                )
+                >> 16
+                for idx in line
+            ]
+        return [  # 2 / 6
+            (
+                line[i] * 19595
+                + line[i + 1] * 38470
+                + line[i + 2] * 7471
+                + 0x8000
             )
-        else:  # 2 / 6
-            grid.append(
-                [
-                    (
-                        line[i] * 19595
-                        + line[i + 1] * 38470
-                        + line[i + 2] * 7471
-                        + 0x8000
-                    )
-                    >> 16
-                    for i in range(0, stride, channels)
-                ]
-            )
-        prev = line
-    return int(w), int(h), grid
+            >> 16
+            for i in range(0, stride, channels)
+        ]
+
+    return int(w), int(h), rows()
 
 
 #: JPEG/JFIF signature (SOI + first marker byte) — payloads starting
@@ -1036,13 +1046,20 @@ def _box_mean_downscale(
 ) -> list[list[int]]:
     """Integer area-mean downscale to ``tw × th`` (floor of the box
     mean; box edges at ``floor(i·dim/target)`` — the INTER_AREA
-    partition). Exact integer arithmetic: deterministic everywhere."""
+    partition). Exact integer arithmetic: deterministic everywhere.
+    Sources SMALLER than the target in a dimension produce empty
+    boxes under the floor partition (x1 == x0 → division by zero);
+    those boxes clamp to one source pixel — nearest-neighbor
+    upsampling semantics, so a 5×5 thumbnail still hashes
+    deterministically instead of crashing the decode stage."""
     out = []
     for r in range(th):
-        y0, y1 = r * h // th, (r + 1) * h // th
+        y0 = min(r * h // th, h - 1)
+        y1 = max((r + 1) * h // th, y0 + 1)
         row = []
         for c in range(tw):
-            x0, x1 = c * w // tw, (c + 1) * w // tw
+            x0 = min(c * w // tw, w - 1)
+            x1 = max((c + 1) * w // tw, x0 + 1)
             s = 0
             for y in range(y0, y1):
                 g = grid[y]

@@ -87,17 +87,14 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     alpha_ratio = n_alpha / n_chars
     punct_ratio = n_punct / n_chars
     stop_ratio = n_stop / F.size(toks)
-    score = (
-        F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.3
-        + alpha_ratio * 0.4
-        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.3
-    )
     return df.select(
         F.col(id_col),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality"),
+        # the combined score is quality_expr — ONE definition of the
+        # gate formula, shared with corpus_token_budget's folded scan
+        quality_expr(text_col).alias("quality"),
     )
 
 

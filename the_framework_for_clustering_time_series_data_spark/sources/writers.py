@@ -86,10 +86,22 @@ def read_jsonl(spark, path: str, schema: str | None = None):
 def _guard_distinct_paths(src_path: str, dst_path: str) -> None:
     """Refuse in-place compaction: mode("overwrite") TRUNCATES the
     destination before the lazy source read completes, so
-    dst == src would destroy the data being compacted."""
+    dst == src would destroy the data being compacted. Paths are
+    compared after URI normalization so spellings of the SAME location
+    ('/data/x' vs 'file:///data/x'; 's3a://b/x' vs 's3a://b/x/') can't
+    slip past the guard — for local/file schemes via Path.resolve, for
+    remote schemes via (scheme, authority, normalized path)."""
+    import posixpath
     from pathlib import Path
+    from urllib.parse import urlparse
 
-    if Path(dst_path).resolve() == Path(src_path).resolve():
+    def key(p: str):
+        u = urlparse(p)
+        if u.scheme in ("", "file"):
+            return ("file", "", str(Path(u.path or p).resolve()))
+        return (u.scheme, u.netloc, posixpath.normpath(u.path or "/"))
+
+    if key(src_path) == key(dst_path):
         raise ValueError(
             f"dst_path must differ from src_path ({src_path!r}): "
             "overwrite truncates the destination while the source is "

@@ -29,30 +29,14 @@ import argparse
 import hashlib
 import inspect
 import json
-import math
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{round(v, 6):.6f}"
-    if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return v
-
-
-def _canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+# canonicalization + view setup shared with tests/test_oracle_parity.py
+# — ONE definition of "same result" (functions/parity.py)
+from the_framework_for_clustering_time_series_data_spark.functions.parity import canon, duck_connect  # noqa: E402
 
 
 def pick_entries(n: int, seed: str) -> tuple[list[str], list[str]]:
@@ -87,7 +71,6 @@ def main() -> None:
 
     core, rotating = pick_entries(args.n, args.seed)
 
-    import duckdb
     from pyspark.sql import SparkSession
 
     # vanilla: builder defaults only — the driver's session shape
@@ -96,25 +79,26 @@ def main() -> None:
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
+    con = duck_connect(args.sf_dir)
 
     from the_framework_for_clustering_time_series_data_spark.plans.registry import ORACLE, QUERIES
 
     mismatches: list[str] = []
     for name in core + rotating:
+        ok = True
         try:
             df = QUERIES[name](spark, args.sf_dir)
             cols = df.columns
-            s = _canon(cols, [tuple(r) for r in df.collect()])
+            s = canon(cols, [tuple(r) for r in df.collect()])
             res = con.execute(ORACLE[name])
-            d = _canon([c[0] for c in res.description], res.fetchall())
+            d = canon([c[0] for c in res.description], res.fetchall())
             if s != d:
+                ok = False
                 mismatches.append(name)
         except Exception as e:  # a vanilla-session crash IS the finding
+            ok = False
             mismatches.append(f"{name}: {type(e).__name__}: {e}")
-        print(f"# {name}: {'ok' if not mismatches or not str(mismatches[-1]).startswith(name) else 'FAIL'}", file=sys.stderr)
+        print(f"# {name}: {'ok' if ok else 'FAIL'}", file=sys.stderr)
 
     print(
         json.dumps(
