@@ -246,7 +246,7 @@ def bisecting_lloyd_assign(
 # C4 — silhouette
 # --------------------------------------------------------------------------
 
-def silhouette_exact(pred: DataFrame) -> DataFrame:
+def silhouette_exact(pred: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     """Exact full silhouette per sample over (series_id, x, y,
     prediction) — the reference's sklearn silhouette_score semantics
     (app.py:796): a = mean dist to own cluster (excl. self), b = min
@@ -255,12 +255,20 @@ def silhouette_exact(pred: DataFrame) -> DataFrame:
 
     Pure DataFrame pairwise self-join — O(n²) rows but fully
     distributed and SQL-expressible (oracle-checkable); use the MLlib
-    evaluator for large n.
-    """
+    evaluator for large n. ``keys`` are extra grouping columns carried
+    through every stage (pairs only form within equal keys), so N
+    independent clusterings — e.g. model selection's k = 2..6 over the
+    SAME points — score in ONE fused job instead of N sequential ones
+    (identical per-k arithmetic: same pair sets, same aggregates)."""
+    ks = list(keys)
     a, b = pred.alias("a"), pred.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in ks] + [
+        F.col("a.series_id") != F.col("b.series_id")
+    ]
     pair_means = (
-        a.join(b, F.col("a.series_id") != F.col("b.series_id"))
+        a.join(b, cond)
         .select(
+            *[F.col(f"a.{c}").alias(c) for c in ks],
             F.col("a.series_id").alias("series_id"),
             F.col("a.prediction").alias("prediction"),
             F.col("b.prediction").alias("other_prediction"),
@@ -269,23 +277,24 @@ def silhouette_exact(pred: DataFrame) -> DataFrame:
                 + F.pow(F.col("a.y") - F.col("b.y"), 2)
             ).alias("dist"),
         )
-        .groupBy("series_id", "prediction", "other_prediction")
+        .groupBy(*ks, "series_id", "prediction", "other_prediction")
         .agg(F.avg("dist").alias("mean_dist"))
     )
     own = pair_means.where(F.col("prediction") == F.col("other_prediction")).select(
-        "series_id", F.col("mean_dist").alias("a_dist")
+        *ks, "series_id", F.col("mean_dist").alias("a_dist")
     )
     other = (
         pair_means.where(F.col("prediction") != F.col("other_prediction"))
-        .groupBy("series_id")
+        .groupBy(*ks, "series_id")
         .agg(F.min("mean_dist").alias("b_dist"))
     )
     # left join: singleton clusters have no own-cluster pairs → a NULL → s=0
     return (
-        pred.select("series_id", "prediction")
-        .join(own, "series_id", "left")
-        .join(other, "series_id", "left")
+        pred.select(*ks, "series_id", "prediction")
+        .join(own, [*ks, "series_id"], "left")
+        .join(other, [*ks, "series_id"], "left")
         .select(
+            *ks,
             "series_id",
             "prediction",
             F.when(
