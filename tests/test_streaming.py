@@ -817,3 +817,104 @@ def test_streaming_mv_maintainer_matches_batch_across_restart(
     q2._maintain_fn(replay, last_batch_id)
     got2 = {tuple(r) for r in read_mv_rollup(spark, tgt).collect()}
     assert got2 == expect
+
+
+def test_streaming_simhash_dedup_matches_batch_across_restart(spark, tmp_path):
+    """Round-8 extension: near-dup dedup ON INGEST. Verdicts
+    accumulated across micro-batches and a mid-stream restart must
+    equal the batch form (near_dup_of = min smaller-id doc within
+    Hamming ≤ 3 over ALL pairs) when docs ingest in doc_id order —
+    planted exact copies guarantee nonzero duplicate verdicts — and
+    replaying the last batch (restart between write and checkpoint
+    commit) leaves the state unchanged."""
+    import json
+
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_simhash_dedup,
+        streaming_simhash_dedup,
+    )
+
+    base = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 100)
+    )
+    copies = base.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(copies)
+
+    # batch expected: min smaller-id match per doc over ALL pairs
+    pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    expect_dups = {
+        r["id_b"]: r["m"]
+        for r in pairs.groupBy("id_b").agg(F.min("id_a").alias("m")).collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    expect = {(i, expect_dups.get(i, -1)) for i in all_ids}
+    assert sum(1 for _, d in expect if d >= 0) >= 30  # planted copies found
+
+    # stream the docs in doc_id order, 4 files, restart after 2
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    ordered = docs.orderBy("doc_id").collect()
+    quarter = (len(ordered) + 3) // 4
+    for i in range(4):
+        chunk = spark.createDataFrame(
+            ordered[i * quarter : (i + 1) * quarter], docs.schema
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"tmp_{i}")
+        )
+        part = next((tmp_path / f"tmp_{i}").glob("part-*.parquet"))
+        part.rename(src / f"chunk_{i}.parquet")
+
+    def doc_stream():
+        schema = spark.read.parquet(str(src)).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    idx = str(tmp_path / "dedup_state")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    # run over the first two files only (simulate by moving the rest out)
+    held = [src / "chunk_2.parquet", src / "chunk_3.parquet"]
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for p in held:
+        p.rename(stash / p.name)
+    q = streaming_simhash_dedup(doc_stream(), idx, ckpt)
+    q.awaitTermination(120)
+    n_v1 = len(list(Path(idx).glob("state_v*")))
+    assert n_v1 >= 2
+
+    for p in held:
+        (stash / p.name).rename(p)
+    q2 = streaming_simhash_dedup(doc_stream(), idx, ckpt)
+    q2.awaitTermination(120)
+    assert len(list(Path(idx).glob("state_v*"))) == n_v1 + 2
+
+    got = {
+        (r["id"], r["near_dup_of"])
+        for r in read_simhash_dedup(spark, idx).collect()
+    }
+    assert got == expect
+
+    # replay idempotence: batch→file mapping from the checkpoint log
+    last_version = len(list(Path(idx).glob("state_v*"))) - 1
+    src_log = Path(ckpt) / "sources" / "0" / str(last_version - 1)
+    batch_files = [
+        json.loads(line)["path"]
+        for line in src_log.read_text().splitlines()
+        if line.startswith("{")
+    ]
+    q2._dedup_fn(spark.read.parquet(*batch_files), last_version - 1)
+    got2 = {
+        (r["id"], r["near_dup_of"])
+        for r in read_simhash_dedup(spark, idx).collect()
+    }
+    assert got2 == expect

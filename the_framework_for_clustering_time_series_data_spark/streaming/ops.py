@@ -709,6 +709,145 @@ def streaming_merge_apply(
     return q
 
 
+def streaming_simhash_dedup(
+    docs: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
+):
+    """Near-duplicate dedup ON INGEST — the dedup family's streaming
+    form (round-8 extension): each micro-batch of documents is
+    SimHash-fingerprinted (operators/dedup.simhash, the batch kernel),
+    banded-joined against the fingerprints of everything ingested so
+    far PLUS its own smaller-id rows (pigeonhole: max_hamming+1
+    contiguous bands — a qualifying pair agrees exactly on ≥ 1 band,
+    so candidates come from an equi-join, never all-pairs), verified
+    with ``bit_count(xor) ≤ max_hamming``, and appended to the state
+    with its verdict: ``near_dup_of`` = the smallest earlier doc_id
+    within the Hamming radius, −1 when novel.
+
+    State = the cumulative (doc_id, simhash, near_dup_of) table,
+    maintained with streaming_merge_apply's batch-id-versioned
+    exactly-once discipline (batch b reads ``state_v{b}``, overwrites
+    ``state_v{b+1}``; replay after a restart-before-commit rewrites
+    its own version deterministically). Read verdicts with
+    :func:`read_simhash_dedup`.
+
+    Verdicts equal the batch form (min smaller-id match over ALL
+    pairs) when documents ingest in doc_id order — the natural
+    dedup-on-ingest contract: each document is judged against the
+    corpus as of its arrival. At fleet scale the per-batch cost is one
+    fingerprint pass over the batch + a banded join whose left side
+    prunes to the batch's band values (the index never self-joins)."""
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.operators import dedup
+
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    offsets, widths, off = [], [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
+
+    def _bands(fp: DataFrame) -> DataFrame:
+        return fp.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.shiftrightunsigned(F.col("simhash"), offsets[b])
+                            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                            .alias("band_val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", "simhash", "bb.band_id", "bb.band_val")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        root = Path(index_dir)
+        v0 = root / "state_v0"
+        if not v0.exists():
+            sp.createDataFrame(
+                [], "id long, simhash long, near_dup_of long"
+            ).write.mode("overwrite").parquet(str(v0))
+        cur = sp.read.parquet(str(root / f"state_v{batch_id}"))
+        new_fp = dedup.simhash(
+            batch_df, bits=bits, hash_family=hash_family
+        )
+        pool = cur.select("id", "simhash").unionByName(new_fp)
+        a, b = _bands(pool).alias("a"), _bands(new_fp).alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band_id") == F.col("b.band_id"),
+                    F.col("a.band_val") == F.col("b.band_val"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("ha"),
+                F.col("b.simhash").alias("hb"),
+            )
+            .distinct()
+        )
+        matches = (
+            cand.where(
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming
+            )
+            .groupBy(F.col("id_b").alias("id"))
+            .agg(F.min("id_a").alias("near_dup_of"))
+        )
+        new_rows = new_fp.join(matches, "id", "left").select(
+            "id",
+            "simhash",
+            F.coalesce("near_dup_of", F.lit(-1)).alias("near_dup_of"),
+        )
+        cur.unionByName(new_rows).write.mode("overwrite").parquet(
+            str(root / f"state_v{batch_id + 1}")
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q._dedup_fn = apply_batch  # exposed for idempotence tests
+    return q
+
+
+def read_simhash_dedup(spark, index_dir: str) -> DataFrame:
+    """Serving-state reader for :func:`streaming_simhash_dedup`: the
+    latest complete (``_SUCCESS``-gated) state version —
+    ``(id, simhash, near_dup_of)`` for every ingested document."""
+    from pathlib import Path
+
+    versions = sorted(
+        int(p.name.rsplit("_v", 1)[1])
+        for p in Path(index_dir).glob("state_v*")
+        if (p / "_SUCCESS").exists()
+    )
+    if not versions:
+        raise FileNotFoundError(
+            f"no complete state_v* snapshot (with _SUCCESS) under {index_dir}"
+        )
+    return spark.read.parquet(f"{index_dir}/state_v{versions[-1]}")
+
+
 def streaming_mv_daily_maintainer(
     events: DataFrame, target_dir: str, checkpoint: str
 ):
