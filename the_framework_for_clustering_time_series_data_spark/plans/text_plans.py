@@ -146,6 +146,64 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lang_fertility",
+    """
+WITH t AS (
+  SELECT lang,
+         octet_length(encode(text)) AS n_bytes,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_words,
+         len(regexp_extract_all(lower(trim(text)),
+             '''[a-z]{1,2}| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0)) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_bytes) AS DOUBLE) * 100, 6)
+         AS tokens_per_100_bytes,
+       round(CAST(sum(n_bytes) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE), 6)
+         AS bytes_per_token
+FROM t GROUP BY lang
+""",
+)
+def text_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility — the mixture diagnostic that
+    drives per-language token budgeting (a tokenizer that spends 2× the
+    tokens per byte on one language silently halves that language's
+    effective share of a token-capped mixture): utf-8 bytes, whitespace
+    words, and BPE-ish tokens rolled up per lang, with
+    tokens-per-100-bytes and bytes-per-token. One scan + one tiny
+    shuffle on lang (map-side partials carry four int64 sums); exact
+    integer totals, 6-dp rounded ratios over exact sums in both
+    engines. Complements the per-doc views (text_bpe_tokens /
+    text_bpe_apply) with the corpus-level mixture lens that
+    corpus_token_budget's per-language budgets should be calibrated
+    against."""
+    from the_framework_for_clustering_time_series_data_spark.operators.text import bpe_tokens_expr, tokens_expr
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+        F.size(tokens_expr()).alias("n_words"),
+        F.size(bpe_tokens_expr()).alias("n_bpe"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_bytes").cast("double") * 100, 6
+        ).alias("tokens_per_100_bytes"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_bpe").cast("double"), 6
+        ).alias("bytes_per_token"),
+    )
+
+
+@register(
     "curate_corpus",
     r"""
 WITH RECURSIVE t AS (
