@@ -142,3 +142,30 @@ def test_bench_compact_line_stays_inside_capture_window():
     compact["queries"] = slowest
     compact["queries_truncated_to_slowest"] = len(slowest)
     assert len(json.dumps(compact)) <= 1900
+
+
+def test_plans_md_prose_matches_its_own_table():
+    """Round-8 verdict ask #4: the regenerated PLANS.md table showed 0
+    CartesianProduct rows while the reading-guide prose still named
+    one (stale generator template text). The narrative is now DERIVED
+    from the scan in tools/gen_plans_md.py — assert the committed doc
+    agrees with itself so it can never contradict its table again."""
+    text = Path(REPO / "PLANS.md").read_text()
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \| \S+ \| .*$", text, re.M)
+    cart_rows = [
+        m.group(1)
+        for m in re.finditer(r"^\| `([a-z0-9_]+)` \|(?: [^|]*\|){4} YES \|", text, re.M)
+    ]
+    assert rows, "PLANS.md lost its table"
+    if not cart_rows:
+        assert "ZERO CartesianProduct" in text, (
+            "table has no cartesians but the prose does not say so — "
+            "regenerate with tools/gen_plans_md.py"
+        )
+        assert "The one CartesianProduct in the registry" not in text
+    else:
+        for name in cart_rows:
+            assert f"`{name}`" in text.split("| query |")[0], (
+                f"cartesian plan {name} not named in the reading guide — "
+                "regenerate with tools/gen_plans_md.py"
+            )

@@ -2112,8 +2112,15 @@ def test_wav_synthesis_roundtrip_and_planted_hamming(spark):
         ).collect()
     }
     ids = sorted({p[0] for p in pairs} | {p[1] for p in pairs})
+    # derive the expected pair set from the ACTUAL synthesized ids —
+    # limit(10) without orderBy guarantees nothing about which doc_ids
+    # arrive, only how many (round-8 advice: hard-coding range(10)
+    # flakes on a scan-order change)
+    clip_ids = sorted(r["audio_id"] for r in clips.select("audio_id").collect())
+    originals = [i for i in clip_ids if i % 2 == 0]
+    assert len(clip_ids) == 20
     assert {(a, b) for a, b, _ in pairs} == {
-        (2 * i, 2 * i + 1) for i in range(10)
+        (i, i + 1) for i in originals
     }, pairs
     assert all(h <= 2 for _, _, h in pairs)
     assert len(ids) == 20

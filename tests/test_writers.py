@@ -279,3 +279,30 @@ def test_compaction_refuses_in_place_all_spellings():
     # distinct locations pass
     _guard_distinct_paths("/data/events", "/data/events_compact")
     _guard_distinct_paths("s3a://bucket/x", "s3a://other/x")
+
+
+def test_compaction_refuses_nested_paths():
+    """Round-8 advice: equal-location checks are not enough — a dst
+    NESTED under the source root plants foreign part files inside the
+    source dataset (corrupting later recursive reads), and a src
+    nested under dst is truncated by the overwrite. Both directions
+    must be rejected, component-wise (no false positive on the
+    sibling prefix '/data/events_compact')."""
+    import pytest
+
+    from the_framework_for_clustering_time_series_data_spark.sources.writers import _guard_distinct_paths
+
+    for src, dst in [
+        ("/data/events", "/data/events/compact"),
+        ("/data/events/compact", "/data/events"),
+        ("file:///data/events", "/data/events/deep/nest"),
+        ("s3a://bucket/x", "s3a://bucket/x/compact"),
+        ("s3a://bucket/x/y", "s3a://bucket/x"),
+    ]:
+        with pytest.raises(ValueError, match="must not nest"):
+            _guard_distinct_paths(src, dst)
+    # component-wise: string-prefix SIBLINGS are fine, as are same
+    # paths on different authorities/schemes
+    _guard_distinct_paths("/data/events", "/data/events_compact/out")
+    _guard_distinct_paths("s3a://bucket/x", "s3a://other/x/compact")
+    _guard_distinct_paths("s3a://bucket/x", "file:///bucket/x/compact")

@@ -90,7 +90,13 @@ def _guard_distinct_paths(src_path: str, dst_path: str) -> None:
     compared after URI normalization so spellings of the SAME location
     ('/data/x' vs 'file:///data/x'; 's3a://b/x' vs 's3a://b/x/') can't
     slip past the guard — for local/file schemes via Path.resolve, for
-    remote schemes via (scheme, authority, normalized path)."""
+    remote schemes via (scheme, authority, normalized path). NESTED
+    locations are rejected too (round-8 advice): writing
+    '/data/events/compact' under source root '/data/events' plants
+    foreign parquet parts inside the source dataset (corrupting later
+    recursive reads of it), and a source nested under dst is truncated
+    by the overwrite — prefix containment is checked path-component-
+    wise in both directions."""
     import posixpath
     from pathlib import Path
     from urllib.parse import urlparse
@@ -101,12 +107,26 @@ def _guard_distinct_paths(src_path: str, dst_path: str) -> None:
             return ("file", "", str(Path(u.path or p).resolve()))
         return (u.scheme, u.netloc, posixpath.normpath(u.path or "/"))
 
-    if key(src_path) == key(dst_path):
+    ks, kd = key(src_path), key(dst_path)
+    if ks == kd:
         raise ValueError(
             f"dst_path must differ from src_path ({src_path!r}): "
             "overwrite truncates the destination while the source is "
             "still being read lazily — in-place compaction loses data"
         )
+
+    def parts(k):
+        return tuple(seg for seg in k[2].split("/") if seg)
+
+    if ks[:2] == kd[:2]:
+        ps, pd = parts(ks), parts(kd)
+        if ps[: len(pd)] == pd or pd[: len(ps)] == ps:
+            raise ValueError(
+                f"src_path ({src_path!r}) and dst_path ({dst_path!r}) "
+                "must not nest: a dst under the source root plants "
+                "foreign part files inside the source dataset, and a "
+                "src under dst is truncated by the overwrite"
+            )
 
 
 def compact_parquet(

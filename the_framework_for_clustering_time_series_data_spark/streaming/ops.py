@@ -516,8 +516,12 @@ def streaming_psi_bin_counts(
     are associative and mergeable and the key space is FIXED (types ×
     10 clamped bins), so state never grows with volume — the d3/HLL
     bounded-state pattern — and micro-batch accumulation equals the
-    one-pass batch counts exactly; the watermark bounds how late an
-    event may arrive and still update its period's bins. Emit in
+    one-pass batch counts exactly. State boundedness comes SOLELY
+    from that fixed key space: in complete output mode Spark ignores
+    watermarks for aggregations (late rows are always folded in), so
+    the watermark below only matters if a consumer emits in update
+    mode, where it additionally bounds how late an event may still
+    update its bins (round-8 advice correction). Emit in
     complete/update mode; fold a snapshot through
     stats.psi_from_bin_counts (the SAME fold the batch plan uses) for
     the live PSI. Runs identically on a batch frame for parity
@@ -782,8 +786,14 @@ def streaming_simhash_dedup(
                 [], "id long, simhash long, near_dup_of long"
             ).write.mode("overwrite").parquet(str(v0))
         cur = sp.read.parquet(str(root / f"state_v{batch_id}"))
-        new_fp = dedup.simhash(
-            batch_df, bits=bits, hash_family=hash_family
+        # new_fp feeds THREE plans per batch (pool/a-side, b-side
+        # bands, new_rows): checkpoint so the SimHash explode+groupBy
+        # fingerprint aggregate runs once per batch, not ~3x (the
+        # multi-consumer discipline; round-8 advice)
+        from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+        new_fp = stage_checkpoint(
+            dedup.simhash(batch_df, bits=bits, hash_family=hash_family)
         )
         pool = cur.select("id", "simhash").unionByName(new_fp)
         a, b = _bands(pool).alias("a"), _bands(new_fp).alias("b")
