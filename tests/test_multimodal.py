@@ -2185,3 +2185,84 @@ def test_phash_small_images_hash_deterministically():
     assert d1 == multimodal.dhash64_from_luma(grid, w, h)
     one = [[128]]
     assert multimodal.dhash64_from_luma(one, 1, 1) == 0  # flat → no bits
+
+
+def test_phash128_wide_banding_equals_brute_force(spark):
+    """Pigeonhole exactness for the 128-bit two-lane form (round-9
+    verdict ask #3), adversarially: 200 seeded (dhash, ahash) lane
+    pairs plus crafted twins at EVERY summed Hamming distance 0..5,
+    with flips split ACROSS lanes and straddling 32-bit band
+    boundaries. The wide banded join must equal a Python brute force
+    over the summed lane distance exactly — ≤ 3 all found, 4..5 all
+    excluded even when a band matches (a twin with both flips in lane
+    0 leaves every lane-1 band equal, so candidates at distance > 3
+    ARE generated and must die in the verify filter)."""
+    import hashlib
+
+    def h64(s: str) -> int:
+        v = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [(i, h64(f"d{i}"), h64(f"a{i}")) for i in range(200)]
+    nxt = 200
+    # flips alternate lanes and straddle the 32-bit band boundary
+    # (bit 31 / bit 32 of each lane): (lane, bit)
+    flips = [(0, 31), (1, 32), (0, 60), (1, 3), (0, 32)]
+    for d in range(6):
+        _, dv, av = rows[d]
+        for lane, bit in flips[:d]:
+            if lane == 0:
+                dv ^= 1 << bit
+            else:
+                av ^= 1 << bit
+        dv = dv - (1 << 64) if dv >= (1 << 63) else dv
+        av = av - (1 << 64) if av >= (1 << 63) else av
+        rows.append((nxt, dv, av))
+        nxt += 1
+    df = spark.createDataFrame(rows, "image_id long, dhash long, ahash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.phash128_neardup_pairs(
+            df, bands=4, max_hamming=3
+        ).collect()
+    }
+    mask = (1 << 64) - 1
+    vals = {i: (d & mask, a & mask) for i, d, a in rows}
+    ids = sorted(vals)
+    expect = set()
+    for i_pos, a in enumerate(ids):
+        for b in ids[i_pos + 1 :]:
+            ham = bin(vals[a][0] ^ vals[b][0]).count("1") + bin(
+                vals[a][1] ^ vals[b][1]
+            ).count("1")
+            if ham <= 3:
+                expect.add((a, b, ham))
+    assert got == expect
+    assert {(0, 200, 0), (1, 201, 1), (2, 202, 2), (3, 203, 3)} <= got
+    assert not any(b in (204, 205) for _, b, _ in got)
+    # 8-band (16-bit key) configuration still agrees at its threshold
+    got8 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.phash128_neardup_pairs(
+            df, bands=8, max_hamming=5
+        ).collect()
+    }
+    expect8 = set()
+    for i_pos, a in enumerate(ids):
+        for b in ids[i_pos + 1 :]:
+            ham = bin(vals[a][0] ^ vals[b][0]).count("1") + bin(
+                vals[a][1] ^ vals[b][1]
+            ).count("1")
+            if ham <= 5:
+                expect8.add((a, b, ham))
+    assert got8 == expect8
+    assert {(4, 204, 4), (5, 205, 5)} <= got8
+
+
+def test_phash128_wide_rejects_bad_band_configs():
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.phash128_neardup_pairs(None, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="even"):
+        multimodal.phash128_neardup_pairs(None, bands=5, max_hamming=3)

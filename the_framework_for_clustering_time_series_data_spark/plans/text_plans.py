@@ -1553,3 +1553,218 @@ def text_collocations_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("chi2").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+_UNI_ROUNDS, _UNI_TOPK, _UNI_MAXP, _UNI_MAXW = 3, 40, 4, 18
+
+
+def _unigram_round_sql(r: int) -> str:
+    """One hard-EM round replayed in SQL: quantized micro-nat log-prob
+    table from round-r counts, per-segmentation exact int64 score sum,
+    the (score DESC, np ASC, lens ASC) argmax per word, usage recount
+    weighted by word frequency, +1-smoothed next-round counts over the
+    FIXED vocabulary (c0's piece set)."""
+    return f"""t{r} AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c{r}),
+lp{r} AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST(cnt AS DOUBLE) / (SELECT tot FROM t{r}))
+                    * 1000000 + 0.5) AS BIGINT) AS lp
+  FROM c{r}
+),
+sc{r} AS (
+  SELECT sp.word, sp.lens, sum(l.lp) AS score, count(*) AS np
+  FROM sp JOIN lp{r} l ON l.piece = sp.piece
+  GROUP BY 1, 2
+),
+best{r} AS MATERIALIZED (
+  SELECT word, lens FROM (
+    SELECT word, lens,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY score DESC, np ASC, lens ASC) AS rn
+    FROM sc{r}) WHERE rn = 1
+),
+u{r} AS (
+  SELECT sp.piece, sum(wf.freq) AS used
+  FROM best{r} b
+  JOIN sp ON sp.word = b.word AND sp.lens = b.lens
+  JOIN wf ON wf.word = b.word
+  GROUP BY 1
+),
+c{r + 1} AS MATERIALIZED (
+  SELECT v.piece, CAST(1 + coalesce(u.used, 0) AS BIGINT) AS cnt
+  FROM c0 v LEFT JOIN u{r} u USING (piece)
+)"""
+
+
+def _unigram_ctes() -> str:
+    """Shared CTE chain (no leading WITH; caller supplies
+    WITH RECURSIVE) replaying unigram_lm_fit: word-frequency table,
+    overlapping substring counts, the singles ∪ top-K seed vocabulary,
+    ONE recursive enumeration of every vocab-valid segmentation (the
+    vocabulary is fixed across rounds — +1 smoothing never prunes —
+    so segmentations enumerate once and only SCORES change per round),
+    then the unrolled EM rounds. Ends with lp{R}/sc{R}/best{R} (the
+    final model and segmentations) consumed by both the schedule and
+    fertility oracles."""
+    R = _UNI_ROUNDS
+    rounds = ",\n".join(_unigram_round_sql(r) for r in range(R))
+    final = f"""t{R} AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c{R}),
+lp{R} AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST(cnt AS DOUBLE) / (SELECT tot FROM t{R}))
+                    * 1000000 + 0.5) AS BIGINT) AS lp
+  FROM c{R}
+),
+sc{R} AS (
+  SELECT sp.word, sp.lens, sum(l.lp) AS score, count(*) AS np
+  FROM sp JOIN lp{R} l ON l.piece = sp.piece
+  GROUP BY 1, 2
+),
+best{R} AS MATERIALIZED (
+  SELECT word, lens FROM (
+    SELECT word, lens,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY score DESC, np ASC, lens ASC) AS rn
+    FROM sc{R}) WHERE rn = 1
+)"""
+    return f"""wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word != '' AND length(word) <= {_UNI_MAXW} GROUP BY word
+),
+pos AS (
+  SELECT word, freq, CAST(unnest(range(1, length(word) + 1)) AS INT) AS s
+  FROM wf
+),
+spl AS (
+  SELECT word, freq, s,
+         CAST(unnest(range(1, least({_UNI_MAXP}, length(word) - s + 1) + 1)) AS INT) AS l
+  FROM pos
+),
+sub AS (SELECT substr(word, s, l) AS piece, sum(freq) AS cnt FROM spl GROUP BY 1),
+extras AS MATERIALIZED (
+  SELECT piece, cnt FROM sub WHERE length(piece) >= 2
+  ORDER BY cnt DESC, piece LIMIT {_UNI_TOPK}
+),
+c0 AS MATERIALIZED (
+  SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM sub WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, CAST(cnt AS BIGINT) FROM extras
+),
+walk(word, pos_i, lens) AS (
+  SELECT word, CAST(1 AS INT), CAST('' AS VARCHAR) FROM wf
+  UNION ALL
+  SELECT w.word, w.pos_i + ls.l, w.lens || CAST(ls.l AS VARCHAR)
+  FROM walk w, (SELECT CAST(unnest(range(1, {_UNI_MAXP} + 1)) AS INT) AS l) ls
+  WHERE w.pos_i + ls.l <= length(w.word) + 1
+    AND substr(w.word, w.pos_i, ls.l) IN (SELECT piece FROM c0)
+),
+segs AS MATERIALIZED (
+  SELECT word, lens FROM walk WHERE pos_i = length(word) + 1
+),
+sp AS MATERIALIZED (
+  SELECT word, lens,
+         substr(word,
+                CAST(1 + coalesce(sum(CAST(substr(lens, CAST(i AS INT), 1) AS INT))
+                         OVER (PARTITION BY word, lens ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS INT),
+                CAST(substr(lens, CAST(i AS INT), 1) AS INT)) AS piece
+  FROM (SELECT word, lens, unnest(range(1, length(lens) + 1)) AS i FROM segs)
+),
+{rounds},
+{final}"""
+
+
+def _unigram_schedule_oracle() -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, c.piece, c.cnt, l.lp AS lp_micro "
+        f"FROM c{r} c JOIN lp{r} l USING (piece)"
+        for r in range(_UNI_ROUNDS + 1)
+    )
+    return f"""
+WITH RECURSIVE {_unigram_ctes()}
+{finals}
+"""
+
+
+@register("text_unigram_lm", _unigram_schedule_oracle())
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer fitting (Kudo 2018 — the SentencePiece
+    objective) as a fully-oracled deterministic twin (round-9 verdict
+    ask #6), completing the subword trifecta next to BPE
+    (text_bpe_merges) and WordPiece (text_wordpiece_apply): seed
+    vocabulary = singles ∪ top-40 substrings, then 3 hard-EM rounds
+    whose E-step is exact-integer Viterbi over 6-dp-quantized micro-nat
+    log-probs (int64 score sums — the c7b_gmm_md5em fold discipline,
+    here with NO float folds at all) and whose M-step is a
+    +1-smoothed usage recount over the fixed vocabulary. Output is the
+    VOCABULARY SCHEDULE: (round, piece, count, lp_micro) for rounds
+    0..3 — the trajectory a tokenizer-training audit inspects. The
+    oracle unrolls all rounds as CTEs and enumerates segmentations
+    ONCE via a recursive walk (vocabulary stability makes the
+    enumeration round-invariant; only scores change). Corpus-sized
+    work is one scan + one substring explode; EM runs on the bounded
+    ≤(alphabet+40)-row state (operators/text.unigram_lm_fit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    schedule, _ = T.unigram_lm_fit(
+        docs,
+        rounds=_UNI_ROUNDS,
+        top_k=_UNI_TOPK,
+        max_piece=_UNI_MAXP,
+        max_word=_UNI_MAXW,
+    )
+    return spark.createDataFrame(
+        schedule, "round int, piece string, cnt long, lp_micro long"
+    )
+
+
+@register(
+    "text_unigram_fertility",
+    f"""
+WITH RECURSIVE {_unigram_ctes()},
+npf AS (SELECT word, CAST(length(lens) AS BIGINT) AS np FROM best{_UNI_ROUNDS}),
+dw AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+  FROM documents
+),
+dwf AS (SELECT lang, word FROM dw WHERE word != '' AND length(word) <= {_UNI_MAXW})
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS total_words,
+       CAST(sum(np) AS BIGINT) AS total_unigram_tokens,
+       round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS unigram_fertility
+FROM dwf JOIN npf USING (word)
+GROUP BY lang
+""",
+)
+def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility of the learned unigram-LM tokenizer —
+    the comparison row next to text_lang_fertility (same lang keys and
+    total_words, so joining the two gives the unigram-vs-BPE-ish
+    fertility comparison per language; kept as its own query so
+    text_lang_fertility's single-scan plan stays untouched).
+    Application is the scale shape every tokenizer plan here uses:
+    per-DISTINCT-word segment counts (bounded, broadcast) joined to
+    one corpus word explode + a tiny lang shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, n_pieces = T.unigram_lm_fit(
+        docs,
+        rounds=_UNI_ROUNDS,
+        top_k=_UNI_TOPK,
+        max_piece=_UNI_MAXP,
+        max_word=_UNI_MAXW,
+    )
+    npf = spark.createDataFrame(
+        sorted(n_pieces.items()), "word string, np long"
+    )
+    dw = docs.select(
+        "lang", F.explode(T.tokens_expr()).alias("word")
+    ).where((F.col("word") != "") & (F.length("word") <= _UNI_MAXW))
+    return dw.join(F.broadcast(npf), "word").groupBy("lang").agg(
+        F.count("*").alias("total_words"),
+        F.sum("np").cast("long").alias("total_unigram_tokens"),
+        F.round(
+            F.sum("np").cast("double") / F.count("*"), 6
+        ).alias("unigram_fertility"),
+    )

@@ -1,0 +1,254 @@
+"""Generate sf1 (10x sf0.1) test data for the SCALE-VALIDATION sweep
+(round-9 verdict ask #1): every perf record so far is sf0.1, so the
+100-TB design story rests on plan shape + targeted 1M-5M-row smokes.
+This tool materializes a deterministic 10x decade at
+``/root/repo/testdata_sf1/`` (the driver's /root/testdata is
+read-only) so tools/scale_sweep.py can convert "plans look linear"
+into measured per-query scaling ratios.
+
+Construction: 10 deterministic replicas of the driver's sf0.1 tables
+with TPC-H-style semantics — fixed dims stay fixed, fact keys offset
+per replica, the DATE RANGE stays constant (density x10, exactly how
+dbgen scales):
+
+- region/nation: copied once (constant at every SF, as in TPC-H).
+- customer/supplier/part/orders/lineitem: keys offset by
+  ``r * (max_key + 1)``; FK columns offset consistently so referential
+  integrity holds; key-derived names re-derived from the new key.
+- events: event_id/user_id offset (10x users over the same 30 days —
+  series COUNT scales, per-series length does not, matching how a
+  fleet's event volume actually grows).
+- documents: doc_id offset; text mapped through a per-replica rot-r
+  letter substitution (a-z cyclic shift). This is the load-bearing
+  choice: it preserves EVERY intra-replica relation exactly (lengths,
+  token stats, duplicate/near-dup/shingle structure — so dedup work
+  per replica is identical to sf0.1) while destroying cross-replica
+  overlap (so LSH buckets/exact-hash groups grow 10x in COUNT, not
+  10x in SIZE — naive doc_id-only replication would make every
+  banded join quadratic by CONSTRUCTION of the data, polluting the
+  measured exponents). n_chars is length-invariant under rot and kept.
+- embeddings: vec_id offset; vectors circularly shifted by r
+  dimensions (norm- and intra-replica-distance-preserving, so ANN
+  ground truth per replica matches sf0.1; cross-replica vectors
+  decorrelate instead of producing 10 exact zero-distance copies of
+  every point).
+
+Determinism: pure column transforms of the seed=42 driver data — no
+RNG here at all. Output layout mirrors the driver's
+(``<dir>/<table>.parquet``), written by Spark (multi-part dirs: the
+scan parallelism a real table has).
+
+Usage: python tools/gen_sf1.py [--out /root/repo/testdata_sf1] [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import string
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SRC = "/root/testdata/sf0.1"
+
+# key strides = max(key) + 1 in the sf0.1 driver data (asserted below)
+STRIDES = {
+    "customer": ("c_custkey", 15_000),
+    "supplier": ("s_suppkey", 1_000),
+    "part": ("p_partkey", 20_000),
+    "orders": ("o_orderkey", 150_000),
+    "events": ("event_id", 100_000),
+    "documents": ("doc_id", 5_000),
+    "embeddings": ("vec_id", 2_000),
+}
+USER_STRIDE = 1_500  # events.user_id in 0..1499 at sf0.1
+EMB_DIM = 64
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO / "testdata_sf1"))
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from the_framework_for_clustering_time_series_data_spark.session import get_spark
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    spark = get_spark("gen-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    R = args.replicas
+
+    def replicate(df, parts: int):
+        """Cross the frame with the replica grid (broadcast literal —
+        the one crossJoin shape the repo allows) and repartition so the
+        output dir has realistic multi-part scan parallelism."""
+        reps = spark.range(R).select(F.col("id").cast("int").alias("_r"))
+        return df.crossJoin(F.broadcast(reps)), parts
+
+    def offset(col: str, stride: int):
+        return (F.col(col) + F.col("_r").cast("long") * F.lit(stride)).alias(col)
+
+    def write(df, name: str, parts: int) -> None:
+        t0 = time.perf_counter()
+        (
+            df.repartition(parts)
+            .write.mode("overwrite")
+            .parquet(str(out / f"{name}.parquet"))
+        )
+        n = spark.read.parquet(str(out / f"{name}.parquet")).count()
+        print(f"  {name}: {n} rows in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # sanity: strides really are max_key+1 in the source (a drifted
+    # driver regeneration would silently collide replica keys)
+    for t, (k, stride) in STRIDES.items():
+        mx = load_table(spark, SRC, t).agg(F.max(k)).collect()[0][0]
+        assert mx == stride - 1, f"{t}.{k} max {mx} != stride-1 {stride - 1}"
+
+    # fixed dims: copy once, unchanged
+    for t in ("region", "nation"):
+        write(load_table(spark, SRC, t), t, 1)
+
+    cust, p = replicate(load_table(spark, SRC, "customer"), 4)
+    write(
+        cust.select(
+            offset("c_custkey", STRIDES["customer"][1]),
+            F.format_string("Customer#%09d", offset("c_custkey", STRIDES["customer"][1])).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        ),
+        "customer",
+        p,
+    )
+
+    supp, p = replicate(load_table(spark, SRC, "supplier"), 1)
+    write(
+        supp.select(
+            offset("s_suppkey", STRIDES["supplier"][1]),
+            F.format_string("Supplier#%09d", offset("s_suppkey", STRIDES["supplier"][1])).alias("s_name"),
+            "s_nationkey",
+            "s_acctbal",
+        ),
+        "supplier",
+        p,
+    )
+
+    part_df, p = replicate(load_table(spark, SRC, "part"), 4)
+    write(
+        part_df.select(
+            offset("p_partkey", STRIDES["part"][1]),
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            "p_retailprice",
+        ),
+        "part",
+        p,
+    )
+
+    orders, p = replicate(load_table(spark, SRC, "orders"), 8)
+    write(
+        orders.select(
+            offset("o_orderkey", STRIDES["orders"][1]),
+            offset("o_custkey", STRIDES["customer"][1]),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+        "orders",
+        p,
+    )
+
+    li, p = replicate(load_table(spark, SRC, "lineitem"), 16)
+    write(
+        li.select(
+            offset("l_orderkey", STRIDES["orders"][1]),
+            offset("l_partkey", STRIDES["part"][1]),
+            offset("l_suppkey", STRIDES["supplier"][1]),
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ),
+        "lineitem",
+        p,
+    )
+
+    ev, p = replicate(load_table(spark, SRC, "events"), 8)
+    write(
+        ev.select(
+            offset("event_id", STRIDES["events"][1]),
+            "ts",
+            offset("user_id", USER_STRIDE),
+            "event_type",
+            "value",
+            "props",
+        ),
+        "events",
+        p,
+    )
+
+    # documents: per-replica rot-r vocabulary substitution via a chain
+    # of translate() mappings selected by _r (R is tiny; CASE over 10
+    # literal translates stays whole-stage-codegen'd JVM work)
+    docs, p = replicate(load_table(spark, SRC, "documents"), 4)
+    az = string.ascii_lowercase
+    rot_text = F.col("text")
+    rotated = F.when(F.col("_r") == 0, F.col("text"))
+    for r in range(1, R):
+        rotated = rotated.when(
+            F.col("_r") == r, F.translate("text", az, az[r % 26 :] + az[: r % 26])
+        )
+    write(
+        docs.select(
+            offset("doc_id", STRIDES["documents"][1]),
+            rotated.alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ),
+        "documents",
+        p,
+    )
+
+    # embeddings: circular dim shift by r (slice+concat preserves
+    # array<float>; r=0 concatenates with an empty tail slice)
+    emb, p = replicate(load_table(spark, SRC, "embeddings"), 2)
+    shifted = F.when(F.col("_r") == 0, F.col("embedding"))
+    for r in range(1, R):
+        s = r % EMB_DIM
+        shifted = shifted.when(
+            F.col("_r") == r,
+            F.concat(
+                F.slice("embedding", s + 1, EMB_DIM - s), F.slice("embedding", 1, s)
+            ),
+        )
+    write(
+        emb.select(
+            offset("vec_id", STRIDES["embeddings"][1]),
+            shifted.alias("embedding"),
+            "label",
+        ),
+        "embeddings",
+        p,
+    )
+
+    print(f"wrote sf1 decade to {out}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
