@@ -15,6 +15,27 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # VANILLA session — builder defaults only, the driver's session
+        # shape (round-9 verdict ask #8): lets any suite re-run under
+        # the exact config surface the driver uses, so pinned-config
+        # dependencies (parquet nanosAsLong, UTC tz, arrow) surface as
+        # failures here instead of only in driver rounds. Used by
+        # tools/vanilla_parity.py --twin-bounds to exercise every
+        # rows-only query's twin-bound invariant vanilla.
+        from pyspark.sql import SparkSession
+
+        s = (
+            SparkSession.builder.master("local[8]")
+            .appName("the_framework_for_clustering_time_series_data_spark-tests-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        yield s
+        s.stop()
+        return
     from the_framework_for_clustering_time_series_data_spark.session import get_spark
 
     s = get_spark("the_framework_for_clustering_time_series_data_spark-tests", shuffle_partitions=8)

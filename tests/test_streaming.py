@@ -918,3 +918,129 @@ def test_streaming_simhash_dedup_matches_batch_across_restart(spark, tmp_path):
         for r in read_simhash_dedup(spark, idx).collect()
     }
     assert got2 == expect
+
+
+def test_streaming_ivf_maintainer_probe_parity_across_restart(spark, tmp_path):
+    """Round-9 verdict ask #5: streaming ANN ingest. The incrementally
+    maintained IVF index (frozen deterministic quantizer from batch 0,
+    per-batch cell-partitioned deltas, versioned per-cell count
+    metadata) must serve probes IDENTICAL to the batch rebuild with
+    the same quantizer — across micro-batches, a mid-stream restart,
+    and a last-batch replay (restart between delta write and
+    checkpoint commit). Re-training the quantizer is a rebuild event
+    by contract, so 'batch rebuild' = one-pass frozen-centroid
+    assignment of everything that arrived."""
+    import json
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.operators.similarity import (
+        _ivf_probe_scored,
+        assign_cells_frozen,
+    )
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_ivf_stream_index,
+        streaming_ivf_index_maintainer,
+        streaming_ivf_probe,
+    )
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    n_all = vecs.count()
+    queries = vecs.where(F.col("vec_id") < 10)
+
+    # stream the vectors in vec_id order, 4 files, restart after 2
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    ordered = vecs.orderBy("vec_id").collect()
+    quarter = (len(ordered) + 3) // 4
+    for i in range(4):
+        chunk = spark.createDataFrame(
+            ordered[i * quarter : (i + 1) * quarter], vecs.schema
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"tmp_{i}"))
+        part = next((tmp_path / f"tmp_{i}").glob("part-*.parquet"))
+        part.rename(src / f"chunk_{i}.parquet")
+
+    def vec_stream():
+        schema = spark.read.parquet(str(src)).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    idx = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    held = [src / "chunk_2.parquet", src / "chunk_3.parquet"]
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for p in held:
+        p.rename(stash / p.name)
+    q = streaming_ivf_index_maintainer(vec_stream(), idx, ckpt, n_cells=8)
+    q.awaitTermination(120)
+    n_d1 = len(list(Path(idx).glob("delta_v*")))
+    assert n_d1 >= 1
+    for p in held:
+        (stash / p.name).rename(p)
+    q2 = streaming_ivf_index_maintainer(vec_stream(), idx, ckpt, n_cells=8)
+    q2.awaitTermination(120)
+    assert len(list(Path(idx).glob("delta_v*"))) == n_d1 + 2
+
+    # the maintained index holds every arrived vector exactly once
+    cells = read_ivf_stream_index(spark, idx)
+    assert cells.count() == n_all
+    assert cells.select("nbr_id").distinct().count() == n_all
+    # metadata chain agrees with the index contents
+    last_meta = max(
+        int(p.name.rsplit("_v", 1)[1]) for p in Path(idx).glob("meta_v*")
+    )
+    meta = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(f"{idx}/meta_v{last_meta}").collect()
+    }
+    by_cell = {
+        r["cell"]: r["n"]
+        for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    assert meta == by_cell
+
+    # probe parity vs the one-pass batch rebuild with the SAME quantizer
+    got = {
+        tuple(r)
+        for r in streaming_ivf_probe(spark, idx, queries, k=5, nprobe=3).collect()
+    }
+    crows = sorted(
+        spark.read.parquet(f"{idx}/centroids").collect(), key=lambda r: r["cell"]
+    )
+    centers = [list(r["center"]) for r in crows]
+    cell_ids = [int(r["cell"]) for r in crows]
+    batch_cells = assign_cells_frozen(vecs, centers, cell_ids=cell_ids)
+    qs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    expect = {
+        tuple(r)
+        for r in _ivf_probe_scored(
+            batch_cells, qs, centers, 5, 3, cell_ids=cell_ids
+        ).collect()
+    }
+    assert len(got) > 0
+    assert got == expect
+
+    # replay idempotence: batch→file mapping from the checkpoint log
+    last_delta = max(
+        int(p.name.rsplit("_v", 1)[1]) for p in Path(idx).glob("delta_v*")
+    )
+    src_log = Path(ckpt) / "sources" / "0" / str(last_delta - 1)
+    batch_files = [
+        json.loads(line)["path"]
+        for line in src_log.read_text().splitlines()
+        if line.startswith("{")
+    ]
+    q2._maintain_fn(spark.read.parquet(*batch_files), last_delta - 1)
+    got2 = {
+        tuple(r)
+        for r in streaming_ivf_probe(spark, idx, queries, k=5, nprobe=3).collect()
+    }
+    assert got2 == expect

@@ -470,6 +470,53 @@ def _ivf_probe_scored(
     )
 
 
+def assign_cells_frozen(
+    emb: DataFrame,
+    centers: list[list[float]],
+    cell_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest FROZEN centroid — the
+    incremental-ingest half of an IVF index (round-9 streaming
+    maintainer): the coarse quantizer is index METADATA fixed at build
+    time, so assignment is a pure per-row expression (literal centroid
+    distances via the same sequential zip_with fold the probe uses,
+    deterministic (distance, cell) tie-break) — no shuffle, no Python,
+    embarrassingly parallel over any batch size. Returns
+    ``(nbr_id, v, cell)`` rows shaped exactly like the persisted
+    ``cells`` table of :func:`build_ivf_index_deterministic`."""
+
+    def sq_dist(vcol: Column, center: list[float]) -> Column:
+        c = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vcol, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ids = cell_ids if cell_ids is not None else list(range(len(centers)))
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    nearest = F.element_at(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        sq_dist(F.col("v"), centers[i]).alias("d"),
+                        F.lit(ids[i]).alias("cell"),
+                    )
+                    for i in range(len(centers))
+                ]
+            )
+        ),
+        1,
+    )
+    return corpus.select("nbr_id", "v", nearest["cell"].alias("cell"))
+
+
 def build_ivf_index(
     emb: DataFrame,
     path: str,

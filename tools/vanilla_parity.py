@@ -62,12 +62,57 @@ def pick_entries(n: int, seed: str) -> tuple[list[str], list[str]]:
     return core, rest[: max(0, n - len(core))]
 
 
+def run_twin_bounds_vanilla() -> None:
+    """Round-9 verdict ask #8 (the round-8 optional): exercise EVERY
+    rows-only query's twin-bound guarantee on a VANILLA session —
+    tests/test_twin_bounds.py (plus the rows-only smoke suite inside
+    it) re-run in a subprocess with SPARK_GRAFT_VANILLA=1, which makes
+    conftest's session fixture build the driver-shaped builder-default
+    session. One pass covers all 21+ rows-only entries per round — no
+    rotation needed. Prints the pytest tail and exits with its rc."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_VANILLA="1")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "tests/test_twin_bounds.py",
+            "-q",
+            "--no-header",
+        ],
+        cwd=str(Path(__file__).resolve().parents[1]),
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-12:])
+    print(tail, file=sys.stderr)
+    print(
+        json.dumps(
+            {"ok": proc.returncode == 0, "mode": "twin-bounds-vanilla", "rc": proc.returncode}
+        )
+    )
+    sys.exit(proc.returncode)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--n", type=int, default=14)
     ap.add_argument("--seed", default="r8")
+    ap.add_argument(
+        "--twin-bounds",
+        action="store_true",
+        help="run the whole twin-bounds suite on a vanilla session instead",
+    )
     args = ap.parse_args()
+
+    if args.twin_bounds:
+        run_twin_bounds_vanilla()
+        return
 
     core, rotating = pick_entries(args.n, args.seed)
 
