@@ -978,13 +978,13 @@ def test_streaming_ivf_maintainer_probe_parity_across_restart(spark, tmp_path):
         p.rename(stash / p.name)
     q = streaming_ivf_index_maintainer(vec_stream(), idx, ckpt, n_cells=8)
     q.awaitTermination(120)
-    n_d1 = len(list(Path(idx).glob("delta_v*")))
+    n_d1 = len(list((Path(idx) / "cells").glob("delta=*")))
     assert n_d1 >= 1
     for p in held:
         (stash / p.name).rename(p)
     q2 = streaming_ivf_index_maintainer(vec_stream(), idx, ckpt, n_cells=8)
     q2.awaitTermination(120)
-    assert len(list(Path(idx).glob("delta_v*"))) == n_d1 + 2
+    assert len(list((Path(idx) / "cells").glob("delta=*"))) == n_d1 + 2
 
     # the maintained index holds every arrived vector exactly once
     cells = read_ivf_stream_index(spark, idx)
@@ -1030,7 +1030,8 @@ def test_streaming_ivf_maintainer_probe_parity_across_restart(spark, tmp_path):
 
     # replay idempotence: batch→file mapping from the checkpoint log
     last_delta = max(
-        int(p.name.rsplit("_v", 1)[1]) for p in Path(idx).glob("delta_v*")
+        int(p.name.split("=", 1)[1])
+        for p in (Path(idx) / "cells").glob("delta=*")
     )
     src_log = Path(ckpt) / "sources" / "0" / str(last_delta - 1)
     batch_files = [

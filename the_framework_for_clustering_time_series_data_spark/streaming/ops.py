@@ -941,7 +941,8 @@ def streaming_ivf_index_maintainer(
     - every batch assigns its vectors to their frozen nearest cell
       (similarity.assign_cells_frozen — a pure per-row expression, no
       shuffle) and writes them as a cell-partitioned DELTA
-      ``delta_v{batch_id + 1}`` — O(batch) work, never O(index): the
+      ``cells/delta={batch_id + 1}`` (hive-style, so all deltas read
+      as one partitioned table) — O(batch) work, never O(index): the
       property that makes maintenance beat the 7-10 s full rebuild;
     - centroid metadata refresh: per-cell vector counts merge into the
       batch-id-versioned ``meta_v{b}`` chain (the
@@ -989,8 +990,11 @@ def streaming_ivf_index_maintainer(
         assigned = assign_cells_frozen(
             batch_df, centers, cell_ids=cell_ids, id_col=id_col, vec_col=vec_col
         )
+        # hive-style delta level (delta=N) so every delta shares ONE
+        # partition-discovery base: the reader scans them as a single
+        # (delta, cell)-partitioned table and `cell` pruning holds
         assigned.write.mode("overwrite").partitionBy("cell").parquet(
-            str(root / f"delta_v{batch_id + 1}")
+            str(root / "cells" / f"delta={batch_id + 1}")
         )
         m0 = root / "meta_v0"
         if not m0.exists():
@@ -1020,27 +1024,28 @@ def streaming_ivf_index_maintainer(
 
 def read_ivf_stream_index(spark, index_dir: str) -> DataFrame:
     """Serving-state reader for :func:`streaming_ivf_index_maintainer`:
-    the union of every complete (``_SUCCESS``-gated) cell-partitioned
-    delta — shaped exactly like build_ivf_index_deterministic's
-    ``cells`` table. A delta mid-rewrite (replay in flight) is skipped
-    until its _SUCCESS lands: read-committed serving."""
+    every complete (``_SUCCESS``-gated) delta read as ONE
+    (delta, cell)-partitioned scan under the shared ``cells`` base —
+    shaped like build_ivf_index_deterministic's ``cells`` table plus
+    the ``delta`` lineage column. A delta mid-rewrite (replay in
+    flight) is skipped until its _SUCCESS lands: read-committed
+    serving."""
     from pathlib import Path
 
+    base = Path(index_dir) / "cells"
     deltas = sorted(
-        (
-            p
-            for p in Path(index_dir).glob("delta_v*")
-            if (p / "_SUCCESS").exists()
-        ),
-        key=lambda p: int(p.name.rsplit("_v", 1)[1]),
+        (p for p in base.glob("delta=*") if (p / "_SUCCESS").exists()),
+        key=lambda p: int(p.name.split("=", 1)[1]),
     )
     if not deltas:
         raise FileNotFoundError(
-            f"no complete delta_v* snapshot (with _SUCCESS) under {index_dir}"
+            f"no complete delta=* snapshot (with _SUCCESS) under {base}"
         )
-    # one multi-path scan, not a union-of-plans: each delta root is its
-    # own partition-discovery base, so pruning on `cell` still applies
-    return spark.read.parquet(*[str(p) for p in deltas])
+    # one multi-path scan with a single partition-discovery base, not a
+    # union-of-plans: `cell` pruning (and delta pruning) still applies
+    return spark.read.option("basePath", str(base)).parquet(
+        *[str(p) for p in deltas]
+    )
 
 
 def streaming_ivf_probe(
