@@ -918,6 +918,77 @@ def streaming_mv_daily_maintainer(
     return q
 
 
+def ivf_maintain_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    n_cells: int = 8,
+    lloyd_rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One IVF maintenance step (the foreachBatch kernel of
+    :func:`streaming_ivf_index_maintainer`, module-level so
+    tools/measure_ivf_serve.py can time per-batch maintain cost
+    against the full rebuild): freeze-or-load the quantizer, assign
+    the batch to cells, write the hive-style delta and the versioned
+    per-cell count metadata. Deterministic per (batch contents,
+    batch_id) — a replay rewrites identical output."""
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
+    from the_framework_for_clustering_time_series_data_spark.operators.similarity import assign_cells_frozen
+
+    sp = batch_df.sparkSession
+    root = Path(index_dir)
+    cdir = root / "centroids"
+    if not (cdir / "_SUCCESS").exists():
+        _, cdf = deterministic_lloyd_assign(
+            batch_df.select(
+                F.col(id_col).alias("nbr_id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            ),
+            n_cells,
+            id_col="nbr_id",
+            vec_col="v",
+            lloyd_rounds=lloyd_rounds,
+            with_centroids=True,
+        )
+        cdf.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("cvec").alias("center"),
+        ).coalesce(1).write.mode("overwrite").parquet(str(cdir))
+    crows = sorted(
+        sp.read.parquet(str(cdir)).collect(), key=lambda r: r["cell"]
+    )
+    centers = [list(r["center"]) for r in crows]
+    cell_ids = [int(r["cell"]) for r in crows]
+    assigned = assign_cells_frozen(
+        batch_df, centers, cell_ids=cell_ids, id_col=id_col, vec_col=vec_col
+    )
+    # hive-style delta level (delta=N) so every delta shares ONE
+    # partition-discovery base: the reader scans them as a single
+    # (delta, cell)-partitioned table and `cell` pruning holds
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        str(root / "cells" / f"delta={batch_id + 1}")
+    )
+    m0 = root / "meta_v0"
+    if not m0.exists():
+        sp.createDataFrame([], "cell int, n long").write.mode(
+            "overwrite"
+        ).parquet(str(m0))
+    cur = sp.read.parquet(str(root / f"meta_v{batch_id}"))
+    part = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+    (
+        cur.unionByName(part)
+        .groupBy("cell")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(root / f"meta_v{batch_id + 1}"))
+    )
+
+
 def streaming_ivf_index_maintainer(
     vectors: DataFrame,
     index_dir: str,
@@ -957,59 +1028,15 @@ def streaming_ivf_index_maintainer(
     :func:`streaming_ivf_probe`; compact deltas at the maintenance
     boundary with sources.writers.compact_parquet (delta count grows
     with batches, not data — the standard LSM-ish trade)."""
-    from pathlib import Path
-
-    from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
-    from the_framework_for_clustering_time_series_data_spark.operators.similarity import assign_cells_frozen
-
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        root = Path(index_dir)
-        cdir = root / "centroids"
-        if not (cdir / "_SUCCESS").exists():
-            _, cdf = deterministic_lloyd_assign(
-                batch_df.select(
-                    F.col(id_col).alias("nbr_id"),
-                    F.col(vec_col).cast("array<double>").alias("v"),
-                ),
-                n_cells,
-                id_col="nbr_id",
-                vec_col="v",
-                lloyd_rounds=lloyd_rounds,
-                with_centroids=True,
-            )
-            cdf.select(
-                F.col("cell").cast("int").alias("cell"),
-                F.col("cvec").alias("center"),
-            ).coalesce(1).write.mode("overwrite").parquet(str(cdir))
-        crows = sorted(
-            sp.read.parquet(str(cdir)).collect(), key=lambda r: r["cell"]
-        )
-        centers = [list(r["center"]) for r in crows]
-        cell_ids = [int(r["cell"]) for r in crows]
-        assigned = assign_cells_frozen(
-            batch_df, centers, cell_ids=cell_ids, id_col=id_col, vec_col=vec_col
-        )
-        # hive-style delta level (delta=N) so every delta shares ONE
-        # partition-discovery base: the reader scans them as a single
-        # (delta, cell)-partitioned table and `cell` pruning holds
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(
-            str(root / "cells" / f"delta={batch_id + 1}")
-        )
-        m0 = root / "meta_v0"
-        if not m0.exists():
-            sp.createDataFrame([], "cell int, n long").write.mode(
-                "overwrite"
-            ).parquet(str(m0))
-        cur = sp.read.parquet(str(root / f"meta_v{batch_id}"))
-        part = assigned.groupBy("cell").agg(F.count("*").alias("n"))
-        (
-            cur.unionByName(part)
-            .groupBy("cell")
-            .agg(F.sum("n").cast("long").alias("n"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(str(root / f"meta_v{batch_id + 1}"))
+        ivf_maintain_batch(
+            batch_df,
+            batch_id,
+            index_dir,
+            n_cells=n_cells,
+            lloyd_rounds=lloyd_rounds,
+            id_col=id_col,
+            vec_col=vec_col,
         )
 
     q = (

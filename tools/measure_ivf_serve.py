@@ -33,7 +33,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument(
-        "--variant", choices=["deterministic", "mllib", "both"], default="both"
+        "--variant",
+        choices=["deterministic", "mllib", "both", "streaming"],
+        default="both",
+    )
+    ap.add_argument(
+        "--batches", type=int, default=4, help="streaming variant: batch count"
     )
     args = ap.parse_args()
 
@@ -53,6 +58,56 @@ def main() -> None:
 
     emb = load_table(spark, args.sf_dir, "embeddings")
     emb.count()  # JVM/scan warmup so build_persist_sec isn't cold-start
+
+    if args.variant == "streaming":
+        # round-9 verdict ask #5 record: per-batch INCREMENTAL maintain
+        # cost (streaming_ivf_index_maintainer's kernel) vs the full
+        # rebuild the batch builders pay per snapshot. Batch 0 includes
+        # the one-time quantizer train; steady batches are the number
+        # that matters: O(batch) assignment + delta write + meta merge.
+        from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+            ivf_maintain_batch,
+            streaming_ivf_probe,
+        )
+
+        n = emb.count()
+        per = (n + args.batches - 1) // args.batches
+        rows = emb.orderBy("vec_id").collect()
+        path = tempfile.mkdtemp(prefix="ivf_serve_streaming_")
+        try:
+            batch_secs = []
+            for b in range(args.batches):
+                chunk = spark.createDataFrame(
+                    rows[b * per : (b + 1) * per], emb.schema
+                )
+                t0 = time.perf_counter()
+                ivf_maintain_batch(chunk, b, path, n_cells=16)
+                batch_secs.append(round(time.perf_counter() - t0, 3))
+            queries = emb.where(F.col("vec_id") < 10)
+            probes = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                streaming_ivf_probe(spark, path, queries, k=5, nprobe=4).collect()
+                probes.append(round(time.perf_counter() - t0, 3))
+            med = sorted(probes)[len(probes) // 2]
+            steady = sorted(batch_secs[1:])[len(batch_secs[1:]) // 2]
+            print(
+                json.dumps(
+                    {
+                        "variant": "streaming",
+                        "batches": args.batches,
+                        "batch_secs": batch_secs,
+                        "batch0_with_quantizer_sec": batch_secs[0],
+                        "steady_batch_median_sec": steady,
+                        "probe_median_sec": med,
+                        "probe_runs": probes,
+                        "sf_dir": args.sf_dir,
+                    }
+                )
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        return
 
     builders = {
         "deterministic": similarity.build_ivf_index_deterministic,
