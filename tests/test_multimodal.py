@@ -2266,3 +2266,48 @@ def test_phash128_wide_rejects_bad_band_configs():
         multimodal.phash128_neardup_pairs(None, bands=4, max_hamming=4)
     with pytest.raises(ValueError, match="even"):
         multimodal.phash128_neardup_pairs(None, bands=5, max_hamming=3)
+
+
+def test_afp64_mean_lane_kernel():
+    """Mean-delta lane: monotone-increasing window sums → all-ones,
+    decreasing → zero, flat → zero; 65-window contract asserted; and
+    the two lanes genuinely differ (energy is sign-blind where the
+    mean is not: alternating ±x windows have flat energy but moving
+    mean)."""
+    import pytest
+
+    inc = [j for w in range(65) for j in [w] * 8]
+    dec = [j for w in range(65) for j in [64 - w] * 8]
+    flat = [5] * 520
+    assert multimodal.afp64_mean_from_samples(inc) == -1
+    assert multimodal.afp64_mean_from_samples(dec) == 0
+    assert multimodal.afp64_mean_from_samples(flat) == 0
+    with pytest.raises(ValueError, match="65 windows"):
+        multimodal.afp64_mean_from_samples(flat, n_windows=64)
+    alt = [128 + (8 if w % 2 == 0 else -8) for w in range(65) for _ in range(8)]
+    assert multimodal.afp64_from_samples(alt, zero=128) == 0  # equal energies
+    assert multimodal.afp64_mean_from_samples(alt, zero=128) != 0
+
+
+def test_wav_wide_fingerprint_planted_pairs(spark):
+    """audio_fingerprint_wide decodes once and emits both lanes; the
+    128-bit banded join (8×16 bands, Hamming ≤ 7) finds exactly the
+    planted (original, re-encode) pairs, each within summed Hamming 4
+    (≤ 2 bits per lane from the one re-encoded window)."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(10)
+    clips = multimodal.synthesize_wav_variants(docs, n_variants=2)
+    fps = multimodal.audio_fingerprint_wide(clips)
+    pairs = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.phash128_neardup_pairs(
+            fps,
+            id_col="audio_id",
+            lane_cols=("afp", "afp_mean"),
+            bands=8,
+            max_hamming=7,
+        ).collect()
+    }
+    clip_ids = sorted(r["audio_id"] for r in clips.select("audio_id").collect())
+    originals = [i for i in clip_ids if i % 2 == 0]
+    assert {(a, b) for a, b, _ in pairs} == {(i, i + 1) for i in originals}
+    assert all(h <= 4 for _, _, h in pairs)

@@ -1666,6 +1666,31 @@ def afp64_from_samples(
     return _wrap_i64(v)
 
 
+def afp64_mean_from_samples(
+    samples: list[int], n_windows: int = AUDIO_SYNTH_WINDOWS, zero: int = 0
+) -> int:
+    """64-bit MEAN-delta audio lane: same floor-edge window partition
+    as :func:`afp64_from_samples`, but folding each window to its
+    exact integer SUM of (s − zero) (the window mean's numerator —
+    dividing by the constant window size cannot change the comparison)
+    and setting bit w = 1 iff sum[w+1] > sum[w]. Energy (L2) and mean
+    (L1-signed) deltas fail differently — a re-encode that preserves
+    loudness can still shift DC/mean and vice versa — which is exactly
+    why the 128-bit wide fingerprint carries both lanes. Exact
+    integers end to end: SQL-replayable bit for bit."""
+    if n_windows != 65:
+        raise ValueError("afp64 needs exactly 65 windows (64 comparisons)")
+    n = len(samples)
+    sums = []
+    for w in range(n_windows):
+        a, b = w * n // n_windows, (w + 1) * n // n_windows
+        sums.append(sum(s - zero for s in samples[a:b]))
+    v = 0
+    for w in range(64):
+        v = (v << 1) | (1 if sums[w + 1] > sums[w] else 0)
+    return _wrap_i64(v)
+
+
 def synthesize_wav_variants(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1748,6 +1773,33 @@ def audio_fingerprint(
 
     return df.select(id_col, payload_col).mapInPandas(
         run, schema=f"{id_col} long, afp long"
+    )
+
+
+def audio_fingerprint_wide(
+    df: DataFrame, id_col: str = "audio_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-clip 128-bit audio fingerprints (round-9 wide-band family):
+    ONE stdlib WAV decode per clip feeding BOTH exact-integer lanes —
+    energy-delta (:func:`afp64_from_samples`) and mean-delta
+    (:func:`afp64_mean_from_samples`) — so the near-dup join can run
+    :func:`phash128_neardup_pairs` on (afp, afp_mean). Python still
+    touches each payload exactly once."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps, fms = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                _rate, width, samples = decode_wav_samples(bytes(payload))
+                zero = 128 if width == 1 else 0
+                ids.append(int(rid))
+                fps.append(afp64_from_samples(samples, zero=zero))
+                fms.append(afp64_mean_from_samples(samples, zero=zero))
+            yield pd.DataFrame({id_col: ids, "afp": fps, "afp_mean": fms})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, afp long, afp_mean long"
     )
 
 

@@ -479,6 +479,98 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _afp_wide_oracle_sql() -> str:
+    """DuckDB twin of the WIDE (128-bit) audio near-dup pipeline: the
+    energy-delta lane exactly as :func:`_afp_oracle_sql`, plus the
+    mean-delta lane (window sums of (s − 128) — exact signed integer
+    sums, same lead() comparison, same HUGEINT MSB-first packing).
+    Hamming sums across lanes at the ≤ 7 contract (the 8-band recall
+    configuration; the image wide form demonstrates the 4×32-bit
+    collision-cut configuration of the same kernel)."""
+    hex_cat = " || ".join(f"md5(text || ':{k}')" for k in range(33))
+    weights = ", ".join(f"({w}, {1 << (63 - w)})" for w in range(64))
+    return f"""
+WITH hx AS (SELECT doc_id, {hex_cat} AS hex FROM documents),
+v AS (SELECT unnest([0, 1]) AS variant),
+j AS (SELECT unnest(range(520)) AS j),
+sm AS (
+  SELECT h.doc_id * 2 + v.variant AS audio_id, j.j // 8 AS w,
+         CASE WHEN v.variant = 1 AND j.j // 8 = h.doc_id % 65
+              THEN (CAST(('0x' || substr(h.hex, 2 * j.j + 1, 2)) AS INT) + 4) % 256
+              ELSE CAST(('0x' || substr(h.hex, 2 * j.j + 1, 2)) AS INT) END AS s
+  FROM hx h, v, j
+),
+en AS (
+  SELECT audio_id, w,
+         sum((s - 128) * (s - 128)) AS e,
+         sum(s - 128) AS ms
+  FROM sm GROUP BY 1, 2
+),
+bn AS (
+  SELECT audio_id, w,
+         CASE WHEN lead(e) OVER (PARTITION BY audio_id ORDER BY w) > e
+              THEN 1 ELSE 0 END AS bit_e,
+         CASE WHEN lead(ms) OVER (PARTITION BY audio_id ORDER BY w) > ms
+              THEN 1 ELSE 0 END AS bit_m
+  FROM en
+),
+wt(w, wgt) AS (VALUES {weights}),
+hs AS (
+  SELECT audio_id,
+         CAST(CASE WHEN ve >= 9223372036854775808::HUGEINT
+                   THEN ve - 18446744073709551616::HUGEINT
+                   ELSE ve END AS BIGINT) AS afp,
+         CAST(CASE WHEN vm >= 9223372036854775808::HUGEINT
+                   THEN vm - 18446744073709551616::HUGEINT
+                   ELSE vm END AS BIGINT) AS afp_mean
+  FROM (
+    SELECT b.audio_id,
+           sum(b.bit_e * wt.wgt) AS ve,
+           sum(b.bit_m * wt.wgt) AS vm
+    FROM bn b JOIN wt ON wt.w = b.w
+    WHERE b.w < 64 GROUP BY 1
+  ) t
+)
+SELECT a.audio_id AS id_a, b.audio_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp))
+            + bit_count(xor(a.afp_mean, b.afp_mean)) AS INT) AS hamming
+FROM hs a JOIN hs b ON a.audio_id < b.audio_id
+WHERE bit_count(xor(a.afp, b.afp))
+      + bit_count(xor(a.afp_mean, b.afp_mean)) <= 7
+"""
+
+
+@register("mm_audio_neardup_wide", _afp_wide_oracle_sql())
+def mm_audio_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-scale WIDE audio near-dup — the 128-bit fingerprint's
+    RECALL configuration (round-9, the sibling of
+    mm_phash_neardup_wide's collision-cut configuration): one stdlib
+    WAV decode per clip feeds BOTH exact-integer lanes (energy-delta ‖
+    mean-delta — L2 and signed-L1 window profiles fail differently
+    under re-encodes), then 8×16-bit pigeonhole bands at the
+    Hamming ≤ 7 contract. The planted one-window re-encode moves BOTH
+    lanes (≤ 2 bits each), which the 64-bit form at ≤ 3 can only just
+    tolerate — the 128-bit ≤ 7 contract keeps exact blocked recall
+    with 4 bits of margin while unrelated clips sit near 64 of 128.
+    Full value-hash oracle: both lanes recomputed from the md5 sample
+    bytes (exact integer window sums, HUGEINT packing), so the WAV
+    round trip and both kernels are value-verified bit for bit."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    docs = load_table(spark, sf_dir, "documents")
+    clips = multimodal.synthesize_wav_variants(docs, n_variants=2)
+    hashes = multimodal.audio_fingerprint_wide(clips).transform(
+        stage_checkpoint, eager=False
+    )
+    return multimodal.phash128_neardup_pairs(
+        hashes,
+        id_col="audio_id",
+        lane_cols=("afp", "afp_mean"),
+        bands=8,
+        max_hamming=7,
+    )
+
+
 @register(
     "mm_video_neardup",
     """

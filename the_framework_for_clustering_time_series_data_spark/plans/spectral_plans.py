@@ -249,6 +249,71 @@ def ts_sbd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sbd_pairs_frame(spark, sf_dir, prune=True)
 
 
+@register(
+    "ts_sbd_topk",
+    f"""
+WITH {_SBD_BASE_SQL},
+best AS (
+  SELECT sid_a, sid_b, lag, cc, n_a, n_b FROM r WHERE rn = 1
+),
+sym AS (
+  SELECT sid_a AS series_id, sid_b AS nbr_id, lag AS best_lag,
+         round(cc / sqrt(n_a * n_b), 6) AS ncc
+  FROM best
+  UNION ALL
+  SELECT sid_b, sid_a, -lag, round(cc / sqrt(n_a * n_b), 6) FROM best
+),
+rk AS (
+  SELECT series_id, nbr_id, best_lag,
+         1 - ncc AS sbd,
+         row_number() OVER (PARTITION BY series_id
+                            ORDER BY 1 - ncc ASC, nbr_id) AS rank
+  FROM sym
+)
+SELECT series_id, nbr_id, CAST(rank AS INT) AS rank, sbd, best_lag
+FROM rk WHERE rank <= 5
+""",
+)
+def ts_sbd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-based-distance k-NEAREST-NEIGHBOURS per series (k = 5) —
+    the CONSUMER-CAPPED form the round-9 sf1 adjudication of
+    ts_sbd_pairs prescribes: the all-pairs output contract grows
+    quadratically in series count by definition (measured 100.7× rows
+    at 10× data), while the kNN graph every downstream use actually
+    wants (clustering seeds, motif linking, neighbour joins) is
+    LINEAR — ≤ k rows per series.
+
+    Semantics: the same SAX-blocked SBD kernel (same candidates, same
+    (cc DESC, lag) argmax), pairs symmetrized (CC_lag(x,y) =
+    CC_−lag(y,x), so the reversed direction negates best_lag), then a
+    per-series (sbd ASC, nbr_id) top-5 window. The NCC aggregate's
+    candidate volume is unchanged (Σ bucket² over SAX words — the
+    blocking knob is nseg/alphabet, finer words shrink buckets
+    exponentially); what the cap bounds is the OUTPUT and everything
+    downstream of it: the 3.6M-row sf1 pair table becomes ≤ 5·S rows
+    shuffled on series_id once."""
+    pairs = _sbd_pairs_frame(spark, sf_dir, prune=True)
+    fwd = pairs.select(
+        F.col("sid_a").alias("series_id"),
+        F.col("sid_b").alias("nbr_id"),
+        "best_lag",
+        F.col("ncc_max").alias("ncc"),
+    )
+    rev = pairs.select(
+        F.col("sid_b").alias("series_id"),
+        F.col("sid_a").alias("nbr_id"),
+        (-F.col("best_lag")).alias("best_lag"),
+        F.col("ncc_max").alias("ncc"),
+    )
+    sym = fwd.unionByName(rev).withColumn("sbd", F.lit(1) - F.col("ncc"))
+    wk = Window.partitionBy("series_id").orderBy(F.col("sbd").asc(), "nbr_id")
+    return (
+        sym.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= 5)
+        .select("series_id", "nbr_id", "rank", "sbd", "best_lag")
+    )
+
+
 def _sax_hamming1_candidates(s: DataFrame) -> DataFrame:
     """Candidate (sid_a < sid_b) pairs whose 4-symbol SAX words differ
     in at most one position, from a z-scored frame ``s`` carrying
