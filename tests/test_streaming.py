@@ -1045,3 +1045,45 @@ def test_streaming_ivf_maintainer_probe_parity_across_restart(spark, tmp_path):
         for r in streaming_ivf_probe(spark, idx, queries, k=5, nprobe=3).collect()
     }
     assert got2 == expect
+
+
+def test_ivf_stream_index_compaction_and_probe_pruning(spark, tmp_path):
+    """Compaction folds every delta into one with probe results
+    IDENTICAL before/after (the LSM maintenance step the maintainer's
+    docstring prescribes), and the streamed-index probe keeps dynamic
+    partition pruning on `cell` — the property that makes the
+    persisted layout worth maintaining at all."""
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        compact_ivf_stream_index,
+        ivf_maintain_batch,
+        read_ivf_stream_index,
+        streaming_ivf_probe,
+    )
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    rows = vecs.orderBy("vec_id").collect()
+    idx = str(tmp_path / "ivf_idx")
+    per = (len(rows) + 3) // 4
+    for b in range(4):
+        chunk = spark.createDataFrame(rows[b * per : (b + 1) * per], vecs.schema)
+        ivf_maintain_batch(chunk, b, idx, n_cells=8)
+    queries = vecs.where(F.col("vec_id") < 10)
+    before = {
+        tuple(r)
+        for r in streaming_ivf_probe(spark, idx, queries, k=5, nprobe=3).collect()
+    }
+    n_folded = compact_ivf_stream_index(spark, idx)
+    assert n_folded == 4
+    assert len(list((Path(idx) / "cells").glob("delta=*"))) == 1
+    after_df = streaming_ivf_probe(spark, idx, queries, k=5, nprobe=3)
+    after = {tuple(r) for r in after_df.collect()}
+    assert after == before and len(after) > 0
+    assert read_ivf_stream_index(spark, idx).count() == len(rows)
+    # idempotent / no-op on a single delta
+    assert compact_ivf_stream_index(spark, idx) == 1
+    # plan lock: the probe's cell join dynamic-partition-prunes
+    plan = after_df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
