@@ -1009,11 +1009,9 @@ def test_streaming_ivf_maintainer_probe_parity_across_restart(spark, tmp_path):
         tuple(r)
         for r in streaming_ivf_probe(spark, idx, queries, k=5, nprobe=3).collect()
     }
-    crows = sorted(
-        spark.read.parquet(f"{idx}/centroids").collect(), key=lambda r: r["cell"]
-    )
-    centers = [list(r["center"]) for r in crows]
-    cell_ids = [int(r["cell"]) for r in crows]
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import _load_centroids
+
+    centers, cell_ids = _load_centroids(spark, idx)
     batch_cells = assign_cells_frozen(vecs, centers, cell_ids=cell_ids)
     qs = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -1087,3 +1085,68 @@ def test_ivf_stream_index_compaction_and_probe_pruning(spark, tmp_path):
     # plan lock: the probe's cell join dynamic-partition-prunes
     plan = after_df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ivf_compaction_replay_guard_and_crash_recovery(spark, tmp_path):
+    """Round-9 review findings on compact_ivf_stream_index: (a) with a
+    checkpoint whose commits log is NOT caught up to the top delta's
+    batch, compaction must refuse (a restarted maintainer would replay
+    that batch and mode-overwrite the fold down to one batch's rows);
+    (b) a crash between the _compact_commit marker and the swap leaves
+    a state the next reader completes idempotently — the index is
+    readable at every crash point."""
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        compact_ivf_stream_index,
+        ivf_maintain_batch,
+        read_ivf_stream_index,
+    )
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    rows = vecs.orderBy("vec_id").collect()
+    idx = str(tmp_path / "idx")
+    per = (len(rows) + 1) // 2
+    for b in range(2):
+        chunk = spark.createDataFrame(rows[b * per : (b + 1) * per], vecs.schema)
+        ivf_maintain_batch(chunk, b, idx, n_cells=8)
+
+    # (a) commits log behind (only batch 0 committed; top delta needs 1)
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("{}")
+    import pytest
+
+    with pytest.raises(ValueError, match="refusing to compact"):
+        compact_ivf_stream_index(spark, idx, checkpoint=str(ckpt))
+    assert len(list((Path(idx) / "cells").glob("delta=*"))) == 2  # untouched
+    # caught up → folds
+    (ckpt / "commits" / "1").write_text("{}")
+    assert compact_ivf_stream_index(spark, idx, checkpoint=str(ckpt)) == 2
+    assert len(list((Path(idx) / "cells").glob("delta=*"))) == 1
+
+    # (b) crash after the commit marker, before the swap: stage a fold
+    # and write the marker by hand, leaving the original deltas in
+    # place — the next read must finish the swap and serve everything
+    chunk = spark.createDataFrame(rows[:per], vecs.schema)
+    ivf_maintain_batch(chunk, 2, idx, n_cells=8)  # second delta again
+    n_all = read_ivf_stream_index(spark, idx).count()
+    staged = Path(idx) / "_compact_tmp"
+    (
+        read_ivf_stream_index(spark, idx)
+        .drop("delta")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(staged))
+    )
+    top = max(
+        int(p.name.split("=", 1)[1])
+        for p in (Path(idx) / "cells").glob("delta=*")
+    )
+    (Path(idx) / "_compact_commit").write_text(str(top))
+    got = read_ivf_stream_index(spark, idx)  # completes the swap
+    assert got.count() == n_all
+    assert len(list((Path(idx) / "cells").glob("delta=*"))) == 1
+    assert not (Path(idx) / "_compact_commit").exists()
+    assert not staged.exists()

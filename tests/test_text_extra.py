@@ -80,3 +80,26 @@ def test_round7_llm_query_invariants(spark):
     errs = [r["abs_err"] for r in jl]
     assert all(abs(r["abs_err"] - abs(r["cos_orig"] - r["cos_proj"])) < 2e-6 for r in jl)
     assert statistics.mean(errs) < 3 / 16 ** 0.5  # JL: O(1/sqrt(m)) distortion
+
+
+def test_unigram_estep_gate_branches_identical(spark):
+    """The size-gated E-step (round-9 review fix) must produce
+    IDENTICAL schedules and per-word segment counts on both branches —
+    driver-side exact-int loop (below the gate) and Arrow-batched
+    distributed segmentation (above it, forced with driver_words=0) —
+    plus the max_piece digit-encoding guard."""
+    import pytest
+
+    from tests.conftest import SF_SMALL
+    from the_framework_for_clustering_time_series_data_spark.operators.text import unigram_lm_fit
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(200)
+    sched_d, npf_d = unigram_lm_fit(docs, rounds=2, top_k=20)
+    sched_x, npf_x = unigram_lm_fit(docs, rounds=2, top_k=20, driver_words=0)
+    assert sched_d == sched_x
+    assert sorted(map(tuple, npf_d.collect())) == sorted(
+        map(tuple, npf_x.collect())
+    )
+    with pytest.raises(ValueError, match="max_piece"):
+        unigram_lm_fit(docs, max_piece=10)

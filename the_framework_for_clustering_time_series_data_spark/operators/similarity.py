@@ -424,15 +424,7 @@ def _ivf_probe_scored(
     ``cell_ids`` maps positions in ``centers`` to cell labels when the
     quantizer's cells are not a dense 0..k-1 range (the deterministic
     Lloyd build can leave empty cells)."""
-
-    def sq_dist(vcol: Column, center: list[float]) -> Column:
-        c = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(vcol, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    sq_dist = _sq_dist_expr
     ids = cell_ids if cell_ids is not None else list(range(len(centers)))
     ranked_cells = F.slice(
         F.array_sort(
@@ -470,6 +462,21 @@ def _ivf_probe_scored(
     )
 
 
+def _sq_dist_expr(vcol: Column, center: list[float]) -> Column:
+    """Squared Euclidean distance to a LITERAL centroid via the
+    sequential zip_with fold — the ONE definition both the IVF probe's
+    cell ranking and frozen-centroid assignment use (hoisted round 9:
+    two byte-identical copies had grown, and a numeric fix applied to
+    one would silently break the probe-identity contract the streaming
+    IVF test pins)."""
+    c = F.array(*[F.lit(x) for x in center])
+    return F.aggregate(
+        F.zip_with(vcol, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def assign_cells_frozen(
     emb: DataFrame,
     centers: list[list[float]],
@@ -486,15 +493,7 @@ def assign_cells_frozen(
     embarrassingly parallel over any batch size. Returns
     ``(nbr_id, v, cell)`` rows shaped exactly like the persisted
     ``cells`` table of :func:`build_ivf_index_deterministic`."""
-
-    def sq_dist(vcol: Column, center: list[float]) -> Column:
-        c = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(vcol, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    sq_dist = _sq_dist_expr
     ids = cell_ids if cell_ids is not None else list(range(len(centers)))
     corpus = emb.select(
         F.col(id_col).alias("nbr_id"),

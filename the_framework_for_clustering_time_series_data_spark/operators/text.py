@@ -907,7 +907,8 @@ def unigram_lm_fit(
     max_piece: int = 4,
     max_word: int = 18,
     text_col: str = "text",
-) -> tuple[list[tuple[int, str, int, int]], dict[str, int]]:
+    driver_words: int = 10_000,
+) -> tuple[list[tuple[int, str, int, int]], DataFrame]:
     """Unigram-LM tokenizer fitting (Kudo 2018, the SentencePiece
     objective) as a DETERMINISTIC fixed-round twin — round-9 verdict
     ask #6, the c7b_gmm_md5em discipline applied to tokenizer EM:
@@ -924,27 +925,39 @@ def unigram_lm_fit(
       +1 smoothing over the FIXED vocabulary (no pruning — vocabulary
       stability is what lets the oracle enumerate segmentations once);
     - corpus-sized work is Spark-side (the word-frequency aggregate
-      and the substring-count explode — one scan + vocab-local jobs),
-      while the EM loop runs on the bounded (≤ alphabet+top_k)-row
-      state driver-side in exact Python ints (the e3b discipline:
-      chained per-round Spark jobs cost ~0.5 s each in scheduling
-      constants; a ≤100-row model state folds faster and
-      judge-accepted driver-side).
+      and the substring-count explode), and the per-distinct-word
+      E-step segmentation is SIZE-GATED (round-9 review fix: the
+      vocabulary is corpus-dependent, so an unconditional driver loop
+      would be single-threaded CPU scaling with distinct words): at or
+      below ``driver_words`` distinct words it runs driver-side in
+      exact Python ints (4 chained Spark jobs cost ~1.2 s in
+      scheduling constants alone — measured, the e3b discipline),
+      above it each round is an Arrow-batched mapInPandas over the
+      word-frequency frame with the ≤100-entry lp table in closure
+      and a vocab-sized int64 groupBy — identical values either way
+      (same exact-integer kernel). The bounded (≤ alphabet+top_k)-row
+      COUNT state always folds driver-side between rounds.
 
-    Returns (schedule, n_pieces_by_word): schedule rows are
+    Returns (schedule, npf_df): schedule rows are
     (round, piece, count, lp_micro) for rounds 0..``rounds`` — the
-    vocabulary schedule — and n_pieces_by_word maps each distinct
-    word to its FINAL-round segment count (fertility application).
+    vocabulary schedule — and npf_df is a ``(word, np)`` DataFrame of
+    FINAL-round segment counts per distinct word (fertility
+    application joins it back to the corpus; it is never collected).
     Reference: app.py has no tokenizer; this extends the text family
     the packing/token-budget plans presuppose (SURVEY §6)."""
     import math
 
-    spark = df.sparkSession
+    if not 1 <= max_piece <= 9:
+        # the one-digit-per-piece lens encoding is load-bearing for
+        # the DuckDB oracle's lens-string tie-break (review finding)
+        raise ValueError(f"max_piece must be 1..9, got {max_piece}")
+
     wf_df = (
         df.select(F.explode(tokens_expr(text_col)).alias("word"))
         .where((F.col("word") != "") & (F.length("word") <= max_word))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
+        .persist()
     )
     # substring counts: one JVM-side explode over (start, len) — the
     # corpus-sized aggregate; overlapping occurrences counted, weighted
@@ -973,13 +986,54 @@ def unigram_lm_fit(
         r["piece"]: int(r["cnt"])
         for r in singles.unionByName(extras).collect()
     }
-    wf = {r["word"]: int(r["freq"]) for r in wf_df.collect()}
 
     def lp_table(counts: dict[str, int]) -> dict[str, int]:
         tot = float(sum(counts.values()))
         return {
             p: int(math.floor(math.log(c / tot) * 1_000_000 + 0.5))
             for p, c in counts.items()
+        }
+
+    def apply_seg(word: str, freq: int, lp: dict[str, int], acc: dict[str, int]) -> None:
+        seg = _unigram_best_seg(word, lp, max_piece)
+        assert seg is not None, word
+        pos = 0
+        for d in seg[1]:
+            piece = word[pos : pos + int(d)]
+            acc[piece] = acc.get(piece, 0) + freq
+            pos += int(d)
+
+    n_words = wf_df.count()
+    wf_local: dict[str, int] | None = None
+    if n_words <= driver_words:
+        wf_local = {r["word"]: int(r["freq"]) for r in wf_df.collect()}
+
+    def seg_usage(lp: dict[str, int]) -> dict[str, int]:
+        """One E-step: per-distinct-word exact-int Viterbi — driver
+        loop below the gate, Arrow-batched mapInPandas + vocab-sized
+        int64 groupBy above it. Identical values either way."""
+        if wf_local is not None:
+            acc: dict[str, int] = {}
+            for word, freq in wf_local.items():
+                apply_seg(word, freq, lp, acc)
+            return acc
+        import pandas as pd
+
+        def run(batches):
+            for pdf in batches:
+                acc: dict[str, int] = {}
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    apply_seg(str(word), int(freq), lp, acc)
+                yield pd.DataFrame(
+                    {"piece": list(acc), "used": list(acc.values())}
+                )
+
+        return {
+            r["piece"]: int(r["used"])
+            for r in wf_df.mapInPandas(run, schema="piece string, used long")
+            .groupBy("piece")
+            .agg(F.sum("used").alias("used"))
+            .collect()
         }
 
     schedule: list[tuple[int, str, int, int]] = []
@@ -990,18 +1044,38 @@ def unigram_lm_fit(
         schedule += [(r, p, counts[p], lp[p]) for p in sorted(counts)]
         if r == rounds:
             break
-        used: dict[str, int] = {}
-        for word, freq in wf.items():
-            seg = _unigram_best_seg(word, lp, max_piece)
-            assert seg is not None, word
-            pos = 0
-            for d in seg[1]:
-                piece = word[pos : pos + int(d)]
-                used[piece] = used.get(piece, 0) + freq
-                pos += int(d)
+        used = seg_usage(lp)
         counts = {p: 1 + used.get(p, 0) for p in counts}
 
-    n_pieces_by_word = {
-        w: len(_unigram_best_seg(w, lp, max_piece)[1]) for w in wf
-    }
-    return schedule, n_pieces_by_word
+    # final-round per-word segment counts for fertility application —
+    # as a DataFrame (broadcast-join fodder), built from the gated
+    # local table when one exists, else computed where the words live
+    lp_final = dict(lp)
+    mp = max_piece
+    if wf_local is not None:
+        npf_df = df.sparkSession.createDataFrame(
+            sorted(
+                (w, len(_unigram_best_seg(w, lp_final, mp)[1]))
+                for w in wf_local
+            ),
+            "word string, np long",
+        )
+    else:
+
+        def np_run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                words = [str(w) for w in pdf["word"]]
+                nps = [
+                    len(_unigram_best_seg(w, lp_final, mp)[1]) for w in words
+                ]
+                yield pd.DataFrame({"word": words, "np": nps})
+
+        npf_df = wf_df.mapInPandas(np_run, schema="word string, np long")
+    # deterministic reclamation: the E-step rounds are done; a
+    # distributed npf_df lazily recomputes the word-frequency
+    # aggregate if consumed later (one corpus scan — cheaper than
+    # leaking cached blocks)
+    wf_df.unpersist()
+    return schedule, npf_df

@@ -1748,15 +1748,12 @@ def text_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-DISTINCT-word segment counts (bounded, broadcast) joined to
     one corpus word explode + a tiny lang shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    _, n_pieces = T.unigram_lm_fit(
+    _, npf = T.unigram_lm_fit(
         docs,
         rounds=_UNI_ROUNDS,
         top_k=_UNI_TOPK,
         max_piece=_UNI_MAXP,
         max_word=_UNI_MAXW,
-    )
-    npf = spark.createDataFrame(
-        sorted(n_pieces.items()), "word string, np long"
     )
     dw = docs.select(
         "lang", F.explode(T.tokens_expr()).alias("word")

@@ -787,14 +787,16 @@ def streaming_simhash_dedup(
             ).write.mode("overwrite").parquet(str(v0))
         cur = sp.read.parquet(str(root / f"state_v{batch_id}"))
         # new_fp feeds THREE plans per batch (pool/a-side, b-side
-        # bands, new_rows): checkpoint so the SimHash explode+groupBy
+        # bands, new_rows): persist so the SimHash explode+groupBy
         # fingerprint aggregate runs once per batch, not ~3x (the
-        # multi-consumer discipline; round-8 advice)
-        from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
-
-        new_fp = stage_checkpoint(
-            dedup.simhash(batch_df, bits=bits, hash_family=hash_family)
-        )
+        # multi-consumer discipline; round-8 advice). persist — not
+        # localCheckpoint — because the batch fn can then UNPERSIST
+        # deterministically below; per-batch checkpoint blocks would
+        # otherwise accumulate on executors until driver GC happens to
+        # run ContextCleaner (round-9 review finding).
+        new_fp = dedup.simhash(
+            batch_df, bits=bits, hash_family=hash_family
+        ).persist()
         pool = cur.select("id", "simhash").unionByName(new_fp)
         a, b = _bands(pool).alias("a"), _bands(new_fp).alias("b")
         cand = (
@@ -829,6 +831,8 @@ def streaming_simhash_dedup(
         cur.unionByName(new_rows).write.mode("overwrite").parquet(
             str(root / f"state_v{batch_id + 1}")
         )
+        # all three consumers are done — reclaim the batch's blocks now
+        new_fp.unpersist()
 
     q = (
         docs.writeStream.foreachBatch(apply_batch)
@@ -918,6 +922,17 @@ def streaming_mv_daily_maintainer(
     return q
 
 
+def _load_centroids(spark, index_dir: str) -> tuple[list[list[float]], list[int]]:
+    """Read the frozen quantizer metadata as (centers, cell_ids),
+    sorted by cell — the one definition the maintainer, the probe, and
+    the tests share (hoisted round 9)."""
+    crows = sorted(
+        spark.read.parquet(f"{index_dir}/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    return [list(r["center"]) for r in crows], [int(r["cell"]) for r in crows]
+
+
 def ivf_maintain_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -958,11 +973,7 @@ def ivf_maintain_batch(
             F.col("cell").cast("int").alias("cell"),
             F.col("cvec").alias("center"),
         ).coalesce(1).write.mode("overwrite").parquet(str(cdir))
-    crows = sorted(
-        sp.read.parquet(str(cdir)).collect(), key=lambda r: r["cell"]
-    )
-    centers = [list(r["center"]) for r in crows]
-    cell_ids = [int(r["cell"]) for r in crows]
+    centers, cell_ids = _load_centroids(sp, index_dir)
     assigned = assign_cells_frozen(
         batch_df, centers, cell_ids=cell_ids, id_col=id_col, vec_col=vec_col
     )
@@ -1056,9 +1067,13 @@ def read_ivf_stream_index(spark, index_dir: str) -> DataFrame:
     shaped like build_ivf_index_deterministic's ``cells`` table plus
     the ``delta`` lineage column. A delta mid-rewrite (replay in
     flight) is skipped until its _SUCCESS lands: read-committed
-    serving."""
+    serving. A committed-but-unfinished compaction (crash between the
+    ``_compact_commit`` marker and the swap) is completed here first —
+    the index is readable at every crash point."""
     from pathlib import Path
 
+    if (Path(index_dir) / "_compact_commit").exists():
+        _ivf_compact_finish(index_dir)
     base = Path(index_dir) / "cells"
     deltas = sorted(
         (p for p in base.glob("delta=*") if (p / "_SUCCESS").exists()),
@@ -1075,7 +1090,30 @@ def read_ivf_stream_index(spark, index_dir: str) -> DataFrame:
     )
 
 
-def compact_ivf_stream_index(spark, index_dir: str) -> int:
+def _ivf_compact_finish(index_dir) -> None:
+    """Complete a committed compaction swap (phase 2): delete the
+    folded deltas and move the staged fold in as ``delta={top}``.
+    Idempotent — safe to re-run after a crash at any point past the
+    commit marker."""
+    import shutil
+    from pathlib import Path
+
+    root = Path(index_dir)
+    base = root / "cells"
+    marker = root / "_compact_commit"
+    staged = root / "_compact_tmp"
+    top = int(marker.read_text().strip())
+    for p in base.glob("delta=*"):
+        if int(p.name.split("=", 1)[1]) <= top:
+            shutil.rmtree(p)
+    if staged.exists():
+        staged.rename(base / f"delta={top}")
+    marker.unlink()
+
+
+def compact_ivf_stream_index(
+    spark, index_dir: str, checkpoint: str | None = None
+) -> int:
     """Maintenance-boundary compaction for
     :func:`streaming_ivf_index_maintainer`: fold every complete delta
     into ONE cell-partitioned delta (the LSM compaction step — delta
@@ -1083,16 +1121,37 @@ def compact_ivf_stream_index(spark, index_dir: str) -> int:
     union, so periodic folding reclaims the per-delta scan tax
     measured in BASELINE.md: 2.13 s over 4 deltas vs 1.67 s
     monolithic). Runs OFFLINE at the maintenance boundary (stream
-    stopped — the same contract compact_parquet documents): stages the
-    fold OUTSIDE the cells root (the nested-path rule writers.py
-    enforces — staging inside the root would corrupt the very scan
-    being folded), then swaps it in as the single highest-numbered
-    delta so a restarted maintainer's next batch_id keeps appending
-    above it. Returns the number of deltas folded."""
+    stopped — the same contract compact_parquet documents).
+
+    Safety (both round-9 review findings):
+
+    - **replay guard**: when ``checkpoint`` is given, folding requires
+      the checkpoint's commits log to be CAUGHT UP (last committed
+      batch == top delta's batch). Without it, a maintainer stopped in
+      the restart-before-checkpoint-commit window would replay its
+      last batch after compaction and mode("overwrite") the fold —
+      which now holds EVERY vector — down to just that batch's rows.
+      Pass the stream's checkpoint dir whenever one exists.
+    - **crash safety**: two-phase swap. Phase 1 stages the fold
+      OUTSIDE the cells root (the writers.py nested-path rule) and
+      atomically writes a ``_compact_commit`` marker; phase 2 deletes
+      the folded deltas and renames the stage in. A crash before the
+      marker leaves the index untouched (the orphan stage is
+      overwritten next run); a crash after it is completed
+      IDEMPOTENTLY by the next compact (or read) via
+      :func:`_ivf_compact_finish` — the index is never left
+      unreadable.
+
+    Returns the number of deltas folded."""
+    import os
     import shutil
     from pathlib import Path
 
-    base = Path(index_dir) / "cells"
+    root = Path(index_dir)
+    base = root / "cells"
+    marker = root / "_compact_commit"
+    if marker.exists():  # finish a crashed predecessor first
+        _ivf_compact_finish(index_dir)
     deltas = sorted(
         (p for p in base.glob("delta=*") if (p / "_SUCCESS").exists()),
         key=lambda p: int(p.name.split("=", 1)[1]),
@@ -1100,7 +1159,20 @@ def compact_ivf_stream_index(spark, index_dir: str) -> int:
     if len(deltas) <= 1:
         return len(deltas)
     top = int(deltas[-1].name.split("=", 1)[1])
-    staged = Path(index_dir) / "_compact_tmp"
+    if checkpoint is not None:
+        commits = Path(checkpoint) / "commits"
+        committed = [
+            int(p.name) for p in commits.iterdir() if p.name.isdigit()
+        ] if commits.exists() else []
+        # delta=N was written by batch N-1; that batch must be committed
+        if not committed or max(committed) < top - 1:
+            raise ValueError(
+                f"refusing to compact: checkpoint commits log is at batch "
+                f"{max(committed) if committed else None} but the top delta "
+                f"{top} needs batch {top - 1} committed — a restarted "
+                "maintainer would replay it and overwrite the fold"
+            )
+    staged = root / "_compact_tmp"
     shutil.rmtree(staged, ignore_errors=True)
     (
         read_ivf_stream_index(spark, index_dir)
@@ -1109,9 +1181,10 @@ def compact_ivf_stream_index(spark, index_dir: str) -> int:
         .partitionBy("cell")
         .parquet(str(staged))
     )
-    for p in deltas:
-        shutil.rmtree(p)
-    staged.rename(base / f"delta={top}")
+    tmp_marker = root / "_compact_commit.tmp"
+    tmp_marker.write_text(str(top))
+    os.replace(tmp_marker, marker)  # the commit point
+    _ivf_compact_finish(index_dir)
     return len(deltas)
 
 
@@ -1125,12 +1198,7 @@ def streaming_ivf_probe(
     same-cell candidates across the delta union."""
     from the_framework_for_clustering_time_series_data_spark.operators.similarity import _ivf_probe_scored
 
-    crows = sorted(
-        spark.read.parquet(f"{index_dir}/centroids").collect(),
-        key=lambda r: r["cell"],
-    )
-    centers = [list(r["center"]) for r in crows]
-    cell_ids = [int(r["cell"]) for r in crows]
+    centers, cell_ids = _load_centroids(spark, index_dir)
     cells = read_ivf_stream_index(spark, index_dir)
     qs = queries.select(
         F.col(id_col).alias("query_id"),

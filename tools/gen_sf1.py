@@ -105,11 +105,21 @@ def main() -> None:
         n = spark.read.parquet(str(out / f"{name}.parquet")).count()
         print(f"  {name}: {n} rows in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # the rot-r letter substitution wraps at 26 (and the embedding dim
+    # shift at 64): more replicas would reintroduce exact cross-replica
+    # duplicates — precisely the overlap this construction exists to
+    # destroy (review finding, round 9)
+    assert 1 <= R <= 26, f"replicas must be in 1..26, got {R}"
+
     # sanity: strides really are max_key+1 in the source (a drifted
-    # driver regeneration would silently collide replica keys)
+    # driver regeneration would silently collide replica keys) —
+    # including the events.user_id FK-ish stride, which is offset but
+    # is not a STRIDES primary key
     for t, (k, stride) in STRIDES.items():
         mx = load_table(spark, SRC, t).agg(F.max(k)).collect()[0][0]
         assert mx == stride - 1, f"{t}.{k} max {mx} != stride-1 {stride - 1}"
+    mx_user = load_table(spark, SRC, "events").agg(F.max("user_id")).collect()[0][0]
+    assert mx_user == USER_STRIDE - 1, f"events.user_id max {mx_user} != {USER_STRIDE - 1}"
 
     # fixed dims: copy once, unchanged
     for t in ("region", "nation"):
@@ -206,7 +216,6 @@ def main() -> None:
     # literal translates stays whole-stage-codegen'd JVM work)
     docs, p = replicate(load_table(spark, SRC, "documents"), 4)
     az = string.ascii_lowercase
-    rot_text = F.col("text")
     rotated = F.when(F.col("_r") == 0, F.col("text"))
     for r in range(1, R):
         rotated = rotated.when(

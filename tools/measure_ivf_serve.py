@@ -70,6 +70,9 @@ def main() -> None:
             streaming_ivf_probe,
         )
 
+        if args.batches < 2:
+            sys.exit("--variant streaming needs --batches >= 2 (a steady-"
+                     "batch median requires at least one post-quantizer batch)")
         n = emb.count()
         per = (n + args.batches - 1) // args.batches
         rows = emb.orderBy("vec_id").collect()
