@@ -924,3 +924,33 @@ def test_mm_audio_neardup_equi_join_one_decode(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 2
     assert "MapInPandas" not in plan
+
+
+def test_phash128_wide_band_join_shape(spark):
+    """Round-9 wide-band near-dup: the 128-bit form must keep the
+    pigeonhole EQUI-join geometry (hash join on band values, never a
+    cartesian / nested-loop pair scan), with exactly ONE Python stage
+    — the single mapInPandas decode pass feeding both join sides
+    through the stage checkpoint."""
+    plan = _plan(spark, "mm_phash_neardup_wide")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("MapInPandas") <= 1
+
+
+def test_audio_wide_band_join_shape(spark):
+    plan = _plan(spark, "mm_audio_neardup_wide")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("MapInPandas") <= 1
+
+
+def test_sbd_topk_keeps_equi_keyed_pair_join(spark):
+    """ts_sbd_topk shares ts_sbd_pairs' kernel: the (series, shifted
+    day) equi key must survive the symmetrize+window wrapper (the
+    round-8 mixed-side-condition lesson, plan-locked for the new
+    consumer too)."""
+    plan = _plan(spark, "ts_sbd_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
