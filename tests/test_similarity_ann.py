@@ -133,6 +133,39 @@ def test_ivfb_persisted_matches_in_memory_twin_and_prunes(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), "cell join should dynamic-partition-prune"
 
 
+def test_pqb_persisted_matches_in_memory_twin_and_prunes_columns(spark, tmp_path):
+    """The persisted PQ index probe must return EXACTLY the in-memory
+    sim_pqb_topk result (same md5-Lloyd codebooks, same ADC fold /
+    re-rank tail), and its ADC scan over the persisted code table must
+    column-prune the full vectors: the codes parquet stores
+    (nbr_id, code, v) in one table, so exactly one of the two scans of
+    it — the ADC side — must read a schema WITHOUT ``v`` (the re-rank
+    side reads v for the bounded candidate join)."""
+    import re
+
+    from the_framework_for_clustering_time_series_data_spark.plans.similarity_plans import sim_pqb_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "pqb_index")
+    similarity.build_pq_index_deterministic(emb, path, m=8, n_codes=16)
+    probe = similarity.pq_probe_index(
+        spark, path, qs, k=5, rerank=50, m=8, n_codes=16
+    )
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(map(tuple, sim_pqb_topk(spark, SF_ORACLE).collect()))
+    assert a == b and len(a) == 50
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    code_scans = [
+        m
+        for m in re.findall(r"ReadSchema: struct<[^>]*>", plan)
+        if "code" in m
+    ]
+    assert any("v:" not in s for s in code_scans), (
+        f"ADC scan should prune the vector column; scans: {code_scans}"
+    )
+
+
 def test_connected_components_transitive_chain(spark):
     """A chain a-b, b-c, c-d must collapse into ONE group keyed by the
     min id, and disjoint pairs must stay separate components."""

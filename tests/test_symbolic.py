@@ -302,3 +302,62 @@ def test_sbd_sax_pruned_is_value_identical_subset(spark):
     assert len(missed) <= max(1, len(strong) // 5), (
         f"pruner lost {len(missed)}/{len(strong)} strong pairs"
     )
+
+
+def test_sbd_adaptive_sparse_regime_equals_fixed(spark):
+    """At sf0.01 no coarse bucket exceeds _SBD_BUCKET_CAP (max 7
+    members), so the adaptive fine screen never engages and the
+    adaptive kNN must equal ts_sbd_topk EXACTLY — the sparse-regime
+    recall guarantee is equality by construction, not approximation."""
+    from tests.conftest import SF_ORACLE as sf
+
+    a = sorted(map(tuple, QUERIES["ts_sbd_topk_adaptive"](spark, sf).collect()))
+    b = sorted(map(tuple, QUERIES["ts_sbd_topk"](spark, sf).collect()))
+    assert a == b and a
+
+
+def test_sbd_adaptive_dense_screen_at_sf01(spark):
+    """sf0.1 is where the dense branch lives (one 63-member coarse
+    bucket > cap 32; the driver's sf0.01 oracle gate never reaches
+    it): the shift-tolerant fine screen must (a) strictly cut the
+    candidate set, (b) leave every surviving pair's values identical
+    to the fixed form's, (c) keep ≥99% of the fixed form's series with
+    a top-5, and (d) replay exactly in DuckDB — the dense-branch half
+    of the full value-hash oracle."""
+    import duckdb
+
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import ORACLE
+    from the_framework_for_clustering_time_series_data_spark.plans.spectral_plans import (
+        _sax_adaptive_candidates,
+        _sbd_pairs_frame,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    key = lambda r: (r["sid_a"], r["sid_b"])  # noqa: E731
+    fixed = {
+        key(r): tuple(r) for r in _sbd_pairs_frame(spark, sf, prune=True).collect()
+    }
+    adap = {
+        key(r): tuple(r)
+        for r in _sbd_pairs_frame(
+            spark, sf, prune=True, cand_builder=_sax_adaptive_candidates
+        ).collect()
+    }
+    assert set(adap) < set(fixed), "screen should strictly cut candidates"
+    assert len(adap) < 0.7 * len(fixed), (
+        f"screen barely cut anything: {len(adap)}/{len(fixed)}"
+    )
+    for k, v in adap.items():
+        assert fixed[k] == v, (k, v, fixed[k])
+
+    knn = sorted(map(tuple, QUERIES["ts_sbd_topk_adaptive"](spark, sf).collect()))
+    base_series = {r[0] for r in QUERIES["ts_sbd_topk"](spark, sf).collect()}
+    adap_series = {r[0] for r in knn}
+    assert len(adap_series) >= 0.99 * len(base_series)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    orc = sorted(map(tuple, con.execute(ORACLE["ts_sbd_topk_adaptive"]).fetchall()))
+    assert len(orc) == len(knn)
+    for a, b in zip(knn, orc):
+        assert a[:3] == b[:3] and abs(a[3] - b[3]) < 1e-9 and a[4] == b[4], (a, b)

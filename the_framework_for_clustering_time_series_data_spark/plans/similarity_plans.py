@@ -672,6 +672,28 @@ def sim_ivfb_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_pqb_persisted", _pqb_oracle_sql())
+def sim_pqb_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ SERVING path with a FULL value-hash oracle: the
+    deterministic md5-Lloyd codebooks (sim_pqb_topk's build) PERSISTED
+    in the production layout — per-vector ``(nbr_id, code, v)`` code
+    table + tiny ``(j, cell, cvec)`` codebook table — then probed via
+    the broadcast-LUT ADC scan and bounded exact re-rank
+    (similarity.build_pq_index_deterministic / pq_probe_index). Same
+    results as sim_pqb_topk, so the probe replays in DuckDB end to
+    end; this is the serve split BASELINE.md's round-9 watch-item
+    record prescribes for sim_pqb_topk — the chained codebook-build
+    jobs leave the probe path entirely. Column pruning keeps ``v`` out
+    of the ADC scan (asserted in tests/test_similarity_ann.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_dir("the_framework_for_clustering_time_series_data_spark_pqb_")
+    similarity.build_pq_index_deterministic(emb, path, m=8, n_codes=16)
+    return similarity.pq_probe_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, rerank=50,
+        m=8, n_codes=16,
+    )
+
+
 @register(
     "emb_label_centroids",
     """

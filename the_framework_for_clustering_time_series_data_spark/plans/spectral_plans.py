@@ -146,16 +146,22 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of corpus size, so candidate generation never touches n².
 _SBD_NSEG = 4
 
-_SBD_HAM_SQL = " + ".join(
-    f"CASE WHEN substr(va.word, {i}, 1) = substr(vb.word, {i}, 1) THEN 0 ELSE 1 END"
-    for i in range(1, _SBD_NSEG + 1)
-)
+def _ham_sql(ca: str, cb: str, n: int) -> str:
+    """Positional Hamming distance between two n-char word columns —
+    the SQL twin of the Spark-side substring fold."""
+    return " + ".join(
+        f"CASE WHEN substr({ca}, {i}, 1) = substr({cb}, {i}, 1) THEN 0 ELSE 1 END"
+        for i in range(1, n + 1)
+    )
+
+
+_SBD_HAM_SQL = _ham_sql("va.word", "vb.word", _SBD_NSEG)
 
 # shared CTE chain ending in cand(sid_a, sid_b): daily rollup →
 # z-score + density gate → SAX words → vocabulary Hamming-≤1 pairs →
 # series candidate pairs. Consumed by both the SBD and the pruned
 # pair-correlation twins.
-_SAX_CAND_CTES = f"""
+_SBD_BS_CTES = f"""
 b AS (
   SELECT user_id AS series_id,
          floor(epoch(date_trunc('day', ts)) / 86400)::BIGINT AS t,
@@ -170,8 +176,13 @@ s AS (
   FROM b
   WINDOW w AS (PARTITION BY series_id)
   QUALIFY stddev_pop(v) OVER w > 0 AND count(*) OVER w >= {_MIN_DAYS}
-),
-wds AS (
+)"""
+
+
+def _sbd_words_sql(nseg: int, name: str) -> str:
+    """The per-series SAX-word CTE at a given PAA resolution — the
+    DuckDB twin of :func:`_sax_words_at`."""
+    return f"""{name} AS (
   SELECT series_id, string_agg(sy, '' ORDER BY seg) AS word
   FROM (
     SELECT series_id, seg,
@@ -179,10 +190,14 @@ wds AS (
                 WHEN paa < 0.0     THEN 'b'
                 WHEN paa < 0.6745  THEN 'c'
                 ELSE 'd' END AS sy
-    FROM (SELECT series_id, (rn * {_SBD_NSEG}) // n AS seg, avg(z) AS paa
+    FROM (SELECT series_id, (rn * {nseg}) // n AS seg, avg(z) AS paa
           FROM s GROUP BY 1, 2)
   ) GROUP BY series_id
-),
+)"""
+
+
+_SAX_CAND_CTES = f"""{_SBD_BS_CTES},
+{_sbd_words_sql(_SBD_NSEG, "wds")},
 vocab AS (SELECT DISTINCT word FROM wds),
 vp AS (
   SELECT va.word AS wa, vb.word AS wb
@@ -195,8 +210,7 @@ cand AS (
   JOIN wds y ON y.word = vp.wb AND y.series_id > x.series_id
 )"""
 
-_SBD_BASE_SQL = f"""{_SAX_CAND_CTES},
-l AS (SELECT range AS lag FROM range(-{_MAX_LAG}, {_MAX_LAG + 1})),
+_SBD_CC_TAIL = f"""l AS (SELECT range AS lag FROM range(-{_MAX_LAG}, {_MAX_LAG + 1})),
 cc AS (
   SELECT c0.sid_a, c0.sid_b, l.lag,
          round(sum(a.z * c.z), 6) AS cc,
@@ -214,6 +228,9 @@ r AS (
   FROM cc
 )
 """
+
+_SBD_BASE_SQL = f"""{_SAX_CAND_CTES},
+{_SBD_CC_TAIL}"""
 
 
 @register(
@@ -249,11 +266,7 @@ def ts_sbd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sbd_pairs_frame(spark, sf_dir, prune=True)
 
 
-@register(
-    "ts_sbd_topk",
-    f"""
-WITH {_SBD_BASE_SQL},
-best AS (
+_SBD_KNN_TAIL_SQL = """best AS (
   SELECT sid_a, sid_b, lag, cc, n_a, n_b FROM r WHERE rn = 1
 ),
 sym AS (
@@ -272,7 +285,14 @@ rk AS (
 )
 SELECT series_id, nbr_id, CAST(rank AS INT) AS rank, sbd, best_lag
 FROM rk WHERE rank <= 5
-""",
+"""
+
+
+@register(
+    "ts_sbd_topk",
+    f"""
+WITH {_SBD_BASE_SQL},
+{_SBD_KNN_TAIL_SQL}""",
 )
 def ts_sbd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-based-distance k-NEAREST-NEIGHBOURS per series (k = 5) —
@@ -292,7 +312,13 @@ def ts_sbd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exponentially); what the cap bounds is the OUTPUT and everything
     downstream of it: the 3.6M-row sf1 pair table becomes ≤ 5·S rows
     shuffled on series_id once."""
-    pairs = _sbd_pairs_frame(spark, sf_dir, prune=True)
+    return _sbd_knn_from_pairs(_sbd_pairs_frame(spark, sf_dir, prune=True))
+
+
+def _sbd_knn_from_pairs(pairs: DataFrame, k: int = 5) -> DataFrame:
+    """Symmetrize an SBD pair frame (CC_lag(x,y) = CC_−lag(y,x)) and
+    keep each series' k nearest neighbours — the consumer-cap tail
+    shared by ts_sbd_topk and ts_sbd_topk_adaptive."""
     fwd = pairs.select(
         F.col("sid_a").alias("series_id"),
         F.col("sid_b").alias("nbr_id"),
@@ -309,30 +335,27 @@ def ts_sbd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = Window.partitionBy("series_id").orderBy(F.col("sbd").asc(), "nbr_id")
     return (
         sym.withColumn("rank", F.row_number().over(wk))
-        .where(F.col("rank") <= 5)
+        .where(F.col("rank") <= k)
         .select("series_id", "nbr_id", "rank", "sbd", "best_lag")
     )
 
 
-def _sax_hamming1_candidates(s: DataFrame) -> DataFrame:
-    """Candidate (sid_a < sid_b) pairs whose 4-symbol SAX words differ
-    in at most one position, from a z-scored frame ``s`` carrying
-    (series_id, z, rn, n).
-
-    The candidate word-pair table comes from the word-VOCABULARY
-    self-join — at most alphabet^nseg = 256 distinct words at ANY
-    corpus size, so this cross join is a constant-size broadcast,
-    never n². Shared by the SBD and pair-correlation scale twins."""
+def _sax_words_at(s: DataFrame, nseg: int) -> DataFrame:
+    """Per-series SAX word ``(series_id, word)`` at a given PAA segment
+    count over the observed-day ordinal, from a z-scored frame ``s``
+    carrying (series_id, z, rn, n) — the symbolization shared by the
+    fixed-resolution Hamming-≤1 pruner and the adaptive two-level
+    blocker."""
     sym = (
         F.when(F.col("paa") < -0.6745, "a")
         .when(F.col("paa") < 0.0, "b")
         .when(F.col("paa") < 0.6745, "c")
         .otherwise("d")
     )
-    words = (
+    return (
         s.groupBy(
             "series_id",
-            F.expr(f"(rn * {_SBD_NSEG}) div n").alias("seg"),
+            F.expr(f"(rn * {nseg}) div n").alias("seg"),
         )
         .agg(F.avg("z").alias("paa"))
         .select("series_id", "seg", sym.alias("sy"))
@@ -347,6 +370,18 @@ def _sax_hamming1_candidates(s: DataFrame) -> DataFrame:
             ).alias("word")
         )
     )
+
+
+def _sax_hamming1_candidates(s: DataFrame) -> DataFrame:
+    """Candidate (sid_a < sid_b) pairs whose 4-symbol SAX words differ
+    in at most one position, from a z-scored frame ``s`` carrying
+    (series_id, z, rn, n).
+
+    The candidate word-pair table comes from the word-VOCABULARY
+    self-join — at most alphabet^nseg = 256 distinct words at ANY
+    corpus size, so this cross join is a constant-size broadcast,
+    never n². Shared by the SBD and pair-correlation scale twins."""
+    words = _sax_words_at(s, _SBD_NSEG)
     vocab = words.select("word").distinct()
     ham = sum(
         F.when(
@@ -368,7 +403,219 @@ def _sax_hamming1_candidates(s: DataFrame) -> DataFrame:
     )
 
 
-def _sbd_pairs_frame(spark: SparkSession, sf_dir: str, prune: bool) -> DataFrame:
+_SBD_BUCKET_CAP = 32
+
+
+_SBD_FINE_HAM = 2
+
+
+def _sax_shifted_fine_words(s: DataFrame) -> DataFrame:
+    """Lag-shifted fine SAX words ``(series_id, d, word)``: for each
+    shift d in −MAX_LAG..+MAX_LAG the 8-segment word is recomputed
+    over the shifted observed-day ordinal (points whose shifted
+    ordinal leaves [0, n) drop — the overlap region is exactly what
+    the NCC kernel correlates at that lag). Variants that lose a
+    whole segment (|d| = 3 on the shortest series) are dropped; the
+    d = 0 word is always complete for n ≥ 8, so every pair keeps at
+    least one comparison row."""
+    nfine = 2 * _SBD_NSEG
+    shifted = (
+        s.select(
+            "series_id",
+            "z",
+            "n",
+            F.explode(
+                F.array(*[F.lit(d) for d in range(-_MAX_LAG, _MAX_LAG + 1)])
+            ).alias("d"),
+            "rn",
+        )
+        .where(
+            (F.col("rn") + F.col("d") >= 0) & (F.col("rn") + F.col("d") < F.col("n"))
+        )
+        .groupBy(
+            "series_id",
+            "d",
+            F.expr(f"((rn + d) * {nfine}) div n").alias("seg"),
+        )
+        .agg(F.avg("z").alias("paa"))
+    )
+    sym = (
+        F.when(F.col("paa") < -0.6745, "a")
+        .when(F.col("paa") < 0.0, "b")
+        .when(F.col("paa") < 0.6745, "c")
+        .otherwise("d")
+    )
+    return (
+        shifted.select("series_id", "d", "seg", sym.alias("sy"))
+        .groupBy("series_id", "d")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sy"))),
+                    lambda x: x.sy,
+                ),
+                "",
+            ).alias("word")
+        )
+        .where(F.length("word") == nfine)
+    )
+
+
+def _sax_adaptive_candidates(s: DataFrame) -> DataFrame:
+    """Density-adaptive SBD candidates: the fixed-resolution coarse
+    Hamming-≤1 rule generates pairs exactly as ts_sbd_topk does
+    (vocabulary-banded, never n²), then pairs touching a DENSE coarse
+    bucket (> ``_SBD_BUCKET_CAP`` members — where the Σ bucket² NCC
+    kernel cost lives) must additionally pass a shift-tolerant fine
+    screen: some lag shift d of the 8-segment fine word must sit at
+    Hamming ≤ ``_SBD_FINE_HAM`` from the other side's unshifted fine
+    word. Pairs of sparse-bucket series keep EXACT fixed-form recall
+    by construction.
+
+    The screen costs ≤ 2·MAX_LAG+1 comparison rows per dense coarse
+    candidate (a join against the shifted-word table), and removes
+    pairs BEFORE the NCC kernel — the measured sf1 superlinear term
+    (days × lags work per candidate). Shift tolerance matters:
+    unshifted fine words are lag-sensitive (a ±3-day lag moves every
+    8-segment boundary by nearly a segment), and the screen must not
+    punish exactly the lag-aligned similarity SBD is designed to
+    find. Measured at sf0.1 (BASELINE.md round-9 continuation):
+    28% of fixed-form candidates survive, every series keeps its full
+    top-5, median per-series mean-sbd gap +0.042 (p90 +0.11) vs the
+    fixed form."""
+    w4 = _sax_words_at(s, _SBD_NSEG).withColumnRenamed("word", "w4")
+    cw = Window.partitionBy("w4")
+    flags = w4.withColumn(
+        "dense", F.count("*").over(cw) > F.lit(_SBD_BUCKET_CAP)
+    ).select("series_id", "dense")
+    cand = _sax_hamming1_candidates(s)
+    flagged = cand.join(
+        flags.select(F.col("series_id").alias("sid_a"), F.col("dense").alias("da")),
+        "sid_a",
+    ).join(
+        flags.select(F.col("series_id").alias("sid_b"), F.col("dense").alias("db")),
+        "sid_b",
+    )
+    sparse_pairs = flagged.where(~F.col("da") & ~F.col("db")).select(
+        "sid_a", "sid_b"
+    )
+
+    fine = _sax_shifted_fine_words(s)
+    fa = fine.where(F.col("d") == 0).select(
+        F.col("series_id").alias("sid_a"), F.col("word").alias("fwa")
+    )
+    fb = fine.select(
+        F.col("series_id").alias("sid_b"), F.col("word").alias("fwb")
+    )
+    ham8 = sum(
+        F.when(
+            F.substring(F.col("fwa"), i, 1) == F.substring(F.col("fwb"), i, 1), 0
+        ).otherwise(1)
+        for i in range(1, 2 * _SBD_NSEG + 1)
+    )
+    dense_pairs = (
+        flagged.where(F.col("da") | F.col("db"))
+        .join(fa, "sid_a")
+        .join(fb, "sid_b")
+        .where(ham8 <= _SBD_FINE_HAM)
+        .select("sid_a", "sid_b")
+        .distinct()
+    )
+    return sparse_pairs.unionByName(dense_pairs)
+
+
+_SBD_ADAPTIVE_CAND_CTES = f"""{_SBD_BS_CTES},
+{_sbd_words_sql(_SBD_NSEG, "wds")},
+flg AS (
+  SELECT series_id,
+         count(*) OVER (PARTITION BY word) > {_SBD_BUCKET_CAP} AS dense
+  FROM wds
+),
+vocab AS (SELECT DISTINCT word FROM wds),
+vp AS (
+  SELECT va.word AS wa, vb.word AS wb
+  FROM vocab va JOIN vocab vb ON ({_SBD_HAM_SQL}) <= 1
+),
+cand0 AS (
+  SELECT x.series_id AS sid_a, y.series_id AS sid_b
+  FROM vp
+  JOIN wds x ON x.word = vp.wa
+  JOIN wds y ON y.word = vp.wb AND y.series_id > x.series_id
+),
+fg AS (
+  SELECT c.sid_a, c.sid_b, (fa.dense OR fb.dense) AS dense_any
+  FROM cand0 c
+  JOIN flg fa ON fa.series_id = c.sid_a
+  JOIN flg fb ON fb.series_id = c.sid_b
+),
+w8s AS (
+  SELECT series_id, d, string_agg(sy, '' ORDER BY seg) AS word
+  FROM (
+    SELECT series_id, d, seg,
+           CASE WHEN paa < -0.6745 THEN 'a'
+                WHEN paa < 0.0     THEN 'b'
+                WHEN paa < 0.6745  THEN 'c'
+                ELSE 'd' END AS sy
+    FROM (SELECT series_id, g.d, ((rn + g.d) * {2 * _SBD_NSEG}) // n AS seg,
+                 avg(z) AS paa
+          FROM s, (SELECT unnest(range(-{_MAX_LAG}, {_MAX_LAG + 1})) AS d) g
+          WHERE rn + g.d >= 0 AND rn + g.d < n
+          GROUP BY 1, 2, 3)
+  ) GROUP BY series_id, d
+  HAVING length(string_agg(sy, '' ORDER BY seg)) = {2 * _SBD_NSEG}
+),
+cand AS (
+  SELECT sid_a, sid_b FROM fg WHERE NOT dense_any
+  UNION ALL
+  SELECT DISTINCT f.sid_a, f.sid_b
+  FROM fg f
+  JOIN w8s fa ON fa.series_id = f.sid_a AND fa.d = 0
+  JOIN w8s fb ON fb.series_id = f.sid_b
+  WHERE f.dense_any
+    AND ({_ham_sql("fa.word", "fb.word", 2 * _SBD_NSEG)}) <= {_SBD_FINE_HAM}
+)"""
+
+
+@register(
+    "ts_sbd_topk_adaptive",
+    f"""
+WITH {_SBD_ADAPTIVE_CAND_CTES},
+{_SBD_CC_TAIL},
+{_SBD_KNN_TAIL_SQL}""",
+)
+def ts_sbd_topk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SBD k-nearest-neighbours (k = 5) with a DENSITY-ADAPTIVE fine
+    screen — the density-matched form of ts_sbd_topk's own scale note.
+    ts_sbd_topk's remaining sf1 superlinearity (16.6× at 10× data) is
+    the Σ bucket² NCC aggregate at a FIXED word resolution: tightening
+    nseg globally starves sparse buckets (empty kNN graph) while the
+    dense buckets are the only quadratic term. Here candidate
+    GENERATION is ts_sbd_topk's vocabulary-banded coarse Hamming-≤1
+    rule verbatim — pairs of sparse-bucket series keep EXACT fixed-form
+    recall — and pairs touching a coarse bucket larger than
+    {_SBD_BUCKET_CAP} members must additionally pass a SHIFT-TOLERANT
+    fine screen (some −3..+3 lag shift of the 8-segment word within
+    Hamming ≤ {_SBD_FINE_HAM} of the other side's unshifted word)
+    BEFORE the NCC kernel, cutting the days×lags work exactly where it
+    is quadratic. Shift tolerance is load-bearing: unshifted fine
+    words punish the lag-aligned similarity SBD exists to find (see
+    _sax_adaptive_candidates for the measured recall ladder). The
+    identical NCC/argmax/symmetrize/top-5 kernel runs downstream; the
+    screen, both resolutions, the shifts, and the union all replay in
+    DuckDB (full value-hash oracle). Measured at sf0.1: 28% of
+    fixed-form candidates enter the kernel, all series keep a full
+    top-5, median per-series mean-sbd gap +0.042. Screen selectivity
+    and sparse-recall equality are asserted in tests/test_spectral.py."""
+    return _sbd_knn_from_pairs(
+        _sbd_pairs_frame(
+            spark, sf_dir, prune=True, cand_builder=_sax_adaptive_candidates
+        )
+    )
+
+
+def _sbd_pairs_frame(
+    spark: SparkSession, sf_dir: str, prune: bool, cand_builder=None
+) -> DataFrame:
     b = _daily_by_daynum(spark, sf_dir)
     w = Window.partitionBy("series_id")
     wo = Window.partitionBy("series_id").orderBy("t")
@@ -413,7 +660,7 @@ def _sbd_pairs_frame(spark: SparkSession, sf_dir: str, prune: bool) -> DataFrame
         .withColumn("t_shift", F.col("t_b") - F.col("lag"))
     )
     if prune:
-        cand = _sax_hamming1_candidates(s)
+        cand = (cand_builder or _sax_hamming1_candidates)(s)
         # candidate pairs are a tiny fraction of n² — broadcast them
         # onto series A's points, then one equi-join on (series B,
         # shifted day)

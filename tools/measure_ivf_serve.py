@@ -34,7 +34,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument(
         "--variant",
-        choices=["deterministic", "mllib", "both", "streaming"],
+        choices=["deterministic", "mllib", "both", "streaming", "pqb"],
         default="both",
     )
     ap.add_argument(
@@ -102,6 +102,40 @@ def main() -> None:
                         "batch_secs": batch_secs,
                         "batch0_with_quantizer_sec": batch_secs[0],
                         "steady_batch_median_sec": steady,
+                        "probe_median_sec": med,
+                        "probe_runs": probes,
+                        "sf_dir": args.sf_dir,
+                    }
+                )
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        return
+
+    if args.variant == "pqb":
+        # round-9 watch-item serve split (BASELINE.md "Round-9 watch
+        # items"): sim_pqb_topk's construction phase is chained small
+        # codebook jobs — persist the PQ index once and time the
+        # broadcast-LUT ADC probe alone (sim_pqb_persisted's path).
+        path = tempfile.mkdtemp(prefix="pq_serve_pqb_")
+        try:
+            t0 = time.perf_counter()
+            similarity.build_pq_index_deterministic(emb, path, m=8, n_codes=16)
+            build_s = round(time.perf_counter() - t0, 3)
+            queries = emb.where(F.col("vec_id") < 10)
+            probes = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                similarity.pq_probe_index(
+                    spark, path, queries, k=5, rerank=50, m=8, n_codes=16
+                ).collect()
+                probes.append(round(time.perf_counter() - t0, 3))
+            med = sorted(probes)[len(probes) // 2]
+            print(
+                json.dumps(
+                    {
+                        "variant": "pqb",
+                        "build_persist_sec": build_s,
                         "probe_median_sec": med,
                         "probe_runs": probes,
                         "sf_dir": args.sf_dir,
