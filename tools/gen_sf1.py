@@ -88,9 +88,11 @@ def main() -> None:
     def replicate(df, parts: int):
         """Cross the frame with the replica grid (broadcast literal —
         the one crossJoin shape the repo allows) and repartition so the
-        output dir has realistic multi-part scan parallelism."""
+        output dir has realistic multi-part scan parallelism. Part
+        counts were sized for the 10-replica decade; scale them with
+        R so sf10 files stay in the driver's per-file size band."""
         reps = spark.range(R).select(F.col("id").cast("int").alias("_r"))
-        return df.crossJoin(F.broadcast(reps)), parts
+        return df.crossJoin(F.broadcast(reps)), max(parts, parts * R // 10)
 
     def offset(col: str, stride: int):
         return (F.col(col) + F.col("_r").cast("long") * F.lit(stride)).alias(col)
@@ -105,11 +107,57 @@ def main() -> None:
         n = spark.read.parquet(str(out / f"{name}.parquet")).count()
         print(f"  {name}: {n} rows in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # the rot-r letter substitution wraps at 26 (and the embedding dim
-    # shift at 64): more replicas would reintroduce exact cross-replica
-    # duplicates — precisely the overlap this construction exists to
-    # destroy (review finding, round 9)
-    assert 1 <= R <= 26, f"replicas must be in 1..26, got {R}"
+    # replica transforms must be pairwise DISTINCT bijections or
+    # cross-replica exact duplicates reappear — precisely the overlap
+    # this construction exists to destroy (review finding, round 9).
+    # r < 26 uses rot-r (keeps the sf1 decade reproducible bit-for-bit
+    # with the round-9 record); r >= 26 uses a seeded Fisher-Yates
+    # letter PERMUTATION (an LCG keyed by r — same intra-replica
+    # bijection guarantees as rot, 26!-sized key space), asserted
+    # distinct below. Embeddings analogously: circular dim shift for
+    # r < 64, seeded dim-permutation + sign flips (orthogonal, so
+    # norms and intra-replica distances are preserved exactly) beyond.
+    assert 1 <= R <= 2000, f"replicas must be in 1..2000, got {R}"
+
+    def _lcg_shuffle(n: int, seed: int) -> list[int]:
+        """Deterministic Fisher-Yates permutation of range(n) driven by
+        a 64-bit LCG (MMIX constants) — no RNG module, fully replayable
+        from the replica index alone."""
+        state = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        perm = list(range(n))
+        for i in range(n - 1, 0, -1):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            j = (state >> 33) % (i + 1)
+            perm[i], perm[j] = perm[j], perm[i]
+        return perm
+
+    az = string.ascii_lowercase
+
+    def letter_map(r: int) -> str:
+        if r < 26:
+            return az[r:] + az[:r]
+        return "".join(az[i] for i in _lcg_shuffle(26, r))
+
+    letter_maps = [letter_map(r) for r in range(R)]
+    assert len(set(letter_maps)) == R, "letter bijections must be distinct"
+
+    def emb_transform(r: int) -> tuple[list[int], list[float]]:
+        """(source-dim permutation, sign flips) for replica r: output
+        dim i reads source dim perm[i] times sign[i]."""
+        if r < EMB_DIM:
+            return [(i + r) % EMB_DIM for i in range(EMB_DIM)], [1.0] * EMB_DIM
+        perm = _lcg_shuffle(EMB_DIM, r * 2 + 1)
+        state = (r * 2 + 2) * 0x9E3779B97F4A7C15 % (1 << 64)
+        signs = []
+        for _ in range(EMB_DIM):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            signs.append(1.0 if (state >> 40) & 1 else -1.0)
+        return perm, signs
+
+    emb_transforms = [emb_transform(r) for r in range(R)]
+    assert len({(tuple(p), tuple(s)) for p, s in emb_transforms}) == R, (
+        "embedding transforms must be distinct"
+    )
 
     # sanity: strides really are max_key+1 in the source (a drifted
     # driver regeneration would silently collide replica keys) —
@@ -211,20 +259,19 @@ def main() -> None:
         p,
     )
 
-    # documents: per-replica rot-r vocabulary substitution via a chain
-    # of translate() mappings selected by _r (R is tiny; CASE over 10
-    # literal translates stays whole-stage-codegen'd JVM work)
-    docs, p = replicate(load_table(spark, SRC, "documents"), 4)
-    az = string.ascii_lowercase
-    rotated = F.when(F.col("_r") == 0, F.col("text"))
-    for r in range(1, R):
-        rotated = rotated.when(
-            F.col("_r") == r, F.translate("text", az, az[r % 26 :] + az[: r % 26])
-        )
+    # documents: per-replica letter bijection (rot for r < 26, seeded
+    # permutation beyond) via a BROADCAST mapping grid + column-arg
+    # translate — one JVM expression regardless of R (a CASE chain
+    # stops scaling past a few dozen replicas)
+    doc_grid = spark.createDataFrame(
+        [(r, letter_maps[r]) for r in range(R)], "_r int, _to string"
+    )
+    docs = load_table(spark, SRC, "documents").crossJoin(F.broadcast(doc_grid))
+    p = max(4, R // 8)
     write(
         docs.select(
             offset("doc_id", STRIDES["documents"][1]),
-            rotated.alias("text"),
+            F.expr(f"translate(text, '{az}', _to)").alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -233,26 +280,32 @@ def main() -> None:
         p,
     )
 
-    # embeddings: circular dim shift by r (slice+concat preserves
-    # array<float>; r=0 concatenates with an empty tail slice)
-    emb, p = replicate(load_table(spark, SRC, "embeddings"), 2)
-    shifted = F.when(F.col("_r") == 0, F.col("embedding"))
-    for r in range(1, R):
-        s = r % EMB_DIM
-        shifted = shifted.when(
-            F.col("_r") == r,
-            F.concat(
-                F.slice("embedding", s + 1, EMB_DIM - s), F.slice("embedding", 1, s)
-            ),
-        )
+    # embeddings: per-replica orthogonal transform (circular dim shift
+    # for r < 64, seeded dim permutation + sign flips beyond) via the
+    # same broadcast-grid pattern: output dim i reads source dim
+    # _perm[i] times _sign[i] — norm- and intra-replica-distance-
+    # preserving for every replica
+    emb_grid = spark.createDataFrame(
+        [
+            (r, [q + 1 for q in perm], signs)
+            for r, (perm, signs) in enumerate(emb_transforms)
+        ],
+        "_r int, _perm array<int>, _sign array<double>",
+    )
+    emb = load_table(spark, SRC, "embeddings").crossJoin(F.broadcast(emb_grid))
+    transformed = F.transform(
+        F.sequence(F.lit(1), F.lit(EMB_DIM)),
+        lambda i: F.element_at(F.col("embedding"), F.element_at("_perm", i))
+        * F.element_at("_sign", i),
+    ).cast("array<float>")
     write(
         emb.select(
             offset("vec_id", STRIDES["embeddings"][1]),
-            shifted.alias("embedding"),
+            transformed.alias("embedding"),
             "label",
         ),
         "embeddings",
-        p,
+        max(2, R // 16),
     )
 
     print(f"wrote sf1 decade to {out}", file=sys.stderr)

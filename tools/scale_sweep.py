@@ -43,6 +43,12 @@ SF01 = "/root/testdata/sf0.1"
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf1-dir", default=str(REPO / "testdata_sf1"))
+    ap.add_argument(
+        "--base-dir",
+        default=SF01,
+        help="denominator dir (default sf0.1); pass testdata_sf1 with "
+        "--sf1-dir testdata_sf10 to measure the SECOND decade",
+    )
     ap.add_argument("--out", default=str(REPO / "SCALE_SF1.json"))
     ap.add_argument("--queries", default=None, help="comma list; overrides --set")
     ap.add_argument("--set", default="headline+slow15", dest="qset")
@@ -85,8 +91,9 @@ def main() -> None:
             it.next().getValue().unpersist(True)
         return dt
 
+    base = args.base_dir
     # untimed warm-up (JVM + parquet footers for both dirs)
-    evaluate(names[0], SF01)
+    evaluate(names[0], base)
     evaluate(names[0], args.sf1_dir)
 
     rows: dict[str, dict] = {}
@@ -94,8 +101,8 @@ def main() -> None:
     t_all = time.perf_counter()
     for i, name in enumerate(names):
         try:
-            evaluate(name, SF01)  # codegen warm (untimed)
-            t01 = evaluate(name, SF01)
+            evaluate(name, base)  # codegen warm (untimed)
+            t01 = evaluate(name, base)
             t1_cold = evaluate(name, args.sf1_dir)
             if t1_cold <= args.sf1_budget:
                 t1 = evaluate(name, args.sf1_dir)
@@ -111,7 +118,7 @@ def main() -> None:
                 "over_budget": over_budget,
             }
             print(
-                f"[{i + 1}/{len(names)}] {name}: sf0.1 {t01:.2f}s -> sf1 "
+                f"[{i + 1}/{len(names)}] {name}: base {t01:.2f}s -> target "
                 f"{t1:.2f}s  ratio {rows[name]['ratio']}"
                 + (" OVER-BUDGET(cold)" if over_budget else ""),
                 file=sys.stderr,
@@ -122,6 +129,7 @@ def main() -> None:
 
     record = {
         "metric": "scale_sweep_sf01_to_sf1",
+        "base_dir": base,
         "n_queries": len(names),
         "n_errors": len(errors),
         "total_sec": round(time.perf_counter() - t_all, 1),
