@@ -141,8 +141,6 @@ def test_pqb_persisted_matches_in_memory_twin_and_prunes_columns(spark, tmp_path
     (nbr_id, code, v) in one table, so exactly one of the two scans of
     it — the ADC side — must read a schema WITHOUT ``v`` (the re-rank
     side reads v for the bounded candidate join)."""
-    import re
-
     from the_framework_for_clustering_time_series_data_spark.plans.similarity_plans import sim_pqb_topk
 
     emb = load_table(spark, SF_ORACLE, "embeddings")
@@ -156,13 +154,22 @@ def test_pqb_persisted_matches_in_memory_twin_and_prunes_columns(spark, tmp_path
     b = sorted(map(tuple, sim_pqb_topk(spark, SF_ORACLE).collect()))
     assert a == b and len(a) == 50
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    code_scans = [
-        m
-        for m in re.findall(r"ReadSchema: struct<[^>]*>", plan)
-        if "code" in m
+    # per-LINE matching: nested generics (code:array<int>) defeat a
+    # `struct<[^>]*>` regex by stopping at the inner '>', which made an
+    # earlier version of this assertion vacuously true (review finding)
+    schemas = [
+        line[line.find("ReadSchema") :]
+        for line in plan.splitlines()
+        if "ReadSchema" in line
     ]
+    code_scans = [s for s in schemas if "code:" in s]
+    assert code_scans, f"no scan reads the code column: {schemas}"
     assert any("v:" not in s for s in code_scans), (
         f"ADC scan should prune the vector column; scans: {code_scans}"
+    )
+    rerank_scans = [s for s in schemas if "v:" in s]
+    assert any("code:" not in s for s in rerank_scans), (
+        f"re-rank scan should prune the code column; scans: {rerank_scans}"
     )
 
 

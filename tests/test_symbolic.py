@@ -326,13 +326,12 @@ def test_sbd_adaptive_dense_screen_at_sf01(spark):
     of the full value-hash oracle."""
     import duckdb
 
+    from tests.conftest import SF_BENCH as sf
     from the_framework_for_clustering_time_series_data_spark.plans.registry import ORACLE
     from the_framework_for_clustering_time_series_data_spark.plans.spectral_plans import (
         _sax_adaptive_candidates,
         _sbd_pairs_frame,
     )
-
-    sf = "/root/testdata/sf0.1"
     key = lambda r: (r["sid_a"], r["sid_b"])  # noqa: E731
     fixed = {
         key(r): tuple(r) for r in _sbd_pairs_frame(spark, sf, prune=True).collect()

@@ -372,7 +372,7 @@ def _sax_words_at(s: DataFrame, nseg: int) -> DataFrame:
     )
 
 
-def _sax_hamming1_candidates(s: DataFrame) -> DataFrame:
+def _sax_hamming1_candidates(s: DataFrame, words: DataFrame = None) -> DataFrame:
     """Candidate (sid_a < sid_b) pairs whose 4-symbol SAX words differ
     in at most one position, from a z-scored frame ``s`` carrying
     (series_id, z, rn, n).
@@ -380,8 +380,11 @@ def _sax_hamming1_candidates(s: DataFrame) -> DataFrame:
     The candidate word-pair table comes from the word-VOCABULARY
     self-join — at most alphabet^nseg = 256 distinct words at ANY
     corpus size, so this cross join is a constant-size broadcast,
-    never n². Shared by the SBD and pair-correlation scale twins."""
-    words = _sax_words_at(s, _SBD_NSEG)
+    never n². Shared by the SBD and pair-correlation scale twins.
+    ``words`` lets a caller that already derived the word table (the
+    adaptive blocker, which also needs it for density flags) pass it
+    in instead of re-deriving the rollup→z-score→PAA subtree."""
+    words = words if words is not None else _sax_words_at(s, _SBD_NSEG)
     vocab = words.select("word").distinct()
     ham = sum(
         F.when(
@@ -483,12 +486,12 @@ def _sax_adaptive_candidates(s: DataFrame) -> DataFrame:
     28% of fixed-form candidates survive, every series keeps its full
     top-5, median per-series mean-sbd gap +0.042 (p90 +0.11) vs the
     fixed form."""
-    w4 = _sax_words_at(s, _SBD_NSEG).withColumnRenamed("word", "w4")
-    cw = Window.partitionBy("w4")
-    flags = w4.withColumn(
+    words = _sax_words_at(s, _SBD_NSEG)
+    cw = Window.partitionBy("word")
+    flags = words.withColumn(
         "dense", F.count("*").over(cw) > F.lit(_SBD_BUCKET_CAP)
     ).select("series_id", "dense")
-    cand = _sax_hamming1_candidates(s)
+    cand = _sax_hamming1_candidates(s, words=words)
     flagged = cand.join(
         flags.select(F.col("series_id").alias("sid_a"), F.col("dense").alias("da")),
         "sid_a",
@@ -500,7 +503,17 @@ def _sax_adaptive_candidates(s: DataFrame) -> DataFrame:
         "sid_a", "sid_b"
     )
 
-    fine = _sax_shifted_fine_words(s)
+    # fine words only for series that actually appear in a
+    # dense-involved pair — the 7-way shifted explode is the screen's
+    # one row-inflating stage, so it must not run over sparse-regime
+    # series that the screen never probes (review finding)
+    dense_cand = flagged.where(F.col("da") | F.col("db"))
+    probed = (
+        dense_cand.select(F.col("sid_a").alias("series_id"))
+        .unionByName(dense_cand.select(F.col("sid_b").alias("series_id")))
+        .distinct()
+    )
+    fine = _sax_shifted_fine_words(s.join(probed, "series_id", "left_semi"))
     fa = fine.where(F.col("d") == 0).select(
         F.col("series_id").alias("sid_a"), F.col("word").alias("fwa")
     )
@@ -514,7 +527,7 @@ def _sax_adaptive_candidates(s: DataFrame) -> DataFrame:
         for i in range(1, 2 * _SBD_NSEG + 1)
     )
     dense_pairs = (
-        flagged.where(F.col("da") | F.col("db"))
+        dense_cand
         .join(fa, "sid_a")
         .join(fb, "sid_b")
         .where(ham8 <= _SBD_FINE_HAM)
@@ -605,7 +618,7 @@ def ts_sbd_topk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (full value-hash oracle). Measured at sf0.1: 28% of
     fixed-form candidates enter the kernel, all series keep a full
     top-5, median per-series mean-sbd gap +0.042. Screen selectivity
-    and sparse-recall equality are asserted in tests/test_spectral.py."""
+    and sparse-recall equality are asserted in tests/test_symbolic.py."""
     return _sbd_knn_from_pairs(
         _sbd_pairs_frame(
             spark, sf_dir, prune=True, cand_builder=_sax_adaptive_candidates

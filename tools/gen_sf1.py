@@ -6,10 +6,11 @@ This tool materializes a deterministic 10x decade at
 read-only) so tools/scale_sweep.py can convert "plans look linear"
 into measured per-query scaling ratios.
 
-Construction: 10 deterministic replicas of the driver's sf0.1 tables
-with TPC-H-style semantics — fixed dims stay fixed, fact keys offset
-per replica, the DATE RANGE stays constant (density x10, exactly how
-dbgen scales):
+Construction: R deterministic replicas of the driver's sf0.1 tables
+(default 10 = sf1; 100 = sf10, the second measured decade) with
+TPC-H-style semantics — fixed dims stay fixed, fact keys offset per
+replica, the DATE RANGE stays constant (density xR, exactly how dbgen
+scales):
 
 - region/nation: copied once (constant at every SF, as in TPC-H).
 - customer/supplier/part/orders/lineitem: keys offset by
@@ -18,25 +19,31 @@ dbgen scales):
 - events: event_id/user_id offset (10x users over the same 30 days —
   series COUNT scales, per-series length does not, matching how a
   fleet's event volume actually grows).
-- documents: doc_id offset; text mapped through a per-replica rot-r
-  letter substitution (a-z cyclic shift). This is the load-bearing
-  choice: it preserves EVERY intra-replica relation exactly (lengths,
-  token stats, duplicate/near-dup/shingle structure — so dedup work
-  per replica is identical to sf0.1) while destroying cross-replica
-  overlap (so LSH buckets/exact-hash groups grow 10x in COUNT, not
-  10x in SIZE — naive doc_id-only replication would make every
-  banded join quadratic by CONSTRUCTION of the data, polluting the
-  measured exponents). n_chars is length-invariant under rot and kept.
-- embeddings: vec_id offset; vectors circularly shifted by r
-  dimensions (norm- and intra-replica-distance-preserving, so ANN
-  ground truth per replica matches sf0.1; cross-replica vectors
-  decorrelate instead of producing 10 exact zero-distance copies of
-  every point).
+- documents: doc_id offset; text mapped through a per-replica letter
+  BIJECTION — rot-r (a-z cyclic shift) for r < 26, a seeded
+  Fisher-Yates permutation of the alphabet beyond (LCG keyed by the
+  replica index; mappings asserted pairwise-distinct). This is the
+  load-bearing choice: any letter bijection preserves EVERY
+  intra-replica relation exactly (lengths, token stats,
+  duplicate/near-dup/shingle structure — so dedup work per replica is
+  identical to sf0.1) while distinct bijections destroy cross-replica
+  overlap (so LSH buckets/exact-hash groups grow Rx in COUNT, not Rx
+  in SIZE — naive doc_id-only replication would make every banded
+  join quadratic by CONSTRUCTION of the data, polluting the measured
+  exponents). n_chars is length-invariant under any bijection.
+- embeddings: vec_id offset; vectors pass through a per-replica
+  ORTHOGONAL transform — circular dim shift by r for r < 64, a seeded
+  dim permutation + sign flips beyond (norm- and
+  intra-replica-distance-preserving either way, so ANN ground truth
+  per replica matches sf0.1; cross-replica vectors decorrelate
+  instead of producing R exact zero-distance copies of every point).
 
-Determinism: pure column transforms of the seed=42 driver data — no
-RNG here at all. Output layout mirrors the driver's
-(``<dir>/<table>.parquet``), written by Spark (multi-part dirs: the
-scan parallelism a real table has).
+Determinism: pure column transforms of the seed=42 driver data — the
+only pseudo-randomness is the replica-indexed LCG shuffles, replayable
+from the replica index alone. tools/validate_decade.py re-proves the
+construction properties on the generated output. Output layout
+mirrors the driver's (``<dir>/<table>.parquet``), written by Spark
+(multi-part dirs: the scan parallelism a real table has).
 
 Usage: python tools/gen_sf1.py [--out /root/repo/testdata_sf1] [--replicas 10]
 """

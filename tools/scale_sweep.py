@@ -128,7 +128,11 @@ def main() -> None:
             print(f"[{i + 1}/{len(names)}] {name}: ERR {errors[name][:80]}", file=sys.stderr)
 
     record = {
-        "metric": "scale_sweep_sf01_to_sf1",
+        # derive the label from the actual dirs — a hardcoded name
+        # mislabeled the sf1->sf10 record (review finding)
+        "metric": (
+            f"scale_sweep_{Path(base).name}_to_{Path(args.sf1_dir).name}"
+        ),
         "base_dir": base,
         "n_queries": len(names),
         "n_errors": len(errors),

@@ -20,11 +20,15 @@ violation. DuckDB-only — no Spark session needed.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import duckdb
 
-DOC_STRIDE = 5_000
-EMB_STRIDE = 2_000
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from gen_sf1 import EMB_DIM, STRIDES  # noqa: E402  (shared source of truth)
+
+DOC_STRIDE = STRIDES["documents"][1]
+EMB_STRIDE = STRIDES["embeddings"][1]
 
 
 def main() -> None:
@@ -86,11 +90,11 @@ WITH b AS (SELECT vec_id, embedding::DOUBLE[] v FROM base_emb WHERE vec_id < 50)
 e AS (SELECT vec_id % {EMB_STRIDE} AS vid, embedding::DOUBLE[] v FROM emb
       WHERE vec_id // {EMB_STRIDE} = {r} AND vec_id % {EMB_STRIDE} < 50),
 bp AS (SELECT a.vec_id i, c.vec_id j,
-              round(sqrt(list_aggregate(list_transform(range(1,65),
+              round(sqrt(list_aggregate(list_transform(range(1, {EMB_DIM + 1}),
                 k -> (a.v[CAST(k AS INT)]-c.v[CAST(k AS INT)])**2),'sum')),4) AS db
        FROM b a JOIN b c ON c.vec_id > a.vec_id),
 ep AS (SELECT a.vid i, c.vid j,
-              round(sqrt(list_aggregate(list_transform(range(1,65),
+              round(sqrt(list_aggregate(list_transform(range(1, {EMB_DIM + 1}),
                 k -> (a.v[CAST(k AS INT)]-c.v[CAST(k AS INT)])**2),'sum')),4) AS de
        FROM e a JOIN e c ON c.vid > a.vid)
 SELECT count(*) FROM bp JOIN ep ON ep.i=bp.i AND ep.j=bp.j
