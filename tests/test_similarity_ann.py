@@ -133,6 +133,23 @@ def test_ivfb_persisted_matches_in_memory_twin_and_prunes(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), "cell join should dynamic-partition-prune"
 
 
+def test_sq8_recall_vs_bruteforce(spark):
+    """SQ8's int8 scan must recover the exact brute-force top-5 at
+    64 dims (measured 100% at sf0.01 and sf0.1 — scalar quantization
+    at 8 bits barely perturbs cosine order; the rerank-50 exact pass
+    absorbs what it does perturb). Floor: ≥90% overlap."""
+    from the_framework_for_clustering_time_series_data_spark.plans.similarity_plans import (
+        sim_bruteforce_topk,
+        sim_sq8_topk,
+    )
+
+    bf = _topk_sets(sim_bruteforce_topk(spark, SF_ORACLE))
+    sq = _topk_sets(sim_sq8_topk(spark, SF_ORACLE))
+    hits = sum(len(bf[q] & sq.get(q, set())) for q in bf)
+    total = sum(len(v) for v in bf.values())
+    assert hits / total >= 0.9, f"SQ8 recall {hits}/{total}"
+
+
 def test_pqb_persisted_matches_in_memory_twin_and_prunes_columns(spark, tmp_path):
     """The persisted PQ index probe must return EXACTLY the in-memory
     sim_pqb_topk result (same md5-Lloyd codebooks, same ADC fold /

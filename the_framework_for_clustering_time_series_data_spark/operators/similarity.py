@@ -1049,6 +1049,140 @@ def pq_topk_deterministic(
     return _pq_adc_rank(codes_arr, corpus, qs, lut_arr, k, m, n_codes, rerank)
 
 
+def sq8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) approximate top-k — the third classic ANN
+    serving form next to IVF (partition pruning) and PQ (codebook
+    compression): per-dimension symmetric int8 quantization, an
+    EXACT-INTEGER dot-product scan over the int8 codes, and a bounded
+    float re-rank of the top ``rerank`` candidates.
+
+    Replayable build: vectors quantize to 6 dp (the shared _r6
+    discipline); per-dim scales are the corpus max(|v_d|) (a dim-sized
+    aggregate — kilobytes — carried as a one-row broadcast, never a
+    driver collect); codes are ``floor(v/s·127 + 0.5)`` (half-up,
+    |code| ≤ 127 by construction, zero-scale dims encode 0). The scan
+    scores int64 dots and int64 norms — EXACT integers in both engines
+    — so the 6-dp-rounded approximate cosine and its (cos DESC,
+    nbr_id) candidate order replay bit-for-bit in DuckDB; the final
+    top-k re-ranks |Q|·rerank rows by exact float cosine on the
+    quantized vectors (sim_bruteforce's rank discipline).
+
+    Scale shape: the hot scan reads 1 byte/dim semantics instead of 8
+    (int codes in this engine; a fleet deployment stores the code
+    array as binary), the scales row is constant-size, candidates are
+    bounded at |Q|·rerank, and there is no training step at all —
+    SQ8's operational advantage over PQ/IVF (re-quantize = one pass,
+    no codebook drift on append)."""
+    corpus = emb.select(
+        F.col(id_col).alias("nbr_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("v"),
+    )
+    scales = (
+        corpus.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("val"))).alias("s"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x.s,
+            ).alias("s")
+        )
+    )
+
+    def encode(df: DataFrame, idname: str) -> DataFrame:
+        code = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda p: F.when(F.element_at("s", p) == 0.0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.element_at("v", p.cast("int"))
+                    / F.element_at("s", p)
+                    * F.lit(127.0)
+                    + F.lit(0.5)
+                ).cast("long")
+            ),
+        )
+        return df.crossJoin(F.broadcast(scales)).select(
+            F.col("nbr_id").alias(idname), code.alias("q8")
+        )
+
+    c8 = encode(corpus, "nbr_id")
+    q8 = encode(
+        queries.select(
+            F.col(id_col).alias("nbr_id"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+            ).alias("v"),
+        ),
+        "query_id",
+    ).withColumnRenamed("q8", "qq8")
+
+    dot8 = F.aggregate(
+        F.zip_with("q8", "qq8", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n8 = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c8.crossJoin(F.broadcast(q8))
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(
+                dot8
+                / F.sqrt(
+                    n8("q8").cast("double") * n8("qq8").cast("double")
+                ),
+                6,
+            ).alias("cos8"),
+        )
+        .where(F.col("cos8").isNotNull())
+    )
+    w_pre = Window.partitionBy("query_id").orderBy(F.desc("cos8"), "nbr_id")
+    cand = (
+        scored.withColumn("_r", F.row_number().over(w_pre))
+        .where(F.col("_r") <= rerank)
+        .select("query_id", "nbr_id")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("qv"),
+    )
+    exact = (
+        cand.join(corpus, "nbr_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "nbr_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def build_pq_index_deterministic(
     emb: DataFrame,
     path: str,

@@ -694,6 +694,83 @@ def sim_pqb_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_oracle_sql(k: int = 5, rerank: int = 50, dim: int = 64) -> str:
+    """DuckDB twin of ``similarity.sq8_topk``: per-dim max-|v| scales,
+    half-up int8 codes, EXACT int64 dot/norm scan, 6-dp approximate
+    cosine candidate ranking, bounded exact re-rank."""
+    return f"""
+WITH {_PQ_E_CTE},
+sc AS (
+  SELECT pos, max(abs(val)) AS s
+  FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e)
+  GROUP BY 1
+),
+sarr AS (SELECT list(s ORDER BY pos) AS s FROM sc),
+q8 AS (
+  SELECT e.id,
+         list_transform(range(1, {dim + 1}),
+           p -> CASE WHEN sa.s[CAST(p AS INT)] = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(floor(e.v[CAST(p AS INT)]
+                                     / sa.s[CAST(p AS INT)] * 127 + 0.5)
+                          AS BIGINT) END) AS q
+  FROM e CROSS JOIN sarr sa
+),
+qq AS (SELECT id AS query_id, q AS qq FROM q8 WHERE id < 10),
+scored AS (
+  SELECT qq.query_id, c.id AS nbr_id,
+         round(
+           CAST(list_aggregate(list_transform(range(1, {dim + 1}),
+                  p -> c.q[CAST(p AS INT)] * qq.qq[CAST(p AS INT)]),
+                'sum') AS DOUBLE)
+           / sqrt(
+               CAST(list_aggregate(list_transform(c.q, x -> x * x), 'sum')
+                    AS DOUBLE)
+             * CAST(list_aggregate(list_transform(qq.qq, x -> x * x), 'sum')
+                    AS DOUBLE)),
+           6) AS cos8
+  FROM q8 c CROSS JOIN qq
+  WHERE c.id <> qq.query_id
+),
+cand AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos8 DESC, nbr_id) AS rn
+    FROM scored WHERE cos8 IS NOT NULL
+  ) WHERE rn <= {rerank}
+),
+sx AS (
+  SELECT cand.query_id, cand.nbr_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+  FROM cand
+  JOIN e a ON a.id = cand.query_id
+  JOIN e b ON b.id = cand.nbr_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id) AS rank
+  FROM sx
+)
+SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("sim_sq8_topk", _sq8_oracle_sql())
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via SCALAR quantization (SQ8) — the third
+    classic ANN serving form beside IVF and PQ, with a FULL value-hash
+    oracle: per-dim max-|v| scales, half-up int8 codes, an
+    exact-int64 dot/norm scan ranked at 6 dp, and a bounded exact
+    re-rank (rerank 50). No training step at all — SQ8's operational
+    edge for append-heavy corpora (re-quantize is one pass; no
+    codebook drift). See similarity.sq8_topk for the parity
+    disciplines; recall vs brute force asserted in
+    tests/test_similarity_ann.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, rerank=50
+    )
+
+
 @register(
     "emb_label_centroids",
     """
