@@ -1150,3 +1150,120 @@ def test_ivf_compaction_replay_guard_and_crash_recovery(spark, tmp_path):
     assert len(list((Path(idx) / "cells").glob("delta=*"))) == 1
     assert not (Path(idx) / "_compact_commit").exists()
     assert not staged.exists()
+
+
+def test_streaming_sq8_maintainer_probe_parity_across_restart(spark, tmp_path):
+    """The SQ8 ingest form (scales frozen from batch 0, per-batch code
+    deltas, versioned (n, clipped) metadata) must serve probes
+    IDENTICAL to the one-pass frozen-scale batch encode of everything
+    that arrived — across micro-batches, a mid-stream restart, and a
+    last-batch replay. Re-deriving the scales is a rebuild event by
+    contract (the clip-rate metadata is the signal for it)."""
+    import json
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.operators.similarity import (
+        _r6,
+        sq8_encode,
+        sq8_rank,
+    )
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        read_sq8_stream_index,
+        sq8_probe_stream_index,
+        streaming_sq8_index_maintainer,
+    )
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    n_all = vecs.count()
+    queries = vecs.where(F.col("vec_id") < 10)
+
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    ordered = vecs.orderBy("vec_id").collect()
+    quarter = (len(ordered) + 3) // 4
+    for i in range(4):
+        chunk = spark.createDataFrame(
+            ordered[i * quarter : (i + 1) * quarter], vecs.schema
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"tmp_{i}"))
+        part = next((tmp_path / f"tmp_{i}").glob("part-*.parquet"))
+        part.rename(src / f"chunk_{i}.parquet")
+
+    def vec_stream():
+        schema = spark.read.parquet(str(src)).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    idx = str(tmp_path / "sq8_index")
+    ckpt = str(tmp_path / "sq8_ckpt")
+    held = [src / "chunk_2.parquet", src / "chunk_3.parquet"]
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for p in held:
+        p.rename(stash / p.name)
+    q = streaming_sq8_index_maintainer(vec_stream(), idx, ckpt)
+    q.awaitTermination(120)
+    n_d1 = len(list((Path(idx) / "codes").glob("delta=*")))
+    assert n_d1 >= 1
+    for p in held:
+        (stash / p.name).rename(p)
+    q2 = streaming_sq8_index_maintainer(vec_stream(), idx, ckpt)
+    q2.awaitTermination(120)
+    assert len(list((Path(idx) / "codes").glob("delta=*"))) == n_d1 + 2
+
+    # every arrived vector present exactly once; metadata agrees
+    codes = read_sq8_stream_index(spark, idx)
+    assert codes.count() == n_all
+    assert codes.select("nbr_id").distinct().count() == n_all
+    last_meta = max(
+        int(p.name.rsplit("_v", 1)[1]) for p in Path(idx).glob("meta_v*")
+    )
+    meta = spark.read.parquet(f"{idx}/meta_v{last_meta}").collect()[0]
+    assert meta["n"] == n_all
+    # batch-0 scales cover batch 0 exactly, later batches may clip —
+    # the count is a valid non-negative drift signal either way
+    assert meta["clipped"] >= 0
+
+    # probe parity vs the one-pass frozen-scale batch encode
+    got = {
+        tuple(r)
+        for r in sq8_probe_stream_index(spark, idx, queries, k=5).collect()
+    }
+    scales = spark.read.parquet(f"{idx}/scales")
+    all_q = vecs.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: _r6(x)
+        ).alias("v"),
+    )
+    batch_codes = sq8_encode(all_q, scales)
+    qdf = all_q.where(F.col("nbr_id") < 10)
+    qcodes = sq8_encode(qdf, scales).select(
+        F.col("nbr_id").alias("query_id"), F.col("q8").alias("qq8")
+    )
+    qs = qdf.select(F.col("nbr_id").alias("query_id"), F.col("v").alias("qv"))
+    expect = {tuple(r) for r in sq8_rank(batch_codes, qcodes, qs, 5, 50).collect()}
+    assert len(got) > 0
+    assert got == expect
+
+    # replay idempotence: re-run the last batch through the kernel
+    last_delta = max(
+        int(p.name.split("=", 1)[1])
+        for p in (Path(idx) / "codes").glob("delta=*")
+    )
+    src_log = Path(ckpt) / "sources" / "0" / str(last_delta - 1)
+    batch_files = [
+        json.loads(line)["path"]
+        for line in src_log.read_text().splitlines()
+        if line.startswith("{")
+    ]
+    q2._maintain_fn(spark.read.parquet(*batch_files), last_delta - 1)
+    got2 = {
+        tuple(r)
+        for r in sq8_probe_stream_index(spark, idx, queries, k=5).collect()
+    }
+    assert got2 == expect

@@ -1087,7 +1087,28 @@ def sq8_topk(
             F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
         ).alias("v"),
     )
-    scales = (
+    scales = sq8_scales(corpus)
+    codes = sq8_encode(corpus, scales, dim)
+    qdf = queries.select(
+        F.col(id_col).alias("nbr_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("v"),
+    )
+    qcodes = sq8_encode(qdf, scales, dim).select(
+        F.col("nbr_id").alias("query_id"), F.col("q8").alias("qq8")
+    )
+    qs = qdf.select(
+        F.col("nbr_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return sq8_rank(codes, qcodes, qs, k, rerank)
+
+
+def sq8_scales(corpus: DataFrame) -> DataFrame:
+    """Per-dimension SQ8 scales as a ONE-ROW frame ``(s array<double>)``
+    — the corpus max(|v_d|) per dim (a dim-sized aggregate, kilobytes,
+    broadcast to encoders; never a driver collect)."""
+    return (
         corpus.select(F.posexplode("v").alias("pos", "val"))
         .groupBy("pos")
         .agg(F.max(F.abs(F.col("val"))).alias("s"))
@@ -1100,34 +1121,51 @@ def sq8_topk(
         )
     )
 
-    def encode(df: DataFrame, idname: str) -> DataFrame:
-        code = F.transform(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda p: F.when(F.element_at("s", p) == 0.0, F.lit(0).cast("long"))
-            .otherwise(
-                F.floor(
-                    F.element_at("v", p.cast("int"))
-                    / F.element_at("s", p)
-                    * F.lit(127.0)
-                    + F.lit(0.5)
-                ).cast("long")
-            ),
-        )
-        return df.crossJoin(F.broadcast(scales)).select(
-            F.col("nbr_id").alias(idname), code.alias("q8")
-        )
 
-    c8 = encode(corpus, "nbr_id")
-    q8 = encode(
-        queries.select(
-            F.col(id_col).alias("nbr_id"),
-            F.transform(
-                F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
-            ).alias("v"),
+def sq8_encode(df: DataFrame, scales: DataFrame, dim: int = 64) -> DataFrame:
+    """Encode ``(nbr_id, v)`` against a scales frame: half-up int8
+    codes CLAMPED to [−127, 127]. Clamping is a no-op when the scales
+    are the encoding corpus's own maxima (sim_sq8_topk) and the
+    defined saturation behavior when scales are FROZEN from an earlier
+    batch (the streaming maintainer) — out-of-range later values
+    saturate exactly like a production SQ8 index. Returns
+    ``(nbr_id, q8, v)``: codes for the scan, vectors for the bounded
+    re-rank (parquet column pruning keeps ``v`` out of the scan when
+    this frame is persisted)."""
+    code = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda p: F.when(F.element_at("s", p) == 0.0, F.lit(0).cast("long"))
+        .otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(
+                        F.element_at("v", p.cast("int"))
+                        / F.element_at("s", p)
+                        * F.lit(127.0)
+                        + F.lit(0.5)
+                    ).cast("long"),
+                ),
+            )
         ),
-        "query_id",
-    ).withColumnRenamed("q8", "qq8")
+    )
+    return df.crossJoin(F.broadcast(scales)).select(
+        "nbr_id", code.alias("q8"), "v"
+    )
 
+
+def sq8_rank(
+    codes: DataFrame,
+    qcodes: DataFrame,
+    qs: DataFrame,
+    k: int = 5,
+    rerank: int = 50,
+) -> DataFrame:
+    """The SQ8 serving tail: exact-int64 dot/norm scan over
+    ``codes (nbr_id, q8, v)`` against broadcast query codes, 6-dp
+    approximate-cosine candidate window, exact re-rank of the top
+    ``rerank`` per query on the stored vectors."""
     dot8 = F.aggregate(
         F.zip_with("q8", "qq8", lambda a, b: a * b),
         F.lit(0).cast("long"),
@@ -1139,7 +1177,8 @@ def sq8_topk(
         lambda acc, x: acc + x,
     )
     scored = (
-        c8.crossJoin(F.broadcast(q8))
+        codes.select("nbr_id", "q8")
+        .crossJoin(F.broadcast(qcodes))
         .where(F.col("nbr_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1160,14 +1199,8 @@ def sq8_topk(
         .where(F.col("_r") <= rerank)
         .select("query_id", "nbr_id")
     )
-    qs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
-        ).alias("qv"),
-    )
     exact = (
-        cand.join(corpus, "nbr_id")
+        cand.join(codes.select("nbr_id", "v"), "nbr_id")
         .join(F.broadcast(qs), "query_id")
         .select(
             "query_id",

@@ -710,9 +710,11 @@ q8 AS (
   SELECT e.id,
          list_transform(range(1, {dim + 1}),
            p -> CASE WHEN sa.s[CAST(p AS INT)] = 0 THEN CAST(0 AS BIGINT)
-                     ELSE CAST(floor(e.v[CAST(p AS INT)]
+                     ELSE greatest(CAST(-127 AS BIGINT), least(
+                          CAST(127 AS BIGINT),
+                          CAST(floor(e.v[CAST(p AS INT)]
                                      / sa.s[CAST(p AS INT)] * 127 + 0.5)
-                          AS BIGINT) END) AS q
+                               AS BIGINT))) END) AS q
   FROM e CROSS JOIN sarr sa
 ),
 qq AS (SELECT id AS query_id, q AS qq FROM q8 WHERE id < 10),

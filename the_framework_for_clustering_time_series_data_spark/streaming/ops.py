@@ -1207,6 +1207,173 @@ def streaming_ivf_probe(
     return _ivf_probe_scored(cells, qs, centers, k, nprobe, cell_ids=cell_ids)
 
 
+def sq8_maintain_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One SQ8 maintenance step (the foreachBatch kernel of
+    :func:`streaming_sq8_index_maintainer`): freeze-or-load the
+    per-dim scales, encode the batch (saturating at ±127 for values
+    beyond the frozen range — similarity.sq8_encode's clamp), write
+    the codes delta and versioned (n, clipped) metadata. Deterministic
+    per (batch contents, batch_id) — a replay rewrites identical
+    output. ``clipped`` counts saturated components: SQ8's natural
+    drift signal (a rising clip rate means the frozen scales no longer
+    cover the distribution — a re-quantize/rebuild event, exactly the
+    role per-cell counts play for the IVF maintainer)."""
+    from pathlib import Path
+
+    from the_framework_for_clustering_time_series_data_spark.operators.similarity import (
+        _r6,
+        sq8_encode,
+        sq8_scales,
+    )
+
+    sp = batch_df.sparkSession
+    root = Path(index_dir)
+    corpus = batch_df.select(
+        F.col(id_col).alias("nbr_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("v"),
+    )
+    sdir = root / "scales"
+    if not (sdir / "_SUCCESS").exists():
+        sq8_scales(corpus).coalesce(1).write.mode("overwrite").parquet(str(sdir))
+    scales = sp.read.parquet(str(sdir))
+    encoded = sq8_encode(corpus, scales, dim)
+    encoded.write.mode("overwrite").parquet(
+        str(root / "codes" / f"delta={batch_id + 1}")
+    )
+    clipped = corpus.crossJoin(F.broadcast(scales)).select(
+        F.aggregate(
+            F.zip_with(
+                "v", "s", lambda v, s: (F.abs(v) > s).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("c")
+    )
+    m0 = root / "meta_v0"
+    if not m0.exists():
+        sp.createDataFrame([], "n long, clipped long").write.mode(
+            "overwrite"
+        ).parquet(str(m0))
+    cur = sp.read.parquet(str(root / f"meta_v{batch_id}"))
+    part = clipped.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("clipped"),
+    )
+    (
+        cur.unionByName(part)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("clipped").cast("long").alias("clipped"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(root / f"meta_v{batch_id + 1}"))
+    )
+
+
+def streaming_sq8_index_maintainer(
+    vectors: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming SQ8 ANN ingest — the scalar-quantization sibling of
+    :func:`streaming_ivf_index_maintainer`, and the quantizer MOST
+    suited to append-heavy ingest: encoding is a pure per-row
+    expression against frozen per-dim scales (no training at all after
+    batch 0, no codebook/centroid drift), so maintenance is exactly
+    O(batch) with a constant-size metadata read.
+
+    Per micro-batch: batch 0 derives the per-dim max-|v| scales and
+    freezes them as ``<index_dir>/scales`` (index METADATA — the
+    re-quantize decision belongs to a rebuild event, driven by the
+    clip-rate signal below); every batch encodes with the frozen
+    scales — values beyond the frozen range SATURATE at ±127, the
+    defined SQ8 behavior — and writes ``codes/delta={batch_id + 1}``
+    plus batch-id-versioned ``meta_v{b}`` carrying cumulative
+    (n, clipped-component) counts. Exactly-once across restarts by the
+    same delta/meta versioning argument as the IVF maintainer; probe
+    parity vs the one-pass frozen-scale batch encode is held across a
+    restart in tests/test_streaming.py. Serve with
+    :func:`sq8_probe_stream_index`."""
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        sq8_maintain_batch(
+            batch_df, batch_id, index_dir, dim=dim,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    q = (
+        vectors.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q._maintain_fn = maintain  # exposed for idempotence tests
+    return q
+
+
+def read_sq8_stream_index(spark, index_dir: str) -> DataFrame:
+    """Serving-state reader for :func:`streaming_sq8_index_maintainer`:
+    every complete (``_SUCCESS``-gated) codes delta read as one scan
+    under the shared ``codes`` base — shaped like the persisted-PQ
+    codes table: ``(nbr_id, q8, v)`` plus the ``delta`` lineage
+    column."""
+    from pathlib import Path
+
+    base = Path(index_dir) / "codes"
+    deltas = sorted(
+        (p for p in base.glob("delta=*") if (p / "_SUCCESS").exists()),
+        key=lambda p: int(p.name.split("=", 1)[1]),
+    )
+    if not deltas:
+        raise FileNotFoundError(
+            f"no complete delta=* snapshot (with _SUCCESS) under {base}"
+        )
+    return spark.read.option("basePath", str(base)).parquet(
+        *[str(p) for p in deltas]
+    )
+
+
+def sq8_probe_stream_index(
+    spark, index_dir: str, queries: DataFrame, k: int = 5, rerank: int = 50,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the incrementally-maintained SQ8 index: queries encode
+    against the SAME frozen scales the deltas used, then the shared
+    similarity.sq8_rank tail (int64 dot scan + bounded exact re-rank)
+    runs over the delta union."""
+    from the_framework_for_clustering_time_series_data_spark.operators.similarity import (
+        _r6,
+        sq8_encode,
+        sq8_rank,
+    )
+
+    scales = spark.read.parquet(f"{index_dir}/scales")
+    codes = read_sq8_stream_index(spark, index_dir)
+    qdf = queries.select(
+        F.col(id_col).alias("nbr_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("v"),
+    )
+    qcodes = sq8_encode(qdf, scales, dim).select(
+        F.col("nbr_id").alias("query_id"), F.col("q8").alias("qq8")
+    )
+    qs = qdf.select(F.col("nbr_id").alias("query_id"), F.col("v").alias("qv"))
+    return sq8_rank(codes, qcodes, qs, k, rerank)
+
+
 def read_mv_rollup(spark, target_dir: str) -> DataFrame:
     """Serving-state reader for :func:`streaming_mv_daily_maintainer`:
     fold the latest complete (``_SUCCESS``-gated) partial snapshot
