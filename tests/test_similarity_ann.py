@@ -150,6 +150,29 @@ def test_sq8_recall_vs_bruteforce(spark):
     assert hits / total >= 0.9, f"SQ8 recall {hits}/{total}"
 
 
+def test_sq8_encode_saturates_beyond_frozen_scales(spark):
+    """sq8_encode clamps to ±127 — a no-op when scales are the
+    encoding corpus's own maxima, but the LOAD-BEARING saturation
+    semantics when scales are frozen from an earlier batch (the
+    streaming maintainer): values beyond the frozen range must encode
+    as ±127, not overflow the int8 contract."""
+    from the_framework_for_clustering_time_series_data_spark.operators.similarity import sq8_encode
+
+    dim = 4
+    frozen = spark.createDataFrame(
+        [([1.0, 2.0, 0.0, 0.5],)], "s array<double>"
+    )
+    later = spark.createDataFrame(
+        [(1, [3.0, -5.0, 0.25, 0.5]), (2, [0.5, 1.0, 0.0, -0.25])],
+        "nbr_id int, v array<double>",
+    )
+    rows = {r["nbr_id"]: r["q8"] for r in sq8_encode(later, frozen, dim).collect()}
+    # v/s*127 half-up: 3/1 -> clamp 127; -5/2 -> clamp -127; zero-scale
+    # dim -> 0; in-range values encode exactly
+    assert rows[1] == [127, -127, 0, 127]
+    assert rows[2] == [64, 64, 0, -63]
+
+
 def test_pqb_persisted_matches_in_memory_twin_and_prunes_columns(spark, tmp_path):
     """The persisted PQ index probe must return EXACTLY the in-memory
     sim_pqb_topk result (same md5-Lloyd codebooks, same ADC fold /
