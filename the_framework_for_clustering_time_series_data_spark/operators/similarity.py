@@ -1081,20 +1081,15 @@ def sq8_topk(
     bounded at |Q|·rerank, and there is no training step at all —
     SQ8's operational advantage over PQ/IVF (re-quantize = one pass,
     no codebook drift on append)."""
-    corpus = emb.select(
-        F.col(id_col).alias("nbr_id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
-        ).alias("v"),
-    )
-    scales = sq8_scales(corpus)
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    corpus = _r6_corpus(emb, id_col, vec_col)
+    # one-row frame, but its SUBTREE is a corpus-wide aggregation —
+    # checkpoint it so the corpus and query encoders don't each rerun
+    # the posexplode/groupBy (review finding)
+    scales = sq8_scales(corpus).transform(stage_checkpoint, eager=False)
     codes = sq8_encode(corpus, scales, dim)
-    qdf = queries.select(
-        F.col(id_col).alias("nbr_id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
-        ).alias("v"),
-    )
+    qdf = _r6_corpus(queries, id_col, vec_col)
     qcodes = sq8_encode(qdf, scales, dim).select(
         F.col("nbr_id").alias("query_id"), F.col("q8").alias("qq8")
     )
@@ -1122,37 +1117,76 @@ def sq8_scales(corpus: DataFrame) -> DataFrame:
     )
 
 
-def sq8_encode(df: DataFrame, scales: DataFrame, dim: int = 64) -> DataFrame:
+def _r6_corpus(
+    df: DataFrame, id_col: str, vec_col: str, id_out: str = "nbr_id"
+) -> DataFrame:
+    """The shared 6-dp-quantized ``(id_out, v)`` projection every
+    deterministic ANN build starts from."""
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.transform(
+            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
+        ).alias("v"),
+    )
+
+
+def _sq8_raw(p) -> Column:
+    """Pre-clamp SQ8 code at 1-based dim ``p``: half-up ``v/s·127``."""
+    return F.floor(
+        F.element_at("v", p.cast("int"))
+        / F.element_at("s", p)
+        * F.lit(127.0)
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def sq8_encode(
+    df: DataFrame, scales: DataFrame, dim: int = 64, with_clip_count: bool = False
+) -> DataFrame:
     """Encode ``(nbr_id, v)`` against a scales frame: half-up int8
     codes CLAMPED to [−127, 127]. Clamping is a no-op when the scales
     are the encoding corpus's own maxima (sim_sq8_topk) and the
     defined saturation behavior when scales are FROZEN from an earlier
     batch (the streaming maintainer) — out-of-range later values
-    saturate exactly like a production SQ8 index. Returns
-    ``(nbr_id, q8, v)``: codes for the scan, vectors for the bounded
-    re-rank (parquet column pruning keeps ``v`` out of the scan when
-    this frame is persisted)."""
+    saturate exactly like a production SQ8 index. A NULL component
+    (short vector, malformed row) stays NULL through the clamp — the
+    downstream dot/norm folds propagate it and the scored row filters
+    out, the same fail-safe the float path has; Spark's least/greatest
+    SKIP nulls, so an unguarded clamp would silently encode missing
+    dims as +127 (review finding). Returns ``(nbr_id, q8, v)`` —
+    codes for the scan, vectors for the bounded re-rank (parquet
+    column pruning keeps ``v`` out of the scan when this frame is
+    persisted) — plus a per-row saturated-component count when
+    ``with_clip_count`` (counted on the PRE-clamp code, |raw| > 127:
+    the actual saturation criterion, not |v| > s, which fires on
+    values that still round into range)."""
     code = F.transform(
         F.sequence(F.lit(1), F.lit(dim)),
         lambda p: F.when(F.element_at("s", p) == 0.0, F.lit(0).cast("long"))
-        .otherwise(
+        .when(
+            _sq8_raw(p).isNotNull(),
             F.greatest(
                 F.lit(-127).cast("long"),
-                F.least(
-                    F.lit(127).cast("long"),
-                    F.floor(
-                        F.element_at("v", p.cast("int"))
-                        / F.element_at("s", p)
-                        * F.lit(127.0)
-                        + F.lit(0.5)
-                    ).cast("long"),
-                ),
-            )
+                F.least(F.lit(127).cast("long"), _sq8_raw(p)),
+            ),
         ),
     )
-    return df.crossJoin(F.broadcast(scales)).select(
-        "nbr_id", code.alias("q8"), "v"
-    )
+    cols = ["nbr_id", code.alias("q8"), "v"]
+    if with_clip_count:
+        clip = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc
+            + F.when(
+                (F.element_at("s", p) != 0.0)
+                & (F.abs(F.coalesce(_sq8_raw(p), F.lit(0).cast("long"))) > 127),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        cols.append(clip.alias("clipped"))
+    return df.crossJoin(F.broadcast(scales)).select(*cols)
 
 
 def sq8_rank(
@@ -1176,9 +1210,12 @@ def sq8_rank(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # norms precomputed BEFORE the corpus×query join: a corpus row's
+    # norm must not be re-folded |Q| times inside the scan (review
+    # finding) — both are exact integers either way
     scored = (
-        codes.select("nbr_id", "q8")
-        .crossJoin(F.broadcast(qcodes))
+        codes.select("nbr_id", "q8", n8("q8").alias("_na"))
+        .crossJoin(F.broadcast(qcodes.withColumn("_nq", n8("qq8"))))
         .where(F.col("nbr_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1186,7 +1223,7 @@ def sq8_rank(
             F.round(
                 dot8
                 / F.sqrt(
-                    n8("q8").cast("double") * n8("qq8").cast("double")
+                    F.col("_na").cast("double") * F.col("_nq").cast("double")
                 ),
                 6,
             ).alias("cos8"),
@@ -1244,12 +1281,7 @@ def build_pq_index_deterministic(
     ReadSchema in tests/test_similarity_ann.py) while the bounded
     re-rank join reads it for |Q|·rerank rows only."""
     sub = dim // m
-    corpus = emb.select(
-        F.col(id_col).alias("nbr_id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
-        ).alias("v"),
-    )
+    corpus = _r6_corpus(emb, id_col, vec_col)
     codes_arr, cdf = _pq_det_build(corpus, m, n_codes, sub, lloyd_rounds)
     codes_arr.join(corpus, "nbr_id").select("nbr_id", "code", "v").write.mode(
         "overwrite"

@@ -984,7 +984,10 @@ def ivf_maintain_batch(
         str(root / "cells" / f"delta={batch_id + 1}")
     )
     m0 = root / "meta_v0"
-    if not m0.exists():
+    # _SUCCESS-gated like the quantizer dir above: a crash between
+    # mkdir and parquet commit must not strand an uninferable empty
+    # dir across restarts (review finding)
+    if not (m0 / "_SUCCESS").exists():
         sp.createDataFrame([], "cell int, n long").write.mode(
             "overwrite"
         ).parquet(str(m0))
@@ -1074,7 +1077,16 @@ def read_ivf_stream_index(spark, index_dir: str) -> DataFrame:
 
     if (Path(index_dir) / "_compact_commit").exists():
         _ivf_compact_finish(index_dir)
-    base = Path(index_dir) / "cells"
+    # one multi-path scan with a single partition-discovery base, not a
+    # union-of-plans: `cell` pruning (and delta pruning) still applies
+    return _read_complete_deltas(spark, Path(index_dir) / "cells")
+
+
+def _read_complete_deltas(spark, base) -> DataFrame:
+    """_SUCCESS-gated delta-union reader shared by the IVF and SQ8
+    stream indexes: every complete ``delta=N`` under ``base`` as ONE
+    basePath-anchored scan (a delta mid-rewrite is skipped until its
+    marker lands — read-committed serving)."""
     deltas = sorted(
         (p for p in base.glob("delta=*") if (p / "_SUCCESS").exists()),
         key=lambda p: int(p.name.split("=", 1)[1]),
@@ -1083,8 +1095,6 @@ def read_ivf_stream_index(spark, index_dir: str) -> DataFrame:
         raise FileNotFoundError(
             f"no complete delta=* snapshot (with _SUCCESS) under {base}"
         )
-    # one multi-path scan with a single partition-discovery base, not a
-    # union-of-plans: `cell` pruning (and delta pruning) still applies
     return spark.read.option("basePath", str(base)).parquet(
         *[str(p) for p in deltas]
     )
@@ -1228,45 +1238,36 @@ def sq8_maintain_batch(
     from pathlib import Path
 
     from the_framework_for_clustering_time_series_data_spark.operators.similarity import (
-        _r6,
+        _r6_corpus,
         sq8_encode,
         sq8_scales,
     )
 
     sp = batch_df.sparkSession
     root = Path(index_dir)
-    corpus = batch_df.select(
-        F.col(id_col).alias("nbr_id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
-        ).alias("v"),
-    )
+    corpus = _r6_corpus(batch_df, id_col, vec_col)
     sdir = root / "scales"
     if not (sdir / "_SUCCESS").exists():
         sq8_scales(corpus).coalesce(1).write.mode("overwrite").parquet(str(sdir))
     scales = sp.read.parquet(str(sdir))
-    encoded = sq8_encode(corpus, scales, dim)
-    encoded.write.mode("overwrite").parquet(
-        str(root / "codes" / f"delta={batch_id + 1}")
-    )
-    clipped = corpus.crossJoin(F.broadcast(scales)).select(
-        F.aggregate(
-            F.zip_with(
-                "v", "s", lambda v, s: (F.abs(v) > s).cast("long")
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("c")
-    )
+    # ONE evaluation of the micro-batch: the per-row saturation count
+    # rides along in the encoded delta (with_clip_count — |raw| > 127,
+    # the actual clamp criterion), and the metadata fold aggregates
+    # the just-written parquet instead of re-scanning the source
+    # (review findings: double evaluation + |v| > s overcount)
+    delta_dir = root / "codes" / f"delta={batch_id + 1}"
+    sq8_encode(corpus, scales, dim, with_clip_count=True).write.mode(
+        "overwrite"
+    ).parquet(str(delta_dir))
     m0 = root / "meta_v0"
-    if not m0.exists():
+    if not (m0 / "_SUCCESS").exists():
         sp.createDataFrame([], "n long, clipped long").write.mode(
             "overwrite"
         ).parquet(str(m0))
     cur = sp.read.parquet(str(root / f"meta_v{batch_id}"))
-    part = clipped.agg(
+    part = sp.read.parquet(str(delta_dir)).agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("c").cast("long").alias("clipped"),
+        F.sum("clipped").cast("long").alias("clipped"),
     )
     (
         cur.unionByName(part)
@@ -1331,18 +1332,7 @@ def read_sq8_stream_index(spark, index_dir: str) -> DataFrame:
     column."""
     from pathlib import Path
 
-    base = Path(index_dir) / "codes"
-    deltas = sorted(
-        (p for p in base.glob("delta=*") if (p / "_SUCCESS").exists()),
-        key=lambda p: int(p.name.split("=", 1)[1]),
-    )
-    if not deltas:
-        raise FileNotFoundError(
-            f"no complete delta=* snapshot (with _SUCCESS) under {base}"
-        )
-    return spark.read.option("basePath", str(base)).parquet(
-        *[str(p) for p in deltas]
-    )
+    return _read_complete_deltas(spark, Path(index_dir) / "codes")
 
 
 def sq8_probe_stream_index(
@@ -1354,19 +1344,14 @@ def sq8_probe_stream_index(
     similarity.sq8_rank tail (int64 dot scan + bounded exact re-rank)
     runs over the delta union."""
     from the_framework_for_clustering_time_series_data_spark.operators.similarity import (
-        _r6,
+        _r6_corpus,
         sq8_encode,
         sq8_rank,
     )
 
     scales = spark.read.parquet(f"{index_dir}/scales")
     codes = read_sq8_stream_index(spark, index_dir)
-    qdf = queries.select(
-        F.col(id_col).alias("nbr_id"),
-        F.transform(
-            F.col(vec_col).cast("array<double>"), lambda x: _r6(x)
-        ).alias("v"),
-    )
+    qdf = _r6_corpus(queries, id_col, vec_col)
     qcodes = sq8_encode(qdf, scales, dim).select(
         F.col("nbr_id").alias("query_id"), F.col("q8").alias("qq8")
     )
