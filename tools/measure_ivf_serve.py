@@ -34,7 +34,10 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument(
         "--variant",
-        choices=["deterministic", "mllib", "both", "streaming", "pqb"],
+        choices=[
+            "deterministic", "mllib", "both", "streaming", "pqb",
+            "sq8-streaming",
+        ],
         default="both",
     )
     ap.add_argument(
@@ -102,6 +105,69 @@ def main() -> None:
                         "batch_secs": batch_secs,
                         "batch0_with_quantizer_sec": batch_secs[0],
                         "steady_batch_median_sec": steady,
+                        "probe_median_sec": med,
+                        "probe_runs": probes,
+                        "sf_dir": args.sf_dir,
+                    }
+                )
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        return
+
+    if args.variant == "sq8-streaming":
+        # the SQ8 ingest record beside the IVF one: per-batch maintain
+        # cost (frozen scales, pure per-row encode) vs the one-pass
+        # frozen-scale batch rebuild, plus the delta-union probe
+        from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+            sq8_maintain_batch,
+            sq8_probe_stream_index,
+        )
+
+        if args.batches < 2:
+            sys.exit("--variant sq8-streaming needs --batches >= 2")
+        n = emb.count()
+        per = (n + args.batches - 1) // args.batches
+        rows = emb.orderBy("vec_id").collect()
+        path = tempfile.mkdtemp(prefix="sq8_serve_streaming_")
+        try:
+            batch_secs = []
+            for b in range(args.batches):
+                chunk = spark.createDataFrame(
+                    rows[b * per : (b + 1) * per], emb.schema
+                )
+                t0 = time.perf_counter()
+                sq8_maintain_batch(chunk, b, path)
+                batch_secs.append(round(time.perf_counter() - t0, 3))
+            # one-pass frozen-scale rebuild for comparison
+            from the_framework_for_clustering_time_series_data_spark.operators.similarity import (
+                _r6_corpus,
+                sq8_encode,
+            )
+
+            scales = spark.read.parquet(f"{path}/scales")
+            t0 = time.perf_counter()
+            sq8_encode(_r6_corpus(emb, "vec_id", "embedding"), scales).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/_rebuild")
+            rebuild_s = round(time.perf_counter() - t0, 3)
+            queries = emb.where(F.col("vec_id") < 10)
+            probes = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                sq8_probe_stream_index(spark, path, queries, k=5).collect()
+                probes.append(round(time.perf_counter() - t0, 3))
+            med = sorted(probes)[len(probes) // 2]
+            steady = sorted(batch_secs[1:])[len(batch_secs[1:]) // 2]
+            print(
+                json.dumps(
+                    {
+                        "variant": "sq8-streaming",
+                        "batches": args.batches,
+                        "batch_secs": batch_secs,
+                        "batch0_with_scales_sec": batch_secs[0],
+                        "steady_batch_median_sec": steady,
+                        "full_rebuild_sec": rebuild_s,
                         "probe_median_sec": med,
                         "probe_runs": probes,
                         "sf_dir": args.sf_dir,
