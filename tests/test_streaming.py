@@ -1267,3 +1267,73 @@ def test_streaming_sq8_maintainer_probe_parity_across_restart(spark, tmp_path):
         for r in sq8_probe_stream_index(spark, idx, queries, k=5).collect()
     }
     assert got2 == expect
+
+
+def test_sq8_compaction_probe_identity_and_guards(spark, tmp_path):
+    """compact_sq8_stream_index folds every codes delta into one with
+    probe results IDENTICAL before/after, shares the IVF form's replay
+    guard (refuse when the checkpoint commits log lags the top delta),
+    and a crash between the commit marker and the swap is completed
+    idempotently by the next reader."""
+    from pathlib import Path
+
+    import pytest
+
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        compact_sq8_stream_index,
+        read_sq8_stream_index,
+        sq8_maintain_batch,
+        sq8_probe_stream_index,
+    )
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    rows = vecs.orderBy("vec_id").collect()
+    queries = vecs.where(F.col("vec_id") < 10)
+    idx = str(tmp_path / "sq8_idx")
+    per = (len(rows) + 1) // 2
+    for b in range(2):
+        chunk = spark.createDataFrame(rows[b * per : (b + 1) * per], vecs.schema)
+        sq8_maintain_batch(chunk, b, idx)
+    before = {
+        tuple(r)
+        for r in sq8_probe_stream_index(spark, idx, queries, k=5).collect()
+    }
+    n_all = read_sq8_stream_index(spark, idx).count()
+
+    # replay guard: commits log behind -> refuse, deltas untouched
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("{}")
+    with pytest.raises(ValueError, match="refusing to compact"):
+        compact_sq8_stream_index(spark, idx, checkpoint=str(ckpt))
+    assert len(list((Path(idx) / "codes").glob("delta=*"))) == 2
+    (ckpt / "commits" / "1").write_text("{}")
+    assert compact_sq8_stream_index(spark, idx, checkpoint=str(ckpt)) == 2
+    assert len(list((Path(idx) / "codes").glob("delta=*"))) == 1
+    after = {
+        tuple(r)
+        for r in sq8_probe_stream_index(spark, idx, queries, k=5).collect()
+    }
+    assert before and after == before
+    assert read_sq8_stream_index(spark, idx).count() == n_all
+
+    # crash after the commit marker, before the swap: the next read
+    # completes the swap and serves every row
+    chunk = spark.createDataFrame(rows[:per], vecs.schema)
+    sq8_maintain_batch(chunk, 2, idx)
+    n_two = read_sq8_stream_index(spark, idx).count()
+    staged = Path(idx) / "_compact_tmp"
+    read_sq8_stream_index(spark, idx).drop("delta").write.mode(
+        "overwrite"
+    ).parquet(str(staged))
+    top = max(
+        int(p.name.split("=", 1)[1])
+        for p in (Path(idx) / "codes").glob("delta=*")
+    )
+    (Path(idx) / "_compact_commit").write_text(str(top))
+    got = read_sq8_stream_index(spark, idx)  # completes the swap
+    assert got.count() == n_two
+    assert len(list((Path(idx) / "codes").glob("delta=*"))) == 1
+    assert not (Path(idx) / "_compact_commit").exists()
+    assert not staged.exists()

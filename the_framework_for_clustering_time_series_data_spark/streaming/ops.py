@@ -1100,16 +1100,17 @@ def _read_complete_deltas(spark, base) -> DataFrame:
     )
 
 
-def _ivf_compact_finish(index_dir) -> None:
+def _compact_finish(index_dir, base_name: str) -> None:
     """Complete a committed compaction swap (phase 2): delete the
     folded deltas and move the staged fold in as ``delta={top}``.
     Idempotent — safe to re-run after a crash at any point past the
-    commit marker."""
+    commit marker. Shared by the IVF (``cells``) and SQ8 (``codes``)
+    stream indexes."""
     import shutil
     from pathlib import Path
 
     root = Path(index_dir)
-    base = root / "cells"
+    base = root / base_name
     marker = root / "_compact_commit"
     staged = root / "_compact_tmp"
     top = int(marker.read_text().strip())
@@ -1119,6 +1120,10 @@ def _ivf_compact_finish(index_dir) -> None:
     if staged.exists():
         staged.rename(base / f"delta={top}")
     marker.unlink()
+
+
+def _ivf_compact_finish(index_dir) -> None:
+    _compact_finish(index_dir, "cells")
 
 
 def compact_ivf_stream_index(
@@ -1153,15 +1158,32 @@ def compact_ivf_stream_index(
       unreadable.
 
     Returns the number of deltas folded."""
+    return _compact_stream_deltas(
+        spark, index_dir, "cells", checkpoint, partition_by="cell"
+    )
+
+
+def _compact_stream_deltas(
+    spark,
+    index_dir: str,
+    base_name: str,
+    checkpoint: str | None,
+    partition_by: str | None = None,
+) -> int:
+    """The shared maintenance-boundary compaction kernel (replay guard
+    + two-phase crash-safe swap, see :func:`compact_ivf_stream_index`
+    for the full safety argument) over any delta-structured stream
+    index: IVF folds ``cells`` partitioned by ``cell``; SQ8 folds the
+    flat ``codes`` table."""
     import os
     import shutil
     from pathlib import Path
 
     root = Path(index_dir)
-    base = root / "cells"
+    base = root / base_name
     marker = root / "_compact_commit"
     if marker.exists():  # finish a crashed predecessor first
-        _ivf_compact_finish(index_dir)
+        _compact_finish(index_dir, base_name)
     deltas = sorted(
         (p for p in base.glob("delta=*") if (p / "_SUCCESS").exists()),
         key=lambda p: int(p.name.split("=", 1)[1]),
@@ -1184,18 +1206,32 @@ def compact_ivf_stream_index(
             )
     staged = root / "_compact_tmp"
     shutil.rmtree(staged, ignore_errors=True)
-    (
-        read_ivf_stream_index(spark, index_dir)
-        .drop("delta")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(str(staged))
+    fold = _read_complete_deltas(spark, base).drop("delta").write.mode(
+        "overwrite"
     )
+    if partition_by:
+        fold = fold.partitionBy(partition_by)
+    fold.parquet(str(staged))
     tmp_marker = root / "_compact_commit.tmp"
     tmp_marker.write_text(str(top))
     os.replace(tmp_marker, marker)  # the commit point
-    _ivf_compact_finish(index_dir)
+    _compact_finish(index_dir, base_name)
     return len(deltas)
+
+
+def compact_sq8_stream_index(
+    spark, index_dir: str, checkpoint: str | None = None
+) -> int:
+    """Maintenance-boundary compaction for
+    :func:`streaming_sq8_index_maintainer`: fold every complete codes
+    delta into one (probe-identical before/after — the fold is a pure
+    row reunion of (nbr_id, q8, v, clipped)), with the SAME replay
+    guard and two-phase crash-safe swap as the IVF form
+    (:func:`compact_ivf_stream_index`'s safety argument applies
+    verbatim; a crashed swap is completed idempotently by the next
+    compact or by :func:`read_sq8_stream_index`). Returns the number
+    of deltas folded."""
+    return _compact_stream_deltas(spark, index_dir, "codes", checkpoint)
 
 
 def streaming_ivf_probe(
@@ -1329,9 +1365,13 @@ def read_sq8_stream_index(spark, index_dir: str) -> DataFrame:
     every complete (``_SUCCESS``-gated) codes delta read as one scan
     under the shared ``codes`` base — shaped like the persisted-PQ
     codes table: ``(nbr_id, q8, v)`` plus the ``delta`` lineage
-    column."""
+    column. A committed-but-unfinished compaction swap is completed
+    here first (the read_ivf_stream_index discipline) — the index is
+    readable at every crash point."""
     from pathlib import Path
 
+    if (Path(index_dir) / "_compact_commit").exists():
+        _compact_finish(index_dir, "codes")
     return _read_complete_deltas(spark, Path(index_dir) / "codes")
 
 
