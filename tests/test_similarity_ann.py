@@ -150,6 +150,34 @@ def test_sq8_recall_vs_bruteforce(spark):
     assert hits / total >= 0.9, f"SQ8 recall {hits}/{total}"
 
 
+def test_sq8_persisted_matches_in_memory_and_prunes_columns(spark):
+    """sim_sq8_persisted (batch build = one maintenance step into the
+    streaming layout; probe = the stream probe) must equal
+    sim_sq8_topk exactly, and its code scan must column-prune the
+    vector and clip-count columns out of the persisted
+    (nbr_id, q8, v, clipped) table."""
+    from the_framework_for_clustering_time_series_data_spark.plans.similarity_plans import (
+        sim_sq8_persisted,
+        sim_sq8_topk,
+    )
+
+    probe = sim_sq8_persisted(spark, SF_ORACLE)
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(map(tuple, sim_sq8_topk(spark, SF_ORACLE).collect()))
+    assert a == b and len(a) == 50
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    schemas = [
+        line[line.find("ReadSchema") :]
+        for line in plan.splitlines()
+        if "ReadSchema" in line
+    ]
+    code_scans = [s for s in schemas if "q8:" in s]
+    assert code_scans, f"no scan reads the code column: {schemas}"
+    assert any(
+        "v:" not in s and "clipped" not in s for s in code_scans
+    ), f"code scan should prune v/clipped; scans: {code_scans}"
+
+
 def test_sq8_encode_saturates_beyond_frozen_scales(spark):
     """sq8_encode clamps to ±127 — a no-op when scales are the
     encoding corpus's own maxima, but the LOAD-BEARING saturation

@@ -756,6 +756,34 @@ SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {k}
 """
 
 
+@register("sim_sq8_persisted", _sq8_oracle_sql())
+def sim_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 SERVING path with a FULL value-hash oracle — and
+    deliberately the SAME on-disk layout the streaming maintainer
+    writes (scales metadata + codes delta), so batch build and
+    streaming ingest share one probe: the batch build IS a single
+    maintenance step (streaming.ops.sq8_maintain_batch with
+    batch_id 0 — scales derived and frozen, corpus encoded, metadata
+    versioned), and the probe IS the stream probe
+    (sq8_probe_stream_index: frozen-scale query encode + the shared
+    int64 ADC-style scan + bounded exact re-rank). Same results as
+    sim_sq8_topk over the same corpus — batch-0 scales ARE the
+    corpus's own maxima here, so the clamp is a no-op and the oracle
+    carries over unchanged. Column pruning of ``v`` (and ``clipped``)
+    out of the code scan is asserted in tests/test_similarity_ann.py."""
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        sq8_maintain_batch,
+        sq8_probe_stream_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_dir("the_framework_for_clustering_time_series_data_spark_sq8_")
+    sq8_maintain_batch(emb, 0, path)
+    return sq8_probe_stream_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, rerank=50
+    )
+
+
 @register("sim_sq8_topk", _sq8_oracle_sql())
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via SCALAR quantization (SQ8) — the third
