@@ -622,9 +622,13 @@ def dedup_edit_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("len_b"),
     )
     mx = F.greatest(F.col("len_a"), F.col("len_b"))
+    # merge-hint the text dimension joins: the payload sides scale
+    # with the corpus, and letting AQE broadcast them OOMs the driver
+    # one decade up (found by the sf10 sweep on the same-shaped
+    # dedup_containment — "Not enough memory to build and broadcast")
     return (
-        cand.join(x, "id_a")
-        .join(y, "id_b")
+        cand.join(x.hint("merge"), "id_a")
+        .join(y.hint("merge"), "id_b")
         .withColumn("dist", F.levenshtein(F.col("text_a"), F.col("text_b")))
         .where(F.col("dist") <= 0.10 * mx)
         .select(
@@ -717,9 +721,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = g.select(F.col("doc_id").alias("id_a"), F.col("sh3").alias("sh_a"))
     y = g.select(F.col("doc_id").alias("id_b"), F.col("sh3").alias("sh_b"))
+    # merge-hint the 3-gram dimension joins: the arrays scale with the
+    # corpus, and AQE broadcasting them OOMs the driver at sf10 (found
+    # by the second-decade sweep: "Not enough memory to build and
+    # broadcast the table") — the shuffle join is the 100× plan
     ct = (
-        cand.join(x, "id_a")
-        .join(y, "id_b")
+        cand.join(x.hint("merge"), "id_a")
+        .join(y.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
