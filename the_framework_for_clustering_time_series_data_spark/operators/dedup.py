@@ -265,9 +265,14 @@ def ngram_jaccard_pairs(
                          F.col("n_sh").alias("n_a"))
         db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("_sh_b"),
                          F.col("n_sh").alias("n_b"))
+        # merge-hint the shingle-array dimension joins: the payload
+        # sides scale with the corpus and the candidate side is NOT
+        # tiny, so AQE can pick the array side to broadcast — which
+        # OOMs the driver a decade up (the dedup_containment sf10
+        # find; arrays inflate far beyond their on-disk estimate)
         inter = (
-            cand.join(da, "id_a")
-            .join(db, "id_b")
+            cand.join(da.hint("merge"), "id_a")
+            .join(db.hint("merge"), "id_b")
             .withColumn("n_inter", F.size(F.array_intersect("_sh_a", "_sh_b")))
             .select("id_a", "id_b", "n_a", "n_b", "n_inter")
         )
