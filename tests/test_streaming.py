@@ -1337,3 +1337,208 @@ def test_sq8_compaction_probe_identity_and_guards(spark, tmp_path):
     assert len(list((Path(idx) / "codes").glob("delta=*"))) == 1
     assert not (Path(idx) / "_compact_commit").exists()
     assert not staged.exists()
+
+
+def test_sq8_empty_batch0_does_not_poison_scales(spark, tmp_path):
+    """Round-9 advice: an EMPTY batch 0 must not freeze s=[] forever
+    (which would encode all-NULL codes and silently empty every later
+    probe). The kernel skips the freeze, still writes the empty delta
+    and rolled meta (replay versioning stays contiguous), and the first
+    NON-empty batch freezes real scales with the dim stamped in."""
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        sq8_maintain_batch,
+        sq8_probe_stream_index,
+    )
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "sq8_idx")
+    empty = vecs.where(F.lit(False))
+    sq8_maintain_batch(empty, 0, idx)
+    assert not (Path(idx) / "scales" / "_SUCCESS").exists()
+    assert (Path(idx) / "codes" / "delta=1" / "_SUCCESS").exists()
+    meta1 = spark.read.parquet(f"{idx}/meta_v1").collect()[0]
+    assert (meta1["n"], meta1["clipped"]) == (0, 0)
+
+    sq8_maintain_batch(vecs, 1, idx)
+    scales = spark.read.parquet(f"{idx}/scales").collect()[0]
+    assert scales["dim"] == 64 and len(scales["s"]) == 64
+    queries = vecs.where(F.col("vec_id") < 3)
+    got = sq8_probe_stream_index(spark, idx, queries, k=3).collect()
+    assert len(got) == 9  # 3 queries x k=3 — the index serves normally
+
+
+def test_sq8_dim_mismatch_fails_loudly(spark, tmp_path):
+    """Round-9 advice: probing or maintaining with a dim that does not
+    match the frozen index layout must raise, not silently emit NULL
+    code components / empty probe results."""
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        sq8_maintain_batch,
+        sq8_probe_stream_index,
+    )
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "sq8_idx")
+    sq8_maintain_batch(vecs.where(F.col("vec_id") < 100), 0, idx)
+    queries = vecs.where(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="dim mismatch"):
+        sq8_probe_stream_index(spark, idx, queries, k=3, dim=32)
+    with pytest.raises(ValueError, match="dim mismatch"):
+        sq8_maintain_batch(vecs.where(F.col("vec_id") >= 100), 1, idx, dim=128)
+    # declared-dim freeze that disagrees with the data fails at freeze
+    idx2 = str(tmp_path / "sq8_idx2")
+    with pytest.raises(ValueError, match="refusing to freeze"):
+        sq8_maintain_batch(vecs.where(F.col("vec_id") < 100), 0, idx2, dim=32)
+
+
+def test_sq8_requantize_drift_decision_crash_and_replay(spark, tmp_path, monkeypatch):
+    """Round-9 verdict ask #4: the drift metadata is ACTED on. The
+    policy no-ops below threshold; the rebuild runs under a crash-safe
+    two-phase swap (a crash between the _requant_commit marker and the
+    finish is completed by the next reader, probe-identical to the
+    one-pass full-corpus build); a stale checkpoint refuses the
+    rebuild (replay guard); and the post-swap marker-only crash state
+    (swap done, marker not yet unlinked) re-finishes without data
+    loss."""
+    from the_framework_for_clustering_time_series_data_spark.operators import similarity
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming import ops
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cut = vecs.agg(F.max("vec_id")).collect()[0][0] // 4
+    idx = str(tmp_path / "sq8_idx")
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") < cut), 0, idx)
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") >= cut), 1, idx)
+
+    drift = ops.ann_index_drift(spark, idx)
+    assert drift["kind"] == "sq8" and drift["clipped"] > 0
+    assert drift["clip_rate"] > 0
+
+    # below-threshold: decision declines, index untouched
+    assert ops.sq8_requantize(spark, idx, max_clip_rate=1.0) is False
+    assert (Path(idx) / "codes" / "delta=2").exists()
+
+    # stale checkpoint: replay guard refuses the rebuild
+    ckpt = tmp_path / "stale_ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("{}")
+    with pytest.raises(ValueError, match="refusing to requantize"):
+        ops.sq8_requantize(spark, idx, checkpoint=str(ckpt), force=True)
+
+    # crash between phase-1 commit and finish: marker + stage on disk
+    with monkeypatch.context() as m:
+        m.setattr(ops, "_requant_finish", lambda d: None)
+        assert ops.sq8_requantize(spark, idx, max_clip_rate=0.0) is True
+    assert (Path(idx) / "_requant_commit").exists()
+    assert (Path(idx) / "_requant_tmp" / "scales").exists()
+
+    # the next probe completes the swap and matches the one-pass
+    # full-corpus SQ8 build exactly
+    queries = vecs.where(F.col("vec_id") < 10)
+    got = {
+        tuple(r)
+        for r in ops.sq8_probe_stream_index(spark, idx, queries, k=5).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in similarity.sq8_topk(vecs, queries, k=5, rerank=50).collect()
+    }
+    assert got == expect and len(got) > 0
+    assert not (Path(idx) / "_requant_commit").exists()
+    assert not (Path(idx) / "_requant_tmp").exists()
+    # metadata reset: nothing clips against full-corpus scales
+    drift2 = ops.ann_index_drift(spark, idx)
+    assert drift2["clipped"] == 0 and drift2["n"] == vecs.count()
+
+    # post-swap marker-only crash state: re-finish is a no-op swap
+    n_before = ops.read_sq8_stream_index(spark, idx).count()
+    (Path(idx) / "_requant_commit").write_text("1")
+    got2 = {
+        tuple(r)
+        for r in ops.sq8_probe_stream_index(spark, idx, queries, k=5).collect()
+    }
+    assert got2 == expect
+    assert ops.read_sq8_stream_index(spark, idx).count() == n_before
+
+
+def test_ivf_recenter_drift_decision_and_batch_parity(spark, tmp_path):
+    """ivf_recenter fires on cell skew, retrains the deterministic
+    quantizer over the full delta union, and the swapped index probes
+    BIT-IDENTICAL to the from-scratch deterministic batch build; a
+    replayed maintainer batch right after the swap is refused by the
+    guard; the swap also survives the marker-only crash state."""
+    from the_framework_for_clustering_time_series_data_spark.operators import similarity
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming import ops
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cut = vecs.agg(F.max("vec_id")).collect()[0][0] // 4
+    idx = str(tmp_path / "ivf_idx")
+    ops.ivf_maintain_batch(vecs.where(F.col("vec_id") < cut), 0, idx, n_cells=16)
+    ops.ivf_maintain_batch(vecs.where(F.col("vec_id") >= cut), 1, idx, n_cells=16)
+
+    drift = ops.ann_index_drift(spark, idx)
+    assert drift["kind"] == "ivf" and drift["n"] == vecs.count()
+    assert drift["cell_skew"] > 1.0
+
+    # decision declines below threshold
+    assert ops.ivf_recenter(spark, idx, max_cell_skew=1e9) is False
+    # stale checkpoint refuses
+    ckpt = tmp_path / "stale_ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("{}")
+    with pytest.raises(ValueError, match="refusing to recenter"):
+        ops.ivf_recenter(spark, idx, checkpoint=str(ckpt), force=True)
+
+    assert ops.ivf_recenter(spark, idx, max_cell_skew=1.0) is True
+    queries = vecs.where(F.col("vec_id") < 10)
+    got = {
+        tuple(r)
+        for r in ops.streaming_ivf_probe(
+            spark, idx, queries, k=5, nprobe=4
+        ).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in similarity.ivf_topk_deterministic(
+            vecs, queries, k=5, n_cells=16, nprobe=4
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+    # recentered metadata matches the re-assigned cells
+    drift2 = ops.ann_index_drift(spark, idx)
+    assert drift2["n"] == vecs.count()
+    # marker-only crash state completes idempotently, no data loss
+    (Path(idx) / "_requant_commit").write_text("1")
+    got2 = {
+        tuple(r)
+        for r in ops.streaming_ivf_probe(
+            spark, idx, queries, k=5, nprobe=4
+        ).collect()
+    }
+    assert got2 == expect
+
+
+def test_compact_finish_marker_only_crash_state(spark, tmp_path):
+    """Round-10 fix: a crash between the compaction's final rename and
+    the marker unlink used to make the idempotent re-run DELETE
+    delta={top} (the fold itself) with nothing staged to replace it.
+    The fold-inside-base ordering closes the window: re-finishing a
+    marker-only state leaves the index intact."""
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming import ops
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "sq8_idx")
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") < 100), 0, idx)
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") >= 100), 1, idx)
+    assert ops.compact_sq8_stream_index(spark, idx) == 2
+    n = ops.read_sq8_stream_index(spark, idx).count()
+    assert n == vecs.count()
+    # simulate the crash state: swap complete, marker still present
+    (Path(idx) / "_compact_commit").write_text("2")
+    got = ops.read_sq8_stream_index(spark, idx)  # completes the "swap"
+    assert got.count() == n  # previously: 0 rows — the fold was deleted
+    assert not (Path(idx) / "_compact_commit").exists()

@@ -1158,7 +1158,18 @@ def power_iteration_clusters(
     ).transform(stage_checkpoint, eager=True)
     # checkpoint first: PIC's internal RDD conversion re-evaluates its
     # input several times per power iteration — without materializing,
-    # an expensive upstream (the pair kernel) reruns each time
+    # an expensive upstream (the pair kernel) reruns each time.
+    # Then size the partitioning to the EDGE COUNT (cheap: the frame is
+    # already materialized): every power iteration launches one task
+    # per partition, so a 256-edge graph inheriting the kernel's 13+
+    # shuffle partitions pays ~10×13 empty-task schedulings — the
+    # dominant cost at small SF (measured 7.0s → 1.7s at sf0.1).
+    # Large graphs keep their partitioning: coalesce only shrinks,
+    # targeting ~50k edges/partition.
+    n_edges = g.count()
+    target = max(1, min(g.rdd.getNumPartitions(), 1 + n_edges // 50_000))
+    if target < g.rdd.getNumPartitions():
+        g = g.coalesce(target)
     pic = PowerIterationClustering(k=k, maxIter=max_iter, initMode="degree", weightCol="weight")
     return pic.assignClusters(g).select(F.col("id"), F.col("cluster"))
 

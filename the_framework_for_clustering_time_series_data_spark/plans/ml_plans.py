@@ -1818,10 +1818,13 @@ def text_tfidf_md5kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     in DuckDB.
 
     Shape matches the scale story of the original: no vocabulary
-    broadcast (hash bucketing), one (doc, term) aggregate, one
-    term-keyed df aggregate, a 1-row corpus count broadcast, a
-    constant 64-row grid join for the dense form, and the
+    broadcast (hash bucketing), ONE tokenize pass (tf rows are already
+    distinct (doc, term) pairs, so document frequency is a count(*)
+    re-aggregate of the checkpointed tf frame — the oracle's second
+    corpus scan fused away), a 1-row corpus count broadcast, a per-doc
+    map lookup for the dense form (no doc×64 grid blow-up), and the
     broadcast-k Lloyd."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
     from the_framework_for_clustering_time_series_data_spark.operators.text import TOKEN_RE
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1829,8 +1832,12 @@ def text_tfidf_md5kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), TOKEN_RE)).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .transform(stage_checkpoint, eager=False)
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
     nn = docs.agg(F.count("*").alias("n_docs"))
     idf = F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     sc = (
@@ -1848,21 +1855,25 @@ def text_tfidf_md5kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     comp = sc.groupBy("doc_id", "dim").agg(F.sum("score_us").alias("c_us"))
-    grid = spark.range(_TTK_DIMS).select(F.col("id").cast("long").alias("dim"))
+    # dense form as a per-doc map lookup: dims are unique per doc after
+    # the comp aggregate, so one map + a constant 64-slot sequence scan
+    # replaces the doc×64 grid crossJoin (which shuffled 64n rows)
+    sparse = comp.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "c_us"))).alias("_m")
+    )
+    dims = F.sequence(F.lit(0).cast("long"), F.lit(_TTK_DIMS - 1).cast("long"))
     dense = (
         docs.select("doc_id")
-        .crossJoin(F.broadcast(grid))
-        .join(comp, ["doc_id", "dim"], "left")
-        .groupBy("doc_id")
-        .agg(
+        .join(sparse, "doc_id", "left")
+        .select(
+            "doc_id",
             F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct("dim", F.coalesce("c_us", F.lit(0)).alias("c"))
-                    )
-                ),
-                lambda s: s.c.cast("double") / F.lit(1e6),
-            ).alias("raw")
+                dims,
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+                ).cast("double")
+                / F.lit(1e6),
+            ).alias("raw"),
         )
     )
     nrm = F.sqrt(

@@ -784,6 +784,74 @@ def sim_sq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_sq8_requantize", _sq8_oracle_sql())
+def sim_sq8_requantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-DRIVEN SQ8 re-quantization with a FULL value-hash oracle
+    (round-9 verdict ask #4 — metadata that is ACTED on, not just
+    emitted): batch 0 freezes scales from a quarter-of-id-range PREFIX of
+    the corpus (too small — the frozen range undershoots the full
+    distribution), batch 1 ingests the rest and its saturated
+    components accumulate in the versioned clip metadata; then
+    streaming.ops.sq8_requantize reads that metadata, the policy fires
+    (clip_rate > 0 against a 0 tolerance here; prod default 0.5%),
+    and the rebuild re-derives the scales over the FULL corpus under
+    the crash-safe two-phase swap. After the swap the frozen scales
+    ARE the corpus maxima again, so the probe is exactly the one-pass
+    batch SQ8 build — _sq8_oracle_sql carries over unchanged, making
+    the DECISION + REBUILD + SWAP path itself value-hash-checked."""
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        sq8_maintain_batch,
+        sq8_probe_stream_index,
+        sq8_requantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_dir("the_framework_for_clustering_time_series_data_spark_sq8rq_")
+    # prefix = first quarter of the id range at ANY sf (a fixed cut
+    # would swallow the whole corpus at small sf and nothing would
+    # clip); one max() metadata pull
+    cut = emb.agg(F.max("vec_id")).collect()[0][0] // 4
+    sq8_maintain_batch(emb.where(F.col("vec_id") < cut), 0, path)
+    sq8_maintain_batch(emb.where(F.col("vec_id") >= cut), 1, path)
+    fired = sq8_requantize(spark, path, max_clip_rate=0.0)
+    assert fired, "prefix-frozen scales must clip on the full corpus"
+    return sq8_probe_stream_index(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, rerank=50
+    )
+
+
+@register("sim_ivf_recenter", _ivfb_oracle_sql())
+def sim_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-driven IVF re-centering with a FULL value-hash oracle —
+    the coarse-quantizer sibling of sim_sq8_requantize: batch 0 trains
+    the deterministic 16-cell quantizer on a quarter-of-id-range PREFIX, batch 1
+    assigns the rest against those frozen (now off-center) centroids
+    and the per-cell counts skew; streaming.ops.ivf_recenter reads the
+    versioned counts, the policy fires (max/mean > 1 against a 1.0
+    tolerance here; prod default 4x), retrains the md5-seeded Lloyd
+    quantizer over the full delta union and swaps
+    centroids+cells+meta crash-safely. The retrained index is
+    bit-identical to the from-scratch deterministic build, so
+    _ivfb_oracle_sql (sim_ivfb_topk's oracle) checks the decision +
+    rebuild + swap end-to-end."""
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        ivf_maintain_batch,
+        ivf_recenter,
+        streaming_ivf_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_dir("the_framework_for_clustering_time_series_data_spark_ivfrc_")
+    cut = emb.agg(F.max("vec_id")).collect()[0][0] // 4
+    ivf_maintain_batch(emb.where(F.col("vec_id") < cut), 0, path, n_cells=16)
+    ivf_maintain_batch(emb.where(F.col("vec_id") >= cut), 1, path, n_cells=16)
+    fired = ivf_recenter(spark, path, max_cell_skew=1.0)
+    assert fired, "prefix-trained quantizer must skew on the full corpus"
+    return streaming_ivf_probe(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
+    )
+
+
 @register("sim_sq8_topk", _sq8_oracle_sql())
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via SCALAR quantization (SQ8) — the third

@@ -45,7 +45,37 @@ construction properties on the generated output. Output layout
 mirrors the driver's (``<dir>/<table>.parquet``), written by Spark
 (multi-part dirs: the scan parallelism a real table has).
 
+``--skew`` (round-10 verdict ask #1) layers deterministic SKEW on the
+same R-replica volume — both measured decades so far are uniform
+replicas, but 100 TB corpora are Zipf in key frequency and doc length.
+Four independent axes, each keyed on xxhash64 of the row's global id
+(replayable, no RNG), designed to keep TOTAL volume comparable to the
+uniform decade so skew-vs-uniform exponent deltas measure
+DISTRIBUTION, not size:
+
+- events: 25 GLOBAL hot users carry ~25% of all rows (~150x a uniform
+  user's share) — the straggling-reducer shape salted_sum_count and
+  every per-series operator must survive;
+- lineitem: 10 global hot partkeys carry ~20% of rows — skewed
+  build-side join keys for the TPC-H plans (AQE skew-join territory);
+- documents: heavy-tail lengths (0.1% of docs x40, 0.9% x12, 9% x4,
+  the rest truncated to 60%: expected char volume ≈ 1.05x uniform,
+  max doc ~40x median) plus a hot language (~80% 'en') — the
+  shingle/levenshtein kernels meet real length skew and
+  mix_langs_resample meets a dominant stratum; n_chars is recomputed
+  so the length invariant holds;
+- embeddings: ~10% of vectors collapse onto ONE direction (the base
+  vec 0, scaled by a tiny per-row factor) — one hot IVF/LSH cell by
+  construction, the ANN-bucket imbalance a crawl of boilerplate
+  embeddings produces.
+
+Both modes auto-validate on exit (tools/validate_decade.py: uniform
+construction proofs, or the skew concentration bands) — a decade that
+violates its construction can no longer be written without tripping
+an error in the same invocation (round-9 advice).
+
 Usage: python tools/gen_sf1.py [--out /root/repo/testdata_sf1] [--replicas 10]
+       python tools/gen_sf1.py --skew  [--out /root/repo/testdata_sf1_skew]
 """
 
 from __future__ import annotations
@@ -77,9 +107,14 @@ EMB_DIM = 64
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=str(REPO / "testdata_sf1"))
+    ap.add_argument("--out", default=None)
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--skew", action="store_true")
     args = ap.parse_args()
+    if args.out is None:
+        args.out = str(
+            REPO / ("testdata_sf1_skew" if args.skew else "testdata_sf1")
+        )
 
     from pyspark.sql import functions as F
 
@@ -234,10 +269,24 @@ def main() -> None:
     )
 
     li, p = replicate(load_table(spark, SRC, "lineitem"), 16)
+    # --skew: 10 GLOBAL hot partkeys absorb ~20% of lineitem rows —
+    # keyed on the row's global identity (orderkey, linenumber) so the
+    # choice is replayable; partkeys 0..9 exist in every replica-0 dim
+    pk = offset("l_partkey", STRIDES["part"][1])
+    if args.skew:
+        li_rid = F.xxhash64(
+            offset("l_orderkey", STRIDES["orders"][1]), F.col("l_linenumber")
+        )
+        pk = (
+            F.when(F.pmod(li_rid, F.lit(100)) < 20, F.pmod(F.xxhash64(li_rid), F.lit(10)))
+            .otherwise(F.col("l_partkey") + F.col("_r").cast("long") * STRIDES["part"][1])
+            .cast("long")
+            .alias("l_partkey")
+        )
     write(
         li.select(
             offset("l_orderkey", STRIDES["orders"][1]),
-            offset("l_partkey", STRIDES["part"][1]),
+            pk,
             offset("l_suppkey", STRIDES["supplier"][1]),
             "l_linenumber",
             "l_quantity",
@@ -253,11 +302,25 @@ def main() -> None:
     )
 
     ev, p = replicate(load_table(spark, SRC, "events"), 8)
+    # --skew: 25 GLOBAL hot users (ids 0..24, valid replica-0 users)
+    # carry ~25% of all events — ~150x a uniform user's share
+    uid = offset("user_id", USER_STRIDE)
+    if args.skew:
+        ev_gid = offset("event_id", STRIDES["events"][1])
+        uid = (
+            F.when(
+                F.pmod(F.xxhash64(ev_gid), F.lit(100)) < 25,
+                F.pmod(F.xxhash64(ev_gid, F.lit(1)), F.lit(25)),
+            )
+            .otherwise(F.col("user_id") + F.col("_r").cast("long") * USER_STRIDE)
+            .cast("long")
+            .alias("user_id")
+        )
     write(
         ev.select(
             offset("event_id", STRIDES["events"][1]),
             "ts",
-            offset("user_id", USER_STRIDE),
+            uid,
             "event_type",
             "value",
             "props",
@@ -275,13 +338,44 @@ def main() -> None:
     )
     docs = load_table(spark, SRC, "documents").crossJoin(F.broadcast(doc_grid))
     p = max(4, R // 8)
+    text_col = F.expr(f"translate(text, '{az}', _to)").alias("text")
+    lang_col = F.col("lang")
+    nchars_col = F.col("n_chars")
+    if args.skew:
+        # heavy-tail lengths, keyed on the GLOBAL doc id: 0.1% x40,
+        # 0.9% x12, 9% x4, the 90% bulk truncated to 60% — expected
+        # char volume ~1.05x the uniform decade (distribution changes,
+        # size does not), max doc ~40x the base max. n_chars is
+        # re-derived from the final text so the length invariant the
+        # text kernels block on stays true.
+        doc_gid = offset("doc_id", STRIDES["documents"][1])
+        h = F.pmod(F.xxhash64(doc_gid), F.lit(1000))
+        t = F.expr(f"translate(text, '{az}', _to)")
+        text_expr = (
+            F.when(h == 0, F.repeat(t, 40))
+            .when(h < 10, F.repeat(t, 12))
+            .when(h < 100, F.repeat(t, 4))
+            .otherwise(
+                F.substring(
+                    t, F.lit(1), F.greatest(F.lit(1), F.floor(F.length(t) * 0.6).cast("int"))
+                )
+            )
+        )
+        text_col = text_expr.alias("text")
+        # hot language: ~70% of docs forced to 'en' (→ ~80% overall)
+        lang_col = (
+            F.when(F.pmod(F.xxhash64(doc_gid, F.lit(3)), F.lit(100)) < 70, F.lit("en"))
+            .otherwise(F.col("lang"))
+            .alias("lang")
+        )
+        nchars_col = F.length(text_expr).cast("long").alias("n_chars")
     write(
         docs.select(
             offset("doc_id", STRIDES["documents"][1]),
-            F.expr(f"translate(text, '{az}', _to)").alias("text"),
-            "lang",
+            text_col,
+            lang_col,
             "source",
-            "n_chars",
+            nchars_col,
         ),
         "documents",
         p,
@@ -305,6 +399,23 @@ def main() -> None:
         lambda i: F.element_at(F.col("embedding"), F.element_at("_perm", i))
         * F.element_at("_sign", i),
     ).cast("array<float>")
+    if args.skew:
+        # --skew: ~10% of vectors collapse onto the base vec-0
+        # DIRECTION (scaled by a tiny per-row factor so values stay
+        # distinct) — one hot IVF/LSH cell by construction
+        hot_v = (
+            load_table(spark, SRC, "embeddings")
+            .where(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()[0][0]
+        )
+        vec_gid = offset("vec_id", STRIDES["embeddings"][1])
+        eps = F.pmod(F.xxhash64(vec_gid, F.lit(9)), F.lit(1000)).cast("double") / F.lit(1e5)
+        hot_arr = F.array(*[F.lit(float(x)) for x in hot_v])
+        transformed = F.when(
+            F.pmod(F.xxhash64(vec_gid), F.lit(100)) < 10,
+            F.transform(hot_arr, lambda x: x * (F.lit(1.0) + eps)).cast("array<float>"),
+        ).otherwise(transformed)
     write(
         emb.select(
             offset("vec_id", STRIDES["embeddings"][1]),
@@ -315,8 +426,21 @@ def main() -> None:
         max(2, R // 16),
     )
 
-    print(f"wrote sf1 decade to {out}", file=sys.stderr)
+    print(
+        f"wrote {'skewed ' if args.skew else ''}sf{R / 10:g} decade to {out}",
+        file=sys.stderr,
+    )
     spark.stop()
+
+    # auto-validate in the SAME invocation (round-9 advice): a decade
+    # that violates its construction properties must never be written
+    # without tripping an error here
+    from validate_decade import validate, validate_skew
+
+    if args.skew:
+        validate_skew(str(out), R)
+    else:
+        validate(str(out), R)
 
 
 if __name__ == "__main__":

@@ -31,8 +31,11 @@ DOC_STRIDE = STRIDES["documents"][1]
 EMB_STRIDE = STRIDES["embeddings"][1]
 
 
-def main() -> None:
-    out, R = sys.argv[1], int(sys.argv[2])
+def validate(out: str, R: int) -> None:
+    """Re-prove the UNIFORM decade's construction properties on the
+    written output; raises AssertionError on any violation. Called
+    automatically by gen_sf1.py (round-9 advice: a colliding decade
+    must trip an error in the same invocation that wrote it)."""
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW base_docs AS SELECT * FROM "
@@ -105,6 +108,85 @@ WHERE abs(db-de) > 1e-3""").fetchone()[0]
         f"decade at {out} (R={R}): dup histograms OK, cross-replica "
         f"overlap 0, norms OK, replica-{r} pairwise distances OK"
     )
+
+
+def validate_skew(out: str, R: int) -> None:
+    """Re-prove the SKEWED decade's (gen_sf1.py --skew) construction
+    properties: row counts are exactly R× the base, the hot-user /
+    hot-part / hot-language concentrations landed in their designed
+    bands, and the heavy-tail document construction kept total char
+    volume within ±10% of the uniform decade (so skew-vs-uniform
+    exponent comparisons measure DISTRIBUTION, not volume)."""
+    con = duckdb.connect()
+    base = "/root/testdata/sf0.1"
+    for t, mult in [("events", R), ("documents", R), ("lineitem", R), ("embeddings", R)]:
+        b = con.execute(f"SELECT count(*) FROM '{base}/{t}.parquet'").fetchone()[0]
+        s = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet/*.parquet'").fetchone()[0]
+        assert s == mult * b, (t, s, mult * b)
+
+    # hot users: 25 global users carry ~25% of all events (150x a
+    # uniform user's share)
+    hot = con.execute(
+        f"SELECT sum(CASE WHEN user_id < 25 THEN 1 ELSE 0 END)::DOUBLE / count(*) "
+        f"FROM '{out}/events.parquet/*.parquet'"
+    ).fetchone()[0]
+    assert 0.20 <= hot <= 0.30, f"hot-user event share {hot:.3f} outside [0.20,0.30]"
+
+    # hot parts: 10 global partkeys carry ~20% of lineitem rows
+    hotp = con.execute(
+        f"SELECT sum(CASE WHEN l_partkey < 10 THEN 1 ELSE 0 END)::DOUBLE / count(*) "
+        f"FROM '{out}/lineitem.parquet/*.parquet'"
+    ).fetchone()[0]
+    assert 0.15 <= hotp <= 0.25, f"hot-part lineitem share {hotp:.3f} outside [0.15,0.25]"
+
+    # hot language: 'en' dominates (~80%)
+    en = con.execute(
+        f"SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE / count(*) "
+        f"FROM '{out}/documents.parquet/*.parquet'"
+    ).fetchone()[0]
+    assert en >= 0.75, f"hot-language share {en:.3f} < 0.75"
+
+    # heavy-tail doc lengths: volume-neutral-ish (±10% of uniform), but
+    # the max doc is >= 20x the base max and n_chars stays == length(text)
+    bchars = con.execute(f"SELECT sum(n_chars), max(n_chars) FROM '{base}/documents.parquet'").fetchone()
+    schars = con.execute(
+        f"SELECT sum(n_chars), max(n_chars), "
+        f"sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) "
+        f"FROM '{out}/documents.parquet/*.parquet'"
+    ).fetchone()
+    ratio = schars[0] / (R * bchars[0])
+    assert 0.90 <= ratio <= 1.10, f"char volume ratio vs uniform {ratio:.3f} outside ±10%"
+    assert schars[1] >= 20 * bchars[1], (schars[1], bchars[1])
+    assert schars[2] == 0, f"{schars[2]} rows where n_chars != length(text)"
+
+    # hot ANN direction: ~10% of vectors share one direction (cosine to
+    # the hot vector ~1) — one hot IVF cell by construction
+    frac = con.execute(f"""
+WITH hv AS (SELECT embedding::DOUBLE[] v FROM '{out}/embeddings.parquet/*.parquet'
+            WHERE vec_id = 0),
+e AS (SELECT embedding::DOUBLE[] v FROM '{out}/embeddings.parquet/*.parquet'),
+cs AS (SELECT list_aggregate(list_transform(range(1, {EMB_DIM + 1}),
+         k -> e.v[CAST(k AS INT)] * hv.v[CAST(k AS INT)]), 'sum')
+       / sqrt(list_aggregate(list_transform(e.v, x->x*x), 'sum'))
+       / sqrt(list_aggregate(list_transform(hv.v, x->x*x), 'sum')) AS c
+      FROM e CROSS JOIN hv)
+SELECT sum(CASE WHEN c > 0.999 THEN 1 ELSE 0 END)::DOUBLE / count(*) FROM cs
+""").fetchone()[0]
+    assert 0.05 <= frac <= 0.15, f"hot-direction vector share {frac:.3f} outside [0.05,0.15]"
+
+    print(
+        f"skewed decade at {out} (R={R}): counts R×base OK, hot users "
+        f"{hot:.2f}, hot parts {hotp:.2f}, lang-en {en:.2f}, char volume "
+        f"{ratio:.3f}× uniform, hot-direction vectors {frac:.2f}"
+    )
+
+
+def main() -> None:
+    out, R = sys.argv[1], int(sys.argv[2])
+    if len(sys.argv) > 3 and sys.argv[3] == "--skew":
+        validate_skew(out, R)
+    else:
+        validate(out, R)
 
 
 if __name__ == "__main__":
