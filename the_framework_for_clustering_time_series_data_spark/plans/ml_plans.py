@@ -1274,12 +1274,28 @@ def e3b_spectral_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("e1_autoencoder_latent")  # trained model → rows-only oracle
 def e1_autoencoder_latent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E1 — autoencoder latent pipeline: RP-image → resize(64) →
-    TRAINED dense autoencoder (NumPy Adam+MSE, early stop — the
-    reference's fit protocol, app.py:490-641; conv layers replaced by
-    dense since TF is unavailable) → 2-D latent; training driver-side
-    like the reference, inference distributed via mapInPandas."""
-    ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 20)
+    """E1 — autoencoder latent pipeline: truncate (G3) → RP-image →
+    resize(64) → TRAINED dense autoencoder (NumPy Adam+MSE, early stop
+    — the reference's fit protocol, app.py:490-641; conv layers
+    replaced by dense since TF is unavailable) → 2-D latent; training
+    driver-side like the reference, inference distributed via
+    mapInPandas.
+
+    The G3 pre-truncation is the reference's own pipeline order (its
+    cutting stage always runs before imaging) AND the length-skew
+    guard: a recurrence plot is O(L²) in series LENGTH, so one
+    heavy-tail series (10k events vs the ~70 median in the skewed
+    decade) inflates the image 20,000× — found by the round-10 skew
+    sweep, where unbounded-L imaging ran 30+ min at sf1_skew. Uniform
+    replicas can never catch this class: they preserve every
+    per-series length. The truncation length is the DATASET-wide min
+    (the reference's semantics — it cuts the whole table before any
+    clustering), computed before the 20-series cost subset: a
+    within-subset min would be no guard at all when the subset itself
+    is all hot series."""
+    ev = align.truncate_to_min(events_as_series(spark, sf_dir)).where(
+        F.col("series_id") < 20
+    )
     images = imaging.recurrence_plot(align.to_nested(ev))
     out = embed.embedding_autoencoder(images, img_size=64)
     return out.select("series_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
