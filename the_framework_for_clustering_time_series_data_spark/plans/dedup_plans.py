@@ -476,6 +476,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_semantic_scaled", _semantic_oracle_sql(32, 0.4))
+def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic's PRODUCTION-SCALE form: identical SemDeDup
+    semantics, n_cells=32 instead of 4. The round-10 skew sweep showed
+    the pairwise in-cell scan is the skew axis — a hot embedding
+    direction (10% of the corpus in one direction, the
+    boilerplate-crawl shape) made the 4-cell form 3.5× worse than its
+    uniform-decade ratio (14.5× vs 4.1×) because every cell holds n/4
+    vectors and the hot clique's closure rides on top. Cells bound the
+    candidate volume quadratically, so k is THE scale knob (SemDeDup
+    sizes k with the corpus); the giant dup-group clique itself stays
+    quadratic in the hot fraction — that part is the semantics (each
+    in-group pair must be evaluated to close the group). Same md5
+    determinism, same DuckDB oracle shape, so the scaled form is
+    value-hash-checked too."""
+    return dedup.semantic_dedup_deterministic(
+        load_table(spark, sf_dir, "embeddings"), n_cells=32, threshold=0.4
+    )
+
+
 @register(
     "dedup_incremental",
     """

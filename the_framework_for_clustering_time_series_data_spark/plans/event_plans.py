@@ -674,6 +674,43 @@ def k1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k2_salted_hot_join",
+    """
+WITH prof AS (
+  SELECT user_id, count(*) AS u_cnt FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       count(*) AS n,
+       sum(p.u_cnt) AS weight_sum
+FROM events e JOIN prof p USING (user_id)
+GROUP BY e.event_type
+""",
+)
+def k2_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⨝dim equi-join surfaced in the driver gate (the
+    salted_join sibling of k1's salted aggregation): events join their
+    per-user profile on user_id — under the skewed decade 25 hot users
+    carry ~25% of all fact rows, the one-straggler-task shape. The
+    salt spreads each hot key over 8 composite-key tasks; the dim side
+    replicates 8× (exploded literal range). Results are identical to
+    the plain join (the oracle) — all aggregates exact int64 sums. At
+    bench scale AQE broadcasts the replicated dim (harmless); the salt
+    is load-bearing precisely when the dim is broadcast-ineligible and
+    the join shuffles — the case this operator exists for."""
+    from the_framework_for_clustering_time_series_data_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy("user_id").agg(F.count("*").alias("u_cnt"))
+    joined = salted_join(
+        ev.select("user_id", "event_type"), prof, "user_id", n_salt=8
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("u_cnt").alias("weight_sum"),
+    )
+
+
+@register(
     "a7_value_histogram",
     """
 SELECT CAST(floor(value / 25) AS BIGINT) AS bucket,
