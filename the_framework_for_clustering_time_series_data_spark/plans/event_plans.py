@@ -681,7 +681,7 @@ WITH prof AS (
 )
 SELECT e.event_type,
        count(*) AS n,
-       sum(p.u_cnt) AS weight_sum
+       CAST(sum(p.u_cnt) AS BIGINT) AS weight_sum
 FROM events e JOIN prof p USING (user_id)
 GROUP BY e.event_type
 """,
