@@ -1542,3 +1542,52 @@ def test_compact_finish_marker_only_crash_state(spark, tmp_path):
     got = ops.read_sq8_stream_index(spark, idx)  # completes the "swap"
     assert got.count() == n  # previously: 0 rows — the fold was deleted
     assert not (Path(idx) / "_compact_commit").exists()
+
+
+def test_sq8_maintain_continues_after_requantize(spark, tmp_path):
+    """Lifecycle completeness: after a drift-triggered requantize, the
+    maintainer keeps ingesting — the next batch encodes against the NEW
+    scales, appends its delta on top of the folded one, the meta chain
+    stays contiguous, and probes equal the one-pass full-corpus build
+    with those same (full-corpus-of-batch-0..1) frozen scales."""
+    from the_framework_for_clustering_time_series_data_spark.operators import similarity
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming import ops
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    mx = vecs.agg(F.max("vec_id")).collect()[0][0]
+    cut1, cut2 = mx // 4, mx // 2
+    idx = str(tmp_path / "sq8_idx")
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") < cut1), 0, idx)
+    ops.sq8_maintain_batch(
+        vecs.where((F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)), 1, idx
+    )
+    assert ops.sq8_requantize(spark, idx, max_clip_rate=0.0) is True
+    # post-requantize ingest: batch 2 appends against the new scales
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") >= cut2), 2, idx)
+    codes = ops.read_sq8_stream_index(spark, idx)
+    assert codes.count() == vecs.count()
+    assert sorted(codes.select("delta").distinct().toPandas()["delta"]) == [2, 3]
+    meta = spark.read.parquet(f"{idx}/meta_v3").collect()[0]
+    assert meta["n"] == vecs.count()
+
+    # probe parity: same scales (frozen from batches 0-1 union) drive a
+    # one-pass batch encode of everything that arrived
+    queries = vecs.where(F.col("vec_id") < 10)
+    got = {
+        tuple(r)
+        for r in ops.sq8_probe_stream_index(spark, idx, queries, k=5).collect()
+    }
+    scales = spark.read.parquet(f"{idx}/scales")
+    all_q = similarity._r6_corpus(vecs, "vec_id", "embedding")
+    batch_codes = similarity.sq8_encode(all_q, scales)
+    qdf = all_q.where(F.col("nbr_id") < 10)
+    qcodes = similarity.sq8_encode(qdf, scales).select(
+        F.col("nbr_id").alias("query_id"), F.col("q8").alias("qq8")
+    )
+    qs = qdf.select(F.col("nbr_id").alias("query_id"), F.col("v").alias("qv"))
+    expect = {
+        tuple(r)
+        for r in similarity.sq8_rank(batch_codes, qcodes, qs, 5, 50).collect()
+    }
+    assert got == expect and len(got) > 0
