@@ -543,7 +543,11 @@ def build_ivf_index(
     vecs = corpus.withColumn("_features", array_to_vector("v"))
     model = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell").fit(vecs)
     cells = model.transform(vecs).select("nbr_id", "v", F.col("_cell").alias("cell"))
-    cells.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    # repartition by the partition column first: each cell lands in ONE
+    # task, so the layout is one file per cell instead of (tasks x
+    # cells) small files — the LSM/delta small-file tax the serving
+    # scan otherwise pays (parquet stays splittable if cells grow big)
+    cells.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     spark = emb.sparkSession
     centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark.createDataFrame(centers, "cell int, center array<double>").coalesce(1).write.mode(
@@ -577,9 +581,10 @@ def build_ivf_index_deterministic(
         corpus, n_cells, id_col="nbr_id", vec_col="v",
         lloyd_rounds=lloyd_rounds, with_centroids=True,
     )
-    assign.select(F.col("id").alias("nbr_id"), "v", "cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/cells")
+    # one file per cell (see build_ivf_index's repartition note)
+    assign.select(F.col("id").alias("nbr_id"), "v", "cell").repartition(
+        "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     cdf.select(
         F.col("cell").cast("int").alias("cell"), F.col("cvec").alias("center")
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")

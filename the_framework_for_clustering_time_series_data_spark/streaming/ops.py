@@ -981,10 +981,13 @@ def ivf_maintain_batch(
     )
     # hive-style delta level (delta=N) so every delta shares ONE
     # partition-discovery base: the reader scans them as a single
-    # (delta, cell)-partitioned table and `cell` pruning holds
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        str(root / "cells" / f"delta={batch_id + 1}")
-    )
+    # (delta, cell)-partitioned table and `cell` pruning holds.
+    # repartition("cell") first: one task (→ one file) per cell, not
+    # (tasks × cells) small files per delta — the delta-layout
+    # small-file tax the serving scan otherwise accumulates
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(str(root / "cells" / f"delta={batch_id + 1}"))
     m0 = root / "meta_v0"
     # _SUCCESS-gated like the quantizer dir above: a crash between
     # mkdir and parquet commit must not strand an uninferable empty
@@ -1236,9 +1239,13 @@ def _compact_stream_deltas(
     _replay_guard(checkpoint, top, "compact")
     staged = root / "_compact_tmp"
     shutil.rmtree(staged, ignore_errors=True)
-    fold = _read_complete_deltas(spark, base).drop("delta").write.mode(
-        "overwrite"
-    )
+    df = _read_complete_deltas(spark, base).drop("delta")
+    if partition_by:
+        # one task → one file per partition value: compaction exists to
+        # reclaim the delta small-file tax, so the fold itself must not
+        # re-fragment the layout
+        df = df.repartition(partition_by)
+    fold = df.write.mode("overwrite")
     if partition_by:
         fold = fold.partitionBy(partition_by)
     fold.parquet(str(staged))
@@ -1507,6 +1514,7 @@ def ivf_recenter(
     ).coalesce(1).write.mode("overwrite").parquet(str(staged / "centroids"))
     (
         assign.select(F.col("id").alias("nbr_id"), "v", "cell")
+        .repartition("cell")  # one file per cell (delta small-file fix)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(str(staged / "cells"))
