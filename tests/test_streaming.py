@@ -1591,3 +1591,113 @@ def test_sq8_maintain_continues_after_requantize(spark, tmp_path):
         for r in similarity.sq8_rank(batch_codes, qcodes, qs, 5, 50).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_requantize_heals_crashed_compaction_first(spark, tmp_path):
+    """Round-10 advice (medium): a compaction that crashed mid-phase-2
+    leaves some delta=* dirs deleted and the fold staged as _fold_{top}
+    — which the delta glob ignores. A subsequent requantize must
+    complete that swap FIRST (reader order: requant, then compact), or
+    it derives scales from a PARTIAL corpus and installs them; the next
+    reader's _compact_finish would then reinstall the full old-scales
+    codes against the new scales — silently wrong probes."""
+    from the_framework_for_clustering_time_series_data_spark.operators import similarity
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming import ops
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cut = vecs.agg(F.max("vec_id")).collect()[0][0] // 4
+    idx = str(tmp_path / "sq8_idx")
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") < cut), 0, idx)
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") >= cut), 1, idx)
+    n_all = vecs.count()
+
+    # hand-build the mid-phase-2 compaction crash state: the fold (full
+    # union) sits inside the base as _fold_2, delta=1 is already gone,
+    # delta=2 still present, marker committed
+    import shutil
+
+    base = Path(idx) / "codes"
+    full = ops.read_sq8_stream_index(spark, idx).drop("delta")
+    full.coalesce(1).write.mode("overwrite").parquet(str(base / "_fold_2"))
+    shutil.rmtree(base / "delta=1")
+    (Path(idx) / "_compact_commit").write_text("2")
+
+    assert ops.sq8_requantize(spark, idx, force=True) is True
+    # the rebuild saw the FULL corpus, not the partial delta union
+    drift = ops.ann_index_drift(spark, idx)
+    assert drift["n"] == n_all and drift["clipped"] == 0
+    assert not (Path(idx) / "_compact_commit").exists()
+    queries = vecs.where(F.col("vec_id") < 10)
+    got = {
+        tuple(r)
+        for r in ops.sq8_probe_stream_index(spark, idx, queries, k=5).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in similarity.sq8_topk(vecs, queries, k=5, rerank=50).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_compaction_heals_crashed_requantize_first(spark, tmp_path, monkeypatch):
+    """The symmetric hazard: compaction over a requantize that crashed
+    between its phase-1 commit and finish must complete the requant
+    swap FIRST — otherwise it folds the PARTIAL (pre-rebuild) delta set
+    while the rebuilt corpus sits staged, and the old-scales codes
+    survive against the new scales."""
+    from the_framework_for_clustering_time_series_data_spark.operators import similarity
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming import ops
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cut = vecs.agg(F.max("vec_id")).collect()[0][0] // 4
+    idx = str(tmp_path / "sq8_idx")
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") < cut), 0, idx)
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") >= cut), 1, idx)
+
+    # crash the requantize between phase-1 commit and finish
+    with monkeypatch.context() as m:
+        m.setattr(ops, "_requant_finish", lambda d: None)
+        assert ops.sq8_requantize(spark, idx, max_clip_rate=0.0) is True
+    assert (Path(idx) / "_requant_commit").exists()
+
+    # compaction heals the requant swap first, then folds (1 delta →
+    # no-op fold)
+    assert ops.compact_sq8_stream_index(spark, idx) == 1
+    assert not (Path(idx) / "_requant_commit").exists()
+    drift = ops.ann_index_drift(spark, idx)
+    assert drift["n"] == vecs.count() and drift["clipped"] == 0
+    queries = vecs.where(F.col("vec_id") < 10)
+    got = {
+        tuple(r)
+        for r in ops.sq8_probe_stream_index(spark, idx, queries, k=5).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in similarity.sq8_topk(vecs, queries, k=5, rerank=50).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_ann_index_drift_zero_row_meta(spark, tmp_path):
+    """Round-10 advice (low): a maintainer crashed between the scales
+    freeze and the meta_v1 commit leaves the ZERO-ROW meta_v0 as the
+    latest complete meta. Drift must report (n=0, clipped=0, clip_rate
+    0.0) — no rebuild — instead of a bare IndexError."""
+    import shutil
+
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming import ops
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "sq8_idx")
+    ops.sq8_maintain_batch(vecs.where(F.col("vec_id") < 100), 0, idx)
+    shutil.rmtree(Path(idx) / "meta_v1")  # crash before meta_v1 commit
+    drift = ops.ann_index_drift(spark, idx)
+    assert drift == {
+        "kind": "sq8", "meta_version": 0, "n": 0, "clipped": 0,
+        "dim": 64, "clip_rate": 0.0,
+    }
+    # and the policy correctly declines to rebuild
+    assert ops.sq8_requantize(spark, idx) is False

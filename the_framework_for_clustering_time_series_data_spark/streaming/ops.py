@@ -1227,6 +1227,13 @@ def _compact_stream_deltas(
     root = Path(index_dir)
     base = root / base_name
     marker = root / "_compact_commit"
+    # Heal BOTH crashed-swap kinds, in reader order (requant first, then
+    # compact — the order read_*_stream_index uses): a requantize that
+    # crashed mid-phase-2 leaves its fold staged as _fold_{top}, which
+    # the delta=* glob below ignores — compacting over it would fold a
+    # PARTIAL delta set and silently drop the rebuilt corpus.
+    if (root / "_requant_commit").exists():
+        _requant_finish(index_dir)
     if marker.exists():  # finish a crashed predecessor first
         _compact_finish(index_dir, base_name)
     deltas = sorted(
@@ -1310,8 +1317,16 @@ def ann_index_drift(spark, index_dir: str) -> dict:
     if (root / "scales" / "_SUCCESS").exists():
         srow = spark.read.parquet(str(root / "scales")).head()
         dim = int(srow["dim"]) if "dim" in srow.asDict() else len(srow["s"])
-        m = meta.collect()[0]
-        n, clipped = int(m["n"] or 0), int(m["clipped"] or 0)
+        rows = meta.collect()
+        if rows:
+            n, clipped = int(rows[0]["n"] or 0), int(rows[0]["clipped"] or 0)
+        else:
+            # A maintainer crashed between the scales freeze and the
+            # meta_v1 commit: the latest COMPLETE meta is the zero-row
+            # meta_v0. Nothing has been ingested against the frozen
+            # scales yet, so there is nothing to have clipped — report
+            # (n=0, clipped=0), i.e. clip_rate 0.0 / no rebuild.
+            n, clipped = 0, 0
         rate = clipped / (n * dim) if n else 0.0
         return {
             "kind": "sq8", "meta_version": v, "n": n, "clipped": clipped,
@@ -1408,14 +1423,33 @@ def sq8_requantize(
     After the rebuild the frozen scales ARE the corpus's maxima again:
     nothing clips, and probes are exactly the one-pass batch build's
     (the sim_sq8_requantize registry oracle). Returns True iff the
-    rebuild fired."""
+    rebuild fired.
+
+    .. warning:: **Pass ``checkpoint`` whenever the index has a live
+       maintainer.** ``checkpoint=None`` makes the replay guard a
+       no-op, and the hazard is WORSE than compaction's: after the
+       fold, ``delta={top}`` is the ONLY copy of the corpus, so a
+       restarted maintainer replaying batch top-1 would
+       mode("overwrite") the entire index down to that one batch's
+       rows — total silent loss. ``None`` is only safe for a
+       scratch/batch-built index with no streaming checkpoint (the
+       sim_sq8_requantize registry plan's posture)."""
     from pathlib import Path
 
     from the_framework_for_clustering_time_series_data_spark.operators.similarity import sq8_encode, sq8_scales
 
     root = Path(index_dir)
+    # Heal BOTH crashed-swap kinds, in reader order (requant first, then
+    # compact): a compaction that crashed mid-phase-2 leaves some
+    # delta=* dirs deleted and its fold staged as _fold_{top}, which the
+    # delta glob ignores — requantizing over that PARTIAL union would
+    # derive scales from a partial corpus and install them, after which
+    # the next reader's _compact_finish reinstalls the full OLD-scales
+    # codes against the NEW scales: silently wrong probes.
     if (root / "_requant_commit").exists():
         _requant_finish(index_dir)
+    if (root / "_compact_commit").exists():
+        _compact_finish(index_dir, "codes")
     drift = ann_index_drift(spark, index_dir)
     if drift["kind"] != "sq8":
         raise ValueError(f"{index_dir} is not an SQ8 index: {drift['kind']}")
@@ -1479,14 +1513,28 @@ def ivf_recenter(
     and crash-safe two-phase commit. The retrained index is
     bit-identical to a from-scratch deterministic batch build over the
     same corpus (the sim_ivf_recenter registry oracle). Returns True
-    iff the rebuild fired."""
+    iff the rebuild fired.
+
+    .. warning:: **Pass ``checkpoint`` whenever the index has a live
+       maintainer** — ``checkpoint=None`` disables the replay guard,
+       and after the fold ``delta={top}`` is the ONLY copy of the
+       corpus, so a replayed last batch would overwrite the entire
+       index down to that batch's rows (see :func:`sq8_requantize`'s
+       warning; the scratch-index registry plan is the only safe
+       ``None`` caller)."""
     from pathlib import Path
 
     from the_framework_for_clustering_time_series_data_spark.operators.cluster import deterministic_lloyd_assign
 
     root = Path(index_dir)
+    # Heal BOTH crashed-swap kinds, in reader order (requant first, then
+    # compact) — same hazard as sq8_requantize: recentring over a
+    # mid-phase-2 compaction's partial delta union would retrain the
+    # quantizer on a partial corpus and lose the staged fold.
     if (root / "_requant_commit").exists():
         _requant_finish(index_dir)
+    if (root / "_compact_commit").exists():
+        _compact_finish(index_dir, "cells")
     drift = ann_index_drift(spark, index_dir)
     if drift["kind"] != "ivf":
         raise ValueError(f"{index_dir} is not an IVF index: {drift['kind']}")
