@@ -112,7 +112,12 @@ def main() -> None:
     args = ap.parse_args()
 
     from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+    from the_framework_for_clustering_time_series_data_spark.preflight import memory_preflight
     from the_framework_for_clustering_time_series_data_spark.session import get_spark
+
+    # refuse-with-sizing-message beats the silent JVM abort an
+    # under-heaped local run dies as (the sf100 lesson)
+    memory_preflight([args.sf_dir], label="bench")
 
     spark = get_spark("the_framework_for_clustering_time_series_data_spark-bench")
     spark.sparkContext.setLogLevel("WARN")

@@ -496,3 +496,39 @@ def test_pqb_deterministic_recall_and_reproducibility(spark):
         emb, qs, k=5, m=8, n_codes=16, rerank=50
     ).collect()))
     assert sorted(map(tuple, approx_df.collect())) == again
+
+
+def test_semantic_dedup_prod_k_scales_and_custom_target_parity(spark):
+    """semantic_dedup_prod (round-10 verdict ask #1): k derives from
+    the corpus count (ceil(n/target)), every cell stays ~target-sized,
+    the invariants hold, and — at a NON-registry target, exercising the
+    dynamic-k machinery at a second k — the int64 micro-unit pipeline
+    is value-identical to its DuckDB twin."""
+    import duckdb
+
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import semantic_dedup_prod
+    from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import _semantic_prod_oracle_sql
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    out = semantic_dedup_prod(emb, target_cell_size=50, threshold=0.4).cache()
+    assert out.count() == n
+    # k ∝ n: cells number ceil(n/50) (minus any a round left empty)
+    n_cells = out.select("cell").distinct().count()
+    assert n_cells <= -(-n // 50) and n_cells >= (-(-n // 50)) - 2
+    # bounded cells: Lloyd balances roughly; no cell beyond 4× target
+    assert out.groupBy("cell").count().agg(F.max("count")).collect()[0][0] <= 200
+    per_group = out.groupBy("group_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count("*").alias("cnt"),
+        F.max("group_size").alias("gs"),
+    )
+    assert per_group.where("n_keep != 1 OR cnt != gs").count() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet'"
+    )
+    duck = sorted(con.execute(_semantic_prod_oracle_sql(50, 0.4)).fetchall())
+    assert sorted(map(tuple, out.collect())) == duck

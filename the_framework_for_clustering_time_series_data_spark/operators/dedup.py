@@ -1045,6 +1045,15 @@ def semantic_dedup_deterministic(
         .groupBy("cell")
         .applyInPandas(cell_pairs, f"id_a {id_t}, id_b {id_t}")
     )
+    return _semantic_close_groups(final, pairs)
+
+
+def _semantic_close_groups(final: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The shared SemDeDup tail: transitive closure of the in-cell
+    near-dup pairs, group sizes, and the centroid-closest survivor pick
+    on the deterministic (d2, id) key. ``final`` carries one row per
+    vector ``(id, cell, d2)``(+extras); ``pairs`` the thresholded
+    ``(id_a, id_b)`` edges."""
     comp = connected_components(pairs)  # (node, component) — min-id label
     gsz = comp.groupBy("component").agg(F.count("*").alias("group_size"))
     mem = (
@@ -1061,6 +1070,163 @@ def semantic_dedup_deterministic(
         "group_size",
         (F.row_number().over(w_keep) == 1).alias("keep"),
     )
+
+
+def semantic_dedup_prod(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell_size: int = 250,
+    threshold: float = 0.9,
+    lloyd_rounds: int = 2,
+) -> DataFrame:
+    """SemDeDup's PRODUCTION sizing (Abbas et al. 2023 §3: the cluster
+    count scales with the corpus): ``k = ceil(n / target_cell_size)``
+    derived from one corpus count, so in-cell pair volume stays
+    ``n · target/2`` — LINEAR in n — where the fixed-k forms
+    (:func:`semantic_dedup_deterministic` via dedup_semantic_scaled)
+    are n²/k. The round-10 decade measured that fixed-k cost at 12.02×
+    over a 10× corpus growth; this form is the linear registered
+    sibling.
+
+    Exactness discipline (STRONGER than the fixed-k twin's accepted
+    float caveats): vectors are quantized ONCE to integer micro-units
+    (``floor(x·1e6 + 0.5)`` as int64 — both engines compute the same
+    fp64 product and floor, so the ints are identical), and every
+    distance/dot is integer arithmetic from there:
+
+    * assignment d2 = Σ(x−c)² over int64 — EXACT in any summation
+      order, so the Spark-side matmul argmin and the DuckDB sequential
+      fold agree bit-for-bit (no association-order caveat at all);
+      ties (equal int d2) break to the lower cell in both engines;
+    * centroid update = floor(sum(micro)/cnt + 0.5) — int sum is
+      order-free, the single fp64 divide+round is the same op in both
+      engines (the exact_mean discipline);
+    * pair cosine: int64 dot (exact) / (sqrt(int n2a)·sqrt(int n2b))
+      — one fp64 sqrt+mul+div chain, identical in both engines — with
+      the half-up-6dp decision round on top;
+    * survivor pick keys on (int d2, id) — deterministic.
+
+    Scale shape: the per-round centroid table is ``k = n/target`` rows
+    (metadata by construction — a 250× reduction; 64-dim int64
+    centroids stay under a 100 MB broadcast up to ~50 M vectors, past
+    which raise ``target_cell_size`` or route assignment through a
+    coarse IVF level), assignment is one Arrow-batched int64 matmul
+    argmin per partition (n·k·dim flops, the cost the SemDeDup paper
+    pays in faiss), the centroid update aggregates map-side to
+    k·dim rows, and the pair scan is one int64 matmul per cell over
+    ~target-sized groups. No shuffle carries more than the (id, v,
+    cell) frame itself.
+
+    Output schema matches the siblings: one row per vector,
+    ``(id, cell, group_id, group_size, keep)``."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import id_spark_type
+
+    id_t = id_spark_type(emb, id_col)
+    v0 = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+    ).transform(stage_checkpoint, eager=False)
+    n = v0.count()
+    k = max(1, math.ceil(n / target_cell_size))
+    dim_row = v0.head()
+    dim = len(dim_row["v"]) if dim_row else 0
+
+    seeds = (
+        v0.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(k)
+        .collect()
+    )
+    cell_ids = np.arange(k, dtype=np.int64)  # cell = rank in seed order
+    cent = np.array([r["v"] for r in seeds], dtype=np.int64)  # k×dim
+
+    sp = emb.sparkSession
+
+    def _assign(ids_arr: np.ndarray, cmat: np.ndarray) -> DataFrame:
+        bc = sp.sparkContext.broadcast((ids_arr, cmat))
+
+        def kernel(batches):
+            labels, C = bc.value  # cells sorted ascending, k×dim int64
+            cn2 = np.einsum("ij,ij->i", C, C)  # exact int64
+            for pdf in batches:
+                X = np.array(pdf["v"].tolist(), dtype=np.int64)
+                # D2 = ||x||² − 2·X·Cᵀ + ||c||² — exact int64 per term;
+                # np.argmin takes the FIRST min, and rows are sorted by
+                # cell, so an (exact-int) tie goes to the lowest cell —
+                # the oracle's ORDER BY d2, cell
+                d2 = (
+                    np.einsum("ij,ij->i", X, X)[:, None]
+                    - 2 * (X @ C.T)
+                    + cn2[None, :]
+                )
+                rows = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "v": pdf["v"],
+                        "cell": labels[rows].astype(np.int32),
+                        "d2": d2[np.arange(len(rows)), rows],
+                    }
+                )
+
+        return v0.mapInPandas(kernel, f"id {id_t}, v array<long>, cell int, d2 long")
+
+    for _ in range(lloyd_rounds - 1):
+        a = _assign(cell_ids, cent)
+        cm = (
+            a.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count("*") + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("cv")
+            )
+        )
+        rows = (
+            cm.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("cvec")
+            )
+            .orderBy("cell")  # cells a round left EMPTY drop, as in the
+            .collect()  # fixed-k twin (the oracle rebuilds c1 from cm)
+        )
+        cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+        cent = np.array([r["cvec"] for r in rows], dtype=np.int64)
+
+    final = _assign(cell_ids, cent).transform(stage_checkpoint, eager=True)
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        mat = np.array(pdf["v"].tolist(), dtype=np.int64)
+        dots = mat @ mat.T  # exact int64
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
+        # denominator as sqrt(n2a)·sqrt(n2b) — the oracle's exact op
+        # chain — NOT sqrt(n2a·n2b), whose single sqrt rounds differently
+        sims = dots.astype(np.float64) / np.outer(norms, norms)
+        simsr = np.floor(sims * 1e6 + 0.5) / 1e6
+        ri, ci = np.nonzero((simsr >= threshold) & (ids[None, :] > ids[:, None]))
+        return pd.DataFrame({"id_a": ids[ri], "id_b": ids[ci]})
+
+    pairs = (
+        final.select("cell", "id", "v")
+        .groupBy("cell")
+        .applyInPandas(cell_pairs, f"id_a {id_t}, id_b {id_t}")
+    )
+    return _semantic_close_groups(final, pairs)
 
 
 def incremental_dedup(

@@ -496,6 +496,98 @@ def dedup_semantic_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_prod_oracle_sql(target: int, threshold: float, dim: int = 64) -> str:
+    """DuckDB twin of ``semantic_dedup_prod(lloyd_rounds=2)``: identical
+    SemDeDup pipeline shape to :func:`_semantic_oracle_sql`, but k is
+    DERIVED (ceil(n/target), the paper's k ∝ n sizing) and every
+    distance/dot runs on int64 micro-unit quantized vectors — exact in
+    any summation order, so the Spark matmul kernels and these
+    sequential folds agree bit-for-bit with NO float-association
+    caveat (the fixed-k twin's accepted ~1e-10 risk class)."""
+    seq = f"range(1, {dim + 1})"
+    cos = (
+        f"list_aggregate(list_transform({seq}, k -> a.v[k] * b.v[k]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum')))"
+    )
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT rk - 1 AS cell, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(id::VARCHAR), id) AS rk,
+           count(*) OVER () AS n
+    FROM e
+  ) WHERE rk <= ceil(n / {target}.0)
+),
+{_semantic_assign_sql("e", "c0", "a0", dim)},
+cm AS (
+  SELECT cell, pos,
+         CAST(floor(sum(val)::DOUBLE / count(*) + 0.5) AS BIGINT) AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+{_semantic_assign_sql("e", "c1", "a1", dim)},
+p AS (
+  -- int64 dot (exact) / (sqrt·sqrt) then the half-up-6dp decision —
+  -- the Spark kernel runs the identical fp64 op chain
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.id < b.id
+  WHERE floor(({cos}) * 1e6 + 0.5) / 1e6 >= {threshold}
+),
+ed AS (SELECT id_a AS u, id_b AS nb FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT u, nb FROM ed
+  UNION
+  SELECT r.src, ed.nb FROM reach r JOIN ed ON ed.u = r.dst
+  WHERE ed.nb <> r.src
+),
+comp AS (
+  SELECT n.id, least(n.id, min(r.dst)) AS group_id
+  FROM (SELECT DISTINCT u AS id FROM ed) n
+  LEFT JOIN reach r ON r.src = n.id
+  GROUP BY n.id
+),
+gsz AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1),
+mem AS (
+  SELECT a1.id, a1.cell, coalesce(comp.group_id, a1.id) AS group_id,
+         coalesce(gsz.group_size, 1) AS group_size, a1.d2
+  FROM a1 LEFT JOIN comp ON comp.id = a1.id
+  LEFT JOIN gsz ON gsz.group_id = comp.group_id
+)
+SELECT id, CAST(cell AS INT) AS cell, group_id,
+       CAST(group_size AS BIGINT) AS group_size,
+       (row_number() OVER (PARTITION BY group_id ORDER BY d2, id) = 1) AS keep
+FROM mem
+"""
+
+
+@register("dedup_semantic_prod", _semantic_prod_oracle_sql(250, 0.4))
+def dedup_semantic_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the paper's PRODUCTION sizing (round-10 verdict ask
+    #1): k = ceil(n/250) derived from one corpus count, so in-cell
+    pair volume is n·125 — LINEAR in the corpus — where the fixed-k
+    dedup_semantic_scaled is n²/32 (measured 12.02× over the 10×
+    sf1→sf10 decade). Assignment is an Arrow-batched int64 matmul
+    argmin against the broadcast k×dim centroid table; the int64
+    micro-unit quantization makes every distance/dot exact in both
+    engines, so the value-hash oracle carries no float-association
+    caveat. dedup_semantic_scaled stays registered as the
+    oracle-comparison twin."""
+    return dedup.semantic_dedup_prod(
+        load_table(spark, sf_dir, "embeddings"),
+        target_cell_size=250,
+        threshold=0.4,
+    )
+
+
 @register(
     "dedup_incremental",
     """
