@@ -349,14 +349,47 @@ def test_sbd_adaptive_dense_screen_at_sf01(spark):
     for k, v in adap.items():
         assert fixed[k] == v, (k, v, fixed[k])
 
+    # the round-11 auto-gate routes sf0.1 (72k dense pairs < 500k
+    # threshold) to the FIXED branch: the registered plan must equal
+    # ts_sbd_topk here, and its (gated) oracle must agree
     knn = sorted(map(tuple, QUERIES["ts_sbd_topk_adaptive"](spark, sf).collect()))
-    base_series = {r[0] for r in QUERIES["ts_sbd_topk"](spark, sf).collect()}
-    adap_series = {r[0] for r in knn}
-    assert len(adap_series) >= 0.99 * len(base_series)
+    fixed_knn = sorted(map(tuple, QUERIES["ts_sbd_topk"](spark, sf).collect()))
+    assert knn == fixed_knn
+    base_series = {r[0] for r in fixed_knn}
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     orc = sorted(map(tuple, con.execute(ORACLE["ts_sbd_topk_adaptive"]).fetchall()))
     assert len(orc) == len(knn)
     for a, b in zip(knn, orc):
+        assert a[:3] == b[:3] and abs(a[3] - b[3]) < 1e-9 and a[4] == b[4], (a, b)
+
+    # FORCE the adaptive branch in BOTH engines (gate threshold 1 →
+    # use_fixed false at any density) so the dense-branch half of the
+    # oracle keeps live cross-engine coverage at sf0.1
+    from the_framework_for_clustering_time_series_data_spark.plans.spectral_plans import (
+        _SBD_CC_TAIL,
+        _SBD_KNN_TAIL_SQL,
+        _sbd_adaptive_cand_ctes,
+        _sbd_knn_from_pairs,
+    )
+
+    knn_a = sorted(
+        map(
+            tuple,
+            _sbd_knn_from_pairs(
+                _sbd_pairs_frame(
+                    spark, sf, prune=True, cand_builder=_sax_adaptive_candidates
+                )
+            ).collect(),
+        )
+    )
+    adap_series = {r[0] for r in knn_a}
+    assert len(adap_series) >= 0.99 * len(base_series)
+    forced_sql = (
+        f"WITH {_sbd_adaptive_cand_ctes(1)},\n{_SBD_CC_TAIL},\n{_SBD_KNN_TAIL_SQL}"
+    )
+    orc_a = sorted(map(tuple, con.execute(forced_sql).fetchall()))
+    assert len(orc_a) == len(knn_a)
+    for a, b in zip(knn_a, orc_a):
         assert a[:3] == b[:3] and abs(a[3] - b[3]) < 1e-9 and a[4] == b[4], (a, b)

@@ -464,7 +464,7 @@ def _sax_shifted_fine_words(s: DataFrame) -> DataFrame:
     )
 
 
-def _sax_adaptive_candidates(s: DataFrame) -> DataFrame:
+def _sax_adaptive_candidates(s: DataFrame, words: DataFrame = None) -> DataFrame:
     """Density-adaptive SBD candidates: the fixed-resolution coarse
     Hamming-≤1 rule generates pairs exactly as ts_sbd_topk does
     (vocabulary-banded, never n²), then pairs touching a DENSE coarse
@@ -486,7 +486,7 @@ def _sax_adaptive_candidates(s: DataFrame) -> DataFrame:
     28% of fixed-form candidates survive, every series keeps its full
     top-5, median per-series mean-sbd gap +0.042 (p90 +0.11) vs the
     fixed form."""
-    words = _sax_words_at(s, _SBD_NSEG)
+    words = words if words is not None else _sax_words_at(s, _SBD_NSEG)
     cw = Window.partitionBy("word")
     flags = words.withColumn(
         "dense", F.count("*").over(cw) > F.lit(_SBD_BUCKET_CAP)
@@ -537,8 +537,56 @@ def _sax_adaptive_candidates(s: DataFrame) -> DataFrame:
     return sparse_pairs.unionByName(dense_pairs)
 
 
-_SBD_ADAPTIVE_CAND_CTES = f"""{_SBD_BS_CTES},
+#: fine-screen auto-gate (round-10 verdict ask #4): the screen's fixed
+#: overhead (shifted fine words + two joins) only pays off once the
+#: NCC kernel's in-bucket pair volume dominates — measured crossover:
+#: 72k dense pairs at sf0.1 (fixed form 2× faster) vs 7.4M at sf1
+#: (adaptive 2.6× faster). 500k is the geometric middle.
+_SBD_GATE_PAIRS = 500_000
+
+
+def _sax_gated_candidates(s: DataFrame) -> DataFrame:
+    """Density-auto-gated SBD candidates: derive the coarse word table
+    once, measure the dense-bucket pair volume (Σ c·(c−1)/2 over
+    buckets > ``_SBD_BUCKET_CAP``, exact integer arithmetic — the
+    DuckDB oracle computes the identical statistic from the identical
+    word table, so both engines take the same branch), and only pay
+    the adaptive fine screen when that volume clears
+    ``_SBD_GATE_PAIRS``. Below it the fixed Hamming-≤1 rule feeds the
+    kernel directly — at sf0.1 the screen cost MORE than the kernel it
+    pruned (measured ~2× vs the fixed form). The gate statistic is one
+    ≤256-row aggregate over the word vocabulary → a 1-row collect."""
+    words = _sax_words_at(s, _SBD_NSEG)
+    dense_pairs = (
+        words.groupBy("word")
+        .count()
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("count") > _SBD_BUCKET_CAP,
+                    (F.col("count") * (F.col("count") - 1) / 2).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("dp")
+        )
+        .collect()[0]["dp"]
+    ) or 0
+    if dense_pairs < _SBD_GATE_PAIRS:
+        return _sax_hamming1_candidates(s, words=words)
+    return _sax_adaptive_candidates(s, words=words)
+
+
+def _sbd_adaptive_cand_ctes(gate_pairs: int) -> str:
+    """The gated adaptive candidate CTEs at a given gate threshold —
+    parametrized so tests can force the adaptive branch at scales the
+    production threshold routes to the fixed form."""
+    return f"""{_SBD_BS_CTES},
 {_sbd_words_sql(_SBD_NSEG, "wds")},
+gate AS (
+  SELECT coalesce(sum(CASE WHEN c > {_SBD_BUCKET_CAP}
+                           THEN (c * (c - 1)) // 2 END), 0)
+         < {gate_pairs} AS use_fixed
+  FROM (SELECT count(*) AS c FROM wds GROUP BY word)
+),
 flg AS (
   SELECT series_id,
          count(*) OVER (PARTITION BY word) > {_SBD_BUCKET_CAP} AS dense
@@ -578,15 +626,23 @@ w8s AS (
   HAVING length(string_agg(sy, '' ORDER BY seg)) = {2 * _SBD_NSEG}
 ),
 cand AS (
-  SELECT sid_a, sid_b FROM fg WHERE NOT dense_any
+  -- auto-gate: below the volume threshold every coarse candidate
+  -- enters the kernel (fixed form); above it the fine screen applies
+  SELECT sid_a, sid_b FROM cand0 WHERE (SELECT use_fixed FROM gate)
+  UNION ALL
+  SELECT sid_a, sid_b FROM fg
+  WHERE NOT dense_any AND NOT (SELECT use_fixed FROM gate)
   UNION ALL
   SELECT DISTINCT f.sid_a, f.sid_b
   FROM fg f
   JOIN w8s fa ON fa.series_id = f.sid_a AND fa.d = 0
   JOIN w8s fb ON fb.series_id = f.sid_b
-  WHERE f.dense_any
+  WHERE f.dense_any AND NOT (SELECT use_fixed FROM gate)
     AND ({_ham_sql("fa.word", "fb.word", 2 * _SBD_NSEG)}) <= {_SBD_FINE_HAM}
 )"""
+
+
+_SBD_ADAPTIVE_CAND_CTES = _sbd_adaptive_cand_ctes(_SBD_GATE_PAIRS)
 
 
 @register(
@@ -618,10 +674,19 @@ def ts_sbd_topk_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB (full value-hash oracle). Measured at sf0.1: 28% of
     fixed-form candidates enter the kernel, all series keep a full
     top-5, median per-series mean-sbd gap +0.042. Screen selectivity
-    and sparse-recall equality are asserted in tests/test_symbolic.py."""
+    and sparse-recall equality are asserted in tests/test_symbolic.py.
+
+    Round 11 (verdict ask #4): the screen is AUTO-GATED on the
+    measured dense-bucket pair volume — the round-10 sweeps put the
+    crossover between sf0.1 (72k dense pairs; screen costs ~2× more
+    than it saves) and sf1 (7.4M; screen wins 2.6×), so below
+    {_SBD_GATE_PAIRS} in-bucket pairs the plan feeds the kernel the
+    fixed candidates directly. The gate statistic derives from the
+    same word table in both engines (exact integer arithmetic), so
+    the oracle takes the identical branch at every scale."""
     return _sbd_knn_from_pairs(
         _sbd_pairs_frame(
-            spark, sf_dir, prune=True, cand_builder=_sax_adaptive_candidates
+            spark, sf_dir, prune=True, cand_builder=_sax_gated_candidates
         )
     )
 
