@@ -24,6 +24,24 @@ def stage_checkpoint(df, eager=True):
 
 TOKEN_RE = r"\s+"
 
+
+def length_balanced(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decouple per-task tokenize volume from the parquet FILE LAYOUT
+    (round-10 verdict ask #3 — the heavy-tail straggler lever): scan
+    splits balance COMPRESSED bytes, but the heavy-tail stratum of a
+    skewed corpus (40×-median docs, which as repeated/boilerplate text
+    also compress ~40:1) packs far more DECOMPRESSED char volume into
+    a byte-sized split than its compressed size shows — so a few scan
+    tasks carry most of the per-doc tokenize/pair-scan work (measured:
+    bpe_apply/bpe_merges 1.3-1.4× over their uniform decade ratios
+    under the skewed decade). One row-level hash repartition on the
+    doc id spreads docs uniformly at random, bounding per-task char
+    volume by concentration regardless of layout or compression
+    clustering. Costs one corpus shuffle — pay it only in front of
+    kernels whose per-doc work rides the text length (tokenize, pair
+    scans, shingling), not for metadata scans."""
+    return docs.repartition(F.col(id_col))
+
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deterministic, dependency-free.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {

@@ -183,6 +183,97 @@ def i2_gramian_angular_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_series_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series_id < 5 subset truncated to the DATASET-WIDE G3 bound
+    (global min series length over ALL series, not the subset — the e1
+    skew lesson: a within-subset min is no guard when the subset is
+    all hot keys). One broadcast 1-row bound, then an ordinal filter."""
+    from the_framework_for_clustering_time_series_data_spark.operators.stats import series_lengths
+
+    ev = events_as_series(spark, sf_dir)
+    bound = series_lengths(ev).agg(F.min("length").alias("_cap"))
+    return (
+        ev.where(F.col("series_id") < 5)
+        .crossJoin(F.broadcast(bound))
+        .where(F.col("t") < F.col("_cap"))
+        .drop("_cap")
+    )
+
+
+_CAPPED_SEL = f"""{EV},
+b AS (SELECT min(cnt) AS cap FROM (
+  SELECT count(*) AS cnt FROM ev GROUP BY series_id)),
+sel AS (SELECT ev.* FROM ev, b WHERE series_id < 5 AND t < b.cap)"""
+
+
+@register(
+    "i1b_rp_capped",
+    f"""
+WITH {_CAPPED_SEL},
+s AS (SELECT series_id, min(value) AS vmin, max(value) AS vmax FROM sel GROUP BY series_id)
+SELECT a.series_id, a.t AS i, b.t AS j,
+       CAST(floor(abs(a.value - b.value) / (s.vmax - s.vmin) * 255) AS INT) AS pixel
+FROM sel a
+JOIN sel b ON a.series_id = b.series_id
+JOIN s ON a.series_id = s.series_id
+""",
+)
+def i1b_rp_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1's LENGTH-GUARDED production form (round-10 verdict ask #7):
+    recurrence plots are O(L²) per series in both compute and output,
+    so a single hot series blows the raw-length i1 up quadratically —
+    the exact class the round-10 skew sweep caught in e1 (30+ min at
+    sf1_skew until dataset-wide G3 truncation, commit 826ed77). Every
+    series is truncated to the dataset-wide minimum length BEFORE
+    imaging (the bound is one broadcast scalar from the length table,
+    computed over ALL series — a within-subset min is no guard when
+    the subset is all hot keys), then the identical |v_i − v_j| scaled
+    self-join runs over bounded matrices. i1_recurrence_plot keeps the
+    reference's raw-length semantics; this is the form a skewed corpus
+    runs at scale."""
+    return imaging.rp_long(align.to_nested(_capped_series_sel(spark, sf_dir)))
+
+
+@register(
+    "i2b_gaf_capped",
+    f"""
+WITH {_CAPPED_SEL},
+s AS (SELECT series_id, min(value) AS vmin, max(value) AS vmax FROM sel GROUP BY series_id),
+p AS (
+  SELECT a.series_id, a.t,
+         acos(greatest(-1.0, least(1.0, (2 * a.value - s.vmax - s.vmin) / (s.vmax - s.vmin)))) AS phi
+  FROM sel a JOIN s ON a.series_id = s.series_id
+)
+SELECT x.series_id, x.t AS i, y.t AS j,
+       round((cos(x.phi + y.phi) + 1) * 255 / 2, 4) AS pixel
+FROM p x JOIN p y ON x.series_id = y.series_id
+""",
+)
+def i2b_gaf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2's length-guarded production form — the GAF sibling of
+    i1b_rp_capped: dataset-wide G3 truncation before the O(L²) angular
+    self-join, same min-max→arccos→cos(φᵢ+φⱼ) pipeline over the
+    bounded series. Note the min-max normalization (and hence every
+    pixel) is computed on the TRUNCATED series — G3-then-image, the
+    same composition order the reference's own pipeline applies
+    (truncate at ingest, image downstream; app.py:246-261→422-448)."""
+    sel = _capped_series_sel(spark, sf_dir)
+    nested = align.to_nested(sel)
+    phi = imaging._gaf_phi("values")
+    rows = F.transform(
+        phi,
+        lambda a, i: F.struct(
+            i.alias("i"),
+            F.transform(phi, lambda b: F.round((F.cos(a + b) + 1) * 255 / 2, 4)).alias("row"),
+        ),
+    )
+    return (
+        nested.select("series_id", F.explode(rows).alias("r"))
+        .select("series_id", F.col("r.i").cast("long").alias("i"), F.posexplode("r.row").alias("j", "pixel"))
+        .withColumn("j", F.col("j").cast("long"))
+    )
+
+
 def _emb_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
@@ -1841,10 +1932,13 @@ def text_tfidf_md5kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     map lookup for the dense form (no doc×64 grid blow-up), and the
     broadcast-k Lloyd."""
     from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
-    from the_framework_for_clustering_time_series_data_spark.operators.text import TOKEN_RE
+    from the_framework_for_clustering_time_series_data_spark.operators.text import TOKEN_RE, length_balanced
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
+    # length-balance ONLY the tokenize path: the other docs consumers
+    # (the 1-row count, the doc_id spine of the dense form) are
+    # metadata-sized and must not inherit the full-text shuffle
+    tok = length_balanced(docs).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), TOKEN_RE)).alias("term"),
     )

@@ -1118,9 +1118,13 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars (verified for the test tables; a production corpus would
     pick codepoints outside its alphabet). The merge table is the
     tokenizer every downstream token-count/packing operator
-    presupposes."""
+    presupposes. The corpus is length-balanced first (round-11: one
+    row-level repartition, operators/text.length_balanced) so the
+    heavy-tail stratum's tokenize work can't ride a few
+    compressed-byte-sized scan splits."""
     return T.bpe_learn_merges(
-        load_table(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+        T.length_balanced(load_table(spark, sf_dir, "documents")),
+        n_merges=_BPE_MERGES,
     )
 
 
@@ -1160,8 +1164,10 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the corpus, so the expensive per-word merge work is
     vocab-sized while the corpus pass is a plain shuffle join. The
     oracle re-learns the merges and re-applies them through the SHARED
-    ``_bpe_learn_ctes`` chain, so learn and apply can never drift."""
-    docs = load_table(spark, sf_dir, "documents")
+    ``_bpe_learn_ctes`` chain, so learn and apply can never drift.
+    Length-balanced input (operators/text.length_balanced) keeps the
+    heavy-tail stratum's tokenize work off a few scan splits."""
+    docs = T.length_balanced(load_table(spark, sf_dir, "documents"))
     merges = T.bpe_learn_merges(docs, n_merges=_BPE_MERGES).collect()
     RS, US = "\x1e", "\x1f"
     words = docs.select(

@@ -81,7 +81,7 @@ def main() -> None:
     # abort BEFORE Spark starts when the heap can't hold the decade —
     # an under-heaped sweep dies mid-loop as a silent JVM abort and
     # loses every row (sweep JSONs are written at loop end)
-    memory_preflight([base, args.sf1_dir], label="scale sweep")
+    memory_preflight([args.base_dir, args.sf1_dir], label="scale sweep")
 
     spark = get_spark("the_framework_for_clustering_time_series_data_spark-scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
