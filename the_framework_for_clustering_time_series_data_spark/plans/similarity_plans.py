@@ -852,6 +852,169 @@ def sim_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_partial_oracle_sql(
+    k: int = 5, n_cells: int = 16, nprobe: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of the sim_ivf_recenter_partial pipeline: prefix
+    16-cell build → full-corpus assign against the frozen quantizer →
+    hot-cell policy (exact integer arithmetic: n·k·5 > 6·total, argmax
+    fallback) → per-hot-cell md5-seeded Lloyd split (k_c = ceil(n·k /
+    total) sub-cells, fresh ids above the max in (cell, sub) order) →
+    cold cells folded through untouched → the standard IVF probe tail
+    over the combined index."""
+    from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import _semantic_assign_sql
+
+    def d2hs(cv: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"j -> (h.v[j] - {cv}[j]) * (h.v[j] - {cv}[j])), 'sum')"
+        )
+
+    qd2 = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"j -> (q.qv[j] - c.cvec[j]) * (q.qv[j] - c.cvec[j])), 'sum')"
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (SELECT id, v FROM e WHERE id < (SELECT max(id) // 4 FROM e)),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(id::VARCHAR), id) - 1 AS cell,
+         v AS cvec
+  FROM (SELECT id, v FROM p ORDER BY md5(id::VARCHAR), id LIMIT {n_cells})
+),
+{_semantic_assign_sql("p", "c0", "a0", dim)},
+cm AS (
+  SELECT cell, pos, floor(avg(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+{_semantic_assign_sql("e", "c1", "a1", dim)},
+nc AS (SELECT cell, count(*) AS n FROM a1 GROUP BY 1),
+tot AS (SELECT sum(n) AS t, (SELECT count(*) FROM c1) AS kk FROM nc),
+hot0 AS (SELECT nc.cell, nc.n FROM nc, tot WHERE nc.n * tot.kk * 5 > 6 * tot.t),
+hot1 AS (
+  SELECT cell, n FROM hot0
+  UNION ALL
+  SELECT cell, n FROM (SELECT cell, n FROM nc ORDER BY n DESC, cell LIMIT 1)
+  WHERE NOT EXISTS (SELECT 1 FROM hot0)
+),
+hot AS (
+  SELECT cell, n, CAST((n * kk + t - 1) // t AS BIGINT) AS kc
+  FROM hot1, tot
+),
+hm AS (SELECT a1.id, a1.v, a1.cell FROM a1 JOIN hot USING (cell)),
+sd AS (
+  SELECT cell, rn - 1 AS sub, v AS cvec FROM (
+    SELECT hm.cell, hm.v, hot.kc,
+           row_number() OVER (PARTITION BY hm.cell
+                              ORDER BY md5(hm.id::VARCHAR), hm.id) AS rn
+    FROM hm JOIN hot USING (cell)
+  ) WHERE rn <= kc
+),
+s0 AS (
+  SELECT id, v, cell, sub FROM (
+    SELECT h.id, h.v, h.cell, s.sub,
+           row_number() OVER (PARTITION BY h.id
+                              ORDER BY {d2hs("s.cvec")}, s.sub) AS rn
+    FROM hm h JOIN sd s ON s.cell = h.cell
+  ) WHERE rn = 1
+),
+sm AS (
+  SELECT cell, sub, pos, floor(avg(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM (SELECT cell, sub, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM s0)
+  GROUP BY 1, 2, 3
+),
+s1 AS (SELECT cell, sub, list(cv ORDER BY pos) AS cvec FROM sm GROUP BY 1, 2),
+s2 AS (
+  SELECT id, v, cell, sub FROM (
+    SELECT h.id, h.v, h.cell, s.sub,
+           row_number() OVER (PARTITION BY h.id
+                              ORDER BY {d2hs("s.cvec")}, s.sub) AS rn
+    FROM hm h JOIN s1 s ON s.cell = h.cell
+  ) WHERE rn = 1
+),
+ren AS (
+  SELECT cell,
+         (SELECT max(cell) + 1 FROM c1)
+         + coalesce(sum(kc) OVER (ORDER BY cell
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nbase
+  FROM hot
+),
+fa AS (
+  SELECT id, v, cell FROM a1 WHERE cell NOT IN (SELECT cell FROM hot)
+  UNION ALL
+  SELECT s2.id, s2.v, ren.nbase + s2.sub AS cell
+  FROM s2 JOIN ren ON ren.cell = s2.cell
+),
+fc AS (
+  SELECT cell, cvec FROM c1 WHERE cell NOT IN (SELECT cell FROM hot)
+  UNION ALL
+  SELECT ren.nbase + s1.sub AS cell, s1.cvec
+  FROM s1 JOIN ren ON ren.cell = s1.cell
+),
+q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+qc AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {qd2}, c.cell) AS rn
+    FROM q CROSS JOIN fc c
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT qc.query_id, qc.qv, a.id AS nbr_id, a.v
+  FROM qc JOIN fa a ON a.cell = qc.cell
+  WHERE a.id <> qc.query_id
+),
+sc AS (
+  SELECT query_id, nbr_id,
+         round(list_cosine_similarity(qv, v), 6) AS cosine
+  FROM cand
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id) AS rank
+  FROM sc
+)
+SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("sim_ivf_recenter_partial", _ivf_partial_oracle_sql())
+def sim_ivf_recenter_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL drift-driven IVF re-centering with a FULL value-hash
+    oracle (round-10 verdict ask #6): the same prefix-trained 16-cell
+    index as sim_ivf_recenter, but streaming.ops.ivf_recenter_partial
+    splits ONLY the cells the drift metadata names hot (>1.2× mean, or
+    the argmax cell when none clears it) and folds every cold cell —
+    rows AND centroid — through unchanged. The full retrain's two
+    broadcast argmin rounds over the whole corpus shrink to rounds
+    over the hot minority; the only remaining full-corpus cost is the
+    fold's one IO pass. The oracle replays the prefix build, the
+    frozen full-corpus assignment, the exact-integer hot policy, the
+    per-cell md5-Lloyd splits, the (cell, sub)-ordered renumbering,
+    and the combined-index probe end-to-end."""
+    from the_framework_for_clustering_time_series_data_spark.streaming.ops import (
+        ivf_maintain_batch,
+        ivf_recenter_partial,
+        streaming_ivf_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_index_dir("the_framework_for_clustering_time_series_data_spark_ivfrp_")
+    cut = emb.agg(F.max("vec_id")).collect()[0][0] // 4
+    ivf_maintain_batch(emb.where(F.col("vec_id") < cut), 0, path, n_cells=16)
+    ivf_maintain_batch(emb.where(F.col("vec_id") >= cut), 1, path, n_cells=16)
+    fired = ivf_recenter_partial(spark, path, max_cell_skew=1.0)
+    assert fired, "prefix-trained quantizer must skew on the full corpus"
+    return streaming_ivf_probe(
+        spark, path, emb.where(F.col("vec_id") < 10), k=5, nprobe=4
+    )
+
+
 @register("sim_sq8_topk", _sq8_oracle_sql())
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via SCALAR quantization (SQ8) — the third
