@@ -1151,43 +1151,107 @@ def semantic_dedup_prod(
 
     sp = emb.sparkSession
 
+    # fp64 BLAS is EXACT here: every product/partial sum of micro-unit
+    # integers stays below 2^53 as long as max|micro|²·dim < 2^53 (the
+    # per-batch guard below), so dgemm returns the same integers the
+    # int64 einsum would — ~10-20× faster. Outside the bound, fall back
+    # to exact int64 arithmetic.
+    _F64_EXACT_BOUND = float(2**53)
+
+    def _exact_f64_ok(*mats) -> bool:
+        m = max(float(np.abs(a).max(initial=0.0)) for a in mats)
+        return m * m * dim < _F64_EXACT_BOUND
+
+    def _vmat(series) -> np.ndarray:
+        # Arrow hands list<int64> columns over as a Series of ndarrays:
+        # np.stack is C-speed where .tolist() pays a Python object per
+        # element (measured ~2 s per pass at 200k×64)
+        vals = series.to_numpy()
+        return (
+            np.stack(vals).astype(np.int64, copy=False)
+            if len(vals)
+            else np.empty((0, dim), dtype=np.int64)
+        )
+
+    def _d2_matrix(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # D2 = ||x||² − 2·X·Cᵀ + ||c||² — exact integers either path
+        if _exact_f64_ok(X, C):
+            Xf, Cf = X.astype(np.float64), C.astype(np.float64)
+            return (
+                np.einsum("ij,ij->i", Xf, Xf)[:, None]
+                - 2 * (Xf @ Cf.T)
+                + np.einsum("ij,ij->i", Cf, Cf)[None, :]
+            )
+        return (
+            np.einsum("ij,ij->i", X, X)[:, None]
+            - 2 * (X @ C.T)
+            + np.einsum("ij,ij->i", C, C)[None, :]
+        )
+
     def _assign(ids_arr: np.ndarray, cmat: np.ndarray) -> DataFrame:
         bc = sp.sparkContext.broadcast((ids_arr, cmat))
 
         def kernel(batches):
             labels, C = bc.value  # cells sorted ascending, k×dim int64
-            cn2 = np.einsum("ij,ij->i", C, C)  # exact int64
             for pdf in batches:
-                X = np.array(pdf["v"].tolist(), dtype=np.int64)
-                # D2 = ||x||² − 2·X·Cᵀ + ||c||² — exact int64 per term;
+                X = _vmat(pdf["v"])
                 # np.argmin takes the FIRST min, and rows are sorted by
                 # cell, so an (exact-int) tie goes to the lowest cell —
                 # the oracle's ORDER BY d2, cell
-                d2 = (
-                    np.einsum("ij,ij->i", X, X)[:, None]
-                    - 2 * (X @ C.T)
-                    + cn2[None, :]
-                )
+                d2 = _d2_matrix(X, C)
                 rows = np.argmin(d2, axis=1)
                 yield pd.DataFrame(
                     {
                         "id": pdf["id"],
                         "v": pdf["v"],
                         "cell": labels[rows].astype(np.int32),
-                        "d2": d2[np.arange(len(rows)), rows],
+                        "d2": d2[np.arange(len(rows)), rows].astype(np.int64),
                     }
                 )
 
         return v0.mapInPandas(kernel, f"id {id_t}, v array<long>, cell int, d2 long")
 
+    def _partial_sums(ids_arr: np.ndarray, cmat: np.ndarray) -> DataFrame:
+        # the Lloyd-round kernel: assign the batch AND reduce it to
+        # per-cell (sum vector, count) partials — k×dim per batch
+        # instead of the full corpus round-tripping v through Arrow and
+        # a 64-way posexplode (the sf10 profile's two dominant costs).
+        # Integer partial sums are order-free, so the final mean is the
+        # exact quantity the oracle's avg-over-members computes.
+        bc = sp.sparkContext.broadcast((ids_arr, cmat))
+
+        def kernel(batches):
+            labels, C = bc.value
+            for pdf in batches:
+                X = _vmat(pdf["v"])
+                rows = np.argmin(_d2_matrix(X, C), axis=1)
+                present = np.unique(rows)
+                sums = np.zeros((len(present), X.shape[1]), dtype=np.int64)
+                cnts = np.zeros(len(present), dtype=np.int64)
+                for i, r in enumerate(present):
+                    m = rows == r
+                    sums[i] = X[m].sum(axis=0)
+                    cnts[i] = int(m.sum())
+                yield pd.DataFrame(
+                    {
+                        "cell": labels[present].astype(np.int32),
+                        "vsum": list(sums),
+                        "n": cnts,
+                    }
+                )
+
+        return v0.mapInPandas(kernel, "cell int, vsum array<long>, n long")
+
     for _ in range(lloyd_rounds - 1):
-        a = _assign(cell_ids, cent)
+        parts = _partial_sums(cell_ids, cent)
         cm = (
-            a.select("cell", F.posexplode("v").alias("pos", "val"))
+            parts.select(
+                "cell", "n", F.posexplode("vsum").alias("pos", "val")
+            )
             .groupBy("cell", "pos")
             .agg(
                 F.floor(
-                    F.sum("val").cast("double") / F.count("*") + F.lit(0.5)
+                    F.sum("val").cast("double") / F.sum("n") + F.lit(0.5)
                 )
                 .cast("long")
                 .alias("cv")
@@ -1207,26 +1271,77 @@ def semantic_dedup_prod(
         cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
         cent = np.array([r["cvec"] for r in rows], dtype=np.int64)
 
-    final = _assign(cell_ids, cent).transform(stage_checkpoint, eager=True)
+    # single consumer below — no checkpoint needed
+    final = _assign(cell_ids, cent)
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    # The dup graph's edges are IN-CELL by construction (the pair scan
+    # never crosses cells), so its connected components equal the
+    # per-cell components — the entire closure + group-size + survivor
+    # tail runs LOCALLY inside one applyInPandas (a ≤target-sized
+    # union-find per cell), replacing the distributed iterative
+    # connected_components pass that dominated the sf10 profile
+    # (~11.6 s of star-contraction rounds over the pair frame).
+    def cell_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy()
-        mat = np.array(pdf["v"].tolist(), dtype=np.int64)
-        dots = mat @ mat.T  # exact int64
-        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
+        d2 = pdf["d2"].to_numpy()
+        mat = _vmat(pdf["v"])
+        if _exact_f64_ok(mat):  # fp64 dgemm returns the exact integers
+            mf = mat.astype(np.float64)
+            dots = mf @ mf.T
+            norms = np.sqrt(np.einsum("ij,ij->i", mf, mf))
+        else:
+            dots = (mat @ mat.T).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
         # denominator as sqrt(n2a)·sqrt(n2b) — the oracle's exact op
         # chain — NOT sqrt(n2a·n2b), whose single sqrt rounds differently
-        sims = dots.astype(np.float64) / np.outer(norms, norms)
+        sims = dots / np.outer(norms, norms)
         simsr = np.floor(sims * 1e6 + 0.5) / 1e6
-        ri, ci = np.nonzero((simsr >= threshold) & (ids[None, :] > ids[:, None]))
-        return pd.DataFrame({"id_a": ids[ri], "id_b": ids[ci]})
+        ri, ci = np.nonzero(
+            (simsr >= threshold) & (ids[None, :] > ids[:, None])
+        )
+        parent = np.arange(len(ids))
 
-    pairs = (
-        final.select("cell", "id", "v")
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ri, ci):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.array([find(int(i)) for i in range(len(ids))])
+        out_gid = np.empty(len(ids), dtype=ids.dtype)
+        out_size = np.empty(len(ids), dtype=np.int64)
+        keep = np.zeros(len(ids), dtype=bool)
+        for r in np.unique(roots):
+            m = roots == r
+            out_gid[m] = ids[m].min()
+            out_size[m] = int(m.sum())
+            # survivor = centroid-closest, ties to the lower id — the
+            # (d2, id) argmin the fixed-k twin's window applies
+            idxs = np.nonzero(m)[0]
+            best = idxs[np.lexsort((ids[idxs], d2[idxs]))[0]]
+            keep[best] = True
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "group_id": out_gid,
+                "group_size": out_size,
+                "keep": keep,
+            }
+        )
+
+    return (
+        final.select("cell", "id", "v", "d2")
         .groupBy("cell")
-        .applyInPandas(cell_pairs, f"id_a {id_t}, id_b {id_t}")
+        .applyInPandas(
+            cell_groups,
+            f"id {id_t}, cell int, group_id {id_t}, group_size long, keep boolean",
+        )
     )
-    return _semantic_close_groups(final, pairs)
 
 
 def incremental_dedup(
