@@ -958,6 +958,12 @@ def ivf_maintain_batch(
     root = Path(index_dir)
     if (root / "_requant_commit").exists():
         _requant_finish(index_dir)  # complete a crashed recenter swap first
+    # the batch feeds two plans on batch 0 (quantizer train + assign
+    # write) and the foreachBatch frame re-scans its source files per
+    # action: persist so each batch's files are read ONCE (the simhash
+    # kernel's multi-consumer discipline; round-11 throughput
+    # measurement caught the 2-3× numInputRows inflation)
+    batch_df = batch_df.persist()
     cdir = root / "centroids"
     if not (cdir / "_SUCCESS").exists():
         _, cdf = deterministic_lloyd_assign(
@@ -1006,6 +1012,7 @@ def ivf_maintain_batch(
         .write.mode("overwrite")
         .parquet(str(root / f"meta_v{batch_id + 1}"))
     )
+    batch_df.unpersist()  # all consumers done — reclaim batch blocks
 
 
 def streaming_ivf_index_maintainer(
@@ -1871,7 +1878,11 @@ def sq8_maintain_batch(
     root = Path(index_dir)
     if (root / "_requant_commit").exists():
         _requant_finish(index_dir)  # complete a crashed requantize swap first
-    corpus = _r6_corpus(batch_df, id_col, vec_col)
+    # 2-3 consumers per batch (empty-guard / scale freeze / encode
+    # write) over a foreachBatch frame that re-scans its source files
+    # per action: persist so each batch's files are read once (the
+    # simhash kernel's discipline)
+    corpus = _r6_corpus(batch_df, id_col, vec_col).persist()
     sdir = root / "scales"
     if not (sdir / "_SUCCESS").exists() and corpus.isEmpty():
         # batch 0 (or any pre-freeze batch) is EMPTY: freezing now would
@@ -1905,6 +1916,7 @@ def sq8_maintain_batch(
             .write.mode("overwrite")
             .parquet(str(root / f"meta_v{batch_id + 1}"))
         )
+        corpus.unpersist()
         return
     if not (sdir / "_SUCCESS").exists():
         frozen = sq8_scales(corpus).withColumn("dim", F.lit(dim))
@@ -1948,6 +1960,7 @@ def sq8_maintain_batch(
         .write.mode("overwrite")
         .parquet(str(root / f"meta_v{batch_id + 1}"))
     )
+    corpus.unpersist()  # all consumers done — reclaim batch blocks
 
 
 def streaming_sq8_index_maintainer(
