@@ -102,6 +102,16 @@ HEADLINE = [
     "text_wordpiece_apply",
     "c13_dtwkmeans_md5",
     "boot_poisson_ci",
+    # round-11 additions: the production SemDeDup form (k ∝ n, local
+    # union-find closure) and the length-guarded imaging caps — benched
+    # so the new shapes are tracked round-over-round. The maintenance
+    # ops (sim_sq8_requantize / sim_ivf_recenter / _partial) stay out of
+    # the headline like r10's: they build a full index per run, which
+    # is constants-dominated at sf0.1 — their perf record is the
+    # BASELINE.md maintenance table + the SCALE_SF100 steady row.
+    "dedup_semantic_prod",
+    "i1b_rp_capped",
+    "i2b_gaf_capped",
 ]
 
 
