@@ -1799,3 +1799,42 @@ def test_ivf_recenter_partial_argmax_fallback(spark, tmp_path):
     expect_gone = set(ratio_hot) if ratio_hot else {argmax_cell}
     assert expect_gone.isdisjoint(cent_after)
     assert ops.read_ivf_stream_index(spark, idx).count() == total
+
+
+def test_wrong_kind_heal_does_not_destroy_fold(spark, tmp_path):
+    """Round-11 review finding: healing a crashed CELLS compaction with
+    base_name='codes' (the wrong-kind maintenance op called on an IVF
+    dir) used to find nothing to swap, fall through to the marker
+    unlink, and permanently hide the folded rows. Heal sites now derive
+    the base from the LAYOUT, so even a misdirected sq8_requantize call
+    completes the IVF swap correctly before raising the kind error."""
+    import shutil
+
+    from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
+    from the_framework_for_clustering_time_series_data_spark.streaming import ops
+
+    vecs = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cut = vecs.agg(F.max("vec_id")).collect()[0][0] // 4
+    idx = str(tmp_path / "ivf_idx")
+    ops.ivf_maintain_batch(vecs.where(F.col("vec_id") < cut), 0, idx, n_cells=8)
+    ops.ivf_maintain_batch(vecs.where(F.col("vec_id") >= cut), 1, idx, n_cells=8)
+    n_all = vecs.count()
+
+    # mid-phase-2 cells-compaction crash: full-union fold staged inside
+    # the base, delta=1 deleted, marker committed
+    base = Path(idx) / "cells"
+    (
+        ops.read_ivf_stream_index(spark, idx)
+        .drop("delta")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(str(base / "_fold_2"))
+    )
+    shutil.rmtree(base / "delta=1")
+    (Path(idx) / "_compact_commit").write_text("2")
+
+    # the WRONG-kind op: it must heal the cells swap, then raise on kind
+    with pytest.raises(ValueError, match="not an SQ8 index"):
+        ops.sq8_requantize(spark, idx, force=True)
+    assert not (Path(idx) / "_compact_commit").exists()
+    assert ops.read_ivf_stream_index(spark, idx).count() == n_all

@@ -1152,15 +1152,17 @@ def semantic_dedup_prod(
     sp = emb.sparkSession
 
     # fp64 BLAS is EXACT here: every product/partial sum of micro-unit
-    # integers stays below 2^53 as long as max|micro|²·dim < 2^53 (the
-    # per-batch guard below), so dgemm returns the same integers the
-    # int64 einsum would — ~10-20× faster. Outside the bound, fall back
-    # to exact int64 arithmetic.
+    # integers stays below 2^53 as long as 4·max|micro|²·dim < 2^53
+    # (the per-batch guard below — the 4 covers the combined
+    # d2 = ||x||² − 2·x·c + ||c||², whose magnitude reaches
+    # (|x|+|c|)²·dim ≤ 4·m²·dim), so dgemm returns the same integers
+    # the int64 einsum would — ~10-20× faster. Outside the bound, fall
+    # back to exact int64 arithmetic.
     _F64_EXACT_BOUND = float(2**53)
 
     def _exact_f64_ok(*mats) -> bool:
         m = max(float(np.abs(a).max(initial=0.0)) for a in mats)
-        return m * m * dim < _F64_EXACT_BOUND
+        return 4.0 * m * m * dim < _F64_EXACT_BOUND
 
     def _vmat(series) -> np.ndarray:
         # Arrow hands list<int64> columns over as a Series of ndarrays:

@@ -167,7 +167,13 @@ FROM p x JOIN p y ON x.series_id = y.series_id
 def i2_gramian_angular_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I2 — GAF (long form) for series_id < 5 (app.py:422-448)."""
     ev = events_as_series(spark, sf_dir).where(F.col("series_id") < 5)
-    nested = align.to_nested(ev)
+    return _gaf_long4(align.to_nested(ev))
+
+
+def _gaf_long4(nested: DataFrame) -> DataFrame:
+    """GAF long form at the registry's 4-dp pixel round — the pixel
+    pipeline shared by i2_gramian_angular_field and i2b_gaf_capped (one
+    definition, so the two registered plans cannot drift)."""
     phi = imaging._gaf_phi("values")
     rows = F.transform(
         phi,
@@ -257,21 +263,7 @@ def i2b_gaf_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel) is computed on the TRUNCATED series — G3-then-image, the
     same composition order the reference's own pipeline applies
     (truncate at ingest, image downstream; app.py:246-261→422-448)."""
-    sel = _capped_series_sel(spark, sf_dir)
-    nested = align.to_nested(sel)
-    phi = imaging._gaf_phi("values")
-    rows = F.transform(
-        phi,
-        lambda a, i: F.struct(
-            i.alias("i"),
-            F.transform(phi, lambda b: F.round((F.cos(a + b) + 1) * 255 / 2, 4)).alias("row"),
-        ),
-    )
-    return (
-        nested.select("series_id", F.explode(rows).alias("r"))
-        .select("series_id", F.col("r.i").cast("long").alias("i"), F.posexplode("r.row").alias("j", "pixel"))
-        .withColumn("j", F.col("j").cast("long"))
-    )
+    return _gaf_long4(align.to_nested(_capped_series_sel(spark, sf_dir)))
 
 
 def _emb_xy(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -555,8 +555,13 @@ def _sax_gated_candidates(s: DataFrame) -> DataFrame:
     ``_SBD_GATE_PAIRS``. Below it the fixed Hamming-≤1 rule feeds the
     kernel directly — at sf0.1 the screen cost MORE than the kernel it
     pruned (measured ~2× vs the fixed form). The gate statistic is one
-    ≤256-row aggregate over the word vocabulary → a 1-row collect."""
-    words = _sax_words_at(s, _SBD_NSEG)
+    ≤256-row aggregate over the word vocabulary → a 1-row collect.
+    The word table (~1 row per series) is checkpointed so the gate's
+    collect and the candidate builder share ONE evaluation of the
+    rollup→z-score→PAA subtree instead of two."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
+    words = _sax_words_at(s, _SBD_NSEG).transform(stage_checkpoint, eager=False)
     dense_pairs = (
         words.groupBy("word")
         .count()

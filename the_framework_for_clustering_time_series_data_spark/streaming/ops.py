@@ -964,55 +964,60 @@ def ivf_maintain_batch(
     # kernel's multi-consumer discipline; round-11 throughput
     # measurement caught the 2-3× numInputRows inflation)
     batch_df = batch_df.persist()
-    cdir = root / "centroids"
-    if not (cdir / "_SUCCESS").exists():
-        _, cdf = deterministic_lloyd_assign(
-            batch_df.select(
-                F.col(id_col).alias("nbr_id"),
-                F.col(vec_col).cast("array<double>").alias("v"),
-            ),
-            n_cells,
-            id_col="nbr_id",
-            vec_col="v",
-            lloyd_rounds=lloyd_rounds,
-            with_centroids=True,
+    try:
+        cdir = root / "centroids"
+        if not (cdir / "_SUCCESS").exists():
+            _, cdf = deterministic_lloyd_assign(
+                batch_df.select(
+                    F.col(id_col).alias("nbr_id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                ),
+                n_cells,
+                id_col="nbr_id",
+                vec_col="v",
+                lloyd_rounds=lloyd_rounds,
+                with_centroids=True,
+            )
+            cdf.select(
+                F.col("cell").cast("int").alias("cell"),
+                F.col("cvec").alias("center"),
+            ).coalesce(1).write.mode("overwrite").parquet(str(cdir))
+        centers, cell_ids = _load_centroids(sp, index_dir)
+        assigned = assign_cells_frozen(
+            batch_df, centers, cell_ids=cell_ids, id_col=id_col, vec_col=vec_col
         )
-        cdf.select(
-            F.col("cell").cast("int").alias("cell"),
-            F.col("cvec").alias("center"),
-        ).coalesce(1).write.mode("overwrite").parquet(str(cdir))
-    centers, cell_ids = _load_centroids(sp, index_dir)
-    assigned = assign_cells_frozen(
-        batch_df, centers, cell_ids=cell_ids, id_col=id_col, vec_col=vec_col
-    )
-    # hive-style delta level (delta=N) so every delta shares ONE
-    # partition-discovery base: the reader scans them as a single
-    # (delta, cell)-partitioned table and `cell` pruning holds.
-    # repartition("cell") first: one task (→ one file) per cell, not
-    # (tasks × cells) small files per delta — the delta-layout
-    # small-file tax the serving scan otherwise accumulates
-    assigned.repartition("cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(str(root / "cells" / f"delta={batch_id + 1}"))
-    m0 = root / "meta_v0"
-    # _SUCCESS-gated like the quantizer dir above: a crash between
-    # mkdir and parquet commit must not strand an uninferable empty
-    # dir across restarts (review finding)
-    if not (m0 / "_SUCCESS").exists():
-        sp.createDataFrame([], "cell int, n long").write.mode(
-            "overwrite"
-        ).parquet(str(m0))
-    cur = sp.read.parquet(str(root / f"meta_v{batch_id}"))
-    part = assigned.groupBy("cell").agg(F.count("*").alias("n"))
-    (
-        cur.unionByName(part)
-        .groupBy("cell")
-        .agg(F.sum("n").cast("long").alias("n"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(str(root / f"meta_v{batch_id + 1}"))
-    )
-    batch_df.unpersist()  # all consumers done — reclaim batch blocks
+        # hive-style delta level (delta=N) so every delta shares ONE
+        # partition-discovery base: the reader scans them as a single
+        # (delta, cell)-partitioned table and `cell` pruning holds.
+        # repartition("cell") first: one task (→ one file) per cell, not
+        # (tasks × cells) small files per delta — the delta-layout
+        # small-file tax the serving scan otherwise accumulates
+        assigned.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(str(root / "cells" / f"delta={batch_id + 1}"))
+        m0 = root / "meta_v0"
+        # _SUCCESS-gated like the quantizer dir above: a crash between
+        # mkdir and parquet commit must not strand an uninferable empty
+        # dir across restarts (review finding)
+        if not (m0 / "_SUCCESS").exists():
+            sp.createDataFrame([], "cell int, n long").write.mode(
+                "overwrite"
+            ).parquet(str(m0))
+        cur = sp.read.parquet(str(root / f"meta_v{batch_id}"))
+        part = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+        (
+            cur.unionByName(part)
+            .groupBy("cell")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(root / f"meta_v{batch_id + 1}"))
+        )
+    finally:
+        # unpersist on EVERY exit — a raising batch (dim-mismatch
+        # freeze, transient write failure) must not leak cached
+        # blocks into a long-lived maintainer session
+        batch_df.unpersist()
 
 
 def streaming_ivf_index_maintainer(
@@ -1139,6 +1144,25 @@ def _replay_guard(checkpoint: str | None, top: int, action: str) -> None:
         )
 
 
+def _index_base_name(index_dir) -> str:
+    """The delta base this index actually owns ('cells' for IVF,
+    'codes' for SQ8) — heal sites must derive it from the LAYOUT, not
+    from which maintenance op the operator happened to call: healing a
+    crashed cells-compaction with base_name='codes' finds nothing to
+    swap, falls through to the marker unlink, and permanently hides
+    the folded rows (round-11 review finding)."""
+    from pathlib import Path
+
+    root = Path(index_dir)
+    if (root / "cells").exists():
+        return "cells"
+    if (root / "codes").exists():
+        return "codes"
+    raise FileNotFoundError(
+        f"{index_dir} has neither a cells (IVF) nor codes (SQ8) base"
+    )
+
+
 def _compact_finish(index_dir, base_name: str) -> None:
     """Complete a committed compaction swap (phase 2): delete the
     folded deltas and move the staged fold in as ``delta={top}``.
@@ -1241,8 +1265,11 @@ def _compact_stream_deltas(
     # PARTIAL delta set and silently drop the rebuilt corpus.
     if (root / "_requant_commit").exists():
         _requant_finish(index_dir)
-    if marker.exists():  # finish a crashed predecessor first
-        _compact_finish(index_dir, base_name)
+    if marker.exists():  # finish a crashed predecessor first — with
+        # the base the LAYOUT owns, in case the wrong-kind compact was
+        # called on this dir (the kind mismatch surfaces right after,
+        # at the empty/foreign delta glob, without destroying the fold)
+        _compact_finish(index_dir, _index_base_name(index_dir))
     deltas = sorted(
         (p for p in base.glob("delta=*") if (p / "_SUCCESS").exists()),
         key=lambda p: int(p.name.split("=", 1)[1]),
@@ -1456,7 +1483,7 @@ def sq8_requantize(
     if (root / "_requant_commit").exists():
         _requant_finish(index_dir)
     if (root / "_compact_commit").exists():
-        _compact_finish(index_dir, "codes")
+        _compact_finish(index_dir, _index_base_name(index_dir))
     drift = ann_index_drift(spark, index_dir)
     if drift["kind"] != "sq8":
         raise ValueError(f"{index_dir} is not an SQ8 index: {drift['kind']}")
@@ -1541,7 +1568,7 @@ def ivf_recenter(
     if (root / "_requant_commit").exists():
         _requant_finish(index_dir)
     if (root / "_compact_commit").exists():
-        _compact_finish(index_dir, "cells")
+        _compact_finish(index_dir, _index_base_name(index_dir))
     drift = ann_index_drift(spark, index_dir)
     if drift["kind"] != "ivf":
         raise ValueError(f"{index_dir} is not an IVF index: {drift['kind']}")
@@ -1630,7 +1657,7 @@ def ivf_recenter_partial(
     if (root / "_requant_commit").exists():
         _requant_finish(index_dir)
     if (root / "_compact_commit").exists():
-        _compact_finish(index_dir, "cells")
+        _compact_finish(index_dir, _index_base_name(index_dir))
     drift = ann_index_drift(spark, index_dir)
     if drift["kind"] != "ivf":
         raise ValueError(f"{index_dir} is not an IVF index: {drift['kind']}")
@@ -1883,31 +1910,75 @@ def sq8_maintain_batch(
     # per action: persist so each batch's files are read once (the
     # simhash kernel's discipline)
     corpus = _r6_corpus(batch_df, id_col, vec_col).persist()
-    sdir = root / "scales"
-    if not (sdir / "_SUCCESS").exists() and corpus.isEmpty():
-        # batch 0 (or any pre-freeze batch) is EMPTY: freezing now would
-        # permanently poison the index with s=[] — every later batch
-        # would encode all-NULL codes and probes would silently return
-        # nothing (round-9 advice). Write the empty delta + rolled meta
-        # so replay versioning stays contiguous, and let the first
-        # NON-empty batch freeze the scales.
-        empty = sp.createDataFrame([], corpus.schema).select(
-            "nbr_id",
-            F.lit(None).cast("array<bigint>").alias("q8"),
-            "v",
-            F.lit(0).cast("long").alias("clipped"),
-        )
+    try:
+        sdir = root / "scales"
+        if not (sdir / "_SUCCESS").exists() and corpus.isEmpty():
+            # batch 0 (or any pre-freeze batch) is EMPTY: freezing now would
+            # permanently poison the index with s=[] — every later batch
+            # would encode all-NULL codes and probes would silently return
+            # nothing (round-9 advice). Write the empty delta + rolled meta
+            # so replay versioning stays contiguous, and let the first
+            # NON-empty batch freeze the scales.
+            empty = sp.createDataFrame([], corpus.schema).select(
+                "nbr_id",
+                F.lit(None).cast("array<bigint>").alias("q8"),
+                "v",
+                F.lit(0).cast("long").alias("clipped"),
+            )
+            delta_dir = root / "codes" / f"delta={batch_id + 1}"
+            empty.coalesce(1).write.mode("overwrite").parquet(str(delta_dir))
+            m0 = root / "meta_v0"
+            if not (m0 / "_SUCCESS").exists():
+                sp.createDataFrame([], "n long, clipped long").write.mode(
+                    "overwrite"
+                ).parquet(str(m0))
+            zero = sp.createDataFrame([(0, 0)], "n long, clipped long")
+            (
+                sp.read.parquet(str(root / f"meta_v{batch_id}"))
+                .unionByName(zero)
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("clipped").cast("long").alias("clipped"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(root / f"meta_v{batch_id + 1}"))
+            )
+            return
+        if not (sdir / "_SUCCESS").exists():
+            frozen = sq8_scales(corpus).withColumn("dim", F.lit(dim))
+            srow = frozen.head()
+            if srow is None or srow["s"] is None or len(srow["s"]) != dim:
+                got = None if srow is None or srow["s"] is None else len(srow["s"])
+                raise ValueError(
+                    f"sq8 scale freeze derived {got} dims from batch {batch_id} "
+                    f"but the index is declared dim={dim} — refusing to freeze "
+                    "a layout that would encode NULL code components"
+                )
+            frozen.coalesce(1).write.mode("overwrite").parquet(str(sdir))
+        scales = sp.read.parquet(str(sdir))
+        _validate_sq8_scales(scales, dim, index_dir)
+        # ONE evaluation of the micro-batch: the per-row saturation count
+        # rides along in the encoded delta (with_clip_count — |raw| > 127,
+        # the actual clamp criterion), and the metadata fold aggregates
+        # the just-written parquet instead of re-scanning the source
+        # (review findings: double evaluation + |v| > s overcount)
         delta_dir = root / "codes" / f"delta={batch_id + 1}"
-        empty.coalesce(1).write.mode("overwrite").parquet(str(delta_dir))
+        sq8_encode(corpus, scales, dim, with_clip_count=True).write.mode(
+            "overwrite"
+        ).parquet(str(delta_dir))
         m0 = root / "meta_v0"
         if not (m0 / "_SUCCESS").exists():
             sp.createDataFrame([], "n long, clipped long").write.mode(
                 "overwrite"
             ).parquet(str(m0))
-        zero = sp.createDataFrame([(0, 0)], "n long, clipped long")
+        cur = sp.read.parquet(str(root / f"meta_v{batch_id}"))
+        part = sp.read.parquet(str(delta_dir)).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("clipped").cast("long").alias("clipped"),
+        )
         (
-            sp.read.parquet(str(root / f"meta_v{batch_id}"))
-            .unionByName(zero)
+            cur.unionByName(part)
             .agg(
                 F.sum("n").cast("long").alias("n"),
                 F.sum("clipped").cast("long").alias("clipped"),
@@ -1916,51 +1987,10 @@ def sq8_maintain_batch(
             .write.mode("overwrite")
             .parquet(str(root / f"meta_v{batch_id + 1}"))
         )
+    finally:
+        # unpersist on EVERY exit — incl. the empty-batch early
+        # return and the dim-mismatch freeze ValueError
         corpus.unpersist()
-        return
-    if not (sdir / "_SUCCESS").exists():
-        frozen = sq8_scales(corpus).withColumn("dim", F.lit(dim))
-        srow = frozen.head()
-        if srow is None or srow["s"] is None or len(srow["s"]) != dim:
-            got = None if srow is None or srow["s"] is None else len(srow["s"])
-            raise ValueError(
-                f"sq8 scale freeze derived {got} dims from batch {batch_id} "
-                f"but the index is declared dim={dim} — refusing to freeze "
-                "a layout that would encode NULL code components"
-            )
-        frozen.coalesce(1).write.mode("overwrite").parquet(str(sdir))
-    scales = sp.read.parquet(str(sdir))
-    _validate_sq8_scales(scales, dim, index_dir)
-    # ONE evaluation of the micro-batch: the per-row saturation count
-    # rides along in the encoded delta (with_clip_count — |raw| > 127,
-    # the actual clamp criterion), and the metadata fold aggregates
-    # the just-written parquet instead of re-scanning the source
-    # (review findings: double evaluation + |v| > s overcount)
-    delta_dir = root / "codes" / f"delta={batch_id + 1}"
-    sq8_encode(corpus, scales, dim, with_clip_count=True).write.mode(
-        "overwrite"
-    ).parquet(str(delta_dir))
-    m0 = root / "meta_v0"
-    if not (m0 / "_SUCCESS").exists():
-        sp.createDataFrame([], "n long, clipped long").write.mode(
-            "overwrite"
-        ).parquet(str(m0))
-    cur = sp.read.parquet(str(root / f"meta_v{batch_id}"))
-    part = sp.read.parquet(str(delta_dir)).agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("clipped").cast("long").alias("clipped"),
-    )
-    (
-        cur.unionByName(part)
-        .agg(
-            F.sum("n").cast("long").alias("n"),
-            F.sum("clipped").cast("long").alias("clipped"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(str(root / f"meta_v{batch_id + 1}"))
-    )
-    corpus.unpersist()  # all consumers done — reclaim batch blocks
 
 
 def streaming_sq8_index_maintainer(
