@@ -17,6 +17,17 @@ REPO = str(Path(__file__).resolve().parent)
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+
+def detail_filename(queries_arg: str | None) -> str:
+    """Which detail artifact a run may write. Full headline runs own
+    BENCH_FULL.json; any ``--queries`` subset writes BENCH_PARTIAL.json
+    instead — round-11 post-mortem: a 3-query re-verification run
+    overwrote the committed 51-query idle anchor, leaving the judged
+    artifact holding a partial total recoverable only from git
+    history. The subset file is scratch; the anchor is append-only per
+    full run."""
+    return "BENCH_PARTIAL.json" if queries_arg else "BENCH_FULL.json"
+
 # Headline rotation (round-6 continuation): 22 fast-or-stable entries that
 # held their bands for 2+ rounds rotated OUT so the compact stdout line
 # stays inside the driver's ~2000-char capture window as new families
@@ -230,7 +241,8 @@ def main() -> None:
         "median5": median5,
         "sf": float(sf),
     }
-    detail_path = os.path.join(REPO, "BENCH_FULL.json")
+    detail_name = detail_filename(args.queries)
+    detail_path = os.path.join(REPO, detail_name)
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1)
     # Compact-line economy (the window is ~2000 chars and the headline
@@ -250,7 +262,7 @@ def main() -> None:
             for q, t in sorted(median5.items(), key=lambda kv: -kv[1])[:med_line_n]
         },
         "sf": float(sf),
-        "detail": "BENCH_FULL.json",
+        "detail": detail_name,
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:

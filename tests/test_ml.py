@@ -934,3 +934,30 @@ def test_umap_primary_branch_plumbing_with_injected_module(spark, monkeypatch):
         v = np.asarray(r["values"], dtype=float)
         got = rows[r["series_id"]]
         assert abs(got[0] - v.mean()) < 1e-12 and abs(got[1] - v.std()) < 1e-12
+
+
+def test_power_iteration_disk_edge_path_matches_memory_path(spark):
+    """The sf100 heap-wall lever (round-11 verdict ask #1): above
+    disk_edge_rows the PIC edge frame persists DISK_ONLY instead of a
+    memory-backed localCheckpoint. Forcing the disk path
+    (disk_edge_rows=0) must yield the identical partition on the
+    two-clique fixture."""
+    from the_framework_for_clustering_time_series_data_spark.operators.cluster import power_iteration_clusters
+
+    edges = [(a, b, 0.9) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(a, b, 0.9) for a in range(10, 18) for b in range(a + 1, 18)]
+    edges += [(4, 10, 0.02)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long, jaccard double")
+
+    def groups(disk_edge_rows: int):
+        out = power_iteration_clusters(
+            pairs, k=2, max_iter=20, disk_edge_rows=disk_edge_rows
+        ).collect()
+        by_cluster: dict[int, set] = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster"], set()).add(r["id"])
+        return sorted((frozenset(v) for v in by_cluster.values()), key=min)
+
+    expected = [frozenset(range(5)), frozenset(range(10, 18))]
+    assert groups(disk_edge_rows=0) == expected  # forced disk path
+    assert groups(disk_edge_rows=10**6) == expected  # memory path

@@ -532,3 +532,43 @@ def test_semantic_dedup_prod_k_scales_and_custom_target_parity(spark):
     )
     duck = sorted(con.execute(_semantic_prod_oracle_sql(50, 0.4)).fetchall())
     assert sorted(map(tuple, out.collect())) == duck
+
+
+def test_semantic_dedup_prod_int64_bound_refuses_loudly(spark):
+    """Round-11 advice: the int64 fallback past the f64-exact bound has
+    its own ceiling (4*m^2*dim >= 2^63 wraps silently in numpy while
+    the DuckDB BIGINT twin errors). Components past ~+-190 raw must
+    raise, not wrap."""
+    import pytest as _pytest
+
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import semantic_dedup_prod
+
+    rows = [(i, [float(500 + i + j) for j in range(64)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="int64-exact bound"):
+        semantic_dedup_prod(emb, target_cell_size=4, threshold=0.9).collect()
+
+
+def test_semantic_dedup_prod_int64_fallback_band_still_exact(spark):
+    """Values between the f64-exact bound (~|raw| 5.9) and the int64
+    bound (~|raw| 190) route through the int64 einsum fallback and must
+    still satisfy the dedup invariants (one keeper per group, sizes
+    consistent) — the guard only fires PAST the int64 ceiling."""
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import semantic_dedup_prod
+
+    # pairs of identical vectors at |raw| ~ 60: inside the int64 band,
+    # outside the f64-exact band
+    base = [[float(60 + (k * 7) % 13) for k in range(64)] for _ in range(2)]
+    rows = []
+    for g in range(6):
+        v = [x + g for x in base[0]]
+        rows += [(2 * g, v), (2 * g + 1, list(v))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_prod(emb, target_cell_size=4, threshold=0.999).collect()
+    assert len(out) == 12
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], []).append(r)
+    for gid, members in by_group.items():
+        assert sum(1 for m in members if m["keep"]) == 1
+        assert all(m["group_size"] == len(members) for m in members)

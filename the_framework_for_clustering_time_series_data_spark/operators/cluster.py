@@ -1141,6 +1141,7 @@ def power_iteration_clusters(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     weight_col: str = "jaccard",
+    disk_edge_rows: int = 2_000_000,
 ) -> DataFrame:
     """Graph clustering of a similarity pair list (e.g. near-duplicate
     pairs from dedup.ngram_jaccard_pairs) via MLlib
@@ -1149,26 +1150,42 @@ def power_iteration_clusters(
     1-D embedding — O(edges) per iteration, all distributed, no n×n
     matrix ever materializes. Returns (id, cluster) for every node that
     appears in at least one pair."""
+    from pyspark import StorageLevel
     from pyspark.ml.clustering import PowerIterationClustering
 
+    # Materialize the edge frame ON DISK first: PIC's internal RDD
+    # conversion re-evaluates its input several times per power
+    # iteration — without materializing, an expensive upstream (the
+    # pair kernel) reruns each time. DISK_ONLY (not a memory-backed
+    # localCheckpoint) because the edge frame is PIC's per-iteration
+    # re-read state: at the third measured decade (sf100, 5M docs) the
+    # memory-resident edge blocks plus PIC's own cached vectors pressed
+    # the 48 GiB local JVM into GCLocker allocation retries (round-11
+    # verdict) — a disk-backed edge frame keeps every power iteration a
+    # sequential columnar read and leaves the heap to PIC's internals.
     g = pairs.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
         F.col(weight_col).cast("double").alias("weight"),
-    ).transform(stage_checkpoint, eager=True)
-    # checkpoint first: PIC's internal RDD conversion re-evaluates its
-    # input several times per power iteration — without materializing,
-    # an expensive upstream (the pair kernel) reruns each time.
-    # Then size the partitioning to the EDGE COUNT (cheap: the frame is
-    # already materialized): every power iteration launches one task
-    # per partition, so a 256-edge graph inheriting the kernel's 13+
-    # shuffle partitions pays ~10×13 empty-task schedulings — the
+    ).persist(StorageLevel.DISK_ONLY)
+    # Size the partitioning to the EDGE COUNT (cheap: the count also
+    # materializes the persist): every power iteration launches one
+    # task per partition, so a 256-edge graph inheriting the kernel's
+    # 13+ shuffle partitions pays ~10×13 empty-task schedulings — the
     # dominant cost at small SF (measured 7.0s → 1.7s at sf0.1).
     # Large graphs keep their partitioning: coalesce only shrinks,
     # targeting ~50k edges/partition.
     n_edges = g.count()
     target = max(1, min(g.rdd.getNumPartitions(), 1 + n_edges // 50_000))
-    if target < g.rdd.getNumPartitions():
+    if n_edges < disk_edge_rows:
+        # small graph: promote to an executor-memory localCheckpoint
+        # (reading the just-written disk blocks once) so the iteration
+        # loop runs at memory speed, and drop the disk copy
+        g2 = g.coalesce(target) if target < g.rdd.getNumPartitions() else g
+        g2 = g2.localCheckpoint(eager=True)
+        g.unpersist(blocking=False)
+        g = g2
+    elif target < g.rdd.getNumPartitions():
         g = g.coalesce(target)
     pic = PowerIterationClustering(k=k, maxIter=max_iter, initMode="degree", weightCol="weight")
     return pic.assignClusters(g).select(F.col("id"), F.col("cluster"))

@@ -1164,6 +1164,24 @@ def semantic_dedup_prod(
         m = max(float(np.abs(a).max(initial=0.0)) for a in mats)
         return 4.0 * m * m * dim < _F64_EXACT_BOUND
 
+    def _int64_ok_or_raise(*mats) -> None:
+        # The int64 fallback has its own exactness ceiling (round-11
+        # advice): past 4·m²·dim ≥ 2^63 (micro components beyond
+        # ~±sqrt(2^63/(4·dim)), ≈1.9e8 at dim 64, i.e. raw values past
+        # ~±190) numpy int64 WRAPS silently while the DuckDB BIGINT
+        # twin errors — the bit-for-bit contract would break exactly
+        # where the f64 guard hands off. Refuse loudly instead.
+        m = max(float(np.abs(a).max(initial=0.0)) for a in mats)
+        if 4.0 * m * m * dim >= float(2**63):
+            bound = (float(2**63) / (4.0 * max(dim, 1))) ** 0.5
+            raise ValueError(
+                f"semantic_dedup_prod: micro-unit magnitude {m:.3g} exceeds "
+                f"the int64-exact bound {bound:.3g} for dim={dim} — the "
+                "integer kernel would overflow silently; rescale the "
+                "embeddings (raw components must stay within "
+                f"~±{bound / 1e6:.0f})"
+            )
+
     def _vmat(series) -> np.ndarray:
         # Arrow hands list<int64> columns over as a Series of ndarrays:
         # np.stack is C-speed where .tolist() pays a Python object per
@@ -1184,13 +1202,20 @@ def semantic_dedup_prod(
                 - 2 * (Xf @ Cf.T)
                 + np.einsum("ij,ij->i", Cf, Cf)[None, :]
             )
+        _int64_ok_or_raise(X, C)
         return (
             np.einsum("ij,ij->i", X, X)[:, None]
             - 2 * (X @ C.T)
             + np.einsum("ij,ij->i", C, C)[None, :]
         )
 
-    def _assign(ids_arr: np.ndarray, cmat: np.ndarray) -> DataFrame:
+    def _assign(ids_arr: np.ndarray, cmat: np.ndarray):
+        # returns (frame, broadcast handle): each call ships a fresh
+        # k×dim centroid broadcast (up to ~100 MB at the documented
+        # 50M-vector ceiling) — callers unpersist it once the stage
+        # that consumed it has materialized, or multi-round Lloyd runs
+        # accumulate dead broadcast blocks for the life of the job
+        # (round-11 advice)
         bc = sp.sparkContext.broadcast((ids_arr, cmat))
 
         def kernel(batches):
@@ -1211,9 +1236,12 @@ def semantic_dedup_prod(
                     }
                 )
 
-        return v0.mapInPandas(kernel, f"id {id_t}, v array<long>, cell int, d2 long")
+        return (
+            v0.mapInPandas(kernel, f"id {id_t}, v array<long>, cell int, d2 long"),
+            bc,
+        )
 
-    def _partial_sums(ids_arr: np.ndarray, cmat: np.ndarray) -> DataFrame:
+    def _partial_sums(ids_arr: np.ndarray, cmat: np.ndarray):
         # the Lloyd-round kernel: assign the batch AND reduce it to
         # per-cell (sum vector, count) partials — k×dim per batch
         # instead of the full corpus round-tripping v through Arrow and
@@ -1242,10 +1270,10 @@ def semantic_dedup_prod(
                     }
                 )
 
-        return v0.mapInPandas(kernel, "cell int, vsum array<long>, n long")
+        return v0.mapInPandas(kernel, "cell int, vsum array<long>, n long"), bc
 
     for _ in range(lloyd_rounds - 1):
-        parts = _partial_sums(cell_ids, cent)
+        parts, parts_bc = _partial_sums(cell_ids, cent)
         cm = (
             parts.select(
                 "cell", "n", F.posexplode("vsum").alias("pos", "val")
@@ -1272,9 +1300,15 @@ def semantic_dedup_prod(
         )
         cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
         cent = np.array([r["cvec"] for r in rows], dtype=np.int64)
+        # the collect above fully consumed this round's centroid
+        # broadcast — drop its executor copies now, not at job end
+        parts_bc.unpersist(blocking=False)
 
-    # single consumer below — no checkpoint needed
-    final = _assign(cell_ids, cent)
+    # single consumer below — no checkpoint needed. The final
+    # broadcast stays live (it is consumed when the CALLER materializes
+    # the returned frame — the one bounded in-flight copy); the
+    # per-round ones above are the accumulation hazard.
+    final, _final_bc = _assign(cell_ids, cent)
 
     # The dup graph's edges are IN-CELL by construction (the pair scan
     # never crosses cells), so its connected components equal the
@@ -1292,6 +1326,7 @@ def semantic_dedup_prod(
             dots = mf @ mf.T
             norms = np.sqrt(np.einsum("ij,ij->i", mf, mf))
         else:
+            _int64_ok_or_raise(mat)
             dots = (mat @ mat.T).astype(np.float64)
             norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
         # denominator as sqrt(n2a)·sqrt(n2b) — the oracle's exact op

@@ -895,13 +895,20 @@ nc AS (SELECT cell, count(*) AS n FROM a1 GROUP BY 1),
 tot AS (SELECT sum(n) AS t, (SELECT count(*) FROM c1) AS kk FROM nc),
 hot0 AS (SELECT nc.cell, nc.n FROM nc, tot WHERE nc.n * tot.kk * 5 > 6 * tot.t),
 hot1 AS (
-  SELECT cell, n FROM hot0
+  SELECT cell, n, 0 AS fb FROM hot0
   UNION ALL
-  SELECT cell, n FROM (SELECT cell, n FROM nc ORDER BY n DESC, cell LIMIT 1)
+  SELECT cell, n, 1 AS fb
+  FROM (SELECT cell, n FROM nc ORDER BY n DESC, cell LIMIT 1)
   WHERE NOT EXISTS (SELECT 1 FROM hot0)
 ),
 hot AS (
-  SELECT cell, n, CAST((n * kk + t - 1) // t AS BIGINT) AS kc
+  -- fallback rows clamp kc to >= 2: the argmax cell on a balanced
+  -- index would ceil to 1 — a pure renumber; a split that fires must
+  -- split (mirrors ivf_recenter_partial's fallback clamp)
+  SELECT cell, n,
+         CASE WHEN fb = 1
+              THEN greatest(CAST(2 AS BIGINT), CAST((n * kk + t - 1) // t AS BIGINT))
+              ELSE CAST((n * kk + t - 1) // t AS BIGINT) END AS kc
   FROM hot1, tot
 ),
 hm AS (SELECT a1.id, a1.v, a1.cell FROM a1 JOIN hot USING (cell)),

