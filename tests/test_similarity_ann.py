@@ -572,3 +572,48 @@ def test_semantic_dedup_prod_int64_fallback_band_still_exact(spark):
     for gid, members in by_group.items():
         assert sum(1 for m in members if m["keep"]) == 1
         assert all(m["group_size"] == len(members) for m in members)
+
+
+def test_semantic_dedup_coarse_routing_parity_and_invariants(spark):
+    """semantic_dedup_coarse (round-11 verdict ask #5): the two-level
+    routed assignment — coarse quantizer, bucketed fine argmin, prod
+    tail — is value-identical to its DuckDB twin at a NON-registry
+    target (exercising the dynamic k/kc machinery at a second size),
+    and the dedup invariants hold."""
+    import duckdb
+
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import semantic_dedup_coarse
+    from the_framework_for_clustering_time_series_data_spark.plans.dedup_plans import _semantic_coarse_oracle_sql
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    out = semantic_dedup_coarse(emb, target_cell_size=25, threshold=0.4).cache()
+    assert out.count() == n  # no vector lost to an empty coarse bucket
+    per_group = out.groupBy("group_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.count("*").alias("cnt"),
+        F.max("group_size").alias("gs"),
+    )
+    assert per_group.where("n_keep != 1 OR cnt != gs").count() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet'"
+    )
+    duck = sorted(con.execute(_semantic_coarse_oracle_sql(25, 0.4)).fetchall())
+    assert sorted(map(tuple, out.collect())) == duck
+
+
+def test_semantic_dedup_coarse_explicit_kc_knob(spark):
+    """The coarse_cells knob overrides ceil(sqrt(k)); a kc=1 degenerate
+    routing reduces to prod-style flat assignment over one bucket and
+    still satisfies the invariants."""
+    from the_framework_for_clustering_time_series_data_spark.operators.dedup import semantic_dedup_coarse
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    out = semantic_dedup_coarse(
+        emb, target_cell_size=100, threshold=0.4, coarse_cells=1
+    ).cache()
+    assert out.count() == emb.count()
+    assert out.where("keep").count() == out.select("group_id").distinct().count()

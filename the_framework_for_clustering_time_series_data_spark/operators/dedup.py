@@ -1072,6 +1072,143 @@ def _semantic_close_groups(final: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _micro_mat(series, dim: int):
+    """Arrow list<int64> Series → n×dim int64 matrix. np.stack is
+    C-speed where .tolist() pays a Python object per element (measured
+    ~2 s per 200k×64 pass)."""
+    import numpy as np
+
+    vals = series.to_numpy()
+    return (
+        np.stack(vals).astype(np.int64, copy=False)
+        if len(vals)
+        else np.empty((0, dim), dtype=np.int64)
+    )
+
+
+def _f64_exact_ok(dim: int, *mats) -> bool:
+    """fp64 BLAS is EXACT for micro-unit integer kernels while every
+    product/partial sum stays below 2^53: the 4 covers the combined
+    d2 = ||x||² − 2·x·c + ||c||², whose magnitude reaches
+    (|x|+|c|)²·dim ≤ 4·m²·dim. Inside the bound, dgemm returns the
+    same integers the int64 einsum would — ~10-20× faster."""
+    import numpy as np
+
+    m = max(float(np.abs(a).max(initial=0.0)) for a in mats)
+    return 4.0 * m * m * dim < float(2**53)
+
+
+def _int64_exact_or_raise(dim: int, *mats) -> None:
+    """The int64 fallback has its own exactness ceiling (round-11
+    advice): past 4·m²·dim ≥ 2^63 (micro components beyond
+    ~±sqrt(2^63/(4·dim)), i.e. raw values past ~±190 at dim 64) numpy
+    int64 WRAPS silently while the DuckDB BIGINT twin errors — the
+    bit-for-bit contract would break exactly where the f64 guard hands
+    off. Refuse loudly instead."""
+    import numpy as np
+
+    m = max(float(np.abs(a).max(initial=0.0)) for a in mats)
+    if 4.0 * m * m * dim >= float(2**63):
+        bound = (float(2**63) / (4.0 * max(dim, 1))) ** 0.5
+        raise ValueError(
+            f"semantic dedup int kernel: micro-unit magnitude {m:.3g} "
+            f"exceeds the int64-exact bound {bound:.3g} for dim={dim} — "
+            "the integer kernel would overflow silently; rescale the "
+            "embeddings (raw components must stay within "
+            f"~±{bound / 1e6:.0f})"
+        )
+
+
+def _int_d2_matrix(X, C, dim: int):
+    """D2 = ||x||² − 2·X·Cᵀ + ||c||² over int64 micro-unit rows —
+    exact integers either path (f64 BLAS inside the 2^53 bound, int64
+    einsum inside the 2^63 bound, loud refusal past that)."""
+    import numpy as np
+
+    if _f64_exact_ok(dim, X, C):
+        Xf, Cf = X.astype(np.float64), C.astype(np.float64)
+        return (
+            np.einsum("ij,ij->i", Xf, Xf)[:, None]
+            - 2 * (Xf @ Cf.T)
+            + np.einsum("ij,ij->i", Cf, Cf)[None, :]
+        )
+    _int64_exact_or_raise(dim, X, C)
+    return (
+        np.einsum("ij,ij->i", X, X)[:, None]
+        - 2 * (X @ C.T)
+        + np.einsum("ij,ij->i", C, C)[None, :]
+    )
+
+
+def _int_cell_groups_fn(dim: int, threshold: float):
+    """The shared int-exact SemDeDup per-cell tail (used by
+    :func:`semantic_dedup_prod` and :func:`semantic_dedup_coarse`):
+    in-cell cosine pairs over micro-unit int64 vectors (half-up-6dp
+    decision), LOCAL union-find closure, group sizes, and the
+    centroid-closest (d2, id) survivor — the dup graph's edges are
+    in-cell by construction, so the whole closure runs inside one
+    applyInPandas group instead of a distributed star-contraction
+    pass (~11.6 s of the sf10 profile before round 11)."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        d2 = pdf["d2"].to_numpy()
+        mat = _micro_mat(pdf["v"], dim)
+        if _f64_exact_ok(dim, mat):  # fp64 dgemm returns exact integers
+            mf = mat.astype(np.float64)
+            dots = mf @ mf.T
+            norms = np.sqrt(np.einsum("ij,ij->i", mf, mf))
+        else:
+            _int64_exact_or_raise(dim, mat)
+            dots = (mat @ mat.T).astype(np.float64)
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
+        # denominator as sqrt(n2a)·sqrt(n2b) — the oracle's exact op
+        # chain — NOT sqrt(n2a·n2b), whose single sqrt rounds differently
+        sims = dots / np.outer(norms, norms)
+        simsr = np.floor(sims * 1e6 + 0.5) / 1e6
+        ri, ci = np.nonzero(
+            (simsr >= threshold) & (ids[None, :] > ids[:, None])
+        )
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ri, ci):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.array([find(int(i)) for i in range(len(ids))])
+        out_gid = np.empty(len(ids), dtype=ids.dtype)
+        out_size = np.empty(len(ids), dtype=np.int64)
+        keep = np.zeros(len(ids), dtype=bool)
+        for r in np.unique(roots):
+            m = roots == r
+            out_gid[m] = ids[m].min()
+            out_size[m] = int(m.sum())
+            # survivor = centroid-closest, ties to the lower id — the
+            # (d2, id) argmin the fixed-k twin's window applies
+            idxs = np.nonzero(m)[0]
+            best = idxs[np.lexsort((ids[idxs], d2[idxs]))[0]]
+            keep[best] = True
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "group_id": out_gid,
+                "group_size": out_size,
+                "keep": keep,
+            }
+        )
+
+    return cell_groups
+
+
 def semantic_dedup_prod(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1151,63 +1288,9 @@ def semantic_dedup_prod(
 
     sp = emb.sparkSession
 
-    # fp64 BLAS is EXACT here: every product/partial sum of micro-unit
-    # integers stays below 2^53 as long as 4·max|micro|²·dim < 2^53
-    # (the per-batch guard below — the 4 covers the combined
-    # d2 = ||x||² − 2·x·c + ||c||², whose magnitude reaches
-    # (|x|+|c|)²·dim ≤ 4·m²·dim), so dgemm returns the same integers
-    # the int64 einsum would — ~10-20× faster. Outside the bound, fall
-    # back to exact int64 arithmetic.
-    _F64_EXACT_BOUND = float(2**53)
-
-    def _exact_f64_ok(*mats) -> bool:
-        m = max(float(np.abs(a).max(initial=0.0)) for a in mats)
-        return 4.0 * m * m * dim < _F64_EXACT_BOUND
-
-    def _int64_ok_or_raise(*mats) -> None:
-        # The int64 fallback has its own exactness ceiling (round-11
-        # advice): past 4·m²·dim ≥ 2^63 (micro components beyond
-        # ~±sqrt(2^63/(4·dim)), ≈1.9e8 at dim 64, i.e. raw values past
-        # ~±190) numpy int64 WRAPS silently while the DuckDB BIGINT
-        # twin errors — the bit-for-bit contract would break exactly
-        # where the f64 guard hands off. Refuse loudly instead.
-        m = max(float(np.abs(a).max(initial=0.0)) for a in mats)
-        if 4.0 * m * m * dim >= float(2**63):
-            bound = (float(2**63) / (4.0 * max(dim, 1))) ** 0.5
-            raise ValueError(
-                f"semantic_dedup_prod: micro-unit magnitude {m:.3g} exceeds "
-                f"the int64-exact bound {bound:.3g} for dim={dim} — the "
-                "integer kernel would overflow silently; rescale the "
-                "embeddings (raw components must stay within "
-                f"~±{bound / 1e6:.0f})"
-            )
-
-    def _vmat(series) -> np.ndarray:
-        # Arrow hands list<int64> columns over as a Series of ndarrays:
-        # np.stack is C-speed where .tolist() pays a Python object per
-        # element (measured ~2 s per pass at 200k×64)
-        vals = series.to_numpy()
-        return (
-            np.stack(vals).astype(np.int64, copy=False)
-            if len(vals)
-            else np.empty((0, dim), dtype=np.int64)
-        )
-
-    def _d2_matrix(X: np.ndarray, C: np.ndarray) -> np.ndarray:
-        # D2 = ||x||² − 2·X·Cᵀ + ||c||² — exact integers either path
-        if _exact_f64_ok(X, C):
-            Xf, Cf = X.astype(np.float64), C.astype(np.float64)
-            return (
-                np.einsum("ij,ij->i", Xf, Xf)[:, None]
-                - 2 * (Xf @ Cf.T)
-                + np.einsum("ij,ij->i", Cf, Cf)[None, :]
-            )
-        _int64_ok_or_raise(X, C)
-        return (
-            np.einsum("ij,ij->i", X, X)[:, None]
-            - 2 * (X @ C.T)
-            + np.einsum("ij,ij->i", C, C)[None, :]
-        )
+    # distance kernels: the shared int-exact module helpers
+    # (_micro_mat / _int_d2_matrix) — fp64 BLAS inside the 2^53
+    # bound, int64 einsum inside the 2^63 bound, loud refusal past
 
     def _assign(ids_arr: np.ndarray, cmat: np.ndarray):
         # returns (frame, broadcast handle): each call ships a fresh
@@ -1221,11 +1304,11 @@ def semantic_dedup_prod(
         def kernel(batches):
             labels, C = bc.value  # cells sorted ascending, k×dim int64
             for pdf in batches:
-                X = _vmat(pdf["v"])
+                X = _micro_mat(pdf["v"], dim)
                 # np.argmin takes the FIRST min, and rows are sorted by
                 # cell, so an (exact-int) tie goes to the lowest cell —
                 # the oracle's ORDER BY d2, cell
-                d2 = _d2_matrix(X, C)
+                d2 = _int_d2_matrix(X, C, dim)
                 rows = np.argmin(d2, axis=1)
                 yield pd.DataFrame(
                     {
@@ -1253,8 +1336,8 @@ def semantic_dedup_prod(
         def kernel(batches):
             labels, C = bc.value
             for pdf in batches:
-                X = _vmat(pdf["v"])
-                rows = np.argmin(_d2_matrix(X, C), axis=1)
+                X = _micro_mat(pdf["v"], dim)
+                rows = np.argmin(_int_d2_matrix(X, C, dim), axis=1)
                 present = np.unique(rows)
                 sums = np.zeros((len(present), X.shape[1]), dtype=np.int64)
                 cnts = np.zeros(len(present), dtype=np.int64)
@@ -1310,72 +1393,235 @@ def semantic_dedup_prod(
     # per-round ones above are the accumulation hazard.
     final, _final_bc = _assign(cell_ids, cent)
 
-    # The dup graph's edges are IN-CELL by construction (the pair scan
-    # never crosses cells), so its connected components equal the
-    # per-cell components — the entire closure + group-size + survivor
-    # tail runs LOCALLY inside one applyInPandas (a ≤target-sized
-    # union-find per cell), replacing the distributed iterative
-    # connected_components pass that dominated the sf10 profile
-    # (~11.6 s of star-contraction rounds over the pair frame).
-    def cell_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        d2 = pdf["d2"].to_numpy()
-        mat = _vmat(pdf["v"])
-        if _exact_f64_ok(mat):  # fp64 dgemm returns the exact integers
-            mf = mat.astype(np.float64)
-            dots = mf @ mf.T
-            norms = np.sqrt(np.einsum("ij,ij->i", mf, mf))
-        else:
-            _int64_ok_or_raise(mat)
-            dots = (mat @ mat.T).astype(np.float64)
-            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat).astype(np.float64))
-        # denominator as sqrt(n2a)·sqrt(n2b) — the oracle's exact op
-        # chain — NOT sqrt(n2a·n2b), whose single sqrt rounds differently
-        sims = dots / np.outer(norms, norms)
-        simsr = np.floor(sims * 1e6 + 0.5) / 1e6
-        ri, ci = np.nonzero(
-            (simsr >= threshold) & (ids[None, :] > ids[:, None])
-        )
-        parent = np.arange(len(ids))
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in zip(ri, ci):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                parent[rb] = ra
-        roots = np.array([find(int(i)) for i in range(len(ids))])
-        out_gid = np.empty(len(ids), dtype=ids.dtype)
-        out_size = np.empty(len(ids), dtype=np.int64)
-        keep = np.zeros(len(ids), dtype=bool)
-        for r in np.unique(roots):
-            m = roots == r
-            out_gid[m] = ids[m].min()
-            out_size[m] = int(m.sum())
-            # survivor = centroid-closest, ties to the lower id — the
-            # (d2, id) argmin the fixed-k twin's window applies
-            idxs = np.nonzero(m)[0]
-            best = idxs[np.lexsort((ids[idxs], d2[idxs]))[0]]
-            keep[best] = True
-        return pd.DataFrame(
-            {
-                "id": ids,
-                "cell": pdf["cell"].to_numpy(),
-                "group_id": out_gid,
-                "group_size": out_size,
-                "keep": keep,
-            }
-        )
-
+    # The dup graph's edges are IN-CELL by construction, so the
+    # entire closure + group-size + survivor tail runs locally per
+    # cell (see _int_cell_groups_fn)
     return (
         final.select("cell", "id", "v", "d2")
         .groupBy("cell")
         .applyInPandas(
-            cell_groups,
+            _int_cell_groups_fn(dim, threshold),
+            f"id {id_t}, cell int, group_id {id_t}, group_size long, keep boolean",
+        )
+    )
+
+
+def semantic_dedup_coarse(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell_size: int = 250,
+    threshold: float = 0.9,
+    lloyd_rounds: int = 2,
+    coarse_cells: int | None = None,
+) -> DataFrame:
+    """SemDeDup with TWO-LEVEL (coarse-routed) assignment — the
+    documented next lever past :func:`semantic_dedup_prod`'s ~50M-vector
+    broadcast ceiling (round-11 verdict ask #5). prod broadcasts the
+    whole k×dim fine-centroid table (k = ceil(n/target) grows with the
+    corpus: ~100 MB at 50M vectors) and pays n·k·dim flops per
+    assignment round. Here assignment routes through a SMALL coarse
+    quantizer (kc = ceil(sqrt(k)) by default, the classic IVF sizing):
+
+    1. fine seeds = k smallest-md5 rows (exactly prod's seeding);
+       coarse seeds = the FIRST kc fine seeds, refined by one
+       exact-int Lloyd round over the fine-seed table (a k-row
+       metadata computation), then FROZEN;
+    2. each round, fine centroids route to their nearest coarse center
+       (k·kc·dim driver-side flops — metadata), and each VECTOR takes
+       coarse-argmin over the ≤kc live coarse centers (a tiny
+       broadcast), then fine-argmin among only that bucket's fine
+       centroids, delivered per-bucket via a cogrouped applyInPandas —
+       the k×dim table is SHUFFLED in ~sqrt(k)-sized slices, never
+       broadcast whole, and per-vector flops drop from n·k·dim to
+       ~2·n·sqrt(k)·dim (the measured fan-in bound);
+    3. the pair scan + local union-find tail is prod's, verbatim.
+
+    The routed argmin is the standard two-level APPROXIMATION (a
+    vector's true nearest fine centroid may sit in a neighboring
+    coarse bucket) — acceptable for SemDeDup cell BOUNDING, where any
+    reasonable partition works (Abbas et al. 2023 §3 use faiss IVF the
+    same way). Every arithmetic step keeps prod's int-exact discipline
+    (micro-unit int64, f64-BLAS behind the 2^53 guard, half-up-6dp
+    decisions, all ties deterministic), so the DuckDB twin replays the
+    ROUTING itself bit-for-bit: vectors routed to a bucket whose fine
+    centroids all vanished would be unassignable, so coarse candidates
+    are restricted to buckets that own >=1 fine centroid — in both
+    engines.
+
+    Output schema matches the siblings: one row per vector,
+    ``(id, cell, group_id, group_size, keep)``."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from the_framework_for_clustering_time_series_data_spark.operators.corpus_guard import id_spark_type
+
+    id_t = id_spark_type(emb, id_col)
+    v0 = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+    ).transform(stage_checkpoint, eager=False)
+    n = v0.count()
+    k = max(1, math.ceil(n / target_cell_size))
+    dim_row = v0.head()
+    dim = len(dim_row["v"]) if dim_row else 0
+
+    seeds = (
+        v0.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(k)
+        .collect()
+    )
+    cell_ids = np.arange(k, dtype=np.int64)
+    cent = np.array([r["v"] for r in seeds], dtype=np.int64)
+
+    kc = max(1, min(int(coarse_cells or math.ceil(math.sqrt(k))), k))
+    # coarse quantizer: first kc fine seeds, one exact-int refinement
+    # round over the k fine seeds (ties to the lower g; half-up int
+    # mean; a coarse seed no fine seed picked drops) — then FROZEN
+    g_seed = cent[:kc]
+    glab = np.argmin(_int_d2_matrix(cent, g_seed, dim), axis=1)
+    g_ids, g_rows = [], []
+    for g in range(kc):
+        m = glab == g
+        if m.any():
+            s = cent[m].sum(axis=0, dtype=np.int64)
+            g_rows.append(
+                np.floor(s.astype(np.float64) / int(m.sum()) + 0.5).astype(
+                    np.int64
+                )
+            )
+            g_ids.append(g)
+    g_ids = np.array(g_ids, dtype=np.int64)
+    gmat = np.stack(g_rows)
+
+    sp = emb.sparkSession
+
+    def _routed(cell_ids_arr: np.ndarray, cmat: np.ndarray, partials: bool):
+        # fine->coarse routing table: k rows, driver-side metadata
+        route = g_ids[np.argmin(_int_d2_matrix(cmat, gmat, dim), axis=1)]
+        present = np.unique(route)
+        keepm = np.isin(g_ids, present)
+        bc = sp.sparkContext.broadcast((g_ids[keepm], gmat[keepm]))
+
+        def coarse_kernel(batches):
+            gids, G = bc.value  # live buckets only, g ascending
+            for pdf in batches:
+                X = _micro_mat(pdf["v"], dim)
+                rows = np.argmin(_int_d2_matrix(X, G, dim), axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "v": pdf["v"],
+                        "g": gids[rows].astype(np.int32),
+                    }
+                )
+
+        routed = v0.mapInPandas(
+            coarse_kernel, f"id {id_t}, v array<long>, g int"
+        )
+        fine = sp.createDataFrame(
+            [
+                (int(route[i]), int(cell_ids_arr[i]), [int(x) for x in cmat[i]])
+                for i in range(len(cell_ids_arr))
+            ],
+            "g int, cell int, cvec array<long>",
+        )
+
+        def _bucket(l: pd.DataFrame, r: pd.DataFrame):
+            r = r.sort_values("cell")  # ties -> lower fine cell
+            C = _micro_mat(r["cvec"], dim)
+            cells = r["cell"].to_numpy()
+            X = _micro_mat(l["v"], dim)
+            d2 = _int_d2_matrix(X, C, dim)
+            rows = np.argmin(d2, axis=1) if len(X) else np.empty(0, np.int64)
+            return X, cells, rows, d2
+
+        if partials:
+
+            def fine_partials(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+                X, cells, rows, _ = _bucket(l, r)
+                present_c = np.unique(rows)
+                sums = np.zeros((len(present_c), dim), dtype=np.int64)
+                cnts = np.zeros(len(present_c), dtype=np.int64)
+                for i, rr in enumerate(present_c):
+                    m = rows == rr
+                    sums[i] = X[m].sum(axis=0)
+                    cnts[i] = int(m.sum())
+                return pd.DataFrame(
+                    {
+                        "cell": cells[present_c].astype(np.int32),
+                        "vsum": list(sums),
+                        "n": cnts,
+                    }
+                )
+
+            out = (
+                routed.groupBy("g")
+                .cogroup(fine.groupBy("g"))
+                .applyInPandas(fine_partials, "cell int, vsum array<long>, n long")
+            )
+        else:
+
+            def fine_assign(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+                _, cells, rows, d2 = _bucket(l, r)
+                return pd.DataFrame(
+                    {
+                        "id": l["id"],
+                        "v": l["v"],
+                        "cell": cells[rows].astype(np.int32),
+                        "d2": d2[np.arange(len(rows)), rows].astype(np.int64),
+                    }
+                )
+
+            out = (
+                routed.groupBy("g")
+                .cogroup(fine.groupBy("g"))
+                .applyInPandas(
+                    fine_assign, f"id {id_t}, v array<long>, cell int, d2 long"
+                )
+            )
+        return out, bc
+
+    for _ in range(lloyd_rounds - 1):
+        parts, parts_bc = _routed(cell_ids, cent, partials=True)
+        cm = (
+            parts.select("cell", "n", F.posexplode("vsum").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.sum("n") + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("cv")
+            )
+        )
+        rows = (
+            cm.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("cvec")
+            )
+            .orderBy("cell")  # empty cells drop, as in prod
+            .collect()
+        )
+        cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+        cent = np.array([r["cvec"] for r in rows], dtype=np.int64)
+        parts_bc.unpersist(blocking=False)
+
+    final, _final_bc = _routed(cell_ids, cent, partials=False)
+    return (
+        final.select("cell", "id", "v", "d2")
+        .groupBy("cell")
+        .applyInPandas(
+            _int_cell_groups_fn(dim, threshold),
             f"id {id_t}, cell int, group_id {id_t}, group_size long, keep boolean",
         )
     )

@@ -588,6 +588,160 @@ def dedup_semantic_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_coarse_oracle_sql(target: int, threshold: float, dim: int = 64) -> str:
+    """DuckDB twin of ``semantic_dedup_coarse(lloyd_rounds=2)``: the
+    two-level routed assignment replayed bit-for-bit — fine seeds as in
+    the prod twin, coarse seeds = first ceil(sqrt(k)) fine seeds with
+    one exact-int refinement round then FROZEN, every vector routed
+    coarse-argmin (over buckets owning >=1 fine centroid) then
+    fine-argmin within the bucket, one exact-int fine update round,
+    and the prod pair/closure/survivor tail. All ties deterministic
+    (lower g / lower cell / lower id)."""
+    seq = f"range(1, {dim + 1})"
+    cos = (
+        f"list_aggregate(list_transform({seq}, k -> a.v[k] * b.v[k]), 'sum')"
+        " / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))"
+        " * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum')))"
+    )
+
+    def d2(x: str, y: str) -> str:
+        return (
+            f"list_aggregate(list_transform({seq}, "
+            f"j -> ({x}[j] - {y}[j]) * ({x}[j] - {y}[j])), 'sum')"
+        )
+
+    def route(src: str, out: str) -> str:
+        # fine centroids -> FROZEN coarse centers, ties to the lower g
+        return f"""{out} AS (
+  SELECT cell, cvec, g FROM (
+    SELECT s.cell, s.cvec, t.g,
+           row_number() OVER (PARTITION BY s.cell
+                              ORDER BY {d2("s.cvec", "t.gvec")}, t.g) AS rn
+    FROM {src} s CROSS JOIN g1 t
+  ) WHERE rn = 1
+)"""
+
+    def assign2(route_cte: str, vg: str, out: str) -> str:
+        # two-level vector assignment: coarse-argmin over live buckets,
+        # then fine-argmin among the bucket's fine centroids
+        return f"""{vg} AS (
+  SELECT id, v, g FROM (
+    SELECT e.id, e.v, t.g,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY {d2("e.v", "t.gvec")}, t.g) AS rn
+    FROM e CROSS JOIN (
+      SELECT g, gvec FROM g1
+      WHERE g IN (SELECT DISTINCT g FROM {route_cte})
+    ) t
+  ) WHERE rn = 1
+),
+{out} AS (
+  SELECT id, v, cell, d2 FROM (
+    SELECT s.id, s.v, c.cell, {d2("s.v", "c.cvec")} AS d2,
+           row_number() OVER (PARTITION BY s.id
+                              ORDER BY {d2("s.v", "c.cvec")}, c.cell) AS rn
+    FROM {vg} s JOIN {route_cte} c ON c.g = s.g
+  ) WHERE rn = 1
+)"""
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT rk - 1 AS cell, v AS cvec FROM (
+    SELECT v, row_number() OVER (ORDER BY md5(id::VARCHAR), id) AS rk,
+           count(*) OVER () AS n
+    FROM e
+  ) WHERE rk <= ceil(n / {target}.0)
+),
+g0 AS (
+  SELECT cell AS g, cvec AS gvec FROM c0
+  WHERE cell < (SELECT ceil(sqrt(count(*))) FROM c0)
+),
+ga AS (
+  SELECT cell, cvec, g FROM (
+    SELECT s.cell, s.cvec, t.g,
+           row_number() OVER (PARTITION BY s.cell
+                              ORDER BY {d2("s.cvec", "t.gvec")}, t.g) AS rn
+    FROM c0 s CROSS JOIN g0 t
+  ) WHERE rn = 1
+),
+gm AS (
+  SELECT g, pos, CAST(floor(sum(val)::DOUBLE / count(*) + 0.5) AS BIGINT) AS gv
+  FROM (SELECT g, generate_subscripts(cvec, 1) AS pos, unnest(cvec) AS val
+        FROM ga)
+  GROUP BY 1, 2
+),
+g1 AS (SELECT g, list(gv ORDER BY pos) AS gvec FROM gm GROUP BY 1),
+{route("c0", "r0")},
+{assign2("r0", "vg0", "a0")},
+cm AS (
+  SELECT cell, pos,
+         CAST(floor(sum(val)::DOUBLE / count(*) + 0.5) AS BIGINT) AS cv
+  FROM (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+        FROM a0)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cell, list(cv ORDER BY pos) AS cvec FROM cm GROUP BY 1),
+{route("c1", "r1")},
+{assign2("r1", "vg1", "a1")},
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM a1 a JOIN a1 b ON a.cell = b.cell AND a.id < b.id
+  WHERE floor(({cos}) * 1e6 + 0.5) / 1e6 >= {threshold}
+),
+ed AS (SELECT id_a AS u, id_b AS nb FROM p
+       UNION ALL SELECT id_b, id_a FROM p),
+reach(src, dst) AS (
+  SELECT u, nb FROM ed
+  UNION
+  SELECT r.src, ed.nb FROM reach r JOIN ed ON ed.u = r.dst
+  WHERE ed.nb <> r.src
+),
+comp AS (
+  SELECT n.id, least(n.id, min(r.dst)) AS group_id
+  FROM (SELECT DISTINCT u AS id FROM ed) n
+  LEFT JOIN reach r ON r.src = n.id
+  GROUP BY n.id
+),
+gsz AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1),
+mem AS (
+  SELECT a1.id, a1.cell, coalesce(comp.group_id, a1.id) AS group_id,
+         coalesce(gsz.group_size, 1) AS group_size, a1.d2
+  FROM a1 LEFT JOIN comp ON comp.id = a1.id
+  LEFT JOIN gsz ON gsz.group_id = comp.group_id
+)
+SELECT id, CAST(cell AS INT) AS cell, group_id,
+       CAST(group_size AS BIGINT) AS group_size,
+       (row_number() OVER (PARTITION BY group_id ORDER BY d2, id) = 1) AS keep
+FROM mem
+"""
+
+
+@register("dedup_semantic_coarse", _semantic_coarse_oracle_sql(50, 0.4))
+def dedup_semantic_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with two-level coarse-routed assignment (round-11
+    verdict ask #5 — the lever past dedup_semantic_prod's ~50M-vector
+    centroid-broadcast ceiling): vectors route through a
+    ceil(sqrt(k))-center coarse quantizer, then fine-argmin among only
+    that bucket's fine centroids, delivered per-bucket via a cogrouped
+    applyInPandas — the k×dim fine table is never broadcast whole and
+    per-vector assignment flops drop from n·k·dim to ~2·n·sqrt(k)·dim.
+    Registered at target_cell_size=50 so the driver decade exercises a
+    real multi-bucket routing (k=10, kc=4 at sf0.01); prod keeps the
+    paper's 250. Same int-exact posture: the oracle replays the
+    routing, refinement, and closure bit-for-bit."""
+    return dedup.semantic_dedup_coarse(
+        load_table(spark, sf_dir, "embeddings"),
+        target_cell_size=50,
+        threshold=0.4,
+    )
+
+
 @register(
     "dedup_incremental",
     """

@@ -43,4 +43,10 @@ def get_spark(app_name: str = "the_framework_for_clustering_time_series_data_spa
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # measurement seam: SPARK_GRAFT_DRIVER_JAVA_OPTS="-Xlog:gc*:file=…"
+    # lets a sweep capture GC logs for heap-pressure adjudication (the
+    # round-11 c8@sf100 GCLocker finding) without code edits
+    extra_java = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if extra_java:
+        builder = builder.config("spark.driver.extraJavaOptions", extra_java)
     return builder.getOrCreate()
