@@ -123,6 +123,10 @@ HEADLINE = [
     "dedup_semantic_prod",
     "i1b_rp_capped",
     "i2b_gaf_capped",
+    # round-12 addition: the two-level coarse-routed SemDeDup — benched
+    # so the routed shape is tracked round-over-round next to its flat
+    # sibling
+    "dedup_semantic_coarse",
 ]
 
 
