@@ -1272,10 +1272,13 @@ def semantic_dedup_prod(
             lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
         ).alias("v"),
     ).transform(stage_checkpoint, eager=False)
-    n = v0.count()
+    # one job for both scalars (guide §1 — don't pay two action
+    # barriers for metadata one scan yields): n and dim together;
+    # F.first is order-arbitrary but dim is constant across rows
+    nd = v0.agg(F.count("*").alias("n"), F.first("v").alias("v1")).head()
+    n = nd["n"]
     k = max(1, math.ceil(n / target_cell_size))
-    dim_row = v0.head()
-    dim = len(dim_row["v"]) if dim_row else 0
+    dim = len(nd["v1"]) if nd["v1"] is not None else 0
 
     seeds = (
         v0.withColumn("_h", F.md5(F.col("id").cast("string")))
@@ -1466,10 +1469,13 @@ def semantic_dedup_coarse(
             lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long"),
         ).alias("v"),
     ).transform(stage_checkpoint, eager=False)
-    n = v0.count()
+    # one job for both scalars (guide §1 — don't pay two action
+    # barriers for metadata one scan yields): n and dim together;
+    # F.first is order-arbitrary but dim is constant across rows
+    nd = v0.agg(F.count("*").alias("n"), F.first("v").alias("v1")).head()
+    n = nd["n"]
     k = max(1, math.ceil(n / target_cell_size))
-    dim_row = v0.head()
-    dim = len(dim_row["v"]) if dim_row else 0
+    dim = len(nd["v1"]) if nd["v1"] is not None else 0
 
     seeds = (
         v0.withColumn("_h", F.md5(F.col("id").cast("string")))
@@ -1567,47 +1573,83 @@ def semantic_dedup_coarse(
                 .applyInPandas(fine_partials, "cell int, vsum array<long>, n long")
             )
         else:
+            # FUSED final kernel (guide §8 — move the payload once):
+            # a fine cell's members are exactly the vectors of its own
+            # coarse bucket that argmin to it, so the per-cell
+            # union-find tail can run INSIDE the bucket task — the
+            # pre-r12 shape re-shuffled the full (id, v) payload a
+            # second time by cell and paid one more Python stage for
+            # the same per-cell row sets.
+            cell_fn = _int_cell_groups_fn(dim, threshold)
 
-            def fine_assign(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-                _, cells, rows, d2 = _bucket(l, r)
-                return pd.DataFrame(
-                    {
-                        "id": l["id"],
-                        "v": l["v"],
-                        "cell": cells[rows].astype(np.int32),
-                        "d2": d2[np.arange(len(rows)), rows].astype(np.int64),
-                    }
-                )
+            def fine_groups(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+                X, cells, rows, d2 = _bucket(l, r)
+                if not len(X):
+                    return pd.DataFrame(
+                        {
+                            "id": l["id"],
+                            "cell": pd.Series([], dtype="int32"),
+                            "group_id": l["id"],
+                            "group_size": pd.Series([], dtype="int64"),
+                            "keep": pd.Series([], dtype="bool"),
+                        }
+                    )
+                d2v = d2[np.arange(len(rows)), rows].astype(np.int64)
+                parts_out = []
+                for ci in np.unique(rows):
+                    m = rows == ci
+                    parts_out.append(
+                        cell_fn(
+                            pd.DataFrame(
+                                {
+                                    "id": l["id"].to_numpy()[m],
+                                    "v": l["v"].to_numpy()[m],
+                                    "cell": np.full(
+                                        int(m.sum()), cells[ci], dtype=np.int32
+                                    ),
+                                    "d2": d2v[m],
+                                }
+                            )
+                        )
+                    )
+                return pd.concat(parts_out, ignore_index=True)
 
             out = (
                 routed.groupBy("g")
                 .cogroup(fine.groupBy("g"))
                 .applyInPandas(
-                    fine_assign, f"id {id_t}, v array<long>, cell int, d2 long"
+                    fine_groups,
+                    f"id {id_t}, cell int, group_id {id_t}, "
+                    "group_size long, keep boolean",
                 )
             )
         return out, bc
 
     for _ in range(lloyd_rounds - 1):
         parts, parts_bc = _routed(cell_ids, cent, partials=True)
-        cm = (
-            parts.select("cell", "n", F.posexplode("vsum").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(
-                F.floor(
-                    F.sum("val").cast("double") / F.sum("n") + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("cv")
-            )
+        # ONE exchange (guide §2.3 — aggregate before you shuffle): the
+        # per-task partial sums fold elementwise per cell via an int64
+        # array zip (order-free exact adds), replacing the pre-r12
+        # posexplode → groupBy(cell,pos) → groupBy(cell) two-exchange
+        # regroup; the half-up mean per component is value-identical.
+        zero = F.array_repeat(F.lit(0).cast("long"), dim)
+        cm = parts.groupBy("cell").agg(
+            F.sum("n").alias("ntot"),
+            F.aggregate(
+                F.collect_list("vsum"),
+                zero,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("vs"),
         )
         rows = (
-            cm.groupBy("cell")
-            .agg(
+            cm.select(
+                "cell",
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s.cv,
-                ).alias("cvec")
+                    "vs",
+                    lambda s: F.floor(
+                        s.cast("double") / F.col("ntot") + F.lit(0.5)
+                    ).cast("long"),
+                ).alias("cvec"),
             )
             .orderBy("cell")  # empty cells drop, as in prod
             .collect()
@@ -1617,14 +1659,7 @@ def semantic_dedup_coarse(
         parts_bc.unpersist(blocking=False)
 
     final, _final_bc = _routed(cell_ids, cent, partials=False)
-    return (
-        final.select("cell", "id", "v", "d2")
-        .groupBy("cell")
-        .applyInPandas(
-            _int_cell_groups_fn(dim, threshold),
-            f"id {id_t}, cell int, group_id {id_t}, group_size long, keep boolean",
-        )
-    )
+    return final
 
 
 def incremental_dedup(

@@ -2387,11 +2387,27 @@ def c12_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     between/within sums (decimal(38,0) accumulators — micro^2 units
     overflow int64 near 3e7 rows/cluster), DB from integer-quantized
     scatter and centroid-gap distances. Output: per-cluster rows
-    (size, scatter, DB component) with the global CH/DB repeated."""
+    (size, scatter, DB component) with the global CH/DB repeated.
+
+    Round-12 shape (guide §2.3/§2.4 — aggregate before you shuffle,
+    remove repeated subtrees): the Lloyd assignment is materialized
+    ONCE via stage_checkpoint instead of re-executing its unrolled
+    2-round DAG for every downstream consumer (the pre-r12 plan held
+    102 Exchange nodes for this reason), and the per-cell sufficient
+    statistics carry Σq and Σq² so the within-cluster sum W_c is the
+    exact integer identity Σ(q−c)² = Σq² − 2cΣq + n·c² (decimal
+    accumulators, value-identical to the per-point form) while the
+    global mean folds from the per-cell sums. Only sum_du — a
+    per-point floor(sqrt(d2i)+0.5) — still needs a second pass over
+    the (checkpointed) assignment."""
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+
     K = _C1B_K
     e = _emb_xy(spark, sf_dir)
     v = e.select("series_id", F.array("x", "y").alias("v"))
-    a1 = cluster.deterministic_lloyd_assign(v, K, id_col="series_id", vec_col="v")
+    a1 = cluster.deterministic_lloyd_assign(
+        v, K, id_col="series_id", vec_col="v"
+    ).transform(stage_checkpoint, eager=False)
 
     def fdiv(a, b):
         return F.floor(a.cast("double") / b.cast("double")).cast("long")
@@ -2401,8 +2417,17 @@ def c12_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("v")[0] * 1e6 + 0.5).cast("long").alias("q1"),
         F.floor(F.col("v")[1] * 1e6 + 0.5).cast("long").alias("q2"),
     )
-    st = q.groupBy("cell").agg(
-        F.count("*").alias("n_c"), F.sum("q1").alias("s1"), F.sum("q2").alias("s2")
+    dec = "decimal(38,0)"
+    st = (
+        q.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_c"),
+            F.sum("q1").alias("s1"),
+            F.sum("q2").alias("s2"),
+            F.sum((F.col("q1") * F.col("q1")).cast(dec)).alias("sq1"),
+            F.sum((F.col("q2") * F.col("q2")).cast(dec)).alias("sq2"),
+        )
+        .transform(stage_checkpoint, eager=False)
     )
     ct = st.select(
         "cell",
@@ -2410,20 +2435,39 @@ def c12_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
         fdiv(2 * F.col("s1") + F.col("n_c"), 2 * F.col("n_c")).alias("c1us"),
         fdiv(2 * F.col("s2") + F.col("n_c"), 2 * F.col("n_c")).alias("c2us"),
     )
-    gl = q.agg(
-        F.count("*").alias("n"),
-        fdiv(2 * F.sum("q1") + F.count("*"), 2 * F.count("*")).alias("g1us"),
-        fdiv(2 * F.sum("q2") + F.count("*"), 2 * F.count("*")).alias("g2us"),
+    gl = st.agg(
+        F.sum("n_c").alias("n"),
+        fdiv(2 * F.sum("s1") + F.sum("n_c"), 2 * F.sum("n_c")).alias("g1us"),
+        fdiv(2 * F.sum("s2") + F.sum("n_c"), 2 * F.sum("n_c")).alias("g2us"),
+    )
+    # W_c via the exact integer identity (all terms decimal(38,0)):
+    # Σ(q−c)² = Σq² − 2·c·Σq + n·c², per coordinate.
+    stc = st.join(ct.select("cell", "c1us", "c2us"), "cell")
+    w_c_expr = (
+        F.col("sq1")
+        - F.lit(2).cast(dec) * F.col("c1us").cast(dec) * F.col("s1").cast(dec)
+        + F.col("n_c").cast(dec) * F.col("c1us").cast(dec) * F.col("c1us").cast(dec)
+        + F.col("sq2")
+        - F.lit(2).cast(dec) * F.col("c2us").cast(dec) * F.col("s2").cast(dec)
+        + F.col("n_c").cast(dec) * F.col("c2us").cast(dec) * F.col("c2us").cast(dec)
     )
     d2i = (F.col("q1") - F.col("c1us")) * (F.col("q1") - F.col("c1us")) + (
         F.col("q2") - F.col("c2us")
     ) * (F.col("q2") - F.col("c2us"))
-    wm = q.join(F.broadcast(ct), "cell").select("cell", d2i.alias("d2i"))
-    wc = wm.groupBy("cell").agg(
-        F.sum(F.col("d2i").cast("decimal(38,0)")).alias("w_c"),
-        F.sum(F.floor(F.sqrt(F.col("d2i").cast("double")) + 0.5).cast("long")).alias(
-            "sum_du"
-        ),
+    du = (
+        q.join(F.broadcast(ct.select("cell", "c1us", "c2us")), "cell")
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                F.floor(F.sqrt(d2i.cast("double")) + 0.5).cast("long")
+            ).alias("sum_du")
+        )
+    )
+    wc = (
+        stc.select("cell", w_c_expr.cast(dec).alias("w_c"))
+        .join(du, "cell")
+        .select("cell", "w_c", "sum_du")
+        .transform(stage_checkpoint, eager=False)
     )
     tot = wc.agg(F.sum("w_c").alias("w_all"))
     bgap = (F.col("c1us") - F.col("g1us")) * (F.col("c1us") - F.col("g1us")) + (
