@@ -153,6 +153,75 @@ def deterministic_lloyd_assign(
     return out
 
 
+def deterministic_lloyd_assign_multi(
+    df: DataFrame,
+    ks: tuple[int, ...],
+    id_col: str = "id",
+    vec_col: str = "v",
+    lloyd_rounds: int = 2,
+) -> DataFrame:
+    """All of :func:`deterministic_lloyd_assign`'s fits for SEVERAL k
+    values as ONE keyed plan — the model-selection shape (c4b runs
+    k = 2..6 over the same points). Per-k arithmetic is IDENTICAL to
+    the single-k form: the md5 seed order is shared (the k smallest-md5
+    seeds are a prefix of the max(ks) seed set), assignment is the same
+    (d2, cell) min_by argmin grouped by (k, id), and centroid means
+    aggregate per (k, cell, pos) — so each k's assignment equals its
+    standalone twin while the five separate Lloyd DAGs (≈5× exchanges
+    plus 5× job-scheduling constants, the measured 3.8-4.1 s of c4b's
+    sf0.1 cost) collapse into one round-trip per Lloyd round (guide
+    §2.4 — share one exchange between same-keyed work).
+
+    Returns ``(k, id, v, cell, d2)`` — one row per (k, input row)."""
+    kmax = max(ks)
+    v0 = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).transform(stage_checkpoint, eager=False)
+
+    init = (
+        v0.withColumn("_h", F.md5(F.col("id").cast("string")))
+        .orderBy("_h", "id")
+        .limit(kmax)
+    )
+    w_seed = tiny_window("_h", "id", key="_h")
+    seeds = init.withColumn("cell", F.row_number().over(w_seed) - 1).select(
+        "cell", F.col("v").alias("cvec")
+    )
+    ksdf = df.sparkSession.createDataFrame([(int(k),) for k in ks], "k int")
+    # per-k initial centroids: the k-prefix of the shared seed ranking
+    cdf = seeds.join(F.broadcast(ksdf), F.col("cell") < F.col("k")).select(
+        "k", "cell", "cvec"
+    )
+
+    d2_expr = F.aggregate(
+        F.zip_with("v", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _assign(centroids: DataFrame) -> DataFrame:
+        j = v0.crossJoin(F.broadcast(centroids)).withColumn("d2", d2_expr)
+        best = j.groupBy("k", "id").agg(
+            F.min_by(F.struct("cell", "v", "d2"), F.struct("d2", "cell")).alias(
+                "_best"
+            )
+        )
+        return best.select("k", "id", "_best.v", "_best.cell", "_best.d2")
+
+    for _ in range(lloyd_rounds - 1):
+        a = _assign(cdf)
+        ex = a.select("k", "cell", F.posexplode("v").alias("pos", "val"))
+        cm = ex.groupBy("k", "cell", "pos").agg(
+            (F.floor(F.avg("val") * 1e6 + 0.5) / 1e6).alias("cv")
+        )
+        cdf = cm.groupBy("k", "cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
+            ).alias("cvec")
+        )
+    return _assign(cdf)
+
+
 def bisecting_lloyd_assign(
     df: DataFrame,
     k: int,
@@ -261,10 +330,36 @@ def silhouette_exact(pred: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     SAME points — score in ONE fused job instead of N sequential ones
     (identical per-k arithmetic: same pair sets, same aggregates)."""
     ks = list(keys)
-    a, b = pred.alias("a"), pred.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in ks] + [
-        F.col("a.series_id") != F.col("b.series_id")
-    ]
+    # Keyed form (model selection): the equi-join key is k alone — a
+    # handful of distinct values, so a plain sort-merge join lands ALL
+    # n² pair work on ≤|k| tasks (guide §2.5: a single enormous key
+    # that AQE cannot split). Salt it: the LEFT point picks one of
+    # ``nsalt`` deterministic buckets, the RIGHT side replicates into
+    # every bucket — pair sets per (series_id, other_prediction) group
+    # are unchanged (each left row still meets every right row of its
+    # k exactly once), so aggregates are value-identical while the
+    # pair work spreads over |k|·nsalt tasks.
+    nsalt = (
+        int(pred.sparkSession.conf.get("spark.graft.silhouette.pair.salt", "16"))
+        if ks
+        else 1
+    )
+    if ks and nsalt > 1:
+        a = pred.withColumn(
+            "_ps", F.pmod(F.xxhash64(F.col("series_id")), F.lit(nsalt)).cast("int")
+        ).alias("a")
+        b = pred.withColumn(
+            "_ps", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
+        ).alias("b")
+        salt_cond = [F.col("a._ps") == F.col("b._ps")]
+    else:
+        a, b = pred.alias("a"), pred.alias("b")
+        salt_cond = []
+    cond = (
+        [F.col(f"a.{c}") == F.col(f"b.{c}") for c in ks]
+        + salt_cond
+        + [F.col("a.series_id") != F.col("b.series_id")]
+    )
     pair_means = (
         a.join(b, cond)
         .select(

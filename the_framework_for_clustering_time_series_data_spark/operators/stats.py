@@ -90,31 +90,38 @@ def poisson_bootstrap_moments(
     Hash budget + codegen discipline: each digest is chopped into FOUR
     independent 28-bit uniforms (7 hex chars each, vs the POISSON_T28
     integer-CDF table), so replicate rep reads chunk rep%4 of
-    md5(id:rep//4) — reps/4 hashes per row. The kernel is a TWO-LEVEL
-    posexplode (rows × blocks, then × 4 chunks) so every expression
-    stays FLAT inside whole-stage codegen: computing the weights
-    inside a transform() lambda instead ran the md5 chunking
-    INTERPRETED (Spark evaluates higher-order-function lambdas outside
-    codegen) and was 25% SLOWER than the 32-md5 original. Measured at
-    sf0.1: 4.8 s → 3.0 s. When ``reps % 4 != 0`` the surplus chunk
-    replicates of the last block are filtered so rep ids are exactly
-    ``0..reps-1``."""
+    md5(id:rep//4) — reps/4 hashes per row. Round-12 kernel (guide
+    §2.3 — aggregate before you shuffle; §1.2 — fix the per-task
+    work): NO row explosion at all. The digests are projected once per
+    row and every replicate becomes its own pair of FLAT aggregate
+    expressions (s_r = Σ w_r·v, n_r = Σ w_r), so the map stage pushes
+    n rows through one 2·reps-column hash aggregate instead of n×reps
+    exploded rows through per-row group lookups; the per-key result
+    (reps structs wide) is then unpivoted to the same ``(key..., rep,
+    s, n)`` rows. History: a transform() lambda form ran the md5
+    chunking INTERPRETED (higher-order-function lambdas evaluate
+    outside codegen, 25% slower than the 32-md5 original); the r7
+    two-level posexplode measured 4.8 s → 3.0 s at sf0.1; this
+    explode-free form measures 3.0 → ~1.3 s steady and shrinks the
+    map-output rows ×reps. Values are identical: the same md5-chunk
+    weights feed the same exact integer sums, just accumulated
+    per-column instead of per-exploded-row."""
     blocks = (reps + 3) // 4
     r1 = df.select(
         *key_cols,
         F.col(value_cents_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat_ws(":", F.col(id_col), F.lit(b)).cast("binary"))
-                    for b in range(blocks)
-                ]
+        *[
+            F.md5(F.concat_ws(":", F.col(id_col), F.lit(b)).cast("binary")).alias(
+                f"_h{b}"
             )
-        ).alias("_blk", "_h"),
+            for b in range(blocks)
+        ],
     )
 
-    def cnt(c: int):
-        u = F.conv(F.substring(F.col("_h"), 1 + 7 * c, 7), 16, 10).cast("long")
+    def cnt(rep: int):
+        u = F.conv(
+            F.substring(F.col(f"_h{rep // 4}"), 1 + 7 * (rep % 4), 7), 16, 10
+        ).cast("long")
         return (
             F.when(u < POISSON_T28[0], 0)
             .when(u < POISSON_T28[1], 1)
@@ -123,22 +130,27 @@ def poisson_bootstrap_moments(
             .otherwise(4)
         )
 
-    r2 = r1.select(
+    aggs = []
+    for rep in range(reps):
+        w = cnt(rep)
+        aggs.append(F.sum(w * F.col(value_cents_col)).alias(f"_s{rep}"))
+        aggs.append(F.sum(w).alias(f"_n{rep}"))
+    g = r1.groupBy(*key_cols).agg(*aggs)
+    return g.select(
         *key_cols,
-        F.col(value_cents_col),
-        "_blk",
-        F.posexplode(F.array(*[cnt(c) for c in range(4)])).alias("_chunk", "_w"),
-    )
-    if reps % 4:
-        # drop the ceil(reps/4)*4 - reps surplus chunk replicates so a
-        # caller passing reps=30 gets exactly rep ids 0..29, not 32
-        r2 = r2.where(F.col("_blk") * 4 + F.col("_chunk") < F.lit(reps))
-    return r2.groupBy(
-        *key_cols, (F.col("_blk") * 4 + F.col("_chunk")).alias("rep")
-    ).agg(
-        F.sum(F.col("_w") * F.col(value_cents_col)).alias("s"),
-        F.sum("_w").alias("n"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rep).cast("int").alias("rep"),
+                        F.col(f"_s{rep}").alias("s"),
+                        F.col(f"_n{rep}").alias("n"),
+                    )
+                    for rep in range(reps)
+                ]
+            )
+        ).alias("_r"),
+    ).select(*key_cols, "_r.rep", "_r.s", "_r.n")
 
 
 def theilsen_mk(series: DataFrame) -> DataFrame:

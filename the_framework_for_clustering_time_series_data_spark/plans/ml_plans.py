@@ -559,22 +559,25 @@ def c4b_selection_md5lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb_xy(spark, sf_dir)
     v = e.select(F.col("series_id").alias("id"), F.array("x", "y").alias("v"))
-    per_k = []
-    for k in _C4B_KS:
-        assign = cluster.deterministic_lloyd_assign(v, k, id_col="id", vec_col="v")
-        per_k.append(
-            assign.select(
-                F.lit(k).cast("int").alias("k"),
-                F.col("id").alias("series_id"),
-                F.col("v")[0].alias("x"),
-                F.col("v")[1].alias("y"),
-                F.col("cell").alias("prediction"),
-            )
+    # round 12: ONE keyed Lloyd for all five k's (identical per-k
+    # arithmetic — deterministic_lloyd_assign_multi shares the md5
+    # seed prefix and groups every aggregate by k) instead of five
+    # unioned Lloyd DAGs; the five fits' scheduling constants were
+    # the measured bulk of this plan's cost (3.8-4.1 s of ~4.6 at
+    # sf0.1), the silhouette only 1.7-2.7 s.
+    allpred = (
+        cluster.deterministic_lloyd_assign_multi(
+            v, _C4B_KS, id_col="id", vec_col="v"
         )
-    allpred = per_k[0]
-    for nxt in per_k[1:]:
-        allpred = allpred.unionAll(nxt)
-    allpred = allpred.transform(stage_checkpoint, eager=False)
+        .select(
+            "k",
+            F.col("id").alias("series_id"),
+            F.col("v")[0].alias("x"),
+            F.col("v")[1].alias("y"),
+            F.col("cell").alias("prediction"),
+        )
+        .transform(stage_checkpoint, eager=False)
+    )
     allk = (
         cluster.silhouette_exact(allpred, keys=("k",))
         .select("k", F.round("silhouette", 6).alias("s"))

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
-from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import tiny_window
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint, tiny_window
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
 _PERIODS = (2, 3, 7, 14)  # candidate seasonal periods, in days
@@ -384,7 +384,10 @@ def _sax_hamming1_candidates(s: DataFrame, words: DataFrame = None) -> DataFrame
     ``words`` lets a caller that already derived the word table (the
     adaptive blocker, which also needs it for density flags) pass it
     in instead of re-deriving the rollup→z-score→PAA subtree."""
-    words = words if words is not None else _sax_words_at(s, _SBD_NSEG)
+    if words is None:
+        # one row per series, consumed 3× below (vocab / wa / wb) —
+        # checkpoint so the two PAA groupBys run once (guide §2.4)
+        words = _sax_words_at(s, _SBD_NSEG).transform(stage_checkpoint, eager=False)
     vocab = words.select("word").distinct()
     ham = sum(
         F.when(
@@ -715,6 +718,9 @@ def _sbd_pairs_frame(
         )
         .where((F.col("_sd") > 0) & (F.col("n") >= _MIN_DAYS))
         .drop("_sd")
+        # shared by both pair sides and the SAX candidate builder —
+        # checkpoint so the rollup + windows run once (guide §2.4)
+        .transform(stage_checkpoint, eager=False)
     )
     lags = spark.createDataFrame([(x,) for x in range(-_MAX_LAG, _MAX_LAG + 1)], "lag int")
     a = s.select(
@@ -937,6 +943,9 @@ def ts_corr_sax_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("_sd") > 0) & (F.col("n") >= _MIN_DAYS))
         .drop("_sd")
+        # shared by both pair sides and the SAX candidate builder —
+        # checkpoint so the rollup + windows run once (guide §2.4)
+        .transform(stage_checkpoint, eager=False)
     )
     cand = _sax_hamming1_candidates(s)
     a = s.select(F.col("series_id").alias("sid_a"), F.col("t").alias("t_a"), F.col("v").alias("va"))
