@@ -146,7 +146,11 @@ def deterministic_lloyd_assign(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s.cv
             ).alias("cvec")
-        )
+        ).transform(stage_checkpoint, eager=False)
+        # ≤ k rows — checkpointing each round's centroid table means a
+        # consumer that BOTH collects the centroids (with_centroids →
+        # IVF index metadata) and evaluates the assignment runs the
+        # Lloyd rounds once, not once per consumer (guide §2.4)
     out = _assign(cdf)
     if with_centroids:
         return out, cdf

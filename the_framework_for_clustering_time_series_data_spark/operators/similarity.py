@@ -870,6 +870,11 @@ def _pq_det_build(
                 lambda s: s.cv,
             ).alias("cvec")
         )
+        # m×n_codes rows — the codebook feeds BOTH the code assignment
+        # and the per-query ADC LUT broadcast; without the checkpoint
+        # the per-subspace Lloyd rounds re-execute for each (guide §2.4)
+        from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+        cdf = cdf.transform(stage_checkpoint, eager=False)
         a = _assign(cdf)
 
     codes_arr = a.groupBy("nbr_id").agg(
