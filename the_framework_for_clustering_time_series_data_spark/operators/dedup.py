@@ -279,6 +279,11 @@ def ngram_jaccard_pairs(
     else:
         ex = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
         if max_doc_freq is not None:
+            # the postings feed BOTH the doc-frequency aggregate and
+            # the anti-join input — checkpoint so tokenize + shingle +
+            # hash + explode run once, not twice (guide §2.4; the
+            # reliable-checkpoint conf covers the cluster form)
+            ex = ex.transform(stage_checkpoint, eager=False)
             hot = (
                 ex.groupBy("shingle")
                 .agg(F.count("*").alias("_df"))

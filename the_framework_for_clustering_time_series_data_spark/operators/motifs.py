@@ -163,6 +163,11 @@ def verified_motifs(
         )
         .drop("zs", "_m", "_s")
     )
+    # both sides of the pair self-join read cand — checkpoint so the
+    # z-norm → SAX-word → window-assembly → cap chain runs once, not
+    # twice (guide §2.4); ≤ max_per_word·|words| rows of L doubles
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+    cand = cand.transform(stage_checkpoint, eager=False)
 
     a = cand.select(
         "word",

@@ -865,6 +865,10 @@ def dedup_edit_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
+    # NOT checkpointed (round-12 A/B): the explode is cheap compute
+    # with a large materialized footprint (shingle strings), so
+    # re-computing it per join side beats localCheckpoint write+read
+    # (measured 2.4-3.1 s/run vs 4.5-5.4 s/run checkpointed at sf0.1)
     a = sh.select(
         F.col("doc_id").alias("id_a"), "lang", "shingle"
     )
