@@ -1159,6 +1159,10 @@ def pam_md5_assign(
 
     a = _assign(meds)
     for _ in range(rounds):
+        # the round's assignment feeds BOTH sides of the per-cell
+        # self-join — checkpoint so the assign + upstream rounds run
+        # once per round, not once per consumer (guide §2.4)
+        a = a.transform(stage_checkpoint, eager=False)
         rhs = a.select(F.col("cell").alias("_c2"), F.col("v").alias("v2"))
         pairs = a.join(rhs, F.col("cell") == F.col("_c2"))
         # 6-dp micro-unit distance: floor(d*1e6+0.5) as int64 — the

@@ -1653,11 +1653,17 @@ def d5b_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     ).distinct()
+    # el feeds both the sketch build and the exact-truth audit; bot
+    # feeds both the theta aggregate and the sample join — checkpoint
+    # so the distinct scan and the bottom-k window run once (guide §2.4)
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+    el = el.transform(stage_checkpoint, eager=False)
     wb = Window.partitionBy("event_type").orderBy("h")
     bot = (
         el.withColumn("rn", F.row_number().over(wb))
         .where(F.col("rn") <= _KMV_K)
         .select("event_type", "h")
+        .transform(stage_checkpoint, eager=False)
     )
     th = bot.groupBy("event_type").agg(
         F.when(F.count("*") >= _KMV_K, F.max("h"))

@@ -269,15 +269,32 @@ def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # round 12 (guide §2.4): the edge list feeds both half-rounds
+        # of every iteration, and each round's score table feeds both
+        # its own max-aggregate and the next join — unchecked, the
+        # unrolled two-round DAG re-instantiated every upstream subtree
+        # per consumer (122 Exchange nodes in the pre-r12 plan; 9 now).
+        # Edge + per-round score frames are node-sized; values exact.
+        .transform(stage_checkpoint, eager=False)
     )
     a = e.select("s").distinct().withColumn("a_us", F.lit(1000000).cast("long"))
     for _ in range(2):
-        hr = e.join(a, "s").groupBy("c").agg(F.sum("a_us").alias("raw"))
+        hr = (
+            e.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a_us").alias("raw"))
+            .transform(stage_checkpoint, eager=False)
+        )
         hmax = hr.agg(F.max("raw").alias("mx"))
         h = hr.crossJoin(F.broadcast(hmax)).select(
             "c", F.expr("(raw * 1000000) div mx").alias("h_us")
         )
-        ar = e.join(h, "c").groupBy("s").agg(F.sum("h_us").alias("raw"))
+        ar = (
+            e.join(h, "c")
+            .groupBy("s")
+            .agg(F.sum("h_us").alias("raw"))
+            .transform(stage_checkpoint, eager=False)
+        )
         amax = ar.agg(F.max("raw").alias("mx"))
         a = ar.crossJoin(F.broadcast(amax)).select(
             "s", F.expr("(raw * 1000000) div mx").alias("a_us")

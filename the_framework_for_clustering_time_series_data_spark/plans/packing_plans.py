@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
 from the_framework_for_clustering_time_series_data_spark.operators import packing
 from the_framework_for_clustering_time_series_data_spark.operators.text import tokens_expr
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
@@ -275,6 +276,10 @@ def corpus_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quality") >= 0.5)
         .join(exact_keep, "doc_id", "left_semi")  # corpus-sized: no broadcast hint
         .drop("quality")
+        # feeds both the per-lang rate aggregate and the mixture
+        # filter — checkpoint so the quality scan + dedup semi-join
+        # run once (guide §2.4); rows are (id, lang, n_tokens) narrow
+        .transform(stage_checkpoint, eager=False)
     )
     r = base.groupBy("lang").agg(F.count("*").alias("n_in"))
     tot = r.agg(F.sum("n_in").alias("n"), F.count("*").alias("k"))
@@ -305,7 +310,7 @@ def corpus_training_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_tokens",
         F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
-    )
+    ).transform(stage_checkpoint, eager=False)  # feeds packing + final join
     packed = packing.pack_chunks(
         sp.where(F.col("split") == "train").select("doc_id", "n_tokens"),
         "doc_id",

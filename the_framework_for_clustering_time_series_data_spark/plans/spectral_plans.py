@@ -319,6 +319,10 @@ def _sbd_knn_from_pairs(pairs: DataFrame, k: int = 5) -> DataFrame:
     """Symmetrize an SBD pair frame (CC_lag(x,y) = CC_−lag(y,x)) and
     keep each series' k nearest neighbours — the consumer-cap tail
     shared by ts_sbd_topk and ts_sbd_topk_adaptive."""
+    # consumed twice (fwd + rev) — checkpoint so the NCC kernel runs
+    # once (guide §2.4); output is pair-sized, far below the kernel's
+    # candidate volume
+    pairs = pairs.transform(stage_checkpoint, eager=False)
     fwd = pairs.select(
         F.col("sid_a").alias("series_id"),
         F.col("sid_b").alias("nbr_id"),
