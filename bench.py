@@ -37,6 +37,10 @@ def detail_filename(queries_arg: str | None) -> str:
 # ts_lttb, q25). Rotated-out queries remain correctness-gated in
 # the registry and the full suite; BENCH_FULL.json keeps full history
 # whenever they are run explicitly via --queries.
+#: the load canary: a scan+agg plan byte-identical since round 8 —
+#: its steady/median ratio measures session load, not regressions
+_CANARY = "q1_pricing_summary"
+
 HEADLINE = [
     "q1_pricing_summary",
     "q5_region_revenue",
@@ -216,6 +220,12 @@ def main() -> None:
         slowest = [
             n for i, n in enumerate(by_cost) if i < med_top or timings[n] >= med_min
         ]
+        # the canary always gets a median so the emitted record carries
+        # its own load evidence (round-11 verdict ask #8): q1's plan has
+        # been byte-identical since round 8, so steady/median >> 1 on it
+        # means driver-session load, not a regression
+        if _CANARY in timings and _CANARY not in slowest:
+            slowest.append(_CANARY)
         for name in slowest:
             samples = [timings[name]]
             for _ in range(med_runs - 1):
@@ -228,6 +238,14 @@ def main() -> None:
             print(f"# median{med_runs} {name}: {median5[name]}s {samples}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # load evidence (round-11 verdict ask #8): in-sequence steady time
+    # of the canary over its end-of-run median — >>1 flags a loaded
+    # session window, not a plan regression
+    canary_ratio = (
+        round(timings[_CANARY] / median5[_CANARY], 3)
+        if _CANARY in timings and median5.get(_CANARY)
+        else None
+    )
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver tail-captures only the LAST ~2000 chars of stdout, so the
     # single stdout JSON line must stay compact: steady per-query map only
@@ -243,6 +261,7 @@ def main() -> None:
         "queries_cold": cold,
         "cold_total": round(sum(cold.values()), 3),
         "median5": median5,
+        "canary_ratio": canary_ratio,
         "sf": float(sf),
     }
     detail_name = detail_filename(args.queries)
@@ -265,6 +284,7 @@ def main() -> None:
             q: round(t, 2)
             for q, t in sorted(median5.items(), key=lambda kv: -kv[1])[:med_line_n]
         },
+        "canary_ratio": canary_ratio,
         "sf": float(sf),
         "detail": detail_name,
     }

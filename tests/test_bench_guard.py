@@ -11,3 +11,12 @@ def test_partial_runs_write_their_own_artifact():
     assert bench.detail_filename("") == "BENCH_FULL.json"  # no subset given
     assert bench.detail_filename("q1_pricing_summary") == "BENCH_PARTIAL.json"
     assert bench.detail_filename("a,b,c") == "BENCH_PARTIAL.json"
+
+
+def test_canary_constant_is_headline():
+    """The load canary must stay a headline query (round-12: bench
+    emits canary_ratio = canary steady / canary median as per-run load
+    evidence; it can only do that if the canary is benched)."""
+    import bench
+
+    assert bench._CANARY in bench.HEADLINE
