@@ -125,3 +125,54 @@ def test_pam_loop_reliable_identical(spark, tmp_path):
         rel = sorted(map(tuple, kmedoids(pts, k=3, max_iter=4).collect()))
         assert _tree_files(ck)
     assert base == rel
+
+
+def test_r12_sites_reliable_identical(spark, tmp_path):
+    """The round-12 checkpoint sites (SBD pair frame + SAX words +
+    z-scored frame; capped shingle postings) must produce identical
+    values under the fault-tolerant ``df.checkpoint()`` path — the
+    100 TB posture for unbounded frames where executor-local blocks
+    are not acceptable."""
+    from tests.conftest import SF_ORACLE
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+
+    spark.catalog.clearCache()
+    for name, key in (
+        ("ts_sbd_topk", lambda r: (r["series_id"], r["rank"])),
+        ("dedup_ngram_jaccard_capped", None),
+    ):
+        df = QUERIES[name](spark, SF_ORACLE)
+        base = sorted(map(tuple, df.collect()))
+        with reliable(spark, tmp_path) as ck:
+            rel = sorted(map(tuple, QUERIES[name](spark, SF_ORACLE).collect()))
+            assert _tree_files(ck), f"{name}: reliable mode wrote no checkpoint"
+        assert base == rel, f"{name}: reliable-mode values differ"
+
+
+def test_checkpoint_disabled_seam_identical_values(spark, tmp_path):
+    """``spark.graft.checkpoint.disabled=true`` (the plan-inspection
+    seam) must be a pure pass-through: same values, full un-truncated
+    lineage (no `Scan ExistingRDD` scar in the plan)."""
+    from tests.conftest import SF_ORACLE
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import (
+        formatted_plan,
+    )
+    from the_framework_for_clustering_time_series_data_spark.plans.registry import QUERIES
+
+    spark.catalog.clearCache()
+    base = sorted(map(tuple, QUERIES["ts_sbd_topk"](spark, SF_ORACLE).collect()))
+    spark.conf.set("spark.graft.checkpoint.disabled", "true")
+    try:
+        df = QUERIES["ts_sbd_topk"](spark, SF_ORACLE)
+        # the pair kernel (hidden behind `Scan ExistingRDD` in the
+        # production plan) must be visible again — that is the seam's
+        # whole purpose. (`Scan ExistingRDD` itself still appears for
+        # the parallelized lags table, which is not a checkpoint.)
+        plan = formatted_plan(df)
+        assert "t_shift" in plan and (
+            "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        )
+        nock = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.unset("spark.graft.checkpoint.disabled")
+    assert base == nock

@@ -27,6 +27,19 @@ def _plan(spark, name):
     return buf.getvalue()
 
 
+def _full_plan(spark, name):
+    """The FULL kernel plan, with the stage_checkpoint seam disabled:
+    localCheckpoint truncates .explain() at `Scan ExistingRDD`, which
+    would make any plan-lock downstream of a checkpoint vacuous. The
+    checkpointed subtrees still execute the locked shape at runtime —
+    this is the plan they run."""
+    spark.conf.set("spark.graft.checkpoint.disabled", "true")
+    try:
+        return _plan(spark, name)
+    finally:
+        spark.conf.unset("spark.graft.checkpoint.disabled")
+
+
 def test_q1_filter_pushdown_and_column_pruning(spark):
     plan = _plan(spark, "q1_pricing_summary")
     assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached parquet
@@ -950,7 +963,20 @@ def test_sbd_topk_keeps_equi_keyed_pair_join(spark):
     """ts_sbd_topk shares ts_sbd_pairs' kernel: the (series, shifted
     day) equi key must survive the symmetrize+window wrapper (the
     round-8 mixed-side-condition lesson, plan-locked for the new
-    consumer too)."""
-    plan = _plan(spark, "ts_sbd_topk")
+    consumer too). The r12 stage_checkpoint on the pair frame truncates
+    the production plan at `Scan ExistingRDD`, so the lock asserts on
+    the FULL kernel plan (checkpoint seam disabled) — the shape that
+    actually executes inside the checkpointed sub-job."""
+    plan = _full_plan(spark, "ts_sbd_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    # the pair join itself must keep both equi keys (series, shifted
+    # day) — same lock as ts_sbd_pairs', applied to this consumer
+    m = re.search(
+        r"(?:SortMergeJoin|ShuffledHashJoin)\n"
+        r"Left keys \[(\d+)\][^\n]*t_a[^\n]*\n"
+        r"Right keys \[(\d+)\][^\n]*t_shift",
+        plan,
+    )
+    assert m, "pair join lost the shifted-day equi key"
+    assert m.group(1) == m.group(2) == "2"

@@ -183,11 +183,17 @@ def stage_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     metadata (operators/rank.py) document this eager contract.
     Use via ``df.transform(stage_checkpoint, eager=...)`` to keep
     method-chain style."""
+    conf = df.sparkSession.conf
+    # Plan-INSPECTION seam (tests / tools/capture_plans.py only, never
+    # production): checkpoints truncate .explain() at `Scan
+    # ExistingRDD`, which blinds plan-lock tests and makes
+    # before/after exchange counts compare a full plan against a
+    # truncated one. With this conf the frame passes through unchanged
+    # so the whole kernel is visible; values are identical either way.
+    if str(conf.get("spark.graft.checkpoint.disabled", "false")).lower() == "true":
+        return df
     reliable = (
-        str(
-            df.sparkSession.conf.get("spark.graft.checkpoint.reliable", "false")
-        ).lower()
-        == "true"
+        str(conf.get("spark.graft.checkpoint.reliable", "false")).lower() == "true"
     )
     if reliable:
         sc = df.sparkSession.sparkContext

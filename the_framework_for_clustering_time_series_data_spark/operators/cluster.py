@@ -343,19 +343,27 @@ def silhouette_exact(pred: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     # are unchanged (each left row still meets every right row of its
     # k exactly once), so aggregates are value-identical while the
     # pair work spreads over |k|·nsalt tasks.
-    nsalt = (
-        int(pred.sparkSession.conf.get("spark.graft.silhouette.pair.salt", "16"))
-        if ks
-        else 1
-    )
+    if ks:
+        try:
+            nsalt = int(
+                pred.sparkSession.conf.get("spark.graft.silhouette.pair.salt", "16")
+            )
+        except (TypeError, ValueError):
+            nsalt = 16
+        nsalt = max(1, nsalt)
+    else:
+        nsalt = 1
+    # collision-safe internal name: pred is caller-supplied and could
+    # legitimately carry a `_ps` column
+    _salt = "__graft_pair_salt"
     if ks and nsalt > 1:
         a = pred.withColumn(
-            "_ps", F.pmod(F.xxhash64(F.col("series_id")), F.lit(nsalt)).cast("int")
+            _salt, F.pmod(F.xxhash64(F.col("series_id")), F.lit(nsalt)).cast("int")
         ).alias("a")
         b = pred.withColumn(
-            "_ps", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
+            _salt, F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
         ).alias("b")
-        salt_cond = [F.col("a._ps") == F.col("b._ps")]
+        salt_cond = [F.col(f"a.{_salt}") == F.col(f"b.{_salt}")]
     else:
         a, b = pred.alias("a"), pred.alias("b")
         salt_cond = []

@@ -1590,11 +1590,16 @@ def semantic_dedup_coarse(
             def fine_groups(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
                 X, cells, rows, d2 = _bucket(l, r)
                 if not len(X):
+                    # len(X) == len(l) by construction (_bucket builds X
+                    # from l["v"]); build every column zero-length so a
+                    # future rows-without-centroids case fails loudly
+                    # instead of a length-mismatch constructor crash
+                    empty = l.iloc[0:0]
                     return pd.DataFrame(
                         {
-                            "id": l["id"],
+                            "id": empty["id"],
                             "cell": pd.Series([], dtype="int32"),
-                            "group_id": l["id"],
+                            "group_id": empty["id"],
                             "group_size": pd.Series([], dtype="int64"),
                             "keep": pd.Series([], dtype="bool"),
                         }

@@ -49,10 +49,45 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — capture must not abort the sweep
             print(f"{name}: ERROR {exc}", file=sys.stderr)
             continue
+        # stage_checkpoint truncates .explain at `Scan ExistingRDD`,
+        # so a checkpointed plan's stats undercount the work (the
+        # checkpointed subtrees' exchanges still execute once at
+        # runtime). Flag it, and append the FULL kernel plan captured
+        # with the checkpoint seam disabled so exchange-count claims
+        # can be made against like-for-like shapes.
+        n_trunc = plan.count("Scan ExistingRDD")
+        full_section = ""
+        if n_trunc:
+            spark.conf.set("spark.graft.checkpoint.disabled", "true")
+            try:
+                full_df = QUERIES[name](spark, args.sf_dir)
+                full_plan = formatted_plan(full_df)
+                full_stats = summarize_plan(full_df)
+                full_section = (
+                    "\n\n== full kernel plan (spark.graft.checkpoint.disabled"
+                    "=true; production runs the truncated plan above, with "
+                    "each checkpointed subtree executed once): "
+                    + ", ".join(f"{k}={v}" for k, v in full_stats.items())
+                    + "\n\n"
+                    + full_plan
+                )
+            except Exception as exc:  # noqa: BLE001
+                full_section = f"\n\n== full kernel plan capture FAILED: {exc}"
+            finally:
+                spark.conf.unset("spark.graft.checkpoint.disabled")
         path = out_dir / f"{name}_{args.suffix}.txt"
-        header = "== plan stats: " + ", ".join(f"{k}={v}" for k, v in stats.items())
-        path.write_text(header + "\n\n" + plan)
-        print(f"{name}: exchanges={stats['n_exchanges']} bcast={stats['n_broadcast_exchanges']}")
+        header = (
+            "== plan stats: "
+            + ", ".join(f"{k}={v}" for k, v in stats.items())
+            + (
+                f", n_checkpoint_truncations={n_trunc}"
+                " (stats EXCLUDE checkpointed subtrees; full plan below)"
+                if n_trunc
+                else ""
+            )
+        )
+        path.write_text(header + "\n\n" + plan + full_section)
+        print(f"{name}: exchanges={stats['n_exchanges']} bcast={stats['n_broadcast_exchanges']} trunc={n_trunc}")
     spark.stop()
 
 
