@@ -177,15 +177,31 @@ def main() -> None:
     # run is the per-scan cost that actually multiplies at 100 TB.
     # ``value`` totals the steady-state runs; cold runs are reported
     # alongside in ``queries_cold`` for transparency.
+    # MEASUREMENT-HYGIENE (round-13 fix, guide §1): collect Python
+    # garbage between timed runs. DataFrame/Column wrappers participate
+    # in reference cycles, so dropped plans linger until a generational
+    # GC pass; the py4j refs they hold keep the JVM-side plans,
+    # broadcasts and localCheckpoint blocks alive, and ContextCleaner
+    # cannot release them. Round-13 diagnosis: sim_ann_recall_audit's
+    # five in-bench median runs grew MONOTONICALLY 7.8 → 35.8 s while
+    # an explicit gc.collect() between identical runs held all six at a
+    # flat ~8 s (r12's canary_ratio 1.361 and the 10 PERF-flagged
+    # "regressions" were this contamination, not plan changes). The
+    # timed region itself is untouched — the GC runs between runs, and
+    # every run still computes from parquet.
+    import gc
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
+        gc.collect()
         t0 = time.perf_counter()
         evaluate(QUERIES[name](spark, args.sf_dir))
         cold[name] = round(time.perf_counter() - t0, 3)
         # drop any .cache() an operator materialized during the cold
         # run — the steady run must re-execute, not read cached RDDs
         spark.catalog.clearCache()
+        gc.collect()
         t0 = time.perf_counter()
         evaluate(QUERIES[name](spark, args.sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -229,6 +245,7 @@ def main() -> None:
         for name in slowest:
             samples = [timings[name]]
             for _ in range(med_runs - 1):
+                gc.collect()  # same hygiene as the main loop
                 t0 = time.perf_counter()
                 evaluate(QUERIES[name](spark, args.sf_dir))
                 samples.append(round(time.perf_counter() - t0, 3))

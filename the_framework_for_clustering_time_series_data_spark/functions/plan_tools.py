@@ -88,6 +88,42 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
 _NUM_PARTS_CACHE: dict[tuple[int, int], int] = {}
 
 
+def lit_double_array(values):
+    """A literal ``array<double>`` Column in ONE py4j round trip.
+
+    ``F.array(*[F.lit(x) for x in vs])`` costs len(vs)+1 py4j calls —
+    ~0.6 ms each (and multi-ms on a cold gateway), so a 16-centroid ×
+    64-dim probe expression burned ~1000 round trips of pure driver
+    time per plan BUILD (round-13 diagnosis: the sim family's bench
+    cost was mostly construction, not execution — guide §7.3). Parsing
+    one ``array(1.0D, …)`` SQL string JVM-side yields the IDENTICAL
+    Literal array: ``repr(float)`` is the shortest round-trip decimal
+    and Java's double parse is correctly rounded, so values are
+    bit-identical (asserted in tests/test_plans.py)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for x in values:
+        x = float(x)
+        if math.isfinite(x):
+            parts.append(repr(x) + "D")
+        elif math.isnan(x):
+            parts.append("CAST('NaN' AS DOUBLE)")
+        else:
+            parts.append(f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)")
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def lit_long_array(values):
+    """A literal ``array<bigint>`` Column in one py4j round trip — the
+    integer sibling of :func:`lit_double_array` (exact by definition)."""
+    from pyspark.sql import functions as F
+
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in values) + ")")
+
+
 def tiny_window(*order_cols, key: str):
     """A window over a frame KNOWN to be bounded-small — post-limit
     rank frames, md5-seed sets, fixed bucket prefixes, per-cluster

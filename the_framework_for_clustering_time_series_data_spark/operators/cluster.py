@@ -468,7 +468,13 @@ def silhouette_selection(
             ).evaluate(fitted)
         return (k, float(s))
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    # one driver thread per k (round-13, guide §2.6): each seeded fit
+    # is a chain of tiny scheduling-bound jobs, so a pool narrower
+    # than the k count serializes whole fit+score pipelines — measured
+    # 8 fits at sf0.1: 8.6 s with 4 workers, 3.5 s with 8. Driver
+    # threads are cheap; the executor-side work is unchanged and the
+    # scheduler back-fills the fits' straggler tails.
+    with ThreadPoolExecutor(max_workers=max(1, max_k - 2)) as pool:
         scores = sorted(pool.map(fit_and_score, range(2, max_k)))
     # the result is a k-row literal — the shared vector cache can go now
     vecs.unpersist()
@@ -1036,6 +1042,14 @@ def gmm_md5em_assign(
 
     resp = _estep(params)
     for _ in range(em_rounds - 1):
+        # the M-step consumes resp TWICE (soft-count/mean aggregate +
+        # the variance pass joined back on the new means), and the next
+        # round's E-step re-derives everything upstream of params — the
+        # unrolled DAG re-instantiated each E-step per consumer (the
+        # 18-exchange c7b plan). Checkpoint the (n×k)-row responsibility
+        # frame so the E-step runs once per round (guide §2.4, the c4b
+        # fusion lesson applied to EM).
+        resp = resp.transform(stage_checkpoint, eager=False)
         micro_r = F.floor(F.col("r") * F.lit(1e6) + F.lit(0.5)).cast("long")
         aggs = [F.sum(micro_r).alias("nr")] + [
             F.sum(F.col("r") * F.element_at(F.col("v"), d)).alias(f"_s{d}")
@@ -1086,6 +1100,10 @@ def gmm_md5em_assign(
                 "w",
             )
         )
+        # ≤ k parameter rows — checkpointing them truncates the nested
+        # broadcast chain the next E-step would otherwise re-plan (the
+        # Lloyd-centroid-table discipline, guide §2.4)
+        params = params.transform(stage_checkpoint, eager=False)
         resp = _estep(params)
     best = resp.groupBy("id").agg(
         F.min_by(

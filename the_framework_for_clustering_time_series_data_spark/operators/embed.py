@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import (
+    lit_double_array,
+    lit_long_array,
+)
+
 
 def _to_vectors(nested: DataFrame, values_col: str = "values") -> DataFrame:
     from pyspark.ml.functions import array_to_vector
@@ -112,7 +117,7 @@ def pca_powerit_det(
     mmu = [0] * d
     for r in stats:
         mmu[r["p"]] = int(math.floor(float(int(r["s"])) / r["n"] + 0.5))
-    mmu_lit = F.array(*[F.lit(v) for v in mmu])
+    mmu_lit = lit_long_array(mmu)  # one py4j call, not d+1 (guide §7.3)
 
     cdf = base.select(
         "id", F.zip_with("vu", mmu_lit, lambda a, b: a - b).alias("c")
@@ -191,8 +196,8 @@ def pca_powerit_det(
         )
         return F.floor(dot.cast("double") / F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
-    u_lit = F.array(*[F.lit(v) for v in u])
-    w_lit = F.array(*[F.lit(v) for v in w])
+    u_lit = lit_long_array(u)
+    w_lit = lit_long_array(w)
     return cdf.select(
         F.col("id").alias("series_id"),
         score(u_lit).alias("x"),
@@ -340,7 +345,7 @@ def _random_projection_standin(
     W = rng.normal(size=(k, L)) / np.sqrt(L)
 
     def proj(row: "np.ndarray") -> F.Column:
-        w = F.array(*[F.lit(float(v)) for v in row])
+        w = lit_double_array(row)
         prods = F.zip_with(F.col(values_col), w, lambda a, b: a * b)
         return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 

@@ -57,7 +57,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import (
+    lit_double_array,
+    stage_checkpoint,
+)
 
 # Rank exactness does not depend on sketch accuracy (see module
 # docstring), so approxQuantile runs at a loose 0.01 relative error.
@@ -118,7 +121,7 @@ def with_global_ntiles(
 
     tagged = base
     for i in range(len(specs)):
-        barr = F.array(*[F.lit(float(b)) for b in all_bounds[i]])
+        barr = lit_double_array(all_bounds[i])
         tagged = tagged.withColumn(
             f"_bk{i}", F.size(F.filter(barr, _le_pv(i)))
         )
@@ -216,7 +219,7 @@ def with_global_cumsum(
     # across the histogram and output lineages)
     probs = [i / buckets for i in range(1, buckets)]
     bounds = base.stat.approxQuantile("_pv", probs, _SKETCH_RELATIVE_ERROR)
-    barr = F.array(*[F.lit(float(b)) for b in bounds])
+    barr = lit_double_array(bounds)
     tagged = base.withColumn(
         "_bk", F.size(F.filter(barr, lambda b: b <= F.col("_pv")))
     )

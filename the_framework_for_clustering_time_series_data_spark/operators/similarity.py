@@ -424,22 +424,19 @@ def _ivf_probe_scored(
     ``cell_ids`` maps positions in ``centers`` to cell labels when the
     quantizer's cells are not a dense 0..k-1 range (the deterministic
     Lloyd build can leave empty cells)."""
-    sq_dist = _sq_dist_expr
     ids = cell_ids if cell_ids is not None else list(range(len(centers)))
-    ranked_cells = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        sq_dist(F.col("qv"), centers[i]).alias("d"),
-                        F.lit(ids[i]).alias("cell"),
-                    )
-                    for i in range(len(centers))
-                ]
-            )
-        ),
-        1,
-        nprobe,
+    # the whole (distance, cell) ranking expression parses from ONE SQL
+    # string: the Column-by-Column form burned ~140 py4j round trips
+    # per centroid building the fold lambdas (round-13, guide §7.3 —
+    # the probe's bench cost was plan CONSTRUCTION). Parsed tree ==
+    # built tree (same aggregate/zip_with HOFs, same struct order,
+    # repr-exact double literals), so every value is unchanged.
+    structs = ",".join(
+        f"named_struct('d', {_sq_dist_sql('qv', centers[i])}, 'cell', {int(ids[i])})"
+        for i in range(len(centers))
+    )
+    ranked_cells = F.expr(
+        f"slice(array_sort(array({structs})), 1, {nprobe})"
     )
     q_probe = qs.select(
         "query_id", "qv", F.explode(ranked_cells).alias("pc")
@@ -462,6 +459,19 @@ def _ivf_probe_scored(
     )
 
 
+def _sq_dist_sql(vname: str, center) -> str:
+    """SQL-string twin of :func:`_sq_dist_expr` — the same sequential
+    zip_with fold against a literal centroid, as text for a single
+    ``F.expr`` parse (guide §7.3; values bit-identical — repr() is the
+    shortest round-trip decimal and the SQL double parse is correctly
+    rounded)."""
+    arr = "array(" + ",".join(repr(float(x)) + "D" for x in center) + ")"
+    return (
+        f"aggregate(zip_with({vname}, {arr}, (a, b) -> (a - b) * (a - b)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _sq_dist_expr(vcol: Column, center: list[float]) -> Column:
     """Squared Euclidean distance to a LITERAL centroid via the
     sequential zip_with fold — the ONE definition both the IVF probe's
@@ -469,7 +479,9 @@ def _sq_dist_expr(vcol: Column, center: list[float]) -> Column:
     two byte-identical copies had grown, and a numeric fix applied to
     one would silently break the probe-identity contract the streaming
     IVF test pins)."""
-    c = F.array(*[F.lit(x) for x in center])
+    from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import lit_double_array
+
+    c = lit_double_array(center)  # one py4j call, not dim+1 (guide §7.3)
     return F.aggregate(
         F.zip_with(vcol, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -493,26 +505,18 @@ def assign_cells_frozen(
     embarrassingly parallel over any batch size. Returns
     ``(nbr_id, v, cell)`` rows shaped exactly like the persisted
     ``cells`` table of :func:`build_ivf_index_deterministic`."""
-    sq_dist = _sq_dist_expr
     ids = cell_ids if cell_ids is not None else list(range(len(centers)))
     corpus = emb.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    nearest = F.element_at(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        sq_dist(F.col("v"), centers[i]).alias("d"),
-                        F.lit(ids[i]).alias("cell"),
-                    )
-                    for i in range(len(centers))
-                ]
-            )
-        ),
-        1,
+    # one SQL parse instead of ~140 py4j round trips per centroid —
+    # the _ivf_probe_scored rationale; the parsed tree is identical
+    structs = ",".join(
+        f"named_struct('d', {_sq_dist_sql('v', centers[i])}, 'cell', {int(ids[i])})"
+        for i in range(len(centers))
     )
+    nearest = F.expr(f"element_at(array_sort(array({structs})), 1)")
     return corpus.select("nbr_id", "v", nearest["cell"].alias("cell"))
 
 

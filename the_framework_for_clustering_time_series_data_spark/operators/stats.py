@@ -118,38 +118,42 @@ def poisson_bootstrap_moments(
         ],
     )
 
-    def cnt(rep: int):
-        u = F.conv(
-            F.substring(F.col(f"_h{rep // 4}"), 1 + 7 * (rep % 4), 7), 16, 10
-        ).cast("long")
+    # The 2·reps aggregate expressions and the reps-struct unpivot are
+    # built as SQL STRINGS parsed JVM-side in ONE py4j call each
+    # (round-13, guide §7.3 — plan-construction time IS driver time):
+    # the Column-by-Column form made ~9.6k py4j round trips (~300
+    # expression objects × ~30 calls), 2.7-12.6 s of timed driver
+    # chatter per run at any scale factor. The parsed trees are the
+    # SAME Catalyst expressions (CASE WHEN ↔ F.when, integer literals,
+    # identical coercions), so every value is unchanged.
+    t28 = POISSON_T28
+
+    def w_sql(rep: int) -> str:
+        u = (
+            f"CAST(conv(substring(_h{rep // 4}, {1 + 7 * (rep % 4)}, 7), "
+            "16, 10) AS BIGINT)"
+        )
         return (
-            F.when(u < POISSON_T28[0], 0)
-            .when(u < POISSON_T28[1], 1)
-            .when(u < POISSON_T28[2], 2)
-            .when(u < POISSON_T28[3], 3)
-            .otherwise(4)
+            f"(CASE WHEN {u} < {t28[0]} THEN 0 WHEN {u} < {t28[1]} THEN 1 "
+            f"WHEN {u} < {t28[2]} THEN 2 WHEN {u} < {t28[3]} THEN 3 "
+            "ELSE 4 END)"
         )
 
     aggs = []
     for rep in range(reps):
-        w = cnt(rep)
-        aggs.append(F.sum(w * F.col(value_cents_col)).alias(f"_s{rep}"))
-        aggs.append(F.sum(w).alias(f"_n{rep}"))
+        w = w_sql(rep)
+        aggs.append(
+            F.expr(f"sum({w} * `{value_cents_col}`)").alias(f"_s{rep}")
+        )
+        aggs.append(F.expr(f"sum({w})").alias(f"_n{rep}"))
     g = r1.groupBy(*key_cols).agg(*aggs)
+    structs = ",".join(
+        f"named_struct('rep', CAST({rep} AS INT), 's', _s{rep}, 'n', _n{rep})"
+        for rep in range(reps)
+    )
     return g.select(
         *key_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(rep).cast("int").alias("rep"),
-                        F.col(f"_s{rep}").alias("s"),
-                        F.col(f"_n{rep}").alias("n"),
-                    )
-                    for rep in range(reps)
-                ]
-            )
-        ).alias("_r"),
+        F.expr(f"explode(array({structs}))").alias("_r"),
     ).select(*key_cols, "_r.rep", "_r.s", "_r.n")
 
 

@@ -7,7 +7,10 @@ from pyspark.sql import functions as F
 
 from the_framework_for_clustering_time_series_data_spark.operators import similarity
 
-from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import stage_checkpoint
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import (
+    lit_double_array,
+    stage_checkpoint,
+)
 from the_framework_for_clustering_time_series_data_spark.plans.registry import register
 from the_framework_for_clustering_time_series_data_spark.sources.tables import load_table
 
@@ -111,7 +114,7 @@ def emb_rand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.aggregate(
                 F.zip_with(
-                    F.array(*[F.lit(float(x)) for x in w[i]]),
+                    lit_double_array(w[i]),
                     F.col("v"),
                     lambda a, b: a * b,
                 ),

@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from the_framework_for_clustering_time_series_data_spark.functions.plan_tools import lit_double_array
+
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """K1/K2/K3 — CSV export with header. ``single_file`` coalesces to
@@ -217,7 +219,7 @@ def write_zordered(
         # interleave's high bits (the curve's coarsest splits) would be
         # driven by the other columns alone
         bounds = sorted(set(qs))
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        barr = lit_double_array(bounds)
         raw = F.size(F.filter(barr, lambda b: b <= dc))
         bucket_cols.append(
             F.floor(raw * n_buckets / (len(bounds) + 1)).cast("long")
